@@ -1,0 +1,371 @@
+"""Core scan/filter/projection/sort queries (SURVEY.md §2.1–§2.2, §2.6).
+
+Each query is declarative DataFrame code — Catalyst pushes the filters and the
+projection into the parquet scan (verify with ``.explain``: PushedFilters /
+ReadSchema), which replaces the reference's hand-rolled ``columns=`` lists and
+S3 prefix pruning (reference: src/cbbd_etl/_io_helpers.py:20-67, 109-114).
+
+Determinism rules for the DuckDB oracle hash-match:
+- money/ratio aggregates run in DECIMAL (exact, order-independent) and are
+  cast to DOUBLE only in the final projection;
+- counts/sums of integers are cast to BIGINT on both sides;
+- timestamps leave as ``unix_micros`` BIGINT or 'yyyy-MM-dd' strings;
+- every top-k has a total deterministic ordering (unique key tiebreak).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style hash aggregation — the flagship query.
+
+    Mirrors the reference's per-(gameId,teamId) counter aggregation pyramid
+    (A1/A2: scripts/build_pbp_game_team_stats.py:63-266) as a single
+    map-side-combinable groupBy; at 100 TB this is one shuffle of the
+    already-reduced partial aggregates.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "2000-01-01")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    charge = disc_price * (1 + _dec("l_tax"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("_sq"),
+        F.sum(_dec("l_extendedprice")).alias("_sp"),
+        F.sum(disc_price).alias("_sdp"),
+        F.sum(charge).alias("_sc"),
+        F.sum(_dec("l_discount")).alias("_sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    n = F.col("count_order")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.col("_sc").cast("double").alias("sum_charge"),
+        (F.col("_sq").cast("double") / n).alias("avg_qty"),
+        (F.col("_sp").cast("double") / n).alias("avg_price"),
+        (F.col("_sd").cast("double") / n).alias("avg_disc"),
+        n.cast("bigint").alias("count_order"),
+    )
+
+
+@query(
+    "q02_filter_pushdown",
+    oracle="""
+    SELECT
+      CAST(l_orderkey AS BIGINT) AS l_orderkey,
+      CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+      CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-03-01'
+      AND l_quantity > 45
+    """,
+)
+def q02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown (P1/P3/S7/S8).
+
+    The reference filtered in Python after a full read
+    (src/cbbd_etl/_io_helpers.py:109-114); here both predicates and the
+    4-column projection reach the parquet row groups.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-03-01")
+            & (F.col("l_quantity") > 45)
+        )
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )
+
+
+@query(
+    "q03_topk_orders",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (O2: ORDER BY ... LIMIT with unique-key tiebreak).
+
+    Spark executes this as per-partition TakeOrdered + merge on the driver —
+    no global sort shuffle, which is exactly what you want at 100 TB.
+    """
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            F.col("o_orderkey").cast("bigint"),
+            F.col("o_custkey").cast("bigint"),
+            F.col("o_totalprice").cast("double"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q04_conditional_record",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_conditional_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the W/L-record pattern (A3:
+    reference gold/team_season_summary.py:244-299) expressed as
+    sum(when(...)) so it stays one map-side-combinable aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_open"),
+        F.sum(
+            F.when((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_big_finished"),
+    )
+
+
+@query(
+    "q05_value_clamp",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(LEAST(9000.0, GREATEST(0.0, c_acctbal)) AS DOUBLE) AS acctbal_clamped,
+           CASE WHEN c_acctbal < 0 OR c_acctbal > 9000 THEN 1 ELSE 0 END AS was_clamped
+    FROM customer
+    """,
+)
+def q05_value_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-sanity clamp (P8: reference gold/iterative_ratings.py:25-28,
+    efficiency clamped to [40,200]) as least/greatest column exprs."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("bigint"),
+        F.least(F.lit(9000.0), F.greatest(F.lit(0.0), F.col("c_acctbal")))
+        .cast("double")
+        .alias("acctbal_clamped"),
+        F.when((F.col("c_acctbal") < 0) | (F.col("c_acctbal") > 9000), 1)
+        .otherwise(0)
+        .alias("was_clamped"),
+    )
+
+
+@query(
+    "q06_safe_division",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(CASE WHEN SUM(CAST(l_quantity AS DECIMAL(18,2))) > 0
+                THEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                ELSE NULL END AS DOUBLE) AS price_per_unit,
+      CAST(COALESCE(CASE WHEN SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) > 0
+                THEN CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                ELSE NULL END, 0.0) AS DOUBLE) AS discounted_rate
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q06_safe_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe division, both conventions (F8): NULL-on-zero-denominator (gold
+    helpers, reference _io_helpers.py:70-91) and 0.0-on-zero (PBP scripts,
+    build_pbp_game_team_stats.py:106-109)."""
+    from hoops_edge_database_etl_spark.functions.numeric import safe_div
+
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_quantity")).alias("_qty"),
+        F.sum(_dec("l_extendedprice")).alias("_price"),
+        F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0)).alias("_ndisc"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        safe_div(F.col("_price").cast("double"), F.col("_qty").cast("double"))
+        .cast("double")
+        .alias("price_per_unit"),
+        safe_div(
+            F.col("_ndisc").cast("double"), F.col("_n").cast("double"), zero_on_null=True
+        )
+        .cast("double")
+        .alias("discounted_rate"),
+    )
+
+
+@query(
+    "q07_union_stack",
+    oracle="""
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+    FROM customer
+    """,
+)
+def q07_union_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL row-count matrix (D6/A14: the reference's validation-SQL
+    row-count stacks, scripts/sql/bronze_silver_validation_queries.sql:44-61)."""
+
+    def counted(name: str, key: str) -> DataFrame:
+        return (
+            load(spark, sf_dir, name)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(F.col(key)).cast("bigint").alias("n_keys"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_rows", "n_keys")
+        )
+
+    return (
+        counted("orders", "o_custkey")
+        .unionByName(counted("lineitem", "l_orderkey"))
+        .unionByName(counted("customer", "c_custkey"))
+    )
+
+
+@query(
+    "q08_percent_ratio",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(COUNT(c.c_custkey) AS BIGINT) AS n_customers,
+      ROUND(100.0 * COUNT(c.c_custkey) / NULLIF((SELECT COUNT(*) FROM customer), 0), 1) AS pct_of_customers
+    FROM nation n
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q08_percent_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent/ratio formatting with NULLIF guard (F13: reference
+    bronze_silver_validation_queries.sql:165) plus a broadcast left join."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    total = c.count()  # scalar subquery equivalent; tiny driver-side value
+    joined = n.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        n.n_nationkey == c.c_nationkey,
+        "left",
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("c_custkey").cast("bigint").alias("n_customers"),
+        F.when(
+            F.lit(total) != 0,
+            F.round(100.0 * F.count("c_custkey") / F.lit(total), 1),
+        ).alias("pct_of_customers"),
+    )
+
+
+@query(
+    "q09_date_arithmetic",
+    oracle="""
+    SELECT
+      CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+      CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def q09_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date truncation/arithmetic family (F3/F5: the reference's str(v)[:10]
+    idiom and timedelta windows, orchestrate.py:716, 1303-1318) done with
+    native date functions so it stays in codegen."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return o.select(
+        F.col("o_orderkey").cast("bigint"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since_epoch_start"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+    )
+
+
+@query(
+    "q10_lenient_cast",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(SUM(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+               THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) ELSE 0 END) AS BIGINT) AS k_total,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q10_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + lenient (null-on-failure) cast (F6/F7: the
+    reference's _cast_value / _normalize_jsonish, normalize.py:816-840,
+    orchestrate.py:1188-1227) via get_json_object + try_cast — no UDF."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(F.coalesce(k, F.lit(0))).cast("bigint").alias("k_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

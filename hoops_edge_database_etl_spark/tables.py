@@ -1,0 +1,47 @@
+"""Test-table loaders over the driver-generated parquet star schema.
+
+Mirrors the reference's storage layer role (SURVEY.md §2.1 S7/S8): reads are
+plain ``spark.read.parquet`` so Catalyst owns column pruning, predicate
+pushdown, and partition pruning — the things the reference did by hand with
+manual ``columns=`` lists and S3 prefix construction
+(reference: src/cbbd_etl/_io_helpers.py:20-67).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; projection/pushdown handled by Catalyst."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+        # as int64 nanos — truncate to microseconds (matches DuckDB's
+        # CAST(ts AS TIMESTAMP) semantics for the oracle).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can be used
+    exactly like the reference's Athena SQL corpus (SURVEY.md §3.3)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

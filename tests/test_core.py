@@ -1,0 +1,42 @@
+"""Core query oracle parity at sf0.001 (mirrors the driver's t2 check)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query
+
+CORE_QUERIES = [
+    "q01_pricing_summary",
+    "q02_filter_pushdown",
+    "q03_topk_orders",
+    "q04_conditional_record",
+    "q05_value_clamp",
+    "q06_safe_division",
+    "q07_union_stack",
+    "q08_percent_ratio",
+    "q09_date_arithmetic",
+    "q10_lenient_cast",
+]
+
+
+@pytest.mark.parametrize("name", CORE_QUERIES)
+def test_core_query_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_registry_consistency():
+    from hoops_edge_database_etl_spark.queries import all_oracles, all_queries
+
+    queries = all_queries()
+    oracles = all_oracles()
+    assert set(oracles) <= set(queries)
+    assert len(queries) > 0
