@@ -1,0 +1,84 @@
+"""As-of (point-in-time) join — the reference's bisect-over-sorted-timeline
+lookup (J8: scripts/backtest_spreads.py:87-152) re-expressed scale-first.
+
+Strategy: the *union trick*. Tag both sides, union them, and run ONE window
+per key ordered by (ts, side): each left row picks up the latest preceding
+right row via ``last(..., ignorenulls=True)``. This is a single shuffle on
+the join key with no row explosion — unlike the naive
+``left.join(right, key).filter(r_ts < l_ts)`` which is O(|L|·|R|) per key
+and dies on hot keys at 100 TB. Pandas ``merge_asof`` inside
+``applyInPandas`` would also work but leaves the JVM for no reason.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    strict: bool = True,
+    tolerance_expr: str | None = None,
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the latest right row with
+    ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key.
+
+    All left columns are preserved; attached columns keep their names (they
+    must not collide). ``tolerance_expr`` (e.g. ``"INTERVAL 7 DAYS"``) nulls
+    out matches older than ``left_ts - tolerance``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in value_cols:
+        if c in left.columns:
+            raise ValueError(f"value column {c!r} collides with a left column")
+
+    # side ordering at equal timestamps decides strictness:
+    # strict: left(0) sorts BEFORE right(1) at equal ts → same-ts right rows
+    # fall outside the left row's "preceding" frame.
+    left_side, right_side = (0, 1) if strict else (1, 0)
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(left_side).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(right_side).alias("__side"),
+        *[F.col(c) for c in value_cols],
+    ).select(*l_tagged.columns)  # align column order for the union
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__asof_ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # NOTE: a NULL in a right-side value column is skipped by ignorenulls and
+    # would surface the previous non-null match — acceptable for enrichment
+    # columns, same behavior as the reference's dict lookup of parsed rows.
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in value_cols and c != "__side"],
+        F.col("__side"),
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.max(F.when(F.col("__side") == F.lit(right_side), F.col("__asof_ts"))).over(w).alias("__match_ts"),
+    )
+    out = filled.filter(F.col("__side") == left_side)
+    if tolerance_expr is not None:
+        too_old = F.col("__match_ts") < F.expr(f"__asof_ts - {tolerance_expr}")
+        out = out.select(
+            *[c for c in out.columns if c not in value_cols],
+            *[F.when(too_old, None).otherwise(F.col(c)).alias(c) for c in value_cols],
+        )
+    return out.drop("__side", "__asof_ts", "__match_ts")

@@ -36,7 +36,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # CAST(ts AS TIMESTAMP) semantics for the oracle).
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div — ns values (~1.7e18) overflow double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

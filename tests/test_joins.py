@@ -1,0 +1,55 @@
+"""Join query oracle parity + asof_join operator unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query
+
+JOIN_QUERIES = [
+    "q11_dim_enrich_join",
+    "q12_inner_join_revenue",
+    "q13_first_match_join",
+    "q14_anti_join_gaps",
+    "q15_semi_join",
+    "q16_self_join_opponent",
+    "q17_asof_join",
+    "q18_fuzzy_name_join",
+    "q19_referential_integrity",
+    "q20_two_sided_expansion",
+]
+
+
+@pytest.mark.parametrize("name", JOIN_QUERIES)
+def test_join_query_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_asof_join_strict_vs_nonstrict(spark):
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "c")], "k int, ts int, who string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)], "k int, ts int, v double"
+    )
+    strict = {
+        r["who"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"], strict=True).collect()
+    }
+    # strictly-before: left(1,10) must NOT see right(1,10)
+    assert strict == {"a": None, "b": 150.0, "c": None}
+    nonstrict = {
+        r["who"]: r["v"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"], strict=False).collect()
+    }
+    assert nonstrict == {"a": 100.0, "b": 150.0, "c": None}
+
+
+def test_asof_join_collision_guard(spark):
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "k int, ts int, v double")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(df, df, "k", "ts", "ts", ["v"])
