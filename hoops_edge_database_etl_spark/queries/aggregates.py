@@ -1,1 +1,381 @@
-"""Placeholder — queries land here (see SURVEY.md §2)."""
+"""Aggregation operators (SURVEY.md §2.4 A1–A14).
+
+Everything is a single map-side-combinable ``groupBy().agg()`` — no
+collect-and-loop (the reference aggregated 28M plays into one in-memory
+Python dict, build_pbp_game_team_stats.py:155-266; here partial aggregation
+happens before the shuffle, so the reduce side only sees one row per group
+per map partition).
+
+Second-moment statistics (stddev, corr) are computed from DECIMAL power sums
+rather than Spark's native ``stddev``/``corr``: decimal sums are exact and
+order-independent, so the result hash-matches DuckDB regardless of partition
+count — the native double accumulators would drift in the last ulp.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "q21_weighted_avg",
+    oracle="""
+    SELECT
+      p.p_brand,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2)) * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS weighted_avg_price,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_weight
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q21_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ(w·x)/Σw weighted average (A5: the reference's recency-weighted
+    league averages, gold/iterative_ratings.py:131-139)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    w = F.col("l_quantity").cast(DEC)
+    x = F.col("l_extendedprice").cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(w * x).alias("_swx"), F.sum(w).alias("_sw"))
+        .select(
+            "p_brand",
+            (F.col("_swx").cast("double") / F.col("_sw").cast("double")).alias(
+                "weighted_avg_price"
+            ),
+            F.col("_sw").cast("double").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "q22_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS top_event_type, CAST(n AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+      FROM events
+      GROUP BY user_id, event_type
+    )
+    WHERE rn = 1
+    """,
+)
+def q22_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode — most common value per group with a deterministic tiebreak
+    (A6: Counter.most_common(1) opponent inference,
+    build_pbp_game_team_stats.py:89-96). count + row_number, not collect."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_event_type"),
+            F.col("n").cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+def _moments(x: Column, y: Column) -> list[Column]:
+    """Exact decimal power sums for second-moment statistics."""
+    return [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    ]
+
+
+@query(
+    "q23_pearson_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS qty_price_corr
+    FROM m
+    """,
+)
+def q23_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (A13: hand-rolled in scripts/tune_ratings.py:49-63)
+    from exact decimal power sums — order-independent across any partition
+    count, unlike a streaming double accumulator."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    m = li.groupBy("l_returnflag").agg(*_moments(x, y))
+    n = F.col("_n")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("_sxx").cast("double"),
+        F.col("_syy").cast("double"),
+        F.col("_sxy").cast("double"),
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias(
+            "qty_price_corr"
+        ),
+    )
+
+
+@query(
+    "q24_error_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(abs(value - 100) AS DECIMAL(18,2))) AS sae
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(sx AS DOUBLE) / n AS mean_value,
+           sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (n * (n - 1))) AS stddev_value,
+           CAST(sae AS DOUBLE) / n AS mae_vs_100
+    FROM m
+    """,
+)
+def q24_error_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest-style error metrics — mean, sample stddev, MAE vs a target
+    (A9: scripts/backtest_spreads.py:296-363)."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("value").cast(DEC)
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(F.abs(F.col("value") - 100).cast(DEC)).alias("_sae"),
+    )
+    n = F.col("_n")
+    sx, sxx = F.col("_sx").cast("double"), F.col("_sxx").cast("double")
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        (sx / n).alias("mean_value"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - 1))).alias("stddev_value"),
+        (F.col("_sae").cast("double") / n).alias("mae_vs_100"),
+    )
+
+
+@query(
+    "q25_group_having",
+    oracle="""
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+    FROM part
+    GROUP BY p_type
+    HAVING COUNT(*) > 20 AND MAX(p_retailprice) > 500
+    """,
+)
+def q25_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (A14: the reference's Athena validation corpus,
+    bronze_silver_validation_queries.sql:43-120)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+            F.max("p_retailprice").cast("double").alias("max_price"),
+        )
+        .filter((F.col("n_parts") > 20) & (F.col("max_price") > 500))
+    )
+
+
+@query(
+    "q26_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grouping_level,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q26_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — the reference approximated these with UNION ALL
+    stacks of per-granularity GROUP BYs (SURVEY.md §2.4 closing note); a
+    native rollup computes all levels in one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("grouping_level"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "q27_anomaly_detection",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), neighbored AS (
+      SELECT event_type, day, n,
+             AVG(CAST(n AS DOUBLE)) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+             ) AS neighbor_avg
+      FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_events, neighbor_avg
+    FROM neighbored
+    WHERE n < 0.5 * neighbor_avg
+    """,
+)
+def q27_anomaly_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection — rows <50% of the neighbor average (A11:
+    season-anomaly flagging, scripts/audit_lakehouse.py:225-246). Window is
+    partitioned by event_type so no single-partition bottleneck."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-1, 1)
+    return (
+        daily.withColumn("neighbor_avg", F.avg(F.col("n").cast("double")).over(w))
+        .filter(F.col("n") < 0.5 * F.col("neighbor_avg"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            "neighbor_avg",
+        )
+    )
+
+
+@query(
+    "q28_conditional_mean_gap",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS avg_purchase,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN event_type = 'view' THEN 1 END) AS avg_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+           - CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / SUM(CASE WHEN event_type = 'view' THEN 1 END) AS purchase_view_gap
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+       AND SUM(CASE WHEN event_type = 'view' THEN 1 END) > 0
+    """,
+)
+def q28_conditional_mean_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference of two conditional means (A12: empirical home-court
+    advantage = mean(home eff) − mean(away eff),
+    build_pbp_team_daily_rollup_adj.py:80-86) in a single pass."""
+    ev = load(spark, sf_dir, "events")
+    vdec = F.col("value").cast(DEC)
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.when(is_p, vdec)).alias("_sp"),
+        F.sum(F.when(is_p, 1)).alias("_np"),
+        F.sum(F.when(is_v, vdec)).alias("_sv"),
+        F.sum(F.when(is_v, 1)).alias("_nv"),
+    )
+    avg_p = F.col("_sp").cast("double") / F.col("_np")
+    avg_v = F.col("_sv").cast("double") / F.col("_nv")
+    return (
+        agg.filter((F.col("_np") > 0) & (F.col("_nv") > 0))
+        .select(
+            "user_id",
+            avg_p.alias("avg_purchase"),
+            avg_v.alias("avg_view"),
+            (avg_p - avg_v).alias("purchase_view_gap"),
+        )
+    )
+
+
+@query(
+    "q29_null_profile",
+    oracle="""
+    SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls, CAST(n_rows AS BIGINT) AS n_rows
+    FROM (
+      SELECT 'o_orderkey' AS col_name, SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, COUNT(*) AS n_rows FROM orders
+      UNION ALL
+      SELECT 'o_custkey', SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), COUNT(*) FROM orders
+    )
+    """,
+)
+def q29_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null profile (A10: scripts/audit_lakehouse.py:213-224) —
+    ONE scan computing every column's null count, then unpivoted; the
+    reference (and the naive port) scans once per column."""
+    from hoops_edge_database_etl_spark.plans.quality import null_profile
+
+    return null_profile(load(spark, sf_dir, "orders"))
+
+
+@query(
+    "q30_duplicate_stats",
+    oracle="""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_dup_keys,
+      CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_excess_rows,
+      CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_multiplicity
+    FROM (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+    )
+    """,
+)
+def q30_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-duplicate audit (A8/D4: dup counts per primary key,
+    scripts/audit_lakehouse.py:187-224, deduplicate_silver.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return dups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_keys"),
+        F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("n_excess_rows"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("max_multiplicity"),
+    )
