@@ -1,1 +1,443 @@
-"""Placeholder — queries land here (see SURVEY.md §2)."""
+"""Window / ordered / sessionization operators (SURVEY.md §2.5 W1–W14).
+
+The reference implemented every one of these as an order-dependent Python
+scan over pre-sorted lists (e.g. the 200-LoC cumulative daily rollup,
+build_pbp_team_daily_rollup.py:179-396). Here each is a declarative window
+spec, so the sort happens once per partition inside the shuffle and the
+running state is computed by Tungsten, not the driver.
+
+Scale notes baked into each query:
+- Every window is partitioned by a key (user/customer/type) unless the
+  windowed input is already a tiny aggregate (a global date spine of a few
+  thousand rows) — a global window over raw rows would serialize 100 TB
+  through one task.
+- Orderings always carry a unique tiebreak column (orderkey/event_id) so
+  frames are total orders — required for oracle determinism (SURVEY.md §7
+  "Determinism for the oracle").
+- Running sums/avgs accumulate in DECIMAL and cast to DOUBLE at the edge,
+  exactly like the aggregate module, so results are partition-count-invariant.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "q31_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS DOUBLE) AS cum_spend
+    FROM orders
+    """,
+)
+def q31_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative running total per key (W6: the reference's season-to-date
+    rollup of 35 stats, build_pbp_team_daily_rollup.py:252-396). One shuffle
+    on the partition key; the running state never touches the driver."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+@query(
+    "q32_date_spine_rollup",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT o_orderdate AS day, COUNT(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(d.n, 0)) OVER (ORDER BY s.day) AS BIGINT) AS cum_orders
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+)
+def q32_date_spine_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification — a row for EVERY day between min and max, with
+    zero-filled counts and a running cumulative (W6's date spine,
+    build_pbp_team_daily_rollup.py:179-250). The spine is sequence+explode of
+    a 1-row aggregate (a few thousand rows at any data scale), so the
+    spine-side join is a broadcast and the global window is safe."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_filled"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_filled").cast("bigint").alias("n_orders"),
+            F.sum("n_filled").over(w).cast("bigint").alias("cum_orders"),
+        )
+    )
+
+
+@query(
+    "q33_no_leakage_expanding",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_sum,
+             COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS n_prior
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, CAST(n_prior AS BIGINT) AS n_prior,
+           CAST(prior_sum AS DOUBLE) / NULLIF(n_prior, 0) AS prior_avg_spend
+    FROM w
+    """,
+)
+def q33_no_leakage_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-prior expanding window — each row sees only earlier rows
+    (W7: "Prior games only for no leakage",
+    build_pbp_team_daily_rollup_adj.py:258). rowsBetween(unboundedPreceding,
+    -1) is the whole trick; avg computed as exact-decimal sum / count."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_sum = F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        n_prior.cast("bigint").alias("n_prior"),
+        (prior_sum.cast("double") / F.nullif(n_prior, F.lit(0))).alias(
+            "prior_avg_spend"
+        ),
+    )
+
+
+@query(
+    "q34_latest_per_group",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS latest_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+      ) AS rn
+      FROM orders
+    )
+    WHERE rn = 1
+    """,
+)
+def q34_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-group (W8: latest pollDate per pollType / latest asof scan,
+    gold/team_power_rankings.py:113-127, backtest_spreads.py:69-78).
+    row_number over a descending total order, keep rn=1 — the deterministic
+    replacement for the reference's sort-then-take-first."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+            F.col("o_totalprice").cast("double").alias("latest_totalprice"),
+        )
+    )
+
+
+@query(
+    "q35_percentile_composite",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT c.c_custkey,
+             PERCENT_RANK() OVER (ORDER BY c.c_acctbal) * 100 AS pct_acctbal,
+             CASE WHEN s.o_custkey IS NOT NULL THEN
+               PERCENT_RANK() OVER (
+                 PARTITION BY (s.o_custkey IS NOT NULL) ORDER BY s.total_spend
+               ) * 100
+             END AS pct_spend
+      FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+    )
+    SELECT c_custkey, pct_acctbal, pct_spend,
+           CASE WHEN pct_spend IS NULL THEN pct_acctbal
+                ELSE (pct_acctbal + pct_spend) / 2 END AS composite_pct
+    FROM ranked
+    """,
+)
+def q35_percentile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank composite averaged over available metrics (W9:
+    gold/team_power_rankings.py:263-296 — dense-rank→0-100 percentile per
+    metric, mean of non-null percentiles). Global percent_rank is an
+    inherent total order; at 100 TB this runs on the post-aggregation
+    per-entity table (one row per customer), not raw facts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("total_spend")
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "left")
+    has_spend = F.col("o_custkey").isNotNull()
+    pct_bal = F.percent_rank().over(Window.orderBy("c_acctbal")) * 100
+    pct_spend = F.when(
+        has_spend,
+        F.percent_rank().over(Window.partitionBy(has_spend).orderBy("total_spend"))
+        * 100,
+    )
+    ranked = j.select(
+        "c_custkey", pct_bal.alias("pct_acctbal"), pct_spend.alias("pct_spend")
+    )
+    return ranked.select(
+        "c_custkey",
+        "pct_acctbal",
+        "pct_spend",
+        F.when(F.col("pct_spend").isNull(), F.col("pct_acctbal"))
+        .otherwise((F.col("pct_acctbal") + F.col("pct_spend")) / 2)
+        .alias("composite_pct"),
+    )
+
+
+@query(
+    "q36_interval_integration",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type,
+             epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             )) - epoch_us(CAST(ts AS TIMESTAMP)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN gap_us END) AS BIGINT)
+             AS view_dwell_us,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS n_view_gaps
+    FROM g
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'view' THEN gap_us END) IS NOT NULL
+    """,
+)
+def q36_interval_integration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise clock-interval summation — time attributed to the state at
+    the START of each interval (W5: garbage-minutes integration via lead(),
+    build_pbp_game_teams_flat.py:301-314). Exact integer microseconds, no
+    float accumulation."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    is_view = F.col("event_type") == "view"
+    return (
+        ev.select("user_id", "event_type", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_view, F.col("gap_us"))).cast("bigint").alias("view_dwell_us"),
+            F.count(F.when(is_view, F.lit(1))).cast("bigint").alias("n_view_gaps"),
+        )
+        .filter(F.col("view_dwell_us").isNotNull())
+    )
+
+
+@query(
+    "q37_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+                         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       )) >= 1800000000
+                  OR LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q37_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with Spark's native session_window (W2's
+    scalable core: possession sessionization,
+    build_pbp_plays_enriched.py:181-276 — the order-dependent variant lives
+    in operators.sessionize). session_window(ts, gap) merges events closer
+    than the gap; window end = last event + gap, matching the cumulative-flag
+    SQL formulation exactly."""
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q38_lag_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(revenue - LAG(revenue) OVER (ORDER BY day) AS DOUBLE) AS revenue_delta
+    FROM daily
+    """,
+)
+def q38_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day delta via lag() on a pre-aggregated daily series. The
+    global window runs AFTER aggregation (one row per calendar day — a few
+    thousand rows at any scale), never over raw facts."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("revenue").cast("double").alias("revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).cast("double").alias(
+            "revenue_delta"
+        ),
+    )
+
+
+@query(
+    "q39_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_events,
+           AVG(CAST(n AS DOUBLE)) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS ma7
+    FROM daily
+    """,
+)
+def q39_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving average per group over a pre-aggregated daily
+    series (the rolling-window shape underlying W6's ratio columns)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.avg(F.col("n").cast("double")).over(w).alias("ma7"),
+    )
+
+
+@query(
+    "q40_first_last_value",
+    oracle="""
+    SELECT o_custkey,
+           MAX(CASE WHEN rn_asc = 1 THEN o_orderpriority END) AS first_priority,
+           MAX(CASE WHEN rn_desc = 1 THEN o_orderpriority END) AS last_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (
+      SELECT o_custkey, o_orderpriority,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ) AS rn_asc,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn_desc
+      FROM orders
+    )
+    GROUP BY o_custkey
+    """,
+)
+def q40_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last value per group under a total order, in one pass (the
+    reference's first-occurrence dedup + latest-asof pickers, D2/W8). Both
+    row_numbers share one shuffle (same partition key) and the final groupBy
+    re-uses that partitioning — no second exchange."""
+    o = load(spark, sf_dir, "orders")
+    asc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    desc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderpriority",
+            F.row_number().over(asc).alias("rn_asc"),
+            F.row_number().over(desc).alias("rn_desc"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rn_asc") == 1, F.col("o_orderpriority"))).alias(
+                "first_priority"
+            ),
+            F.max(F.when(F.col("rn_desc") == 1, F.col("o_orderpriority"))).alias(
+                "last_priority"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Window query oracle parity + sessionizer/classifier unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_query
+
+WINDOW_QUERIES = [
+    "q31_running_total",
+    "q32_date_spine_rollup",
+    "q33_no_leakage_expanding",
+    "q34_latest_per_group",
+    "q35_percentile_composite",
+    "q36_interval_integration",
+    "q37_session_window",
+    "q38_lag_delta",
+    "q39_moving_average",
+    "q40_first_last_value",
+]
+
+
+@pytest.mark.parametrize("name", WINDOW_QUERIES)
+def test_window_query_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_by_gap(spark):
+    from hoops_edge_database_etl_spark.operators.sessionize import sessionize_by_gap
+
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 1),
+            (1, _ts("2024-01-01 10:10:00"), 2),
+            (1, _ts("2024-01-01 11:00:00"), 3),  # 50 min gap -> new session
+            (2, _ts("2024-01-01 10:00:00"), 4),
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    out = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize_by_gap(df, ["user_id"], "ts", 1800, ["event_id"]).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+PLAYS = [
+    # (game, period, clock, id, team, kind)
+    (1, 1, 1200.0, 1, 10, "missed_shot"),
+    (1, 1, 1198.0, 2, 20, "defensive_rebound"),  # ends poss 1; 20 gets ball
+    (1, 1, 1180.0, 3, 20, "made_shot"),  # poss 2 (offense=20), ends it
+    (1, 1, 1160.0, 4, 10, "turnover"),  # poss 3 (offense=10), ends it
+    (1, 1, 0.0, 5, 10, "period_end"),
+    (1, 2, 1200.0, 6, 20, "made_shot"),  # poss 4 new period
+]
+
+
+def test_possession_sessionize(spark):
+    from hoops_edge_database_etl_spark.operators.sessionize import (
+        possession_sessionize,
+    )
+
+    df = spark.createDataFrame(
+        PLAYS,
+        "game_id long, period int, seconds_remaining double, play_id long, "
+        "team_id long, play_kind string",
+    )
+    rows = {
+        r["play_id"]: (r["possession_id"], r["offense_team_id"], r["possession_end"])
+        for r in possession_sessionize(df).collect()
+    }
+    assert rows[1] == (1, 10, False)
+    assert rows[2] == (1, 10, True)  # def rebound ends possession 1
+    assert rows[3] == (2, 20, True)  # rebounder's team on offense (transfer)
+    assert rows[4] == (3, 10, True)
+    assert rows[5] == (3, 10, True)  # period end closes
+    assert rows[6] == (4, 20, True)
+
+
+def test_possession_rebound_offense_transfer(spark):
+    """The play AFTER a defensive rebound belongs to the REBOUNDER's team
+    even when the acting team differs (the part lag() can't express)."""
+    from hoops_edge_database_etl_spark.operators.sessionize import (
+        possession_sessionize,
+    )
+
+    plays = [
+        (1, 1, 1200.0, 1, 10, "missed_shot"),
+        (1, 1, 1198.0, 2, 20, "defensive_rebound"),
+        # next action acted by team 10 (e.g. shooting-foul FT context) —
+        # possession still credited to team 20
+        (1, 1, 1190.0, 3, 10, "missed_shot"),
+    ]
+    df = spark.createDataFrame(
+        plays,
+        "game_id long, period int, seconds_remaining double, play_id long, "
+        "team_id long, play_kind string",
+    )
+    rows = {
+        r["play_id"]: (r["possession_id"], r["offense_team_id"])
+        for r in possession_sessionize(df).collect()
+    }
+    assert rows[3] == (2, 20)
+
+
+def test_play_classifier_compiles_to_expression(spark):
+    from hoops_edge_database_etl_spark.functions.playclass import (
+        compile_classifier,
+        contains_any,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("Smith made Jumper",),
+            ("Jones Defensive Rebound",),
+            ("Turnover by Lee",),
+            ("End of Period",),
+            ("jump ball",),
+        ],
+        "play_text string",
+    )
+    out = [r["kind"] for r in df.select(compile_classifier("play_text").alias("kind")).collect()]
+    assert out == ["made_shot", "defensive_rebound", "turnover", "period_end", "other"]
+    # no Python UDF in the plan: BatchEvalPython never appears
+    plan = (
+        df.select(compile_classifier("play_text").alias("kind"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+
+    n = df.filter(contains_any("play_text", ["rebound", "turnover"])).count()
+    assert n == 2
