@@ -1,1 +1,282 @@
-"""Placeholder — queries land here (see SURVEY.md §2)."""
+"""Document deduplication operators (BASELINE north star: exact dedup,
+n-gram Jaccard, MinHash+LSH, SimHash — each oracle-checked on the
+``documents`` table).
+
+Scale ladder, explicit in each query:
+- q41 exact:        one hash-groupBy — linear, the always-first pass.
+- q42 Jaccard:      inverted shingle index self-join — exact but the join
+                    fan-out is quadratic in per-shingle frequency; the
+                    TRUTH baseline for the approximate methods.
+- q43 MinHash+LSH:  banded signatures — the 100 TB path; candidate count ≈
+                    true-pair count instead of shingle-frequency².
+- q44/q45 SimHash:  constant-size per-doc sketch + pigeonhole band join —
+                    the cheapest near-dup detector, Hamming-bounded.
+
+All hashing is md5-based so DuckDB computes bit-identical results (see
+functions.text; swap xxhash64 in production)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.functions.text import (
+    hamming16,
+    lsh_band_keys,
+    minhash_signature,
+    simhash16,
+    word_shingles,
+)
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+# Shared DuckDB CTE: distinct word 3-gram shingles per document.
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+    )
+"""
+
+
+@query(
+    "q41_exact_dedup",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+    FROM documents
+    """,
+)
+def q41_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (D2–D4 generalized): every doc
+    mapped to the min doc_id sharing its md5. Hashing first means the
+    shuffle key is 16 bytes regardless of document size — at 100 TB the
+    exchange moves hashes, not bodies."""
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    canonical = F.min("doc_id").over(w)
+    return d.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") != canonical).alias("is_dup"),
+    )
+
+
+@query(
+    "q42_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i AS doc_a, j AS doc_b,
+           CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+    WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+    """,
+)
+def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (J ≥ 0.5) via an inverted
+    shingle index: |A∩B| from a shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
+    Exact ground truth; the LSH variants below approximate THIS. Scale
+    hazard: a shingle shared by k docs emits k² join rows — stop-shingle
+    filtering or q43's LSH is the fix at corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("c").cast("double") / (F.col("x.n") + F.col("y.n") - F.col("c"))
+    return (
+        inter.join(x, F.col("x.doc_id") == F.col("i"))
+        .join(y, F.col("y.doc_id") == F.col("j"))
+        .select(
+            F.col("i").alias("doc_a"),
+            F.col("j").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "q43_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS i) hashes
+      GROUP BY doc_id, i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b, md5(string_agg(m, '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS nb
+      FROM band a JOIN band b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT x.doc_id AS i, y.doc_id AS j,
+             SUM(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / 8.0 AS ej
+      FROM sig x JOIN sig y ON x.i = y.i AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT cand.i AS doc_a, cand.j AS doc_b,
+           CAST(nb AS BIGINT) AS n_shared_bands, ej AS est_jaccard
+    FROM cand JOIN est ON est.i = cand.i AND est.j = cand.j
+    """,
+)
+def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 hashes) + LSH banding (4 bands × 2 rows ⇒ threshold
+    J ≈ 0.5): shingle → signature → band-key bucket join. The 100 TB dedup
+    path — candidate generation touches only same-bucket docs, and the
+    per-doc state is a fixed 8-hash signature, not the shingle set.
+    est_jaccard = matching signature components / 8."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", minhash_signature(word_shingles("text", 3), 8).alias("sig")
+    )
+    bands = docs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(lsh_band_keys(F.col("sig"), bands=4, rows_per_band=2)).alias(
+            "b", "key"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_bands"))
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        (matches / F.lit(8.0)).alias("est_jaccard"),
+    )
+
+
+def _simhash_oracle() -> str:
+    """DuckDB SQL mirroring functions.text.simhash16 bit-for-bit."""
+    h = "CAST('0x' || substr(md5(s), 1, 4) AS INTEGER)"
+    sums = ", ".join(
+        f"SUM(2 * (({h} // {1 << (15 - j)}) % 2) - 1) AS s{j}" for j in range(16)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN {1 << (15 - j)} ELSE 0 END" for j in range(16)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sums AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id)
+    SELECT doc_id, CAST({combine} AS INTEGER) AS simhash
+    FROM sums
+    """
+
+
+@query("q44_simhash", oracle=_simhash_oracle())
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash sketch (sign-of-sums over shingle
+    hashes) — constant 2 bytes of dedup state per document regardless of
+    length; computed as one expression fold, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(word_shingles("text", 3)).alias("simhash"))
+
+
+@query(
+    "q45_simhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sums AS (SELECT doc_id, {', '.join(
+        f"SUM(2 * ((CAST('0x' || substr(md5(s), 1, 4) AS INTEGER) // {1 << (15 - j)}) % 2) - 1) AS s{j}"
+        for j in range(16)
+    )} FROM sh GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({' + '.join(
+        f"CASE WHEN s{j} >= 0 THEN {1 << (15 - j)} ELSE 0 END" for j in range(16)
+    )} AS INTEGER) AS simhash FROM sums),
+    expl AS (
+      SELECT doc_id, simhash, b, (simhash // (1 << (4 * b))) % 16 AS band_val
+      FROM sim, UNNEST(range(0, 4)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, a.simhash AS ha, b.doc_id AS j, b.simhash AS hb
+      FROM expl a JOIN expl b
+        ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT i AS doc_a, j AS doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming ≤ 3, found WITHOUT a cross
+    join: split the 16 bits into 4 bands — any pair within Hamming 3
+    matches at least one band exactly (pigeonhole), so a band-bucket join
+    has guaranteed recall. The standard web-scale simhash dedup layout."""
+    d = load(spark, sf_dir, "documents")
+    sim = d.select("doc_id", simhash16(word_shingles("text", 3)).alias("simhash"))
+    expl = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+    ).withColumn(
+        "band_val",
+        (
+            F.floor(
+                F.col("simhash")
+                / F.pow(F.lit(2.0), (F.col("b") * 4).cast("double")).cast("int")
+            ).cast("int")
+            % 16
+        ),
+    )
+    a, b = expl.alias("a"), expl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming16(F.col("ha"), F.col("hb")).cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

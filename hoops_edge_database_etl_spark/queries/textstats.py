@@ -1,0 +1,208 @@
+"""Text analysis operators (BASELINE north star: language-ID, quality
+scoring, token counting, document fingerprinting — per-document expression
+pipelines over the ``documents`` table).
+
+Every operator is a pure Column expression over the tokenized text — no
+shuffle at all except where a groupBy is the point (fingerprint clusters).
+At 100 TB these are embarrassingly parallel map stages that pipeline with
+the parquet scan."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+# Per-language marker (stopword) profiles for the n-gram/stopword-ratio
+# language heuristic. Real deployments load bigger lists from config; the
+# mechanism (score = marker-token share, argmax with deterministic
+# tiebreak) is what matters.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "von"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "不"],
+}
+
+
+def _score_expr(lang: str) -> str:
+    """SQL fragment (valid in both Spark SQL and DuckDB): share of tokens
+    that are markers of ``lang``."""
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"CAST(size(filter(w, t -> array_contains(array({markers}), t))) AS DOUBLE)"
+        f" / size(w)"
+    )
+
+
+def _score_duck(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(w, t -> list_contains([{markers}], t))) AS DOUBLE)"
+        f" / len(w)"
+    )
+
+
+def _argmax_case(scores: dict[str, str]) -> str:
+    """First-wins argmax over named score expressions, alphabetical
+    preference on ties — identical text for both dialects."""
+    langs = sorted(scores)
+    branches = []
+    for i, lang in enumerate(langs):
+        others = [scores[o] for o in langs if o != lang]
+        cond = " AND ".join(f"{scores[lang]} >= {o}" for o in others)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE NULL END"
+
+
+@query(
+    "q49_lang_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           { _argmax_case({lang: _score_duck(lang) for lang in LANG_MARKERS}) } AS predicted_lang,
+           { _score_duck('en') } AS score_en,
+           lang AS labeled_lang
+    FROM toks
+    """,
+)
+def q49_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification: score(lang) = share of
+    tokens in that language's marker list, argmax with alphabetical
+    tiebreak. The classifier compiles to one filter/size expression per
+    language — a broadcast-free, shuffle-free map."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    scores = {lang: _score_expr(lang) for lang in LANG_MARKERS}
+    return toks.select(
+        "doc_id",
+        F.expr(_argmax_case(scores)).alias("predicted_lang"),
+        F.expr(_score_expr("en")).alias("score_en"),
+        F.col("lang").alias("labeled_lang"),
+    )
+
+
+@query(
+    "q50_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars,
+             len(w) AS n_tokens,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+             CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) AS avg_token_len
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, type_token_ratio,
+           avg_token_len,
+           0.4 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
+             + 0.4 * type_token_ratio
+             + 0.2 * least(avg_token_len / 6, 1.0) AS quality,
+           CASE WHEN 0.4 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
+                     + 0.4 * type_token_ratio
+                     + 0.2 * least(avg_token_len / 6, 1.0) >= 0.6 THEN 'high'
+                WHEN 0.4 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
+                     + 0.4 * type_token_ratio
+                     + 0.2 * least(avg_token_len / 6, 1.0) >= 0.4 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM m
+    """,
+)
+def q50_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / type-token ratio / mean token
+    length (the length-punct-stopword composite of pretraining-data
+    filters), with a bucketing CASE for downstream sampling policies."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.length("text").alias("n_chars"), F.split("text", " ").alias("w"))
+    n_tokens = F.size("w")
+    ttr = F.size(F.array_distinct("w")).cast("double") / n_tokens
+    # tokens are space-joined: chars = Σlen + (n-1) ⇒ Σlen = chars - n + 1
+    atl = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(atl / 6, F.lit(1.0))
+    )
+    return t.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        atl.alias("avg_token_len"),
+        quality.alias("quality"),
+        F.when(quality >= 0.6, "high")
+        .when(quality >= 0.4, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+@query(
+    "q51_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(w, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
+                AS BIGINT) AS est_bpe_tokens,
+           CAST(n_chars AS DOUBLE) / len(w) AS chars_per_token
+    FROM t
+    """,
+)
+def q51_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, and a BPE-ish
+    subword estimate (⌈len/4⌉ per token — the usual ~4-chars-per-token
+    heuristic) computed as an expression fold."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", F.split("text", " ").alias("w"))
+    return t.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.transform("w", lambda tok: F.ceil(F.length(tok) / 4.0).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("bigint").alias("est_bpe_tokens"),
+        (F.col("n_chars").cast("double") / F.size("w")).alias("chars_per_token"),
+    )
+
+
+@query(
+    "q52_fingerprint_clusters",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS cluster_size
+    FROM fp
+    """,
+)
+def q52_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set — detects near-dups under token reordering (the cheap
+    complement to MinHash). Cluster assignment is one window over the
+    16-byte fingerprint, so the shuffle payload is tiny at any scale."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    )

@@ -1,0 +1,110 @@
+"""Dedup / similarity / text-analysis oracle parity + recall invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, compare_query
+
+QUERIES = [
+    "q41_exact_dedup",
+    "q42_ngram_jaccard",
+    "q43_minhash_lsh",
+    "q44_simhash",
+    "q45_simhash_pairs",
+    "q46_cosine_top_pairs",
+    "q47_ann_sign_lsh",
+    "q48_knn_brute_force",
+    "q49_lang_id",
+    "q50_quality_score",
+    "q51_token_stats",
+    "q52_fingerprint_clusters",
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH with 4 bands × 2 rows (threshold ≈ 0.5) must recover the large
+    majority of true J ≥ 0.5 pairs — the planted near-dups in documents."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["q42_ngram_jaccard"](spark, SF_DIR).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in qs["q43_minhash_lsh"](spark, SF_DIR).collect()
+    }
+    assert truth, "expected planted near-duplicate pairs in testdata"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    """Behavioral check on synthetic data (testdata has no exact dups)."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")],
+        "doc_id int, text string",
+    )
+    w = Window.partitionBy(F.md5("text"))
+    out = df.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+    ).collect()
+    canon = {r["doc_id"]: r["canonical_id"] for r in out}
+    assert canon == {1: 1, 2: 1, 4: 1, 3: 3}
+
+
+def test_ann_results_subset_of_brute_force_ordering(spark):
+    """Every ANN neighbor's cosine must equal the brute-force cosine for
+    the same pair (the bucketing only restricts candidates, never alters
+    scores)."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    ann = qs["q47_ann_sign_lsh"](spark, SF_DIR)
+    knn = qs["q48_knn_brute_force"](spark, SF_DIR)
+    joined = ann.alias("a").join(
+        knn.alias("k"),
+        (F.col("a.query_id") == F.col("k.query_id"))
+        & (F.col("a.neighbor_id") == F.col("k.neighbor_id")),
+    )
+    diffs = joined.filter(F.col("a.cosine") != F.col("k.cosine")).count()
+    assert diffs == 0
+
+
+def test_simhash_close_docs_have_small_hamming(spark):
+    """Near-identical shingle sets ⇒ near-identical SimHash."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.functions.text import (
+        hamming16,
+        simhash16,
+        word_shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one extra trailing shingle
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    sim = df.select("doc_id", simhash16(word_shingles("text", 3)).alias("h"))
+    h = {r["doc_id"]: r["h"] for r in sim.collect()}
+    d = spark.createDataFrame([(h[1], h[2]), (h[1], h[3])], "a int, b int")
+    near_d, far_d = [
+        r[0] for r in d.select(hamming16(F.col("a"), F.col("b"))).collect()
+    ]
+    assert near_d <= far_d
+    assert near_d <= 4
