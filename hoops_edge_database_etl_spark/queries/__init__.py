@@ -58,6 +58,7 @@ def _load_modules() -> None:
         dedup_text,
         joins,
         similarity,
+        solver,
         textstats,
         windows,
     )

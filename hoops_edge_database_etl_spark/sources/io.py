@@ -1,0 +1,167 @@
+"""Storage layer: medallion-layout readers/writers + catalog + checkpoints
+(SURVEY.md §2.1 S5–S14, §2.10 I1–I5).
+
+The reference hand-rolls S3 prefix listing, partition-path construction,
+1000-key purge batches, and Glue registration (s3_io.py, glue_catalog.py).
+In Spark each of those is one engine feature:
+
+- Hive-partitioned writes: ``partitionBy`` + DYNAMIC partition overwrite
+  (replaces purge-then-rewrite, s3_io.py:78-84 — only touched partitions
+  are replaced, which at 100 TB is the difference between rewriting a day
+  and rewriting a decade);
+- partition-pruned reads: a ``where`` on partition columns (the manual
+  ``season=YYYY/`` prefix math, _io_helpers.py:40-47, for free);
+- permissive multi-file reads: ``mergeSchema`` or normalize.permissive_union;
+- catalog: ``saveAsTable`` / ``CREATE TABLE USING parquet`` on the session
+  catalog (Glue's role, glue_catalog.py:13-48);
+- checkpoints: a tiny parquet state table keyed (endpoint, param_hash)
+  (DynamoDB's role, checkpoint.py:18-45);
+- dead letter: quarantine append of failed/empty batches
+  (orchestrate.py:688-695).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+# --- sinks ----------------------------------------------------------------
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Partitioned snappy-parquet sink (S6/S13). ``dynamic=True`` replaces
+    only the partitions present in ``df`` — the reference's purge+rewrite
+    (s3_io.py:78-84) without the full-prefix delete."""
+    writer = df.write.mode(mode)
+    if dynamic and mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_raw_ndjson(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Raw-layer sink: gzipped JSON-lines (S5, s3_io.py:48-55)."""
+    df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def write_dead_letter(
+    df: DataFrame, path: str, reason: str, source: str
+) -> None:
+    """Quarantine failed/empty batches with provenance columns
+    (S12/I5, orchestrate.py:688-695)."""
+    (
+        df.withColumn("__dl_reason", F.lit(reason))
+        .withColumn("__dl_source", F.lit(source))
+        .withColumn("__dl_at", F.current_timestamp())
+        .write.mode("append")
+        .json(path)
+    )
+
+
+def register_table(
+    spark: SparkSession, name: str, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """Catalog sink (S11): external parquet table over an existing path +
+    partition discovery — Glue's ensure-table + MSCK role
+    (glue_catalog.py:13-48, bronze_silver_validation_queries.sql:5-36)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if partition_cols:
+        # explicit column list required when declaring partitioning
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"PARTITIONED BY ({', '.join(partition_cols)}) LOCATION '{path}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    else:
+        spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{path}'")
+
+
+# --- scans ----------------------------------------------------------------
+
+
+def read_table(
+    spark: SparkSession, path: str, merge_schema: bool = True
+) -> DataFrame:
+    """Permissive multi-file scan (S7/S9): mergeSchema unions drifting part
+    files; Catalyst owns projection/pushdown/partition pruning."""
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+
+
+def latest_asof(df: DataFrame, asof_col: str = "asof") -> DataFrame:
+    """Latest-snapshot scan (S10, backtest_spreads.py:58-84): keep only the
+    max asof partition. The max() subquery prunes to one partition at plan
+    time when ``asof_col`` is a partition column."""
+    mx = df.select(F.max(asof_col).alias("__mx"))
+    return df.join(F.broadcast(mx), df[asof_col] == F.col("__mx")).drop("__mx")
+
+
+# --- incremental state (I2) ----------------------------------------------
+
+
+class CheckpointStore:
+    """Tiny parquet checkpoint table keyed (endpoint, param_hash) →
+    last_completed marker (the DynamoDB table, checkpoint.py:18-45).
+
+    Read the whole table (it's rows-of-metadata small), merge in memory,
+    overwrite — one atomic swap per run, mirroring the reference's
+    put-item-per-endpoint semantics without a KV store."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._schema = "endpoint string, param_hash string, marker string, updated_at timestamp"
+
+    def load(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], self._schema)
+
+    def get(self, endpoint: str, param_hash: str) -> str | None:
+        rows = (
+            self.load()
+            .filter(
+                (F.col("endpoint") == endpoint) & (F.col("param_hash") == param_hash)
+            )
+            .select("marker")
+            .collect()
+        )
+        return rows[0]["marker"] if rows else None
+
+    def put(self, endpoint: str, param_hash: str, marker: str) -> None:
+        updated = self.spark.createDataFrame(
+            [(endpoint, param_hash, marker)], "endpoint string, param_hash string, marker string"
+        ).withColumn("updated_at", F.current_timestamp())
+        merged = (
+            self.load()
+            .filter(
+                ~(
+                    (F.col("endpoint") == endpoint)
+                    & (F.col("param_hash") == param_hash)
+                )
+            )
+            .unionByName(updated)
+        )
+        # materialize before overwrite (can't overwrite what's being read)
+        rows = merged.collect()
+        self.spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.path)
+
+
+def run_summary(df_counts: dict[str, int], spark: SparkSession) -> DataFrame:
+    """Per-run row-count summary frame (S14, orchestrate.py:645-649)."""
+    rows = [(k, v) for k, v in sorted(df_counts.items())]
+    return spark.createDataFrame(rows, "table string, n_rows long").withColumn(
+        "run_at", F.current_timestamp()
+    )
