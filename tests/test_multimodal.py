@@ -1,0 +1,84 @@
+"""Multimodal plumbing tests: schemas, Arrow batch shapes, fan-out, and
+payload-dropping contracts (decode kernels are deterministic fakes — the
+container ships no codecs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hoops_edge_database_etl_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_and_featurize,
+    frame_sample_stub,
+    media_features_to_embedding_table,
+    pack_fake_image,
+    resize_stub,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [(i, pack_fake_image(i, 640 + i, 480 + i)) for i in range(6)]
+    return spark.createDataFrame(rows, "media_id long, media binary")
+
+
+def test_attach_meta_without_decoding(spark, media_df):
+    out = attach_media_meta(media_df)
+    rows = {r["media_id"]: (r["media_type"], r["width"], r["height"]) for r in out.collect()}
+    assert rows[0] == ("image", 640, 480)
+    assert rows[5] == ("image", 645, 485)
+    # metadata extraction is expression-only: no Python in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_decode_and_featurize_drops_payload(spark, media_df):
+    feat = decode_and_featurize(media_df)
+    assert "media" not in feat.columns  # payload dies at the decode stage
+    rows = {r["media_id"]: r for r in feat.collect()}
+    assert len(rows) == 6
+    assert rows[3]["width"] == 643 and rows[3]["height"] == 483
+    assert len(rows[3]["features"]) == 8
+    # determinism: same input → same features
+    again = {r["media_id"]: r["features"] for r in decode_and_featurize(media_df).collect()}
+    assert again[3] == rows[3]["features"]
+
+
+def test_decode_skips_corrupt_payloads(spark):
+    rows = [(1, pack_fake_image(1, 10, 10)), (2, b"NOTANIMAGE" + bytes(8))]
+    df = spark.createDataFrame(rows, "media_id long, media binary")
+    out = decode_and_featurize(df).collect()
+    assert [r["media_id"] for r in out] == [1]
+
+
+def test_resize_rewrites_header_keeps_schema(spark, media_df):
+    resized = resize_stub(media_df, target_w=224, target_h=224)
+    assert resized.schema == media_df.schema
+    meta = attach_media_meta(resized)
+    assert {(r["width"], r["height"]) for r in meta.collect()} == {(224, 224)}
+
+
+def test_frame_sample_fanout(spark, media_df):
+    frames = frame_sample_stub(media_df, every_n=8, n_frames=32)
+    assert frames.columns == ["media_id", "frame_index", "frame_bytes"]
+    per_doc = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)  # 32/8 samples each
+    idx = {r["frame_index"] for r in frames.collect()}
+    assert idx == {0, 8, 16, 24}
+
+
+def test_features_bridge_to_similarity_ops(spark, media_df):
+    emb = media_features_to_embedding_table(decode_and_featurize(media_df))
+    assert dict(emb.dtypes) == {"vec_id": "bigint", "embedding": "array<float>"}
+    assert emb.count() == 6
+
+
+def test_pil_decoder_is_import_gated(spark, media_df):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL not available"):
+        decode_and_featurize(media_df, decoder="pil")
