@@ -16,13 +16,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: one per operator family; extended as modules land.
+# Headline set: one per operator family (SURVEY.md §2 + north-star ops).
 HEADLINE = [
-    "q01_pricing_summary",
-    "q02_filter_pushdown",
-    "q04_conditional_record",
-    "q07_union_stack",
-    "q10_lenient_cast",
+    "q01_pricing_summary",      # scan + agg (TPC-H Q1 shape)
+    "q02_filter_pushdown",      # predicate pushdown scan
+    "q07_union_stack",          # union-all matrix
+    "q12_inner_join_revenue",   # shuffle join + agg
+    "q13_first_match_join",     # dedup-then-join
+    "q17_asof_join",            # as-of window join
+    "q22_mode_per_group",       # count + row_number mode
+    "q26_rollup",               # grouping sets
+    "q31_running_total",        # cumulative window
+    "q37_session_window",       # gap sessionization
+    "q41_exact_dedup",          # hash dedup
+    "q43_minhash_lsh",          # MinHash + LSH banding
+    "q45_simhash_pairs",        # SimHash band join
+    "q47_ann_sign_lsh",         # bucketed ANN
+    "q49_lang_id",              # text classification
+    "q51_token_stats",          # token counting
 ]
 
 
@@ -37,13 +48,18 @@ def main() -> None:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries] or sorted(queries)
 
+    def run(name: str) -> None:
+        # noop sink: forces FULL evaluation of every column (a count() lets
+        # Catalyst prune map-side expressions entirely and under-measures).
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Warm up the JVM/parquet footer caches with one throwaway run.
-    queries[names[0]](spark, sf_dir).count()
+    run(names[0])
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -40,23 +40,56 @@ def word_shingles(text: str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature: array of ``num_hashes`` hex-string minima.
+#: affine MinHash family h_i(x) = (a_i·x + b_i) mod p over the 60-bit base
+#: hash. p = 2^61 − 1 (Mersenne prime); a_i ≤ 7 keeps a_i·x < 2^63 so the
+#: products never overflow int64 — in EITHER engine.
+MINHASH_P = (1 << 61) - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (2, 12_345_678_901), (3, 98_765_432_109), (5, 55_555_555_555),
+    (7, 31_415_926_535), (2, 27_182_818_284), (3, 16_180_339_887),
+    (5, 14_142_135_623), (7, 17_320_508_075),
+]
 
-    Component i = min over shingles of md5(i || ':' || shingle). md5 hex
-    strings are fixed-length, so the lexicographic min IS the numeric min —
-    a fully-deterministic, cross-engine MinHash with no integer hash
-    coefficients. (Classic estimator: P[sig_i(A)=sig_i(B)] = Jaccard(A,B).)
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)),
-            )
-        ),
-    )
+
+def base_hash60(s: Column) -> Column:
+    """60-bit integer hash of a string: first 15 hex chars of md5, parsed
+    base-16. One md5 per shingle total — the per-function variants below
+    are integer arithmetic, not fresh digests. DuckDB computes the same
+    value via CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature from an ALREADY-MATERIALIZED array<bigint> column
+    of base hashes: component i = min over hashes of (a_i·h + b_i) mod p —
+    the standard affine-permutation family (estimator:
+    P[sig_i(A)=sig_i(B)] = Jaccard(A,B)).
+
+    Two performance rules baked in: (1) pass a bound column, not the
+    base-hash expression — Catalyst inlines lambda arguments, so an
+    expression here would re-evaluate every md5 ``num_hashes`` times;
+    (2) the coefficients are UNROLLED as literals per component — indexing
+    a coefficient array inside the inner lambda allocates per element and
+    was ~6× slower."""
+    def mk(a: int, b: int):
+        # factory closure: PySpark derives lambda arity from the signature,
+        # so default-arg captures would mis-bind the higher-order function
+        return lambda h: (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    comps = [
+        F.array_min(F.transform(hashes, mk(a, b)))
+        for a, b in MINHASH_COEFFS[:num_hashes]
+    ]
+    return F.array(*comps)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
+    """One-shot MinHash from a shingle expression. Prefer staging
+    (shingles col → transform(base_hash60) col → minhash_from_hashes) in
+    real plans — see minhash_from_hashes for why."""
+    return minhash_from_hashes(F.transform(shingles, base_hash60), num_hashes)
+
+
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -67,7 +100,13 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(
-            F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+            F.array_join(
+                F.transform(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                ),
+                "|",
+            )
         ),
     )
 
@@ -79,26 +118,73 @@ def hash16(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("int")
 
 
+SIMHASH_BITS = 32
+
+
+def hash32(s: Column) -> Column:
+    """First 32 bits of md5(s) as a long — the per-shingle hash feeding the
+    32-bit SimHash (DuckDB: CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def simhash32_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from an ALREADY-MATERIALIZED array<bigint> column of
+    hash32 values: bit j (MSB-first) of the result is 1 iff
+    Σ_h (2·bit_j(h) − 1) ≥ 0 ⇔ 2·popcount_j ≥ n — the standard
+    sign-of-sums construction. One integer fold per bit position, all
+    shifts and adds: no pow(), no per-element array allocation (a naive
+    zip_with-over-32-exponents formulation was ~4× slower). Empty hash
+    sets hash to 2³²−1 (all sums 0 ⇒ all bits set), deterministically."""
+    n = F.size(hashes)
+
+    def mk(sh: int):
+        # factory closure (see minhash_from_hashes for why no default args)
+        return lambda acc, h: acc + F.shiftright(h, sh).bitwiseAND(F.lit(1))
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        count_j = F.aggregate(
+            hashes, F.lit(0).cast("long"), mk(SIMHASH_BITS - 1 - j)
+        )
+        bit = F.when(2 * count_j >= n, F.lit(1 << (SIMHASH_BITS - 1 - j))).otherwise(
+            F.lit(0)
+        )
+        out = out + bit.cast("long")
+    return out
+
+
+def simhash32(shingles: Column) -> Column:
+    """32-bit SimHash over a shingle expression. Wider than a 16-bit
+    sketch: with 4 LSH bands of 8 bits the band-bucket join sees 256×
+    smaller buckets — THE knob that keeps candidate generation
+    sub-quadratic as the corpus grows. In real plans STAGE the hashes
+    (transform(shingles, hash32) as a column) and call
+    simhash32_from_hashes — Catalyst inlines lambda arguments, so this
+    convenience form re-hashes once per bit position."""
+    return simhash32_from_hashes(F.transform(shingles, hash32))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit SimHashes."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
 def simhash16(shingles: Column) -> Column:
     """16-bit SimHash over distinct shingles: bit j (MSB-first) of the
     result is 1 iff Σ_s (2·bit_j(hash16(s)) − 1) ≥ 0 — the standard
-    sign-of-sums construction, as a single aggregate() fold (no groupBy,
-    no UDF). Empty shingle sets hash to 65535 (all sums 0 ⇒ all bits set),
-    deterministically."""
+    sign-of-sums construction, as expression folds (no groupBy, no UDF).
+    md5 runs ONCE per shingle (the fold over bit positions is integer
+    arithmetic on the 16-bit value). Empty shingle sets hash to 65535
+    (all sums 0 ⇒ all bits set), deterministically."""
+    hashes = F.transform(shingles, hash16)
     sums = F.aggregate(
-        shingles,
+        hashes,
         F.expr("array_repeat(0, 16)"),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.sequence(F.lit(15), F.lit(0)),  # exponent e = 15 - j
             lambda v, e: v
-            + 2
-            * (
-                F.floor(
-                    hash16(s) / F.pow(F.lit(2.0), e.cast("double")).cast("int")
-                ).cast("int")
-                % 2
-            )
+            + 2 * (F.floor(h / F.pow(F.lit(2.0), e.cast("double")).cast("int")).cast("int") % 2)
             - 1,
         ),
     )

@@ -21,10 +21,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hoops_edge_database_etl_spark.functions.text import (
-    hamming16,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    base_hash60,
+    hamming32,
     lsh_band_keys,
-    minhash_signature,
-    simhash16,
+    minhash_from_hashes,
+    simhash32,
     word_shingles,
 )
 from hoops_edge_database_etl_spark.queries import query
@@ -111,17 +114,26 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COEFF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+
 @query(
     "q43_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
     sig AS (
-      SELECT doc_id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || s)) AS m
-      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS i) hashes
-      GROUP BY doc_id, i
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
     ),
     band AS (
-      SELECT doc_id, i // 2 AS b, md5(string_agg(m, '|' ORDER BY i)) AS key
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
       FROM sig GROUP BY doc_id, i // 2
     ),
     cand AS (
@@ -147,8 +159,13 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc state is a fixed 8-hash signature, not the shingle set.
     est_jaccard = matching signature components / 8."""
     d = load(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", minhash_signature(word_shingles("text", 3), 8).alias("sig")
+    # staged: shingles → base hashes → signature. Each stage is a BOUND
+    # column, so the md5 runs once per shingle (Catalyst inlines lambda
+    # arguments — an unstaged expression would hash 8×).
+    docs = (
+        d.select("doc_id", word_shingles("text", 3).alias("sh"))
+        .select("doc_id", F.transform("sh", base_hash60).alias("hv"))
+        .select("doc_id", minhash_from_hashes(F.col("hv"), 8).alias("sig"))
     )
     bands = docs.select(
         "doc_id",
@@ -186,45 +203,55 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_H = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(2 * (({_SIMHASH_H} // {1 << (31 - j)}) % 2) - 1) AS s{j}" for j in range(32)
+)
+_SIMHASH_COMBINE = " + ".join(
+    f"CASE WHEN s{j} >= 0 THEN CAST({1 << (31 - j)} AS BIGINT) ELSE 0 END"
+    for j in range(32)
+)
+
+
 def _simhash_oracle() -> str:
-    """DuckDB SQL mirroring functions.text.simhash16 bit-for-bit."""
-    h = "CAST('0x' || substr(md5(s), 1, 4) AS INTEGER)"
-    sums = ", ".join(
-        f"SUM(2 * (({h} // {1 << (15 - j)}) % 2) - 1) AS s{j}" for j in range(16)
-    )
-    combine = " + ".join(
-        f"CASE WHEN s{j} >= 0 THEN {1 << (15 - j)} ELSE 0 END" for j in range(16)
-    )
+    """DuckDB SQL mirroring functions.text.simhash32 bit-for-bit."""
     return f"""
     WITH {_SHINGLES_CTE},
-    sums AS (SELECT doc_id, {sums} FROM sh GROUP BY doc_id)
-    SELECT doc_id, CAST({combine} AS INTEGER) AS simhash
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM sh GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash
     FROM sums
     """
 
 
 @query("q44_simhash", oracle=_simhash_oracle())
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 16-bit SimHash sketch (sign-of-sums over shingle
-    hashes) — constant 2 bytes of dedup state per document regardless of
+    """Per-document 32-bit SimHash sketch (sign-of-sums over shingle
+    hashes) — constant 4 bytes of dedup state per document regardless of
     length; computed as one expression fold, no shuffle at all."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16(word_shingles("text", 3)).alias("simhash"))
+    return _simhash_docs(d)
+
+
+def _simhash_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): staged shingles → hash32 array → simhash32, so
+    the md5 runs once per shingle (see simhash32_from_hashes)."""
+    from hoops_edge_database_etl_spark.functions.text import hash32, simhash32_from_hashes
+
+    return (
+        d.select("doc_id", word_shingles("text", 3).alias("sh"))
+        .select("doc_id", F.transform("sh", hash32).alias("hv"))
+        .select("doc_id", simhash32_from_hashes(F.col("hv")).alias("simhash"))
+    )
 
 
 @query(
     "q45_simhash_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sums AS (SELECT doc_id, {', '.join(
-        f"SUM(2 * ((CAST('0x' || substr(md5(s), 1, 4) AS INTEGER) // {1 << (15 - j)}) % 2) - 1) AS s{j}"
-        for j in range(16)
-    )} FROM sh GROUP BY doc_id),
-    sim AS (SELECT doc_id, CAST({' + '.join(
-        f"CASE WHEN s{j} >= 0 THEN {1 << (15 - j)} ELSE 0 END" for j in range(16)
-    )} AS INTEGER) AS simhash FROM sums),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM sh GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_COMBINE} AS BIGINT) AS simhash FROM sums),
     expl AS (
-      SELECT doc_id, simhash, b, (simhash // (1 << (4 * b))) % 16 AS band_val
+      SELECT doc_id, simhash, b, (simhash // (1 << (8 * b))) % 256 AS band_val
       FROM sim, UNNEST(range(0, 4)) AS t(b)
     ),
     cand AS (
@@ -240,11 +267,13 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming ≤ 3, found WITHOUT a cross
-    join: split the 16 bits into 4 bands — any pair within Hamming 3
+    join: split the 32 bits into 4 bands of 8 — any pair within Hamming 3
     matches at least one band exactly (pigeonhole), so a band-bucket join
-    has guaranteed recall. The standard web-scale simhash dedup layout."""
+    has guaranteed recall, and 8-bit bands keep buckets ~256× smaller than
+    4-bit ones (the knob that keeps candidates sub-quadratic at corpus
+    scale). The standard web-scale simhash dedup layout."""
     d = load(spark, sf_dir, "documents")
-    sim = d.select("doc_id", simhash16(word_shingles("text", 3)).alias("simhash"))
+    sim = _simhash_docs(d)
     expl = sim.select(
         "doc_id",
         "simhash",
@@ -254,9 +283,9 @@ def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(
                 F.col("simhash")
-                / F.pow(F.lit(2.0), (F.col("b") * 4).cast("double")).cast("int")
-            ).cast("int")
-            % 16
+                / F.pow(F.lit(2.0), (F.col("b") * 8).cast("double")).cast("long")
+            ).cast("long")
+            % 256
         ),
     )
     a, b = expl.alias("a"), expl.alias("b")
@@ -276,7 +305,7 @@ def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn("hamming", hamming16(F.col("ha"), F.col("hb")).cast("int"))
+        cand.withColumn("hamming", hamming32(F.col("ha"), F.col("hb")).cast("int"))
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )

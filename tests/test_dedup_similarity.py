@@ -89,8 +89,8 @@ def test_simhash_close_docs_have_small_hamming(spark):
     import pyspark.sql.functions as F
 
     from hoops_edge_database_etl_spark.functions.text import (
-        hamming16,
-        simhash16,
+        hamming32,
+        simhash32,
         word_shingles,
     )
 
@@ -100,11 +100,11 @@ def test_simhash_close_docs_have_small_hamming(spark):
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, far)], "doc_id int, text string"
     )
-    sim = df.select("doc_id", simhash16(word_shingles("text", 3)).alias("h"))
+    sim = df.select("doc_id", simhash32(word_shingles("text", 3)).alias("h"))
     h = {r["doc_id"]: r["h"] for r in sim.collect()}
-    d = spark.createDataFrame([(h[1], h[2]), (h[1], h[3])], "a int, b int")
+    d = spark.createDataFrame([(h[1], h[2]), (h[1], h[3])], "a long, b long")
     near_d, far_d = [
-        r[0] for r in d.select(hamming16(F.col("a"), F.col("b"))).collect()
+        r[0] for r in d.select(hamming32(F.col("a"), F.col("b"))).collect()
     ]
-    assert near_d <= far_d
-    assert near_d <= 4
+    assert near_d < far_d
+    assert near_d <= 8
