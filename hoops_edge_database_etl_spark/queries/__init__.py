@@ -59,6 +59,7 @@ def _load_modules() -> None:
         joins,
         similarity,
         solver,
+        sql_corpus,
         textstats,
         windows,
     )

@@ -1,0 +1,103 @@
+"""SQL-surface queries (SURVEY.md §3.3, §2.4 A14, §2.3 J11): the
+reference's Athena/Presto validation corpus re-expressed as dialect-neutral
+ANSI SQL that runs VERBATIM on both Spark (``spark.sql`` over registered
+views) and DuckDB (the oracle) — one string, two engines, hash-equal
+results. This is the strongest form of the correctness gate: there is no
+translation layer to hide a semantic difference in.
+
+Dialect-neutrality rules used here: explicit CAST everywhere mixed types
+appear (Spark parses `100.0` as DECIMAL, DuckDB follows suit, but division
+scale rules differ — route through DOUBLE), no date formatting functions
+(CAST(date AS VARCHAR) is ISO in both), deterministic ORDER BY tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import register_views
+
+
+def _sql_query(name: str, sql: str, doc: str) -> None:
+    """Register a shared-text SQL query: Spark runs it over temp views, the
+    oracle IS the same string."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    query(name, oracle=sql)(fn)
+
+
+_sql_query(
+    "q55_sql_rowcount_matrix",
+    """
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+    UNION ALL
+    SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+    UNION ALL
+    SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows FROM events
+    """,
+    "UNION ALL row-count matrix (bronze_silver_validation_queries.sql:44-61).",
+)
+
+_sql_query(
+    "q56_sql_join_coverage",
+    """
+    SELECT
+      CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS customers_with_orders,
+      CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS total_customers,
+      CAST(ROUND(
+        100.0 * CAST(COUNT(DISTINCT o.o_custkey) AS DOUBLE)
+              / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE), 1
+      ) AS DOUBLE) AS coverage_pct
+    FROM orders o
+    """,
+    "COUNT DISTINCT coverage percentage (data_completeness_audit.sql:27-49).",
+)
+
+_sql_query(
+    "q57_sql_case_rates",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(NULLIF(COUNT(*), 0) AS DOUBLE) AS discount_rate
+    FROM lineitem
+    GROUP BY l_returnflag
+    HAVING COUNT(*) > 0
+    """,
+    "CASE-WHEN rate with NULLIF guard (gold_validation_queries.sql:94-117).",
+)
+
+_sql_query(
+    "q58_sql_top_n",
+    """
+    SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name, c.c_custkey
+    ORDER BY total_spend DESC, c_custkey ASC
+    LIMIT 25
+    """,
+    "Top-N with deterministic tiebreak (gold_validation_queries.sql:18-22, O2).",
+)
+
+_sql_query(
+    "q59_sql_referential_gaps",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_orders
+    FROM orders o
+    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+    "Referential-integrity anti-join audit (bronze_silver_validation_queries.sql:206-224).",
+)

@@ -1,0 +1,109 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations the reference
+did by hand must appear in Catalyst's plans — pushdown, pruning, broadcast
+— and Python must never leak into hot analytic paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _qs():
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Predicates must be pushed into the parquet scan (the reference read
+    everything then filtered in Python, _io_helpers.py:109-114)."""
+    plan = _executed(_qs()["q02_filter_pushdown"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), f"no predicates pushed: {pushed!r}"
+
+
+def test_column_pruning_in_read_schema(spark):
+    """A 2-column projection must scan 2 columns, not the whole table."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.tables import load
+
+    df = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _executed(df)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_dim_join_is_broadcast(spark):
+    """Dimension enrichment must be a broadcast hash join — the Spark form
+    of the reference's build-small-side dict joins (SURVEY §2.3)."""
+    plan = _executed(_qs()["q11_dim_enrich_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    # AQE wraps the plan in AdaptiveSparkPlan whose string form hides
+    # codegen stages until runtime — disable it for this static inspection
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _executed(_qs()["q01_pricing_summary"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen stages render as "*(N) Operator" prefixes in toString
+    assert "*(1)" in plan and "HashAggregate" in plan
+
+
+#: queries allowed to run Python: the numpy-GEMM brute force (vectorized by
+#: design) and the driver-loop solver
+_PYTHON_ALLOWED = {"q46_cosine_top_pairs", "q53_iterative_ratings"}
+
+
+def test_no_python_in_analytic_plans(spark):
+    """Every oracle-bearing query must stay JVM-side: no row-at-a-time
+    BatchEvalPython anywhere, and no pandas stages except the sanctioned
+    ones (§2.9's policy)."""
+    from hoops_edge_database_etl_spark.queries import all_oracles
+
+    qs = _qs()
+    offenders = []
+    for name in all_oracles():
+        if name in _PYTHON_ALLOWED:
+            continue
+        plan = _executed(qs[name](spark, SF_DIR))
+        if "BatchEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python leaked into: {offenders}"
+
+
+def test_first_last_single_shuffle(spark):
+    """q40's two row_numbers + groupBy share one partitioning — exactly one
+    exchange in the plan (the stated design invariant)."""
+    plan = _executed(_qs()["q40_first_last_value"](spark, SF_DIR))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}"
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """A filter on a partition column must prune at plan time (the manual
+    season=YYYY/ prefix listing, _io_helpers.py:40-47, for free)."""
+    from hoops_edge_database_etl_spark.sources.io import write_partitioned
+
+    path = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i, str(2020 + i % 3)) for i in range(30)], "id int, season string"
+    )
+    write_partitioned(df, path, ["season"])
+    scan = spark.read.parquet(path).filter("season = '2021'")
+    assert scan.count() == 10
+    plan = _executed(scan)
+    assert "partitions read" not in plan.lower() or "1" in plan
+    # the physical scan must carry the partition filter
+    assert "PartitionFilters" in plan and "season" in plan.split("PartitionFilters", 1)[1][:200]
