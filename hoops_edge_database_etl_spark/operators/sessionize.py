@@ -139,11 +139,10 @@ def possession_sessionize(
     """
     import pandas as pd  # noqa: F401  (applyInPandas dependency)
 
-    out_schema = (
-        f"{game_col} long, {period_col} int, {clock_col} double, {id_col} long, "
-        f"{team_col} long, {kind_col} string, "
-        "possession_id long, offense_team_id long, possession_end boolean"
-    )
+    # preserve EVERY input column; append the three possession columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", possession_id long, offense_team_id long, possession_end boolean"
 
     closing = {_ENDING_MADE_SHOT, _ENDING_TURNOVER, _ENDING_LAST_FT}
 
