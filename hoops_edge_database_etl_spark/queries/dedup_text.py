@@ -309,3 +309,60 @@ def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "q60_embedding_near_dup",
+    oracle=f"""
+    WITH q AS (
+      SELECT d.doc_id, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(floor(CAST(embedding[k] AS DOUBLE) * 16777216 + 0.5) AS BIGINT)
+                         * CAST(floor(CAST(embedding[k] AS DOUBLE) * 16777216 + 0.5) AS BIGINT)) AS DOUBLE)) AS nn
+      FROM q, UNNEST(range(1, 65)) AS t(k) GROUP BY doc_id
+    ),
+    prod AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(SUM(CAST(floor(CAST(a.embedding[k] AS DOUBLE) * 16777216 + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(b.embedding[k] AS DOUBLE) * 16777216 + 0.5) AS BIGINT)) AS BIGINT) AS dot
+      FROM q a JOIN q b ON a.doc_id < b.doc_id, UNNEST(range(1, 65)) AS t(k)
+      GROUP BY 1, 2
+    )
+    SELECT i AS doc_a, j AS doc_b,
+           CAST(dot AS DOUBLE) / (x.nn * y.nn) AS cosine
+    FROM prod JOIN nrm x ON x.doc_id = i JOIN nrm y ON y.doc_id = j
+    WHERE CAST(dot AS DOUBLE) / (x.nn * y.nn) >= 0.45
+    """,
+)
+def q60_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over documents (cosine ≥ 0.45
+    on the paired embedding table) — the semantic complement to the
+    lexical dedup family above: rephrasings that share no shingles still
+    collide in embedding space. Same exact int64 fixed-point arithmetic as
+    q46 (see queries.similarity); the brute-force pair scan here is the
+    truth baseline — at corpus scale candidates come from q47's sign-LSH
+    buckets and only candidate pairs are scored."""
+    from hoops_edge_database_etl_spark.queries.similarity import _norms, _pair_dots
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    q = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
+    a = q.select(F.col("doc_id").alias("i"), F.col("embedding").alias("va"))
+    b = q.select(F.col("doc_id").alias("j"), F.col("embedding").alias("vb"))
+    dots = _pair_dots(a.join(b, F.col("i") < F.col("j")))
+    n = _norms(q.withColumnRenamed("doc_id", "vec_id"))
+    ni = n.select(F.col("vec_id").alias("i"), F.col("nn").alias("ni"))
+    nj = n.select(F.col("vec_id").alias("j"), F.col("nn").alias("nj"))
+    return (
+        dots.join(ni, "i")
+        .join(nj, "j")
+        .select(
+            F.col("i").alias("doc_a"),
+            F.col("j").alias("doc_b"),
+            (F.col("dot").cast("double") / (F.col("ni") * F.col("nj"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )

@@ -19,6 +19,7 @@ QUERIES = [
     "q50_quality_score",
     "q51_token_stats",
     "q52_fingerprint_clusters",
+    "q60_embedding_near_dup",
 ]
 
 
