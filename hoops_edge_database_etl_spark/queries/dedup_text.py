@@ -159,13 +159,19 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc state is a fixed 8-hash signature, not the shingle set.
     est_jaccard = matching signature components / 8."""
     d = load(spark, sf_dir, "documents")
-    # staged: shingles → base hashes → signature. Each stage is a BOUND
-    # column, so the md5 runs once per shingle (Catalyst inlines lambda
-    # arguments — an unstaged expression would hash 8×).
-    docs = (
-        d.select("doc_id", word_shingles("text", 3).alias("sh"))
-        .select("doc_id", F.transform("sh", base_hash60).alias("hv"))
-        .select("doc_id", minhash_from_hashes(F.col("hv"), 8).alias("sig"))
+    # explode + 8-MIN HashAggregate: the affine variants are integer
+    # expressions over ONE md5 per shingle, and the min-reduction runs in
+    # codegen with map-side combine (array_min folds are interpreted)
+    hashed = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    ).select("doc_id", base_hash60(F.col("s")).alias("h"))
+    docs = hashed.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.lit(a).cast("long") * F.col("h") + F.lit(b)) % F.lit(MINHASH_P))
+                for a, b in MINHASH_COEFFS[:8]
+            ]
+        ).alias("sig")
     )
     bands = docs.select(
         "doc_id",
@@ -233,15 +239,33 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_docs(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash): staged shingles → hash32 array → simhash32, so
-    the md5 runs once per shingle (see simhash32_from_hashes)."""
-    from hoops_edge_database_etl_spark.functions.text import hash32, simhash32_from_hashes
+    """(doc_id, simhash) via explode + one 32-sum HashAggregate.
 
-    return (
-        d.select("doc_id", word_shingles("text", 3).alias("sh"))
-        .select("doc_id", F.transform("sh", hash32).alias("hv"))
-        .select("doc_id", simhash32_from_hashes(F.col("hv")).alias("simhash"))
+    Semantically identical to functions.text.simhash32_from_hashes (bit j
+    set iff 2·popcount_j ≥ n) but expressed as a groupBy so the bit sums
+    run inside whole-stage codegen with map-side partial aggregation —
+    higher-order-function folds are interpreted per element and were ~2×
+    slower at 5k docs (and the gap widens with corpus size)."""
+    from hoops_edge_database_etl_spark.functions.text import SIMHASH_BITS, hash32
+
+    ex = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s")).select(
+        "doc_id", hash32(F.col("s")).alias("h")
     )
+    sums = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.shiftright("h", SIMHASH_BITS - 1 - j).bitwiseAND(F.lit(1))).alias(
+                f"c{j}"
+            )
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    simhash = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        simhash = simhash + F.when(
+            2 * F.col(f"c{j}") >= F.col("n"), F.lit(1 << (SIMHASH_BITS - 1 - j))
+        ).otherwise(0).cast("long")
+    return sums.select("doc_id", simhash.alias("simhash"))
 
 
 @query(

@@ -183,40 +183,60 @@ def _bucket_col() -> F.Column:
 def q47_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors per vector via sign-bit LSH buckets:
     candidates are same-bucket only, so the pairwise work is per-bucket
-    quadratic instead of corpus quadratic — the ANN layout that scales to
-    100 TB (bucket key is the shuffle key; skewed buckets split by AQE)."""
+    quadratic instead of corpus quadratic. Like q46, the kernel is a
+    broadcast + numpy int64 matmul inside mapInPandas — each query's whole
+    bucket is in the broadcast, so the per-query top-3 finishes map-side
+    with ZERO shuffles. Beyond broadcastable size this becomes a bucket-key
+    shuffle join feeding the same kernel per bucket."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings")
-    bkt = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
-    a = bkt.select(
-        F.col("vec_id").alias("i"), F.col("embedding").alias("va"), F.col("bucket").alias("ba")
-    )
-    b = bkt.select(
-        F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), F.col("bucket").alias("bb")
-    )
-    pairs = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("i") != F.col("j")))
-    dots = _pair_dots(pairs)
-    n = _norms(e)
-    ni = n.select(F.col("vec_id").alias("i"), F.col("nn").alias("ni"))
-    nj = n.select(F.col("vec_id").alias("j"), F.col("nn").alias("nj"))
-    scored = (
-        dots.join(ni, "i")
-        .join(nj, "j")
-        .select(
-            "i",
-            "j",
-            (F.col("dot").cast("double") / (F.col("ni") * F.col("nj"))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
-        .select(
-            F.col("i").alias("query_id"),
-            F.col("j").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
+    corpus = e.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    qmat = np.floor(mat * Q + 0.5).astype(np.int64)
+    norms = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
+    # sign-bit bucket of dims 0..3 (must mirror _BUCKET_SQL exactly)
+    buckets = ((mat[:, :4] >= 0) * np.array([1, 2, 4, 8])).sum(axis=1).astype(np.int64)
+    bc = spark.sparkContext.broadcast((ids, qmat, norms, buckets))
+
+    def per_bucket_topk(batches):
+        import pandas as pd
+
+        c_ids, c_q, c_n, c_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for vid, emb in zip(pdf["vec_id"], pdf["embedding"]):
+                v = np.asarray(emb, dtype=np.float64)
+                qv = np.floor(v * Q + 0.5).astype(np.int64)
+                bucket = int(((v[:4] >= 0) * np.array([1, 2, 4, 8])).sum())
+                sel = (c_b == bucket) & (c_ids != vid)
+                if not sel.any():
+                    continue
+                cand_ids = c_ids[sel]
+                dots = c_q[sel] @ qv  # exact int64
+                nq = np.sqrt(float((qv * qv).sum()))
+                cos = dots.astype(np.float64) / (nq * c_n[sel])
+                order = np.lexsort((cand_ids, -cos))[:3]
+                for rank, idx in enumerate(order, start=1):
+                    out_q.append(vid)
+                    out_n.append(cand_ids[idx])
+                    out_c.append(cos[idx])
+                    out_r.append(rank)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "neighbor_id": np.array(out_n, dtype=np.int64),
+                        "cosine": out_c,
+                        "rank": np.array(out_r, dtype=np.int32),
+                    }
+                )
+
+    return e.mapInPandas(
+        per_bucket_topk, "query_id long, neighbor_id long, cosine double, rank int"
     )
 
 

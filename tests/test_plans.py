@@ -61,9 +61,13 @@ def test_whole_stage_codegen_on_flagship(spark):
     assert "*(1)" in plan and "HashAggregate" in plan
 
 
-#: queries allowed to run Python: the numpy-GEMM brute force (vectorized by
-#: design) and the driver-loop solver
-_PYTHON_ALLOWED = {"q46_cosine_top_pairs", "q53_iterative_ratings"}
+#: queries allowed to run Python: the numpy-GEMM similarity kernels
+#: (vectorized by design) and the driver-loop solver
+_PYTHON_ALLOWED = {
+    "q46_cosine_top_pairs",
+    "q47_ann_sign_lsh",
+    "q53_iterative_ratings",
+}
 
 
 def test_no_python_in_analytic_plans(spark):
