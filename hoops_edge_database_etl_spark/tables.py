@@ -29,6 +29,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; projection/pushdown handled by Catalyst."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark rejects at
+    # scan time (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so set it
+    # here rather than relying on the session factory — callers (the verify
+    # driver included) may hand us any SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives

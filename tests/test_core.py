@@ -40,3 +40,18 @@ def test_registry_consistency():
     oracles = all_oracles()
     assert set(oracles) <= set(queries)
     assert len(queries) > 0
+
+
+def test_load_events_without_session_factory_conf(spark):
+    """Regression (VERDICT r1): the verify driver supplies its own
+    SparkSession without ``nanosAsLong``; load() must set it at read time,
+    not depend on session.get_spark() having configured it."""
+    from hoops_edge_database_etl_spark.tables import load
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load(spark, "/root/testdata/sf0.001", "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
