@@ -91,25 +91,128 @@ def q46_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 most-similar embedding pairs, brute force — the exact
     near-dup baseline ANN methods are measured against.
 
-    Shape: broadcast the quantized corpus matrix (n×64 int64 — MBs even at
-    millions of vectors), then ``mapInPandas`` computes each partition's
-    block of the pair matrix as ONE numpy int64 matmul (exact — same
-    values as the expression fold) and emits only its local top-20; the
-    global top-20 is a TakeOrdered over ≤ 20·partitions rows. Per-row
-    expression folds were ~20× slower here: O(n²) work belongs in a
-    vectorized kernel, not per-row codegen. Beyond broadcastable corpus
-    size this becomes a blocked cross-join of row-groups — same kernel."""
+    Default plan is the distributed blocked all-pairs (see
+    :func:`cosine_top_pairs`): no driver collect anywhere in the lineage,
+    so it is the plan that runs on a 1000-executor cluster unchanged. The
+    broadcast-kernel variant survives as a size-gated fast path."""
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_top_pairs(spark, e, k=20, strategy="blocked")
+
+
+def cosine_top_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    k: int = 20,
+    strategy: str = "blocked",
+    n_blocks: int = 8,
+    broadcast_threshold_rows: int = 2_000_000,
+) -> DataFrame:
+    """Exact global top-k cosine pairs with a choice of physical plan.
+
+    ``blocked`` (default, the 100 TB shape): rows are hashed into
+    ``n_blocks`` row-groups; each row is shuffled to every block-pair it
+    participates in (replication factor = n_blocks), and one
+    ``applyInPandas`` group per block-pair computes its tile of the pair
+    matrix as a single numpy int64 matmul, emitting only its local top-k.
+    Global answer = TakeOrdered over ≤ k·B(B+1)/2 rows. Scale knob: pick
+    n_blocks so n/B rows × row-width fits executor memory and B(B+1)/2 ≳
+    cluster cores; work is inherently O(n²) — that is what the exact
+    baseline costs, but no single machine ever holds more than one tile.
+
+    ``broadcast`` (fast path for corpora that fit on one executor — the
+    n×64 int64 matrix is MBs up to ~1e6 vectors): broadcast the quantized
+    corpus, one matmul per input partition. This collects the corpus on
+    the driver, so it is gated; ``auto`` counts and picks.
+    """
     import numpy as np
 
-    e = load(spark, sf_dir, "embeddings")
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if e.count() <= broadcast_threshold_rows else "blocked"
+        )
+
+    if strategy == "blocked":
+        B = n_blocks
+        blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+        # Membership list per row: as the "left" side of every pair
+        # (blk, j≥blk), and the "right" side of every pair (i<blk, blk).
+        # Each unordered row pair meets in exactly one block-pair group.
+        left = F.transform(
+            F.sequence(F.col("blk"), F.lit(B - 1)),
+            lambda j: F.struct(F.col("blk").alias("bi"), j.alias("bj")),
+        )
+        right = F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.col("blk")),
+                lambda i: F.struct(i.alias("bi"), F.col("blk").alias("bj")),
+            ),
+            lambda s: s["bi"] < s["bj"],
+        )
+        exploded = (
+            e.select("vec_id", "embedding", blk.alias("blk"))
+            .select(
+                "vec_id",
+                "embedding",
+                "blk",
+                F.explode(F.concat(left, right)).alias("m"),
+            )
+            .select("vec_id", "embedding", "blk", "m.bi", "m.bj")
+        )
+
+        def tile_topk(pdf):
+            import pandas as pd
+
+            bi, bj = int(pdf["bi"].iat[0]), int(pdf["bj"].iat[0])
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            qm = np.floor(mat * Q + 0.5).astype(np.int64)
+            nn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+            if bi == bj:
+                dots = qm @ qm.T  # exact int64
+                cos = dots.astype(np.float64) / (nn[:, None] * nn[None, :])
+                ii, jj = np.broadcast_arrays(ids[:, None], ids[None, :])
+                mask = ii < jj
+                fi, fj, fc = ii[mask], jj[mask], cos[mask]
+            else:
+                a = pdf["blk"].to_numpy() == bi
+                b = ~a
+                if not a.any() or not b.any():
+                    return pd.DataFrame(
+                        {"vec_a": [], "vec_b": [], "cosine": []}
+                    ).astype({"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+                dots = qm[a] @ qm[b].T
+                cos = dots.astype(np.float64) / (nn[a][:, None] * nn[b][None, :])
+                ii, jj = np.broadcast_arrays(
+                    ids[a][:, None], ids[b][None, :]
+                )
+                fi = np.minimum(ii, jj).ravel()
+                fj = np.maximum(ii, jj).ravel()
+                fc = cos.ravel()
+            if not len(fc):
+                return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                    {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+                )
+            order = np.lexsort((fj, fi, -fc))[:k]
+            return pd.DataFrame(
+                {"vec_a": fi[order], "vec_b": fj[order], "cosine": fc[order]}
+            )
+
+        local = exploded.groupBy("bi", "bj").applyInPandas(
+            tile_topk, "vec_a long, vec_b long, cosine double"
+        )
+        return local.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(k)
+
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     corpus = e.select("vec_id", "embedding").toPandas()
     ids = corpus["vec_id"].to_numpy(dtype=np.int64)
     mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
     qmat = np.floor(mat * Q + 0.5).astype(np.int64)
     norms = np.sqrt((qmat * qmat).sum(axis=1).astype(np.float64))
     bc = spark.sparkContext.broadcast((ids, qmat, norms))
-
-    k = 20
 
     def block_topk(batches):
         import pandas as pd
@@ -183,14 +286,96 @@ def _bucket_col() -> F.Column:
 def q47_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors per vector via sign-bit LSH buckets:
     candidates are same-bucket only, so the pairwise work is per-bucket
-    quadratic instead of corpus quadratic. Like q46, the kernel is a
-    broadcast + numpy int64 matmul inside mapInPandas — each query's whole
-    bucket is in the broadcast, so the per-query top-3 finishes map-side
-    with ZERO shuffles. Beyond broadcastable size this becomes a bucket-key
-    shuffle join feeding the same kernel per bucket."""
+    quadratic instead of corpus quadratic.
+
+    Default plan is the bucket-key shuffle (see :func:`ann_sign_lsh`):
+    one Exchange on the bucket key, then a per-bucket numpy kernel — no
+    driver collect, so the same plan runs beyond broadcastable corpus
+    size. The broadcast kernel remains as a size-gated fast path."""
+    e = load(spark, sf_dir, "embeddings")
+    return ann_sign_lsh(spark, e, k=3, strategy="shuffle")
+
+
+def ann_sign_lsh(
+    spark: SparkSession,
+    e: DataFrame,
+    k: int = 3,
+    strategy: str = "shuffle",
+    broadcast_threshold_rows: int = 2_000_000,
+) -> DataFrame:
+    """Sign-LSH top-k with a choice of physical plan.
+
+    ``shuffle`` (default, the 100 TB shape): repartition by LSH bucket —
+    a single Exchange hash-partitioned on the bucket key — then one
+    ``applyInPandas`` group per bucket computes the intra-bucket pair
+    matrix as a numpy int64 matmul and emits each member's top-k. No
+    driver collect anywhere in the lineage. Scale knobs: more sign bits ⇒
+    more, smaller buckets (production wants bucket count ≫ cores and
+    multi-probe for recall); a hot bucket is bounded by the band width,
+    and AQE skew-join handling applies to the Exchange.
+
+    ``broadcast``: the whole corpus (quantized matrix + bucket ids) is
+    collected and broadcast; each input partition answers its rows
+    map-side with zero shuffles. Only valid while the corpus fits on one
+    executor — gated; ``auto`` counts and picks."""
     import numpy as np
 
-    e = load(spark, sf_dir, "embeddings")
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if e.count() <= broadcast_threshold_rows else "shuffle"
+        )
+
+    schema = "query_id long, neighbor_id long, cosine double, rank int"
+
+    if strategy == "shuffle":
+        bkt = e.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+
+        def bucket_topk(pdf):
+            import pandas as pd
+
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+                ).astype(
+                    {
+                        "query_id": "int64",
+                        "neighbor_id": "int64",
+                        "cosine": "float64",
+                        "rank": "int32",
+                    }
+                )
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            qm = np.floor(mat * Q + 0.5).astype(np.int64)
+            nn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+            dots = qm @ qm.T  # exact int64
+            cos = dots.astype(np.float64) / (nn[:, None] * nn[None, :])
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for r in range(len(ids)):
+                sel = ids != ids[r]
+                cand_ids, cand_cos = ids[sel], cos[r][sel]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                for rank, idx in enumerate(order, start=1):
+                    out_q.append(ids[r])
+                    out_n.append(cand_ids[idx])
+                    out_c.append(cand_cos[idx])
+                    out_r.append(rank)
+            return pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cosine": out_c,
+                    "rank": np.array(out_r, dtype=np.int32),
+                }
+            )
+
+        return bkt.groupBy("bucket").applyInPandas(bucket_topk, schema)
+
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     corpus = e.select("vec_id", "embedding").toPandas()
     ids = corpus["vec_id"].to_numpy(dtype=np.int64)
     mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
@@ -219,7 +404,7 @@ def q47_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dots = c_q[sel] @ qv  # exact int64
                 nq = np.sqrt(float((qv * qv).sum()))
                 cos = dots.astype(np.float64) / (nq * c_n[sel])
-                order = np.lexsort((cand_ids, -cos))[:3]
+                order = np.lexsort((cand_ids, -cos))[:k]
                 for rank, idx in enumerate(order, start=1):
                     out_q.append(vid)
                     out_n.append(cand_ids[idx])
@@ -235,9 +420,7 @@ def q47_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    return e.mapInPandas(
-        per_bucket_topk, "query_id long, neighbor_id long, cosine double, rank int"
-    )
+    return e.mapInPandas(per_bucket_topk, schema)
 
 
 @query(

@@ -109,3 +109,24 @@ def test_simhash_close_docs_have_small_hamming(spark):
     ]
     assert near_d < far_d
     assert near_d <= 8
+
+
+def test_ann_strategies_agree(spark):
+    """The shuffle/blocked scale paths and the size-gated broadcast fast
+    paths are alternative physical plans for the same operator — exact
+    int64 math means results must be IDENTICAL, not just close."""
+    from hoops_edge_database_etl_spark.queries.similarity import (
+        ann_sign_lsh,
+        cosine_top_pairs,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    top_blocked = [tuple(r) for r in cosine_top_pairs(spark, e, strategy="blocked").collect()]
+    top_bcast = [tuple(r) for r in cosine_top_pairs(spark, e, strategy="broadcast").collect()]
+    assert top_blocked == top_bcast and len(top_blocked) == 20
+
+    key = lambda t: (t[0], t[3])  # noqa: E731
+    nn_shuffle = sorted((tuple(r) for r in ann_sign_lsh(spark, e, strategy="shuffle").collect()), key=key)
+    nn_bcast = sorted((tuple(r) for r in ann_sign_lsh(spark, e, strategy="broadcast").collect()), key=key)
+    assert nn_shuffle == nn_bcast and len(nn_shuffle) > 0

@@ -111,3 +111,38 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     assert "partitions read" not in plan.lower() or "1" in plan
     # the physical scan must carry the partition filter
     assert "PartitionFilters" in plan and "season" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ann_shuffle_plan_no_driver_collect(spark):
+    """q46/q47 default plans must be the distributed shape (VERDICT r1):
+    an Exchange on the bucket/block key feeding FlatMapGroupsInPandas, and
+    ZERO Spark jobs while building the operator over an already-loaded
+    DataFrame (a driver-side toPandas() in the lineage runs one eagerly;
+    the only allowed jobs are load()'s own parquet footer reads)."""
+    from hoops_edge_database_etl_spark.queries.similarity import (
+        ann_sign_lsh,
+        cosine_top_pairs,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    e = load(spark, SF_DIR, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-build-audit", "lazy-build check")
+    try:
+        df47 = ann_sign_lsh(spark, e, strategy="shuffle")
+        df46 = cosine_top_pairs(spark, e, strategy="blocked")
+        jobs = list(sc.statusTracker().getJobIdsForGroup("ann-build-audit"))
+    finally:
+        sc.setJobGroup("tests", "tests")
+    assert jobs == [], f"operator construction ran driver-side jobs: {jobs}"
+    p47 = _executed(df47)
+    assert "FlatMapGroupsInPandas" in p47
+    assert "hashpartitioning(bucket" in p47, "missing bucket-key Exchange"
+    p46 = _executed(df46)
+    assert "FlatMapGroupsInPandas" in p46
+    assert "hashpartitioning(bi" in p46, "missing block-pair Exchange"
+    # the registered queries must route through these default strategies
+    p47q = _executed(_qs()["q47_ann_sign_lsh"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p47q and "hashpartitioning(bucket" in p47q
+    p46q = _executed(_qs()["q46_cosine_top_pairs"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p46q and "hashpartitioning(bi" in p46q
