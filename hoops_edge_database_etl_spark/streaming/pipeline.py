@@ -124,11 +124,20 @@ def foreach_batch_upsert(
     from pyspark.sql import Window
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        from hoops_edge_database_etl_spark.sources.io import (
+            is_path_not_found,
+            overwrite_parquet_atomic,
+        )
+
         spark = batch.sparkSession
         try:
             existing = spark.read.parquet(dst_path)
             merged = existing.unionByName(batch, allowMissingColumns=True)
-        except Exception:
+        except Exception as exc:
+            # only a genuinely missing sink starts fresh; a transient read
+            # failure must NOT silently drop all existing rows (ADVICE r1)
+            if not is_path_not_found(exc):
+                raise
             merged = batch
         w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
         latest = (
@@ -136,10 +145,7 @@ def foreach_batch_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        rows = latest.collect()  # small state table per the reference's scale
-        spark.createDataFrame(rows, latest.schema).write.mode("overwrite").parquet(
-            dst_path
-        )
+        overwrite_parquet_atomic(latest, dst_path)
 
     return (
         src.writeStream.foreachBatch(upsert)

@@ -20,6 +20,7 @@ QUERIES = [
     "q51_token_stats",
     "q52_fingerprint_clusters",
     "q60_embedding_near_dup",
+    "q62_dedup_clusters",
 ]
 
 
@@ -130,3 +131,19 @@ def test_ann_strategies_agree(spark):
     nn_shuffle = sorted((tuple(r) for r in ann_sign_lsh(spark, e, strategy="shuffle").collect()), key=key)
     nn_bcast = sorted((tuple(r) for r in ann_sign_lsh(spark, e, strategy="broadcast").collect()), key=key)
     assert nn_shuffle == nn_bcast and len(nn_shuffle) > 0
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every LSH candidate pair must land in one cluster; cluster ids are
+    component minima; sizes count members."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in qs["q43_minhash_lsh"](spark, sf).collect()]
+    clusters = {r["doc_id"]: r["cluster_id"] for r in qs["q62_dedup_clusters"](spark, sf).collect()}
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+    for doc, c in clusters.items():
+        assert c <= doc
+        assert clusters[c] == c  # the canonical doc is its own cluster id

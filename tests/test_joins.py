@@ -53,3 +53,22 @@ def test_asof_join_collision_guard(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "k int, ts int, v double")
     with pytest.raises(ValueError, match="collides"):
         asof_join(df, df, "k", "ts", "ts", ["v"])
+
+
+def test_asof_tolerance_is_per_column(spark):
+    """ADVICE r1: when the newest preceding right row is NULL in one value
+    column, that column's value comes from an older row and must be
+    tolerance-checked against THAT row's timestamp, not the newer one's."""
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20, "q")], "k int, ts int, who string")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0, 9.0), (1, 18, None, 10.0)],
+        "k int, ts int, v1 double, v2 double",
+    )
+    row = asof_join(
+        left, right, "k", "ts", "ts", ["v1", "v2"], tolerance_expr="10"
+    ).collect()[0]
+    # v2 came from ts=18 (fresh); v1 came from ts=5 (stale: 20-5 > 10)
+    assert row["v2"] == 10.0
+    assert row["v1"] is None

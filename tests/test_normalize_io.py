@@ -180,3 +180,11 @@ def test_register_table_and_sql(spark, tmp_path):
         assert n == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_cat")
+
+
+def test_lenient_cast_preserves_int64_precision(spark):
+    """ADVICE r1: ints above 2^53 must not round through the double path."""
+    big = 9007199254740993  # 2^53 + 1 — unrepresentable as a double
+    df = spark.createDataFrame([(str(big),), ("12.0",), ("x",)], "v string")
+    out = [r["v"] for r in df.select(lenient_cast(F.col("v"), LongType()).alias("v")).collect()]
+    assert out == [big, 12, None]

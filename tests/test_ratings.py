@@ -178,3 +178,25 @@ def test_ratings_per_date_half_life(spark):
     oe_flat = {r["team_id"]: r["adj_oe"] for r in flat}[1]
     oe_dec = {r["team_id"]: r["adj_oe"] for r in decayed}[1]
     assert oe_dec > oe_flat  # recent 120 dominates the old 80
+
+
+def test_q61_jacobi_exact_matches_oracle(spark, duck):
+    """The quantized additive Jacobi (fixed-point int64 + IEEE floor-div)
+    must be bit-identical to the DuckDB recursive CTE — the exact-parity
+    contract that lets an iterative solver be hash-checked at all."""
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q61_jacobi_exact")
+
+
+def test_q61_jacobi_exact_is_centered(spark):
+    """Sanity: adjusted offenses and defenses are deviations from the
+    league mean, so each family sums to ~0 (floor-div truncation bounds
+    the drift to < 1 rating unit per team)."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q61_jacobi_exact"](spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 0
+    assert abs(sum(r["off_adj"] for r in rows)) < n
+    assert abs(sum(r["def_adj"] for r in rows)) < n
