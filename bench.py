@@ -31,9 +31,14 @@ HEADLINE = [
     "q41_exact_dedup",          # hash dedup
     "q43_minhash_lsh",          # MinHash + LSH banding
     "q45_simhash_pairs",        # SimHash band join
-    "q47_ann_sign_lsh",         # bucketed ANN
+    "q46_cosine_top_pairs",     # blocked exact all-pairs cosine
+    "q47_ann_sign_lsh",         # bucketed ANN (shuffle plan)
+    "q48_knn_brute_force",      # broadcast kNN baseline
     "q49_lang_id",              # text classification
     "q51_token_stats",          # token counting
+    "q60_embedding_near_dup",   # embedding near-dup (all-pairs baseline)
+    "q61_jacobi_exact",         # exact iterative solver
+    "q62_dedup_clusters",       # near-dup connected components
 ]
 
 
