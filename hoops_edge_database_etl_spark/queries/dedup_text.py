@@ -256,25 +256,34 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each sweep is join(labels, edges) + groupBy-min — pure integer min, so
     the unique fixed point is engine-exact and a DuckDB recursive CTE
     hash-checks it. Convergence is monitored with sum(lbl), an integer
-    that strictly decreases until the fixed point. Scale notes: near-dup
-    components are small (bounded by band collision rate), so iterations ≈
-    component diameter (single digits); each sweep shuffles |E|+|V| rows
-    hash-partitioned on node. For adversarial graph shapes swap in
-    alternating large-star/small-star contraction — same per-sweep plan,
-    provably O(log n) sweeps."""
+    that strictly decreases until the fixed point.
+
+    Scale design: the loop runs ONLY on edge-incident nodes — in a
+    near-dup graph the candidate-pair set is ≪ the corpus, so the
+    iterative state is |V_active| + |E| rows, not |corpus|; untouched
+    documents are singleton clusters by construction and bypass the loop
+    entirely (left join at the end). Each sweep shuffles hash-partitioned
+    on node; ``localCheckpoint`` truncates lineage so sweep N's plan does
+    not re-derive sweeps 1..N-1 (without it, planning cost grows
+    per-sweep). Near-dup components are small (bounded by band collision
+    rate), so iterations ≈ component diameter (single digits); for
+    adversarial graph shapes swap in alternating large-star/small-star
+    contraction — same per-sweep plan, provably O(log n) sweeps."""
     edges = q43_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     und = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    und = und.persist()
-    d = load(spark, sf_dir, "documents")
-    labels = d.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl"))
+    und = und.localCheckpoint(eager=True)  # materialize once, flat lineage
+    # active subgraph: only nodes that appear in an edge can ever change
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
 
     prev_sum = None
     for _ in range(30):
-        labels = labels.persist()
+        labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
             break
@@ -288,7 +297,15 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:  # pragma: no cover - 30 sweeps ≫ any realistic dedup diameter
         raise RuntimeError("label propagation did not converge in 30 sweeps")
 
-    comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    d = load(spark, sf_dir, "documents")
+    # singletons (no incident edge) cluster with themselves — no loop cost
+    comp = (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id")
+        )
+    )
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select(
         "doc_id",
@@ -455,27 +472,25 @@ def q60_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the paired embedding table) — the semantic complement to the
     lexical dedup family above: rephrasings that share no shingles still
     collide in embedding space. Same exact int64 fixed-point arithmetic as
-    q46 (see queries.similarity); the brute-force pair scan here is the
-    truth baseline — at corpus scale candidates come from q47's sign-LSH
-    buckets and only candidate pairs are scored."""
-    from hoops_edge_database_etl_spark.queries.similarity import _norms, _pair_dots
+    q46 (see queries.similarity).
+
+    Physical plan is the distributed blocked all-pairs scan
+    (:func:`~hoops_edge_database_etl_spark.queries.similarity.cosine_pairs_threshold`):
+    tile the pair matrix over block-pair groups, one numpy int64 matmul
+    per tile, emit only above-threshold pairs — exact results with no
+    driver collect and no per-pair expression interpretation (the
+    join+fold formulation of the same scan is ~40× slower at sf0.1). At
+    corpus scale candidates come from q47's sign-LSH buckets and only
+    candidate pairs are scored."""
+    from hoops_edge_database_etl_spark.queries.similarity import (
+        cosine_pairs_threshold,
+    )
 
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
-    q = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
-    a = q.select(F.col("doc_id").alias("i"), F.col("embedding").alias("va"))
-    b = q.select(F.col("doc_id").alias("j"), F.col("embedding").alias("vb"))
-    dots = _pair_dots(a.join(b, F.col("i") < F.col("j")))
-    n = _norms(q.withColumnRenamed("doc_id", "vec_id"))
-    ni = n.select(F.col("vec_id").alias("i"), F.col("nn").alias("ni"))
-    nj = n.select(F.col("vec_id").alias("j"), F.col("nn").alias("nj"))
-    return (
-        dots.join(ni, "i")
-        .join(nj, "j")
-        .select(
-            F.col("i").alias("doc_a"),
-            F.col("j").alias("doc_b"),
-            (F.col("dot").cast("double") / (F.col("ni") * F.col("nj"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.45)
+    q = d.join(e, d.doc_id == e.vec_id).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    return cosine_pairs_threshold(q, 0.45).select(
+        F.col("i").alias("doc_a"), F.col("j").alias("doc_b"), "cosine"
     )

@@ -99,6 +99,87 @@ def q46_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_top_pairs(spark, e, k=20, strategy="blocked")
 
 
+def _blocked_tiles(e: DataFrame, n_blocks: int) -> DataFrame:
+    """Tile membership for distributed all-pairs: rows hash into
+    ``n_blocks`` row-groups; each row is replicated to every block-pair
+    tile it participates in — as the "left" side of tiles (blk, j ≥ blk)
+    and the "right" side of tiles (i < blk, blk) — so each unordered row
+    pair meets in exactly one ``(bi, bj)`` group. One shuffle, replication
+    factor n_blocks; no single task ever holds more than one tile."""
+    B = n_blocks
+    blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
+    left = F.transform(
+        F.sequence(F.col("blk"), F.lit(B - 1)),
+        lambda j: F.struct(F.col("blk").alias("bi"), j.alias("bj")),
+    )
+    right = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk")),
+            lambda i: F.struct(i.alias("bi"), F.col("blk").alias("bj")),
+        ),
+        lambda s: s["bi"] < s["bj"],
+    )
+    return (
+        e.select("vec_id", "embedding", blk.alias("blk"))
+        .select(
+            "vec_id",
+            "embedding",
+            "blk",
+            F.explode(F.concat(left, right)).alias("m"),
+        )
+        .select("vec_id", "embedding", "blk", "m.bi", "m.bj")
+    )
+
+
+def cosine_pairs_threshold(
+    e: DataFrame, threshold: float, n_blocks: int = 8
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the near-dup pair scan — as the
+    distributed blocked plan: each (bi, bj) tile is one numpy int64 matmul
+    that emits only its above-threshold pairs (near-dup output is sparse,
+    so the emitted set is tiny even though the scan is O(n²)). No driver
+    collect anywhere; same fixed-point parity rules as the top-k kernels.
+    Returns (i, j, cosine) with i < j."""
+    import numpy as np
+
+    def tile_pairs(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"i": [], "j": [], "cosine": []}).astype(
+            {"i": "int64", "j": "int64", "cosine": "float64"}
+        )
+        bi, bj = int(pdf["bi"].iat[0]), int(pdf["bj"].iat[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        qm = np.floor(mat * Q + 0.5).astype(np.int64)
+        nn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+        if bi == bj:
+            cos = (qm @ qm.T).astype(np.float64) / (nn[:, None] * nn[None, :])
+            ii, jj = np.broadcast_arrays(ids[:, None], ids[None, :])
+            mask = (ii < jj) & (cos >= threshold)
+            fi, fj, fc = ii[mask], jj[mask], cos[mask]
+        else:
+            a = pdf["blk"].to_numpy() == bi
+            b = ~a
+            if not a.any() or not b.any():
+                return empty
+            cos = (qm[a] @ qm[b].T).astype(np.float64) / (
+                nn[a][:, None] * nn[b][None, :]
+            )
+            ii, jj = np.broadcast_arrays(ids[a][:, None], ids[b][None, :])
+            mask = cos >= threshold
+            fi = np.minimum(ii[mask], jj[mask])
+            fj = np.maximum(ii[mask], jj[mask])
+            fc = cos[mask]
+        if not len(fc):
+            return empty
+        return pd.DataFrame({"i": fi, "j": fj, "cosine": fc})
+
+    return _blocked_tiles(e, n_blocks).groupBy("bi", "bj").applyInPandas(
+        tile_pairs, "i long, j long, cosine double"
+    )
+
+
 def cosine_top_pairs(
     spark: SparkSession,
     e: DataFrame,
@@ -132,32 +213,7 @@ def cosine_top_pairs(
         )
 
     if strategy == "blocked":
-        B = n_blocks
-        blk = F.pmod(F.col("vec_id"), F.lit(B)).cast("int")
-        # Membership list per row: as the "left" side of every pair
-        # (blk, j≥blk), and the "right" side of every pair (i<blk, blk).
-        # Each unordered row pair meets in exactly one block-pair group.
-        left = F.transform(
-            F.sequence(F.col("blk"), F.lit(B - 1)),
-            lambda j: F.struct(F.col("blk").alias("bi"), j.alias("bj")),
-        )
-        right = F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.col("blk")),
-                lambda i: F.struct(i.alias("bi"), F.col("blk").alias("bj")),
-            ),
-            lambda s: s["bi"] < s["bj"],
-        )
-        exploded = (
-            e.select("vec_id", "embedding", blk.alias("blk"))
-            .select(
-                "vec_id",
-                "embedding",
-                "blk",
-                F.explode(F.concat(left, right)).alias("m"),
-            )
-            .select("vec_id", "embedding", "blk", "m.bi", "m.bj")
-        )
+        exploded = _blocked_tiles(e, n_blocks)
 
         def tile_topk(pdf):
             import pandas as pd

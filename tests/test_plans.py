@@ -67,6 +67,7 @@ _PYTHON_ALLOWED = {
     "q46_cosine_top_pairs",
     "q47_ann_sign_lsh",
     "q53_iterative_ratings",
+    "q60_embedding_near_dup",  # blocked numpy tile scan (same kernel as q46)
 }
 
 
@@ -146,3 +147,6 @@ def test_ann_shuffle_plan_no_driver_collect(spark):
     assert "FlatMapGroupsInPandas" in p47q and "hashpartitioning(bucket" in p47q
     p46q = _executed(_qs()["q46_cosine_top_pairs"](spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in p46q and "hashpartitioning(bi" in p46q
+    # q60 (threshold near-dup) must use the same blocked tile plan
+    p60q = _executed(_qs()["q60_embedding_near_dup"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p60q and "hashpartitioning(bi" in p60q
