@@ -33,6 +33,7 @@ HEADLINE = [
     "q45_simhash_pairs",        # SimHash band join
     "q46_cosine_top_pairs",     # blocked exact all-pairs cosine
     "q47_ann_sign_lsh",         # bucketed ANN (shuffle plan)
+    "q63_ann_ivf",              # IVF cell-probe ANN
     "q48_knn_brute_force",      # broadcast kNN baseline
     "q49_lang_id",              # text classification
     "q51_token_stats",          # token counting

@@ -479,6 +479,186 @@ def ann_sign_lsh(
     return e.mapInPandas(per_bucket_topk, schema)
 
 
+SEED_MOD = 97  # deterministic IVF "centroids": vectors with vec_id % 97 == 0
+PROBES = 2  # nprobe: query searches its 2 nearest cells
+
+
+@query(
+    "q63_ann_ivf",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    seeds AS (SELECT vec_id AS sid FROM embeddings WHERE vec_id % {SEED_MOD} = 0),
+    sd AS (
+      SELECT e.vec_id, s.sid,
+             CAST(SUM({_QK % 'e'} * {_QK % 'c'}) AS BIGINT) AS dot
+      FROM embeddings e
+      CROSS JOIN seeds s
+      JOIN embeddings c ON c.vec_id = s.sid,
+      UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    scored_cells AS (
+      SELECT sd.vec_id, sd.sid,
+             ROW_NUMBER() OVER (
+               PARTITION BY sd.vec_id
+               ORDER BY CAST(sd.dot AS DOUBLE) / (nv.nn * ns.nn) DESC, sd.sid
+             ) AS r
+      FROM sd
+      JOIN nrm nv ON nv.vec_id = sd.vec_id
+      JOIN nrm ns ON ns.vec_id = sd.sid
+    ),
+    cells AS (SELECT vec_id, sid AS cell FROM scored_cells WHERE r = 1),
+    probes AS (
+      SELECT vec_id, sid AS cell FROM scored_cells
+      WHERE r <= {PROBES} AND vec_id % 50 = 0
+    ),
+    cand AS (
+      SELECT p.vec_id AS i, c.vec_id AS j
+      FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.vec_id
+    ),
+    prod AS (
+      SELECT cand.i, cand.j,
+             CAST(SUM({_QK % 'a'} * {_QK % 'b'}) AS BIGINT) AS dot
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.i
+      JOIN embeddings b ON b.vec_id = cand.j,
+      UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i, j, CAST(dot AS DOUBLE) / (x.nn * y.nn) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY i ORDER BY CAST(dot AS DOUBLE) / (x.nn * y.nn) DESC, j
+             ) AS rank
+      FROM prod JOIN nrm x ON x.vec_id = i JOIN nrm y ON y.vec_id = j
+    )
+    SELECT i AS query_id, j AS neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (here a deterministic seed subset
+    standing in for trained centroids — swap in k-means output without
+    touching the plan) partitions the corpus into cells; each query probes
+    its ``PROBES`` nearest cells and scores exact int64 cosine against
+    only those cells' members. This is the second scale path the north
+    star asks for next to sign-LSH (q47): cell count scales with corpus
+    size while per-cell work stays bounded.
+
+    Physical plan: centroids are collected and broadcast (the IVF
+    contract — the codebook is small by construction, exactly like a
+    broadcast dim table); one ``mapInPandas`` pass assigns every vector
+    its nearest cell (corpus rows once, query rows once per probed cell)
+    via a single numpy GEMM against the codebook; one Exchange on the
+    cell key; one ``applyInPandas`` GEMM per cell emits per-query local
+    top-k; a final window merges the ≤ PROBES·k candidate rows per query.
+    No driver collect of the corpus anywhere."""
+    e = load(spark, sf_dir, "embeddings")
+    return ann_ivf(spark, e, k=3)
+
+
+def ann_ivf(spark: SparkSession, e: DataFrame, k: int = 3) -> DataFrame:
+    import numpy as np
+
+    seeds = e.filter(F.col("vec_id") % SEED_MOD == 0).select(
+        "vec_id", "embedding"
+    ).toPandas()
+    sids = seeds["vec_id"].to_numpy(dtype=np.int64)
+    smat = np.array([np.asarray(v, dtype=np.float64) for v in seeds["embedding"]])
+    sq = np.floor(smat * Q + 0.5).astype(np.int64)
+    sn = np.sqrt((sq * sq).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((sids, sq, sn))
+
+    def assign(batches):
+        import pandas as pd
+
+        c_sids, c_sq, c_sn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            qm = np.floor(mat * Q + 0.5).astype(np.int64)
+            nn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+            cos = (qm @ c_sq.T).astype(np.float64) / (nn[:, None] * c_sn[None, :])
+            # per row: seed ranking by (cosine desc, sid) — mirrors the oracle
+            out_id, out_emb, out_cell, out_probe = [], [], [], []
+            for r in range(len(ids)):
+                order = np.lexsort((c_sids, -cos[r]))
+                out_id.append(ids[r])
+                out_emb.append(pdf["embedding"].iat[r])
+                out_cell.append(c_sids[order[0]])
+                out_probe.append(0)  # corpus membership: nearest cell only
+                if ids[r] % 50 == 0:  # query rows: probe top-PROBES cells
+                    for s in order[:PROBES]:
+                        out_id.append(ids[r])
+                        out_emb.append(pdf["embedding"].iat[r])
+                        out_cell.append(c_sids[s])
+                        out_probe.append(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_id, dtype=np.int64),
+                    "embedding": out_emb,
+                    "cell": np.array(out_cell, dtype=np.int64),
+                    "is_probe": np.array(out_probe, dtype=np.int32),
+                }
+            )
+
+    assigned = e.mapInPandas(
+        assign, "vec_id long, embedding array<float>, cell long, is_probe int"
+    )
+
+    schema = "query_id long, neighbor_id long, cosine double, rank int"
+
+    def cell_topk(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        ).astype(
+            {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64", "rank": "int32"}
+        )
+        is_probe = pdf["is_probe"].to_numpy() == 1
+        corpus, queries = pdf[~is_probe], pdf[is_probe]
+        if not len(corpus) or not len(queries):
+            return empty
+        c_ids = corpus["vec_id"].to_numpy(dtype=np.int64)
+        c_m = np.array([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+        c_q = np.floor(c_m * Q + 0.5).astype(np.int64)
+        c_n = np.sqrt((c_q * c_q).sum(axis=1).astype(np.float64))
+        q_ids = queries["vec_id"].to_numpy(dtype=np.int64)
+        q_m = np.array([np.asarray(v, dtype=np.float64) for v in queries["embedding"]])
+        q_q = np.floor(q_m * Q + 0.5).astype(np.int64)
+        q_n = np.sqrt((q_q * q_q).sum(axis=1).astype(np.float64))
+        cos = (q_q @ c_q.T).astype(np.float64) / (q_n[:, None] * c_n[None, :])
+        out_q, out_n, out_c = [], [], []
+        for r in range(len(q_ids)):
+            sel = c_ids != q_ids[r]
+            cand_ids, cand_cos = c_ids[sel], cos[r][sel]
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_q.extend([q_ids[r]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_cos[order])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.array(out_q, dtype=np.int64),
+                "neighbor_id": np.array(out_n, dtype=np.int64),
+                "cosine": np.array(out_c, dtype=np.float64),
+                "rank": np.zeros(len(out_q), dtype=np.int32),  # ranked globally below
+            }
+        )
+
+    local = assigned.groupBy("cell").applyInPandas(cell_topk, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @query(
     "q48_knn_brute_force",
     oracle=f"""

@@ -21,6 +21,7 @@ QUERIES = [
     "q52_fingerprint_clusters",
     "q60_embedding_near_dup",
     "q62_dedup_clusters",
+    "q63_ann_ivf",
 ]
 
 
@@ -84,6 +85,35 @@ def test_ann_results_subset_of_brute_force_ordering(spark):
     )
     diffs = joined.filter(F.col("a.cosine") != F.col("k.cosine")).count()
     assert diffs == 0
+
+
+def test_ivf_scores_exact_and_recall_reasonable(spark):
+    """q63's scores must equal brute-force cosine for the same pair
+    (cell-probing restricts candidates, never alters scores), and with
+    nprobe=2 the IVF top-1 should recover most true nearest neighbors."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    ivf = qs["q63_ann_ivf"](spark, SF_DIR)
+    knn = qs["q48_knn_brute_force"](spark, SF_DIR)
+    joined = ivf.alias("a").join(
+        knn.alias("k"),
+        (F.col("a.query_id") == F.col("k.query_id"))
+        & (F.col("a.neighbor_id") == F.col("k.neighbor_id")),
+    )
+    assert joined.filter(F.col("a.cosine") != F.col("k.cosine")).count() == 0
+    true1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.filter("rank = 1").collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in ivf.collect()
+    }
+    assert true1, "expected brute-force top-1 rows"
+    recall = len(true1 & got) / len(true1)
+    assert recall >= 0.5, f"IVF top-1 recall {recall:.2f}"
 
 
 def test_simhash_close_docs_have_small_hamming(spark):

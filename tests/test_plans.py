@@ -68,6 +68,7 @@ _PYTHON_ALLOWED = {
     "q47_ann_sign_lsh",
     "q53_iterative_ratings",
     "q60_embedding_near_dup",  # blocked numpy tile scan (same kernel as q46)
+    "q63_ann_ivf",  # IVF cell-probe: broadcast codebook + per-cell GEMM
 }
 
 
@@ -150,3 +151,6 @@ def test_ann_shuffle_plan_no_driver_collect(spark):
     # q60 (threshold near-dup) must use the same blocked tile plan
     p60q = _executed(_qs()["q60_embedding_near_dup"](spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in p60q and "hashpartitioning(bi" in p60q
+    # q63 (IVF): assignment pass feeding one Exchange on the cell key
+    p63q = _executed(_qs()["q63_ann_ivf"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p63q and "hashpartitioning(cell" in p63q
