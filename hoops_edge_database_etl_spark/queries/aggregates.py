@@ -379,3 +379,42 @@ def q30_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("bigint").alias("n_excess_rows"),
         F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("max_multiplicity"),
     )
+
+
+@query(
+    "q64_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: the same group-by as a plain hash
+    aggregate, executed as operators.skew.salted_agg's two-phase plan —
+    partial aggregate on (key, salt), final on key — so one hot key's
+    state is spread over 16 reducers instead of one. Result is exactly
+    the unsalted result (decomposable aggregates only); the oracle is the
+    plain GROUP BY, proving the equivalence under the driver's hash gate.
+    DECIMAL sums cast to double only at the edge (numeric-parity rule)."""
+    from hoops_edge_database_etl_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity").cast(DEC)),
+            "n_rows": ("count", F.lit(1)),
+            "max_price": ("max", F.col("l_extendedprice").cast(DEC)),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )

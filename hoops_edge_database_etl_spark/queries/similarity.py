@@ -20,7 +20,7 @@ identical."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -40,33 +40,6 @@ _NORM_CTE = f"""
       GROUP BY vec_id
     )
 """
-
-
-def _quantized(x):
-    """floor(x·2²⁴ + ½) as int64 — exact, engine-independent."""
-    return F.floor(x.cast("double") * Q + 0.5).cast("long")
-
-
-def _fold_sum(arr) -> Column:
-    """Exact int64 array sum as an expression fold — integer addition is
-    order-independent, so this is partition-layout-proof AND shuffle-free
-    (an explode + groupBy here would shuffle n_pairs × DIM rows; the fold
-    keeps the whole dot product inside whole-stage codegen)."""
-    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-
-def _norms(e: DataFrame) -> DataFrame:
-    """(vec_id, nn): L2 norms of the quantized vectors, zero shuffles."""
-    sq = F.transform("embedding", lambda x: _quantized(x) * _quantized(x))
-    return e.select(
-        "vec_id", F.sqrt(_fold_sum(sq).cast("double")).alias("nn")
-    )
-
-
-def _pair_dots(pairs: DataFrame) -> DataFrame:
-    """pairs(i, j, va, vb) → (i, j, dot) with exact int64 accumulation."""
-    dot = _fold_sum(F.zip_with("va", "vb", lambda x, y: _quantized(x) * _quantized(y)))
-    return pairs.select("i", "j", dot.alias("dot"))
 
 
 @query(
@@ -684,35 +657,56 @@ def ann_ivf(spark: SparkSession, e: DataFrame, k: int = 3) -> DataFrame:
 )
 def q48_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN (k=5) for a query subset against the full corpus —
-    query-side broadcast × corpus scan, the recall=1 baseline. At scale the
-    small query set broadcasts and the corpus streams once; per-query
-    top-k via the same window as q47."""
+    query-side broadcast × corpus stream, the recall=1 baseline. The small
+    query set broadcasts (the same memory contract as broadcasting a dim
+    table); the corpus streams once through a ``mapInPandas`` numpy GEMM
+    emitting per-partition local top-k, and one window merges — corpus is
+    never collected, and the per-pair work is vectorized instead of the
+    join+fold formulation (which interprets 64 multiply-adds per pair)."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("i"), F.col("embedding").alias("va")
-    )
-    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-    dots = _pair_dots(F.broadcast(q).join(b, F.col("i") != F.col("j")))
-    n = _norms(e)
-    ni = n.select(F.col("vec_id").alias("i"), F.col("nn").alias("ni"))
-    nj = n.select(F.col("vec_id").alias("j"), F.col("nn").alias("nj"))
-    scored = (
-        dots.join(ni, "i")
-        .join(nj, "j")
-        .select(
-            "i",
-            "j",
-            (F.col("dot").cast("double") / (F.col("ni") * F.col("nj"))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j"))
+    qset = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").toPandas()
+    q_ids = qset["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in qset["embedding"]])
+    q_q = np.floor(q_mat * Q + 0.5).astype(np.int64)
+    q_n = np.sqrt((q_q * q_q).sum(axis=1).astype(np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_q, q_n))
+    k = 5
+
+    def knn_scan(batches):
+        import pandas as pd
+
+        b_ids, b_q, b_n = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            c_q = np.floor(c_m * Q + 0.5).astype(np.int64)
+            c_n = np.sqrt((c_q * c_q).sum(axis=1).astype(np.float64))
+            cos = (b_q @ c_q.T).astype(np.float64) / (b_n[:, None] * c_n[None, :])
+            out_q, out_n, out_c = [], [], []
+            for r in range(len(b_ids)):
+                sel = c_ids != b_ids[r]
+                cand_ids, cand_cos = c_ids[sel], cos[r][sel]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([b_ids[r]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "neighbor_id": np.array(out_n, dtype=np.int64),
+                        "cosine": np.array(out_c, dtype=np.float64),
+                    }
+                )
+
+    local = e.mapInPandas(knn_scan, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select(
-            F.col("i").alias("query_id"),
-            F.col("j").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -86,6 +86,29 @@ def write_partitioned(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (managed, catalog-registered): rows are
+    hash-clustered into ``n_buckets`` files per partition on
+    ``bucket_cols``, so joins/aggregations on those keys read
+    pre-shuffled data — Spark elides the Exchange entirely when both
+    sides are bucketed the same way (see test_plans: bucketed join has
+    zero shuffles). This is the co-located-join strategy the brief names
+    for repeated big-big joins: pay the shuffle once at write time, not
+    on every query. ``sort_cols`` additionally sorts within buckets,
+    enabling sort-merge without a per-task sort."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_raw_ndjson(df: DataFrame, path: str, mode: str = "append") -> None:
     """Raw-layer sink: gzipped JSON-lines (S5, s3_io.py:48-55)."""
     df.write.mode(mode).option("compression", "gzip").json(path)

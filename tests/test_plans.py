@@ -69,6 +69,7 @@ _PYTHON_ALLOWED = {
     "q53_iterative_ratings",
     "q60_embedding_near_dup",  # blocked numpy tile scan (same kernel as q46)
     "q63_ann_ivf",  # IVF cell-probe: broadcast codebook + per-cell GEMM
+    "q48_knn_brute_force",  # broadcast query matrix × corpus-stream GEMM
 }
 
 
