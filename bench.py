@@ -29,6 +29,7 @@ HEADLINE = [
     "q31_running_total",        # cumulative window
     "q37_session_window",       # gap sessionization
     "q41_exact_dedup",          # hash dedup
+    "q65_range_join",           # bin-bucketed interval join
     "q43_minhash_lsh",          # MinHash + LSH banding
     "q45_simhash_pairs",        # SimHash band join
     "q46_cosine_top_pairs",     # blocked exact all-pairs cosine

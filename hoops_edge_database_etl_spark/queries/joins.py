@@ -366,3 +366,48 @@ def q20_two_sided_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") >= 30)
     )
+
+
+@query(
+    "q65_range_join",
+    oracle="""
+    SELECT CAST(o.o_orderkey AS BIGINT) AS interval_key,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderkey % 500 = 0
+    GROUP BY 1
+    """,
+)
+def q65_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join with NO equi-key: ship events
+    falling inside sampled 7-day order windows. A conditional-only join
+    here would plan BroadcastNestedLoopJoin — O(|P|·|I|) comparisons;
+    operators/rangejoin.py turns it into an ordinary equi hash join on a
+    bin key plus a residual filter (asserted in test_plans: the physical
+    plan contains no nested-loop or cartesian operator). Axis = epoch-day
+    integers (exact); bin width 7 = the interval length, so each interval
+    lands in ≤ 2 bins."""
+    from hoops_edge_database_etl_spark.operators.rangejoin import range_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    points = li.select(
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("p_day"),
+        F.col("l_quantity"),
+    )
+    intervals = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        F.col("o_orderkey").alias("interval_key"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("lo_day"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")) + 6
+        ).alias("hi_day"),
+    )
+    joined = range_join(points, intervals, "p_day", "lo_day", "hi_day", bin_width=7)
+    return joined.groupBy("interval_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+    )

@@ -206,3 +206,33 @@ def q52_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(w).alias("canonical_id"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     )
+
+
+@query(
+    "q66_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substring(hex(encode(text)), 1, 8) AS magic_hex,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q66_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column metadata pass (the multimodal data model,
+    operators/multimodal.py, made driver-checkable): payloads are treated
+    as bytes — size, magic-prefix hex, content digest — with NO decode,
+    exactly how a 100 TB multimodal table is profiled before any codec
+    runs. Here the payload is the UTF-8 encoding of ``text`` (the
+    testdata ships no binary column); swap the encode() for a real
+    ``binary`` column and nothing else changes. All three outputs are
+    byte-level functions with exact cross-engine parity (hex is
+    uppercase in both; md5 hashes UTF-8 bytes in both)."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
+        F.md5(payload).alias("payload_md5"),
+    )

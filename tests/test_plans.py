@@ -155,3 +155,13 @@ def test_ann_shuffle_plan_no_driver_collect(spark):
     # q63 (IVF): assignment pass feeding one Exchange on the cell key
     p63q = _executed(_qs()["q63_ann_ivf"](spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in p63q and "hashpartitioning(cell" in p63q
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """q65's containment predicate must execute as an equi hash join on
+    the bin key — never BroadcastNestedLoopJoin / CartesianProduct (what
+    a conditional-only join would plan)."""
+    plan = _executed(_qs()["q65_range_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__rj_bin" in plan
