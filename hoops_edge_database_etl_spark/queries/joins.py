@@ -65,17 +65,23 @@ def q11_dim_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_inner_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact inner join (J2: lines ⋈ games with both sides required,
-    gold/market_lines_analysis.py:52-94). Shuffle join on orderkey; AQE
-    handles skew splitting at scale."""
+    gold/market_lines_analysis.py:52-94). Partial aggregation is pushed
+    BELOW the join: lineitem pre-aggregates per orderkey (decimal sums
+    are exact, so two-phase totals equal one-phase totals bit-for-bit),
+    then the join shuffles one row per order instead of one per line and
+    the count-distinct expand runs on the reduced side. Both shuffles
+    hash on orderkey, so the join reuses the pre-agg's Exchange. AQE
+    handles residual skew at scale."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("order_rev"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
-            F.sum(rev).cast("double").alias("revenue"),
+            F.sum("order_rev").cast("double").alias("revenue"),
         )
     )
 

@@ -147,8 +147,11 @@ def q61_jacobi_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("e").alias("se"))
         .collect()
     )
-    tot = g.agg(F.sum("e").alias("se"), F.count(F.lit(1)).alias("n")).collect()[0]
-    league = _idiv(tot["se"], tot["n"])
+    # league mean from the kind=0 half of the collected pair matrix (each
+    # game appears exactly once there) — no second Spark job needed
+    tot_se = sum(r["se"] for r in pair if r["kind"] == 0)
+    tot_n = sum(r["n"] for r in pair if r["kind"] == 0)
+    league = _idiv(tot_se, tot_n)
 
     by_entity: dict[tuple[int, int], list] = {}
     for r in pair:
