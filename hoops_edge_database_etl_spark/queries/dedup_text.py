@@ -27,8 +27,7 @@ from hoops_edge_database_etl_spark.functions.text import (
     hamming32,
     lsh_band_keys,
     minhash_from_hashes,
-    simhash32,
-    word_shingles,
+    shingles_from_tokens,
 )
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -92,7 +91,9 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard: a shingle shared by k docs emits k² join rows — stop-shingle
     filtering or q43's LSH is the fix at corpus scale."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+    sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
+    )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -162,9 +163,11 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + 8-MIN HashAggregate: the affine variants are integer
     # expressions over ONE md5 per shingle, and the min-reduction runs in
     # codegen with map-side combine (array_min folds are interpreted)
-    hashed = d.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
-    ).select("doc_id", base_hash60(F.col("s")).alias("h"))
+    hashed = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s"))
+        .select("doc_id", base_hash60(F.col("s")).alias("h"))
+    )
     docs = hashed.groupBy("doc_id").agg(
         F.array(
             *[
@@ -354,8 +357,10 @@ def _simhash_docs(d: DataFrame) -> DataFrame:
     slower at 5k docs (and the gap widens with corpus size)."""
     from hoops_edge_database_etl_spark.functions.text import SIMHASH_BITS, hash32
 
-    ex = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s")).select(
-        "doc_id", hash32(F.col("s")).alias("h")
+    ex = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s"))
+        .select("doc_id", hash32(F.col("s")).alias("h"))
     )
     sums = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
