@@ -122,6 +122,31 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def stable_split(
+    id_col: Column, cuts: tuple[int, ...] = (80, 90), salt: str = ":split"
+) -> Column:
+    """Deterministic train/val/test assignment from a stable id: bucket =
+    md5(id || salt) mod 100, then 'train' below cuts[0], 'val' below
+    cuts[1], 'test' otherwise. Hash-based (never rand()): assignment is
+    reproducible run-to-run, stable under repartition, and new data joins
+    the same split its id dictates — the property a training pipeline
+    needs for no-leakage incremental refreshes. DuckDB mirror:
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || salt), 1, 8) AS BIGINT) % 100."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < cuts[0], F.lit("train"))
+        .when(bucket < cuts[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def hash16(s: Column) -> Column:
     """First 16 bits of md5(s) as an int (0..65535) — the per-shingle hash
     feeding SimHash. Cross-engine: DuckDB gets the same value via

@@ -101,3 +101,24 @@ _sql_query(
     """,
     "Referential-integrity anti-join audit (bronze_silver_validation_queries.sql:206-224).",
 )
+
+_sql_query(
+    "q67_sql_window_suite",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prev_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend,
+           CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_order
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "Shared-text window-function suite: ROW_NUMBER / LAG / running SUM / "
+    "FIRST_VALUE with total-order tiebreaks; running sums in DECIMAL so "
+    "cross-engine accumulation is exact (W-family on the SQL surface).",
+)

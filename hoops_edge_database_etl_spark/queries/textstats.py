@@ -236,3 +236,43 @@ def q66_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
         F.md5(payload).alias("payload_md5"),
     )
+
+
+@query(
+    "q68_dataset_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 AS bk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT doc_id, lang, split,
+           CAST(COUNT(*) OVER (PARTITION BY lang, split) AS BIGINT) AS stratum_size
+    FROM s
+    """,
+)
+def q68_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) via stable id
+    hashing (functions.text.stable_split) with per-(lang, split) stratum
+    sizes — the no-leakage dataset partitioning step of a training-data
+    pipeline. Hash-based, never rand(): reproducible across runs,
+    repartition-proof, and incrementally consistent (a re-ingested doc
+    always lands in its original split, so eval sets never contaminate).
+    One narrow map + one window; the shuffle key is (lang, split) —
+    trivially balanced at any corpus size."""
+    from hoops_edge_database_etl_spark.functions.text import stable_split
+
+    d = load(spark, sf_dir, "documents")
+    s = d.select("doc_id", "lang", stable_split(F.col("doc_id")).alias("split"))
+    w = Window.partitionBy("lang", "split")
+    return s.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("stratum_size"),
+    )
