@@ -1,0 +1,254 @@
+"""Property-based operator invariants (hypothesis): each custom operator
+is checked against an independent, obviously-correct reference on
+randomized inputs — the strategy the reference repo's own test suite
+models (SURVEY §5), extended with generated edge cases.
+
+Spark-bound properties batch each hypothesis example into ONE DataFrame
+round-trip and keep ``max_examples`` small; the per-example reference is
+pure Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+    derandomize=True,  # CI-stable: failures reproduce run-to-run
+)
+
+
+# --- range join ----------------------------------------------------------
+
+intervals_st = st.lists(
+    st.tuples(st.integers(-50, 150), st.integers(0, 40)), min_size=1, max_size=12
+)
+points_st = st.lists(st.integers(-60, 200), min_size=1, max_size=30)
+
+
+@given(points=points_st, ivals=intervals_st, w=st.integers(1, 25))
+@settings(**SPARK_SETTINGS)
+def test_range_join_matches_naive(spark, points, ivals, w):
+    from hoops_edge_database_etl_spark.operators.rangejoin import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    idf = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivals)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pdf, idf, "p", "lo", "hi", w).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, p in enumerate(points)
+        for ii, (lo, ln) in enumerate(ivals)
+        if lo <= p <= lo + ln
+    }
+    assert got == want
+
+
+# --- as-of join ----------------------------------------------------------
+
+asof_st = st.tuples(
+    # right rows: (key, ts, value)
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-5, 5)),
+        min_size=1,
+        max_size=20,
+    ),
+    # left rows: (key, ts)
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    st.booleans(),
+)
+
+
+@given(data=asof_st)
+@settings(**SPARK_SETTINGS)
+def test_asof_join_matches_pure_python(spark, data):
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    rights, lefts, strict = data
+    # de-dup (key, ts) on the right: with duplicates the "latest preceding
+    # row" is ambiguous — the operator documents last-wins-by-window-order,
+    # which a set-based oracle can't pin down. Keep max value per (key, ts).
+    best: dict[tuple[int, int], int] = {}
+    for k, ts, v in rights:
+        best[(k, ts)] = max(v, best.get((k, ts), v))
+    rights = [(k, ts, v) for (k, ts), v in best.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)], "lid long, k long, lts long"
+    )
+    rdf = spark.createDataFrame(rights, "k long, rts long, val long")
+    got = {
+        (r["lid"], r["val"])
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            value_cols=["val"], strict=strict,
+        ).collect()
+    }
+    want = set()
+    for i, (k, lts) in enumerate(lefts):
+        cands = [
+            (rts, v)
+            for (rk, rts, v) in rights
+            if rk == k and (rts < lts if strict else rts <= lts)
+        ]
+        want.add((i, max(cands)[1] if cands else None))
+    assert got == want
+
+
+# --- salted operators ----------------------------------------------------
+
+rows_st = st.lists(
+    st.tuples(st.sampled_from(["hot", "hot", "hot", "a", "b"]), st.integers(-100, 100)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_st, n_salts=st.integers(1, 8))
+@settings(**SPARK_SETTINGS)
+def test_salted_agg_matches_pure_python(spark, rows, n_salts):
+    from hoops_edge_database_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r["k"], r["s"], r["n"], r["mn"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"s": ("sum", F.col("v")), "n": ("count", F.lit(1)), "mn": ("min", F.col("v"))},
+            n_salts=n_salts,
+        ).collect()
+    }
+    agg: dict[str, list[int]] = {}
+    for k, v in rows:
+        agg.setdefault(k, []).append(v)
+    want = {(k, sum(vs), len(vs), min(vs)) for k, vs in agg.items()}
+    assert got == want
+
+
+@given(
+    rows=rows_st,
+    right=st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "zz"]), st.integers(0, 9)),
+        max_size=8,
+    ),
+    n_salts=st.integers(1, 6),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(**SPARK_SETTINGS)
+def test_salted_join_matches_plain_join(spark, rows, right, n_salts, how):
+    from hoops_edge_database_etl_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(rows, "k string, v long")
+    rdf = spark.createDataFrame(right, "k string, w long") if right else (
+        spark.createDataFrame([], "k string, w long")
+    )
+    got = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(ldf, rdf, ["k"], n_salts=n_salts, how=how).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["w"]) for r in ldf.join(rdf, ["k"], how).collect()
+    )
+    assert got == want
+
+
+# --- MinHash -------------------------------------------------------------
+
+words = st.text(alphabet="abcdef", min_size=1, max_size=4)
+word_sets = st.sets(words, min_size=1, max_size=15)
+
+
+@given(sets=st.lists(st.tuples(word_sets, word_sets), min_size=1, max_size=6))
+@settings(**SPARK_SETTINGS)
+def test_minhash_union_is_elementwise_min(spark, sets):
+    """sig(A ∪ B)[i] == min(sig(A)[i], sig(B)[i]) — the defining property
+    of min-wise hashing; catches any per-element hashing drift."""
+    from hoops_edge_database_etl_spark.functions.text import (
+        base_hash60,
+        minhash_from_hashes,
+    )
+
+    rows = [
+        (i, sorted(a), sorted(b), sorted(a | b)) for i, (a, b) in enumerate(sets)
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, a array<string>, b array<string>, u array<string>"
+    )
+    def sig(col):
+        return minhash_from_hashes(F.transform(col, base_hash60))
+
+    out = df.select(
+        sig(F.col("a")).alias("sa"), sig(F.col("b")).alias("sb"), sig(F.col("u")).alias("su")
+    ).collect()
+    for r in out:
+        assert r["su"] == [min(x, y) for x, y in zip(r["sa"], r["sb"])]
+
+
+# --- lenient casts -------------------------------------------------------
+
+int64s = st.integers(-(2**63) + 1, 2**63 - 1)
+
+
+@given(vals=st.lists(int64s, min_size=1, max_size=50))
+@settings(**SPARK_SETTINGS)
+def test_lenient_cast_preserves_full_int64(spark, vals):
+    """String round-trip through lenient_cast must be exact for EVERY
+    int64 — including magnitudes above 2^53 where the via-double fallback
+    would round (the ADVICE r1 precision bug, kept fixed)."""
+    from pyspark.sql.types import LongType
+
+    from hoops_edge_database_etl_spark.normalize import lenient_cast
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "s string")
+    out = [r["x"] for r in df.select(lenient_cast(F.col("s"), LongType()).alias("x")).collect()]
+    assert out == vals
+
+
+def test_lenient_cast_quirks(spark):
+    from pyspark.sql.types import LongType
+
+    from hoops_edge_database_etl_spark.normalize import lenient_cast
+
+    df = spark.createDataFrame(
+        [("12.0",), ("abc",), ("true",), ("-3",), (None,)], "s string"
+    )
+    out = [r["x"] for r in df.select(lenient_cast(F.col("s"), LongType()).alias("x")).collect()]
+    assert out == [12, None, None, -3, None]
+
+
+# --- stable split --------------------------------------------------------
+
+def test_stable_split_matches_md5_reference_and_ratios(spark):
+    """Spark assignment must equal the pure-Python md5 reference for every
+    id, and the realized ratios must be near 80/10/10."""
+    from hoops_edge_database_etl_spark.functions.text import stable_split
+
+    n = 5000
+    df = spark.range(n).select(F.col("id"))
+    out = {r["id"]: r["s"] for r in df.select("id", stable_split(F.col("id")).alias("s")).collect()}
+
+    def ref(i: int) -> str:
+        b = int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    assert out == {i: ref(i) for i in range(n)}
+    counts = {s: sum(1 for v in out.values() if v == s) for s in ("train", "val", "test")}
+    assert abs(counts["train"] / n - 0.80) < 0.03
+    assert abs(counts["val"] / n - 0.10) < 0.02
+    assert abs(counts["test"] / n - 0.10) < 0.02
