@@ -499,3 +499,51 @@ def q60_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_threshold(q, 0.45).select(
         F.col("i").alias("doc_a"), F.col("j").alias("doc_b"), "cosine"
     )
+
+
+@query(
+    "q69_dedup_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    und AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM band a JOIN band b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id <> b.doc_id
+    ),
+    lab(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.src, l.lbl FROM lab l JOIN und u ON u.dst = l.node
+      WHERE l.lbl < u.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM lab GROUP BY node)
+    SELECT c.doc_id, CAST(n.sz AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS sz FROM comp GROUP BY cluster_id) n
+      USING (cluster_id)
+    WHERE c.doc_id = c.cluster_id
+    """,
+)
+def q69_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL, materialized: the canonical document per q62
+    cluster (min doc_id), i.e. the corpus a training pipeline actually
+    keeps after pairs → components → keep-one. cluster_size rides along
+    as the dedup-provenance column (how many docs this one represents)."""
+    return (
+        q62_dedup_clusters(spark, sf_dir)
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "cluster_size")
+    )

@@ -276,3 +276,86 @@ def q68_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.count(F.lit(1)).over(w).cast("bigint").alias("stratum_size"),
     )
+
+
+@query(
+    "q70_training_corpus",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, text, lang,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, lang, length(text) AS n_chars, string_split(text, ' ') AS w
+      FROM canon WHERE doc_id = canonical_id
+    ),
+    m AS (
+      SELECT doc_id, lang, len(w) AS n_tokens,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+             CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) AS atl,
+             CAST(list_sum(list_transform(w, t -> CAST(ceil(len(t) / 4.0) AS BIGINT)))
+                  AS BIGINT) AS est_bpe_tokens
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id, lang, n_tokens, est_bpe_tokens,
+             0.4 * least(CAST(n_tokens AS DOUBLE) / 50, 1.0)
+               + 0.4 * ttr
+               + 0.2 * least(atl / 6, 1.0) AS quality
+      FROM m
+    )
+    SELECT doc_id, lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 < 80
+                THEN 'train'
+                WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS BIGINT) % 100 < 90
+                THEN 'val' ELSE 'test' END AS split,
+           quality,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           est_bpe_tokens
+    FROM q WHERE quality >= 0.4
+    """,
+)
+def q70_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline ENDPOINT a pretraining-data system ships: one
+    declarative plan composing exact dedup (md5-canonical only) → quality
+    filter (q50's composite ≥ 0.4) → stable train/val/test assignment →
+    token budgets (whitespace + BPE-ish estimate). Catalyst fuses the
+    whole thing into scan → window(md5) → map: ONE shuffle on the 16-byte
+    content hash; everything else is narrow. At 100 TB each stage is the
+    already-audited scale shape — this query exists to prove the stages
+    COMPOSE without driver round-trips or extra exchanges."""
+    from hoops_edge_database_etl_spark.functions.text import stable_split
+
+    d = load(spark, sf_dir, "documents")
+    w_md5 = Window.partitionBy(F.md5("text"))
+    canon = d.select(
+        "doc_id", "text", "lang", F.min("doc_id").over(w_md5).alias("canonical_id")
+    ).filter(F.col("doc_id") == F.col("canonical_id"))
+    t = canon.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"), F.split("text", " ").alias("w")
+    )
+    n_tokens = F.size("w")
+    ttr = F.size(F.array_distinct("w")).cast("double") / n_tokens
+    atl = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(atl / 6, F.lit(1.0))
+    )
+    est_bpe = F.aggregate(
+        F.transform("w", lambda tok: F.ceil(F.length(tok) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        t.select(
+            "doc_id",
+            "lang",
+            stable_split(F.col("doc_id")).alias("split"),
+            quality.alias("quality"),
+            n_tokens.cast("bigint").alias("n_tokens"),
+            est_bpe.cast("bigint").alias("est_bpe_tokens"),
+        )
+        .filter(F.col("quality") >= 0.4)
+    )

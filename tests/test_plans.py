@@ -157,6 +157,14 @@ def test_ann_shuffle_plan_no_driver_collect(spark):
     assert "FlatMapGroupsInPandas" in p63q and "hashpartitioning(cell" in p63q
 
 
+def test_training_corpus_single_shuffle(spark):
+    """q70 (dedup → quality → split → token budget) must fuse into ONE
+    Exchange — the md5-content-hash window; every other stage is narrow."""
+    plan = _executed(_qs()["q70_training_corpus"](spark, SF_DIR))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle, got {n}"
+
+
 def test_range_join_is_hash_join_not_nested_loop(spark):
     """q65's containment predicate must execute as an equi hash join on
     the bin key — never BroadcastNestedLoopJoin / CartesianProduct (what
