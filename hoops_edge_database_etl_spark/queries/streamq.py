@@ -1,0 +1,87 @@
+"""Structured Streaming on the driver-checkable surface (SURVEY §2.8 I-family
+bonus): a bounded (``availableNow``) streaming run whose final state is
+deterministic, so the SAME DuckDB batch SQL oracle that checks the batch
+queries checks the stream — streaming and batch semantics provably agree.
+
+The unbounded-production shapes (watermarks, append-mode windows,
+``dropDuplicatesWithinWatermark``, session windows, ``foreachBatch``
+upserts, ``applyInPandasWithState``) live in streaming/pipeline.py with
+their own tests; this module exposes the one form whose result is exactly
+reproducible as SQL: complete-mode aggregation over a fully-consumed
+bounded source.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.queries import query
+
+DEC = "decimal(18,2)"
+
+
+@query(
+    "q71_streaming_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q71_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup executed AS A STREAM: the events
+    table is consumed through ``readStream`` (availableNow — the bounded
+    replay trigger), aggregated per (1-hour window, event_type) in
+    complete mode, and the final state is compared against plain batch
+    SQL. Proves the streaming operator graph computes the same answer as
+    the batch plan on identical input — the invariant that lets one
+    pipeline definition serve both replay and live tailing.
+
+    Scale notes: in production this exact graph runs unbounded with
+    ``withWatermark`` + append mode into a partitioned parquet sink
+    (streaming/pipeline.py:windowed_counts); complete-mode + memory sink
+    here is only the harness that surfaces the final state as a
+    DataFrame, and the aggregation state itself is (windows × types) —
+    driver-safe. 1-hour windows align to epoch hours, so window.start ==
+    date_trunc('hour', ts) exactly."""
+    # same nanos handling as tables.load — streaming file sources need an
+    # explicit schema, so reuse the batch reader's
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a DIRECTORY: stream the sf dir, glob-filtered
+    # to the events file (testdata ships single-file tables)
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = src.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+    )
+    sink = "q71_streaming_rollup_sink"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q71_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
