@@ -66,6 +66,7 @@ def _load_modules() -> None:
         dedup_text,
         similarity,
         solver,
+        sketches,
         streamq,
     )
 

@@ -1,0 +1,61 @@
+"""Sketch-operator invariants: estimator accuracy and sample stability."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_kmv_estimate_within_theoretical_error(spark):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
+    assert every group lands within 3σ of exact."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q72_kmv_distinct_sketch"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["kmv_estimate"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.38, f"{r['event_type']}: rel error {rel:.2f}"
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with fewer than k distinct keys must report exactly."""
+    from hoops_edge_database_etl_spark.tables import load
+
+    # restrict events to a handful of users → distinct count < k=64
+    ev = load(spark, SF_DIR, "events").filter(F.col("user_id") < 10)
+    small = ev.select("event_type", "user_id").distinct()
+    n = {r["event_type"]: r["n"] for r in small.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # run the sketch pipeline inline on the filtered frame
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("event_type").orderBy("hv")
+    ranked = small.select("event_type", h.alias("hv")).withColumn("rn", F.row_number().over(w))
+    sk = ranked.filter(F.col("rn") <= 64).groupBy("event_type").agg(F.count(F.lit(1)).alias("kk"))
+    for r in sk.collect():
+        assert r["kk"] == n[r["event_type"]]
+
+
+def test_stratified_sample_is_repartition_proof(spark):
+    """Sample membership must be identical under different physical
+    layouts — the property df.sample() does NOT have."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    fn = all_queries()["q73_stratified_sample"]
+    base = {(r["doc_id"], r["lang"]) for r in fn(spark, SF_DIR).collect()}
+
+    from hoops_edge_database_etl_spark.tables import load
+    from pyspark.sql import Window
+
+    d = load(spark, SF_DIR, "documents").repartition(7, "doc_id")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    re = {
+        (r["doc_id"], r["lang"])
+        for r in d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 25)
+        .collect()
+    }
+    assert re == base
