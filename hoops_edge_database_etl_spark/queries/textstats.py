@@ -359,3 +359,55 @@ def q70_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("quality") >= 0.4)
     )
+
+
+@query(
+    "q74_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                  t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           CAST((cum - 1) // 2048 AS BIGINT) AS pack_id,
+           CAST(cum - n_tok - ((cum - 1) // 2048) * 2048 AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q74_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents are laid out in a
+    stable order (doc_id) along a token stream and cut into fixed
+    2048-token context windows — pack_id = which window this doc's LAST
+    token lands in, pack_offset = where the doc starts within that window
+    (docs spanning a boundary carry into the next pack, the standard
+    concat-and-chunk packing of pretraining loaders). One window cumsum
+    over ⌈len/4⌉ BPE-ish token estimates; integer arithmetic end-to-end.
+
+    Scale note: a global ORDER BY cumsum is a single-reducer window —
+    fine here (one bigint per doc) but at 100 TB you pack per shard:
+    repartitionByRange(doc_id) and run the same cumsum per range
+    partition, giving per-shard packs with no global barrier."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.aggregate(
+        F.transform(F.split("text", " "), lambda tok: F.ceil(F.length(tok) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    t = d.select("doc_id", n_tok.alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    pack = F.expr("(cum - 1) div 2048")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        pack.alias("pack_id"),
+        (F.col("cum") - F.col("n_tok") - pack * 2048).cast("bigint").alias("pack_offset"),
+    )
