@@ -48,6 +48,8 @@ def range_join(
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"overlapping column names: {sorted(overlap)}")
+    if _BIN in points.columns or _BIN in intervals.columns:
+        raise ValueError(f"column name {_BIN!r} is reserved")
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
     preds = {

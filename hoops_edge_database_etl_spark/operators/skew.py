@@ -45,15 +45,21 @@ def salted_agg(
     one of sum/count/min/max — the decomposable aggregates, so the salted
     result is exactly the unsalted result.
 
-    The salt is ``xxhash64(input row) % n_salts`` — deterministic, no RNG
-    state, and spreads a hot key's rows over ``n_salts`` reducers. Sizing:
-    pick n_salts ≈ (hot-key rows ÷ rows-per-task-budget); oversalting
-    costs one extra tiny shuffle stage, undersalting leaves residual skew.
+    The salt is the row's position id mod ``n_salts`` — per-row, so even
+    a hot key made of IDENTICAL duplicate rows spreads over ``n_salts``
+    reducers (a content hash would send every duplicate to one reducer —
+    exactly the case salting exists for). Layout-dependent but
+    result-independent: any salt assignment yields the same aggregate.
+    Sizing: pick n_salts ≈ (hot-key rows ÷ rows-per-task-budget);
+    oversalting costs one extra tiny shuffle stage, undersalting leaves
+    residual skew.
     """
+    if "__salt" in df.columns:
+        raise ValueError("input already has a __salt column")
     for name, (agg, _col) in specs.items():
         if agg not in _AGGS:
             raise ValueError(f"{name}: unsupported agg {agg!r}; one of {sorted(_AGGS)}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -92,7 +98,11 @@ def salted_join(
     join, so they are rejected rather than silently wrong."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    if "__salt" in skewed.columns or "__salt" in other.columns:
+        raise ValueError("input already has a __salt column")
+    # per-row salt (not content hash): identical duplicate rows of a hot
+    # key must still spread — see salted_agg
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -536,6 +536,11 @@ def ann_ivf(spark: SparkSession, e: DataFrame, k: int = 3) -> DataFrame:
     seeds = e.filter(F.col("vec_id") % SEED_MOD == 0).select(
         "vec_id", "embedding"
     ).toPandas()
+    if not len(seeds):
+        raise ValueError(
+            f"empty IVF codebook: no vec_id divisible by {SEED_MOD}; "
+            "supply a corpus containing seed ids or train real centroids"
+        )
     sids = seeds["vec_id"].to_numpy(dtype=np.int64)
     smat = np.array([np.asarray(v, dtype=np.float64) for v in seeds["embedding"]])
     sq = np.floor(smat * Q + 0.5).astype(np.int64)

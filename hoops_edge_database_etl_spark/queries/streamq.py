@@ -13,12 +13,14 @@ bounded source.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load_stream
 
 DEC = "decimal(18,2)"
 
@@ -50,19 +52,7 @@ def q71_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame, and the aggregation state itself is (windows × types) —
     driver-safe. 1-hour windows align to epoch hours, so window.start ==
     date_trunc('hour', ts) exactly."""
-    # same nanos handling as tables.load — streaming file sources need an
-    # explicit schema, so reuse the batch reader's
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # FileStreamSource wants a DIRECTORY: stream the sf dir, glob-filtered
-    # to the events file (testdata ships single-file tables)
-    src = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(src.dtypes).get("ts") == "bigint":
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = load_stream(spark, sf_dir, "events")
     agg = src.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(
@@ -70,15 +60,21 @@ def q71_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
     )
     sink = "q71_streaming_rollup_sink"
+    ck = tempfile.mkdtemp(prefix="q71_ck_")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="q71_ck_"))
+        .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # a fresh run must never resume old offsets, and repeated driver
+        # invocations must not litter /tmp — the checkpoint is per-run
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.table(sink).select(
         F.col("w.start").cast("string").alias("window_start"),
         "event_type",

@@ -84,6 +84,22 @@ def q49_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_exprs():
+    """Shared quality-composite expressions over a staged frame carrying
+    ``n_chars`` and token array ``w`` — the ONE definition of the q50
+    formula, composed verbatim by the q70 endpoint."""
+    n_tokens = F.size("w")
+    ttr = F.size(F.array_distinct("w")).cast("double") / n_tokens
+    # tokens are space-joined: chars = Σlen + (n-1) ⇒ Σlen = chars - n + 1
+    atl = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
+    quality = (
+        0.4 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
+        + 0.4 * ttr
+        + 0.2 * F.least(atl / 6, F.lit(1.0))
+    )
+    return n_tokens, ttr, atl, quality
+
+
 @query(
     "q50_quality_score",
     oracle="""
@@ -118,15 +134,7 @@ def q50_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters), with a bucketing CASE for downstream sampling policies."""
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.length("text").alias("n_chars"), F.split("text", " ").alias("w"))
-    n_tokens = F.size("w")
-    ttr = F.size(F.array_distinct("w")).cast("double") / n_tokens
-    # tokens are space-joined: chars = Σlen + (n-1) ⇒ Σlen = chars - n + 1
-    atl = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
-    quality = (
-        0.4 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
-        + 0.4 * ttr
-        + 0.2 * F.least(atl / 6, F.lit(1.0))
-    )
+    n_tokens, ttr, atl, quality = _quality_exprs()
     return t.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
@@ -335,14 +343,7 @@ def q70_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = canon.select(
         "doc_id", "lang", F.length("text").alias("n_chars"), F.split("text", " ").alias("w")
     )
-    n_tokens = F.size("w")
-    ttr = F.size(F.array_distinct("w")).cast("double") / n_tokens
-    atl = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
-    quality = (
-        0.4 * F.least(n_tokens.cast("double") / 50, F.lit(1.0))
-        + 0.4 * ttr
-        + 0.2 * F.least(atl / 6, F.lit(1.0))
-    )
+    n_tokens, _ttr, _atl, quality = _quality_exprs()
     est_bpe = F.aggregate(
         F.transform("w", lambda tok: F.ceil(F.length(tok) / 4.0).cast("long")),
         F.lit(0).cast("long"),

@@ -53,7 +53,12 @@ class RetryPolicy:
 
     def delay(self, attempt: int, retry_after: str | None = None) -> float:
         if retry_after is not None:
-            return min(self.max_delay, float(retry_after))
+            try:
+                return min(self.max_delay, float(retry_after))
+            except ValueError:
+                # RFC 7231 allows an HTTP-date here; fall back to backoff
+                # rather than crashing past the dead-letter handler
+                pass
         return min(self.max_delay, self.base_delay * (2 ** (attempt - 1)))
 
 
@@ -83,7 +88,10 @@ class TokenBucket:
 
     def __init__(self, rate_per_sec: float, clock=time.monotonic, sleeper=time.sleep):
         self.rate = float(rate_per_sec)
-        self._tokens = self.rate
+        # capacity ≥ 1 or acquire() could never reach a whole token for
+        # sub-1/s rates (e.g. one call per 2 s) and would spin forever
+        self.capacity = max(1.0, self.rate)
+        self._tokens = self.capacity
         self._clock, self._sleep = clock, sleeper
         self._last = clock()
         self._lock = threading.Lock()
@@ -92,7 +100,9 @@ class TokenBucket:
         while True:
             with self._lock:
                 now = self._clock()
-                self._tokens = min(self.rate, self._tokens + (now - self._last) * self.rate)
+                self._tokens = min(
+                    self.capacity, self._tokens + (now - self._last) * self.rate
+                )
                 self._last = now
                 if self._tokens >= 1:
                     self._tokens -= 1
@@ -151,6 +161,14 @@ class Extractor:
             raise ExtractError(path, status, attempt)
 
     def _calls(self, spec: EndpointSpec, seasons, chunk_days, parent_ids):
+        if spec.kind == "fanout" and not spec.fanout_param:
+            raise ValueError(f"{spec.name}: fanout spec requires fanout_param")
+        if spec.kind == "season" and bool(spec.start_date_param) != bool(
+            spec.end_date_param
+        ):
+            raise ValueError(
+                f"{spec.name}: start_date_param and end_date_param must be set together"
+            )
         if spec.kind == "snapshot":
             yield spec.path, dict(spec.extra_params)
         elif spec.kind == "season":

@@ -144,3 +144,51 @@ def test_records_to_df_declared_schema(spark):
     )
     assert df.count() == 2
     assert [f.simpleString() for f in df.schema.fields] == ["gameId:bigint", "team:string"]
+
+
+def test_token_bucket_sub_unit_rate_does_not_hang():
+    """rate < 1/s (one call per 2s) must still eventually grant a token —
+    the capacity floor of 1 keeps fractional accumulation reachable."""
+    clock = [0.0]
+    def sleeper(s):
+        clock[0] += s
+
+    b = TokenBucket(0.5, clock=lambda: clock[0], sleeper=sleeper)
+    b.acquire()  # burst token
+    b.acquire()  # must refill (~2s simulated) instead of spinning forever
+    assert clock[0] >= 2.0
+
+
+def test_retry_after_http_date_falls_back_to_backoff():
+    """An RFC 7231 HTTP-date Retry-After must not crash past the
+    dead-letter handler — fall back to exponential backoff."""
+    seen = []
+
+    def transport(path, params):
+        seen.append(1)
+        return (
+            (429, {"Retry-After": "Fri, 31 Dec 1999 23:59:59 GMT"}, None)
+            if len(seen) == 1
+            else (200, {}, [])
+        )
+
+    ex, sleeps = make_extractor(transport)
+    ex.fetch_json("/games")
+    assert 0.5 in sleeps  # base backoff used, no ValueError
+
+
+def test_incoherent_specs_rejected():
+    ex, _ = make_extractor(lambda p, q: (200, {}, []))
+    with pytest.raises(ValueError):
+        ex.run_endpoint(
+            EndpointSpec(name="plays", path="/plays/{gameId}", kind="fanout"),
+            parent_ids=[1],
+        )
+    with pytest.raises(ValueError):
+        ex.run_endpoint(
+            EndpointSpec(
+                name="games", path="/games", kind="season",
+                season_param="season", start_date_param="start",
+            ),
+            seasons=[2024], chunk_days=30,
+        )
