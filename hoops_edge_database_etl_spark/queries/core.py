@@ -369,3 +369,62 @@ def q10_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(k, F.lit(0))).cast("bigint").alias("k_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "q75_json_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q75_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: the events table's ``props``
+    JSON string is parsed in-plan (``get_json_object`` — JVM-side, no
+    UDF) and aggregated. At 100 TB the right move is parse-once-persist
+    (from_json with an explicit schema into a struct column at the silver
+    layer); per-query path extraction here demonstrates the hot-path
+    form. Null-safe: COUNT/SUM/MAX ignore rows whose props lack the key."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).cast("bigint").alias("n_with_k"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "q76_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q76_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. The pivot VALUES are declared explicitly — with them, Spark
+    plans a single hash aggregate (no extra values-discovery job and no
+    surprise column sets when new types appear); the oracle is the
+    dialect-neutral CASE-WHEN formulation of the same contingency table."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("click", "view", "purchase", "error", "signup")],
+    )
