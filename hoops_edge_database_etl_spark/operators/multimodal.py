@@ -185,6 +185,113 @@ def frame_sample_stub(
     return df.mapInPandas(run, schema=out_schema)
 
 
+RGB_MAGIC = b"FRGB"
+
+
+def pack_raw_rgb(media_id: int, width: int, height: int, seed: int = 0) -> bytes:
+    """Uncompressed RGB image: 12-byte header + width·height·3 bytes of
+    deterministic pixel data (row-major, RGB interleaved). Unlike the
+    FIMG fake, this payload IS decodable pixel math — no codec needed."""
+    header = struct.pack("<4sii", RGB_MAGIC, width, height)
+    n = width * height * 3
+    payload = bytes((media_id * 131 + seed + i * 7) % 256 for i in range(n))
+    return header + payload
+
+
+def decode_raw_rgb(raw: bytes):
+    """bytes → (H, W, 3) uint8 numpy array. Raises on wrong magic or a
+    size mismatch (truncated payload) — corrupt rows must be loud."""
+    import numpy as np
+
+    magic, w, h = struct.unpack("<4sii", raw[:12])
+    if magic != RGB_MAGIC:
+        raise ValueError(f"not a raw-RGB payload: magic={magic!r}")
+    arr = np.frombuffer(raw[12:], dtype=np.uint8)
+    if arr.size != w * h * 3:
+        raise ValueError(f"payload size {arr.size} != {w}x{h}x3")
+    return arr.reshape(h, w, 3)
+
+
+def resize_rgb(
+    df: DataFrame, binary_col: str = "media", target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """REAL image resize — nearest-neighbor resampling in pure numpy (no
+    codec dependency): decode the raw-RGB payload, gather source pixels
+    via index arrays (vectorized, no per-pixel Python), re-encode with
+    the new header. Same mapInPandas stage contract as the codec-gated
+    path, but the pixel math genuinely runs — this is the kernel the PIL
+    variant swaps in for, exercised end-to-end in tests.
+
+    Nearest-neighbor index: src_i = floor((i + 0.5) · src/dst), the
+    center-aligned mapping (what OpenCV INTER_NEAREST computes)."""
+    import numpy as np
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            def rewrite(blob):
+                img = decode_raw_rgb(bytes(blob))
+                h, w = img.shape[:2]
+                yi = ((np.arange(target_h) + 0.5) * h / target_h).astype(np.int64)
+                xi = ((np.arange(target_w) + 0.5) * w / target_w).astype(np.int64)
+                out = img[yi[:, None], xi[None, :]]
+                return (
+                    struct.pack("<4sii", RGB_MAGIC, target_w, target_h)
+                    + out.tobytes()
+                )
+
+            pdf = pdf.copy()
+            pdf[binary_col] = pdf[binary_col].map(rewrite)
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def rgb_channel_stats(
+    df: DataFrame, binary_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-image channel means/stds from decoded pixels — the
+    feature-extraction stage run on REAL decoded arrays (normalization
+    stats every vision pipeline computes before training). Payload is
+    dropped from the output schema the moment pixels are consumed."""
+    import numpy as np
+
+    out_schema = (
+        f"{id_col} long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, std_gray double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[binary_col]):
+                img = decode_raw_rgb(bytes(blob)).astype(np.float64)
+                means = img.mean(axis=(0, 1))
+                gray = img.mean(axis=2)
+                rows.append(
+                    (
+                        mid,
+                        img.shape[1],
+                        img.shape[0],
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                        float(gray.std()),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col, "width", "height",
+                        "mean_r", "mean_g", "mean_b", "std_gray",
+                    ],
+                )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def media_features_to_embedding_table(features_df: DataFrame) -> DataFrame:
     """Bridge decoded media features into the similarity-search operators
     (q46–q48 take any (vec_id, embedding array<float>) table)."""

@@ -82,3 +82,72 @@ def test_pil_decoder_is_import_gated(spark, media_df):
         pass
     with pytest.raises(NotImplementedError, match="PIL not available"):
         decode_and_featurize(media_df, decoder="pil")
+
+
+def test_raw_rgb_roundtrip_and_resize_math(spark):
+    """The resize kernel runs REAL pixel math: a known 4x4 pattern
+    downsampled 2x must select the center-aligned nearest pixels, and
+    same-size resize must be the identity."""
+    import numpy as np
+
+    from hoops_edge_database_etl_spark.operators.multimodal import (
+        decode_raw_rgb,
+        pack_raw_rgb,
+        resize_rgb,
+    )
+
+    # hand-built 4x4 image: pixel (y,x) = (y*16, x*16, 0)
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            img[y, x] = (y * 16, x * 16, 0)
+    import struct as _s
+
+    raw = _s.pack("<4sii", b"FRGB", 4, 4) + img.tobytes()
+    df = spark.createDataFrame([(1, bytearray(raw))], "media_id long, media binary")
+
+    out = resize_rgb(df, target_w=2, target_h=2).collect()[0]["media"]
+    got = decode_raw_rgb(bytes(out))
+    # center-aligned nearest for 4->2: src index floor((i+0.5)*2) = 1, 3
+    want = img[[1, 3]][:, [1, 3]]
+    assert (got == want).all()
+
+    # identity at same size
+    same = resize_rgb(df, target_w=4, target_h=4).collect()[0]["media"]
+    assert (decode_raw_rgb(bytes(same)) == img).all()
+
+
+def test_rgb_channel_stats_match_numpy(spark):
+    import numpy as np
+
+    from hoops_edge_database_etl_spark.operators.multimodal import (
+        decode_raw_rgb,
+        pack_raw_rgb,
+        rgb_channel_stats,
+    )
+
+    raws = [pack_raw_rgb(i, 8, 6) for i in range(3)]
+    df = spark.createDataFrame(
+        [(i, bytearray(r)) for i, r in enumerate(raws)], "media_id long, media binary"
+    )
+    rows = {r["media_id"]: r for r in rgb_channel_stats(df).collect()}
+    for i, raw in enumerate(raws):
+        img = decode_raw_rgb(raw).astype(np.float64)
+        r = rows[i]
+        assert r["width"] == 8 and r["height"] == 6
+        assert abs(r["mean_r"] - img[:, :, 0].mean()) < 1e-9
+        assert abs(r["std_gray"] - img.mean(axis=2).std()) < 1e-9
+
+
+def test_decode_raw_rgb_rejects_corrupt(spark):
+    import pytest as _pytest
+
+    from hoops_edge_database_etl_spark.operators.multimodal import (
+        decode_raw_rgb,
+        pack_raw_rgb,
+    )
+
+    with _pytest.raises(ValueError):
+        decode_raw_rgb(b"XXXX" + b"\x00" * 20)
+    with _pytest.raises(ValueError):
+        decode_raw_rgb(pack_raw_rgb(1, 4, 4)[:-5])  # truncated payload
