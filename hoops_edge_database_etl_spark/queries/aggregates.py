@@ -115,9 +115,9 @@ def _moments(x: Column, y: Column) -> list[Column]:
     )
     SELECT l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS qty_price_corr
+           (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / sqrt((n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                  * (n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS qty_price_corr
     FROM m
     """,
 )
@@ -130,12 +130,15 @@ def q23_pearson_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("l_extendedprice").cast(DEC)
     m = li.groupBy("l_returnflag").agg(*_moments(x, y))
     n = F.col("_n")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx, syy, sxy = (
-        F.col("_sxx").cast("double"),
-        F.col("_syy").cast("double"),
-        F.col("_sxy").cast("double"),
-    )
+    # decimal → STRING → double: both engines parse decimal strings with
+    # correct rounding, where a direct decimal→double cast double-rounds
+    # in DuckDB (scaled-int ÷ 10^s in float) and can differ in the last
+    # ulp (seen at sf0.001). The cast runs on aggregated rows only.
+    def _d(c):
+        return F.col(c).cast("string").cast("double")
+
+    sx, sy = _d("_sx"), _d("_sy")
+    sxx, syy, sxy = _d("_sxx"), _d("_syy"), _d("_sxy")
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),

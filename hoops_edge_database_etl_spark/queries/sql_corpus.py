@@ -122,3 +122,36 @@ _sql_query(
     "FIRST_VALUE with total-order tiebreaks; running sums in DECIMAL so "
     "cross-engine accumulation is exact (W-family on the SQL surface).",
 )
+
+_sql_query(
+    "q77_sql_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "CUBE grouping (all 2^2 aggregation levels in one pass — the OLAP "
+    "companion to q26's ROLLUP), shared text on both engines; NULL "
+    "subtotal markers hash-compare directly.",
+)
+
+_sql_query(
+    "q78_sql_exists",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_totalprice AS DECIMAL(18,2)) > CAST(200000.0 AS DECIMAL(18,2))
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+    )
+    """,
+    "Correlated EXISTS / NOT EXISTS (decorrelated by both planners into "
+    "semi/anti joins — the SQL surface of q14/q15).",
+)
