@@ -192,9 +192,13 @@ def pack_raw_rgb(media_id: int, width: int, height: int, seed: int = 0) -> bytes
     """Uncompressed RGB image: 12-byte header + width·height·3 bytes of
     deterministic pixel data (row-major, RGB interleaved). Unlike the
     FIMG fake, this payload IS decodable pixel math — no codec needed."""
+    import numpy as np
+
     header = struct.pack("<4sii", RGB_MAGIC, width, height)
     n = width * height * 3
-    payload = bytes((media_id * 131 + seed + i * 7) % 256 for i in range(n))
+    payload = (
+        ((media_id * 131 + seed + 7 * np.arange(n)) % 256).astype(np.uint8).tobytes()
+    )
     return header + payload
 
 
@@ -203,6 +207,8 @@ def decode_raw_rgb(raw: bytes):
     size mismatch (truncated payload) — corrupt rows must be loud."""
     import numpy as np
 
+    if len(raw) < 12:
+        raise ValueError(f"payload too short for a raw-RGB header: {len(raw)} bytes")
     magic, w, h = struct.unpack("<4sii", raw[:12])
     if magic != RGB_MAGIC:
         raise ValueError(f"not a raw-RGB payload: magic={magic!r}")
@@ -266,9 +272,10 @@ def rgb_channel_stats(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[binary_col]):
-                img = decode_raw_rgb(bytes(blob)).astype(np.float64)
-                means = img.mean(axis=(0, 1))
-                gray = img.mean(axis=2)
+                img = decode_raw_rgb(bytes(blob))
+                # dtype=float64 accumulators — no full-image float64 copy
+                means = img.mean(axis=(0, 1), dtype=np.float64)
+                gray = img.mean(axis=2, dtype=np.float64)
                 rows.append(
                     (
                         mid,

@@ -375,9 +375,9 @@ def q10_lenient_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q75_json_extraction",
     oracle="""
     SELECT event_type,
-           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type
     """,
@@ -390,9 +390,13 @@ def q75_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer); per-query path extraction here demonstrates the hot-path
     form. Null-safe: COUNT/SUM/MAX ignore rows whose props lack the key."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    raw = F.get_json_object("props", "$.k")
+    # lenient numeric handling, consistent with q10's contract for this
+    # column: presence counted PRE-cast, non-numeric values null out of
+    # the aggregates (try_cast) instead of erroring under ANSI mode
+    k = raw.try_cast("long")
     return ev.groupBy("event_type").agg(
-        F.count(k).cast("bigint").alias("n_with_k"),
+        F.count(raw).cast("bigint").alias("n_with_k"),
         F.sum(k).cast("bigint").alias("sum_k"),
         F.max(k).cast("bigint").alias("max_k"),
     )

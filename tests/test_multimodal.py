@@ -92,7 +92,6 @@ def test_raw_rgb_roundtrip_and_resize_math(spark):
 
     from hoops_edge_database_etl_spark.operators.multimodal import (
         decode_raw_rgb,
-        pack_raw_rgb,
         resize_rgb,
     )
 
@@ -151,3 +150,5 @@ def test_decode_raw_rgb_rejects_corrupt(spark):
         decode_raw_rgb(b"XXXX" + b"\x00" * 20)
     with _pytest.raises(ValueError):
         decode_raw_rgb(pack_raw_rgb(1, 4, 4)[:-5])  # truncated payload
+    with _pytest.raises(ValueError):
+        decode_raw_rgb(b"FRGB\x04")  # shorter than the header itself
