@@ -279,10 +279,13 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     und = und.localCheckpoint(eager=True)  # materialize once, flat lineage
-    # active subgraph: only nodes that appear in an edge can ever change
-    labels = und.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
+    # active subgraph: only nodes that appear in an edge can ever change.
+    # Initialization fuses the first sweep: starting from identity labels,
+    # sweep 1 would compute min(self, direct neighbors) — so start there
+    # and save one full shuffle round + convergence check.
+    labels = und.groupBy("src").agg(
+        F.least(F.first("src"), F.min("dst")).alias("lbl")
+    ).select(F.col("src").alias("node"), "lbl")
 
     prev_sum = None
     for _ in range(30):
