@@ -88,14 +88,37 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (J ≥ 0.5) via an inverted
     shingle index: |A∩B| from a shingle self-join, |A∪B| = |A|+|B|−|A∩B|.
     Exact ground truth; the LSH variants below approximate THIS. Scale
-    hazard: a shingle shared by k docs emits k² join rows — stop-shingle
-    filtering or q43's LSH is the fix at corpus scale."""
-    d = load(spark, sf_dir, "documents")
+    hazard: a shingle shared by k docs emits k² join rows —
+    ``jaccard_pairs(max_shingle_freq=...)`` (stop-shingle cap) or q43's
+    LSH is the fix at corpus scale."""
+    return jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def jaccard_pairs(
+    d: DataFrame, threshold: float = 0.5, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """Inverted-index Jaccard join over ``(doc_id, text)``.
+
+    ``max_shingle_freq``: drop shingles shared by more than this many
+    docs BEFORE the self-join (stop-shingles). A shingle in k docs emits
+    k² candidate rows, so one boilerplate phrase across 10⁶ docs is a
+    10¹²-row join without the cap. Dropping a shared shingle can only
+    LOWER a pair's computed intersection (doc sizes stay full), so the
+    capped variant under-estimates J — it loses recall on pairs whose
+    overlap is mostly stop-shingles but never invents a false pair.
+    ``None`` (the oracle-checked default) is the exact form."""
     sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+        joinable = (
+            sh.join(freq.filter(F.col("__df") <= max_shingle_freq), "s")
+            .select("doc_id", "s")
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
@@ -111,7 +134,7 @@ def q42_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("doc_b"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

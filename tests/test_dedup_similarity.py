@@ -177,3 +177,34 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     for doc, c in clusters.items():
         assert c <= doc
         assert clusters[c] == c  # the canonical doc is its own cluster id
+
+
+def test_jaccard_stop_shingle_cap_bounds_fanout_never_adds_pairs(spark):
+    """The capped variant must emit a SUBSET of the exact pairs (recall
+    trade only — no false positives), and a boilerplate shingle shared by
+    every doc must stop contributing candidates."""
+    from hoops_edge_database_etl_spark.queries.dedup_text import jaccard_pairs
+
+    boiler = "lorem ipsum dolor"  # one 3-gram shared by ALL docs
+    docs = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma epsilon"),
+        (3, boiler + " zeta eta theta iota"),
+        (4, boiler + " kappa lambda mu nu"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(d, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(d, threshold=0.0, max_shingle_freq=2).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12  # only ever underestimates
+    # docs 3 & 4 overlap ONLY via the boilerplate shingle → pair vanishes
+    assert (3, 4) in exact and (3, 4) not in capped
+    # docs 1 & 2 share plenty of rare shingles → pair survives the cap
+    assert (1, 2) in capped
