@@ -33,11 +33,41 @@ _AGGS = {
 }
 
 
+def _salt_col(df: DataFrame, n_salts: int, mode: str, seed: int = 0x5A17) -> Column:
+    """Salt expression for the given ``mode``.
+
+    ``"content"`` (default): xxhash64 over every input column plus a
+    seed — **deterministic under stage-retry recomputation**, the
+    property that makes salting safe on non-deterministic upstream
+    partitionings (a shuffled input re-fetched after executor loss
+    re-hashes every row to the SAME salt, so nothing is double-counted
+    or dropped). Rows of a hot key spread as long as they differ in any
+    column; fully IDENTICAL duplicate rows all land on one sub-key.
+
+    ``"rowid"``: position id mod n_salts — spreads even identical
+    duplicate rows, but the assignment is layout-dependent: a stage
+    retry that recomputes a non-deterministic input can re-salt rows
+    already fetched by some reducers. Callers choosing this mode must
+    feed a deterministic source (parquet scan, localCheckpoint'ed
+    DataFrame) — enforced by documentation, not code, because Spark
+    does not expose "is this lineage deterministic" to the DataFrame
+    layer.
+    """
+    if mode == "content":
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(n_salts)
+        )
+    if mode == "rowid":
+        return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    raise ValueError(f"salt mode must be 'content' or 'rowid', got {mode!r}")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
     specs: dict[str, tuple[str, str | Column]],
     n_salts: int = 16,
+    salt_mode: str = "content",
 ) -> DataFrame:
     """GROUP BY ``keys`` with the shuffle split across ``n_salts`` salted
     sub-keys: partial-aggregate on (keys…, salt), then final-aggregate on
@@ -45,21 +75,21 @@ def salted_agg(
     one of sum/count/min/max — the decomposable aggregates, so the salted
     result is exactly the unsalted result.
 
-    The salt is the row's position id mod ``n_salts`` — per-row, so even
-    a hot key made of IDENTICAL duplicate rows spreads over ``n_salts``
-    reducers (a content hash would send every duplicate to one reducer —
-    exactly the case salting exists for). Layout-dependent but
-    result-independent: any salt assignment yields the same aggregate.
-    Sizing: pick n_salts ≈ (hot-key rows ÷ rows-per-task-budget);
-    oversalting costs one extra tiny shuffle stage, undersalting leaves
-    residual skew.
+    The default salt is a content hash (see :func:`_salt_col`) so the
+    assignment survives stage-retry recomputation; pass
+    ``salt_mode="rowid"`` only when a hot key consists of IDENTICAL
+    duplicate rows that must still spread, and only over deterministic
+    inputs. Layout-dependent but result-independent either way: any salt
+    assignment yields the same aggregate. Sizing: pick n_salts ≈
+    (hot-key rows ÷ rows-per-task-budget); oversalting costs one extra
+    tiny shuffle stage, undersalting leaves residual skew.
     """
     if "__salt" in df.columns:
         raise ValueError("input already has a __salt column")
     for name, (agg, _col) in specs.items():
         if agg not in _AGGS:
             raise ValueError(f"{name}: unsupported agg {agg!r}; one of {sorted(_AGGS)}")
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    salt = _salt_col(df, n_salts, salt_mode)
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -84,6 +114,7 @@ def salted_join(
     on: Sequence[str],
     n_salts: int = 16,
     how: str = "inner",
+    salt_mode: str = "content",
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys overwhelm single tasks: the
     skewed side gets a deterministic per-row salt, the ``other`` side is
@@ -100,9 +131,10 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if "__salt" in skewed.columns or "__salt" in other.columns:
         raise ValueError("input already has a __salt column")
-    # per-row salt (not content hash): identical duplicate rows of a hot
-    # key must still spread — see salted_agg
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    # content-hash salt by default: stable under stage-retry recompute;
+    # salt_mode="rowid" spreads identical duplicate rows but requires a
+    # deterministic input — see _salt_col
+    salt = _salt_col(skewed, n_salts, salt_mode)
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -34,14 +34,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+# Names the per-round driver has never verdict-ed (it caps each round at ~50
+# queries, walked in dict order).  Emit these FIRST so CORRECTNESS_r03 finally
+# covers them; everything else follows in registration order.  Remove names
+# from this list once a CORRECTNESS_r{N}.json row exists for them.
+_DRIVER_PRIORITY = [
+    "q61_jacobi_exact",
+    "q62_dedup_clusters",
+    "q63_ann_ivf",
+    "q66_binary_metadata",
+    "q68_dataset_split",
+    "q69_dedup_corpus",
+    "q70_training_corpus",
+    "q71_streaming_rollup",
+    "q72_kmv_distinct_sketch",
+    "q73_stratified_sample",
+    "q74_sequence_packing",
+    "q77_sql_cube",
+    "q78_sql_exists",
+    "q79_hll_distinct",
+    "q80_tdigest_quantiles",
+    "q81_bloom_semi_join",
+    "q82_window_dedup",
+    "q83_grouping_sets",
+    "q84_sessionize_gap",
+    "q85_topk_per_group",
+    "q86_rating_spine",
+    "q53_iterative_ratings",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def all_queries() -> dict[str, QueryFn]:
     _load_modules()
-    return dict(_QUERIES)
+    return _prioritized(_QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_modules()
-    return dict(_ORACLES)
+    return _prioritized(_ORACLES)
 
 
 _LOADED = False

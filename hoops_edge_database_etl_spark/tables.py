@@ -9,6 +9,8 @@ manual ``columns=`` lists and S3 prefix construction
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -25,16 +27,36 @@ TABLES = (
 )
 
 
+@contextmanager
+def _nanos_as_long(spark: SparkSession):
+    """Scope spark.sql.legacy.parquet.nanosAsLong=true to one schema
+    resolution: events.parquet carries TIMESTAMP(NANOS), which vanilla
+    Spark rejects at analysis time (PARQUET_TYPE_ILLEGAL); the conf is
+    only consulted there, so it is restored to its prior value as soon
+    as the DataFrame exists — no session-wide mutation leaks to other
+    parquet reads in the caller's session (ADVICE r2). Not safe against
+    a concurrent load() on the same session from another thread."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; projection/pushdown handled by Catalyst."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # events.parquet carries TIMESTAMP(NANOS), which vanilla Spark rejects at
-    # scan time (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable, so set it
-    # here rather than relying on the session factory — callers (the verify
-    # driver included) may hand us any SparkSession.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    with _nanos_as_long(spark):
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
         # as int64 nanos — truncate to microseconds (matches DuckDB's
@@ -54,13 +76,13 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     streaming input can never diverge from what the batch oracle reads."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    with _nanos_as_long(spark):
+        schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 

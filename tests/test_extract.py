@@ -192,3 +192,12 @@ def test_incoherent_specs_rejected():
             ),
             seasons=[2024], chunk_days=30,
         )
+
+
+def test_negative_retry_after_clamped_to_zero():
+    """A hostile/buggy negative Retry-After must not reach time.sleep
+    (ValueError would escape the dead-letter path — ADVICE r2)."""
+    p = RetryPolicy(max_attempts=3, base_delay=0.5, max_delay=8.0)
+    assert p.delay(1, retry_after="-5") == 0.0
+    assert p.delay(1, retry_after="-0.1") == 0.0
+    assert p.delay(1, retry_after="3") == 3.0

@@ -188,3 +188,40 @@ def test_lenient_cast_preserves_int64_precision(spark):
     df = spark.createDataFrame([(str(big),), ("12.0",), ("x",)], "v string")
     out = [r["v"] for r in df.select(lenient_cast(F.col("v"), LongType()).alias("v")).collect()]
     assert out == [big, 12, None]
+
+
+def test_atomic_overwrite_never_leaves_dest_missing(spark, tmp_path):
+    """overwrite_parquet_atomic swaps via rename-aside (ADVICE r2): after
+    a successful overwrite the destination exists with the new data and
+    no .__old_swap residue; recover_swap restores a crash survivor."""
+    from hoops_edge_database_etl_spark.sources.io import (
+        overwrite_parquet_atomic,
+        recover_swap,
+    )
+
+    dest = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1,)], "a long").write.parquet(dest)
+    overwrite_parquet_atomic(spark.createDataFrame([(2,)], "a long"), dest)
+    assert [r["a"] for r in spark.read.parquet(dest).collect()] == [2]
+    assert not (tmp_path / "t.parquet.__old_swap").exists()
+    assert not (tmp_path / "t.parquet.__tmp_swap").exists()
+
+    # simulate a crash between the two renames: dest gone, __old_swap left
+    import shutil
+
+    shutil.move(dest, dest + ".__old_swap")
+    recover_swap(spark, dest)
+    assert [r["a"] for r in spark.read.parquet(dest).collect()] == [2]
+
+
+def test_load_restores_nanos_conf(spark):
+    """tables.load must not leak nanosAsLong into the caller's session
+    (ADVICE r2): whatever the conf was before the call survives it."""
+    from hoops_edge_database_etl_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key)
+    df = load(spark, SF_DIR, "events")
+    assert spark.conf.get(key) == before
+    assert df.count() > 0  # analysis-scoped conf is enough for execution

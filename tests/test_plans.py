@@ -173,3 +173,24 @@ def test_range_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "__rj_bin" in plan
+
+
+def test_sequence_packing_no_global_window(spark):
+    """q74's cumsum must be the two-pass range plan (VERDICT r2 item 2):
+    no SinglePartition exchange anywhere — the global-order window that
+    would put the whole corpus's token stream on one reducer — and the
+    per-range window keyed by (partition id)."""
+    plan = _executed(_qs()["q74_sequence_packing"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, "global-order window leaked back in"
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+    assert "__pid" in plan
+
+
+def test_stratified_sample_no_single_reducer_strata(spark):
+    """q73 must rank within (lang, input partition) first (VERDICT r2 item
+    3): the first window's exchange carries the partition id so a stratum
+    spreads over all reducers; only the ≤25·n_partitions candidate merge
+    may key on lang alone."""
+    plan = _executed(_qs()["q73_stratified_sample"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan and "__pid" in plan
