@@ -41,6 +41,8 @@ HEADLINE = [
     "q60_embedding_near_dup",   # embedding near-dup (all-pairs baseline)
     "q61_jacobi_exact",         # exact iterative solver
     "q62_dedup_clusters",       # near-dup connected components
+    "q87_skew_join_salted",     # hot-key join, salted (operators/skew.py)
+    "q88_skew_join_unsalted",   # hot-key join, single-reducer control
 ]
 
 
@@ -63,11 +65,21 @@ def main() -> None:
     # Warm up the JVM/parquet footer caches with one throwaway run.
     run(names[0])
 
+    # n reps per query (VERDICT r2 item 6): the reported time is the
+    # MEDIAN, and per-query [min, max] spread is recorded so session
+    # contention noise is distinguishable from real plan regressions.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        run(name)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(name)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 4)
+        spread[name] = [round(times[0], 4), round(times[-1], 4)]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -78,6 +90,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "spread": spread,
             }
         )
     )

@@ -53,13 +53,15 @@ _DRIVER_PRIORITY = [
     "q77_sql_cube",
     "q78_sql_exists",
     "q79_hll_distinct",
-    "q80_tdigest_quantiles",
+    "q80_histogram_quantiles",
     "q81_bloom_semi_join",
-    "q82_window_dedup",
-    "q83_grouping_sets",
-    "q84_sessionize_gap",
+    "q82_decontamination",
+    "q83_sql_grouping_sets",
+    "q84_boilerplate_ngrams",
     "q85_topk_per_group",
     "q86_rating_spine",
+    "q87_skew_join_salted",
+    "q88_skew_join_unsalted",
     "q53_iterative_ratings",
 ]
 

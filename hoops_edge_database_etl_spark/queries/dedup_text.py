@@ -573,3 +573,102 @@ def q69_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_canonical"))
         .select("doc_id", "cluster_size")
     )
+
+
+_SHINGLES5_CTE = """
+    toks5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+      FROM toks5, UNNEST(range(1, greatest(len(w) - 3, 1))) AS t(i)
+    )
+"""
+
+
+@query(
+    "q82_decontamination",
+    oracle=f"""
+    WITH {_SHINGLES5_CTE},
+    e AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 23 = 0),
+    tr AS (SELECT doc_id, s FROM sh5 WHERE doc_id % 23 <> 0)
+    SELECT CAST(tr.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM tr JOIN e USING (s)
+    GROUP BY tr.doc_id
+    """,
+)
+def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the training-pipeline op that removes
+    benchmark leakage: training docs sharing any 5-gram with the eval
+    split (here doc_id % 23 = 0 stands in for the benchmark) are flagged
+    with their shared-shingle count; the clean corpus is the anti join of
+    this result. One shingle-key equi join: eval's distinct shingles are
+    small relative to the corpus by construction (eval sets are
+    bounded), so Catalyst/AQE broadcast them when they fit and shuffle
+    otherwise — no driver collect either way. Boilerplate shingles that
+    would fan out the join are exactly what q84 measures; feed its list
+    as stop-shingles when eval text is web-scraped."""
+    from hoops_edge_database_etl_spark.functions.text import shingles_from_tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 5)).alias("s")
+    )
+    ev = sh.filter(F.col("doc_id") % 23 == 0).select("s").distinct()
+    tr = sh.filter(F.col("doc_id") % 23 != 0)
+    return (
+        tr.join(ev, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_shingles"))
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "n_shared_shingles")
+    )
+
+
+@query(
+    "q84_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+    ),
+    df AS (SELECT s, COUNT(*) AS doc_freq FROM sh GROUP BY s),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT s AS shingle,
+           CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_frac
+    FROM df, t
+    WHERE CAST(doc_freq AS DOUBLE) / CAST(n_docs AS DOUBLE) >= 0.01
+    """,
+)
+def q84_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram detector: 3-gram shingles whose document
+    frequency exceeds 1% of the corpus — headers, footers, license
+    blurbs. One map-side-combining shuffle on the shingle (each mapper
+    emits one partial count per distinct shingle it saw — the hot
+    shingle never concentrates rows, only counts). This list is the
+    input to q42's ``max_shingle_freq`` stop-shingle cap and the
+    decontamination join's exclusion list: the detector for the skew the
+    dedup ladder must avoid."""
+    from hoops_edge_database_etl_spark.functions.text import shingles_from_tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("doc_freq"))
+    t = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    frac = F.col("doc_freq").cast("double") / F.col("n_docs").cast("double")
+    return (
+        df.crossJoin(F.broadcast(t))
+        .filter(frac >= 0.01)
+        .select(
+            F.col("s").alias("shingle"),
+            F.col("doc_freq").cast("bigint").alias("doc_freq"),
+            frac.alias("doc_frac"),
+        )
+    )

@@ -417,3 +417,150 @@ def q65_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
         F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
     )
+
+
+_SKEW_ORACLE = """
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 20 = 0 THEN l_orderkey % 331 ELSE 0 END AS k,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+      FROM lineitem
+    ),
+    r AS (SELECT p_partkey % 331 AS k, CAST(p_retailprice AS DECIMAL(18,2)) AS r FROM part)
+    SELECT CAST(l.k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(l.v * r.r) AS VARCHAR) AS DOUBLE) AS rev
+    FROM l JOIN r ON l.k = r.k
+    GROUP BY l.k
+"""
+
+
+def _skew_inputs(spark: SparkSession, sf_dir: str):
+    """Deliberately skewed join inputs: ~95% of lineitem rows collapse to
+    hot key 0, the rest spread over 331 keys; part supplies ~|part|/331
+    matches per key, so the hot key's join output is |part|/331 × 0.95·|L|
+    rows — all on ONE reducer unless salted."""
+    li = load(spark, sf_dir, "lineitem")
+    left = li.select(
+        F.when(F.col("l_orderkey") % 20 == 0, F.col("l_orderkey") % 331)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("k"),
+        F.col("l_extendedprice").cast(DEC).alias("v"),
+    )
+    p = load(spark, sf_dir, "part")
+    right = p.select(
+        (F.col("p_partkey") % 331).cast("long").alias("k"),
+        F.col("p_retailprice").cast(DEC).alias("r"),
+    )
+    return left, right
+
+
+def _skew_agg(j: DataFrame) -> DataFrame:
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("v") * F.col("r")).cast("string").cast("double").alias("rev"),
+    )
+
+
+@query("q87_skew_join_salted", oracle=_SKEW_ORACLE)
+def q87_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact×dim join THROUGH operators.skew.salted_join: the 95%
+    hot key is spread over 32 salted sub-keys, so its join output (the
+    expensive part — ~20 output rows per input row) is produced by 32
+    reducers in parallel. q88 is the identical query without salting —
+    the BENCH delta between them is the operator's reason to exist. AQE's
+    skew-join split does not fire here at test scale (partitions are far
+    below spark.sql.adaptive.skewJoin thresholds) and at any scale cannot
+    split a hash-aggregate's hot group — salting is the declarative fix.
+    The merge hint pins both variants to sort-merge (no broadcast), so
+    the comparison isolates the salt."""
+    from hoops_edge_database_etl_spark.operators.skew import salted_join
+
+    left, right = _skew_inputs(spark, sf_dir)
+    j = salted_join(left, right.hint("merge"), ["k"], n_salts=32, how="inner")
+    return _skew_agg(j)
+
+
+@query("q88_skew_join_unsalted", oracle=_SKEW_ORACLE)
+def q88_skew_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control for q87: the same skewed join with no salt — one reducer
+    owns the hot key's entire join fan-out. Correct at any scale, slow in
+    proportion to the skew; exists so BENCH records the delta."""
+    left, right = _skew_inputs(spark, sf_dir)
+    return _skew_agg(left.join(right.hint("merge"), "k"))
+
+
+_BLOOM_BITS = 1 << 16  # 65536-bit filter = 1024 int64 words
+
+
+def _bloom_pos(key: F.Column, i: int) -> F.Column:
+    """Deterministic bit position i for a key: md5-derived 60-bit value
+    mod the filter width (md5 in both engines — cross-checkable)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit(f":b{i}"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _BLOOM_BITS
+
+
+@query(
+    "q81_bloom_semi_join",
+    oracle="""
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q81_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with a DISTRIBUTED BLOOM PRE-FILTER — the runtime-filter
+    pattern (Spark's own InjectRuntimeFilter, here as an explicit
+    operator): the orders key set is folded into a 64 Kbit bloom filter
+    built as a 1024-row (word, bits) DataFrame via bit_or aggregation —
+    one tiny mergeable shuffle — then BROADCAST; customers probe it with
+    two word-joins and only survivors reach the exact LEFT SEMI join.
+    False positives are removed by that final semi join, so the result
+    is exactly the plain semi join (the oracle); the bloom's job is to
+    cut the candidate side's shuffle volume at 100 TB by the filter's
+    selectivity while shipping 8 KB instead of the key set. k=2 hashes,
+    m=65536: ~5% false-positive rate at 10k keys."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    keys = o.select(F.col("o_custkey").alias("key")).distinct()
+    words = None
+    for i in (0, 1):
+        part = keys.withColumn("__p", _bloom_pos(F.col("key"), i)).select(
+            F.shiftright(F.col("__p"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias("b"),
+        )
+        words = part if words is None else words.unionByName(part)
+    bloom = words.groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+
+    cand = c.select(F.col("c_custkey"), F.col("c_mktsegment"))
+    for i in (0, 1):
+        p = _bloom_pos(F.col("c_custkey"), i)
+        cand = (
+            cand.withColumn(f"__w{i}", F.shiftright(p, 6))
+            .withColumn(f"__m{i}", p % 64)
+            .join(
+                F.broadcast(
+                    bloom.withColumnRenamed("w", f"__w{i}").withColumnRenamed(
+                        "bits", f"__bits{i}"
+                    )
+                ),
+                f"__w{i}",
+                "left",
+            )
+            .filter(
+                F.expr(
+                    f"coalesce(__bits{i} & shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(__m{i} AS INT)), CAST(0 AS BIGINT)) != 0"
+                )
+            )
+            .drop(f"__w{i}", f"__m{i}", f"__bits{i}")
+        )
+    return cand.join(o, cand.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"), "c_mktsegment"
+    )

@@ -100,27 +100,233 @@ def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition-proof, where ``df.sample()``'s per-partition RNG changes
     membership whenever the layout shifts.
 
-    Scale plan (executed, not just documented): top-k-per-stratum is
-    associative, so it runs in two phases with no single-reducer strata:
-      1. rank within (lang, input-partition) — the shuffle key carries
-         the partition id, so a 100 TB stratum spreads over every
-         reducer instead of landing on one; each reducer sorts only a
-         partition-sized slice and keeps its local 25 smallest hashes;
-      2. merge-rank the survivors per lang — ≤ 25·n_partitions candidate
-         rows per stratum (vs corpus/n_langs before), the same
-         TakeOrdered merge shape Spark itself uses for global top-k.
-    Any global top-25 row is a local top-25 row of its partition, so the
-    result — including exact sample_rank values — is identical."""
+    Scale plan (executed, not just documented): runs through
+    operators.topk.top_k_per_group — per-(lang, input-partition) local
+    top-25 then a ≤25·n_partitions candidate merge, no single-reducer
+    strata; see that module for why rank values are identical to the
+    one-window form."""
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample")))
-    t = d.select(
-        "doc_id", "lang", key.alias("__hk"), F.spark_partition_id().alias("__pid")
+    t = d.select("doc_id", "lang", key.alias("__hk"))
+    return top_k_per_group(
+        t, ["lang"], [F.col("__hk"), F.col("doc_id")], 25, rank_col="sample_rank"
+    ).select(
+        "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
     )
-    w_local = Window.partitionBy("lang", "__pid").orderBy("__hk", "doc_id")
-    cand = t.withColumn("__lr", F.row_number().over(w_local)).filter(F.col("__lr") <= 25)
-    w_merge = Window.partitionBy("lang").orderBy("__hk", "doc_id")
+
+
+@query(
+    "q85_topk_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+                        l_partkey, l_quantity
+             ) AS price_rank
+      FROM lineitem
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(price_rank AS BIGINT) AS price_rank
+    FROM r WHERE price_rank <= 3
+    """,
+)
+def q85_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic top-k per group (the reference's per-game best-line picks,
+    gold/market_lines_analysis.py:96-170) through the associative
+    two-phase operator — top-3 priciest lineitems per supplier under a
+    total-order tiebreak. Same result as one row_number window, but no
+    supplier ever owns a whole reducer; see operators/topk.py."""
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+                  "l_quantity", "l_extendedprice")
+    out = top_k_per_group(
+        t,
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"),
+         F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity")],
+        3,
+        rank_col="price_rank",
+    )
+    return out.select(
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("price_rank").cast("bigint").alias("price_rank"),
+    )
+
+
+HLL_B = 9            # 2^9 = 512 registers
+HLL_M = 1 << HLL_B
+_HLL_WBITS = 60 - HLL_B  # hash width below the bucket bits (md5 15-hex = 60 bits)
+
+_H60_HLL = "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q79_hll_distinct",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             {_H60_HLL} // {1 << _HLL_WBITS} AS bucket,
+             {_H60_HLL} % {1 << _HLL_WBITS} AS w
+      FROM d
+    ),
+    reg AS (
+      SELECT event_type, bucket,
+             MAX(CASE WHEN w = 0 THEN {_HLL_WBITS} + 1
+                      ELSE {_HLL_WBITS} - length(bin(w)) + 1 END) AS rho
+      FROM h GROUP BY event_type, bucket
+    ),
+    sk AS (
+      SELECT event_type,
+             COUNT(*) AS n_filled,
+             SUM(CAST(2 AS HUGEINT) ** ({_HLL_WBITS + 1} - rho)) AS s_int
+      FROM reg GROUP BY event_type
+    ),
+    ex AS (SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type)
+    SELECT ex.event_type,
+           CAST(ex.n_exact AS BIGINT) AS n_exact,
+           CAST(sk.n_filled AS BIGINT) AS n_filled,
+           (0.7213 / (1.0 + 1.079 / {HLL_M})) * {HLL_M} * {HLL_M}
+             / (({HLL_M} - sk.n_filled)
+                + CAST(CAST(sk.s_int AS VARCHAR) AS DOUBLE) / {1 << (_HLL_WBITS + 1)})
+             AS hll_raw_estimate
+    FROM ex JOIN sk USING (event_type)
+    """,
+)
+def q79_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register sketch per event_type, deterministic and
+    cross-engine exact (VERDICT r2 optional item 8): bucket = top {b}
+    bits of a 60-bit md5 hash, register = max "leading-zeros + 1" of the
+    remaining {w} bits (computed as a BINARY-STRING LENGTH — bin(w) —
+    because log2() is not exactly floored at powers of two in either
+    engine). The harmonic sum Σ2^-rho is kept EXACT by scaling to the
+    integer Σ2^(wbits+1-rho) (≤ 512·2^51 « 2^63 per group, mergeable by
+    plain SUM — the distributed merge is the shuffle), with empty
+    registers' 2^-0 terms added as (m − n_filled) at the edge; only the
+    final alpha·m²/S division is float, and it is a single IEEE op chain
+    on identical doubles in both engines. State per group = 512 bytes at
+    any scale — the count_distinct shuffle replacement. KMV (q72) keeps
+    k order statistics instead; HLL's registers win when groups are many
+    and memory per group must be flat."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    h60 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # integer bucket split: h60 is 60 bits — double division would lose
+    # bits past 2^53, so shift/mask, never `/`
+    h = d.select(
+        "event_type",
+        F.shiftright(h60, _HLL_WBITS).alias("bucket"),
+        (h60 % (1 << _HLL_WBITS)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS) - F.length(F.bin(F.col("w"))) + 1
+    )
+    reg = h.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
+    sk = reg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_WBITS + 1} - rho AS INT))")
+        ).alias("s_int"),
+    )
+    ex = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    alpha = 0.7213 / (1.0 + 1.079 / HLL_M)
+    est = (
+        F.lit(alpha * HLL_M * HLL_M)
+        / (
+            (F.lit(HLL_M) - F.col("n_filled"))
+            + F.col("s_int").cast("string").cast("double") / F.lit(float(1 << (_HLL_WBITS + 1)))
+        )
+    )
+    return ex.join(sk, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("n_filled").cast("bigint").alias("n_filled"),
+        est.alias("hll_raw_estimate"),
+    )
+
+
+Q80_BIN = 500.0  # totalprice histogram bin width
+
+
+@query(
+    "q80_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / {Q80_BIN}) AS BIGINT) AS bin FROM orders
+    ),
+    h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+    c AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    qs AS (
+      SELECT CAST(q AS DOUBLE) AS quantile
+      FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS v(q)
+    ),
+    k AS (
+      SELECT quantile, CAST(ceil(quantile * CAST(n AS DOUBLE)) AS BIGINT) AS kk, n
+      FROM qs CROSS JOIN t
+    )
+    SELECT k.quantile,
+           CAST(k.n AS BIGINT) AS n,
+           CAST(c.bin AS DOUBLE) * {Q80_BIN}
+             + {Q80_BIN} * (CAST(k.kk - (c.cum - c.cnt) AS DOUBLE)
+                            / CAST(c.cnt AS DOUBLE)) AS est
+    FROM k JOIN c ON c.cum >= k.kk AND (c.cum - c.cnt) < k.kk
+    """,
+)
+def q80_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation over o_totalprice: fixed
+    {Q80_BIN}-wide bins, per-bin counts (one map-side-combining shuffle —
+    the whole sketch), then the q-th value is located by cumulative count
+    and linearly interpolated within its bin. Deterministic — no
+    RNG, no data-dependent bin edges — so DuckDB reproduces it exactly;
+    estimate error is bounded by the bin width. The state is one count
+    per OCCUPIED bin (bounded by value-range/width, independent of row
+    count), which is why t-digest/GK exist only when the value range is
+    unbounded. The cumulative window runs over that bounded histogram,
+    never over rows."""
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") / Q80_BIN).cast("long").alias("bin")
+    )
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = h.withColumn("cum", F.sum("cnt").over(w))
+    t = b.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "quantile double"
+    )
+    k = qs.crossJoin(F.broadcast(t)).withColumn(
+        "kk", F.ceil(F.col("quantile") * F.col("n").cast("double")).cast("long")
+    )
+    est = (
+        F.col("bin").cast("double") * Q80_BIN
+        + Q80_BIN
+        * ((F.col("kk") - (F.col("cum") - F.col("cnt"))).cast("double")
+           / F.col("cnt").cast("double"))
+    )
     return (
-        cand.withColumn("sample_rank", F.row_number().over(w_merge))
-        .filter(F.col("sample_rank") <= 25)
-        .select("doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+        k.join(
+            F.broadcast(c),
+            (F.col("cum") >= F.col("kk")) & ((F.col("cum") - F.col("cnt")) < F.col("kk")),
+        )
+        .select("quantile", "n", est.alias("est"))
     )

@@ -155,3 +155,24 @@ _sql_query(
     "Correlated EXISTS / NOT EXISTS (decorrelated by both planners into "
     "semi/anti joins — the SQL surface of q14/q15).",
 )
+
+
+_sql_query(
+    "q83_sql_grouping_sets",
+    """
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS status,
+      COALESCE(o_orderpriority, 'ALL') AS priority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR(64)) AS DOUBLE)
+        AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    ORDER BY status, priority
+    """,
+    "Explicit GROUPING SETS (beyond q26 ROLLUP / q77 CUBE): the three "
+    "named aggregation levels in one pass — Catalyst's Expand, one "
+    "shuffle. COALESCE labels the grand-total slots identically in both "
+    "engines; decimal totals bridge to double via string (q23 rule).",
+)

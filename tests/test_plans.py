@@ -193,4 +193,4 @@ def test_stratified_sample_no_single_reducer_strata(spark):
     may key on lang alone."""
     plan = _executed(_qs()["q73_stratified_sample"](spark, SF_DIR))
     assert "SinglePartition" not in plan
-    assert "hashpartitioning(lang" in plan and "__pid" in plan
+    assert "hashpartitioning(lang" in plan and "__tk_pid" in plan

@@ -59,3 +59,41 @@ def test_stratified_sample_is_repartition_proof(spark):
         .collect()
     }
     assert re == base
+
+
+def test_top_k_per_group_matches_window(spark):
+    """Two-phase top-k equals the single-window form on a multi-partition
+    input, including rank values."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    df = spark.range(0, 1000, 1, 8).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 37 % 101).alias("v"), "id"
+    )
+    got = {
+        (r["g"], r["id"], r["rank"])
+        for r in top_k_per_group(df, ["g"], [F.col("v"), F.col("id")], 5).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["g"], r["id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want
+
+
+def test_top_k_per_group_rejects_bad_input(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    df = spark.range(5).select(F.col("id").alias("g"), F.col("id").alias("rank"))
+    with pytest.raises(ValueError, match="clash"):
+        top_k_per_group(df, ["g"], [F.col("g")], 2)
+    with pytest.raises(ValueError, match="k must be"):
+        top_k_per_group(df.withColumnRenamed("rank", "v"), ["g"], [F.col("v")], 0)
