@@ -60,6 +60,10 @@ _DRIVER_PRIORITY = [
     "q84_boilerplate_ngrams",
     "q85_topk_per_group",
     "q86_rating_spine",
+    "q89_funnel",
+    "q90_cohort_retention",
+    "q91_gapfill_interpolate",
+    "q92_keyword_extraction",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",
@@ -105,6 +109,7 @@ def _load_modules() -> None:
         solver,
         sketches,
         streamq,
+        events_analytics,
     )
 
     _LOADED = True

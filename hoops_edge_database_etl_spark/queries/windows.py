@@ -441,3 +441,108 @@ def q40_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+@query(
+    "q91_gapfill_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ), spine0 AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), pr AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+    spine AS (SELECT prio, day FROM pr CROSS JOIN spine0),
+    daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR(64))
+                  AS DOUBLE) AS val
+      FROM orders GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT s.prio, s.day, d.val,
+        last_value(d.val IGNORE NULLS) OVER (
+          PARTITION BY s.prio ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN d.val IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+          PARTITION BY s.prio ORDER BY s.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(d.val IGNORE NULLS) OVER (
+          PARTITION BY s.prio ORDER BY s.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN d.val IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+          PARTITION BY s.prio ORDER BY s.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM spine s LEFT JOIN daily d ON d.prio = s.prio AND d.day = s.day
+    )
+    SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN val IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS is_interpolated,
+           CASE WHEN val IS NOT NULL THEN val
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv)
+                     * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+           END AS filled
+    FROM g
+    """,
+)
+def q91_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair with LINEAR INTERPOLATION: daily revenue per
+    order priority on a dense calendar spine; days with no orders get the
+    straight-line value between their nearest present neighbors (edges
+    before the first / after the last observation stay NULL, flagged by
+    is_interpolated). The forward/backward scans are last/first with
+    ignorenulls over per-priority windows — each stratum is bounded by
+    the DATE RANGE, not the row count, so the windows stay driver-tiny
+    at any data scale; the only full-data pass is the map-side-combining
+    daily aggregate. Present-day values bridge decimal→string→double
+    (q23 rule); the interpolation itself is a fixed IEEE op chain both
+    engines execute identically."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+    spine0 = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    ).select(F.col("day").cast("date").alias("day"))
+    pr = o.select(F.col("o_orderpriority").alias("prio")).distinct()
+    spine = pr.crossJoin(F.broadcast(spine0))
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("string").cast("double").alias("val")
+    )
+    g = spine.join(daily, ["prio", "day"], "left")
+    wb = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_val = F.when(F.col("val").isNotNull(), F.col("day"))
+    g = (
+        g.withColumn("pv", F.last("val", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(day_if_val, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("val", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(day_if_val, ignorenulls=True).over(wf))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("day"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    filled = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None).cast("double"))
+        .otherwise(interp)
+    )
+    return g.select(
+        "prio",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("val").isNotNull(), 0).otherwise(1).cast("bigint")
+          .alias("is_interpolated"),
+        filled.alias("filled"),
+    )
