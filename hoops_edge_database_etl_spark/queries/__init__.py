@@ -64,6 +64,8 @@ _DRIVER_PRIORITY = [
     "q90_cohort_retention",
     "q91_gapfill_interpolate",
     "q92_keyword_extraction",
+    "q93_exact_quantile_select",
+    "q94_pagerank_exact",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

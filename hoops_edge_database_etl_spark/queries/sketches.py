@@ -330,3 +330,63 @@ def q80_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("quantile", "n", est.alias("est"))
     )
+
+
+@query(
+    "q93_exact_quantile_select",
+    oracle=f"""
+    WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    qs AS (
+      SELECT CAST(q AS DOUBLE) AS quantile
+      FROM (VALUES (0.5), (0.9), (0.99)) AS x(q)
+    ),
+    k AS (
+      SELECT quantile, n, CAST(ceil(quantile * CAST(n AS DOUBLE)) AS BIGINT) AS kk
+      FROM qs CROSS JOIN t
+    ),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s)
+    SELECT k.quantile, k.n, r.v AS kth_value
+    FROM k JOIN r ON r.rn = k.kk
+    """,
+)
+def q93_exact_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics without a global sort — the scale answer to
+    "median of 100 TB": the oracle sorts all rows (fine for DuckDB at
+    sf0.01); the Spark plan never does. Histogram selection instead:
+      1. one map-side-combining pass bins values ({Q80_BIN}-wide) —
+         the only full-data shuffle, carrying one count per occupied bin;
+      2. the bin holding the k-th row is located by cumulative count over
+         the BOUNDED histogram (range/width rows, data-size independent);
+      3. only that bin's rows (≈ n·binwidth/range of the data) are
+         ranked, partitioned per quantile — with a tighter bin width or
+         one more refinement round the final partition is arbitrarily
+         small.
+    Same exact value as the sort, selection-not-sort complexity. Ties
+    are safe: row_number order within equal values is arbitrary but the
+    value AT rank k is unique."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(F.col("o_totalprice").cast("double").alias("v"))
+    b = s.select("v", F.floor(F.col("v") / Q80_BIN).cast("long").alias("bin"))
+    hist = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist_cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    t = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    k = (
+        spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "quantile double")
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "kk", F.ceil(F.col("quantile") * F.col("n").cast("double")).cast("long")
+        )
+    )
+    located = k.join(
+        F.broadcast(hist_cum),
+        (F.col("cum") >= F.col("kk")) & ((F.col("cum") - F.col("cnt")) < F.col("kk")),
+    ).select("quantile", "n", "kk", "bin", (F.col("cum") - F.col("cnt")).alias("cb"))
+    cand = b.join(F.broadcast(located), "bin")
+    wq = Window.partitionBy("quantile").orderBy("v")
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("kk") - F.col("cb"))
+        .select("quantile", "n", F.col("v").alias("kth_value"))
+    )

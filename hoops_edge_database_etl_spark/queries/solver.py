@@ -365,3 +365,77 @@ def q54_normalize_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return normalize_records(messy, spec, order_col="arrival")
+
+
+_PR_SCALE = 1 << 20
+_PR_ITERS = 10
+
+
+@query(
+    "q94_pagerank_exact",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT CAST(o_custkey % 20 AS BIGINT) AS src,
+             CAST(o_orderkey % 20 AS BIGINT) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders
+      WHERE o_custkey % 20 <> o_orderkey % 20
+      GROUP BY 1, 2
+    ),
+    od AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+    pr(k, node, pr) AS (
+      SELECT 0, src, CAST({_PR_SCALE} AS BIGINT) FROM od
+      UNION ALL
+      SELECT p.k + 1, e.dst,
+             CAST({(15 * _PR_SCALE) // 100} + (85 * SUM(p.pr * e.w // od.outw)) // 100
+                  AS BIGINT)
+      FROM pr p
+      JOIN e ON e.src = p.node
+      JOIN od ON od.src = e.src
+      WHERE p.k < {_PR_ITERS}
+      GROUP BY p.k, e.dst
+    )
+    SELECT node AS team_id,
+           CAST(pr AS DOUBLE) / {_PR_SCALE} AS pagerank
+    FROM pr WHERE k = {_PR_ITERS}
+    """,
+)
+def q94_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the team matchup graph (damping 0.85, {_PR_ITERS}
+    fixed iterations), HASH-CHECKABLE like q61: all iteration arithmetic
+    is int64 fixed-point ({_PR_SCALE} units) with floor division at the
+    per-edge contribution — order-independent integer sums, so a DuckDB
+    recursive CTE reproduces every sweep bit-for-bit. Dangling mass is
+    dropped (every node here has out-edges by construction; the variant
+    is documented, not hidden).
+
+    Placement mirrors q61: Spark runs the distributed part — ONE pass
+    over raw data aggregating the weighted edge matrix (src, dst, w,
+    outw) — then the K sweeps run on the collected matrix, O(teams²)
+    bounded by league size at any SF. For web-scale graphs use q62's
+    distributed-iteration shape (active-subgraph joins +
+    localCheckpoint) with the same integer arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 20).cast("long").alias("src"),
+            (F.col("o_orderkey") % 20).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rows = e.collect()  # ≤ teams² rows at any SF
+    outw: dict[int, int] = {}
+    for r in rows:
+        outw[r["src"]] = outw.get(r["src"], 0) + r["w"]
+    base = (15 * _PR_SCALE) // 100
+    pr = {n: _PR_SCALE for n in outw}
+    for _ in range(_PR_ITERS):
+        contrib: dict[int, int] = {}
+        for r in rows:
+            c = pr[r["src"]] * r["w"] // outw[r["src"]]
+            contrib[r["dst"]] = contrib.get(r["dst"], 0) + c
+        pr = {n: base + (85 * c) // 100 for n, c in contrib.items()}
+    out = sorted((n, v / _PR_SCALE) for n, v in pr.items())
+    return spark.createDataFrame(out, "team_id long, pagerank double")
