@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q92_keyword_extraction",
     "q93_exact_quantile_select",
     "q94_pagerank_exact",
+    "q95_streaming_dedup",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

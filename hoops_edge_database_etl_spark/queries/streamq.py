@@ -81,3 +81,48 @@ def q71_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q95_streaming_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL STREAMING DEDUP parity gate: the stream drops duplicate
+    (user_id, event_type) pairs as they arrive — the exactly-once
+    first-occurrence state store, a different stateful operator class
+    than q71's windowed aggregation — then counts survivors per type in
+    complete mode; the final state must hash-match batch COUNT(DISTINCT).
+    Which physical row survives dedup is racy under parallel replay, but
+    the SET of surviving keys is deterministic, so only key-derived
+    aggregates are emitted — the invariant that makes streaming dedup
+    checkable at all. Production shape: ``dropDuplicatesWithinWatermark``
+    bounds the state by event-time (streaming/pipeline.py); the unbounded
+    form here is safe because the source is bounded (availableNow)."""
+    src = load_stream(spark, sf_dir, "events")
+    deduped = src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    sink = "q95_streaming_dedup_sink"
+    ck = tempfile.mkdtemp(prefix="q95_ck_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(sink).select("event_type", "n_users")
