@@ -194,3 +194,20 @@ def test_stratified_sample_no_single_reducer_strata(spark):
     plan = _executed(_qs()["q73_stratified_sample"](spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan and "__tk_pid" in plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Global antipattern ban: no query may plan a CartesianProduct — a
+    non-broadcast cross join is never intentional here (1-row scalar
+    broadcasts plan as BroadcastNestedLoopJoin, which is allowed).
+    Streaming queries are skipped: their returned frame is a memory-sink
+    scan, not the streaming plan (covered in test_streaming)."""
+    qs = _qs()
+    offenders = []
+    for name, fn in qs.items():
+        if "streaming" in name:
+            continue
+        plan = _executed(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct planned in: {offenders}"
