@@ -219,7 +219,11 @@ def q79_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identical doubles in both engines. State per group = 512 bytes at
     any scale — the count_distinct shuffle replacement. KMV (q72) keeps
     k order statistics instead; HLL's registers win when groups are many
-    and memory per group must be flat."""
+    and memory per group must be flat. The RAW estimator is emitted
+    deliberately: the small-range linear-counting correction (m·ln(m/V))
+    needs libm log, which is not bit-stable across engines — consumers
+    apply it from the same state (n_filled), as
+    test_hll_register_state_supports_accurate_estimation does."""
     ev = load(spark, sf_dir, "events")
     d = ev.select("event_type", "user_id").distinct()
     h60 = F.conv(

@@ -252,3 +252,102 @@ def test_stable_split_matches_md5_reference_and_ratios(spark):
     assert abs(counts["train"] / n - 0.80) < 0.03
     assert abs(counts["val"] / n - 0.10) < 0.02
     assert abs(counts["test"] / n - 0.10) < 0.02
+
+
+# --- top-k per group ------------------------------------------------------
+
+rows_tk_st = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-100, 100)), min_size=1, max_size=60
+)
+
+
+@given(rows=rows_tk_st, k=st.integers(1, 6), nparts=st.integers(1, 6))
+@settings(**SPARK_SETTINGS)
+def test_top_k_per_group_matches_sorted_python(spark, rows, k, nparts):
+    """Two-phase top-k equals pure-Python per-group sort for any k and any
+    input partitioning (the associativity claim under test)."""
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g long, v long, rid long"
+    ).repartition(nparts)
+    got = {
+        (r["g"], r["rid"], r["rank"])
+        for r in top_k_per_group(df, ["g"], [F.col("v"), F.col("rid")], k).collect()
+    }
+    want = set()
+    by_g: dict[int, list] = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((v, i))
+    for g, vs in by_g.items():
+        for rank, (v, i) in enumerate(sorted(vs)[:k], start=1):
+            want.add((g, i, rank))
+    assert got == want
+
+
+# --- exact k-th selection (the q93 plan shape, checked as pure logic) ----
+
+vals_st = st.lists(
+    st.floats(0, 1e6, allow_nan=False, allow_infinity=False, width=32),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(vals=vals_st, q=st.sampled_from([0.25, 0.5, 0.9, 0.99]))
+@settings(**SPARK_SETTINGS)
+def test_histogram_select_matches_sorted(spark, vals, q):
+    """Histogram-locate + within-bin rank (q93's algorithm, rebuilt over a
+    generated frame) returns exactly sorted(vals)[ceil(q*n)-1]."""
+    import math
+
+    from pyspark.sql import Window
+
+    W = 500.0
+    s = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    b = s.select("v", F.floor(F.col("v") / W).cast("long").alias("bin"))
+    hist = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist_cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    n = len(vals)
+    kk = math.ceil(q * n)
+    located = hist_cum.filter(
+        (F.col("cum") >= kk) & ((F.col("cum") - F.col("cnt")) < kk)
+    ).select("bin", (F.col("cum") - F.col("cnt")).alias("cb"))
+    wq = Window.orderBy("v")
+    got = (
+        b.join(F.broadcast(located), "bin")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == kk - F.col("cb"))
+        .collect()
+    )
+    assert len(got) == 1
+    assert got[0]["v"] == sorted(vals)[kk - 1]
+
+
+# --- HLL sanity -----------------------------------------------------------
+
+def test_hll_register_state_supports_accurate_estimation(spark):
+    """Accuracy contract of q79's register state: at the test cardinality
+    (n ≈ 150 « 2.5m) the standard estimator is LINEAR COUNTING from the
+    zero-register count — m·ln(m/V) must land within ~10% of exact for
+    every group. The ln stays Python-side: the oracle emits the raw
+    harmonic estimate precisely because libm log is not cross-engine
+    bit-stable (see q79 docstring); this test proves the state those
+    corrections read (n_filled) is right."""
+    import math
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.sketches import HLL_M
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q79_hll_distinct"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        v = HLL_M - r["n_filled"]
+        assert v > 0  # small-range regime at sf0.01
+        lc = HLL_M * math.log(HLL_M / v)
+        rel = abs(lc - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.1, (r["event_type"], lc, r["n_exact"], rel)
+        # the raw harmonic estimate must still be finite and positive
+        assert r["hll_raw_estimate"] > 0
