@@ -67,6 +67,8 @@ _DRIVER_PRIORITY = [
     "q93_exact_quantile_select",
     "q94_pagerank_exact",
     "q95_streaming_dedup",
+    "q96_sql_rank_suite",
+    "q97_sql_set_ops",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

@@ -176,3 +176,49 @@ _sql_query(
     "shuffle. COALESCE labels the grand-total slots identically in both "
     "engines; decimal totals bridge to double via string (q23 rule).",
 )
+
+
+_sql_query(
+    "q96_sql_rank_suite",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderpriority,
+           CAST(RANK() OVER w AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS price_pct_rank
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (
+      PARTITION BY o_orderpriority
+      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+    )
+    """,
+    "Shared-text ranking suite: RANK / DENSE_RANK / NTILE / PERCENT_RANK "
+    "under a total-order tiebreak (price in DECIMAL so the sort key is "
+    "cross-engine exact; PERCENT_RANK's (rank-1)/(n-1) is one identical "
+    "IEEE division in both engines). Completes the window-function "
+    "surface beyond q67's ROW_NUMBER/LAG/SUM/FIRST_VALUE.",
+)
+
+_sql_query(
+    "q97_sql_set_ops",
+    """
+    SELECT 'intersect' AS op, CAST(k AS BIGINT) AS custkey
+    FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders
+    ) a
+    UNION ALL
+    SELECT 'except', CAST(k AS BIGINT)
+    FROM (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders
+    ) b
+    """,
+    "Shared-text INTERSECT / EXCEPT (distinct set semantics in both "
+    "engines — Spark plans left-semi/anti over distinct, the declarative "
+    "form of the reference's Python set differences, gap_fill.py:79-171).",
+)
