@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = [
     "q95_streaming_dedup",
     "q96_sql_rank_suite",
     "q97_sql_set_ops",
+    "q98_pii_scrub",
+    "q99_repetition_filter",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

@@ -436,3 +436,108 @@ def q74_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (F.col("cum") - F.col("n_tok") - pack * 2048).cast("bigint").alias("pack_offset"),
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@query(
+    "q98_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or admin' || CAST(doc_id AS VARCHAR)
+                       || '@test.org now'
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q98_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every pretraining pipeline runs
+    before tokenization: email addresses are counted and replaced with a
+    placeholder, entirely in JVM regex expressions (no UDF). The corpus
+    is deterministically salted with synthetic addresses (doc_id % 7) so
+    the scrubber provably fires; output carries the md5 of the scrubbed
+    text, so the oracle hash-checks the exact redacted BYTES, not just
+    counts. The regex stays in the POSIX-ish common subset that Java
+    util.regex and RE2 interpret identically; DuckDB needs the 'g' flag
+    where Spark's regexp_replace is global by default — dialect
+    difference absorbed here, not in the pattern."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin"), F.col("doc_id").cast("string"),
+            F.lit("@test.org now"),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.md5(F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "q99_repetition_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS t(i)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT s) AS uniq
+      FROM sh GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(total AS BIGINT) AS n_shingles,
+           CAST(uniq AS BIGINT) AS n_unique,
+           1.0 - CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE) AS repetition_ratio,
+           CAST(CASE WHEN 1.0 - CAST(uniq AS DOUBLE) / CAST(total AS DOUBLE) >= 0.2
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM agg
+    """,
+)
+def q99_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition quality signal (the Gopher/C4 rule that
+    kills boilerplate-looped documents): fraction of NON-unique 3-gram
+    occurrences per doc; docs ≥ 20% repeated shingles are flagged.
+    Complementary to q84 (cross-doc boilerplate) and q50 (surface
+    quality): this one catches a document repeating ITSELF. One
+    map-side-combining count-distinct aggregate per doc — the shingle
+    explode is the only fan-out and it never leaves the partition until
+    the per-doc reduce."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    # NON-distinct shingles (repetition is the signal — array_distinct
+    # would erase it); sequence(1,0) would step backwards, hence the guard
+    starts = F.sequence(F.lit(1), F.size("w") - 2)
+    shingles = F.when(
+        F.size("w") >= 3,
+        F.transform(starts, lambda i: F.array_join(F.slice(F.col("w"), i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("s"))
+    agg = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("s").alias("uniq"),
+    )
+    ratio = F.lit(1.0) - F.col("uniq").cast("double") / F.col("total").cast("double")
+    return agg.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("total").cast("bigint").alias("n_shingles"),
+        F.col("uniq").cast("bigint").alias("n_unique"),
+        ratio.alias("repetition_ratio"),
+        F.when(ratio >= 0.2, 1).otherwise(0).cast("bigint").alias("flagged"),
+    )
