@@ -1,0 +1,59 @@
+"""Stable contiguous row ids — RDD ``zipWithIndex`` re-expressed as a
+shuffle-safe DataFrame plan (the "assign training-example ids" step of a
+corpus build, and the id-compaction the reference did with a driver-side
+enumerate, orchestrate.py:645-649).
+
+``monotonically_increasing_id`` is gap-ridden and layout-dependent; a
+global ``row_number`` window is a single reducer. This is the two-pass
+shape instead (same machinery as q74's distributed cumsum):
+  1. ``repartitionByRange(order)`` — ascending ranges on ascending
+     partition ids;
+  2. per-range ``row_number`` — every reducer numbers one range;
+  3. per-range counts (≤ shuffle-partition rows) get prefix offsets via
+     a triangular self-join on the tiny aggregate, broadcast back.
+id = base(range) + local_rank − 1: contiguous 0..n−1 in global order, no
+SinglePartition exchange anywhere, deterministic for a total order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def stable_row_ids(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    id_col: str = "row_id",
+    start: int = 0,
+) -> DataFrame:
+    """Append ``id_col`` numbering rows ``start..start+n-1`` in
+    ``order_cols`` order (must be a total order for a deterministic
+    assignment)."""
+    reserved = {"__ri_pid", "__ri_rn", "__ri_base", id_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"input columns clash with reserved names: {sorted(clash)}")
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        "__ri_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__ri_pid").orderBy(*order_cols)
+    local = ranged.withColumn("__ri_rn", F.row_number().over(w))
+    counts = local.groupBy("__ri_pid").agg(F.max("__ri_rn").alias("__ri_cnt"))
+    earlier = counts.select(
+        F.col("__ri_pid").alias("__b_pid"), F.col("__ri_cnt").alias("__b_cnt")
+    )
+    offsets = (
+        counts.join(F.broadcast(earlier), F.col("__b_pid") < F.col("__ri_pid"), "left")
+        .groupBy("__ri_pid")
+        .agg(F.coalesce(F.sum("__b_cnt"), F.lit(0)).cast("long").alias("__ri_base"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__ri_pid")
+        .withColumn(
+            id_col, F.col("__ri_base") + F.col("__ri_rn") - 1 + F.lit(start)
+        )
+        .drop("__ri_pid", "__ri_rn", "__ri_base")
+    )

@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q97_sql_set_ops",
     "q98_pii_scrub",
     "q99_repetition_filter",
+    "q100_row_ids",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

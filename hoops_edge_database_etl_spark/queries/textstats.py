@@ -541,3 +541,26 @@ def q99_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("repetition_ratio"),
         F.when(ratio >= 0.2, 1).otherwise(0).cast("bigint").alias("flagged"),
     )
+
+
+@query(
+    "q100_row_ids",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+)
+def q100_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global example ids in doc_id order via
+    operators.rowids.stable_row_ids — the zipWithIndex replacement whose
+    plan has NO single-reducer stage (the oracle's global window is the
+    thing the operator exists to avoid; see the module docstring for the
+    two-pass range shape). Asserted shuffle shape in test_plans."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return stable_row_ids(d, ["doc_id"], id_col="row_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("row_id").cast("bigint").alias("row_id"),
+    )

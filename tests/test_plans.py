@@ -211,3 +211,11 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct planned in: {offenders}"
+
+
+def test_row_ids_no_global_window(spark):
+    """q100's id assignment must be the two-pass range plan — no
+    SinglePartition exchange, per-range numbering keyed by partition id."""
+    plan = _executed(_qs()["q100_row_ids"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "__ri_pid" in plan
