@@ -72,6 +72,8 @@ _DRIVER_PRIORITY = [
     "q98_pii_scrub",
     "q99_repetition_filter",
     "q100_row_ids",
+    "q101_scd2_merge",
+    "q102_snapshot_diff",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",
@@ -118,6 +120,7 @@ def _load_modules() -> None:
         sketches,
         streamq,
         events_analytics,
+        cdc,
     )
 
     _LOADED = True

@@ -1,0 +1,173 @@
+"""Change-data-capture / dimension-maintenance operators: SCD type-2
+merge and snapshot diff — the incremental-warehouse half of the
+reference's silver repair loop (gap_fill.py:79-171 finds what changed;
+these apply it). Both derive their "before/after" inputs
+deterministically from the star schema so the DuckDB oracle replays the
+identical merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+DEC = "decimal(18,2)"
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    pk: Sequence[str],
+    version_col: str = "version",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: rows of ``updates`` supersede the
+    matching ``current`` rows — the old row survives closed
+    (is_current=false), the new row opens at version+1. Keys absent from
+    ``updates`` pass through untouched; brand-new keys insert at version 1.
+
+    Plan shape: ONE left join of current onto updates (hash on pk) plus a
+    union with the update rows — no windows, no per-key sort; at 100 TB
+    both sides shuffle once on the pk and AQE handles the (usually tiny)
+    update side by broadcasting it.
+    """
+    pk = list(pk)
+    # a literal hit marker, not a value column: an update whose payload is
+    # legitimately NULL must still close the current row
+    u = updates.select(*pk, F.lit(True).alias("__u_hit"))
+    joined = current.join(u, pk, "left")
+    changed = F.col("__u_hit").isNotNull()
+    kept = joined.select(
+        *current.columns,
+        F.when(changed, F.lit(False)).otherwise(F.col(current_col)).alias("__nc"),
+    ).drop(current_col).withColumnRenamed("__nc", current_col)
+    cur_versions = current.groupBy(*pk).agg(F.max(version_col).alias("__maxv"))
+    opened = (
+        updates.join(cur_versions, pk, "left")
+        .withColumn(version_col, F.coalesce(F.col("__maxv"), F.lit(0)) + 1)
+        .withColumn(current_col, F.lit(True))
+        .drop("__maxv")
+    )
+    return kept.unionByName(opened.select(*kept.columns))
+
+
+@query(
+    "q101_scd2_merge",
+    oracle="""
+    WITH current AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+             CAST(1 AS BIGINT) AS version,
+             TRUE AS is_current
+      FROM customer
+    ),
+    updates AS (
+      SELECT c_custkey,
+             c_mktsegment,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment, acctbal,
+           version,
+           CASE WHEN c_custkey % 3 = 0 THEN FALSE ELSE is_current END AS is_current
+    FROM current
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT), c_mktsegment, acctbal,
+           CAST(2 AS BIGINT), TRUE
+    FROM updates
+    """,
+)
+def q101_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge through :func:`scd2_apply`: a batch of
+    changed customer balances (custkey % 3, +100) closes the matching
+    version-1 rows and opens version-2 rows; untouched keys pass through.
+    The oracle replays the same merge declaratively — row-identical
+    history table including versions and current flags."""
+    c = load(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast(DEC).cast("double").alias("acctbal"),
+        F.lit(1).cast("bigint").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast(DEC) + 100).cast("double").alias("acctbal"),
+    )
+    out = scd2_apply(current, updates, ["c_custkey"])
+    return out.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_mktsegment",
+        "acctbal",
+        F.col("version").cast("bigint").alias("version"),
+        "is_current",
+    )
+
+
+@query(
+    "q102_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+      FROM orders WHERE o_orderkey % 1000 <> 1
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  + CASE WHEN o_orderkey % 500 = 0 THEN 10 ELSE 0 END AS DOUBLE) AS v
+      FROM orders WHERE o_orderkey % 1000 <> 2
+    )
+    SELECT CAST(COALESCE(a.k, b.k) AS BIGINT) AS o_orderkey,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.v <> b.v THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           a.v AS old_value, b.v AS new_value
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    WHERE NOT (a.k IS NOT NULL AND b.k IS NOT NULL AND a.v = b.v)
+    """,
+)
+def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC extraction between two table versions): full
+    outer join on the PK classifying every key as added / removed /
+    changed, unchanged rows dropped — the audit the reference ran as
+    Athena row-count SQL plus Python set math, as ONE distributed join.
+    Synthetic before/after snapshots are carved from orders (one key
+    dropped each way, prices bumped on %500) so both engines diff the
+    same pair."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 1000 != 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast(DEC).cast("double").alias("va"),
+    )
+    b = o.filter(F.col("o_orderkey") % 1000 != 2).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            F.col("o_totalprice").cast(DEC)
+            + F.when(F.col("o_orderkey") % 500 == 0, 10).otherwise(0)
+        ).cast("double").alias("vb"),
+    )
+    j = a.join(b, "k", "full_outer")
+    change = (
+        F.when(F.col("va").isNull(), "added")
+        .when(F.col("vb").isNull(), "removed")
+        .when(F.col("va") != F.col("vb"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.col("k").cast("bigint").alias("o_orderkey"),
+            change.alias("change"),
+            F.col("va").alias("old_value"),
+            F.col("vb").alias("new_value"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
