@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "q100_row_ids",
     "q101_scd2_merge",
     "q102_snapshot_diff",
+    "q103_label_centroids",
+    "q104_skew_profile",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

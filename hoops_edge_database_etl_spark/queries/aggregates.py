@@ -421,3 +421,56 @@ def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("max_price").cast("double").alias("max_price"),
     )
+
+
+@query(
+    "q104_skew_profile",
+    oracle="""
+    WITH u AS (
+      SELECT 'o_orderpriority' AS col, CAST(o_orderpriority AS VARCHAR) AS key,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR), COUNT(*)
+      FROM orders GROUP BY 2
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    r AS (
+      SELECT col, key, cnt,
+             ROW_NUMBER() OVER (PARTITION BY col ORDER BY cnt DESC, key) AS hot_rank
+      FROM u
+    )
+    SELECT col, key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS frac,
+           CAST(hot_rank AS BIGINT) AS hot_rank
+    FROM r CROSS JOIN t WHERE hot_rank <= 5
+    """,
+)
+def q104_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew profiler — the sizing input for operators/skew.py
+    (n_salts ≈ hot-key rows ÷ per-task budget, README): per candidate
+    shuffle-key column, the 5 hottest values with their corpus fraction.
+    One map-side-combining count per column (the per-key state is one
+    int — skew in the DATA never concentrates in the PROFILER), ranked
+    through the associative two-phase top-k."""
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    o = load(spark, sf_dir, "orders")
+    parts = [
+        o.groupBy(F.col(c).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit(c).alias("col"), "key", "cnt")
+        for c in ("o_orderpriority", "o_orderstatus")
+    ]
+    u = parts[0].unionByName(parts[1])
+    t = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = top_k_per_group(
+        u, ["col"], [F.col("cnt").desc(), F.col("key")], 5, rank_col="hot_rank"
+    )
+    return ranked.crossJoin(F.broadcast(t)).select(
+        "col",
+        "key",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("frac"),
+        F.col("hot_rank").cast("bigint").alias("hot_rank"),
+    )

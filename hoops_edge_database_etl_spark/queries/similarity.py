@@ -715,3 +715,53 @@ def q48_knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@query(
+    "q103_label_centroids",
+    oracle=f"""
+    WITH x AS (
+      SELECT label, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {Q} + 0.5) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {float(Q)!r})
+             AS centroid
+    FROM x GROUP BY label, dim
+    """,
+)
+def q103_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the vector AGGREGATION class (IVF
+    codebook training, class prototypes for dedup/classification): each
+    coordinate is quantized once with the module's 24-bit fixed-point
+    primitive, summed exactly in int64 per (label, dimension) via
+    posexplode + one map-side-combining shuffle, and divided back to
+    double at the edge (two IEEE ops — cross-engine exact). At 100 TB
+    the shuffle carries labels × dims rows of partial sums, not vectors;
+    posexplode is a narrow transform that pipelines with the scan. (The
+    mean-of-quantized differs from quantized-mean by < 2⁻²⁴ per
+    coordinate — the sketch's stated precision, applied consistently on
+    both engines.)"""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * Q + F.lit(0.5)).cast("long").alias("q"),
+    )
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("q").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(Q)))
+        ).alias("centroid"),
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        "centroid",
+    )
