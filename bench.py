@@ -43,6 +43,8 @@ HEADLINE = [
     "q62_dedup_clusters",       # near-dup connected components
     "q87_skew_join_salted",     # hot-key join, salted (operators/skew.py)
     "q88_skew_join_unsalted",   # hot-key join, single-reducer control
+    "q105_region_revenue",      # TPC-H Q5 shape: 6-way star join
+    "q93_exact_quantile_select",  # exact order statistics, no global sort
 ]
 
 

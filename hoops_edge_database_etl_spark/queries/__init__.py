@@ -76,6 +76,8 @@ _DRIVER_PRIORITY = [
     "q102_snapshot_diff",
     "q103_label_centroids",
     "q104_skew_profile",
+    "q105_region_revenue",
+    "q106_shipping_priority",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",
