@@ -78,6 +78,8 @@ _DRIVER_PRIORITY = [
     "q104_skew_profile",
     "q105_region_revenue",
     "q106_shipping_priority",
+    "q107_grouped_median",
+    "q108_vector_norms",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

@@ -394,3 +394,110 @@ def q93_exact_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("kk") - F.col("cb"))
         .select("quantile", "n", F.col("v").alias("kth_value"))
     )
+
+
+@query(
+    "q107_grouped_median",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS prio, CAST(o_totalprice AS DOUBLE) AS v FROM orders
+    ),
+    t AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY prio),
+    qs AS (SELECT CAST(q AS DOUBLE) AS quantile
+           FROM (VALUES (0.5), (0.9)) AS x(q)),
+    k AS (
+      SELECT prio, quantile, n,
+             CAST(ceil(quantile * CAST(n AS DOUBLE)) AS BIGINT) AS kk
+      FROM t CROSS JOIN qs
+    ),
+    r AS (
+      SELECT prio, v,
+             ROW_NUMBER() OVER (PARTITION BY prio ORDER BY v) AS rn
+      FROM s
+    )
+    SELECT k.prio, k.quantile, k.n, r.v AS kth_value
+    FROM k JOIN r ON r.prio = k.prio AND r.rn = k.kk
+    """,
+)
+def q107_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group order statistics (median + p90 per order priority)
+    — q93's histogram-select, grouped: the oracle sorts every stratum;
+    the Spark plan bins once (map-side combine), walks the cumulative
+    count over each group's BOUNDED histogram (range/width rows — the
+    per-group window never sees data-sized partitions), and ranks only
+    the k-th bin's rows per (group, quantile). The grouped form is what
+    replaces `percentile_approx` when the answer must be exact and
+    `ORDER BY` within groups would melt a reducer."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    b = s.select("prio", "v", F.floor(F.col("v") / Q80_BIN).cast("long").alias("bin"))
+    hist = b.groupBy("prio", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy("prio")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist_cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    t = s.groupBy("prio").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(0.5,), (0.9,)], "quantile double")
+    k = t.crossJoin(F.broadcast(qs)).withColumn(
+        "kk", F.ceil(F.col("quantile") * F.col("n").cast("double")).cast("long")
+    )
+    located = k.join(
+        hist_cum.withColumnRenamed("prio", "__hp"),
+        (F.col("__hp") == F.col("prio"))
+        & (F.col("cum") >= F.col("kk"))
+        & ((F.col("cum") - F.col("cnt")) < F.col("kk")),
+    ).select("prio", "quantile", "n", "kk", "bin", (F.col("cum") - F.col("cnt")).alias("cb"))
+    cand = b.join(F.broadcast(located), ["prio", "bin"])
+    wq = Window.partitionBy("prio", "quantile").orderBy("v")
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("kk") - F.col("cb"))
+        .select("prio", "quantile", "n", F.col("v").alias("kth_value"))
+    )
+
+
+@query(
+    "q108_vector_norms",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             CAST(floor(CAST(u.x AS DOUBLE) * {1 << 24} + 0.5) AS BIGINT) AS q
+      FROM embeddings, UNNEST(embedding) AS u(x)
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           sqrt(CAST(SUM(q * q) AS DOUBLE)) / {float(1 << 24)!r} AS l2_norm,
+           CAST(MAX(abs(q)) AS DOUBLE) / {float(1 << 24)!r} AS max_abs
+    FROM x GROUP BY vec_id
+    """,
+)
+def q108_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm and max coordinate, cross-engine EXACT: squares
+    of 24-bit fixed-point coordinates sum in int64 (64 dims × 2⁴⁸ < 2⁵⁴
+    — no overflow), and the only float op is one sqrt + one division —
+    sqrt is IEEE-754 correctly rounded in BOTH engines (unlike log/pow,
+    which is why q79/q92 avoid those). The normalize-before-index step
+    of every embedding pipeline: one map-side-combining shuffle on
+    vec_id after the explode (kept-whole arrays with ``F.aggregate``
+    would be zero-shuffle, but the exploded form is the one that scales
+    past row-width limits and reuses the q103 aggregation shape)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.explode("embedding").alias("val")
+    ).select(
+        "vec_id",
+        F.floor(F.col("val").cast("double") * (1 << 24) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    return x.groupBy("vec_id").agg(
+        (F.sqrt(F.sum(F.col("q") * F.col("q")).cast("double")) / F.lit(float(1 << 24)))
+        .alias("l2_norm"),
+        (F.max(F.abs("q")).cast("double") / F.lit(float(1 << 24))).alias("max_abs"),
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "l2_norm", "max_abs"
+    )
