@@ -80,6 +80,8 @@ _DRIVER_PRIORITY = [
     "q106_shipping_priority",
     "q107_grouped_median",
     "q108_vector_norms",
+    "q109_source_mix",
+    "q110_vocab_head",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

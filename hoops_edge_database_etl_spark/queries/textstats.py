@@ -564,3 +564,127 @@ def q100_row_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("row_id").cast("bigint").alias("row_id"),
     )
+
+
+@query(
+    "q109_source_mix",
+    oracle="""
+    WITH t AS (
+      SELECT source, md5(text) AS h, length(text) AS n_chars,
+             string_split(text, ' ') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT source, h,
+             CAST(floor((0.4 * least(CAST(len(w) AS DOUBLE) / 50, 1.0)
+                         + 0.4 * CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                         + 0.2 * least((CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w)) / 6, 1.0))
+                        * 16777216 + 0.5) AS BIGINT) AS q_fp
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_rate,
+           CAST(SUM(q_fp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 16777216.0)
+             AS mean_quality
+    FROM m GROUP BY source
+    """,
+)
+def q109_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the mix dashboard every
+    pretraining-data team reviews before weighting sources: doc counts,
+    exact-dup rate (md5 content hash), and mean quality. The mean is the
+    cross-engine trap: averaging raw doubles sums in shuffle order, so
+    each doc's quality (q50's formula) is quantized to 24-bit fixed
+    point FIRST and summed in int64 — order-independent, exact, divided
+    back once at the edge. One count-distinct shuffle per source; at
+    100 TB the per-source state is two counters and an int64."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("w"),
+    )
+    _n_tokens, _ttr, _atl, quality = _quality_exprs()
+    m = t.select(
+        "source",
+        "h",
+        F.floor(quality * (1 << 24) + F.lit(0.5)).cast("long").alias("q_fp"),
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_unique_texts"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("h").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+        (
+            F.sum("q_fp").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(1 << 24)))
+        ).alias("mean_quality"),
+    )
+
+
+@query(
+    "q110_vocab_head",
+    oracle="""
+    WITH tok AS (
+      SELECT t.tok AS token
+      FROM (SELECT string_split(text, ' ') AS w FROM documents), UNNEST(w) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
+    r AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS vocab_rank
+      FROM tf
+    )
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(vocab_rank AS BIGINT) AS vocab_rank,
+           CAST(SUM(cnt) OVER (ORDER BY vocab_rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS cum_coverage
+    FROM r CROSS JOIN total
+    WHERE vocab_rank <= 50
+    """,
+)
+def q110_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head with cumulative corpus coverage — the Zipf report
+    that sizes a tokenizer vocabulary: top-50 tokens by frequency and
+    the running fraction of all token occurrences they cover. Token
+    counting is one map-side-combining shuffle; the ranking runs through
+    the associative two-phase top-k and only the 50 survivors see the
+    (driver-tiny) cumulative window. Coverage is exact-integer counts
+    divided once at the edge."""
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("w"))
+    tok = d.select(F.explode("w").alias("token")).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    head = top_k_per_group(
+        tf.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("cnt").desc(), F.col("token")],
+        50,
+        rank_col="vocab_rank",
+    ).drop("__g")
+    w = Window.orderBy("vocab_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        head.crossJoin(F.broadcast(total))
+        .withColumn("__cum", F.sum("cnt").over(w))
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("vocab_rank").cast("bigint").alias("vocab_rank"),
+            (F.col("__cum").cast("double") / F.col("n").cast("double")).alias(
+                "cum_coverage"
+            ),
+        )
+    )
