@@ -82,6 +82,8 @@ _DRIVER_PRIORITY = [
     "q108_vector_norms",
     "q109_source_mix",
     "q110_vocab_head",
+    "q111_weighted_sample",
+    "q112_ordered_group_concat",
     "q87_skew_join_salted",
     "q88_skew_join_unsalted",
     "q53_iterative_ratings",

@@ -688,3 +688,109 @@ def q110_vocab_head(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_Q111_STRIDE = 5000  # one sampled doc per ~5000 estimated BPE tokens
+
+
+@query(
+    "q111_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                  t -> CAST(ceil(len(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           CAST(cum // {_Q111_STRIDE} - (cum - n_tok) // {_Q111_STRIDE} AS BIGINT)
+             AS n_strides
+    FROM c
+    WHERE cum // {_Q111_STRIDE} - (cum - n_tok) // {_Q111_STRIDE} >= 1
+    """,
+)
+def q111_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted systematic sampling WITHOUT RNG or float weights:
+    lay documents along the cumulative token axis (q74's two-pass
+    distributed cumsum — range partitions, per-range sums, broadcast
+    base offsets, no global window) and keep every doc whose token span
+    crosses a {_Q111_STRIDE}-token stride boundary. Selection
+    probability is exactly proportional to token count, the sample is
+    deterministic and repartition-proof, and n_strides doubles as the
+    doc's integer sampling weight — the weighted analogue of q73's
+    hash-ranked uniform sample, with pure integer arithmetic end to
+    end."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.aggregate(
+        F.transform(F.split("text", " "), lambda tok: F.ceil(F.length(tok) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    t = d.select("doc_id", n_tok.alias("n_tok"))
+    ranged = t.repartitionByRange("doc_id").withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    totals = local.groupBy("__pid").agg(F.max("local_cum").alias("part_total"))
+    earlier = totals.select(
+        F.col("__pid").alias("__bpid"), F.col("part_total").alias("__btotal")
+    )
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__btotal"), F.lit(0)).cast("long").alias("base"))
+    )
+    c = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "cum", F.col("local_cum") + F.col("base")
+    )
+    strides = F.expr(f"cum div {_Q111_STRIDE}") - F.expr(
+        f"(cum - n_tok) div {_Q111_STRIDE}"
+    )
+    return (
+        c.withColumn("n_strides", strides.cast("bigint"))
+        .filter(F.col("n_strides") >= 1)
+        .select("doc_id", "n_tok", "n_strides")
+    )
+
+
+@query(
+    "q112_ordered_group_concat",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_linenumber, l_partkey) AS line_seq
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def q112_ordered_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation (the audit-trail export
+    the reference produced with Python ''.join loops): collect_list is
+    order-nondeterministic under shuffles, so the rows are packed as
+    (sortkey…, value) structs, sort_array'd — struct comparison is
+    lexicographic by field order, giving the exact ORDER BY — and only
+    then joined into the CSV. State per group is the packed array, so
+    this is for bounded groups (an order's lines), not unbounded ones."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 200 == 0)
+    packed = F.sort_array(
+        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.array_join(
+            F.transform(packed, lambda s: s["l_linenumber"].cast("string")), ","
+        ).alias("line_seq"),
+    ).select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        "n_lines",
+        "line_seq",
+    )
