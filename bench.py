@@ -43,8 +43,16 @@ HEADLINE = [
     "q62_dedup_clusters",       # near-dup connected components
     "q87_skew_join_salted",     # hot-key join, salted (operators/skew.py)
     "q88_skew_join_unsalted",   # hot-key join, single-reducer control
+    "q115_skew_kernel_salted",  # hot-key pandas kernel, salted two-phase
+    "q116_skew_kernel_unsalted",  # hot-key pandas kernel, single-task control
     "q105_region_revenue",      # TPC-H Q5 shape: 6-way star join
     "q93_exact_quantile_select",  # exact order statistics, no global sort
+    "q74_sequence_packing",     # range-partitioned two-pass cumsum
+    "q100_row_ids",             # contiguous ids, no SinglePartition exchange
+    "q101_scd2_merge",          # window-free SCD2 full-outer merge
+    "q107_grouped_median",      # grouped histogram-select exact quantiles
+    "q113_possession_sessionize",  # grouped-map state machine (W2/W3)
+    "q117_pagerank_distributed",  # iterative rank, localCheckpoint sweeps
 ]
 
 

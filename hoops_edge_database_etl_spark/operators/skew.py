@@ -141,3 +141,59 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("long"))
     joined = left.join(right, [*on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def grouped_kernel_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    kernel,
+    partial_schema: str,
+    n_salts: int | None = None,
+    salt_mode: str = "content",
+) -> DataFrame:
+    """GROUP BY ``keys`` where the per-group computation is a PANDAS
+    KERNEL (grouped-map ``applyInPandas``) instead of built-in aggregates
+    — the case Spark CANNOT partially aggregate map-side: every row of a
+    group crosses the shuffle and lands on one task, so a hot key turns
+    into a single-task funnel no matter how decomposable the math is
+    (unlike ``groupBy().agg()``, where partial aggregation already
+    defuses skew — see q64 vs q115's docstrings for the distinction).
+
+    ``kernel(pdf) -> one-row pandas.DataFrame`` of partial state matching
+    ``partial_schema`` (grouping columns are re-attached here). With
+    ``n_salts`` set, the kernel runs per (keys…, salt) and the partials
+    are merged with a SUM per column — so the kernel's state must be
+    additive (counts, sums, power sums, mergeable sketch registers);
+    non-additive state needs a custom merge and does not belong here.
+    Result is identical to the unsalted run; only the physical
+    distribution changes: the hot group's rows flow through n_salts
+    parallel tasks and the merge sees n_salts tiny rows per key.
+    """
+    import pandas as pd
+
+    names = [f.strip().split(" ")[0].strip("`") for f in partial_schema.split(",")]
+    key_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"`{k}` {key_types[k]}" for k in keys) + ", " + partial_schema
+    )
+
+    def wrap(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = kernel(pdf)
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[*keys, *names]]
+
+    if n_salts is None:
+        return df.groupBy(*keys).applyInPandas(wrap, schema=out_schema)
+    if "__salt" in df.columns:
+        raise ValueError("input already has a __salt column")
+    partial = (
+        df.withColumn("__salt", _salt_col(df, n_salts, salt_mode))
+        .groupBy(*keys, "__salt")
+        .applyInPandas(
+            lambda pdf: wrap(pdf.drop(columns="__salt")), schema=out_schema
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in names]
+    )

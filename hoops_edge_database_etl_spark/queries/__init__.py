@@ -34,59 +34,89 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-# Names the per-round driver has never verdict-ed (it caps each round at ~50
-# queries, walked in dict order).  Emit these FIRST so CORRECTNESS_r03 finally
-# covers them; everything else follows in registration order.  Remove names
-# from this list once a CORRECTNESS_r{N}.json row exists for them.
+# Driver-coverage rotation (the driver caps each round at ~50 queries,
+# walked in dict order): NEW never-checked queries first, then the stalest
+# families — everything whose latest CORRECTNESS row is r1, then r2 (r3/r4
+# rows are fresh; they follow in registration order).  Regenerate each
+# round from the CORRECTNESS_r{N}.json history.
 _DRIVER_PRIORITY = [
-    "q61_jacobi_exact",
-    "q62_dedup_clusters",
-    "q63_ann_ivf",
-    "q66_binary_metadata",
-    "q68_dataset_split",
-    "q69_dedup_corpus",
-    "q70_training_corpus",
-    "q71_streaming_rollup",
-    "q72_kmv_distinct_sketch",
-    "q73_stratified_sample",
-    "q74_sequence_packing",
-    "q77_sql_cube",
-    "q78_sql_exists",
-    "q79_hll_distinct",
-    "q80_histogram_quantiles",
-    "q81_bloom_semi_join",
-    "q82_decontamination",
-    "q83_sql_grouping_sets",
-    "q84_boilerplate_ngrams",
-    "q85_topk_per_group",
-    "q86_rating_spine",
-    "q89_funnel",
-    "q90_cohort_retention",
-    "q91_gapfill_interpolate",
-    "q92_keyword_extraction",
-    "q93_exact_quantile_select",
-    "q94_pagerank_exact",
-    "q95_streaming_dedup",
-    "q96_sql_rank_suite",
-    "q97_sql_set_ops",
-    "q98_pii_scrub",
-    "q99_repetition_filter",
-    "q100_row_ids",
-    "q101_scd2_merge",
-    "q102_snapshot_diff",
-    "q103_label_centroids",
-    "q104_skew_profile",
-    "q105_region_revenue",
-    "q106_shipping_priority",
-    "q107_grouped_median",
-    "q108_vector_norms",
-    "q109_source_mix",
-    "q110_vocab_head",
-    "q111_weighted_sample",
-    "q112_ordered_group_concat",
-    "q87_skew_join_salted",
-    "q88_skew_join_unsalted",
-    "q53_iterative_ratings",
+    # new this round — never driver-checked
+    "q113_possession_sessionize",
+    "q114_rating_invariants",
+    "q115_skew_kernel_salted",
+    "q116_skew_kernel_unsalted",
+    "q117_pagerank_distributed",
+    "q118_triangle_count",
+    "q119_pareto_frontier",
+    "q120_grouped_ols",
+    "q121_interval_concurrency",
+    "q122_cooccurrence_lift",
+    "q123_array_hof_suite",
+    "q124_touch_attribution",
+    # latest driver row is r1
+    "q41_exact_dedup",
+    "q42_ngram_jaccard",
+    "q43_minhash_lsh",
+    "q44_simhash",
+    "q45_simhash_pairs",
+    "q46_cosine_top_pairs",
+    "q47_ann_sign_lsh",
+    "q48_knn_brute_force",
+    "q49_lang_id",
+    "q50_quality_score",
+    "q51_token_stats",
+    "q52_fingerprint_clusters",
+    "q54_normalize_layer",
+    "q60_embedding_near_dup",
+    # latest driver row is r2
+    "q01_pricing_summary",
+    "q02_filter_pushdown",
+    "q03_topk_orders",
+    "q04_conditional_record",
+    "q05_value_clamp",
+    "q06_safe_division",
+    "q07_union_stack",
+    "q08_percent_ratio",
+    "q09_date_arithmetic",
+    "q10_lenient_cast",
+    "q11_dim_enrich_join",
+    "q12_inner_join_revenue",
+    "q13_first_match_join",
+    "q14_anti_join_gaps",
+    "q15_semi_join",
+    "q16_self_join_opponent",
+    "q17_asof_join",
+    "q18_fuzzy_name_join",
+    "q19_referential_integrity",
+    "q20_two_sided_expansion",
+    "q21_weighted_avg",
+    "q22_mode_per_group",
+    "q23_pearson_corr",
+    "q24_error_metrics",
+    "q25_group_having",
+    "q26_rollup",
+    "q27_anomaly_detection",
+    "q28_conditional_mean_gap",
+    "q29_null_profile",
+    "q30_duplicate_stats",
+    "q33_no_leakage_expanding",
+    "q34_latest_per_group",
+    "q35_percentile_composite",
+    "q36_interval_integration",
+    "q37_session_window",
+    "q38_lag_delta",
+    "q39_moving_average",
+    "q40_first_last_value",
+    "q55_sql_rowcount_matrix",
+    "q56_sql_join_coverage",
+    "q57_sql_case_rates",
+    "q58_sql_top_n",
+    "q59_sql_referential_gaps",
+    "q64_salted_agg",
+    "q65_range_join",
+    "q67_sql_window_suite",
+    "q75_json_extraction",
+    "q76_pivot",
 ]
 
 

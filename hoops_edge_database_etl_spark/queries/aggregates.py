@@ -474,3 +474,148 @@ def q104_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("frac"),
         F.col("hot_rank").cast("bigint").alias("hot_rank"),
     )
+
+
+# --- hot-key PANDAS-KERNEL aggregation pair (VERDICT r3 item 6) -----------
+#
+# q64 proved salted_agg's *result* equivalence, but for built-in aggregates
+# Spark's map-side partial aggregation already defuses skew, so a bench
+# delta there would be noise. The case where salting genuinely matters is a
+# grouped-map PANDAS kernel: applyInPandas has NO partial aggregation — all
+# ~95% of rows sharing the hot key cross the shuffle into ONE task's Arrow
+# batch. q115 runs the kernel per (key, salt) and SUM-merges the additive
+# partials (operators/skew.py:grouped_kernel_agg); q116 is the single-task
+# control. Identical results (the shared oracle is the plain GROUP BY);
+# the BENCH delta between them is the operator's reason to exist.
+
+_SKEW_KERNEL_ORACLE = """
+    SELECT CAST(CASE WHEN l_orderkey % 20 = 0 THEN l_orderkey % 331 ELSE 0 END
+                AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((l_orderkey * 13 + l_linenumber * 7) % 1000) AS BIGINT) AS s,
+           CAST(SUM(((l_orderkey * 13 + l_linenumber * 7) % 1000)
+                    * ((l_orderkey * 13 + l_linenumber * 7) % 1000))
+                AS BIGINT) AS ss
+    FROM lineitem
+    GROUP BY 1
+"""
+
+
+def _skew_kernel_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~95% of lineitem collapses to hot key 0 (the q87/q88 recipe); the
+    value column is a deterministic int64 so power sums are exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_orderkey") % 20 == 0, F.col("l_orderkey") % 331)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("k"),
+        ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 7) % 1000)
+        .cast("long")
+        .alias("v"),
+    )
+
+
+def _moments_kernel(pdf):
+    """Additive per-group state: count + first two power sums — stands in
+    for any custom numeric kernel Spark lacks a built-in for. numpy int64
+    throughout; bounds: ss <= |group| * 1e6 << 2^63."""
+    import pandas as pd
+
+    v = pdf["v"].to_numpy()
+    return pd.DataFrame(
+        {"n": [int(len(v))], "s": [int(v.sum())], "ss": [int((v * v).sum())]}
+    )
+
+
+@query("q115_skew_kernel_salted", oracle=_SKEW_KERNEL_ORACLE)
+def q115_skew_kernel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase pandas-kernel aggregation over a 95%-hot key: the
+    kernel runs on 32 salted sub-groups in parallel, then the additive
+    partials merge JVM-side (one tiny row per sub-group). See the block
+    comment above for why THIS — not q64's built-in aggregates — is the
+    shape where salting pays at 100 TB."""
+    from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
+
+    df = _skew_kernel_input(spark, sf_dir)
+    return grouped_kernel_agg(
+        df, ["k"], _moments_kernel, "n long, s long, ss long", n_salts=32
+    )
+
+
+@query("q116_skew_kernel_unsalted", oracle=_SKEW_KERNEL_ORACLE)
+def q116_skew_kernel_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control for q115: the same pandas kernel grouped on the raw key —
+    one task receives the hot key's entire row set in a single Arrow
+    batch. Correct at any scale, slow in proportion to the skew; exists
+    so BENCH records the delta."""
+    from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
+
+    df = _skew_kernel_input(spark, sf_dir)
+    return grouped_kernel_agg(df, ["k"], _moments_kernel, "n long, s long, ss long")
+
+
+@query(
+    "q120_grouped_ols",
+    oracle="""
+    WITH m AS (
+      SELECT p.p_brand,
+             COUNT(*) AS n,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))
+                 * CAST(l.l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))
+                 * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+             AS slope,
+           (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+              - ((n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+                 / (n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)))
+                * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) / n AS intercept
+    FROM m
+    """,
+)
+def q120_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares fit (price ~ quantity per part brand) from
+    exact DECIMAL power sums — the grouped-regression building block
+    (feature/label drift fits, per-segment calibration) as ONE map-side
+    combinable aggregation + broadcast dim join; no per-group iteration,
+    no UDF. Slope/intercept leave the exact domain only at the edge:
+    decimal sums bridge to double via string (q23 rule), then the closed
+    form runs the same IEEE op DAG in both engines — bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    x = F.col("l_quantity").cast(DEC)
+    y = F.col("l_extendedprice").cast(DEC)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    m = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+    )
+
+    def _d(c):
+        return F.col(c).cast("string").cast("double")
+
+    n = F.col("_n")
+    sx, sy, sxx, sxy = _d("_sx"), _d("_sy"), _d("_sxx"), _d("_sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "p_brand",
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )

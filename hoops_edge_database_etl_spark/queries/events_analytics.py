@@ -10,7 +10,7 @@ the parquet nanos identically to DuckDB's read).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -197,4 +197,208 @@ def q92_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf").cast("bigint").alias("tf"),
         F.col("df").cast("bigint").alias("df"),
         F.col("kw_rank").cast("bigint").alias("kw_rank"),
+    )
+
+
+def _skyline_kernel(pdf):
+    """Exact 2-D skyline of (maximize price_c, minimize size): sort by
+    (price desc, size asc); a price-group survives only when its min size
+    strictly undercuts every higher-priced point's best size, and within
+    a group only min-size points survive (same price + smaller size
+    dominates). O(n log n), duplicate points all kept (mutual
+    non-dominance needs strictness in one dimension)."""
+    import numpy as np
+
+    p = pdf.sort_values(["price_c", "size"], ascending=[False, True], kind="mergesort")
+    keep = np.zeros(len(p), dtype=bool)
+    best = None  # smallest size seen among strictly-higher prices
+    prices = p["price_c"].to_numpy()
+    sizes = p["size"].to_numpy()
+    i = 0
+    while i < len(p):
+        j = i
+        while j < len(p) and prices[j] == prices[i]:
+            j += 1
+        gmin = sizes[i:j].min()
+        if best is None or gmin < best:
+            keep[i:j] = sizes[i:j] == gmin
+            best = gmin if best is None else min(best, gmin)
+        i = j
+    return p[keep]
+
+
+@query(
+    "q119_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+             CAST(p_retailprice * 100 AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p.p_partkey, p.price_c, p.size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_c >= p.price_c AND q.size <= p.size
+        AND (q.price_c > p.price_c OR q.size < p.size)
+    )
+    """,
+)
+def q119_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Pareto frontier (skyline): parts maximizing retail
+    price while minimizing size, with integer-cents dimensions so the
+    dominance test is exact. Two-phase plan — the distributed-skyline
+    identity ``skyline(X ∪ Y) = skyline(skyline(X) ∪ skyline(Y))``:
+
+      1. local skyline per input partition (mapInPandas — each partition
+         reduced to its own frontier, typically a tiny fraction);
+      2. global skyline over the unioned candidates in one bounded
+         group (survivor count is frontier-sized by construction).
+
+    No dominance self-join anywhere (the naive NOT EXISTS the ORACLE
+    runs would be a nested-loop quadratic — fine for DuckDB at sf0.01,
+    wrong at 100 TB). At extreme candidate counts, insert a grid-cell
+    pre-dominance pass (coarse quantile buckets, drop cells dominated by
+    a whole cell) before phase 2 — same kernel either way."""
+    p = load(spark, sf_dir, "part")
+    pts = p.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        (F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    schema = "p_partkey long, price_c long, size long"
+    local = pts.mapInPandas(
+        lambda it: (_skyline_kernel(pdf) for pdf in it), schema=schema
+    )
+    merged = (
+        local.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: _skyline_kernel(pdf.drop(columns="__g")), schema=schema
+        )
+    )
+    return merged
+
+
+@query(
+    "q121_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderpriority AS prio,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e
+      FROM orders
+    ),
+    delta AS (
+      SELECT prio, d, SUM(x) AS net FROM (
+        SELECT prio, s AS d, 1 AS x FROM iv
+        UNION ALL
+        SELECT prio, e AS d, -1 AS x FROM iv
+      ) GROUP BY prio, d
+    ),
+    run AS (
+      SELECT prio, d,
+             SUM(net) OVER (PARTITION BY prio ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active
+      FROM delta
+    )
+    SELECT prio,
+           CAST(active AS BIGINT) AS max_concurrent,
+           strftime(d, '%Y-%m-%d') AS peak_day
+    FROM (
+      SELECT prio, d, active,
+             ROW_NUMBER() OVER (PARTITION BY prio
+                                ORDER BY active DESC, d ASC) AS rn
+      FROM run
+    ) WHERE rn = 1
+    """,
+)
+def q121_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per order priority — the classic
+    boundary-sweep (+1 at start, −1 past end, half-open [s, e)): how many
+    orders are simultaneously open at the busiest instant. The sweep
+    collapses boundaries to NET-PER-DAY before any ordering, so the
+    running sum's window is bounded by the DATE RANGE per priority (a
+    few thousand rows), never the order count — the q91 calendar-bound
+    rule; the only full-data pass is the map-side-combining delta
+    aggregate. Peak day ties break to the earliest day (deterministic
+    rank in both engines)."""
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("s"),
+        F.date_add(F.col("o_orderdate"), (F.col("o_orderkey") % 30 + 1).cast("int")).alias("e"),
+    )
+    delta = (
+        iv.select("prio", F.col("s").alias("d"), F.lit(1).alias("x"))
+        .unionAll(iv.select("prio", F.col("e").alias("d"), F.lit(-1).alias("x")))
+        .groupBy("prio", "d")
+        .agg(F.sum("x").alias("net"))
+    )
+    w = Window.partitionBy("prio").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = delta.withColumn("active", F.sum("net").over(w))
+    rk = Window.partitionBy("prio").orderBy(F.col("active").desc(), F.col("d").asc())
+    return (
+        run.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "prio",
+            F.col("active").cast("bigint").alias("max_concurrent"),
+            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+        )
+    )
+
+
+@query(
+    "q124_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type <> 'purchase' THEN event_type END AS touch,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch
+      FROM events
+    )
+    SELECT last_touch, first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM seq
+    WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+    GROUP BY last_touch, first_touch
+    """,
+)
+def q124_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution — the marketing-analytics
+    classic: every purchase is credited to the nearest preceding
+    non-purchase touch (last-touch) AND the user's earliest touch
+    (first-touch), in one pass with two ignore-nulls window scans over
+    the per-user event sequence ((ts, event_id) total order — the unique
+    tiebreak rule every window in this repo follows). Purchases with no
+    prior touch are excluded (no attribution target). One shuffle on
+    user_id; per-user sequences are session-bounded at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w)).withColumn(
+        "first_touch", F.first(touch, ignorenulls=True).over(w)
+    )
+    return (
+        seq.filter((F.col("event_type") == "purchase") & F.col("last_touch").isNotNull())
+        .groupBy("last_touch", "first_touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
     )

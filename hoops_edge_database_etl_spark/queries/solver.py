@@ -76,6 +76,83 @@ def q53_iterative_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snaps.join(F.broadcast(counts), "rating_date")
 
 
+@query(
+    "q114_rating_invariants",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(o_orderdate AS DATE) AS game_date,
+             CAST(o_custkey % 20 AS BIGINT) AS team_id,
+             CAST(o_orderkey % 20 AS BIGINT) AS opp_id
+      FROM orders
+      WHERE o_custkey % 20 <> o_orderkey % 20
+    ),
+    b AS (
+      SELECT MIN(game_date) AS lo,
+             date_diff('day', MIN(game_date), MAX(game_date)) AS span
+      FROM g
+    ),
+    d AS (
+      SELECT lo + CAST((span * k) // 4 AS INTEGER) AS rating_date
+      FROM b, (VALUES (1), (2), (3), (4)) AS t(k)
+    ),
+    x AS (
+      SELECT d.rating_date, g.team_id AS entity
+      FROM d JOIN g ON g.game_date < d.rating_date
+      UNION ALL
+      SELECT d.rating_date, g.opp_id
+      FROM d JOIN g ON g.game_date < d.rating_date
+    )
+    SELECT strftime(rating_date, '%Y-%m-%d') AS rating_date,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_prior_games,
+           CAST(COUNT(DISTINCT entity) AS BIGINT) AS n_teams
+    FROM x
+    GROUP BY rating_date
+    """,
+)
+def q114_rating_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q53's exact-integer invariant columns split into an oracle-bearing
+    sibling (VERDICT r3 item 3): the per-rating-date prior-game count and
+    distinct-entity count are pure integer arithmetic over the same
+    matchup spine the float solver consumes (reference scaffold:
+    build_pbp_team_daily_rollup_adj.py:60-87 — the prior-window game pool
+    each snapshot is fit on). A q53 regression in date derivation,
+    strictly-prior pruning, or entity expansion flips THIS hash even
+    though the float fixed point itself stays rows-only. Same shape as
+    q86 but aggregated to the per-date level q53 publishes."""
+    o = load(spark, sf_dir, "orders")
+    g = o.select(
+        F.col("o_orderdate").alias("game_date"),
+        (F.col("o_custkey") % 20).cast("long").alias("team_id"),
+        (F.col("o_orderkey") % 20).cast("long").alias("opp_id"),
+    ).filter(F.col("team_id") != F.col("opp_id"))
+    b = g.agg(
+        F.min("game_date").alias("lo"),
+        F.datediff(F.max("game_date"), F.min("game_date")).alias("span"),
+    )
+    d = b.crossJoin(spark.range(1, 5).toDF("k")).select(
+        F.date_add(
+            F.col("lo"), ((F.col("span") * F.col("k")) / 4).cast("int")
+        ).alias("rating_date")
+    )
+    ent = g.select("game_date", F.col("team_id").alias("entity")).unionByName(
+        g.select("game_date", F.col("opp_id").alias("entity"))
+    )
+    return (
+        ent.crossJoin(F.broadcast(d))
+        .filter(F.col("game_date") < F.col("rating_date"))
+        .groupBy("rating_date")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_prior_games"),
+            F.countDistinct("entity").alias("n_teams"),
+        )
+        .select(
+            F.date_format("rating_date", "yyyy-MM-dd").alias("rating_date"),
+            "n_prior_games",
+            "n_teams",
+        )
+    )
+
+
 _EFF_SCALE = 1 << 20  # fixed-point rating units (~1e-6 rating precision)
 _JACOBI_ITERS = 8
 
@@ -371,9 +448,7 @@ _PR_SCALE = 1 << 20
 _PR_ITERS = 10
 
 
-@query(
-    "q94_pagerank_exact",
-    oracle=f"""
+_PR_ORACLE = f"""
     WITH RECURSIVE e AS (
       SELECT CAST(o_custkey % 20 AS BIGINT) AS src,
              CAST(o_orderkey % 20 AS BIGINT) AS dst,
@@ -398,8 +473,10 @@ _PR_ITERS = 10
     SELECT node AS team_id,
            CAST(pr AS DOUBLE) / {_PR_SCALE} AS pagerank
     FROM pr WHERE k = {_PR_ITERS}
-    """,
-)
+    """
+
+
+@query("q94_pagerank_exact", oracle=_PR_ORACLE)
 def q94_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the team matchup graph (damping 0.85, {_PR_ITERS}
     fixed iterations), HASH-CHECKABLE like q61: all iteration arithmetic
@@ -439,3 +516,115 @@ def q94_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr = {n: base + (85 * c) // 100 for n, c in contrib.items()}
     out = sorted((n, v / _PR_SCALE) for n, v in pr.items())
     return spark.createDataFrame(out, "team_id long, pagerank double")
+
+
+@query("q117_pagerank_distributed", oracle=_PR_ORACLE)
+def q117_pagerank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q94's PageRank with the sweeps DISTRIBUTED — the web-scale twin
+    (VERDICT r3 item 8): the rank vector stays a DataFrame end-to-end,
+    each damped sweep is contributions-join → groupBy(dst) SUM (exact
+    int64 fixed-point, floor division at the per-edge contribution — the
+    identical arithmetic q94 runs on its collected matrix, so BOTH share
+    one oracle). localCheckpoint after every sweep truncates the lineage
+    (the q62 recipe) — plan depth stays O(1) per sweep instead of
+    compounding, and the checkpointed rank vector is O(nodes), the only
+    state that persists between sweeps. At 100 TB: edges shuffle once per
+    sweep on dst, the rank side is node-sized (broadcastable when nodes
+    ≪ edges); dangling mass handling matches q94 (every node here has
+    out-edges by construction).
+
+    q94 is the right plan when nodes fit on the driver (league-sized
+    graphs); THIS is the plan when they don't. Same bits either way."""
+    o = load(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 20).cast("long").alias("src"),
+            (F.col("o_orderkey") % 20).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    od = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # edge matrix + out-weights are reused every sweep: checkpoint once
+    ew = e.join(od, "src").localCheckpoint(eager=True)
+    base = (15 * _PR_SCALE) // 100
+    pr = od.select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = ew.join(pr, ew.src == pr.node).select(
+            F.col("dst"),
+            F.expr("pr * w div outw").alias("c"),  # ints >= 0: div == floor
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg((F.lit(base) + F.expr("85 * sum(c) div 100")).alias("pr"))
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(
+        F.col("node").alias("team_id"),
+        (F.col("pr").cast("double") / _PR_SCALE).alias("pagerank"),
+    )
+
+
+@query(
+    "q118_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             LEAST(o_custkey % 60, o_orderkey % 60) AS a,
+             GREATEST(o_custkey % 60, o_orderkey % 60) AS b
+      FROM orders
+      WHERE o_custkey % 60 <> o_orderkey % 60
+    ),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    m AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY node
+    """,
+)
+def q118_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the undirected matchup graph — the
+    standard two-join oriented enumeration: orient every edge low→high so
+    each triangle {x<y<z} is produced EXACTLY once as (x,y)+(y,z) closed
+    by (x,z), then explode each triangle to its three corners and count.
+    Two shuffle equi-joins + one aggregation; no cartesian anywhere.
+
+    At 100 TB: id-orientation is what the oracle replays; for skewed
+    degree distributions orient by (degree, id) instead — the wedge count
+    Σ d_out(v)² is minimized when high-degree nodes get LOW out-degree,
+    the classic compact-forward bound — same plan shape, one extra
+    broadcast join against the degree table. The distinct() edge dedup is
+    a hash shuffle, and the heaviest stage (wedge join on the shared
+    middle node) is an equi-join AQE can split."""
+    o = load(spark, sf_dir, "orders")
+    u, v = (F.col("o_custkey") % 60), (F.col("o_orderkey") % 60)
+    e = (
+        o.filter(u != v)
+        .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    ).select(F.col("node").cast("long").alias("node"), "n_triangles")

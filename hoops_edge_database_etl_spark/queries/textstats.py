@@ -794,3 +794,141 @@ def q112_ordered_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         "line_seq",
     )
+
+
+@query(
+    "q122_cooccurrence_lift",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           UNNEST(w) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tf AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    head AS (
+      SELECT token, df FROM (
+        SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+        FROM tf
+      ) WHERE r <= 40
+    ),
+    ht AS (
+      SELECT tok.doc_id, tok.token, head.df
+      FROM tok JOIN head ON head.token = tok.token
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             COUNT(*) AS n_ab,
+             MAX(a.df) AS df_a, MAX(b.df) AS df_b
+      FROM ht a JOIN ht b ON b.doc_id = a.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token
+    )
+    SELECT tok_a, tok_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(df_a AS BIGINT) AS df_a,
+           CAST(df_b AS BIGINT) AS df_b,
+           CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)
+             / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)) AS lift
+    FROM pairs CROSS JOIN n
+    """,
+)
+def q122_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence with PMI-style lift — the
+    association-mining pass behind phrase detection and embedding-free
+    relatedness: for every pair of HEAD-VOCABULARY tokens (top-40 by
+    document frequency — the standard guard that keeps the pair space
+    |head|² bounded instead of |vocab|²), count co-occurring documents
+    and score lift = P(a,b)/(P(a)P(b)) (ln-free, the q92 rule — both
+    engines run the identical IEEE divide on exact integer counts).
+
+    Plan: distinct (doc, token) → df counts (map-side combine) → top-40
+    via the associative two-phase top-k → broadcast-semi back onto the
+    token stream → per-doc self-join restricted to head tokens (fan-out
+    ≤ 40 per doc) → pair aggregation. No vocab-quadratic stage anywhere;
+    the oracle replays it relationally."""
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    head = top_k_per_group(
+        tf.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [F.col("df").desc(), F.col("token")],
+        40,
+        rank_col="__r",
+    ).select("token", "df")
+    ht = tok.join(F.broadcast(head), "token")
+    a = ht.select(
+        F.col("doc_id"), F.col("token").alias("tok_a"), F.col("df").alias("df_a")
+    )
+    b = ht.select(
+        F.col("doc_id"), F.col("token").alias("tok_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.max("df_a").alias("df_a"),
+            F.max("df_b").alias("df_b"),
+        )
+    )
+    n = d.select("doc_id").distinct().agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "tok_a",
+        "tok_b",
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        F.col("df_a").cast("bigint").alias("df_a"),
+        F.col("df_b").cast("bigint").alias("df_b"),
+        (
+            F.col("n_ab").cast("double") * F.col("n_docs").cast("double")
+            / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+        ).alias("lift"),
+    )
+
+
+@query(
+    "q123_array_hof_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> strlen(x) > 5)) AS BIGINT) AS n_long,
+           CAST(COALESCE(list_sum(list_transform(toks, x -> strlen(x))), 0)
+                AS BIGINT) AS total_chars,
+           CAST(list_max(list_transform(toks, x -> strlen(x))) AS BIGINT) AS max_len
+    FROM t
+    """,
+)
+def q123_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function coverage (§2.6 semi-structured,
+    widened): transform / filter / aggregate / array_max lambdas over the
+    tokenized document — the JVM-side, codegen'd way to compute per-row
+    collection statistics that the reference did with Python list
+    comprehensions over pyarrow rows. Zero shuffles (pure per-row
+    expressions), zero UDFs; the oracle runs DuckDB's list lambdas —
+    independent implementations of the identical semantics, including
+    NULL max over an empty list and a 0 fold seed."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
+        F.aggregate(lens, F.lit(0).cast("long"), lambda a, v: a + v)
+        .cast("long")
+        .alias("total_chars"),
+        F.array_max(lens).cast("long").alias("max_len"),
+    )

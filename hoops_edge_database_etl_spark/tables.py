@@ -57,14 +57,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     with _nanos_as_long(spark):
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-        # as int64 nanos — truncate to microseconds (matches DuckDB's
-        # CAST(ts AS TIMESTAMP) semantics for the oracle).
-        from pyspark.sql import functions as F
+    return _fix_events_ts(df, name)
 
+
+def _fix_events_ts(df: DataFrame, name: str) -> DataFrame:
+    """Normalize events.ts across the encodings driver testdata has
+    shipped: TIMESTAMP(NANOS) (rounds 1-4 — arrives as int64 nanos under
+    nanosAsLong, truncated to micros) and plain timestamp[us] with no
+    UTC flag (round 5+ — Spark reads TIMESTAMP_NTZ, which functions like
+    unix_micros reject). Both collapse to a session-TZ TIMESTAMP; the
+    session is pinned UTC, so the NTZ→LTZ cast reinterprets the same
+    wall-clock micros DuckDB reads — oracle parity unchanged."""
+    if name != "events":
+        return df
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # integer div — ns values (~1.7e18) overflow double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -83,11 +96,7 @@ def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _fix_events_ts(df, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

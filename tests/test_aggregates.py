@@ -48,3 +48,50 @@ def test_duplicate_keys(spark):
     )
     out = duplicate_keys(df, ["k", "v"]).collect()
     assert len(out) == 1 and out[0]["n_rows"] == 3
+
+
+def test_skyline_kernel_matches_bruteforce():
+    """_skyline_kernel (q119) against the O(n²) dominance definition on a
+    tie-heavy point set: duplicates of frontier points all survive;
+    same-price larger-size points are dominated."""
+    import pandas as pd
+
+    from hoops_edge_database_etl_spark.queries.events_analytics import _skyline_kernel
+
+    pts = [
+        (1, 100, 5), (2, 100, 5),   # duplicate frontier point — both stay
+        (3, 100, 7),                # same price, bigger size — dominated
+        (4, 90, 4),                 # smaller size, lower price — frontier
+        (5, 110, 9),                # highest price — frontier
+        (6, 80, 4),                 # ties q4's size at lower price — dominated
+        (7, 120, 1),                # dominates everything possible
+        (8, 50, 20),
+    ]
+    pdf = pd.DataFrame(pts, columns=["p_partkey", "price_c", "size"])
+
+    def dominated(p, q):
+        return (
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+        )
+
+    want = sorted(
+        p[0] for p in pts if not any(dominated(p, q) for q in pts if q[0] != p[0])
+    )
+    got = sorted(_skyline_kernel(pdf)["p_partkey"].tolist())
+    assert got == want
+
+
+def test_skyline_two_phase_identity():
+    """skyline(skyline(X) ∪ skyline(Y)) == skyline(X ∪ Y) — the identity
+    q119's distributed plan relies on, checked on deterministic data."""
+    import pandas as pd
+
+    from hoops_edge_database_etl_spark.queries.events_analytics import _skyline_kernel
+
+    pts = [(i, (i * 37) % 100, (i * 53) % 40) for i in range(400)]
+    pdf = pd.DataFrame(pts, columns=["p_partkey", "price_c", "size"])
+    whole = _skyline_kernel(pdf)
+    parts = [pdf.iloc[:133], pdf.iloc[133:266], pdf.iloc[266:]]
+    merged = _skyline_kernel(pd.concat([_skyline_kernel(p) for p in parts]))
+    key = lambda d: sorted(map(tuple, d[["p_partkey", "price_c", "size"]].to_numpy()))
+    assert key(whole) == key(merged)

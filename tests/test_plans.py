@@ -70,6 +70,11 @@ _PYTHON_ALLOWED = {
     "q60_embedding_near_dup",  # blocked numpy tile scan (same kernel as q46)
     "q63_ann_ivf",  # IVF cell-probe: broadcast codebook + per-cell GEMM
     "q48_knn_brute_force",  # broadcast query matrix × corpus-stream GEMM
+    # §2.9 sanctions grouped-map state machines & kernels explicitly:
+    "q113_possession_sessionize",  # the W2/W3 applyInPandas state machine
+    "q115_skew_kernel_salted",  # pandas-kernel agg: the salted two-phase form
+    "q116_skew_kernel_unsalted",  # …and its single-task control
+    "q119_pareto_frontier",  # local-skyline mapInPandas + bounded merge
 }
 
 

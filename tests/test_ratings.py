@@ -200,3 +200,17 @@ def test_q61_jacobi_exact_is_centered(spark):
     assert n > 0
     assert abs(sum(r["off_adj"] for r in rows)) < n
     assert abs(sum(r["def_adj"] for r in rows)) < n
+
+
+def test_pagerank_distributed_matches_collected(spark):
+    """q117's DataFrame-iteration PageRank reproduces q94's collected-matrix
+    sweeps bit-for-bit (identical int64 fixed-point arithmetic)."""
+    from hoops_edge_database_etl_spark.queries.solver import (
+        q94_pagerank_exact,
+        q117_pagerank_distributed,
+    )
+    from tests.conftest import SF_DIR
+
+    a = sorted(tuple(r) for r in q94_pagerank_exact(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in q117_pagerank_distributed(spark, SF_DIR).collect())
+    assert a == b

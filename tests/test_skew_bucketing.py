@@ -106,3 +106,49 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_grouped_kernel_agg_salted_matches_unsalted(spark):
+    """grouped_kernel_agg with a salt merges to EXACTLY the unsalted
+    kernel result on a deliberately skewed key (the q115/q116 pair's
+    correctness core, minus the bench)."""
+    import pandas as pd
+
+    from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
+
+    def kernel(pdf):
+        v = pdf["v"].to_numpy()
+        return pd.DataFrame(
+            {"n": [int(len(v))], "s": [int(v.sum())], "ss": [int((v * v).sum())]}
+        )
+
+    df = spark.createDataFrame(
+        [(("hot" if i % 10 else f"cold{i}"), i % 97) for i in range(2000)],
+        "k string, v long",
+    )
+    salted = grouped_kernel_agg(df, ["k"], kernel, "n long, s long, ss long", n_salts=8)
+    plain = grouped_kernel_agg(df, ["k"], kernel, "n long, s long, ss long")
+    assert _rows(salted) == _rows(plain)
+    # and both equal the JVM ground truth
+    want = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    assert _rows(salted) == _rows(want)
+
+
+def test_grouped_kernel_agg_rejects_salt_collision(spark):
+    """An input already carrying __salt is rejected, not silently re-salted."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
+
+    df = spark.range(10).select(
+        (F.col("id") % 2).alias("k"), F.col("id").alias("v"), F.lit(0).alias("__salt")
+    )
+    with _pytest.raises(ValueError, match="__salt"):
+        grouped_kernel_agg(
+            df, ["k"], lambda p: pd.DataFrame({"n": [len(p)]}), "n long", n_salts=4
+        )
