@@ -501,3 +501,338 @@ def q108_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").cast("bigint").alias("vec_id"), "l2_norm", "max_abs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (q125): frequency estimation in fixed memory.
+# ---------------------------------------------------------------------------
+
+CM_P = 2147483647  # Mersenne prime 2^31-1: universal-hash modulus
+CM_W = 256         # buckets per hash row
+CM_ROWS = [        # (j, a, b): pairwise-independent affine family
+    (0, 1103515245, 12345),
+    (1, 69069, 362437),
+    (2, 1664525, 1013904223),
+    (3, 22695477, 1),
+]
+CM_TOPN = 10
+
+_CM_JT = "SELECT * FROM (VALUES " + ", ".join(
+    f"({j}, {a}, {b})" for j, a, b in CM_ROWS
+) + ") AS t(j, a, b)"
+
+
+@query(
+    "q125_countmin_heavy_hitters",
+    oracle=f"""
+    WITH jt AS ({_CM_JT}),
+    base AS (SELECT l_suppkey AS key FROM lineitem),
+    exact AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+              FROM base GROUP BY key),
+    cand AS (
+      SELECT key, exact_cnt
+      FROM (SELECT key, exact_cnt,
+                   ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, key) AS rn
+            FROM exact)
+      WHERE rn <= {CM_TOPN}
+    ),
+    sketch AS (
+      SELECT jt.j, ((jt.a * base.key + jt.b) % {CM_P}) % {CM_W} AS col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM base CROSS JOIN jt
+      GROUP BY 1, 2
+    )
+    SELECT c.key AS key, c.exact_cnt AS exact_cnt,
+           CAST(MIN(s.cnt) AS BIGINT) AS cm_estimate,
+           CAST(MIN(s.cnt) - c.exact_cnt AS BIGINT) AS overestimate
+    FROM cand c
+    CROSS JOIN jt
+    JOIN sketch s
+      ON s.j = jt.j AND s.col = ((jt.a * c.key + jt.b) % {CM_P}) % {CM_W}
+    GROUP BY c.key, c.exact_cnt
+    """,
+)
+def q125_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation next to the exact counts it
+    approximates (reference analogue: the provider-frequency profiling
+    its validators do by full groupBy, cbbd_etl/validate.py): d={d} rows
+    × w={w} buckets of affine-hash counters — a FIXED {d}×{w}-cell state
+    regardless of input size, mergeable by cell-wise addition, so the
+    100 TB build is one map-side-combining shuffle carrying at most
+    d·w rows per map partition instead of one row per distinct key.
+    Point estimate = min over rows of the key's bucket counter; it can
+    only OVERestimate (collisions add), which the emitted
+    ``overestimate`` column makes visible. The affine family
+    ((a·x+b) mod p) mod w is pairwise independent and integer-exact in
+    both engines — no RNG, so DuckDB reproduces the sketch bit-for-bit.
+    Heavy-hitter candidates here are the exact top-{n} (deterministic
+    tie-break count desc, key asc) via TakeOrdered; a pure-sketch
+    pipeline would instead probe the dictionary of candidate keys.
+    The sketch side of the lookup join is ≤ d·w rows — broadcast.""".format(
+        d=len(CM_ROWS), w=CM_W, n=CM_TOPN
+    )
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(F.col("l_suppkey").alias("key"))
+    exact = base.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    cand = exact.orderBy(F.desc("exact_cnt"), F.asc("key")).limit(CM_TOPN)
+
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.lit(a) * F.col("key") + F.lit(b)) % CM_P) % CM_W).alias("col"),
+            )
+            for j, a, b in CM_ROWS
+        ]
+    )
+    sketch = (
+        base.select(F.explode(buckets).alias("jc"))
+        .groupBy(F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    probes = cand.select("key", "exact_cnt", F.explode(buckets).alias("jc")).select(
+        "key", "exact_cnt", F.col("jc.j").alias("j"), F.col("jc.col").alias("col")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+        .select(
+            "key",
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations (q126): union / intersection / Jaccard from sketches.
+# ---------------------------------------------------------------------------
+
+KMV_A = "click"
+KMV_B = "error"
+
+
+@query(
+    "q126_kmv_set_ops",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type AS cohort, user_id,
+             {_H60} AS hv
+      FROM events WHERE event_type IN ('{KMV_A}', '{KMV_B}')
+    ),
+    ranked AS (
+      SELECT cohort, hv,
+             ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY hv) AS rn
+      FROM d
+    ),
+    sk AS (SELECT cohort, hv FROM ranked WHERE rn <= {KMV_K}),
+    u AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sk)
+    ),
+    u64 AS (SELECT hv FROM u WHERE rn <= {KMV_K}),
+    ustat AS (SELECT CAST(MAX(hv) AS BIGINT) AS hk,
+                     CAST(COUNT(*) AS BIGINT) AS kk FROM u64),
+    n_and AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_and FROM u64
+      WHERE hv IN (SELECT hv FROM sk WHERE cohort = '{KMV_A}')
+        AND hv IN (SELECT hv FROM sk WHERE cohort = '{KMV_B}')
+    ),
+    est AS (
+      SELECT CASE WHEN ustat.kk < {KMV_K} THEN CAST(ustat.kk AS DOUBLE)
+                  ELSE ({KMV_K} - 1.0) * {HASH_M!r} / CAST(ustat.hk AS DOUBLE)
+             END AS est_union,
+             CAST(n_and.n_and AS DOUBLE) / CAST(ustat.kk AS DOUBLE) AS est_jaccard
+      FROM ustat CROSS JOIN n_and
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union,
+             CAST(SUM(CASE WHEN nc = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_intersection
+      FROM (SELECT user_id, COUNT(DISTINCT cohort) AS nc FROM d GROUP BY user_id)
+    )
+    SELECT est.est_union AS est_union,
+           est.est_jaccard AS est_jaccard,
+           est.est_jaccard * est.est_union AS est_intersection,
+           ex.exact_union AS exact_union,
+           ex.exact_intersection AS exact_intersection
+    FROM est CROSS JOIN ex
+    """,
+)
+def q126_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed set algebra on KMV sketches: estimate |A∪B|, Jaccard,
+    and |A∩B| for two user cohorts from two k={k}-row sketches instead
+    of a full distinct-union shuffle. Union sketch = k smallest of the
+    merged per-cohort sketches (KMV closure under union); Jaccard =
+    fraction of the union sketch's hashes present in BOTH cohort
+    sketches (Beyer et al., SIGMOD'07); intersection = Jaccard × union.
+    Exact answers computed alongside. Per-cohort k-minima run through
+    the associative two-phase top-k (operators/topk.py) — no cohort
+    ever sorts on one reducer — and every downstream step touches only
+    ≤ 2k sketch rows. Deterministic md5-order-statistics hashing, so
+    the DuckDB replay is bit-identical.""".format(k=KMV_K)
+    from hoops_edge_database_etl_spark.operators.topk import top_k_per_group
+
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type").isin(KMV_A, KMV_B))
+        .select(F.col("event_type").alias("cohort"), "user_id")
+        .distinct()
+        .withColumn(
+            "hv",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"),
+        )
+    )
+    sk = top_k_per_group(d, ["cohort"], [F.col("hv")], KMV_K).select("cohort", "hv")
+    u64 = sk.select("hv").distinct().orderBy("hv").limit(KMV_K)
+    ustat = u64.agg(
+        F.max("hv").cast("bigint").alias("hk"), F.count(F.lit(1)).cast("bigint").alias("kk")
+    )
+    in_a = sk.filter(F.col("cohort") == KMV_A).select("hv")
+    in_b = sk.filter(F.col("cohort") == KMV_B).select("hv")
+    n_and = (
+        u64.join(in_a, "hv", "semi")
+        .join(in_b, "hv", "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_and"))
+    )
+    est = (
+        ustat.crossJoin(n_and)
+        .select(
+            F.when(F.col("kk") < KMV_K, F.col("kk").cast("double"))
+            .otherwise(F.lit(KMV_K - 1.0) * F.lit(HASH_M) / F.col("hk").cast("double"))
+            .alias("est_union"),
+            (F.col("n_and").cast("double") / F.col("kk").cast("double")).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+    ex = (
+        d.groupBy("user_id")
+        .agg(F.countDistinct("cohort").alias("nc"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(F.when(F.col("nc") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
+    return est.crossJoin(ex).select(
+        "est_union",
+        "est_jaccard",
+        (F.col("est_jaccard") * F.col("est_union")).alias("est_intersection"),
+        "exact_union",
+        "exact_intersection",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers via MAD (q127): two composed grouped exact medians.
+# ---------------------------------------------------------------------------
+
+MAD_BIN = 1.0  # histogram bin width for events.value (range ~0-500)
+
+
+def _grouped_kth(df: DataFrame, key: str, v: str, quantile: float, bin_width: float) -> DataFrame:
+    """Exact per-group k-th order statistic (k = ceil(q*n)) via the q107
+    histogram-select plan: one map-side-combining histogram shuffle, a
+    cumulative walk over the BOUNDED per-group histogram, then ranking
+    only the located bin's rows. Returns (key, n, kth)."""
+    b = df.select(key, v, F.floor(F.col(v) / bin_width).cast("long").alias("bin"))
+    hist = b.groupBy(key, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist_cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    t = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    k = t.withColumn(
+        "kk", F.ceil(F.lit(quantile) * F.col("n").cast("double")).cast("long")
+    )
+    located = k.join(
+        hist_cum.withColumnRenamed(key, "__hk"),
+        (F.col("__hk") == F.col(key))
+        & (F.col("cum") >= F.col("kk"))
+        & ((F.col("cum") - F.col("cnt")) < F.col("kk")),
+    ).select(key, "n", "kk", "bin", (F.col("cum") - F.col("cnt")).alias("cb"))
+    cand = b.join(F.broadcast(located), [key, "bin"])
+    wq = Window.partitionBy(key).orderBy(v)
+    return (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("kk") - F.col("cb"))
+        .select(key, "n", F.col(v).alias("kth"))
+    )
+
+
+@query(
+    "q127_mad_outliers",
+    oracle="""
+    WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type),
+    r1 AS (SELECT event_type, v,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+           FROM s),
+    med AS (
+      SELECT t.event_type, t.n, r1.v AS median
+      FROM t JOIN r1 ON r1.event_type = t.event_type
+         AND r1.rn = CAST(ceil(0.5 * CAST(t.n AS DOUBLE)) AS BIGINT)
+    ),
+    dev AS (
+      SELECT s.event_type, s.v, abs(s.v - med.median) AS d
+      FROM s JOIN med ON med.event_type = s.event_type
+    ),
+    r2 AS (SELECT event_type, d,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+           FROM dev),
+    mad AS (
+      SELECT t.event_type, r2.d AS mad
+      FROM t JOIN r2 ON r2.event_type = t.event_type
+         AND r2.rn = CAST(ceil(0.5 * CAST(t.n AS DOUBLE)) AS BIGINT)
+    )
+    SELECT med.event_type AS event_type, med.n AS n, med.median AS median,
+           mad.mad AS mad,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev
+    JOIN med ON med.event_type = dev.event_type
+    JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY med.event_type, med.n, med.median, mad.mad
+    """,
+)
+def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection — median absolute deviation,
+    the estimator that survives the outliers it hunts (unlike q27's
+    mean/stddev z-score, which heavy tails drag): two COMPOSED exact
+    grouped medians (value, then |value − median|) through the q107
+    histogram-select plan — each pass is one bounded-histogram shuffle
+    plus a rank of a single bin, never a per-group full sort — then a
+    flag pass counts rows beyond 3×MAD. Exactness across engines: the
+    medians are actual data values, |v−m| is a single IEEE subtraction,
+    and the 3×MAD threshold is one multiplication — all bit-identical
+    in DuckDB's replay. The reference's anomaly gate
+    (cbbd_etl/validate.py z-score path) is the fragile version of this."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select("event_type", F.col("value").cast("double").alias("v"))
+    med = _grouped_kth(s, "event_type", "v", 0.5, MAD_BIN).select(
+        "event_type", "n", F.col("kth").alias("median")
+    )
+    dev = s.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", F.abs(F.col("v") - F.col("median")).alias("d")
+    )
+    mad = _grouped_kth(dev, "event_type", "d", 0.5, MAD_BIN).select(
+        "event_type", F.col("kth").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "median", "mad")
+        .agg(
+            F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select("event_type", "n", "median", "mad", "n_outliers")
+    )

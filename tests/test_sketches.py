@@ -97,3 +97,50 @@ def test_top_k_per_group_rejects_bad_input(spark):
         top_k_per_group(df, ["g"], [F.col("g")], 2)
     with pytest.raises(ValueError, match="k must be"):
         top_k_per_group(df.withColumnRenamed("rank", "v"), ["g"], [F.col("v")], 0)
+
+
+def test_countmin_never_underestimates(spark):
+    """CM sketch point estimates are ≥ exact counts by construction."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q125_countmin_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_cnt"]
+        assert r["overestimate"] == r["cm_estimate"] - r["exact_cnt"]
+
+
+def test_kmv_set_ops_bounds(spark):
+    """Union/intersection estimates within KMV 3σ of exact; Jaccard in [0,1]."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    r = all_queries()["q126_kmv_set_ops"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["est_jaccard"] <= 1.0
+    assert abs(r["est_union"] - r["exact_union"]) / r["exact_union"] < 0.38
+    # intersection inherits union + jaccard error; generous 3σ-ish bound
+    assert abs(r["est_intersection"] - r["exact_intersection"]) <= max(
+        10.0, 0.5 * r["exact_intersection"]
+    )
+
+
+def test_mad_outliers_matches_driver_side(spark):
+    """MAD per group equals a pandas recomputation (lower-median rank)."""
+    import math
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["q127_mad_outliers"](spark, SF_DIR).collect()
+    }
+    pdf = load(spark, SF_DIR, "events").select("event_type", "value").toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        vs = sorted(grp["value"].astype(float))
+        k = math.ceil(0.5 * len(vs))
+        med = vs[k - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[k - 1]
+        assert got[et]["median"] == med
+        assert got[et]["mad"] == mad
+        assert got[et]["n_outliers"] == sum(1 for d in devs if d > 3 * mad)
