@@ -495,15 +495,22 @@ _SKEW_KERNEL_ORACLE = """
            CAST(SUM((l_orderkey * 13 + l_linenumber * 7) % 1000) AS BIGINT) AS s,
            CAST(SUM(((l_orderkey * 13 + l_linenumber * 7) % 1000)
                     * ((l_orderkey * 13 + l_linenumber * 7) % 1000))
-                AS BIGINT) AS ss
+                AS BIGINT) AS ss,
+           CAST(SUM(LENGTH(concat_ws('|', l_returnflag, l_linestatus,
+                                     strftime(l_shipdate, '%Y-%m-%d'))))
+                AS BIGINT) AS tb
     FROM lineitem
     GROUP BY 1
 """
 
+SKEW_KERNEL_HOT_THRESHOLD = 20_000
+
 
 def _skew_kernel_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~95% of lineitem collapses to hot key 0 (the q87/q88 recipe); the
-    value column is a deterministic int64 so power sums are exact."""
+    value column is a deterministic int64 so power sums are exact, and
+    ``tag`` carries a string payload so the hot group's single-task
+    Arrow transfer is a REAL cost, not just a row count."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         F.when(F.col("l_orderkey") % 20 == 0, F.col("l_orderkey") % 331)
@@ -513,33 +520,55 @@ def _skew_kernel_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_orderkey") * 13 + F.col("l_linenumber") * 7) % 1000)
         .cast("long")
         .alias("v"),
+        F.concat_ws(
+            "|",
+            "l_returnflag",
+            "l_linestatus",
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        ).alias("tag"),
     )
 
 
 def _moments_kernel(pdf):
-    """Additive per-group state: count + first two power sums — stands in
-    for any custom numeric kernel Spark lacks a built-in for. numpy int64
-    throughout; bounds: ss <= |group| * 1e6 << 2^63."""
+    """Additive per-group state: count, first two power sums of v, total
+    tag bytes — stands in for any custom numeric kernel Spark lacks a
+    built-in for. numpy int64 throughout; bounds: ss <= |group| * 1e6
+    << 2^63."""
     import pandas as pd
 
     v = pdf["v"].to_numpy()
+    tl = pdf["tag"].str.len().to_numpy()
     return pd.DataFrame(
-        {"n": [int(len(v))], "s": [int(v.sum())], "ss": [int((v * v).sum())]}
+        {
+            "n": [int(len(v))],
+            "s": [int(v.sum())],
+            "ss": [int((v * v).sum())],
+            "tb": [int(tl.sum())],
+        }
     )
 
 
 @query("q115_skew_kernel_salted", oracle=_SKEW_KERNEL_ORACLE)
 def q115_skew_kernel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase pandas-kernel aggregation over a 95%-hot key: the
-    kernel runs on 32 salted sub-groups in parallel, then the additive
-    partials merge JVM-side (one tiny row per sub-group). See the block
-    comment above for why THIS — not q64's built-in aggregates — is the
-    shape where salting pays at 100 TB."""
+    """SELECTIVELY salted two-phase pandas-kernel aggregation over a
+    95%-hot key: a count pre-pass detects keys above
+    {SKEW_KERNEL_HOT_THRESHOLD} rows, ONLY those spread over 32 salted
+    sub-groups (cold keys keep salt 0 — salting everything multiplies
+    the grouped-map per-group Arrow round-trip by n_salts and was
+    measured 9× SLOWER than the control at sf0.1), then the additive
+    partials merge JVM-side. See the block comment above for why THIS —
+    not q64's built-in aggregates — is the shape where salting pays at
+    100 TB."""
     from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
 
     df = _skew_kernel_input(spark, sf_dir)
     return grouped_kernel_agg(
-        df, ["k"], _moments_kernel, "n long, s long, ss long", n_salts=32
+        df,
+        ["k"],
+        _moments_kernel,
+        "n long, s long, ss long, tb long",
+        n_salts=32,
+        hot_threshold=SKEW_KERNEL_HOT_THRESHOLD,
     )
 
 
@@ -552,7 +581,9 @@ def q116_skew_kernel_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
 
     df = _skew_kernel_input(spark, sf_dir)
-    return grouped_kernel_agg(df, ["k"], _moments_kernel, "n long, s long, ss long")
+    return grouped_kernel_agg(
+        df, ["k"], _moments_kernel, "n long, s long, ss long, tb long"
+    )
 
 
 @query(

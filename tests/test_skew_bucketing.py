@@ -152,3 +152,29 @@ def test_grouped_kernel_agg_rejects_salt_collision(spark):
         grouped_kernel_agg(
             df, ["k"], lambda p: pd.DataFrame({"n": [len(p)]}), "n long", n_salts=4
         )
+
+
+def test_grouped_kernel_agg_hot_threshold_matches(spark):
+    """Selective salting (hot_threshold) is result-identical to the
+    unsalted run, both when the threshold fires and when nothing is hot."""
+    import pandas as pd
+
+    from hoops_edge_database_etl_spark.operators.skew import grouped_kernel_agg
+
+    def kernel(pdf):
+        v = pdf["v"].to_numpy()
+        return pd.DataFrame({"n": [int(len(v))], "s": [int(v.sum())]})
+
+    df = spark.createDataFrame(
+        [(("hot" if i % 10 else f"cold{i}"), i % 97) for i in range(2000)],
+        "k string, v long",
+    )
+    plain = _rows(grouped_kernel_agg(df, ["k"], kernel, "n long, s long"))
+    fired = grouped_kernel_agg(
+        df, ["k"], kernel, "n long, s long", n_salts=8, hot_threshold=100
+    )
+    cold = grouped_kernel_agg(
+        df, ["k"], kernel, "n long, s long", n_salts=8, hot_threshold=10**9
+    )
+    assert _rows(fired) == plain
+    assert _rows(cold) == plain
