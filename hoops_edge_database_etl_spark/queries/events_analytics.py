@@ -402,3 +402,226 @@ def q124_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("last_touch", "first_touch")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@query(
+    "q128_sliding_distinct",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    mx AS (SELECT MAX(day) AS mxd FROM d),
+    f AS (
+      SELECT event_type, user_id, day + CAST(r.x AS INTEGER) AS wday
+      FROM d, range(7) r(x)
+    )
+    SELECT event_type, wday AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days_7d
+    FROM f, mx WHERE wday <= mx.mxd
+    GROUP BY event_type, wday
+    """,
+)
+def q128_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per event type — the sliding
+    COUNT DISTINCT that a naive window-function plan cannot express
+    (count_distinct is not a Spark window aggregate) and a per-day
+    self-range-join would re-scan 7×. Plan: dedup the raw stream to
+    (type, day, user) once, fan each active pair out to the ≤7 window
+    ends it participates in (explode of a 7-element sequence — bounded,
+    unlike the stream itself), then one count-distinct shuffle per
+    (type, window_end). At 100 TB the fan-out operates on the DEDUPED
+    activity set (|users|×|days| worst case), not the event stream, and
+    the count-distinct partials combine map-side. Reference analogue:
+    the rolling-activity audit in bronze_silver_validation_queries.sql."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    mx = d.agg(F.max("day").alias("mxd"))
+    f = d.withColumn("x", F.explode(F.sequence(F.lit(0), F.lit(6)))).select(
+        "event_type", "user_id", F.date_add("day", F.col("x")).alias("window_end")
+    )
+    return (
+        f.crossJoin(F.broadcast(mx))
+        .filter(F.col("window_end") <= F.col("mxd"))
+        .groupBy("event_type", "window_end")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users_7d"),
+            F.count(F.lit(1)).cast("bigint").alias("n_user_days_7d"),
+        )
+    )
+
+
+@query(
+    "q129_ts_interpolate",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events
+      WHERE dayofmonth(CAST(ts AS DATE)) % 3 <> 0
+      GROUP BY 1, 2
+    ),
+    ext AS (
+      SELECT event_type, MIN(day) AS mnd, MAX(day) AS mxd FROM sparse GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(mnd, mxd, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ext
+    ),
+    j AS (
+      SELECT s.event_type, s.day, sp.v FROM spine s
+      LEFT JOIN sparse sp ON sp.event_type = s.event_type AND sp.day = s.day
+    ),
+    w AS (
+      SELECT event_type, day, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT event_type, day, v,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * CAST(datediff('day', pd, day) AS DOUBLE)
+                               / CAST(datediff('day', pd, nd) AS DOUBLE)
+           END AS filled,
+           CAST(v IS NULL AS BOOLEAN) AS is_interpolated
+    FROM w
+    """,
+)
+def q129_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair by linear interpolation: the daily
+    per-type value series (made sparse by dropping every
+    day-of-month % 3 == 0 — a deterministic stand-in for missing feed
+    days, the reference's gap-repair concern, cbbd_etl backfill) is
+    re-spined to a dense per-type calendar, and each hole is filled as
+    prev + (next−prev)·k/g from its bracketing observations via
+    IGNORE-NULLS running windows — one forward, one backward, both over
+    the PRE-AGGREGATED daily series (days × types rows, driver-scale),
+    never the raw stream. Leading/trailing holes (no bracket) stay
+    null. Exact cross-engine: daily sums run in DECIMAL, and the
+    interpolation is the identical ((next−prev)·k)/g float expression
+    on both sides."""
+    ev = load(spark, sf_dir, "events")
+    sparse = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "value")
+        .filter(F.dayofmonth("day") % 3 != 0)
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    spine = (
+        sparse.groupBy("event_type")
+        .agg(F.min("day").alias("mnd"), F.max("day").alias("mxd"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("mnd", "mxd")).alias("day"),
+        )
+    )
+    j = spine.join(sparse, ["event_type", "day"], "left")
+    day_if_v = F.when(F.col("v").isNotNull(), F.col("day"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(day_if_v, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(day_if_v, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("day"), F.col("pd")
+    ).cast("double") / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    return w.select(
+        "event_type",
+        "day",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("filled"),
+        F.col("v").isNull().alias("is_interpolated"),
+    )
+
+
+@query(
+    "q130_ewma_window",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id,
+             list(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS l
+      FROM c
+    )
+    SELECT event_id, user_id,
+           CAST(len(l) AS BIGINT) AS n_window,
+           (list_sum(list_transform(
+              l, (x, i) -> CAST(x AS DOUBLE) * pow(0.5, CAST(len(l) - i AS DOUBLE))))
+            / (2 - pow(0.5, CAST(len(l) - 1 AS DOUBLE)))) / 100.0 AS ewma
+    FROM w
+    """,
+)
+def q130_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=½) over each
+    user's last 16 events — the recursive smoother no built-in window
+    aggregate expresses, recovered EXACTLY by bounding the window:
+    2⁻¹⁶ is below the weight floor anyway, so the 16-row frame equals
+    the infinite recursion to within one ulp — and here bit-exactly
+    across engines, because values quantize to integer cents, the
+    weights are powers of two, so every product is an exact dyadic
+    rational and the sum is order-independent (the property float
+    EWMA lacks; same trick as q61/q94). Plan: one window partitioned
+    by user_id (the high-cardinality entity — NOT event_type, which
+    would put 20% of the stream in one partition), collect_list over
+    the 16-row frame, and a JVM higher-order fold; no self-join, no
+    Python. Normalizer 2−2^−(n−1) handles the ramp-up rows."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    return (
+        c.withColumn("l", F.collect_list("cents").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            F.size("l").cast("bigint").alias("n_window"),
+            (
+                F.expr(
+                    "aggregate(zip_with(l, sequence(size(l) - 1, 0, -1),"
+                    " (x, d) -> CAST(x AS DOUBLE) * pow(0.5D, CAST(d AS DOUBLE))),"
+                    " 0.0D, (a, b) -> a + b)"
+                )
+                / (F.lit(2.0) - F.expr("pow(0.5D, CAST(size(l) - 1 AS DOUBLE))"))
+                / F.lit(100.0)
+            ).alias("ewma"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Invariants for the sliding-window / gap-fill / EWMA event analytics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    return all_queries()[name]
+
+
+def test_sliding_distinct_bounds(spark):
+    """7-day distinct users is sandwiched between any single day's
+    distinct count and the 7-day user-day total."""
+    rows = _q("q128_sliding_distinct")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_users_7d"] <= r["n_user_days_7d"]
+
+    from hoops_edge_database_etl_spark.tables import load
+
+    ev = load(spark, SF_DIR, "events")
+    daily = {
+        (r["event_type"], r["day"]): r["n"]
+        for r in ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        single = daily.get((r["event_type"], r["window_end"]), 0)
+        assert r["n_users_7d"] >= single
+
+
+def test_interpolate_fills_between_brackets(spark):
+    """Interpolated values lie within [prev, next]; observed days pass
+    through unchanged; leading/trailing holes stay null."""
+    rows = _q("q129_ts_interpolate")(spark, SF_DIR).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_interp = 0
+    for series in by_type.values():
+        series.sort(key=lambda r: r["day"])
+        for r in series:
+            if r["v"] is not None:
+                assert r["filled"] == r["v"] and not r["is_interpolated"]
+        obs = [r for r in series if r["v"] is not None]
+        assert obs, "every type must retain observed days"
+        for r in series:
+            if r["is_interpolated"] and r["filled"] is not None:
+                n_interp += 1
+                prev = max(
+                    (o for o in obs if o["day"] < r["day"]),
+                    key=lambda o: o["day"],
+                )
+                nxt = min(
+                    (o for o in obs if o["day"] > r["day"]),
+                    key=lambda o: o["day"],
+                )
+                lo, hi = sorted((prev["v"], nxt["v"]))
+                assert lo <= r["filled"] <= hi
+    assert n_interp > 0, "the %3 gap filter must create holes to fill"
+
+
+def test_ewma_is_convex_combination(spark):
+    """Normalized EWMA lies within the window's [min, max] (weights sum
+    to 1), and n_window ramps 1..16."""
+    df = _q("q130_ewma_window")(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert {r["n_window"] for r in rows} <= set(range(1, 17))
+
+    from hoops_edge_database_etl_spark.tables import load
+    from pyspark.sql import Window
+
+    ev = load(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-15, 0)
+    bounds = {
+        r["event_id"]: (r["lo"], r["hi"])
+        for r in ev.select(
+            "event_id",
+            F.min(F.floor(F.col("value") * 100 + F.lit(0.5))).over(w).alias("lo"),
+            F.max(F.floor(F.col("value") * 100 + F.lit(0.5))).over(w).alias("hi"),
+        ).collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r["event_id"]]
+        assert lo / 100.0 - 1e-9 <= r["ewma"] <= hi / 100.0 + 1e-9
