@@ -932,3 +932,171 @@ def q123_array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_chars"),
         F.array_max(lens).cast("long").alias("max_len"),
     )
+
+
+# --- document chunking with overlap (q131) --------------------------------
+
+CHUNK_W = 32  # tokens per chunk
+CHUNK_S = 24  # stride (overlap = W - S = 8)
+
+
+@query(
+    "q131_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, len(w) - 1, {CHUNK_S})) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / {CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(len(w[s + 1 : s + {CHUNK_W}]) AS BIGINT) AS n_tokens_chunk,
+           w[s + 1] AS first_token,
+           md5(array_to_string(w[s + 1 : s + {CHUNK_W}], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def q131_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the context-length prep
+    step of every LLM training/RAG pipeline ({w}-token chunks, stride
+    {s}, {o}-token overlap so no boundary context is lost): tokenize
+    once, explode a stride-{s} start sequence (≤ ceil(n/{s}) chunk rows
+    per doc — output is ~n/{s}·avg_chunks rows, linear in corpus size),
+    slice the kept-whole token array per start, and fingerprint each
+    chunk (md5) so downstream dedup can run at CHUNK granularity
+    (the q41 exact-dedup / q82 decontamination join key). Pure JVM
+    column expressions — split/slice/array_join/md5, no UDF; at 100 TB
+    this is one narrow map stage with no shuffle at all — chunk rows
+    inherit the input partitioning.""".format(
+        w=CHUNK_W, s=CHUNK_S, o=CHUNK_W - CHUNK_S
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    starts = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.size("w") - 1, F.lit(CHUNK_S))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("w"), F.col("s") + 1, CHUNK_W)
+    return starts.select(
+        "doc_id",
+        (F.col("s") / CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens_chunk"),
+        F.element_at("w", F.col("s") + 1).alias("first_token"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+# --- temperature-weighted domain mixture (q132) ---------------------------
+
+MIX_BUDGET = 50_000  # total token budget for the mixed corpus
+_MIX_H60 = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q132_domain_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST({_MIX_H60} AS DOUBLE) / {float(1 << 60)!r} AS hfrac
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS weight
+      FROM d GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS sum_w FROM per_src),
+    plan AS (
+      SELECT p.source, p.n_docs, p.n_tokens, p.weight,
+             CAST(floor(({MIX_BUDGET} * p.weight) / t.sum_w) AS BIGINT)
+               AS target_tokens
+      FROM per_src p CROSS JOIN tot t
+    ),
+    assign AS (
+      SELECT d.doc_id, d.source, d.n_tok,
+             CAST(floor(CAST(p.target_tokens AS DOUBLE)
+                        / CAST(p.n_tokens AS DOUBLE)) AS BIGINT)
+             + CASE WHEN d.hfrac < CAST(p.target_tokens AS DOUBLE)
+                                   / CAST(p.n_tokens AS DOUBLE)
+                                   - floor(CAST(p.target_tokens AS DOUBLE)
+                                           / CAST(p.n_tokens AS DOUBLE))
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM d JOIN plan p ON p.source = d.source
+    )
+    SELECT p.source AS source, p.n_docs, p.n_tokens, p.weight, p.target_tokens,
+           CAST(SUM(a.n_copies) AS BIGINT) AS n_docs_out,
+           CAST(SUM(a.n_copies * a.n_tok) AS BIGINT) AS tokens_out
+    FROM plan p JOIN assign a ON a.source = p.source
+    GROUP BY p.source, p.n_docs, p.n_tokens, p.weight, p.target_tokens
+    """,
+)
+def q132_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (the Pile/CCNet α=½ recipe):
+    per-source sampling targets ∝ n_tokens^0.5 flatten the source
+    distribution, then each document gets a DETERMINISTIC multiplicity
+    — floor(rate) copies plus one more iff its md5-hash fraction falls
+    below rate's fractional part — so the realized token count is
+    within one doc of the target per source WITHOUT RNG state
+    (repartition-proof, retry-proof: the q73/q111 property). Integer
+    weights (floor∘sqrt) and integer targets keep the plan arithmetic
+    exact across engines; the only floats are the per-source rate and
+    the hash fraction, both single-expression identical. Plan shape:
+    one groupBy(source) for the histogram, a broadcast of the ≤|sources|
+    plan rows back onto docs, one final groupBy — the doc-level
+    assignment never shuffles. The emitted plan is what q111's
+    systematic sampler consumes as its per-stratum budget at 100 TB."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("hfrac"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("bigint").alias("weight"),
+    )
+    tot = per_src.agg(F.sum("weight").cast("bigint").alias("sum_w"))
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.floor((F.lit(MIX_BUDGET) * F.col("weight")) / F.col("sum_w"))
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    rate = F.col("target_tokens").cast("double") / F.col("n_tokens").cast("double")
+    assign = d.join(F.broadcast(plan), "source").select(
+        "source",
+        "n_tok",
+        (
+            F.floor(rate).cast("long")
+            + F.when(F.col("hfrac") < rate - F.floor(rate), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return (
+        assign.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("bigint").alias("n_docs_out"),
+            F.sum(F.col("n_copies") * F.col("n_tok")).cast("bigint").alias("tokens_out"),
+        )
+        .join(F.broadcast(plan), "source")
+        .select(
+            "source", "n_docs", "n_tokens", "weight", "target_tokens",
+            "n_docs_out", "tokens_out",
+        )
+    )

@@ -1,0 +1,64 @@
+"""Invariants for chunking (q131) and domain-mixture planning (q132)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    return all_queries()[name]
+
+
+def test_chunks_cover_every_token_with_stride(spark):
+    from hoops_edge_database_etl_spark.queries.textstats import CHUNK_S, CHUNK_W
+    from hoops_edge_database_etl_spark.tables import load
+
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in _q("q131_doc_chunks")(spark, SF_DIR).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        n = n_tok[doc_id]
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(math.ceil(n / CHUNK_S)))
+        # every chunk is full-width except possibly trailing ones; the
+        # final token of the doc is inside the last chunk
+        for c in chunks[:-1]:
+            assert c["n_tokens_chunk"] <= CHUNK_W
+        last = chunks[-1]
+        assert last["chunk_idx"] * CHUNK_S + last["n_tokens_chunk"] == n
+        assert chunks[0]["n_tokens_chunk"] == min(CHUNK_W, n)
+
+
+def test_domain_mix_flattens_and_respects_budget(spark):
+    from hoops_edge_database_etl_spark.queries.textstats import MIX_BUDGET
+
+    rows = _q("q132_domain_mix")(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["target_tokens"] for r in rows) <= MIX_BUDGET
+    tot_in = sum(r["n_tokens"] for r in rows)
+    tot_target = sum(r["target_tokens"] for r in rows)
+    for r in rows:
+        # hash-residual multiplicities realize the target to within the
+        # statistical envelope of the per-doc Bernoulli draws (generous
+        # 3σ-ish bound — tiny strata at sf0.001 are the worst case)
+        assert abs(r["tokens_out"] - r["target_tokens"]) <= max(
+            250, 0.25 * r["target_tokens"]
+        )
+        # temperature < 1 flattens: small sources gain share, large lose
+        in_share = r["n_tokens"] / tot_in
+        out_share = r["target_tokens"] / tot_target
+        if in_share < 1 / len(rows):
+            assert out_share >= in_share * 0.99
