@@ -161,6 +161,7 @@ def _load_modules() -> None:
         streamq,
         events_analytics,
         cdc,
+        layout,
     )
 
     _LOADED = True

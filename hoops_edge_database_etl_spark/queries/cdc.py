@@ -171,3 +171,76 @@ def q102_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change") != "unchanged")
     )
+
+
+# --- incremental aggregate maintenance (q134) -----------------------------
+
+INC_SPLIT = "1997-01-01"
+
+
+def merge_partial_aggs(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge mergeable partial-aggregate states (n / sum columns) from any
+    number of batches into the exact full aggregate: counts and sums
+    re-SUM; derived ratios (avg) are computed only AFTER the merge —
+    never averaged across batches. One shuffle on the group keys, input
+    is |keys|·|batches| partial rows, not raw data."""
+    keys = list(keys)
+    val_cols = [c for c in partials.columns if c not in keys]
+    return partials.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in val_cols]
+    )
+
+
+@query(
+    "q134_incremental_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q134_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the lineitem pricing
+    rollup is computed as TWO independent partial-aggregate batches —
+    the "already materialized" base (shipdate < {INC_SPLIT}) and the
+    "newly arrived" delta (≥ {INC_SPLIT}) — whose mergeable states
+    (count + DECIMAL sums) re-aggregate to EXACTLY the from-scratch
+    answer (the shared oracle is the plain full GROUP BY; DECIMAL
+    partials make the merge order-insensitive, which float sums are
+    not). avg is derived from merged sums, never averaged across
+    batches. This is the nightly-ETL contract the reference rebuilds
+    from scratch per season (gold/runner.py --season): at 100 TB the
+    delta batch is the only data touched — base state is |keys| rows
+    read back from the MV — so maintenance cost is O(delta), not
+    O(history). Insert-only deltas here; retractions would carry
+    negative partials through the identical merge.""".format(
+        INC_SPLIT=INC_SPLIT
+    )
+    li = load(spark, sf_dir, "lineitem")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
+        )
+    base = partial(li.filter(F.col("l_shipdate") < INC_SPLIT))
+    delta = partial(li.filter(F.col("l_shipdate") >= INC_SPLIT))
+    merged = merge_partial_aggs(
+        base.unionByName(delta), ["l_returnflag", "l_linestatus"]
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        (F.col("sum_qty").cast("double") / F.col("n").cast("double"))
+        .cast("double")
+        .alias("avg_qty"),
+    )

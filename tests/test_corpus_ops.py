@@ -62,3 +62,40 @@ def test_domain_mix_flattens_and_respects_budget(spark):
         out_share = r["target_tokens"] / tot_target
         if in_share < 1 / len(rows):
             assert out_share >= in_share * 0.99
+
+
+def test_zorder_skips_more_than_linear(spark):
+    rows = {r["layout"]: r for r in _q("q133_zorder_skipping")(spark, SF_DIR).collect()}
+    z, lin = rows["zorder"], rows["linear_x"]
+    # both layouts find the same matches; stats-based pruning never loses rows
+    assert z["rows_matched"] == lin["rows_matched"] > 0
+    assert z["rows_scanned"] >= z["rows_matched"]
+    assert lin["rows_scanned"] >= lin["rows_matched"]
+    # the point of z-order: fewer blocks and rows touched for a 2-D box
+    assert z["n_blocks_scanned"] < lin["n_blocks_scanned"]
+    assert z["rows_scanned"] < lin["rows_scanned"]
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    import pyspark.sql.functions as F2
+
+    from hoops_edge_database_etl_spark.queries.cdc import merge_partial_aggs
+    from hoops_edge_database_etl_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem")
+
+    def partial(batch):
+        return batch.groupBy("l_returnflag").agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(F2.col("l_quantity").cast("decimal(18,2)")).alias("sq"),
+        )
+
+    # three arbitrary batch splits must merge to the one-shot answer
+    b1 = partial(li.filter(F2.col("l_orderkey") % 3 == 0))
+    b2 = partial(li.filter(F2.col("l_orderkey") % 3 == 1))
+    b3 = partial(li.filter(F2.col("l_orderkey") % 3 == 2))
+    merged = merge_partial_aggs(b1.unionByName(b2).unionByName(b3), ["l_returnflag"])
+    want = partial(li)
+    got = {r["l_returnflag"]: (r["n"], r["sq"]) for r in merged.collect()}
+    exp = {r["l_returnflag"]: (r["n"], r["sq"]) for r in want.collect()}
+    assert got == exp
