@@ -628,3 +628,71 @@ def q118_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     ).select(F.col("node").cast("long").alias("node"), "n_triangles")
+
+
+BFS_MAX_HOPS = 6
+BFS_SEEDS = (0, 1, 2)
+
+
+@query(
+    "q135_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    walk(node, hop) AS (
+      SELECT * FROM (VALUES {", ".join(f"({s}, 0)" for s in BFS_SEEDS)}) v(node, hop)
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.hop < {BFS_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q135_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest hop count, fully distributed (the
+    frontier-expansion twin of q117's PageRank): seeds {seeds} start at
+    hop 0; each sweep joins the CURRENT FRONTIER (not the whole visited
+    set) against the edge list, anti-joins out already-visited nodes,
+    and checkpoints — so sweep cost tracks the frontier boundary,
+    lineage stays O(1) deep, and the loop exits early when the frontier
+    empties (a one-scalar isEmpty probe per sweep, never a data
+    collect). The DuckDB oracle replays it as a recursive CTE with SET
+    semantics (UNION dedups (node, hop) states, bounding the recursion
+    on cyclic graphs) + MIN(hop) — the exact fixed point BFS computes
+    level-by-level. At 100 TB: edges shuffle on src each sweep (or
+    pre-partition once by src and reuse), frontier/visited are
+    node-sized. Reference analogue: the schedule-graph reachability its
+    SOS solver implies (scripts/sos_solver.py's opponent closure).""".format(
+        seeds=set(BFS_SEEDS)
+    )
+    o = load(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 100).cast("long").alias("src"),
+            (F.col("o_orderkey") % 100).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = spark.createDataFrame([(int(s), 0) for s in BFS_SEEDS], "node long, hops long")
+    visited = seeds.localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").cast("bigint"), F.col("hops").cast("bigint"))

@@ -222,3 +222,32 @@ _sql_query(
     "engines — Spark plans left-semi/anti over distinct, the declarative "
     "form of the reference's Python set differences, gap_fill.py:79-171).",
 )
+
+
+_sql_query(
+    "q136_sql_correlated_scalar",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN cents * (SELECT COUNT(*) FROM c i
+                                       WHERE i.o_custkey = o.o_custkey)
+                           > (SELECT SUM(cents) FROM c i
+                              WHERE i.o_custkey = o.o_custkey)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_above_own_avg
+    FROM c o
+    GROUP BY o_custkey
+    """,
+    """Correlated SCALAR subqueries — each order compared against its own
+    customer's average price (stated integer-exactly as cents·n > Σcents,
+    so the cross-engine float-average trap never opens). Catalyst
+    decorrelates both subqueries into aggregate-then-join plans rather
+    than per-row re-execution (RewriteCorrelatedScalarSubquery) — the
+    SQL-surface feature the reference's Athena corpus leans on
+    (bronze_silver_validation_queries.sql per-entity audits). Completes
+    the subquery matrix next to q78's EXISTS/IN forms.""",
+)

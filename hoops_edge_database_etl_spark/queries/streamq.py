@@ -126,3 +126,68 @@ def q95_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(sink).select("event_type", "n_users")
+
+
+@query(
+    "q137_stream_stream_join",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, o.o_orderpriority,
+           CAST(l.l_quantity AS DOUBLE) AS quantity,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS net_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def q137_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner equi-join executed end-to-end as two
+    readStream sources (orders ⋈ lineitem on orderkey, urgent orders
+    only) — the both-sides-buffering operator that batch joins never
+    exercise: each side's rows persist in the join state store until a
+    match arrives from the other stream, and the final appended output
+    over the bounded (availableNow) replay equals the batch join
+    bit-for-bit (the shared oracle). Net price runs in DECIMAL inside
+    the streaming plan — float parity discipline is identical to batch.
+
+    Scale notes: unbounded production runs add ``withWatermark`` on
+    both sides + an event-time range condition so the state store
+    EVICTS matched-and-expired rows (streaming/pipeline.py documents
+    the pattern); a bounded replay deliberately omits the watermark —
+    with availableNow splitting input into multiple micro-batches, a
+    watermark could drop cross-batch matches and the result would stop
+    being deterministic. Filter pushdown still reaches the streaming
+    source scan (urgent-only rows enter the state store)."""
+    orders = load_stream(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lines = load_stream(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey, "inner"
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        (
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1) - F.col("l_discount").cast(DEC))
+        )
+        .cast("double")
+        .alias("net_price"),
+    )
+    sink = "q137_stream_stream_join_sink"
+    ck = tempfile.mkdtemp(prefix="q137_ck_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(sink)

@@ -351,3 +351,44 @@ def test_hll_register_state_supports_accurate_estimation(spark):
         assert rel < 0.1, (r["event_type"], lc, r["n_exact"], rel)
         # the raw harmonic estimate must still be finite and positive
         assert r["hll_raw_estimate"] > 0
+
+
+def test_bfs_levels_are_consistent(spark):
+    """Every hop-h node (h>0) has an in-edge from some hop-(h-1) node,
+    and no edge jumps levels by more than 1 (the BFS frontier
+    invariant)."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.solver import BFS_SEEDS
+    from hoops_edge_database_etl_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    hops = {
+        r["node"]: r["hops"]
+        for r in all_queries()["q135_bfs_hops"](spark, SF_DIR).collect()
+    }
+    for s in BFS_SEEDS:
+        assert hops[s] == 0
+    o = load(spark, SF_DIR, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    preds: dict[int, set] = {}
+    for e in edges:
+        preds.setdefault(e["dst"], set()).add(e["src"])
+    for node, h in hops.items():
+        if h == 0:
+            continue
+        assert any(
+            hops.get(p) == h - 1 for p in preds.get(node, ())
+        ), f"node {node} at hop {h} has no hop-{h-1} predecessor"
+    for e in edges:
+        if e["src"] in hops and e["dst"] in hops:
+            assert hops[e["dst"]] <= hops[e["src"]] + 1
