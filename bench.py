@@ -53,6 +53,10 @@ HEADLINE = [
     "q107_grouped_median",      # grouped histogram-select exact quantiles
     "q113_possession_sessionize",  # grouped-map state machine (W2/W3)
     "q117_pagerank_distributed",  # iterative rank, localCheckpoint sweeps
+    "q128_sliding_distinct",    # dedup-then-fan-out rolling distinct
+    "q131_doc_chunks",          # zero-shuffle chunk explode
+    "q133_zorder_skipping",     # Morton layout + block-stats pruning
+    "q135_bfs_hops",            # frontier-expansion iterative BFS
 ]
 
 

@@ -40,7 +40,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # rows are fresh; they follow in registration order).  Regenerate each
 # round from the CORRECTNESS_r{N}.json history.
 _DRIVER_PRIORITY = [
-    # new this round — never driver-checked
+    # new in round 5 — never driver-checked
+    "q125_countmin_heavy_hitters",
+    "q126_kmv_set_ops",
+    "q127_mad_outliers",
+    "q128_sliding_distinct",
+    "q129_ts_interpolate",
+    "q130_ewma_window",
+    "q131_doc_chunks",
+    "q132_domain_mix",
+    "q133_zorder_skipping",
+    "q134_incremental_agg",
+    "q135_bfs_hops",
+    "q136_sql_correlated_scalar",
+    "q137_stream_stream_join",
+    # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",
     "q115_skew_kernel_salted",

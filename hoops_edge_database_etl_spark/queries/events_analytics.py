@@ -625,3 +625,99 @@ def q130_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+SESSION_GAP_MIN = 240  # minutes of inactivity that closes a session
+
+
+@query(
+    "q139_session_conversion",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts)
+                       > {SESSION_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             COUNT(*) AS n_events,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_with_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL
+                          AND last_purchase > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted_sessions
+    FROM per_session GROUP BY user_id
+    """,
+)
+def q139_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion funnel: gap-sessionize each user's
+    stream ({gap}-minute inactivity closes a session — the lag+cumsum
+    pattern of q37, which counts sessions but never looks INSIDE them),
+    then per session test the ordered micro-funnel "a view happened and
+    a purchase followed it" via conditional MIN/MAX — no second window
+    pass, no self-join: within one session, last_purchase > first_view
+    ⟺ some purchase follows some view. Windows partition by user_id
+    (high-cardinality), each frame is one user's stream — the q130
+    parallelism note applies; the per-session and per-user rollups are
+    ordinary map-side-combining groupBys. Complements q89 (global
+    funnel, no session boundary) and q124 (attribution). Reference:
+    the possession-scoped scoring-run logic of
+    build_pbp_plays_enriched.py:181-276, re-aimed at web sessions.""".format(
+        gap=SESSION_GAP_MIN
+    )
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wo)
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = o.withColumn(
+        "session_id",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n_events").cast("bigint").alias("max_session_events"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions_with_view"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("last_purchase") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_converted_sessions"),
+    )

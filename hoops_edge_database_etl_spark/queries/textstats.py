@@ -1100,3 +1100,67 @@ def q132_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_out", "tokens_out",
         )
     )
+
+
+# --- exact-substring decontamination (q138) -------------------------------
+
+SUBSTR_PAT_LEN = 20
+SUBSTR_PAT_OFF = 11
+
+
+@query(
+    "q138_substring_decontaminate",
+    oracle=f"""
+    WITH pats AS (
+      SELECT DISTINCT substr(text, {SUBSTR_PAT_OFF}, {SUBSTR_PAT_LEN}) AS pat
+      FROM documents
+      WHERE doc_id % 97 = 0 AND n_chars >= {SUBSTR_PAT_OFF + SUBSTR_PAT_LEN}
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(DISTINCT p.pat) AS BIGINT) AS n_patterns_hit
+    FROM documents d JOIN pats p ON strpos(d.text, p.pat) > 0
+    GROUP BY d.doc_id
+    """,
+)
+def q138_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-SUBSTRING eval-set decontamination at character granularity
+    — the stricter sibling of q82's token-5-gram overlap (catches
+    contamination that reflows whitespace or crosses token boundaries).
+    The oracle states it naively (strpos per doc × pattern — O(len·K)
+    per doc, hopeless when the eval set has millions of snippets); the
+    Spark plan is the scaling shape: every doc explodes into its
+    {plen}-char windows (position explode — the Rabin-Karp window set,
+    one row per char offset, linear in corpus bytes and embarrassingly
+    parallel), which HASH-JOIN against the broadcast pattern
+    dictionary — per-doc cost is O(len), INDEPENDENT of pattern count,
+    and with a corpus-sized pattern set the same plan shuffles instead
+    of broadcasting. Dedup to distinct (doc, pattern) before the
+    count, since a pattern may match at several offsets."""
+    d = load(spark, sf_dir, "documents")
+    pats = (
+        d.filter(
+            (F.col("doc_id") % 97 == 0)
+            & (F.col("n_chars") >= SUBSTR_PAT_OFF + SUBSTR_PAT_LEN)
+        )
+        .select(
+            F.substring("text", SUBSTR_PAT_OFF, SUBSTR_PAT_LEN).alias("pat")
+        )
+        .distinct()
+    )
+    windows = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SUBSTR_PAT_LEN - 1))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id",
+        F.substring(F.col("text"), F.col("pos"), F.lit(SUBSTR_PAT_LEN)).alias("pat"),
+    )
+    return (
+        windows.join(F.broadcast(pats), "pat")
+        .select("doc_id", "pat")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_patterns_hit"))
+    )

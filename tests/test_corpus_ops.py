@@ -99,3 +99,53 @@ def test_incremental_merge_equals_full_recompute(spark):
     got = {r["l_returnflag"]: (r["n"], r["sq"]) for r in merged.collect()}
     exp = {r["l_returnflag"]: (r["n"], r["sq"]) for r in want.collect()}
     assert got == exp
+
+
+def test_substring_decontaminate_agrees_with_contains(spark):
+    """The position-explode hash-join plan equals a naive per-doc
+    contains() scan over the same pattern set."""
+    import pyspark.sql.functions as F2
+
+    from hoops_edge_database_etl_spark.queries.textstats import (
+        SUBSTR_PAT_LEN,
+        SUBSTR_PAT_OFF,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    d = load(spark, SF_DIR, "documents")
+    pats = [
+        r["pat"]
+        for r in d.filter(
+            (F2.col("doc_id") % 97 == 0)
+            & (F2.col("n_chars") >= SUBSTR_PAT_OFF + SUBSTR_PAT_LEN)
+        )
+        .select(F2.substring("text", SUBSTR_PAT_OFF, SUBSTR_PAT_LEN).alias("pat"))
+        .distinct()
+        .collect()
+    ]
+    assert pats
+    naive = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id",
+            sum(
+                F2.when(F2.col("text").contains(p), 1).otherwise(0) for p in pats
+            ).alias("n"),
+        )
+        .filter(F2.col("n") > 0)
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["n_patterns_hit"]
+        for r in _q("q138_substring_decontaminate")(spark, SF_DIR).collect()
+    }
+    assert got == naive
+
+
+def test_session_conversion_bounds(spark):
+    rows = _q("q139_session_conversion")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_sessions"]
+        assert r["n_converted_sessions"] <= r["n_sessions_with_view"] <= r["n_sessions"]
+        assert r["max_session_events"] >= 1
