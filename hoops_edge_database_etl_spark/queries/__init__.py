@@ -54,6 +54,10 @@ _DRIVER_PRIORITY = [
     "q135_bfs_hops",
     "q136_sql_correlated_scalar",
     "q137_stream_stream_join",
+    "q138_substring_decontaminate",
+    "q139_session_conversion",
+    "q140_winsorize",
+    "q141_pca_power_iteration",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

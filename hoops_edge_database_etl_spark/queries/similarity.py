@@ -765,3 +765,138 @@ def q103_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "centroid",
     )
+
+
+# --- distributed PCA power iteration (q141) -------------------------------
+
+PCA_Q = 1 << 12      # 12-bit coordinate quantization (gram products fit int64)
+PCA_S = 1 << 20      # fixed-point scale of the iterated vector
+PCA_SWEEPS = 8
+
+# floor(double-divide) is used instead of integer div/% because Spark's
+# `div` truncates toward zero while DuckDB's `//` floors — they disagree on
+# negatives (gram entries and eigenvector components are signed). A double
+# divide of int64s is correctly rounded IEEE in both engines, so
+# floor(CAST(a AS DOUBLE)/CAST(b AS DOUBLE)) is bit-identical cross-engine.
+
+
+def _pca_oracle() -> str:
+    sweeps = []
+    prev = "v0"
+    for i in range(1, PCA_SWEEPS + 1):
+        sweeps.append(
+            f"""
+    w{i} AS MATERIALIZED (
+      SELECT g.j, SUM(g.gv * {prev}.v) AS w
+      FROM g JOIN {prev} ON {prev}.j = g.k GROUP BY g.j
+    ),
+    m{i} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{i}),
+    v{i} AS MATERIALIZED (
+      SELECT j, CAST(floor(CAST(w AS DOUBLE) * {float(PCA_S)!r}
+                           / CAST(m AS DOUBLE)) AS BIGINT) AS v
+      FROM w{i}, m{i}
+    )"""
+        )
+        prev = f"v{i}"
+    return f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, t.i - 1 AS dim,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {PCA_Q} + 0.5) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM embeddings),
+    g AS MATERIALIZED (
+      SELECT a.dim AS j, b.dim AS k,
+             CAST(floor(CAST(SUM(a.q * b.q) AS DOUBLE) / CAST(n.nr AS DOUBLE))
+                  AS BIGINT) AS gv
+      FROM x a JOIN x b ON a.vec_id = b.vec_id CROSS JOIN n
+      GROUP BY a.dim, b.dim, n.nr
+    ),
+    v0 AS MATERIALIZED (SELECT DISTINCT j, CAST({PCA_S} AS BIGINT) AS v
+           FROM (SELECT dim AS j FROM x)),
+    {",".join(sweeps)},
+    sgn AS (SELECT CASE WHEN SUM(v) < 0 THEN -1 ELSE 1 END AS s FROM {prev})
+    SELECT CAST(j AS BIGINT) AS dim, CAST(v * sgn.s AS BIGINT) AS v
+    FROM {prev}, sgn
+    """
+
+
+@query("q141_pca_power_iteration", oracle=_pca_oracle())
+def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by DISTRIBUTED
+    power iteration — the whitening/projection primitive training
+    pipelines run before indexing, and a shape Spark has no built-in
+    for: (1) the Gram matrix XᵀX forms in ONE data-sized shuffle
+    (per-vector posexplode self-join fans each row into dim² products;
+    groupBy(j,k) sums exactly in int64 — 12-bit quantized coords keep
+    every product ≤ 2²⁴ so a row count up to 2³⁹ cannot overflow), then
+    row-normalized by n so its magnitude — and every later bound — is
+    data-size INDEPENDENT; (2) {k} matrix-vector sweeps run on the
+    dim²-row Gram DataFrame (join on k, groupBy j — dims ≪ data, so
+    these are driver-cheap but stay distributed; localCheckpoint per
+    sweep truncates lineage, the q117 recipe), each renormalized to the
+    2²⁰ fixed-point scale with the floor∘double-divide that both
+    engines round identically (see module comment — integer div
+    disagrees on signs across engines); (3) sign fixed by ΣV ≥ 0. The
+    oracle replays all {k} sweeps as unrolled CTEs — bit-identical.
+    Uncentered PCA (top right-singular direction); centering would
+    subtract the q103 label-free mean first — same shapes.""".format(
+        k=PCA_SWEEPS
+    )
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * PCA_Q + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    n = e.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    a, b = x.alias("a"), x.alias("b")
+    g = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("a.dim").alias("j"), F.col("b.dim").alias("k"), "nr")
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("gs"))
+        .select(
+            "j",
+            "k",
+            F.floor(F.col("gs").cast("double") / F.col("nr").cast("double"))
+            .cast("long")
+            .alias("gv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        x.select(F.col("dim").alias("j"))
+        .distinct()
+        .select("j", F.lit(PCA_S).cast("long").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(PCA_SWEEPS):
+        w = (
+            g.join(v.select(F.col("j").alias("k"), "v"), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("gv") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs("w")).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "j",
+                F.floor(
+                    F.col("w").cast("double") * F.lit(float(PCA_S))
+                    / F.col("m").cast("double")
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sgn = v.agg(
+        F.when(F.sum("v") < 0, -1).otherwise(1).cast("long").alias("s")
+    )
+    return v.crossJoin(F.broadcast(sgn)).select(
+        F.col("j").cast("bigint").alias("dim"),
+        (F.col("v") * F.col("s")).cast("bigint").alias("v"),
+    )

