@@ -58,6 +58,9 @@ _DRIVER_PRIORITY = [
     "q139_session_conversion",
     "q140_winsorize",
     "q141_pca_power_iteration",
+    "q142_cogroup_reconcile",
+    "q143_column_profiler",
+    "q144_welch_ttest",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

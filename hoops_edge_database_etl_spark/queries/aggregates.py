@@ -650,3 +650,195 @@ def q120_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+# --- whole-table column profiler (q143) -----------------------------------
+
+_PROF_NUM = [("o_orderkey", "o_orderkey"), ("o_custkey", "o_custkey"),
+             ("o_totalprice", "o_totalprice")]
+_PROF_STR = [("o_orderstatus", "o_orderstatus"),
+             ("o_orderpriority", "o_orderpriority")]
+_PROF_TS = [("o_orderdate", "o_orderdate")]
+
+
+@query(
+    "q143_column_profiler",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           NULL, NULL,
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    """,
+)
+def q143_column_profiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler — the validation sweep the reference
+    runs per ingest (cbbd_etl/validate.py: null rates, distinct counts,
+    range checks) emitted as one row per column: count / nulls / exact
+    NDV / typed min-max (numerics in double, strings as-is, timestamps
+    through an explicit cross-engine date_format — never a raw
+    double→string cast, whose shortest-repr rules differ between
+    engines). Plan: ONE aggregate per column over the same scan —
+    Catalyst collapses the UNION of single-row aggregates into parallel
+    partial aggregates over a shared exchange-free scan pass; at 100 TB
+    this is the always-on data-quality pass that amortizes into the
+    ingest write. Exact NDV here (the audit contract); q72/q79 are the
+    sketch substitutes when ±2% suffices."""
+    o = load(spark, sf_dir, "orders")
+    nul = lambda c: (F.count(F.lit(1)) - F.count(c)).cast("bigint")
+    parts = []
+    for name, c in _PROF_NUM:
+        parts.append(
+            o.agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                nul(c).alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("double").alias("min_num"),
+                F.max(c).cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for name, c in _PROF_STR:
+        parts.append(
+            o.agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                nul(c).alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.min(c).alias("min_str"),
+                F.max(c).alias("max_str"),
+            )
+        )
+    for name, c in _PROF_TS:
+        parts.append(
+            o.agg(
+                F.lit(name).alias("column_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                nul(c).alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias("min_str"),
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- Welch two-sample t statistic (q144) ----------------------------------
+
+
+@query(
+    "q144_welch_ttest",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    g AS (
+      SELECT day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY day, event_type
+    ),
+    p AS (
+      SELECT a.day, a.n AS n1, a.s AS s1, a.ss AS ss1,
+             b.n AS n2, b.s AS s2, b.ss AS ss2
+      FROM g a JOIN g b ON b.day = a.day
+      WHERE a.event_type = 'click' AND b.event_type = 'error'
+        AND a.n >= 2 AND b.n >= 2
+    )
+    SELECT day, n1, n2,
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0
+             AS mean_diff,
+           ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100.0)
+             / sqrt((((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1)) / n1
+                     + ((CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+                        / (n2 - 1)) / n2) / 10000.0) AS t_stat
+    FROM p
+    """,
+)
+def q144_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Welch two-sample t statistic between the click and error
+    value streams — the A/B significance readout (reference analogue:
+    backtest_spreads.py's model-vs-market error comparison) computed
+    ENTIRELY from mergeable integer state: each (day, arm) carries
+    (n, Σcents, Σcents²) — exact int64, map-side combining, the same
+    partials q115's kernel and q134's MV maintain — and the t statistic
+    is one closed-form float expression over those six integers
+    (correctly-rounded sqrt; both engines evaluate the identical tree,
+    so the hash check holds to the last bit). No second pass for
+    variance, no per-group collection; adding CIs or pooled-variance
+    Student's t is the same shape with different constants."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type").isin("click", "error")).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = c.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        "day",
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1"),
+    )
+    b = g.filter(F.col("event_type") == "error").select(
+        "day",
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("ss").alias("ss2"),
+    )
+    p = a.join(b, "day").filter((F.col("n1") >= 2) & (F.col("n2") >= 2))
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)
+    mean_diff = (m1 - m2) / F.lit(100.0)
+    t = mean_diff / F.sqrt((v1 / F.col("n1") + v2 / F.col("n2")) / F.lit(10000.0))
+    return p.select("day", "n1", "n2", mean_diff.alias("mean_diff"), t.alias("t_stat"))

@@ -721,3 +721,90 @@ def q139_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_converted_sessions"),
     )
+
+
+@query(
+    "q142_cogroup_reconcile",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey % 150 AS entity, CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    ed AS (
+      SELECT user_id AS entity, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT COALESCE(od.entity, ed.entity) AS entity,
+             od.day AS oday, ed.day AS eday
+      FROM od FULL OUTER JOIN ed ON ed.entity = od.entity AND ed.day = od.day
+    )
+    SELECT entity,
+           CAST(SUM(CASE WHEN oday IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_order_days,
+           CAST(SUM(CASE WHEN eday IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_event_days,
+           CAST(SUM(CASE WHEN oday IS NOT NULL AND eday IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_common_days
+    FROM j GROUP BY entity
+    """,
+)
+def q142_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source activity reconciliation through Spark's COGROUP
+    surface — ``groupby(...).cogroup(...).applyInPandas`` hands each
+    entity BOTH sides' rows in one kernel call, the API for per-key
+    logic that needs the two frames side by side without materializing
+    their join product (here: day-level presence reconciliation between
+    the orders feed and the events feed — the reference's
+    bronze-vs-silver completeness audit, gap_fill.py:79-171, done
+    entity-wise). The kernel sees the two per-entity day sets and emits
+    membership tallies; the oracle proves the cogroup path equals the
+    relational FULL OUTER JOIN statement of the same question. Scale:
+    cogroup shuffles each side once on the entity key (same Exchange
+    shape as the join) but streams the pair of Arrow batches straight
+    into the kernel — per-group state is the two day-lists, and the
+    pre-aggregation to (entity, day) keeps those bounded. The q115
+    hot-key lesson applies unchanged if an entity dominates."""
+    import pandas as pd
+
+    o = load(spark, sf_dir, "orders")
+    ev = load(spark, sf_dir, "events")
+    od = (
+        o.select(
+            (F.col("o_custkey") % 150).cast("long").alias("entity"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .groupBy("entity", "day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        ev.select(
+            F.col("user_id").cast("long").alias("entity"),
+            F.to_date("ts").alias("day"),
+        )
+        .groupBy("entity", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def reconcile(key, left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        odays = set(left["day"]) if len(left) else set()
+        edays = set(right["day"]) if len(right) else set()
+        return pd.DataFrame(
+            {
+                "entity": [key[0]],
+                "n_order_days": [len(odays)],
+                "n_event_days": [len(edays)],
+                "n_common_days": [len(odays & edays)],
+            }
+        )
+
+    return (
+        od.groupby("entity")
+        .cogroup(ed.groupby("entity"))
+        .applyInPandas(
+            reconcile,
+            "entity long, n_order_days long, n_event_days long, n_common_days long",
+        )
+    )

@@ -93,3 +93,34 @@ def test_ewma_is_convex_combination(spark):
     for r in rows:
         lo, hi = bounds[r["event_id"]]
         assert lo / 100.0 - 1e-9 <= r["ewma"] <= hi / 100.0 + 1e-9
+
+
+def test_cogroup_reconcile_set_algebra(spark):
+    rows = _q("q142_cogroup_reconcile")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_common_days"] <= min(r["n_order_days"], r["n_event_days"])
+
+
+def test_welch_ttest_sign_and_scale(spark):
+    import math
+
+    rows = _q("q144_welch_ttest")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert math.isfinite(r["t_stat"])
+        # t and the mean difference always share a sign
+        assert (r["t_stat"] >= 0) == (r["mean_diff"] >= 0)
+        assert r["n1"] >= 2 and r["n2"] >= 2
+
+
+def test_column_profiler_knows_orders(spark):
+    rows = {r["column_name"]: r for r in _q("q143_column_profiler")(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority", "o_orderdate",
+    }
+    assert rows["o_orderkey"]["n_nulls"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == rows["o_orderkey"]["n"]
+    assert rows["o_orderstatus"]["min_str"] is not None
+    assert rows["o_orderdate"]["min_str"] < rows["o_orderdate"]["max_str"]
