@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     "q142_cogroup_reconcile",
     "q143_column_profiler",
     "q144_welch_ttest",
+    "q145_audio_pcm_features",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

@@ -1164,3 +1164,74 @@ def q138_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_patterns_hit"))
     )
+
+
+# --- audio PCM16 round-trip features (q145) -------------------------------
+
+
+@query(
+    "q145_audio_pcm_features",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             (CAST(floor(value * 100 + 0.5) AS BIGINT) % 32768) - 16384 AS smp
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, smp,
+             lead(smp) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM s
+    )
+    SELECT user_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           sqrt(CAST(SUM(smp * smp) AS DOUBLE) / COUNT(*)) AS rms,
+           CAST(SUM(CASE WHEN smp * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           CAST(MAX(abs(smp)) AS BIGINT) AS peak
+    FROM p GROUP BY user_id
+    """,
+)
+def q145_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-as-binary ROUND TRIP, codec-free and hash-checked: each
+    user's event stream becomes a deterministic int16 waveform (the
+    brief's sanctioned stand-in for real audio — raw PCM is what sits
+    inside every WAV anyway), PACKED little-endian into a true binary
+    column by a grouped kernel (operators/multimodal.py:pack_pcm16,
+    numpy tobytes), then a separate Arrow-batched mapInPandas stage
+    DECODES the bytes (zero-copy frombuffer) and extracts RMS energy /
+    strict zero-crossings / peak. The oracle recomputes the features
+    straight from the integer series — so a wrong byte order, width,
+    or sample order in the binary plumbing corrupts RMS and the hash
+    catches it. Schema discipline: the payload column dies inside the
+    feature stage; metadata (n_samples) travels beside it. This is the
+    audio leg of the multimodal surface next to q66's image metadata
+    and the raw-RGB kernels."""
+    import pandas as pd
+
+    from hoops_edge_database_etl_spark.operators.multimodal import (
+        pack_pcm16,
+        pcm16_features,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 32768)
+            - 16384
+        ).alias("smp"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["user_id"].iloc[0])],
+                "pcm": [pack_pcm16(pdf["smp"].to_numpy())],
+            }
+        )
+
+    packed = s.groupBy("user_id").applyInPandas(pack, "media_id long, pcm binary")
+    return pcm16_features(packed, id_col="media_id", pcm_col="pcm")

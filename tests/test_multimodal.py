@@ -152,3 +152,30 @@ def test_decode_raw_rgb_rejects_corrupt(spark):
         decode_raw_rgb(pack_raw_rgb(1, 4, 4)[:-5])  # truncated payload
     with _pytest.raises(ValueError):
         decode_raw_rgb(b"FRGB\x04")  # shorter than the header itself
+
+
+def test_pcm16_round_trip_and_byte_order(spark):
+    """pack_pcm16 → pcm16_features recovers exact features; a byte-order
+    corruption is detectable (RMS changes)."""
+    import numpy as np
+
+    from hoops_edge_database_etl_spark.operators.multimodal import (
+        pack_pcm16,
+        pcm16_features,
+    )
+
+    samples = [100, -200, 300, -400, 0, 5]
+    df = spark.createDataFrame(
+        [(1, bytearray(pack_pcm16(samples)))], "media_id long, pcm binary"
+    )
+    r = pcm16_features(df).collect()[0]
+    arr = np.array(samples, dtype=np.int64)
+    assert r["n_samples"] == len(samples)
+    assert r["peak"] == 400
+    assert r["zero_crossings"] == int(((arr[:-1] * arr[1:]) < 0).sum())
+    assert abs(r["rms"] - float(np.sqrt((arr * arr).sum() / len(arr)))) < 1e-12
+    # big-endian repack must NOT produce the same features
+    be = np.asarray(samples, dtype=">i2").tobytes()
+    df2 = spark.createDataFrame([(1, bytearray(be))], "media_id long, pcm binary")
+    r2 = pcm16_features(df2).collect()[0]
+    assert r2["rms"] != r["rms"]
