@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = [
     "q143_column_profiler",
     "q144_welch_ttest",
     "q145_audio_pcm_features",
+    "q146_video_frame_sample",
+    "q147_interval_merge",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

@@ -808,3 +808,92 @@ def q142_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entity long, n_order_days long, n_event_days long, n_common_days long",
         )
     )
+
+
+INTERVAL_LEN_S = 1800  # each event opens a 30-minute activity interval
+
+
+@query(
+    "q147_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_LEN_S} AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prev_e
+      FROM iv
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max_prev_e IS NULL OR s > max_prev_e THEN 1 ELSE 0 END
+               AS is_new
+      FROM m
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    agg AS (
+      SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_seconds,
+           CAST(MAX(i_end - i_start) AS BIGINT) AS longest_island_seconds
+    FROM agg GROUP BY user_id
+    """,
+)
+def q147_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval union per user (gaps-and-islands): every
+    event opens a {m}-minute activity interval; intervals chain into
+    islands wherever one starts before the running MAX of previous
+    ends (the strict form that q37's fixed-gap sessionizer
+    approximates — gap sessionization only compares ADJACENT events,
+    so a long interval swallowing a later short one splits there but
+    merges here). One window pass computes the running max-end (frame
+    ending at 1 PRECEDING — no self-join), a cumsum numbers islands,
+    and two groupBys emit union length / island count / longest
+    stretch, all in integer epoch seconds. Partitioned by user_id —
+    the q130 parallelism note; the reference's possession-clock
+    overlap handling (build_pbp_plays_enriched.py:181-276) is this
+    pattern with basketball constants.""".format(m=INTERVAL_LEN_S // 60)
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + INTERVAL_LEN_S).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "max_prev_e",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    flagged = m.withColumn(
+        "is_new",
+        F.when(
+            F.col("max_prev_e").isNull() | (F.col("s") > F.col("max_prev_e")), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    agg = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return agg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).cast("bigint").alias("covered_seconds"),
+        F.max(F.col("i_end") - F.col("i_start"))
+        .cast("bigint")
+        .alias("longest_island_seconds"),
+    )

@@ -1235,3 +1235,96 @@ def q145_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     packed = s.groupBy("user_id").applyInPandas(pack, "media_id long, pcm binary")
     return pcm16_features(packed, id_col="media_id", pcm_col="pcm")
+
+
+# --- video frame-sampling round trip (q146) -------------------------------
+
+VID_N, VID_H, VID_W, VID_EVERY = 8, 4, 4, 2
+_VID_FRAME_BYTES = VID_H * VID_W * 3
+
+
+@query(
+    "q146_video_frame_sample",
+    oracle=f"""
+    WITH ids AS (SELECT DISTINCT p_partkey % 32 AS media_id FROM part),
+    fr AS (SELECT CAST(f.x AS BIGINT) AS frame_index
+           FROM range(0, {VID_N}, {VID_EVERY}) f(x)),
+    px AS (SELECT CAST(p.x AS BIGINT) AS off
+           FROM range({VID_H * VID_W}) p(x))
+    SELECT i.media_id, fr.frame_index,
+           AVG(CAST((i.media_id * 7 + fr.frame_index * 13 + px.off * 3 + 0)
+                    % 256 AS DOUBLE)) AS mean_r,
+           AVG(CAST((i.media_id * 7 + fr.frame_index * 13 + px.off * 3 + 1)
+                    % 256 AS DOUBLE)) AS mean_g,
+           AVG(CAST((i.media_id * 7 + fr.frame_index * 13 + px.off * 3 + 2)
+                    % 256 AS DOUBLE)) AS mean_b
+    FROM ids i CROSS JOIN fr CROSS JOIN px
+    GROUP BY i.media_id, fr.frame_index
+    """,
+)
+def q146_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-as-binary ROUND TRIP (the q145 recipe, one modality over):
+    each media id gets a deterministic {n}-frame {h}×{w}×3 raw-RGB
+    "video" packed into ONE binary blob by a real numpy kernel
+    (pixel = (id·7 + frame·13 + 3·offset + channel) mod 256 — the
+    brief's sanctioned stand-in for codec output), then a mapInPandas
+    stage does what a real video pipeline does at 100 TB: SLICE every
+    {e}-th frame out of the blob by byte offset (no decode of skipped
+    frames — the point of frame sampling), reshape, and emit per-frame
+    channel means with the payload dropped. The oracle computes the
+    same means straight from the generator formula, so any error in
+    frame offsets, strides, or channel order corrupts the means and
+    fails the hash. Frame means of uint8 over 16 pixels are exact
+    dyadic doubles — order-independent.""".format(
+        n=VID_N, h=VID_H, w=VID_W, e=VID_EVERY
+    )
+    import numpy as np
+    import pandas as pd
+
+    p = load(spark, sf_dir, "part")
+    ids = p.select((F.col("p_partkey") % 32).cast("long").alias("media_id")).distinct()
+
+    def pack(batches):
+        for pdf in batches:
+            out_ids, blobs = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                frames = []
+                for f in range(VID_N):
+                    base = mid * 7 + f * 13
+                    px = (base + np.arange(_VID_FRAME_BYTES, dtype=np.int64)) % 256
+                    frames.append(px.astype(np.uint8))
+                out_ids.append(mid)
+                blobs.append(np.concatenate(frames).tobytes())
+            yield pd.DataFrame({"media_id": out_ids, "video": blobs})
+
+    packed = ids.mapInPandas(pack, schema="media_id long, video binary")
+
+    def sample(batches):
+        for pdf in batches:
+            rid, rfr, rr, rg, rb = [], [], [], [], []
+            for mid, raw in zip(pdf["media_id"], pdf["video"]):
+                for f in range(0, VID_N, VID_EVERY):
+                    chunk = raw[f * _VID_FRAME_BYTES : (f + 1) * _VID_FRAME_BYTES]
+                    arr = np.frombuffer(chunk, dtype=np.uint8).reshape(
+                        VID_H * VID_W, 3
+                    ).astype(np.float64)
+                    rid.append(int(mid))
+                    rfr.append(f)
+                    rr.append(float(arr[:, 0].mean()))
+                    rg.append(float(arr[:, 1].mean()))
+                    rb.append(float(arr[:, 2].mean()))
+            yield pd.DataFrame(
+                {
+                    "media_id": rid,
+                    "frame_index": rfr,
+                    "mean_r": rr,
+                    "mean_g": rg,
+                    "mean_b": rb,
+                }
+            )
+
+    return packed.mapInPandas(
+        sample,
+        schema="media_id long, frame_index long, mean_r double, mean_g double, mean_b double",
+    )

@@ -124,3 +124,16 @@ def test_column_profiler_knows_orders(spark):
     assert rows["o_orderkey"]["n_distinct"] == rows["o_orderkey"]["n"]
     assert rows["o_orderstatus"]["min_str"] is not None
     assert rows["o_orderdate"]["min_str"] < rows["o_orderdate"]["max_str"]
+
+
+def test_interval_merge_invariants(spark):
+    from hoops_edge_database_etl_spark.queries.events_analytics import INTERVAL_LEN_S
+
+    rows = _q("q147_interval_merge")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # each island is at least one interval long; union can't exceed
+        # islands * longest or undercut a single interval
+        assert r["longest_island_seconds"] >= INTERVAL_LEN_S
+        assert r["covered_seconds"] >= r["longest_island_seconds"]
+        assert r["covered_seconds"] >= r["n_islands"] * INTERVAL_LEN_S

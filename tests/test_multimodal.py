@@ -179,3 +179,27 @@ def test_pcm16_round_trip_and_byte_order(spark):
     df2 = spark.createDataFrame([(1, bytearray(be))], "media_id long, pcm binary")
     r2 = pcm16_features(df2).collect()[0]
     assert r2["rms"] != r["rms"]
+
+
+def test_video_frame_sample_slices_correct_frames(spark):
+    """q146 returns only every-2nd frame and its means match the pixel
+    generator formula recomputed driver-side."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import (
+        VID_EVERY,
+        VID_H,
+        VID_N,
+        VID_W,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q146_video_frame_sample"](spark, SF_DIR).collect()
+    assert rows
+    assert {r["frame_index"] for r in rows} == set(range(0, VID_N, VID_EVERY))
+    npx = VID_H * VID_W
+    for r in rows[:16]:
+        base = r["media_id"] * 7 + r["frame_index"] * 13
+        want_r = sum((base + o * 3) % 256 for o in range(npx)) / npx
+        want_b = sum((base + o * 3 + 2) % 256 for o in range(npx)) / npx
+        assert r["mean_r"] == want_r
+        assert r["mean_b"] == want_b

@@ -75,6 +75,8 @@ _PYTHON_ALLOWED = {
     "q115_skew_kernel_salted",  # pandas-kernel agg: the salted two-phase form
     "q116_skew_kernel_unsalted",  # …and its single-task control
     "q119_pareto_frontier",  # local-skyline mapInPandas + bounded merge
+    "q142_cogroup_reconcile",  # the cogroup applyInPandas surface itself
+    "q145_audio_pcm_features",  # binary PCM pack/decode round trip (multimodal)
 }
 
 
@@ -90,7 +92,12 @@ def test_no_python_in_analytic_plans(spark):
         if name in _PYTHON_ALLOWED:
             continue
         plan = _executed(qs[name](spark, SF_DIR))
-        if "BatchEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan:
+        if (
+            "BatchEvalPython" in plan
+            or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
+            or "FlatMapCoGroupsInPandas" in plan
+        ):
             offenders.append(name)
     assert not offenders, f"Python leaked into: {offenders}"
 
@@ -224,3 +231,32 @@ def test_row_ids_no_global_window(spark):
     plan = _executed(_qs()["q100_row_ids"](spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "__ri_pid" in plan
+
+
+def test_doc_chunks_zero_shuffle(spark):
+    """q131 chunking is one narrow map stage — no Exchange at all."""
+    plan = _executed(_qs()["q131_doc_chunks"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_substring_decontaminate_broadcasts_patterns(spark):
+    """q138's pattern dictionary joins as a broadcast — per-doc cost must
+    not depend on pattern count via a shuffle join."""
+    plan = _executed(_qs()["q138_substring_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    """q130: one hashpartitioning Exchange (the user_id window), nothing
+    else — the bounded-frame fold is JVM-side."""
+    plan = _executed(_qs()["q130_ewma_window"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_countmin_sketch_broadcasts(spark):
+    """q125's sketch side of the probe join is bounded (d*w rows) and must
+    broadcast, never shuffle the probes."""
+    plan = _executed(_qs()["q125_countmin_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
