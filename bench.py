@@ -57,6 +57,9 @@ HEADLINE = [
     "q131_doc_chunks",          # zero-shuffle chunk explode
     "q133_zorder_skipping",     # Morton layout + block-stats pruning
     "q135_bfs_hops",            # frontier-expansion iterative BFS
+    "q141_pca_power_iteration", # gram-matrix shuffle + distributed sweeps
+    "q145_audio_pcm_features",  # binary pack/decode round trip
+    "q147_interval_merge",      # gaps-and-islands window chain
 ]
 
 

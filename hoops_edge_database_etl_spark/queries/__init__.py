@@ -64,6 +64,7 @@ _DRIVER_PRIORITY = [
     "q145_audio_pcm_features",
     "q146_video_frame_sample",
     "q147_interval_merge",
+    "q148_vocab_ids",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

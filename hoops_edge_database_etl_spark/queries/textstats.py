@@ -1328,3 +1328,51 @@ def q146_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample,
         schema="media_id long, frame_index long, mean_r double, mean_g double, mean_b double",
     )
+
+
+# --- stable dense vocabulary ids (q148) -----------------------------------
+
+
+@query(
+    "q148_vocab_ids",
+    oracle="""
+    WITH tf AS (
+      SELECT t.tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           UNNEST(w) AS t(tok)
+      WHERE t.tok <> ''
+      GROUP BY t.tok
+    )
+    SELECT token, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT)
+             AS vocab_id
+    FROM tf
+    """,
+)
+def q148_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: every corpus token gets a
+    DENSE, STABLE id in global frequency order (0 = most frequent —
+    the id layout BPE/WordPiece vocabs ship with, and what embedding
+    tables index by). The global ordering is the interesting part at
+    scale: the oracle's ROW_NUMBER() OVER (ORDER BY …) is a
+    SinglePartition sort, but the Spark plan routes through
+    operators/rowids.py::stable_row_ids — repartitionByRange on
+    (count desc, token), per-range row_number, triangular prefix
+    offsets broadcast back — so a billion-type vocabulary numbers
+    itself with no reducer ever holding more than one range (the q100
+    machinery pointed at a sort key instead of arrival order). The
+    count pass is one map-side-combining token shuffle (q51's shape).
+    Downstream: q131's chunks + this table = the token-id corpus a
+    trainer memory-maps."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return stable_row_ids(
+        tf, [F.col("cnt").desc(), F.col("token").asc()], id_col="vocab_id"
+    )

@@ -149,3 +149,13 @@ def test_session_conversion_bounds(spark):
         assert 1 <= r["n_sessions"]
         assert r["n_converted_sessions"] <= r["n_sessions_with_view"] <= r["n_sessions"]
         assert r["max_session_events"] >= 1
+
+
+def test_vocab_ids_dense_and_frequency_ordered(spark):
+    rows = _q("q148_vocab_ids")(spark, SF_DIR).collect()
+    assert rows
+    rows.sort(key=lambda r: r["vocab_id"])
+    assert [r["vocab_id"] for r in rows] == list(range(len(rows)))
+    for a, b in zip(rows, rows[1:]):
+        assert (a["cnt"], b["token"]) >= (b["cnt"], a["token"]) or a["cnt"] > b["cnt"]
+        assert a["cnt"] >= b["cnt"]
