@@ -77,6 +77,7 @@ _PYTHON_ALLOWED = {
     "q119_pareto_frontier",  # local-skyline mapInPandas + bounded merge
     "q142_cogroup_reconcile",  # the cogroup applyInPandas surface itself
     "q145_audio_pcm_features",  # binary PCM pack/decode round trip (multimodal)
+    "q146_video_frame_sample",  # binary frame-slice round trip (multimodal)
 }
 
 
