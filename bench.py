@@ -41,10 +41,10 @@ HEADLINE = [
     "q60_embedding_near_dup",   # embedding near-dup (all-pairs baseline)
     "q61_jacobi_exact",         # exact iterative solver
     "q62_dedup_clusters",       # near-dup connected components
-    "q87_skew_join_salted",     # hot-key join, salted (operators/skew.py)
-    "q88_skew_join_unsalted",   # hot-key join, single-reducer control
     "q115_skew_kernel_salted",  # hot-key pandas kernel, salted two-phase
     "q116_skew_kernel_unsalted",  # hot-key pandas kernel, single-task control
+    "q87_skew_join_salted",     # hot-key join, salted (operators/skew.py)
+    "q88_skew_join_unsalted",   # hot-key join, single-reducer control
     "q105_region_revenue",      # TPC-H Q5 shape: 6-way star join
     "q93_exact_quantile_select",  # exact order statistics, no global sort
     "q74_sequence_packing",     # range-partitioned two-pass cumsum
@@ -89,6 +89,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
+        # isolate query families: drop cached blocks between queries, and
+        # run the pandas-kernel skew pair BEFORE the join skew pair in
+        # HEADLINE — VERDICT r3 traced a 3x inversion of q87/q88 to
+        # cross-query contention, and r5 saw the same artifact invert
+        # q115/q116 when they ran in the join pair's wake. (An explicit
+        # System.gc() here made things WORSE — full-GC churn bleeds into
+        # the next timed query on a 128 GiB heap.)
+        spark.catalog.clearCache()
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "q146_video_frame_sample",
     "q147_interval_merge",
     "q148_vocab_ids",
+    "q149_bloom_block_skipping",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

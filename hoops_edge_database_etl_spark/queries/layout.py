@@ -134,3 +134,140 @@ def q133_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_scanned"),
         F.sum("matched").cast("bigint").alias("rows_matched"),
     )
+
+
+# --- block-level bloom-filter skipping (q149) -----------------------------
+
+BLOOM_M = 512            # bits per block filter
+BLOOM_ROWS = [           # (j, a, b): affine bit-position hashes
+    (0, 1103515245, 12345),
+    (1, 69069, 362437),
+    (2, 1664525, 1013904223),
+]
+BLOOM_P = 2147483647
+BLOOM_BLOCK = 1000       # rows per "file" (o_orderkey div BLOOM_BLOCK)
+BLOOM_PROBES = (7, 42, 99)
+
+_BLOOM_JT = (
+    "SELECT j, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM (VALUES "
+    + ", ".join(f"({j}, {a}, {b})" for j, a, b in BLOOM_ROWS)
+    + ") AS t(j, a, b)"
+)
+_BLOOM_PT = (
+    "SELECT CAST(probe AS BIGINT) AS probe FROM (VALUES "
+    + ", ".join(f"({p})" for p in BLOOM_PROBES)
+    + ") AS t(probe)"
+)
+
+
+@query(
+    "q149_bloom_block_skipping",
+    oracle=f"""
+    WITH jt AS ({_BLOOM_JT}),
+    pt AS ({_BLOOM_PT}),
+    base AS (
+      SELECT o_orderkey // {BLOOM_BLOCK} AS block, o_custkey AS key FROM orders
+    ),
+    bits AS (
+      SELECT DISTINCT base.block,
+             ((jt.a * base.key + jt.b) % {BLOOM_P}) % {BLOOM_M} AS bit
+      FROM base CROSS JOIN jt
+    ),
+    bsz AS (SELECT block, COUNT(*) AS n_rows FROM base GROUP BY block),
+    nb AS (SELECT CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks FROM base),
+    cand AS (
+      SELECT pt.probe, bits.block
+      FROM pt CROSS JOIN jt
+      JOIN bits ON bits.bit = ((jt.a * pt.probe + jt.b) % {BLOOM_P}) % {BLOOM_M}
+      GROUP BY pt.probe, bits.block
+      HAVING COUNT(DISTINCT jt.j) = {len(BLOOM_ROWS)}
+    ),
+    act AS (
+      SELECT DISTINCT pt.probe, base.block
+      FROM pt JOIN base ON base.key = pt.probe
+    )
+    SELECT pt.probe AS probe, nb.n_blocks,
+           CAST(COUNT(DISTINCT cand.block) AS BIGINT) AS n_blocks_maybe,
+           CAST(COUNT(DISTINCT act.block) AS BIGINT) AS n_blocks_actual,
+           CAST(COALESCE(SUM(bsz.n_rows), 0) AS BIGINT) AS rows_scanned
+    FROM pt CROSS JOIN nb
+    LEFT JOIN cand ON cand.probe = pt.probe
+    LEFT JOIN act ON act.probe = pt.probe AND act.block = cand.block
+    LEFT JOIN bsz ON bsz.block = cand.block
+    GROUP BY pt.probe, nb.n_blocks
+    """,
+)
+def q149_bloom_block_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level BLOOM skipping — the equality-predicate complement to
+    q133's min/max stats (a point lookup on a SCATTERED column defeats
+    min/max: every block's range covers every key; a per-block bloom
+    filter prunes anyway). Each {bb}-row block keeps a {m}-bit filter =
+    the DISTINCT bit positions of {k} affine hashes over its keys —
+    built in one dedup shuffle of (block, bit) pairs, ≤ {m} rows of
+    state per block, the parquet bloom_filter_enabled machinery made
+    explicit and cross-engine checkable. A probe key scans a block only
+    if ALL {k} of its bits are set (COUNT DISTINCT j = {k} per block —
+    the conjunctive membership test as a join + HAVING). Emitted per
+    probe: candidate blocks vs truly-containing blocks (the gap IS the
+    false-positive rate, visible in the result) and rows actually
+    scanned. At 100 TB these filters are what turn a needle-in-haystack
+    lookup from a full scan into a few block reads.""".format(
+        bb=BLOOM_BLOCK, m=BLOOM_M, k=len(BLOOM_ROWS)
+    )
+    o = load(spark, sf_dir, "orders")
+    base = o.selectExpr(
+        f"o_orderkey div {BLOOM_BLOCK} AS block", "o_custkey AS key"
+    )
+    jt = spark.createDataFrame(BLOOM_ROWS, "j int, a long, b long")
+    pt = spark.createDataFrame([(p,) for p in BLOOM_PROBES], "probe long")
+    bits = (
+        base.crossJoin(F.broadcast(jt))
+        .select(
+            "block",
+            "j",
+            (((F.col("a") * F.col("key") + F.col("b")) % BLOOM_P) % BLOOM_M).alias(
+                "bit"
+            ),
+        )
+        .select("block", "bit")
+        .distinct()
+    )
+    bsz = base.groupBy("block").agg(F.count(F.lit(1)).alias("n_rows"))
+    nb = base.agg(F.countDistinct("block").cast("bigint").alias("n_blocks"))
+    probe_bits = pt.crossJoin(F.broadcast(jt)).select(
+        "probe",
+        "j",
+        (((F.col("a") * F.col("probe") + F.col("b")) % BLOOM_P) % BLOOM_M).alias(
+            "bit"
+        ),
+    )
+    cand = (
+        probe_bits.join(bits, "bit")
+        .groupBy("probe", "block")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == len(BLOOM_ROWS))
+        .select("probe", "block")
+    )
+    cand = cand.withColumnRenamed("block", "cblock")
+    act = (
+        pt.join(base, pt.probe == base.key)
+        .select(F.col("probe").alias("aprobe"), F.col("block").alias("ablock"))
+        .distinct()
+    )
+    bsz = bsz.withColumnRenamed("block", "bblock")
+    return (
+        pt.crossJoin(F.broadcast(nb))
+        .join(cand, "probe", "left")
+        .join(
+            act,
+            (F.col("aprobe") == F.col("probe")) & (F.col("ablock") == F.col("cblock")),
+            "left",
+        )
+        .join(F.broadcast(bsz), F.col("bblock") == F.col("cblock"), "left")
+        .groupBy("probe", "n_blocks")
+        .agg(
+            F.countDistinct("cblock").cast("bigint").alias("n_blocks_maybe"),
+            F.countDistinct("ablock").cast("bigint").alias("n_blocks_actual"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("rows_scanned"),
+        )
+    )

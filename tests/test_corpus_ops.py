@@ -159,3 +159,12 @@ def test_vocab_ids_dense_and_frequency_ordered(spark):
     for a, b in zip(rows, rows[1:]):
         assert (a["cnt"], b["token"]) >= (b["cnt"], a["token"]) or a["cnt"] > b["cnt"]
         assert a["cnt"] >= b["cnt"]
+
+
+def test_bloom_skipping_never_misses(spark):
+    """Bloom pruning is conservative: candidate blocks ⊇ actual blocks,
+    and a probe that exists somewhere always scans >= its actual rows."""
+    rows = _q("q149_bloom_block_skipping")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_blocks_actual"] <= r["n_blocks_maybe"] <= r["n_blocks"]
