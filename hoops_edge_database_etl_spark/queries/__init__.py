@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q147_interval_merge",
     "q148_vocab_ids",
     "q149_bloom_block_skipping",
+    "q150_events_endpoint",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

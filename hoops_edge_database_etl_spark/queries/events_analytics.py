@@ -897,3 +897,69 @@ def q147_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_island_seconds"),
     )
+
+
+BOT_EVENTS_PER_DAY = 30
+
+
+@query(
+    "q150_events_endpoint",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT event_id, user_id, event_type, ts, value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                     ORDER BY ts, user_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    bots AS (
+      SELECT user_id FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM dedup GROUP BY 1, 2
+      ) WHERE n > {BOT_EVENTS_PER_DAY}
+      GROUP BY user_id
+    ),
+    clean AS (
+      SELECT * FROM dedup WHERE user_id NOT IN (SELECT user_id FROM bots)
+    )
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM clean GROUP BY event_type, CAST(ts AS DATE)
+    """,
+)
+def q150_events_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical events-warehouse ENDPOINT (the q70 recipe on the
+    events side): idempotent exact dedup on event_id (first-wins with a
+    deterministic tiebreak — replayed feeds double-deliver, SURVEY
+    §2.10 I3), bot exclusion (any user exceeding {n} events on any one
+    day — anti-join of a groupBy-derived denylist, never a per-row
+    Python rule), then the daily per-type rollup with distinct actors
+    and DECIMAL-exact value totals. Shuffle ledger at 100 TB: dedup
+    partitions by event_id; the bot screen and final rollup both key on
+    user_id-then-(type, day) with map-side combine everywhere; the
+    denylist is users-scale and broadcasts into the anti-join. One
+    pipeline definition, hash-checked end-to-end — the property the
+    reference's bronze→silver→gold scripts assert piecemeal
+    (bronze_silver_validation_queries.sql) falls out of a single
+    declarative plan.""".format(n=BOT_EVENTS_PER_DAY)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    dedup = (
+        ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    bots = (
+        dedup.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > BOT_EVENTS_PER_DAY)
+        .select("user_id")
+        .distinct()
+    )
+    clean = dedup.join(F.broadcast(bots), "user_id", "anti")
+    return clean.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
