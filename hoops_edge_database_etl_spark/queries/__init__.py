@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q148_vocab_ids",
     "q149_bloom_block_skipping",
     "q150_events_endpoint",
+    "q151_expectations",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

@@ -842,3 +842,101 @@ def q144_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_diff = (m1 - m2) / F.lit(100.0)
     t = mean_diff / F.sqrt((v1 / F.col("n1") + v2 / F.col("n2")) / F.lit(10000.0))
     return p.select("day", "n1", "n2", mean_diff.alias("mean_diff"), t.alias("t_stat"))
+
+
+# --- declarative data-quality expectations (q151) -------------------------
+
+#: (rule_id, column, kind, lo, hi) — kinds: not_null (null share ≤ hi),
+#: range (min ≥ lo AND max ≤ hi), distinct_min (NDV ≥ lo). The rule table
+#: is DATA, not code: production loads it from config; adding a rule adds
+#: a row, never a plan.
+EXPECTATIONS = [
+    (1, "o_totalprice", "range", 0, 1_000_000),
+    (2, "o_totalprice", "not_null", 0, 0),
+    (3, "o_custkey", "distinct_min", 100, 0),
+    (4, "o_orderstatus", "distinct_min", 2, 0),
+    (5, "o_orderkey", "not_null", 0, 0),
+]
+
+
+@query(
+    "q151_expectations",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS nulls_price,
+             CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS nulls_key,
+             MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_cust,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status
+      FROM orders
+    )
+    SELECT r.rule_id, r.column_name, r.kind,
+           CASE r.rule_id
+             WHEN 1 THEN CASE WHEN m.min_price >= 0
+                               AND m.max_price <= 1000000 THEN 1 ELSE 0 END
+             WHEN 2 THEN CASE WHEN m.nulls_price = 0 THEN 1 ELSE 0 END
+             WHEN 3 THEN CASE WHEN m.ndv_cust >= 100 THEN 1 ELSE 0 END
+             WHEN 4 THEN CASE WHEN m.ndv_status >= 2 THEN 1 ELSE 0 END
+             WHEN 5 THEN CASE WHEN m.nulls_key = 0 THEN 1 ELSE 0 END
+           END = 1 AS passed,
+           CASE r.rule_id
+             WHEN 1 THEN m.max_price
+             WHEN 2 THEN CAST(m.nulls_price AS DOUBLE)
+             WHEN 3 THEN CAST(m.ndv_cust AS DOUBLE)
+             WHEN 4 THEN CAST(m.ndv_status AS DOUBLE)
+             WHEN 5 THEN CAST(m.nulls_key AS DOUBLE)
+           END AS observed
+    FROM (SELECT * FROM (VALUES
+        (1, 'o_totalprice', 'range'),
+        (2, 'o_totalprice', 'not_null'),
+        (3, 'o_custkey', 'distinct_min'),
+        (4, 'o_orderstatus', 'distinct_min'),
+        (5, 'o_orderkey', 'not_null')
+      ) AS v(rule_id, column_name, kind)) r
+    CROSS JOIN m
+    """,
+)
+def q151_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS (the Deequ/Great-Expectations
+    shape; reference analogue cbbd_etl/validate.py's hand-coded check
+    list): the rule set is a DATA table — (rule, column, kind, bounds)
+    rows, loaded here from a constant, in production from config — and
+    ALL metrics the rules need (null counts, min/max, exact NDV) come
+    from ONE aggregate pass over the table; verdicts are a broadcast
+    join of rules onto the single metrics row. Adding a rule adds a
+    row, not a plan — the audit cost at 100 TB stays one scan
+    regardless of rule count. Emits (rule, passed, observed) — the
+    shape a quality gate alerts on; q143 is the open-ended profiling
+    sibling, this is the contract-enforcement one."""
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).cast("bigint").alias("nulls_price"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).cast("bigint").alias("nulls_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").cast("bigint").alias("ndv_cust"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("ndv_status"),
+    )
+    rules = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in EXPECTATIONS],
+        "rule_id int, column_name string, kind string",
+    )
+    passed = (
+        F.when(F.col("rule_id") == 1, (F.col("min_price") >= 0) & (F.col("max_price") <= 1_000_000))
+        .when(F.col("rule_id") == 2, F.col("nulls_price") == 0)
+        .when(F.col("rule_id") == 3, F.col("ndv_cust") >= 100)
+        .when(F.col("rule_id") == 4, F.col("ndv_status") >= 2)
+        .when(F.col("rule_id") == 5, F.col("nulls_key") == 0)
+    )
+    observed = (
+        F.when(F.col("rule_id") == 1, F.col("max_price"))
+        .when(F.col("rule_id") == 2, F.col("nulls_price").cast("double"))
+        .when(F.col("rule_id") == 3, F.col("ndv_cust").cast("double"))
+        .when(F.col("rule_id") == 4, F.col("ndv_status").cast("double"))
+        .when(F.col("rule_id") == 5, F.col("nulls_key").cast("double"))
+    )
+    return rules.crossJoin(F.broadcast(m)).select(
+        "rule_id", "column_name", "kind", passed.alias("passed"), observed.alias("observed")
+    )

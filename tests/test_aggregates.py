@@ -95,3 +95,16 @@ def test_skyline_two_phase_identity():
     merged = _skyline_kernel(pd.concat([_skyline_kernel(p) for p in parts]))
     key = lambda d: sorted(map(tuple, d[["p_partkey", "price_c", "size"]].to_numpy()))
     assert key(whole) == key(merged)
+
+
+def test_expectations_all_pass_on_clean_data(spark):
+    """The shipped rule set must pass on the generator's clean orders
+    table, and observed values must be real metrics (non-null)."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q151_expectations"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["passed"] is True, f"rule {r['rule_id']} failed: {r}"
+        assert r["observed"] is not None
