@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "q149_bloom_block_skipping",
     "q150_events_endpoint",
     "q151_expectations",
+    "q152_ols_scoring",
+    "q153_equidepth_histogram",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

@@ -940,3 +940,119 @@ def q151_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.crossJoin(F.broadcast(m)).select(
         "rule_id", "column_name", "kind", passed.alias("passed"), observed.alias("observed")
     )
+
+
+# --- model scoring with closed-form residuals (q152) ----------------------
+
+
+@query(
+    "q152_ols_scoring",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM c GROUP BY l_returnflag
+    ),
+    fit AS (
+      SELECT l_returnflag, n, sx, sy, sxx, sxy, syy,
+             (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               AS b
+      FROM m
+    ),
+    fit2 AS (
+      SELECT *, (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n AS a FROM fit
+    ),
+    scored AS (
+      SELECT c.l_returnflag,
+             abs(CAST(c.y AS DOUBLE) - (f.a + f.b * CAST(c.x AS DOUBLE))) AS ar
+      FROM c JOIN fit2 f ON f.l_returnflag = c.l_returnflag
+    )
+    SELECT f.l_returnflag AS l_returnflag, f.n AS n_rows, f.b AS slope,
+           f.a AS intercept_cents,
+           sqrt(greatest(0.0,
+                (f.syy - 2 * f.a * CAST(f.sy AS DOUBLE)
+                 - 2 * f.b * f.sxy + f.n * f.a * f.a
+                 + 2 * f.a * f.b * CAST(f.sx AS DOUBLE)
+                 + f.b * f.b * f.sxx) / f.n)) AS rmse_cents,
+           MAX(s.ar) AS max_abs_residual_cents
+    FROM fit2 f JOIN scored s ON s.l_returnflag = f.l_returnflag
+    GROUP BY f.l_returnflag, f.n, f.b, f.a, f.sx, f.sy, f.sxx, f.sxy, f.syy
+    """,
+)
+def q152_ols_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train→score loop closed in one plan: fit y≈a+bx per group
+    (q120's closed form, here over exact int64 cent sums — no decimal
+    bridge needed), broadcast the coefficients back onto the rows, and
+    report model diagnostics WITHOUT summing per-row floats: RMSE comes
+    from the algebraic identity Σr² = Σy²−2aΣy−2bΣxy+na²+2abΣx+b²Σxx
+    over the SAME exact sums the fit used (a float Σr² across
+    partitions would be order-dependent and break the hash — the one
+    per-row float, |residual|, feeds only MAX, which is
+    order-independent). At 100 TB: one aggregation pass to fit, one
+    broadcast-join map pass to score — the batch-inference shape for
+    any linear model, and the residual identity generalizes to every
+    metric expressible in power sums (R², calibration slope)."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        # second moments overflow int64 near 1e9 rows (y² ≈ 1e14/cent-row):
+        # DECIMAL(38,0) sums stay exact and mergeable at any scale, and
+        # bridge to double through a string (the q23 rule)
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("string").cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    fit = m.withColumn("b", (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    fit2 = fit.withColumn("a", (sy - F.col("b") * sx) / n)
+    scored = c.join(F.broadcast(fit2.select("l_returnflag", "a", "b")), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(
+            F.col("y").cast("double") - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        ).alias("ar"),
+    )
+    rmse = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (
+                syy
+                - 2 * F.col("a") * sy
+                - 2 * F.col("b") * sxy
+                + n * F.col("a") * F.col("a")
+                + 2 * F.col("a") * F.col("b") * sx
+                + F.col("b") * F.col("b") * sxx
+            )
+            / n,
+        )
+    )
+    mx = scored.groupBy("l_returnflag").agg(F.max("ar").alias("max_abs_residual_cents"))
+    return fit2.join(mx, "l_returnflag").select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.col("b").alias("slope"),
+        F.col("a").alias("intercept_cents"),
+        rmse.alias("rmse_cents"),
+        "max_abs_residual_cents",
+    )

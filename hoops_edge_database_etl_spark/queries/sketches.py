@@ -924,3 +924,85 @@ def q140_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("winsorized_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram build (q153): optimizer statistics at scale.
+# ---------------------------------------------------------------------------
+
+EQD_BUCKETS = 8
+
+
+@query(
+    "q153_equidepth_histogram",
+    oracle=f"""
+    WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+    r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM s),
+    ks AS (
+      SELECT CAST(ceil((CAST(q.x AS DOUBLE) / {EQD_BUCKETS})
+                       * CAST(t.n AS DOUBLE)) AS BIGINT) AS kk
+      FROM range(1, {EQD_BUCKETS}) q(x), t
+    ),
+    bounds AS (
+      SELECT list(r.v ORDER BY r.v) AS arr
+      FROM ks JOIN r ON r.rn = ks.kk
+    ),
+    bucketed AS (
+      SELECT len(list_filter(b.arr, t -> s.v > t)) AS bucket, s.v
+      FROM s CROSS JOIN bounds b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def q153_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram construction — the optimizer statistic
+    (DuckDB/Postgres bounds arrays, Spark CBO histograms) and the NTILE
+    answer that needs no global sort: the {b}−1 bucket boundaries are
+    EXACT order statistics from the q93 histogram-select plan (bounded
+    bin walk + single-bin rank per boundary — the oracle's full
+    ROW_NUMBER sort is exactly what this avoids), assembled into one
+    broadcast boundary array, and every row buckets itself with a pure
+    count-of-boundaries-below expression (ties bind down — identical
+    rule both engines). Verification that depths are ≈ n/{b} is IN the
+    result. At 100 TB: two bounded shuffles for the boundaries, one
+    broadcast, one map — versus NTILE's single-reducer
+    ORDER-BY-everything.""".format(b=EQD_BUCKETS)
+    o = load(spark, sf_dir, "orders")
+    s = o.select(F.col("o_totalprice").cast("double").alias("v"))
+    b = s.select("v", F.floor(F.col("v") / Q80_BIN).cast("long").alias("bin"))
+    hist = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist_cum = hist.withColumn("cum", F.sum("cnt").over(wb))
+    t = s.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.createDataFrame(
+        [(i,) for i in range(1, EQD_BUCKETS)], "i int"
+    )
+    k = qs.crossJoin(F.broadcast(t)).select(
+        F.ceil((F.col("i").cast("double") / EQD_BUCKETS) * F.col("n").cast("double"))
+        .cast("long")
+        .alias("kk")
+    )
+    located = k.join(
+        F.broadcast(hist_cum),
+        (F.col("cum") >= F.col("kk")) & ((F.col("cum") - F.col("cnt")) < F.col("kk")),
+    ).select("kk", "bin", (F.col("cum") - F.col("cnt")).alias("cb"))
+    cand = b.join(F.broadcast(located), "bin")
+    wq = Window.partitionBy("kk").orderBy("v")
+    bounds = (
+        cand.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == F.col("kk") - F.col("cb"))
+        .agg(F.sort_array(F.collect_list("v")).alias("arr"))
+    )
+    bucketed = s.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter(F.col("arr"), lambda bd: F.col("v") > bd)).alias("bucket"),
+        "v",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).select(F.col("bucket").cast("bigint"), "n_rows", "lo", "hi")

@@ -195,3 +195,34 @@ def test_pca_matches_numpy_replication(spark):
     want = {i: int(v[i]) for i in range(len(v))}
     assert got == want
     assert max(abs(x) for x in got.values()) == PCA_S
+
+
+def test_equidepth_buckets_are_balanced(spark):
+    """Equi-depth means every bucket holds n/B rows up to boundary ties,
+    and bucket ranges tile the value domain in order."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q153_equidepth_histogram"](spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(range(8))
+    n = sum(r["n_rows"] for r in rows)
+    for r in rows:
+        assert abs(r["n_rows"] - n / 8) <= max(2.0, 0.02 * n)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_ols_scoring_residuals_bound_rmse(spark):
+    """max |residual| >= rmse, and the fit is exact on its own power sums
+    (slope finite, rmse >= 0)."""
+    import math
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q152_ols_scoring"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert math.isfinite(r["slope"])
+        assert 0.0 <= r["rmse_cents"] <= r["max_abs_residual_cents"]
