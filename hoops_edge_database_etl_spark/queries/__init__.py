@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "q151_expectations",
     "q152_ols_scoring",
     "q153_equidepth_histogram",
+    "q154_setsim_prefix_join",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

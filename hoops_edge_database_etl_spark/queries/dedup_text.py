@@ -672,3 +672,100 @@ def q84_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac.alias("doc_frac"),
         )
     )
+
+
+# --- exact set-similarity join via prefix filtering (q154) ----------------
+
+SSJ_T10 = 9  # Jaccard threshold in tenths: 0.9
+
+
+@query(
+    "q154_setsim_prefix_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents
+    ),
+    x AS (SELECT doc_id, t.tok FROM toks, UNNEST(s) AS t(tok) WHERE t.tok <> ''),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM x a JOIN x b ON b.tok = a.tok AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.da, c.db,
+             len(list_intersect(ta.s, tb.s)) AS inter,
+             len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s)) AS un
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.da
+      JOIN toks tb ON tb.doc_id = c.db
+    )
+    SELECT da, db,
+           CAST(inter AS DOUBLE) / CAST(un AS DOUBLE) AS jaccard
+    FROM v WHERE inter * 10 >= {SSJ_T10} * un
+    """,
+)
+def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity join (token-set Jaccard ≥ 0.{t}) by
+    PREFIX FILTERING (Chaudhuri et al., ICDE'06; the PPJoin family):
+    sort each doc's token set by global rarity (ascending document
+    frequency — rare tokens first), and index only the first
+    m − ⌈t·m⌉ + 1 tokens: two sets meeting the threshold MUST share a
+    prefix token (pigeonhole on the ⌈t·m⌉ overlap requirement), so the
+    candidate join touches a sliver of the inverted index instead of
+    every posting (the oracle generates candidates from ALL tokens —
+    same final answer, which is precisely the losslessness claim under
+    test). Verification is exact integer arithmetic: 10·|∩| ≥ {t}·|∪|.
+    Completes the dedup spectrum: q42 (full inverted index), q43
+    (MinHash, approximate), THIS (exact but sub-quadratic candidates).
+    At 100 TB the prefix index is the only shuffled structure, and its
+    size shrinks as t grows; hot tokens are already capped by the q84
+    stop-shingle rule before they reach the index."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
+    )
+    x = toks.select("doc_id", F.explode("s").alias("tok")).filter(F.col("tok") != "")
+    dfreq = x.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        x.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.transform("arr", lambda st: st["tok"]).alias("ordered"),
+        )
+    )
+    m = F.size("ordered")
+    plen = m - F.expr(f"(({SSJ_T10} * size(ordered) + 9) div 10)") + 1
+    prefix = ranked.select(
+        "doc_id", F.explode(F.slice("ordered", 1, plen)).alias("tok")
+    )
+    a = prefix.withColumnRenamed("doc_id", "da")
+    bb = prefix.withColumnRenamed("doc_id", "db")
+    cand = (
+        a.join(bb, (a.tok == bb.tok) & (F.col("da") < F.col("db")))
+        .select("da", "db")
+        .distinct()
+    )
+    sa = toks.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    sb = toks.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    v = (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).alias(
+                "un"
+            ),
+        )
+    )
+    return v.filter(F.col("inter") * 10 >= SSJ_T10 * F.col("un")).select(
+        "da", "db",
+        (F.col("inter").cast("double") / F.col("un").cast("double")).alias("jaccard"),
+    )

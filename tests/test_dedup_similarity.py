@@ -208,3 +208,36 @@ def test_jaccard_stop_shingle_cap_bounds_fanout_never_adds_pairs(spark):
     assert (3, 4) in exact and (3, 4) not in capped
     # docs 1 & 2 share plenty of rare shingles → pair survives the cap
     assert (1, 2) in capped
+
+
+def test_prefix_join_is_lossless_vs_bruteforce(spark):
+    """Prefix filtering must find EXACTLY the brute-force pair set on a
+    subsample (losslessness is the algorithm's whole claim)."""
+    import itertools
+
+    import pyspark.sql.functions as F2
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.dedup_text import SSJ_T10
+    from hoops_edge_database_etl_spark.tables import load
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r["da"], r["db"])
+        for r in all_queries()["q154_setsim_prefix_join"](spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: set(r["s"]) - {""}
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", F2.array_distinct(F2.split("text", " ")).alias("s"))
+        .filter(F2.col("doc_id") < 120)
+        .collect()
+    }
+    want = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        inter = len(docs[a] & docs[b])
+        un = len(docs[a] | docs[b])
+        if inter * 10 >= SSJ_T10 * un:
+            want.add((a, b))
+    sub_got = {p for p in got if p[0] in docs and p[1] in docs}
+    assert sub_got == want
