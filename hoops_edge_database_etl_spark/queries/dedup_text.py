@@ -719,7 +719,11 @@ def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MinHash, approximate), THIS (exact but sub-quadratic candidates).
     At 100 TB the prefix index is the only shuffled structure, and its
     size shrinks as t grows; hot tokens are already capped by the q84
-    stop-shingle rule before they reach the index."""
+    stop-shingle rule before they reach the index. (The synthetic
+    corpus is the ADVERSARIAL case — a ~31-token vocabulary keeps every
+    posting hot and genuinely contains ~1M qualifying pairs at sf0.1;
+    Zipfian real vocabs are where the prefix sliver pays. The length
+    filter below prunes candidates even here.)"""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
@@ -742,12 +746,25 @@ def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.size("ordered")
     plen = m - F.expr(f"(({SSJ_T10} * size(ordered) + 9) div 10)") + 1
     prefix = ranked.select(
-        "doc_id", F.explode(F.slice("ordered", 1, plen)).alias("tok")
+        "doc_id", m.alias("m"), F.explode(F.slice("ordered", 1, plen)).alias("tok")
     )
-    a = prefix.withColumnRenamed("doc_id", "da")
-    bb = prefix.withColumnRenamed("doc_id", "db")
+    a = prefix.select(
+        F.col("doc_id").alias("da"), F.col("m").alias("ma"), "tok"
+    )
+    bb = prefix.select(
+        F.col("doc_id").alias("db"), F.col("m").alias("mb"), "tok"
+    )
+    # length filter (PPJoin canon): J >= t forces the smaller set to be at
+    # least t times the larger — prunes candidates BEFORE the expensive
+    # verify, which matters most on degenerate (tiny-vocab) corpora where
+    # prefix postings alone stay hot
     cand = (
-        a.join(bb, (a.tok == bb.tok) & (F.col("da") < F.col("db")))
+        a.join(
+            bb,
+            (a.tok == bb.tok)
+            & (F.col("da") < F.col("db"))
+            & (10 * F.least("ma", "mb") >= SSJ_T10 * F.greatest("ma", "mb")),
+        )
         .select("da", "db")
         .distinct()
     )
