@@ -71,6 +71,8 @@ _DRIVER_PRIORITY = [
     "q152_ols_scoring",
     "q153_equidepth_histogram",
     "q154_setsim_prefix_join",
+    "q155_audience_overlap",
+    "q156_streaming_session_window",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

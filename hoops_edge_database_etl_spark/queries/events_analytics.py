@@ -963,3 +963,70 @@ def q150_events_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "q155_audience_overlap",
+    oracle="""
+    WITH seg AS (SELECT DISTINCT event_type AS segment, user_id FROM events),
+    pairs AS (
+      SELECT a.segment AS seg_a, b.segment AS seg_b,
+             a.user_id AS ua, b.user_id AS ub
+      FROM seg a JOIN seg b ON a.segment < b.segment AND a.user_id = b.user_id
+    ),
+    inter AS (
+      SELECT seg_a, seg_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM pairs GROUP BY seg_a, seg_b
+    ),
+    sizes AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n FROM seg GROUP BY segment)
+    SELECT i.seg_a, i.seg_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           CAST(i.n_both AS DOUBLE)
+             / CAST(sa.n + sb.n - i.n_both AS DOUBLE) AS jaccard,
+           CAST(i.n_both AS DOUBLE)
+             / CAST(CASE WHEN sa.n < sb.n THEN sa.n ELSE sb.n END AS DOUBLE)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.segment = i.seg_a
+    JOIN sizes sb ON sb.segment = i.seg_b
+    """,
+)
+def q155_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix between behavioral segments — |A∩B|,
+    Jaccard, and containment for every segment pair, the ad-tech /
+    cohort-design readout that roaring-bitmap engines specialize in.
+    Plan: dedup to (segment, user) once, self-join ON user_id (the
+    intersection IS the join — one shuffle both sides share), then
+    broadcast segment sizes onto the pair counts. No bitmap state ever
+    materializes per executor — at 100 TB the per-segment "bitmap" is
+    the deduped key stream itself, and the KMV sketch variant (q126)
+    replaces the exact self-join when ±3% suffices. Containment
+    (overlap ÷ smaller audience) is the asymmetric-size-robust measure
+    Jaccard underreports."""
+    ev = load(spark, sf_dir, "events")
+    seg = ev.select(F.col("event_type").alias("segment"), "user_id").distinct()
+    a = seg.select(F.col("segment").alias("seg_a"), "user_id")
+    b = seg.select(F.col("segment").alias("seg_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sizes = seg.groupBy("segment").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sa = sizes.select(F.col("segment").alias("seg_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("segment").alias("seg_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "seg_a")
+        .join(F.broadcast(sb), "seg_b")
+        .select(
+            "seg_a", "seg_b", "n_a", "n_b", "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_both").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )

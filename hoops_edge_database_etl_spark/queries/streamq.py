@@ -191,3 +191,72 @@ def q137_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(sink)
+
+
+SESSION_GAP = "30 minutes"
+
+
+@query(
+    "q156_streaming_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q156_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming's native SESSION WINDOW (dynamic-gap state
+    merging — the streaming operator whose batch emulation is q37's
+    lag+cumsum) run as a stream over the bounded replay: sessions per
+    user close after {gap} of silence; the state store MERGES adjacent
+    micro-batch sessions that turn out to overlap, which is the part a
+    naive per-batch groupBy gets wrong and availableNow's multi-batch
+    replay actually exercises. Final complete-mode state is compared
+    against the batch gaps-and-islands SQL — streaming session
+    semantics ≡ batch sessionization, the q71/q95/q137 invariant
+    extended to the last streaming window type. (Ties: events share no
+    equal (user, ts) pairs at the checked SFs, so the lag-window order
+    is total.)""".format(gap=SESSION_GAP)
+    src = load_stream(spark, sf_dir, "events")
+    agg = (
+        src.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    sink = "q156_session_window_sink"
+    ck = tempfile.mkdtemp(prefix="q156_ck_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(sink).select(
+        "user_id",
+        F.col("w.start").cast("string").alias("session_start"),
+        F.col("w.end").cast("string").alias("session_end"),
+        "n_events",
+    )

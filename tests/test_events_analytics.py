@@ -164,3 +164,11 @@ def test_events_endpoint_idempotent_and_bot_free(spark):
     n_raw = ev.count()
     n_clean = sum(v[0] for v in out.values())
     assert n_clean <= n_raw
+
+
+def test_audience_overlap_set_bounds(spark):
+    rows = _q("q155_audience_overlap")(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) segment pairs
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= r["containment"] <= 1.0

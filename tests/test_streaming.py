@@ -174,3 +174,21 @@ def test_stateful_running_totals(spark, tmp_path):
     rows = {r["user_id"]: (r["n_events"], r["total"]) for r in spark.sql("SELECT * FROM totals").collect()}
     assert rows[1] == (2, 15.0)
     assert rows[2] == (1, 7.0)
+
+
+def test_streaming_session_window_merges_across_batches(spark):
+    """Session count from the streaming state store equals the batch
+    gaps-and-islands computation (already hash-checked; here assert the
+    structural invariant that sessions per user are non-overlapping)."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q156_streaming_session_window"](spark, SF_DIR).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_start"])
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end"] <= b["session_start"]
