@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = [
     "q154_setsim_prefix_join",
     "q155_audience_overlap",
     "q156_streaming_session_window",
+    "q157_time_weighted_avg",
+    "q158_chi_square",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

@@ -1056,3 +1056,96 @@ def q152_ols_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         rmse.alias("rmse_cents"),
         "max_abs_residual_cents",
     )
+
+
+# --- contingency chi-square with deterministic fold (q158) ----------------
+
+
+@query(
+    "q158_chi_square",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow
+      FROM events
+    ),
+    o AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS obs
+          FROM base GROUP BY event_type, dow),
+    r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rn FROM base GROUP BY event_type),
+    c AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS cn FROM base GROUP BY dow),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    cells AS (
+      SELECT o.event_type, o.dow, o.obs,
+             CAST(r.rn AS DOUBLE) * c.cn / t.n AS expected,
+             CAST((o.obs * t.n - r.rn * c.cn) * (o.obs * t.n - r.rn * c.cn)
+                  AS DOUBLE) / (CAST(t.n AS DOUBLE) * r.rn * c.cn) AS contrib
+      FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+    ),
+    tot AS (
+      SELECT list_reduce(list(contrib ORDER BY event_type, dow),
+                         (a, b) -> a + b) AS chi2
+      FROM cells
+    )
+    SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow, cells.obs,
+           cells.expected, cells.contrib, tot.chi2
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q158_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence analysis of the event_type × day-of-week
+    contingency table — per-cell observed/expected/contribution plus
+    the table statistic. Two numeric-determinism techniques on display:
+    (1) each cell's contribution is computed as the INTEGER identity
+    (oN − RC)²/(NRC) — one exact int64 numerator, one float division —
+    rather than the float (o−e)²/e chain; (2) the chi² TOTAL is a
+    float sum over 35 cells whose result depends on summation order,
+    so both engines fold the cells in the SAME explicit (type, dow)
+    order — Spark's aggregate() over a sort_array'd collect, DuckDB's
+    list_reduce over an ORDER BY list — making an order-sensitive
+    float reduction hash-checkable (the technique q130's dyadic EWMA
+    avoided needing). Day-of-week is (epoch_days+4) mod 7 — Spark and
+    DuckDB disagree on dayofweek() numbering, integer arithmetic
+    doesn't. The margins/cells are three map-side-combining groupBys
+    over one scan."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (
+            (F.floor(F.col("ts").cast("double")).cast("long") / 86400).cast("long")
+            .alias("_d")
+        ),
+    ).select(
+        "event_type", ((F.col("_d") + 4) % 7).alias("dow")
+    )
+    o = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    r = base.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("rn"))
+    c = base.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    t = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    num = (F.col("obs") * F.col("n") - F.col("rn") * F.col("cn"))
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "dow")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "obs",
+            (F.col("rn").cast("double") * F.col("cn") / F.col("n")).alias("expected"),
+            (
+                (num * num).cast("double")
+                / (F.col("n").cast("double") * F.col("rn") * F.col("cn"))
+            ).alias("contrib"),
+        )
+    )
+    tot = cells.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "dow", "contrib"))
+            ),
+            F.lit(0.0),
+            lambda acc, st: acc + st["contrib"],
+        ).alias("chi2")
+    )
+    return cells.crossJoin(F.broadcast(tot))

@@ -1030,3 +1030,62 @@ def q155_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "q157_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, cents,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+      FROM s
+    )
+    SELECT user_id,
+           CAST(SUM(dur) AS BIGINT) AS observed_seconds,
+           CAST(SUM(cents * dur) AS DOUBLE)
+             / CAST(SUM(dur) AS DOUBLE) / 100.0 AS twap
+    FROM w WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q157_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average value per user (TWAP — the step-function
+    integral ÷ observed span): each reading holds until the next one,
+    so its weight is that duration in whole seconds (lead() over the
+    per-user stream; the final open-ended reading is excluded, the
+    standard convention). Why it exists next to plain avg: a sensor
+    that reports rarely at level 100 and floods at level 1 has
+    arithmetic mean ≈1 but TWAP ≈100 — sampling-rate bias is the
+    thing this corrects. Arithmetic is EXACT until the last two ops:
+    cents×seconds products and their sums stay in int64 (duration ≤
+    2.6M s, cents ≤ 50k ⇒ per-row ≤ 1.3e11; int64 holds 7e7 such rows
+    per user — document the DECIMAL escape beyond), then one division
+    pair. One window + one groupBy, both keyed on user_id."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        "event_id",
+    )
+    wo = Window.partitionBy("user_id").orderBy("t", "event_id")
+    w = s.select(
+        "user_id",
+        "cents",
+        (F.lead("t").over(wo) - F.col("t")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return w.groupBy("user_id").agg(
+        F.sum("dur").cast("bigint").alias("observed_seconds"),
+        (
+            F.sum(F.col("cents") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )

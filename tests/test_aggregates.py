@@ -108,3 +108,22 @@ def test_expectations_all_pass_on_clean_data(spark):
     for r in rows:
         assert r["passed"] is True, f"rule {r['rule_id']} failed: {r}"
         assert r["observed"] is not None
+
+
+def test_chi_square_decomposition(spark):
+    """Cell contributions are non-negative and their ordered-fold total is
+    what every row carries; expected counts preserve the margins."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q158_chi_square"](spark, SF_DIR).collect()
+    assert rows
+    chi2 = {r["chi2"] for r in rows}
+    assert len(chi2) == 1
+    total = sum(sorted(r["contrib"] for r in rows))
+    assert abs(next(iter(chi2)) - total) < 1e-9
+    n = sum(r["obs"] for r in rows)
+    exp_sum = sum(r["expected"] for r in rows)
+    assert abs(exp_sum - n) < 1e-6
+    for r in rows:
+        assert r["contrib"] >= 0.0

@@ -172,3 +172,11 @@ def test_audience_overlap_set_bounds(spark):
     for r in rows:
         assert r["n_both"] <= min(r["n_a"], r["n_b"])
         assert 0.0 <= r["jaccard"] <= r["containment"] <= 1.0
+
+
+def test_twap_within_value_range(spark):
+    rows = _q("q157_time_weighted_avg")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["twap"] <= 500.0
+        assert r["observed_seconds"] > 0
