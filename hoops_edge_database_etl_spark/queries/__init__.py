@@ -75,6 +75,9 @@ _DRIVER_PRIORITY = [
     "q156_streaming_session_window",
     "q157_time_weighted_avg",
     "q158_chi_square",
+    "q159_seasonal_anomalies",
+    "q160_markov_transitions",
+    "q161_gini_diversity",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

@@ -1149,3 +1149,53 @@ def q158_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("chi2")
     )
     return cells.crossJoin(F.broadcast(tot))
+
+
+# --- Gini impurity / diversity (q161) -------------------------------------
+
+
+@query(
+    "q161_gini_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(SUM(n * n) AS BIGINT) AS ss,
+                 CAST(COUNT(*) AS BIGINT) AS k
+          FROM c GROUP BY user_id)
+    SELECT user_id, k AS n_types, tot AS n_events,
+           1.0 - CAST(ss AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) AS gini
+    FROM t
+    """,
+)
+def q161_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as GINI IMPURITY of their
+    event-type mix: 1 − Σpᵢ² = 1 − Σnᵢ²/N² — deliberately the
+    log-free diversity measure (Shannon entropy needs ln, which is NOT
+    correctly rounded and differs between Java's StrictMath and C's
+    libm — a cross-engine hash would hang on the last ulp; Gini is one
+    exact integer sum of squares and a single float division, and
+    ranks mixes almost identically). Two map-side-combining groupBys,
+    both on user_id. The segmentation feature (exploratory vs
+    single-purpose users) the reference's per-provider mode (q22)
+    summarizes away."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return t.select(
+        "user_id",
+        F.col("k").alias("n_types"),
+        F.col("tot").alias("n_events"),
+        (
+            F.lit(1.0)
+            - F.col("ss").cast("double") / (F.col("tot").cast("double") * F.col("tot"))
+        ).alias("gini"),
+    )

@@ -1089,3 +1089,137 @@ def q157_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("twap"),
     )
+
+
+@query(
+    "q159_seasonal_anomalies",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hod,
+             CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    slot AS (
+      SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n FROM s
+      GROUP BY event_type, hod
+    ),
+    r AS (
+      SELECT event_type, hod, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hod ORDER BY cents) AS rn
+      FROM s
+    ),
+    med AS (
+      SELECT slot.event_type, slot.hod, r.cents AS baseline_cents
+      FROM slot JOIN r ON r.event_type = slot.event_type AND r.hod = slot.hod
+        AND r.rn = CAST(ceil(0.5 * CAST(slot.n AS DOUBLE)) AS BIGINT)
+    )
+    SELECT s.event_type, CAST(s.hod AS BIGINT) AS hod, s.day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(med.baseline_cents) AS DOUBLE) / 100.0 AS baseline,
+           CAST(SUM(CASE WHEN s.cents > 2 * med.baseline_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM s JOIN med ON med.event_type = s.event_type AND med.hod = s.hod
+    GROUP BY s.event_type, s.hod, s.day
+    """,
+)
+def q159_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screening: each reading is judged
+    against the exact MEDIAN of its own (type, hour-of-day) slot — the
+    baseline that absorbs daily rhythm, where q27's global z-score
+    flags every rush hour as anomalous. Slot medians come from the
+    shared _grouped_kth histogram-select core (two-column group key —
+    the machinery is key-arity agnostic); readings above 2× their slot
+    baseline count as anomalies per (type, hour, day). Hour-of-day is
+    pure integer epoch arithmetic (engine-proof, the q158 rule).
+    Composition count for _grouped_kth is now five oracle-checked
+    consumers (q107, q127, q140, q153, this) — one exact-quantile
+    plan, amortized."""
+    from hoops_edge_database_etl_spark.queries.sketches import _grouped_kth
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        (
+            (F.floor(F.col("ts").cast("double")).cast("long") % 86400) / 3600
+        ).cast("long").alias("hod"),
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).withColumn("slot", F.concat_ws("#", "event_type", "hod"))
+    med = _grouped_kth(
+        s.select("slot", F.col("cents").cast("double").alias("v")),
+        "slot",
+        "v",
+        0.5,
+        100.0,
+    ).select("slot", F.col("kth").cast("long").alias("baseline_cents"))
+    return (
+        s.join(F.broadcast(med), "slot")
+        .groupBy("event_type", "hod", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("baseline_cents").cast("double") / 100.0).alias("baseline"),
+            F.sum(
+                F.when(F.col("cents") > 2 * F.col("baseline_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .select(
+            "event_type", F.col("hod").cast("bigint").alias("hod"), "day",
+            "n_events", "baseline", "n_anomalies",
+        )
+    )
+
+
+@query(
+    "q160_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    o AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    r AS (SELECT src, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY src)
+    SELECT o.src, o.dst, o.n,
+           CAST(o.n AS DOUBLE) / CAST(r.rn AS BIGINT) AS p,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o.src
+                                   ORDER BY o.n DESC, o.dst) AS BIGINT) AS rank
+    FROM o JOIN r USING (src)
+    """,
+)
+def q160_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — the behavioral-model / next-action primitive (and the
+    sequence-mining counterpart of q122's unordered co-occurrence):
+    one lead() per user stream pairs consecutive events, one groupBy
+    counts (src, dst), row totals normalize to transition
+    probabilities (single division — deterministic), and transitions
+    rank within each source via the associative two-phase top-k shape
+    (5×5 here, a billion-state matrix at scale — which is why the
+    rank runs through a per-group window on the AGGREGATED matrix,
+    never the raw stream)."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(wo).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    o = s.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = o.groupBy("src").agg(F.sum("n").cast("bigint").alias("rn"))
+    wr = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    return (
+        o.join(F.broadcast(r), "src")
+        .select(
+            "src", "dst", "n",
+            (F.col("n").cast("double") / F.col("rn")).alias("p"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    )

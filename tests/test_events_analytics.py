@@ -180,3 +180,28 @@ def test_twap_within_value_range(spark):
     for r in rows:
         assert 0.0 <= r["twap"] <= 500.0
         assert r["observed_seconds"] > 0
+
+
+def test_markov_rows_are_probability_rows(spark):
+    rows = _q("q160_markov_transitions")(spark, SF_DIR).collect()
+    by_src: dict[str, float] = {}
+    for r in rows:
+        by_src[r["src"]] = by_src.get(r["src"], 0.0) + r["p"]
+        assert 0.0 < r["p"] <= 1.0
+    for src, tot in by_src.items():
+        assert abs(tot - 1.0) < 1e-9, f"{src} row sums to {tot}"
+
+
+def test_gini_bounds_and_extremes(spark):
+    rows = _q("q161_gini_diversity")(spark, SF_DIR).collect()
+    for r in rows:
+        k = r["n_types"]
+        assert 0.0 <= r["gini"] <= 1.0 - 1.0 / k + 1e-12
+
+
+def test_seasonal_anomalies_use_slot_baseline(spark):
+    rows = _q("q159_seasonal_anomalies")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_anomalies"] <= r["n_events"]
+        assert r["baseline"] > 0.0
