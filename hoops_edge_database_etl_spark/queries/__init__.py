@@ -78,6 +78,8 @@ _DRIVER_PRIORITY = [
     "q159_seasonal_anomalies",
     "q160_markov_transitions",
     "q161_gini_diversity",
+    "q162_weighted_median",
+    "q163_hierarchical_share",
     # new in round 4's tail session — never driver-checked
     "q113_possession_sessionize",
     "q114_rating_invariants",

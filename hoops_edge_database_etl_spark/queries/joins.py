@@ -664,3 +664,68 @@ def q106_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q163_hierarchical_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+             AS share_of_total
+    FROM rev
+    """,
+)
+def q163_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (nation share of its
+    region, share of world) — the classic drill-down ratio report.
+    Plan discipline: the windows computing the denominators run over
+    the AGGREGATED (region, nation) frame — ≤ nations rows, so even
+    the empty-frame global-total window is driver-trivial (the
+    "No Partition Defined" hazard only bites on row-scale frames);
+    revenue itself aggregates once in DECIMAL (exact ⇒ the shares'
+    float divisions agree cross-engine). Dim chain broadcasts,
+    lineitem shuffles once on the group key — the q105 star shape
+    with a windowed epilogue."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(wr).cast("double")).alias(
+            "share_of_region"
+        ),
+        (F.col("rev").cast("double") / F.sum("rev").over(wg).cast("double")).alias(
+            "share_of_total"
+        ),
+    )

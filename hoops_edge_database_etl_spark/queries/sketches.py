@@ -1006,3 +1006,83 @@ def q153_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     ).select(F.col("bucket").cast("bigint"), "n_rows", "lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# Weighted grouped median (q162): quantiles over weighted domains.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_weighted_median",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+    ),
+    t AS (SELECT source, CAST(SUM(w) AS BIGINT) AS tw FROM s GROUP BY source),
+    r AS (
+      SELECT source, v, w,
+             SUM(w) OVER (PARTITION BY source ORDER BY v, w
+                          ROWS UNBOUNDED PRECEDING) AS cw
+      FROM s
+    )
+    SELECT t.source, t.tw AS total_weight,
+           MIN(r.v) AS weighted_median
+    FROM t JOIN r ON r.source = t.source
+      AND r.cw >= CAST(ceil(0.5 * CAST(t.tw AS DOUBLE)) AS BIGINT)
+    GROUP BY t.source, t.tw
+    """,
+)
+def q162_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group — the token-weighted center of the
+    document-length distribution ("the length such that half the
+    CORPUS TOKENS sit in shorter docs"), the quantile a training-mix
+    report actually needs (q107's unweighted median answers about
+    docs, not tokens). Same histogram-select scaling story: one
+    map-side-combining pass bins (value → Σweight) per group, the
+    cumulative walk runs over the BOUNDED per-group weight histogram,
+    and only the bin containing the half-weight point ranks its rows
+    (cumulative weight within one bin, ordered by (v, w) with the
+    weight as tiebreak — a total order, so both engines select the
+    identical row). The oracle's full per-group ORDER BY is exactly
+    the sort this avoids."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("w"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    BIN = 100.0
+    b = s.select("source", "w", "v", F.floor(F.col("v") / BIN).cast("long").alias("bin"))
+    hist = b.groupBy("source", "bin").agg(F.sum("w").alias("bw"))
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist_cum = hist.withColumn("cum", F.sum("bw").over(wb))
+    t = s.groupBy("source").agg(F.sum("w").cast("bigint").alias("tw"))
+    k = t.withColumn(
+        "kk", F.ceil(F.lit(0.5) * F.col("tw").cast("double")).cast("long")
+    )
+    located = k.join(
+        hist_cum.withColumnRenamed("source", "__hs"),
+        (F.col("__hs") == F.col("source"))
+        & (F.col("cum") >= F.col("kk"))
+        & ((F.col("cum") - F.col("bw")) < F.col("kk")),
+    ).select("source", "tw", "kk", "bin", (F.col("cum") - F.col("bw")).alias("cb"))
+    cand = b.join(F.broadcast(located), ["source", "bin"])
+    wq = (
+        Window.partitionBy("source")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.withColumn("lcw", F.sum("w").over(wq))
+        .filter(F.col("cb") + F.col("lcw") >= F.col("kk"))
+        .groupBy("source", F.col("tw").alias("total_weight"))
+        .agg(F.min("v").alias("weighted_median"))
+    )

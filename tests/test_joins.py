@@ -72,3 +72,17 @@ def test_asof_tolerance_is_per_column(spark):
     # v2 came from ts=18 (fresh); v1 came from ts=5 (stale: 20-5 > 10)
     assert row["v2"] == 10.0
     assert row["v1"] is None
+
+
+def test_hierarchical_shares_sum_to_one(spark):
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q163_hierarchical_share"](spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-9
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r["region"]] = by_region.get(r["region"], 0.0) + r["share_of_region"]
+    for region, tot in by_region.items():
+        assert abs(tot - 1.0) < 1e-9, region

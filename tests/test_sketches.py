@@ -226,3 +226,34 @@ def test_ols_scoring_residuals_bound_rmse(spark):
     for r in rows:
         assert math.isfinite(r["slope"])
         assert 0.0 <= r["rmse_cents"] <= r["max_abs_residual_cents"]
+
+
+def test_weighted_median_splits_token_mass(spark):
+    """At the weighted median, at least half the token mass lies at or
+    below it and at least half at or above (the defining property)."""
+    import pyspark.sql.functions as F2
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    med = {
+        r["source"]: (r["weighted_median"], r["total_weight"])
+        for r in all_queries()["q162_weighted_median"](spark, SF_DIR).collect()
+    }
+    rows = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            "source",
+            F2.size(F2.split("text", " ")).alias("w"),
+            F2.col("n_chars").cast("double").alias("v"),
+        )
+        .collect()
+    )
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((r["v"], r["w"]))
+    for src, (m, tw) in med.items():
+        below = sum(w for v, w in per_src[src] if v <= m)
+        above = sum(w for v, w in per_src[src] if v >= m)
+        assert 2 * below >= tw and 2 * above >= tw
+        assert tw == sum(w for _, w in per_src[src])
