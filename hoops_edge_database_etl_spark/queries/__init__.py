@@ -41,6 +41,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round from the CORRECTNESS_r{N}.json history.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked
+    "q164_kmeans_lloyd",
+    "q165_containment_dedup",
+    "q166_rfm_segments",
+    "q167_cusum_changepoint",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

@@ -786,3 +786,69 @@ def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "da", "db",
         (F.col("inter").cast("double") / F.col("un").cast("double")).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (q165): sub-/super-document detection. Jaccard
+# misses a short doc fully embedded in a long one (|A∩B|/|A∪B| shrinks with
+# the size gap); containment |A∩B|/|A| is the dedup signal for quote
+# expansions, boilerplate-wrapped reposts, and truncated crawls.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_containment_dedup",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i AS contained_doc, j AS container_doc,
+           x.n AS n_shingles, c AS n_shared,
+           CAST(c AS DOUBLE) / x.n AS containment
+    FROM inter JOIN sz x ON x.doc_id = i
+    WHERE c * 5 >= 3 * x.n
+    """,
+)
+def q165_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs C(A→B) = |A∩B|/|A| ≥ 0.6 over distinct
+    3-gram shingle sets (reference analogue: the r1 Jaccard family,
+    `SURVEY.md §2` dedup ladder — this is its asymmetric sibling). The
+    inverted-index plan is q42's: one shingle self-join builds |A∩B|,
+    the per-doc set size joins in afterwards — but the threshold
+    compares on the SMALLER side only, so the filter is the exact
+    integer predicate 5·c ≥ 3·|A| (no float threshold drift between
+    engines). Directed: both (A→B) and (B→A) rows can survive, and a
+    near-equal pair emits both — that is the semantics (each direction
+    answers "what fraction of THIS doc is elsewhere").
+
+    100 TB: identical scale story to q42 — the self-join fan-out is the
+    hazard and the stop-shingle cap / MinHash banding (q43) are the
+    mitigations; containment additionally benefits from a length filter
+    (|A| ≤ |B| is implied near threshold 1.0, so the candidate join can
+    prune a.n > b.n/0.6 pairs — the PPJoin prefix trick q154 applies)."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "i"), "i")
+        .filter(F.col("c") * 5 >= 3 * F.col("n"))
+        .select(
+            F.col("i").alias("contained_doc"),
+            F.col("j").alias("container_doc"),
+            F.col("n").alias("n_shingles"),
+            F.col("c").alias("n_shared"),
+            (F.col("c").cast("double") / F.col("n")).alias("containment"),
+        )
+    )

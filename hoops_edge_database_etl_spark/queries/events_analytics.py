@@ -1223,3 +1223,156 @@ def q160_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(wr).cast("bigint"))
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (q166): the classic recency/frequency/monetary customer
+# grid (reference analogue: the tiering the reference's rating buckets apply
+# to teams, here applied to the event stream's purchasers).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_rfm_segments",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01')
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    s AS (
+      SELECT user_id, cents,
+             NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+             NTILE(5) OVER (ORDER BY cents DESC, user_id) AS m_q
+      FROM p
+    )
+    SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY r_q, f_q, m_q
+    """,
+)
+def q166_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile grid over purchase events: per-user (recency,
+    frequency, monetary) reduced map-side to one row per user, then three
+    NTILE(5) ranks with deterministic (metric, user_id) tiebreaks — both
+    engines implement NTILE's ceil-first bucket fill identically, so the
+    segment assignment is exact. Output is the BOUNDED ≤125-cell segment
+    grid, not the per-user table.
+
+    Scale note: the three global NTILEs are single-partition windows over
+    the USER table (already one row per user — |users| ≪ |events|); at
+    true scale swap each for the q93 histogram-locate (quintile cut
+    points from an exact rank selection, then a broadcast bin join) —
+    same output, no global sort. The per-user reduction itself is one
+    map-side-combining shuffle of the purchase slice."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.lit("2024-02-01").cast("date"), F.max(F.to_date("ts")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    s = p.select(
+        "cents",
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy(F.col("cents").desc(), "user_id")).alias("m_q"),
+    )
+    return s.groupBy(
+        F.col("r_q").cast("bigint").alias("r_q"),
+        F.col("f_q").cast("bigint").alias("f_q"),
+        F.col("m_q").cast("bigint").alias("m_q"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (q167): where did the daily level of each
+# event stream shift? Exact integer cumulative-deviation scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS total
+      FROM d GROUP BY 1
+    ),
+    cs AS (
+      SELECT d.event_type, d.day, t.n_days,
+             SUM(t.n_days * d.c - t.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM d JOIN t ON t.event_type = d.event_type
+    )
+    SELECT event_type, day AS change_day, n_days,
+           CAST(abs(cusum) AS BIGINT) AS max_abs_cusum
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cusum) DESC, day) AS rn
+      FROM cs
+    ) WHERE rn = 1
+    """,
+)
+def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream CUSUM change-point: scale each day's count deviation by
+    n_days (dev = n·c − Σc, an INTEGER — no float mean anywhere), walk the
+    cumulative sum in day order, and report the day where |CUSUM| peaks
+    (tiebreak: earliest). The peak of the scaled walk is the
+    maximum-likelihood single change-point for a level shift — the
+    monitoring primitive behind data-volume regression alerts.
+
+    Scale shape: the heavy input reduces map-side to one row per
+    (stream, day) BEFORE any window; the cumulative walk then runs over
+    the bounded per-stream daily series (≤ 365·years rows per stream —
+    the q128/q159 contract). Totals join back via broadcast (one row per
+    stream). No global sort, no per-event window."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("total"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cs = (
+        d.join(F.broadcast(t), "event_type")
+        .withColumn("cusum", F.sum(F.col("n_days") * F.col("c") - F.col("total")).over(wc))
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs("cusum").desc(), "day")
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "n_days",
+            F.abs("cusum").cast("bigint").alias("max_abs_cusum"),
+        )
+    )

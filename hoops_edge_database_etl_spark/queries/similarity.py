@@ -900,3 +900,100 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("dim"),
         (F.col("v") * F.col("s")).cast("bigint").alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd step (q164): the clustering primitive under every IVF /
+# coarse-quantizer build (reference analogue: the codebook the reference's
+# rating-tier bucketing hand-picks; q63's IVF codebook is the artifact this
+# op produces when iterated).
+# ---------------------------------------------------------------------------
+
+KM_K = 8  # seed centroids: the KM_K lowest vec_ids (deterministic seeding)
+
+
+@query(
+    "q164_kmeans_lloyd",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, k AS pos,
+             CAST(floor(CAST(embedding[k] AS DOUBLE) * {Q} + 0.5) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(k)
+    ),
+    c AS (SELECT vec_id AS cid, pos, qv AS qc FROM q WHERE vec_id < {KM_K}),
+    d AS (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
+      FROM q JOIN c ON c.pos = q.pos
+      GROUP BY q.vec_id, c.cid
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT a.cid AS centroid_id, q.pos AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           (CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) / {float(Q)!r} AS new_coord
+    FROM asg a JOIN q ON q.vec_id = a.vec_id
+    GROUP BY a.cid, q.pos
+    """,
+)
+def q164_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration (assign + centroid update) over the
+    embedding corpus, seeded with the KM_K lowest vec_ids. Cross-engine
+    exact: coordinates quantize to the module's 24-bit fixed point, so
+    each point-centroid distance is an int64 sum of squares (diff ≤ 2²⁵
+    ⇒ 64 dims × 2⁵⁰ < 2⁵⁷) and the argmin (dist, cid tiebreak) picks an
+    identical centroid in both engines; the updated centroid is an exact
+    int64 coordinate sum divided once — the only float ops.
+
+    The 100 TB plan — the shape MLlib's KMeans runs under the hood, laid
+    out declaratively: centroids stay a BROADCAST k×d array (k ≤ 10⁵ by
+    the IVF contract, q63); distances are per-row JVM higher-order
+    functions (zip_with + aggregate, zero shuffle, no explode of the
+    n×d matrix); the single Exchange is the map-side-combining
+    (cid, pos) partial-sum aggregation of the update — identical to the
+    q103 label-centroid shape. Iterating = re-running this plan with the
+    returned centroids (driver holds k×d floats only); convergence probes
+    collect one scalar (the q62 sweep recipe)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * Q + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    cent = qv.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qc")
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "qc", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        qv.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", F.struct(dist.alias("d"), F.col("cid")).alias("dc"))
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"), F.first("qv").alias("qv"))
+        .select("vec_id", F.col("best.cid").alias("cid"), "qv")
+    )
+    return (
+        asg.select("cid", F.posexplode("qv").alias("pos0", "q"))
+        .groupBy(F.col("cid").alias("centroid_id"), (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+            ((F.sum("q").cast("double") / F.count(F.lit(1))) / F.lit(float(Q)))
+            .alias("new_coord"),
+        )
+        .select(
+            F.col("centroid_id").cast("bigint").alias("centroid_id"),
+            F.col("pos").cast("bigint").alias("pos"),
+            "n_assigned",
+            "new_coord",
+        )
+    )

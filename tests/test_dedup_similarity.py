@@ -22,6 +22,8 @@ QUERIES = [
     "q60_embedding_near_dup",
     "q62_dedup_clusters",
     "q63_ann_ivf",
+    "q164_kmeans_lloyd",
+    "q165_containment_dedup",
 ]
 
 
@@ -241,3 +243,36 @@ def test_prefix_join_is_lossless_vs_bruteforce(spark):
             want.add((a, b))
     sub_got = {p for p in got if p[0] in docs and p[1] in docs}
     assert sub_got == want
+
+
+def test_kmeans_lloyd_partition_of_corpus(spark):
+    """Every vector lands in exactly one cluster: per-dimension assigned
+    counts sum to the corpus size, and updated coordinates stay in the
+    input range."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    rows = all_queries()["q164_kmeans_lloyd"](spark, SF_DIR).collect()
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    by_pos: dict[int, int] = {}
+    for r in rows:
+        by_pos[r["pos"]] = by_pos.get(r["pos"], 0) + r["n_assigned"]
+        assert -1.0 <= r["new_coord"] <= 1.0
+    assert set(by_pos.values()) == {n_vecs}
+
+
+def test_containment_is_directed_and_bounded(spark):
+    """Containment ≥ 0.6 by the filter, ≤ 1 by set algebra; a full-dup
+    pair must appear in BOTH directions (q41's exact dups are planted)."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q165_containment_dedup"](spark, SF_DIR).collect()
+    assert rows
+    pairs = {(r["contained_doc"], r["container_doc"]) for r in rows}
+    for r in rows:
+        assert 0.6 <= r["containment"] <= 1.0
+        assert r["n_shared"] <= r["n_shingles"]
+        if r["containment"] == 1.0 and (r["container_doc"], r["contained_doc"]) in pairs:
+            break
+    both = sum(1 for a, b in pairs if (b, a) in pairs)
+    assert both >= 2  # exact-dup pairs surface in both directions

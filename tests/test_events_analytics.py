@@ -205,3 +205,29 @@ def test_seasonal_anomalies_use_slot_baseline(spark):
     for r in rows:
         assert r["n_anomalies"] <= r["n_events"]
         assert r["baseline"] > 0.0
+
+
+def test_rfm_segments_cover_all_purchasers(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q166_rfm_segments")
+    rows = _q("q166_rfm_segments")(spark, SF_DIR).collect()
+    n_users = sum(r["n_users"] for r in rows)
+    expected = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert n_users == expected
+    for r in rows:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+
+
+def test_cusum_changepoint_one_row_per_stream(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q167_cusum_changepoint")
+    rows = _q("q167_cusum_changepoint")(spark, SF_DIR).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "error", "purchase", "signup", "view"
+    }
+    for r in rows:
+        assert r["max_abs_cusum"] >= 0 and r["n_days"] >= 1
