@@ -45,6 +45,10 @@ _DRIVER_PRIORITY = [
     "q165_containment_dedup",
     "q166_rfm_segments",
     "q167_cusum_changepoint",
+    "q168_tvd_drift",
+    "q169_unpivot_long",
+    "q170_bigram_surprise",
+    "q171_decile_lift",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

@@ -1199,3 +1199,172 @@ def q161_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("ss").cast("double") / (F.col("tot").cast("double") * F.col("tot"))
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (q168): total-variation distance between two periods'
+# categorical distributions — the ln-free drift monitor (PSI needs ln, which
+# is not correctly-rounded across engines; TVD is an exact rational).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_tvd_drift",
+    oracle="""
+    WITH lng AS (
+      SELECT 'o_orderpriority' AS col_name, o_orderpriority AS cat,
+             CAST(o_orderdate < TIMESTAMP '1998-01-01' AS INTEGER) AS before
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus,
+             CAST(o_orderdate < TIMESTAMP '1998-01-01' AS INTEGER)
+      FROM orders
+    ),
+    c AS (
+      SELECT col_name, cat,
+             CAST(SUM(before) AS BIGINT) AS c1,
+             CAST(SUM(1 - before) AS BIGINT) AS c2
+      FROM lng GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT col_name, CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(COUNT(*) AS BIGINT) AS n_categories,
+             CAST(SUM(abs(c1 * (SELECT SUM(x.c2) FROM c x WHERE x.col_name = c.col_name)
+                          - c2 * (SELECT SUM(x.c1) FROM c x WHERE x.col_name = c.col_name)))
+                  AS BIGINT) AS num
+      FROM c GROUP BY col_name
+    )
+    SELECT col_name, n1 AS n_before, n2 AS n_after, n_categories,
+           CAST(num AS DOUBLE) / (2.0 * n1 * n2) AS tvd
+    FROM t
+    """,
+)
+def q168_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column categorical drift between two time slices as
+    total-variation distance: TVD = ½·Σ|p₁(v) − p₂(v)|, computed as the
+    exact integer Σ|c₁·N₂ − c₂·N₁| over the common denominator N₁·N₂ —
+    no per-category float division, no ln (the reason this is TVD and
+    not PSI: ln is not correctly rounded and would break the cross-engine
+    hash; TVD and PSI order drift the same way in practice). The
+    monitoring gate a training pipeline runs between ingest batches.
+
+    Shape at scale: one scan builds the long (column, category, period)
+    counts with map-side combine — drift over K columns is K CASE arms
+    in one pass, not K scans (the q143 profiler rule); the |…| sum then
+    reduces the BOUNDED category table. Adding a column = one more
+    unpivot arm."""
+    o = load(spark, sf_dir, "orders")
+    before = (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).cast("int")
+    lng = (
+        o.select(F.lit("o_orderpriority").alias("col_name"),
+                 F.col("o_orderpriority").alias("cat"), before.alias("before"))
+        .unionAll(
+            o.select(F.lit("o_orderstatus").alias("col_name"),
+                     F.col("o_orderstatus").alias("cat"), before.alias("before"))
+        )
+    )
+    c = lng.groupBy("col_name", "cat").agg(
+        F.sum("before").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("before")).cast("bigint").alias("c2"),
+    )
+    t = c.groupBy("col_name").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+    )
+    num = (
+        c.join(F.broadcast(t), "col_name")
+        .groupBy("col_name")
+        .agg(F.sum(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+             .cast("bigint").alias("num"))
+    )
+    return (
+        t.join(num, "col_name")
+        .select(
+            "col_name",
+            F.col("n1").alias("n_before"),
+            F.col("n2").alias("n_after"),
+            "n_categories",
+            (F.col("num").cast("double") / (F.lit(2.0) * F.col("n1") * F.col("n2")))
+            .alias("tvd"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-eval lift table (q171): decile gains curve over q152's scoring
+# shape — the offline readout that decides whether a ranking model ships.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_decile_lift",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT pos, NTILE(10) OVER (ORDER BY score DESC, o_custkey) AS decile FROM u
+    ),
+    g AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_custs,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile
+    ),
+    w AS (
+      SELECT decile, n_custs, n_pos,
+             SUM(n_custs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             SUM(n_custs) OVER () AS tot_n, SUM(n_pos) OVER () AS tot_pos
+      FROM g
+    )
+    SELECT decile, n_custs, n_pos,
+           CAST(n_pos AS DOUBLE) / n_custs AS rate,
+           CAST(cum_pos * tot_n AS DOUBLE) / (cum_n * tot_pos) AS cum_lift
+    FROM w
+    """,
+)
+def q171_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table: rank customers by model score (here: exact
+    total spend in cents, the q152 scoring stand-in), cut into NTILE(10)
+    deciles with a (score DESC, custkey) total order, and report per-decile
+    positive rate plus cumulative lift — computed as the exact integer
+    cross-ratio (cum_pos·N)/(cum_n·P) with ONE float division at the end.
+
+    Scale: per-customer reduction is map-side; the NTILE runs over the
+    already-reduced user table (q166's caveat and the same q93
+    histogram-cut escape at extreme cardinality); the lift walk is over
+    the 10-row decile table. Output is bounded (10 rows) regardless of SF."""
+    o = load(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint").alias("score"),
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+        .cast("bigint").alias("pos"),
+    )
+    d = u.select(
+        "pos",
+        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "o_custkey")).alias("decile"),
+    )
+    g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "decile", "n_custs", "n_pos",
+        (F.col("n_pos").cast("double") / F.col("n_custs")).alias("rate"),
+        (
+            (F.sum("n_pos").over(wc) * F.sum("n_custs").over(wt)).cast("double")
+            / (F.sum("n_custs").over(wc) * F.sum("n_pos").over(wt))
+        ).alias("cum_lift"),
+    )

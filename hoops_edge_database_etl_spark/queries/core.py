@@ -432,3 +432,59 @@ def q76_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
           for c in ("click", "view", "purchase", "error", "signup")],
     )
+
+
+@query(
+    "q169_unpivot_long",
+    oracle="""
+    WITH w AS (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM w
+    UNION ALL
+    SELECT n_name, 'total_cents', total_cents FROM w
+    UNION ALL
+    SELECT n_name, 'n_custs', n_custs FROM w
+    """,
+)
+def q169_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long), q76's inverse: the per-nation metric matrix
+    melts into (nation, metric, value) rows via ``stack`` — one generator
+    expression, no union re-scan (the oracle's UNION ALL form re-reads the
+    CTE; Spark's stack emits all arms in a single projection pass, the
+    shape that matters when the wide table is itself expensive). The
+    tall form is what metric stores and plotting layers ingest.
+
+    The wide aggregate underneath is one star join (broadcast dims) +
+    one map-side-combining shuffle; stack adds zero exchanges."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("bigint").alias("total_cents"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        )
+    )
+    return w.select(
+        "n_name",
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'total_cents', total_cents,"
+            " 'n_custs', n_custs) AS (metric, value)"
+        ),
+    )

@@ -1376,3 +1376,82 @@ def q148_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stable_row_ids(
         tf, [F.col("cnt").desc(), F.col("token").asc()], id_col="vocab_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprise (q170): language-model quality scoring without logs.
+# The fluency filter of a training-data pipeline — docs whose bigrams are
+# rare GIVEN their unigrams read as disfluent/garbled and score high.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_bigram_surprise",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+      SELECT u.x AS tok, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM toks, UNNEST(w) AS u(x) GROUP BY u.x
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i+1] AS b
+      FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+    ),
+    bgc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY b),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(CAST(uni.c1 * 1000 AS DOUBLE) / bgc.c12) AS BIGINT) AS s
+      FROM bg JOIN bgc ON bgc.b = bg.b JOIN uni ON uni.tok = bg.w1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS surprise_total,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS surprise_avg
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q170_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram surprise: for each bigram occurrence (w1, w2),
+    score ⌊1000·c(w1)/c(w1 w2)⌋ — the integer fixed-point inverse of the
+    conditional frequency P(w2|w1) — and report the per-doc total and
+    mean. High surprise = the document's word transitions are rare given
+    its words = garbled/boilerplate-spliced text; this is the ln-free
+    fixed-point form of bigram LM perplexity (Σ−log P would need ln,
+    which is not correctly rounded across engines; the ⌊·⌋ score is an
+    exact integer in BOTH, and per-doc sums of ints are order-free).
+
+    Scale: two vocabulary-sized count tables (unigrams, bigrams) built
+    with map-side combine, then the bigram stream joins both counts on
+    their keys — shuffle joins on token keys whose fan-out is the
+    document length, never quadratic. The Zipf head makes both count
+    joins skew-prone: the q87 salting recipe applies to the hot tokens
+    if AQE's skew split does not cover them."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("b")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.b").alias("b"))
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    scored = (
+        bg.join(bgc, "b")
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .select(
+            "doc_id",
+            F.floor((F.col("c1") * 1000).cast("double") / F.col("c12"))
+            .cast("bigint").alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("s").cast("bigint").alias("surprise_total"),
+        (F.sum("s").cast("double") / F.count(F.lit(1))).alias("surprise_avg"),
+    )

@@ -127,3 +127,30 @@ def test_chi_square_decomposition(spark):
     assert abs(exp_sum - n) < 1e-6
     for r in rows:
         assert r["contrib"] >= 0.0
+
+
+def test_tvd_drift_bounds(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q168_tvd_drift")
+    rows = all_queries()["q168_tvd_drift"](spark, SF_DIR).collect()
+    assert {r["col_name"] for r in rows} == {"o_orderpriority", "o_orderstatus"}
+    for r in rows:
+        assert 0.0 <= r["tvd"] <= 1.0
+        assert r["n_before"] > 0 and r["n_after"] > 0
+
+
+def test_decile_lift_monotone_prefix_property(spark, duck):
+    """Cumulative lift starts at the top decile's lift and converges to
+    exactly 1.0 over the full population."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q171_decile_lift")
+    rows = sorted(
+        all_queries()["q171_decile_lift"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-12

@@ -59,3 +59,15 @@ def test_load_events_without_session_factory_conf(spark):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_unpivot_round_trips_the_wide_table(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q169_unpivot_long")
+    rows = all_queries()["q169_unpivot_long"](spark, SF_DIR).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r["n_name"], set()).add(r["metric"])
+    assert all(m == {"n_orders", "total_cents", "n_custs"} for m in by_nation.values())

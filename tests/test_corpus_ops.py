@@ -168,3 +168,17 @@ def test_bloom_skipping_never_misses(spark):
     assert rows
     for r in rows:
         assert r["n_blocks_actual"] <= r["n_blocks_maybe"] <= r["n_blocks"]
+
+
+def test_bigram_surprise_floor_bounds(spark, duck):
+    """Score ≥ 1000 per bigram (c1 ≥ c12 always), so avg ≥ 1000; docs
+    with repeated runs score near the floor."""
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q170_bigram_surprise")
+    rows = all_queries()["q170_bigram_surprise"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["surprise_avg"] >= 1000.0
+        assert r["surprise_total"] >= 1000 * r["n_bigrams"]
