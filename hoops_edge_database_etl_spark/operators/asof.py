@@ -27,23 +27,35 @@ def asof_join(
     value_cols: Sequence[str],
     strict: bool = True,
     tolerance_expr: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right row with
     ``right_ts < left_ts`` (``<=`` when ``strict=False``), per ``on`` key.
+    ``direction="forward"`` flips the lookup: the EARLIEST right row with
+    ``right_ts > left_ts`` (``>=`` when ``strict=False``) — the
+    "next event after" join (time-to-convert, next-quote lookups).
 
     All left columns are preserved; attached columns keep their names (they
     must not collide). ``tolerance_expr`` (e.g. ``"INTERVAL 7 DAYS"``) nulls
-    out matches older than ``left_ts - tolerance``.
+    out matches older than ``left_ts - tolerance`` (backward) or newer than
+    ``left_ts + tolerance`` (forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     for c in value_cols:
         if c in left.columns:
             raise ValueError(f"value column {c!r} collides with a left column")
 
     # side ordering at equal timestamps decides strictness:
-    # strict: left(0) sorts BEFORE right(1) at equal ts → same-ts right rows
-    # fall outside the left row's "preceding" frame.
-    left_side, right_side = (0, 1) if strict else (1, 0)
+    # backward strict: left(0) sorts BEFORE right(1) at equal ts → same-ts
+    # right rows fall outside the left row's "preceding" frame.
+    # forward strict is the mirror: right(0) BEFORE left(1) → same-ts right
+    # rows fall outside the "following" frame.
+    if direction == "backward":
+        left_side, right_side = (0, 1) if strict else (1, 0)
+    else:
+        left_side, right_side = (1, 0) if strict else (0, 1)
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -60,10 +72,15 @@ def asof_join(
     ).select(*l_tagged.columns)  # align column order for the union
 
     unioned = l_tagged.unionByName(r_tagged)
+    frame = (
+        (Window.unboundedPreceding, -1)
+        if direction == "backward"
+        else (1, Window.unboundedFollowing)
+    )
     w = (
         Window.partitionBy(*keys)
         .orderBy("__asof_ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(*frame)
     )
     # NOTE: a NULL in a right-side value column is skipped by ignorenulls and
     # would surface the previous non-null match — acceptable for enrichment
@@ -72,8 +89,9 @@ def asof_join(
     # column's staleness is judged against the timestamp of the row that
     # actually supplied it (max ts over rows where that column is non-null),
     # not the newest preceding right row overall (ADVICE r1).
+    ts_agg = F.max if direction == "backward" else F.min
     mts = {
-        c: F.max(
+        c: ts_agg(
             F.when(
                 (F.col("__side") == F.lit(right_side)) & F.col(c).isNotNull(),
                 F.col("__asof_ts"),
@@ -83,21 +101,28 @@ def asof_join(
         .alias(f"__match_ts_{c}")
         for c in value_cols
     }
+    fill = (
+        (lambda c: F.last(c, ignorenulls=True))
+        if direction == "backward"
+        else (lambda c: F.first(c, ignorenulls=True))
+    )
     filled = unioned.select(
         *[c for c in unioned.columns if c not in value_cols and c != "__side"],
         F.col("__side"),
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *[fill(F.col(c)).over(w).alias(c) for c in value_cols],
         *(mts.values() if tolerance_expr is not None else ()),
     )
     out = filled.filter(F.col("__side") == left_side)
     if tolerance_expr is not None:
+        stale = (
+            f"__match_ts_{{c}} < __asof_ts - {tolerance_expr}"
+            if direction == "backward"
+            else f"__match_ts_{{c}} > __asof_ts + {tolerance_expr}"
+        )
         out = out.select(
             *[c for c in out.columns if c not in value_cols],
             *[
-                F.when(
-                    F.col(f"__match_ts_{c}") < F.expr(f"__asof_ts - {tolerance_expr}"),
-                    None,
-                )
+                F.when(F.expr(stale.format(c=c)), None)
                 .otherwise(F.col(c))
                 .alias(c)
                 for c in value_cols

@@ -49,6 +49,10 @@ _DRIVER_PRIORITY = [
     "q169_unpivot_long",
     "q170_bigram_surprise",
     "q171_decile_lift",
+    "q172_bootstrap_variance",
+    "q173_merkle_table_diff",
+    "q174_asof_forward",
+    "q175_normalized_dedup",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

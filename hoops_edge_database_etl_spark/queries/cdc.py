@@ -244,3 +244,107 @@ def q134_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table reconciliation (q173): which key ranges of two replicas
+# differ, WITHOUT shipping either table. Anti-entropy repair (Dynamo/
+# Cassandra) and cross-region migration validation both run this shape.
+# ---------------------------------------------------------------------------
+
+MERKLE_BUCKETS = 256
+
+
+@query(
+    "q173_merkle_table_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey % {MERKLE_BUCKETS} AS bucket,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                    || o_orderstatus || '|'
+                    || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)),
+                  1, 8) AS BIGINT) AS h
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey % {MERKLE_BUCKETS} AS bucket,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                    || o_orderstatus || '|'
+                    || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            + CASE WHEN o_orderkey % 991 = 1 THEN 100 ELSE 0 END
+                            AS VARCHAR)),
+                  1, 8) AS BIGINT) AS h
+      FROM orders WHERE o_orderkey % 997 <> 0
+    ),
+    ga AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_a,
+                  CAST(SUM(h) AS BIGINT) AS sum_a FROM a GROUP BY bucket),
+    gb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b,
+                  CAST(SUM(h) AS BIGINT) AS sum_b FROM b GROUP BY bucket)
+    SELECT COALESCE(ga.bucket, gb.bucket) AS bucket,
+           COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+           COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b
+    FROM ga FULL OUTER JOIN gb ON gb.bucket = ga.bucket
+    WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0)
+       OR COALESCE(sum_a, 0) <> COALESCE(sum_b, 0)
+    """,
+)
+def q173_merkle_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation by bucket checksum: hash every row's content
+    to a 32-bit integer (md5 head — commutative int64 SUM per bucket is
+    order- and partition-independent), reduce each replica to
+    MERKLE_BUCKETS=256 (bucket, count, checksum) rows, and full-outer join
+    the two 256-row summaries — only buckets whose checksum or count
+    disagree surface. Replica B is simulated IN-PLAN: drop every 997th
+    key (lost rows) and corrupt every 991st price by one dollar
+    (bit rot); the query's job is to localize exactly those buckets.
+
+    At 100 TB the exchange is two 256-row tables — the entire comparison
+    ships kilobytes regardless of table size; drill-down re-runs the same
+    query re-bucketed WITHIN a dirty bucket (bucket tree = Merkle tree,
+    log_B(n) rounds to row-level isolation). Content-hash sums tolerate
+    row order, partitioning, and file layout differences — exactly what
+    file-level checksums cannot."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def checksummed(df: DataFrame, cents_col: F.Column) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("o_orderstatus"),
+                        F.lit("|"),
+                        cents_col.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy((F.col("o_orderkey") % MERKLE_BUCKETS).alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(h).cast("bigint").alias("s"),
+        )
+
+    ga = checksummed(o, cents).select(
+        "bucket", F.col("n").alias("n_a"), F.col("s").alias("sum_a")
+    )
+    gb = checksummed(
+        o.filter(F.col("o_orderkey") % 997 != 0),
+        cents + F.when(F.col("o_orderkey") % 991 == 1, 100).otherwise(0),
+    ).select("bucket", F.col("n").alias("n_b"), F.col("s").alias("sum_b"))
+    return (
+        ga.join(gb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("sum_a", F.lit(0)).alias("sum_a"),
+            F.coalesce("sum_b", F.lit(0)).alias("sum_b"),
+        )
+        .filter((F.col("n_a") != F.col("n_b")) | (F.col("sum_a") != F.col("sum_b")))
+    )

@@ -18,7 +18,7 @@ functions.text; swap xxhash64 in production)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.functions.text import (
     MINHASH_COEFFS,
@@ -851,4 +851,105 @@ def q165_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_shared"),
             (F.col("c").cast("double") / F.col("n")).alias("containment"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalized ("near-exact") dedup (q175): canonicalize text BEFORE hashing.
+# Exact dedup (q41) misses trivial variants — case, punctuation, whitespace
+# runs; normalizing first catches the largest near-dup class at exact-dedup
+# cost, which is why production pipelines (CCNet, Dolma, FineWeb) run
+# normalized-hash dedup before any MinHash stage.
+# ---------------------------------------------------------------------------
+
+
+def normalized_dedup_clusters(d: DataFrame) -> DataFrame:
+    """Clusters of documents identical after canonicalization (lowercase →
+    strip non-alphanumerics → collapse whitespace runs → trim → md5):
+    one row per cluster with >1 member, keyed by minimum doc_id. All
+    JVM-side regex/string expressions; the shuffle key is the 16-byte
+    hash (q41's scale story unchanged). First stage of the CCNet/Dolma
+    recipe — NFKC or digit-folding is one more expression in this pass."""
+    nh = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        d.select("doc_id", nh.alias("nh"))
+        .groupBy("nh")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@query(
+    "q175_normalized_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS nh
+      FROM documents
+    ),
+    x AS (
+      SELECT source, nh,
+             COUNT(*) OVER (PARTITION BY nh) AS nh_total,
+             COUNT(*) OVER (PARTITION BY nh, source) AS nh_in_source
+      FROM n
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT nh) AS BIGINT) AS n_norm_distinct,
+           CAST(SUM(CASE WHEN nh_in_source > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_dup_docs,
+           CAST(SUM(CASE WHEN nh_total > nh_in_source THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_source_docs
+    FROM x GROUP BY source
+    """,
+)
+def q175_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source normalized-dedup profile: how many documents survive
+    canonicalized hashing (lowercase / strip punctuation / collapse
+    whitespace → md5), how many are within-source duplicates, and how
+    many also appear in ANOTHER source (syndicated boilerplate — the
+    interesting cross-source signal). The cluster materialization itself
+    is ``normalized_dedup_clusters`` (planted-variant semantics proven in
+    tests — this corpus is dup-free by construction, so the profile's
+    n_norm_distinct = n_docs row IS the meaningful assertion here).
+
+    Shape: one scan computes the hash; the per-(nh) and per-(nh, source)
+    multiplicities come from ONE shuffle on the 16-byte hash key; the
+    per-source rollup is bounded output."""
+    d = load(spark, sf_dir, "documents")
+    nh = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    n = d.select("source", nh.alias("nh"))
+    x = n.select(
+        "source",
+        "nh",
+        F.count(F.lit(1)).over(Window.partitionBy("nh")).alias("nh_total"),
+        F.count(F.lit(1)).over(Window.partitionBy("nh", "source")).alias("nh_in_source"),
+    )
+    return x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("nh").cast("bigint").alias("n_norm_distinct"),
+        F.sum(F.when(F.col("nh_in_source") > 1, 1).otherwise(0))
+        .cast("bigint").alias("n_within_dup_docs"),
+        F.sum(F.when(F.col("nh_total") > F.col("nh_in_source"), 1).otherwise(0))
+        .cast("bigint").alias("n_cross_source_docs"),
     )

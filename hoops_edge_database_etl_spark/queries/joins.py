@@ -729,3 +729,58 @@ def q163_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@query(
+    "q174_asof_forward",
+    oracle="""
+    SELECT
+      CAST(v.event_id AS BIGINT) AS event_id,
+      CAST(v.user_id AS BIGINT) AS user_id,
+      epoch_us(CAST(v.ts AS TIMESTAMP)) AS view_ts,
+      CAST(p.value AS DOUBLE) AS next_purchase_value,
+      epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP))
+        AS micros_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND CAST(v.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def q174_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — q17's mirror: for each view event, the
+    EARLIEST purchase by the same user strictly after it (the
+    time-to-convert / next-quote lookup). Same union+window operator
+    (operators/asof.py, ``direction="forward"``): one shuffle on the key,
+    a FOLLOWING frame with ``first(..., ignorenulls)``, side-ordering at
+    equal timestamps encoding strictness — no per-key row explosion, the
+    property the naive ``join + filter(r.ts > l.ts) + min`` loses on hot
+    keys. DuckDB's native ASOF with a ``<`` condition is the oracle.
+
+    The matched timestamp rides along as a second value column, so the
+    conversion latency is a plain subtraction — no second join."""
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("value").alias("next_purchase_value"),
+        F.col("ts").alias("__p_ts"),
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_purchase_value", "__p_ts"],
+        strict=True,
+        direction="forward",
+    )
+    return joined.select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        F.unix_micros("ts").alias("view_ts"),
+        F.col("next_purchase_value").cast("double"),
+        (F.unix_micros("__p_ts") - F.unix_micros("ts")).alias("micros_to_purchase"),
+    )

@@ -1086,3 +1086,129 @@ def q162_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("tw").alias("total_weight"))
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (q172): uncertainty for a one-pass total. The classic
+# bootstrap resamples n rows WITH replacement B times — undistributable.
+# The Poisson approximation gives each row an independent Poisson(1)
+# multiplicity per replicate, which IS one scan with a B-fold explode.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32
+#: Poisson(1) CDF cut points on a 0..999 integer lattice: P(0)=.368,
+#: P(≤1)=.736, P(≤2)=.920, P(≤3)=.981, P(≤4)=.996 (tail mass → 5).
+BOOT_CUTS = (368, 736, 920, 981, 996)
+
+_BOOT_M_SQL = (
+    "CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2 "
+    "WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END"
+)
+
+
+@query(
+    "q172_bootstrap_variance",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT x.o_orderkey, x.cents, t.b,
+             CAST('0x' || substr(md5(CAST(x.o_orderkey AS VARCHAR) || ':boot:'
+                                      || CAST(t.b AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000 AS u
+      FROM x, UNNEST(range(0, {BOOT_B})) AS t(b)
+    ),
+    rep AS (
+      SELECT b,
+             CAST(SUM({_BOOT_M_SQL}) AS BIGINT) AS n,
+             CAST(SUM(({_BOOT_M_SQL}) * cents) AS BIGINT) AS t
+      FROM r GROUP BY b
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(CAST(SUM(CAST(t AS DECIMAL(38,0)) * t) AS VARCHAR) AS DOUBLE) AS stt
+      FROM rep
+    )
+    SELECT (SELECT CAST(SUM(cents) AS BIGINT) FROM x) AS point_total_cents,
+           nb AS n_replicates,
+           CAST(st AS DOUBLE) / nb AS boot_mean,
+           sqrt((nb * stt - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * (nb - 1))) AS boot_se
+    FROM s
+    """,
+)
+def q172_bootstrap_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error of the corpus revenue total in ONE
+    distributed pass: every row draws a DETERMINISTIC hash-derived
+    Poisson(1) multiplicity for each of B=32 replicates (md5 lattice →
+    integer CDF cut points — never rand(), so the estimate is
+    reproducible and repartition-proof, the q68 rule), replicate totals
+    reduce with map-side combine, and the spread of the 32 totals IS the
+    sampling variance of the estimator (Kleiner et al.'s scalable
+    bootstrap). Second moments of replicate totals go through
+    DECIMAL(38,0) (q152's rule — t² overflows int64 at warehouse scale);
+    the final mean/SE are single closed-form float expressions.
+
+    Cost model at 100 TB: the explode is B× the scan, but each exploded
+    row is (b, u, cents) — no shuffle until the B-row reduction, so the
+    bootstrap costs B× CPU and B× map-output of ONE aggregation, not B
+    scans. B=32 bounds the SE's own noise at ~12%; production uses
+    B=100-200 with the same plan."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    r = x.select(
+        "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":boot:"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000,
+    )
+    m = (
+        F.when(F.col("u") < BOOT_CUTS[0], 0)
+        .when(F.col("u") < BOOT_CUTS[1], 1)
+        .when(F.col("u") < BOOT_CUTS[2], 2)
+        .when(F.col("u") < BOOT_CUTS[3], 3)
+        .when(F.col("u") < BOOT_CUTS[4], 4)
+        .otherwise(5)
+    )
+    rep = r.groupBy("b").agg(
+        F.sum(m).cast("bigint").alias("n"),
+        F.sum(m * F.col("cents")).cast("bigint").alias("t"),
+    )
+    s = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t"))
+        .cast("string").cast("double").alias("stt"),
+    )
+    point = x.agg(F.sum("cents").cast("bigint").alias("point_total_cents"))
+    nb, st, stt = F.col("nb"), F.col("st").cast("double"), F.col("stt")
+    return point.crossJoin(F.broadcast(s)).select(
+        "point_total_cents",
+        F.col("nb").alias("n_replicates"),
+        (st / nb).alias("boot_mean"),
+        F.sqrt(
+            (nb * stt - st * st) / (nb.cast("double") * (nb - 1))
+        ).alias("boot_se"),
+    )

@@ -42,3 +42,24 @@ def test_scd2_repeated_merge_increments_version(spark):
         (1, "b", 2, False),
         (1, "c", 3, True),
     }
+
+
+def test_merkle_diff_localizes_exactly_the_tampered_buckets(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.cdc import MERKLE_BUCKETS
+
+    compare_query(spark, duck, "q173_merkle_table_diff")
+    flagged = {
+        r["bucket"]
+        for r in all_queries()["q173_merkle_table_diff"](spark, SF_DIR).collect()
+    }
+    expected = {
+        r[0]
+        for r in duck.execute(
+            f"""SELECT DISTINCT o_orderkey % {MERKLE_BUCKETS} FROM orders
+                WHERE o_orderkey % 997 = 0 OR (o_orderkey % 991 = 1
+                      AND o_orderkey % 997 <> 0)"""
+        ).fetchall()
+    }
+    assert flagged == expected

@@ -182,3 +182,25 @@ def test_bigram_surprise_floor_bounds(spark, duck):
     for r in rows:
         assert r["surprise_avg"] >= 1000.0
         assert r["surprise_total"] >= 1000 * r["n_bigrams"]
+
+
+def test_normalized_dedup_clusters_planted_variants(spark, duck):
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries.dedup_text import (
+        normalized_dedup_clusters,
+    )
+
+    compare_query(spark, duck, "q175_normalized_dedup")
+    d = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "HELLO   world"),
+            (4, "a different document"),
+            (5, "A different document?"),
+            (6, "unique text here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["canonical_id"]: r["n_members"] for r in normalized_dedup_clusters(d).collect()}
+    assert rows == {1: 3, 4: 2}

@@ -86,3 +86,40 @@ def test_hierarchical_shares_sum_to_one(spark):
         by_region[r["region"]] = by_region.get(r["region"], 0.0) + r["share_of_region"]
     for region, tot in by_region.items():
         assert abs(tot - 1.0) < 1e-9, region
+
+
+def test_asof_forward_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q174_asof_forward")
+
+
+def test_asof_forward_semantics_on_synthetic_frame(spark):
+    """Equal-timestamp strictness + earliest-following selection."""
+    import pyspark.sql.functions as F2
+
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 35), (2, 10)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 30, "c"), (2, 5, "z")],
+        "k int, ts int, v string",
+    )
+    out = asof_join(
+        left, right.withColumnRenamed("ts", "rts"),
+        on="k", left_ts="ts", right_ts="rts",
+        value_cols=["v"], strict=True, direction="forward",
+    )
+    got = {(r["k"], r["ts"]): r["v"] for r in out.collect()}
+    # strict: the ts=10 right row does NOT match the ts=10 left row
+    assert got == {(1, 10): "b", (1, 20): "b", (1, 35): None, (2, 10): None}
+    out2 = asof_join(
+        left, right.withColumnRenamed("ts", "rts"),
+        on="k", left_ts="ts", right_ts="rts",
+        value_cols=["v"], strict=False, direction="forward",
+    )
+    got2 = {(r["k"], r["ts"]): r["v"] for r in out2.collect()}
+    assert got2[(1, 10)] == "a"  # non-strict: same-ts row matches
+    assert F2 is not None

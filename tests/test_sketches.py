@@ -257,3 +257,16 @@ def test_weighted_median_splits_token_mass(spark):
         above = sum(w for v, w in per_src[src] if v >= m)
         assert 2 * below >= tw and 2 * above >= tw
         assert tw == sum(w for _, w in per_src[src])
+
+
+def test_bootstrap_variance_estimates_the_total(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q172_bootstrap_variance")
+    r = all_queries()["q172_bootstrap_variance"](spark, SF_DIR).collect()[0]
+    assert r["n_replicates"] == 32
+    assert r["boot_se"] > 0
+    # Poisson(1) multiplicities are unbiased: the replicate mean sits
+    # within a few SEs of the point estimate.
+    assert abs(r["boot_mean"] - r["point_total_cents"]) < 6 * r["boot_se"]
