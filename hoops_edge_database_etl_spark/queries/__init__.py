@@ -53,6 +53,10 @@ _DRIVER_PRIORITY = [
     "q173_merkle_table_diff",
     "q174_asof_forward",
     "q175_normalized_dedup",
+    "q176_int8_quantize",
+    "q177_oov_rate",
+    "q178_autocorrelation",
+    "q179_funnel_latency_median",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

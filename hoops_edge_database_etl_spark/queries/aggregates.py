@@ -1368,3 +1368,92 @@ def q171_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_custs").over(wc) * F.sum("n_pos").over(wt))
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation (q178): does yesterday predict today? The
+# stationarity probe run before any forecasting model; q23's Pearson
+# machinery applied to a self-lagged series.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_autocorrelation",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT l_returnflag,
+             LAG(cents) OVER (PARTITION BY l_returnflag ORDER BY day) AS x,
+             cents AS y
+      FROM d
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS VARCHAR) AS DOUBLE) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_pairs,
+           (n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf1
+    FROM m
+    """,
+)
+def q178_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each return-flag's daily shipped revenue:
+    the heavy fact table reduces map-side to one exact-cents row per
+    (flag, day); LAG pairs consecutive days inside the BOUNDED per-flag
+    daily series (the q167 contract — never a per-row window); the
+    Pearson correlation of (yesterday, today) comes from mergeable
+    integer/DECIMAL power sums with ONE closed-form float expression
+    (q152's residual rule — no order-dependent float sums anywhere).
+
+    acf1 near 0 = daily revenue is white noise around its mean; near 1 =
+    momentum (forecastable); negative = oscillation. Extending to lag-k
+    or a full ACF sweep reuses the same daily reduction with k LAG
+    columns in one window pass."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        "l_returnflag", F.to_date("l_shipdate").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("day")
+    p = d.select(
+        "l_returnflag",
+        F.lag("cents").over(w).alias("x"),
+        F.col("cents").alias("y"),
+    ).filter(F.col("x").isNotNull())
+    m = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("string").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        n.alias("n_pairs"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("acf1"),
+    )

@@ -1376,3 +1376,80 @@ def q167_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs("cusum").cast("bigint").alias("max_abs_cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency quantiles (q179): not just WHETHER users convert (q89)
+# but HOW LONG it takes — the exact median view→purchase latency per
+# weekly cohort, through the shared histogram-select core (no global sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_funnel_latency_median",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > fv.v_ts
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(date_trunc('week', fv.v_ts) AS DATE) AS cohort_week,
+             epoch_us(fp.p_ts) - epoch_us(fv.v_ts) AS latency_us
+      FROM fv JOIN fp ON fp.user_id = fv.user_id
+    ),
+    r AS (
+      SELECT cohort_week, latency_us,
+             ROW_NUMBER() OVER (PARTITION BY cohort_week ORDER BY latency_us) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort_week) AS n
+      FROM lat
+    )
+    SELECT cohort_week, CAST(n AS BIGINT) AS n_converted,
+           latency_us AS median_latency_us
+    FROM r WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+    """,
+)
+def q179_funnel_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median view→purchase latency per weekly first-view cohort:
+    each user reduces to (first view, first purchase AFTER it) — two
+    map-side-combining aggregations and one broadcast-backed semi
+    condition, the q89 funnel's ordered-step rule — then the per-cohort
+    median routes through the shared ``_grouped_kth`` histogram-select
+    core (q127/q140/q162's plan): histogram the latencies per cohort,
+    locate the half-count bin, rank only that bin. The oracle's full
+    per-cohort sort is exactly what this avoids; microsecond-integer
+    latencies keep every comparison exact.
+
+    The product readout: a cohort whose median latency stretches is a
+    conversion-path regression even when the q89 conversion RATE is
+    flat."""
+    from hoops_edge_database_etl_spark.queries.sketches import _grouped_kth
+
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        F.date_trunc("week", "v_ts").cast("date").alias("cohort_week"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("latency_us"),
+    )
+    kth = _grouped_kth(lat, "cohort_week", "latency_us", 0.5, 3600e6)
+    return kth.select(
+        "cohort_week",
+        F.col("n").alias("n_converted"),
+        F.col("kth").cast("bigint").alias("median_latency_us"),
+    )

@@ -997,3 +997,71 @@ def q164_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_coord",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization (q176): the vector-store compression step —
+# 4× memory cut for ANN serving, with the reconstruction-error audit that
+# decides whether recall will survive it.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_int8_quantize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(floor(CAST(embedding[k] AS DOUBLE) * {Q} + 0.5) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(k)
+    ),
+    s AS (SELECT vec_id, CAST(MAX(abs(qv)) AS BIGINT) AS sc FROM q GROUP BY vec_id),
+    c AS (
+      SELECT q.vec_id, s.sc,
+             CAST(floor(CAST(q.qv * 127 AS DOUBLE) / s.sc + 0.5) AS BIGINT) AS code,
+             q.qv
+      FROM q JOIN s ON s.vec_id = q.vec_id
+    )
+    SELECT vec_id,
+           CAST(MAX(sc) AS DOUBLE) / {float(Q)!r} AS scale,
+           CAST(MAX(abs(code)) AS BIGINT) AS max_code,
+           CAST(SUM(abs(qv * 127 - code * sc)) AS BIGINT) AS err_total_fixed,
+           CAST(MAX(abs(qv * 127 - code * sc)) AS BIGINT) AS err_max_fixed
+    FROM c GROUP BY vec_id
+    """,
+)
+def q176_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|coordinate|
+    (in the module's 24-bit fixed point, so it is an exact int64), code =
+    round(127·x/scale) ∈ [−127, 127], and the reconstruction-error audit
+    in EXACT integers — the residual |qv·127 − code·scale| never touches
+    a float, so Σ and max are order-free and the hash check verifies the
+    quantizer bit-for-bit (a float L2 error would be partition-order-
+    dependent). max_code ≤ 127 is the out-of-range guard.
+
+    Shape: one explode + two map-side-combining reductions on vec_id (the
+    q108 norm shape twice: scale pass, then code/error pass over the
+    scale join — hash-partitioned on vec_id, the second join co-located
+    with the first's output). At serving scale the codes themselves would
+    be packed back with ``F.transform`` into an array<tinyint> column;
+    the audit row per vector is the bounded output kept here."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id",
+        F.floor(F.col("x").cast("double") * Q + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    s = q.groupBy("vec_id").agg(F.max(F.abs("qv")).cast("bigint").alias("sc"))
+    c = q.join(s, "vec_id").select(
+        "vec_id",
+        "sc",
+        "qv",
+        F.floor((F.col("qv") * 127).cast("double") / F.col("sc") + F.lit(0.5))
+        .cast("long")
+        .alias("code"),
+    )
+    err = F.abs(F.col("qv") * 127 - F.col("code") * F.col("sc"))
+    return c.groupBy("vec_id").agg(
+        (F.max("sc").cast("double") / F.lit(float(Q))).alias("scale"),
+        F.max(F.abs("code")).cast("bigint").alias("max_code"),
+        F.sum(err).cast("bigint").alias("err_total_fixed"),
+        F.max(err).cast("bigint").alias("err_max_fixed"),
+    )

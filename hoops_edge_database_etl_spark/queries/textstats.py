@@ -1455,3 +1455,73 @@ def q170_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("bigint").alias("surprise_total"),
         (F.sum("s").cast("double") / F.count(F.lit(1))).alias("surprise_avg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate against a head vocabulary (q177): what fraction of each source's
+# token stream falls outside the tokenizer's vocab — the coverage readout
+# that decides vocab size (pairs with q148's id assignment).
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB = 256
+
+
+@query(
+    "q177_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, u.x AS t
+      FROM (SELECT source, string_split(text, ' ') AS w FROM documents), UNNEST(w) AS u(x)
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+        FROM tok GROUP BY t
+      ) WHERE rn <= {OOV_VOCAB}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS oov_rate
+    FROM tok LEFT JOIN vocab ON vocab.t = tok.t
+    GROUP BY source
+    """,
+)
+def q177_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's top-256
+    head vocabulary (frequency-ordered, token tiebreak — q148's order).
+    The head is selected with TakeOrdered (orderBy + limit pushes a
+    per-partition top-k + single small merge, never a global sort of the
+    vocabulary) and broadcast back onto the token stream; the per-source
+    rollup is one map-side-combining shuffle. n_oov is an exact integer;
+    the rate is one final division.
+
+    At 100 TB: the vocabulary table is |V| ≪ corpus rows; the only
+    full-corpus pass is the token count + the broadcast-join rollup —
+    both linear, no token self-join anywhere. Zipf skew concentrates the
+    head join on hot tokens, but a broadcast hash join has no per-key
+    reducer to overwhelm."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t")
+        .limit(OOV_VOCAB)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            (
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

@@ -154,3 +154,15 @@ def test_decile_lift_monotone_prefix_property(spark, duck):
     )
     assert [r["decile"] for r in rows] == list(range(1, 11))
     assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-12
+
+
+def test_autocorrelation_in_unit_interval(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q178_autocorrelation")
+    rows = all_queries()["q178_autocorrelation"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["acf1"] <= 1.0
+        assert r["n_pairs"] > 10

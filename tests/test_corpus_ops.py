@@ -204,3 +204,15 @@ def test_normalized_dedup_clusters_planted_variants(spark, duck):
     )
     rows = {r["canonical_id"]: r["n_members"] for r in normalized_dedup_clusters(d).collect()}
     assert rows == {1: 3, 4: 2}
+
+
+def test_oov_rate_bounds_and_head_coverage(spark, duck):
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q177_oov_rate")
+    rows = all_queries()["q177_oov_rate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-15

@@ -276,3 +276,17 @@ def test_containment_is_directed_and_bounded(spark):
             break
     both = sum(1 for a, b in pairs if (b, a) in pairs)
     assert both >= 2  # exact-dup pairs surface in both directions
+
+
+def test_int8_quantize_codes_in_range(spark, duck):
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q176_int8_quantize")
+    rows = all_queries()["q176_int8_quantize"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r["max_code"] <= 127
+        # round-to-nearest: |qv·127 − code·sc| ≤ sc/2 (one half code step,
+        # where sc = scale·2²⁴ in fixed-point units)
+        assert r["err_max_fixed"] * 2 <= r["scale"] * (1 << 24) + 2

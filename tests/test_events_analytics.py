@@ -231,3 +231,14 @@ def test_cusum_changepoint_one_row_per_stream(spark, duck):
     }
     for r in rows:
         assert r["max_abs_cusum"] >= 0 and r["n_days"] >= 1
+
+
+def test_funnel_latency_median_positive(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q179_funnel_latency_median")
+    rows = _q("q179_funnel_latency_median")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["median_latency_us"] > 0
+        assert r["n_converted"] > 0
