@@ -60,6 +60,12 @@ HEADLINE = [
     "q141_pca_power_iteration", # gram-matrix shuffle + distributed sweeps
     "q145_audio_pcm_features",  # binary pack/decode round trip
     "q147_interval_merge",      # gaps-and-islands window chain
+    "q154_setsim_prefix_join",  # PPJoin prefix-filtered set-similarity join
+    "q164_kmeans_lloyd",        # broadcast-codebook Lloyd assignment + update
+    "q170_bigram_surprise",     # two vocab joins over the token stream
+    "q172_bootstrap_variance",  # B=32 replicate explode + map-side combine
+    "q174_asof_forward",        # forward as-of union+window
+    "q176_int8_quantize",       # two-pass fixed-point quantize + error audit
 ]
 
 

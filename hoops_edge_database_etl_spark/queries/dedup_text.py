@@ -728,64 +728,115 @@ def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")
     )
-    x = toks.select("doc_id", F.explode("s").alias("tok")).filter(F.col("tok") != "")
+    # Dictionary-encode identical token SETS before anything quadratic
+    # (bench r5: 0.56× candidates on this corpus, and the verify stage's
+    # array joins run over DISTINCT sets — broadcastable here): crawl
+    # corpora are full of exact set-duplicates, and every doc sharing a
+    # set shares every candidate, verification, and result value.
+    keyed = toks.select("doc_id", F.sort_array("s").alias("sk"))
+    groups = keyed.groupBy("sk").agg(
+        F.min("doc_id").alias("gid"), F.count(F.lit(1)).alias("cnt")
+    )
+    members = keyed.join(groups.select("sk", "gid"), "sk").select("doc_id", "gid")
+    gsets = groups.select("gid", F.col("sk").alias("s"), "cnt")
+
+    x = gsets.select("gid", F.explode("s").alias("tok")).filter(F.col("tok") != "")
     dfreq = x.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         x.join(F.broadcast(dfreq), "tok")
-        .groupBy("doc_id")
+        .groupBy("gid")
         .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("df"), F.col("tok")))
             ).alias("arr")
         )
         .select(
-            "doc_id",
+            "gid",
             F.transform("arr", lambda st: st["tok"]).alias("ordered"),
         )
     )
     m = F.size("ordered")
     plen = m - F.expr(f"(({SSJ_T10} * size(ordered) + 9) div 10)") + 1
     prefix = ranked.select(
-        "doc_id", m.alias("m"), F.explode(F.slice("ordered", 1, plen)).alias("tok")
-    )
+        "gid", m.alias("m"), F.posexplode(F.slice("ordered", 1, plen)).alias("p0", "tok")
+    ).select("gid", "m", (F.col("p0") + 1).alias("rn"), "tok")
+    # The prefix index is tiny (|groups| × ~m/10 rows) so AQE coalesces it
+    # to 1-2 partitions — but the JOIN FAN-OUT below is millions of rows,
+    # and it materializes in the probe side's partitions. Re-spread the
+    # probe side so the quadratic work runs wide, not on two tasks.
     a = prefix.select(
-        F.col("doc_id").alias("da"), F.col("m").alias("ma"), "tok"
-    )
+        F.col("gid").alias("ga"), F.col("m").alias("ma"), F.col("rn").alias("ra"), "tok"
+    ).repartition(64, "ga")
     bb = prefix.select(
-        F.col("doc_id").alias("db"), F.col("m").alias("mb"), "tok"
+        F.col("gid").alias("gb"), F.col("m").alias("mb"), F.col("rn").alias("rb"), "tok"
     )
     # length filter (PPJoin canon): J >= t forces the smaller set to be at
     # least t times the larger — prunes candidates BEFORE the expensive
     # verify, which matters most on degenerate (tiny-vocab) corpora where
-    # prefix postings alone stay hot
+    # prefix postings alone stay hot. The POSITIONAL filter stacks on top:
+    # all common tokens sit at rank >= this one's in both sets, so the
+    # reachable overlap min(ma-ra, mb-rb)+1 must cover the threshold's
+    # minimum overlap ceil(t·(ma+mb)/(1+t)) — a qualifying pair's FIRST
+    # common token always passes, so keeping pairs with >=1 surviving row
+    # is lossless (bench r5: 2.2× fewer rows into the distinct).
+    # exact integer ceil: (t10·(ma+mb) + (10+t10) − 1) div (10+t10)
+    min_overlap = F.expr(
+        f"(({SSJ_T10} * (ma + mb) + {10 + SSJ_T10 - 1}) div {10 + SSJ_T10})"
+    )
     cand = (
         a.join(
             bb,
             (a.tok == bb.tok)
-            & (F.col("da") < F.col("db"))
-            & (10 * F.least("ma", "mb") >= SSJ_T10 * F.greatest("ma", "mb")),
-        )
-        .select("da", "db")
-        .distinct()
-    )
-    sa = toks.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
-    sb = toks.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
-    v = (
-        cand.join(sa, "da")
-        .join(sb, "db")
-        .select(
-            "da",
-            "db",
-            F.size(F.array_intersect("sa", "sb")).alias("inter"),
-            (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).alias(
-                "un"
+            & (F.col("ga") < F.col("gb"))
+            & (10 * F.least("ma", "mb") >= SSJ_T10 * F.greatest("ma", "mb"))
+            & (
+                F.least(F.col("ma") - F.col("ra"), F.col("mb") - F.col("rb")) + 1
+                >= min_overlap
             ),
         )
+        .select("ga", "gb")
+        .distinct()
     )
-    return v.filter(F.col("inter") * 10 >= SSJ_T10 * F.col("un")).select(
-        "da", "db",
+    sa = gsets.select(F.col("gid").alias("ga"), F.col("s").alias("sa"))
+    sb = gsets.select(F.col("gid").alias("gb"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    v = (
+        cand.join(sa, "ga")
+        .join(sb, "gb")
+        .select("ga", "gb", inter.alias("inter"),
+                (F.size("sa") + F.size("sb") - inter).alias("un"))
+    )
+    gpairs = v.filter(F.col("inter") * 10 >= SSJ_T10 * F.col("un")).select(
+        "ga", "gb",
         (F.col("inter").cast("double") / F.col("un").cast("double")).alias("jaccard"),
     )
+    # Expand group pairs back to doc pairs. Cross-group: Jaccard is a set
+    # property — identical for every member combination. Within-group:
+    # identical sets, J = 1 ≥ t by construction — but ONLY groups holding
+    # at least one non-empty token (the all-empty set shares no indexable
+    # token, so the inverted-index contract never pairs it).
+    ma_t = members.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
+    mb_t = members.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    cross = (
+        gpairs.join(ma_t, "ga")
+        .join(mb_t, "gb")
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            "jaccard",
+        )
+    )
+    nonempty = groups.filter(
+        (F.col("cnt") > 1) & F.exists("sk", lambda t: t != "")
+    ).select("gid")
+    w1 = members.join(nonempty, "gid").select("gid", F.col("doc_id").alias("da"))
+    w2 = members.join(nonempty, "gid").select("gid", F.col("doc_id").alias("db"))
+    within = (
+        w1.join(w2, "gid")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------

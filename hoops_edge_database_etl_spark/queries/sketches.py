@@ -1163,7 +1163,12 @@ def q172_bootstrap_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    r = x.select(
+    # The B-fold explode + per-(row, b) md5 is the CPU of this plan, and it
+    # materializes inside the scan's partitions — the single-row-group test
+    # files give that stage parallelism 1. Re-spread the (small) base rows
+    # BEFORE the fan-out so the hash work runs wide; a production table
+    # with real splits makes this a no-op-sized shuffle.
+    r = x.repartition(32).select(
         "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
     ).withColumn(
         "u",
