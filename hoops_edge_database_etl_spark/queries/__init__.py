@@ -57,6 +57,10 @@ _DRIVER_PRIORITY = [
     "q177_oov_rate",
     "q178_autocorrelation",
     "q179_funnel_latency_median",
+    "q180_merge_upsert",
+    "q181_sparse_cosine_sources",
+    "q182_path_trigrams",
+    "q183_sql_set_ops_all",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

@@ -348,3 +348,96 @@ def q173_merkle_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_a") != F.col("n_b")) | (F.col("sum_a") != F.col("sum_b")))
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO semantics (q180): apply a CDC batch (upserts + deletes) to a
+# base table in one declarative pass — the lakehouse write path (Delta/
+# Iceberg MERGE) as a pure full-outer resolution, no engine extension.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    batch AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+             'X' AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1 AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+      SELECT COALESCE(b.k, c.k) AS k,
+             CASE WHEN c.op = 'U' THEN c.status ELSE b.status END AS status,
+             CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents,
+             CASE
+               WHEN c.op = 'D' THEN 'deleted'
+               WHEN c.op = 'U' AND b.k IS NULL THEN 'inserted'
+               WHEN c.op = 'U' THEN 'updated'
+               ELSE 'kept'
+             END AS action
+      FROM base b FULL OUTER JOIN batch c ON c.k = b.k
+      WHERE NOT (c.op = 'D' AND b.k IS NULL)  -- delete of absent key: no-op
+    )
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN action = 'deleted' THEN 0 ELSE cents END) AS BIGINT)
+             AS surviving_cents
+    FROM merged GROUP BY action
+    """,
+)
+def q180_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as one declarative plan: base FULL OUTER JOIN the CDC
+    batch on the key, then per-row resolution — matched+U → update,
+    matched+D → delete, unmatched+U → insert, delete-of-absent → no-op
+    (the Delta/Iceberg matrix, including the tombstone row that a plain
+    upsert misses). Base and batch are both carved from orders IN-PLAN
+    (base: keys ∤3; batch: keys ∤2, every 5th a delete) so the overlap
+    exercises all four actions; output is the bounded per-action audit a
+    MERGE commits to its transaction log.
+
+    Scale: ONE co-partitioned shuffle join on the merge key — exactly
+    what Delta's MERGE plans under the hood (minus file rewrite
+    bookkeeping, which is S6/S13's layer). q101's SCD2 keeps history;
+    THIS is the overwrite-in-place sibling."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, "D").otherwise("U").alias("op"),
+        F.lit("X").alias("c_status"),
+        (cents + 1).alias("c_cents"),
+    )
+    m = base.join(batch, "k", "full_outer").filter(
+        ~((F.col("op") == "D") & F.col("status").isNull())
+    )
+    resolved = m.select(
+        F.when(F.col("op") == "U", F.col("c_status"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+        F.when(F.col("op") == "U", F.col("c_cents"))
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("op") == "D", "deleted")
+        .when((F.col("op") == "U") & F.col("status").isNull(), "inserted")
+        .when(F.col("op") == "U", "updated")
+        .otherwise("kept")
+        .alias("action"),
+    )
+    return resolved.groupBy("action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("action") == "deleted", 0).otherwise(F.col("cents")))
+        .cast("bigint")
+        .alias("surviving_cents"),
+    )

@@ -1453,3 +1453,66 @@ def q179_funnel_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_converted"),
         F.col("kth").cast("bigint").alias("median_latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (q182): top event-type trigram paths. Markov
+# (q160) answers one-step structure; this surfaces the dominant 3-step
+# JOURNEYS — the sequence-mining readout product teams actually read.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_path_trigrams",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt2
+      FROM events
+    ),
+    tri AS (
+      SELECT event_type || '>' || nxt || '>' || nxt2 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL AND nxt2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn FROM tri)
+    WHERE rn <= 10
+    """,
+)
+def q182_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step user journeys: two LEADs over each user's
+    (ts, event_id)-ordered stream build the trigram in ONE window pass
+    (no self-joins — the naive 3-way sequence join is quadratic on active
+    users), counts reduce with map-side combine over the bounded
+    |event_types|³ path space, and the top-10 is a TakeOrdered with a
+    (count DESC, path) total tiebreak.
+
+    Per-user streams are the partition key — at 100 TB the window state
+    is one user's events (bounded by retention), and the path-count
+    table is ≤ |types|³ rows no matter the event volume. Extending to
+    k-grams is k−1 LEADs in the same pass."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    tri = (
+        o.filter(F.col("nxt").isNotNull() & F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (
+        tri.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

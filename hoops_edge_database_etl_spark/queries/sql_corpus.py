@@ -251,3 +251,34 @@ _sql_query(
     (bronze_silver_validation_queries.sql per-entity audits). Completes
     the subquery matrix next to q78's EXISTS/IN forms.""",
 )
+
+
+_sql_query(
+    "q183_sql_set_ops_all",
+    """
+    SELECT 'intersect_all' AS op, CAST(k AS BIGINT) AS priority_ord,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) a
+    GROUP BY k
+    UNION ALL
+    SELECT 'except_all', CAST(k AS BIGINT), CAST(COUNT(*) AS BIGINT)
+    FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) b
+    GROUP BY k
+    """,
+    """INTERSECT ALL / EXCEPT ALL — the BAG-semantics siblings of q97's
+    set forms, the difference that matters on tables with legitimate
+    duplicates: each key survives min(m, n) times (intersect) or
+    max(m − n, 0) times (except). Both engines implement the SQL-standard
+    multiset algebra (Spark rewrites to a counted full-outer generate —
+    the declarative form of a count-and-replicate); the shared text plus
+    a per-key multiplicity rollup hash-checks the surviving COUNTS, the
+    strongest observable of bag semantics.""",
+)

@@ -1525,3 +1525,87 @@ def q177_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF cosine between sources (q181): similarity over token-count
+# vectors WITHOUT materializing vectors — the inverted-index dot product.
+# The dense-embedding twin is q46; this is the classic sparse/bag-of-words
+# form whose dimension is the vocabulary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q181_sparse_cosine_sources",
+    oracle="""
+    WITH tf AS (
+      SELECT source, u.x AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+           UNNEST(w) AS u(x)
+      GROUP BY source, u.x
+    ),
+    nrm AS (
+      SELECT source,
+             sqrt(CAST(CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS VARCHAR) AS DOUBLE))
+               AS nn
+      FROM tf GROUP BY source
+    ),
+    dot AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS VARCHAR) AS DOUBLE)
+               AS d
+      FROM tf a JOIN tf b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, d / (x.nn * y.nn) AS cosine
+    FROM dot JOIN nrm x ON x.source = src_a JOIN nrm y ON y.source = src_b
+    """,
+)
+def q181_sparse_cosine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between each source's term-frequency
+    vector, computed as an inverted-index join — never materializing a
+    |vocab|-wide vector: dot(A,B) = Σ_tok tfA·tfB from ONE self-join of
+    the (source, token, count) table on the token key, norms from the
+    same table's per-source square sums. Products go through
+    DECIMAL(38,0) (hot tokens square past int64 at corpus scale — the
+    q152 rule) and the cosine is one float expression over exact sums.
+
+    This is how you compare CORPORA (sources, domains, time slices) —
+    the dense q46 shape compares documents. At web scale the token
+    self-join is Zipf-skewed; the q84 stop-token cap or tf-idf damping
+    bounds the hot rows, and the output stays |sources|² — tiny."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    nrm = tf.groupBy("source").agg(
+        F.sqrt(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("string")
+            .cast("double")
+        ).alias("nn")
+    )
+    a = tf.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("cb"))
+    dot = (
+        a.join(b, ["tok"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+            .cast("string")
+            .cast("double")
+            .alias("d")
+        )
+    )
+    return (
+        dot.join(nrm.withColumnRenamed("source", "src_a"), "src_a")
+        .withColumnRenamed("nn", "na")
+        .join(nrm.withColumnRenamed("source", "src_b"), "src_b")
+        .select(
+            "src_a", "src_b",
+            (F.col("d") / (F.col("na") * F.col("nn"))).alias("cosine"),
+        )
+    )

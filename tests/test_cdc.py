@@ -63,3 +63,28 @@ def test_merkle_diff_localizes_exactly_the_tampered_buckets(spark, duck):
         ).fetchall()
     }
     assert flagged == expected
+
+
+def test_merge_upsert_action_matrix(spark, duck):
+    """All four MERGE actions must appear, and inserted+updated+kept =
+    final table cardinality (deletes excluded)."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q180_merge_upsert")
+    rows = {r["action"]: r for r in all_queries()["q180_merge_upsert"](spark, SF_DIR).collect()}
+    assert set(rows) == {"deleted", "inserted", "updated", "kept"}
+    assert rows["deleted"]["surviving_cents"] == 0
+    final_n = duck.execute("""
+        WITH base AS (SELECT o_orderkey k FROM orders WHERE o_orderkey % 3 <> 0),
+        batch AS (SELECT o_orderkey k,
+                         CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END op
+                  FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT COUNT(*) FROM (
+          SELECT COALESCE(b.k, c.k) FROM base b FULL OUTER JOIN batch c ON c.k = b.k
+          WHERE COALESCE(c.op, 'K') <> 'D'
+        )""").fetchone()[0]
+    assert (
+        rows["inserted"]["n_rows"] + rows["updated"]["n_rows"] + rows["kept"]["n_rows"]
+        == final_n
+    )

@@ -71,3 +71,28 @@ def test_unpivot_round_trips_the_wide_table(spark, duck):
     for r in rows:
         by_nation.setdefault(r["n_name"], set()).add(r["metric"])
     assert all(m == {"n_orders", "total_cents", "n_custs"} for m in by_nation.values())
+
+
+def test_set_ops_all_bag_semantics(spark, duck):
+    """INTERSECT ALL multiplicity = min(m, n); EXCEPT ALL = max(m-n, 0) —
+    recheck a sample key's multiplicities straight from the base table."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q183_sql_set_ops_all")
+    rows = all_queries()["q183_sql_set_ops_all"](spark, SF_DIR).collect()
+    inter = {r["priority_ord"]: r["n"] for r in rows if r["op"] == "intersect_all"}
+    exc = {r["priority_ord"]: r["n"] for r in rows if r["op"] == "except_all"}
+    m = {k: v for k, v in duck.execute(
+        "SELECT o_custkey, COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1"
+    ).fetchall()}
+    n = {k: v for k, v in duck.execute(
+        "SELECT o_custkey, COUNT(*) FROM orders WHERE o_orderstatus = 'F' GROUP BY 1"
+    ).fetchall()}
+    for k in list(m)[:50]:
+        want_i = min(m[k], n.get(k, 0))
+        want_e = max(m[k] - n.get(k, 0), 0)
+        assert inter.get(k, 0) == (want_i or 0) * (1 if want_i else 0)
+        if want_i:
+            assert inter[k] == want_i
+        assert exc.get(k, 0) == want_e if want_e else k not in exc

@@ -216,3 +216,14 @@ def test_oov_rate_bounds_and_head_coverage(spark, duck):
     for r in rows:
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert abs(r["oov_rate"] - r["n_oov"] / r["n_tokens"]) < 1e-15
+
+
+def test_sparse_cosine_full_pair_matrix(spark, duck):
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q181_sparse_cosine_sources")
+    rows = all_queries()["q181_sparse_cosine_sources"](spark, SF_DIR).collect()
+    assert len(rows) == 190  # C(20, 2) source pairs
+    for r in rows:
+        assert 0.0 < r["cosine"] <= 1.0 + 1e-12

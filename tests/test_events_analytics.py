@@ -242,3 +242,17 @@ def test_funnel_latency_median_positive(spark, duck):
     for r in rows:
         assert r["median_latency_us"] > 0
         assert r["n_converted"] > 0
+
+
+def test_path_trigrams_top10_ordering(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q182_path_trigrams")
+    rows = sorted(
+        _q("q182_path_trigrams")(spark, SF_DIR).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == 10
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
