@@ -61,6 +61,10 @@ _DRIVER_PRIORITY = [
     "q181_sparse_cosine_sources",
     "q182_path_trigrams",
     "q183_sql_set_ops_all",
+    "q184_temporal_dim_join",
+    "q185_clamped_balance",
+    "q186_pseudonymize",
+    "q187_rolling_slope",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

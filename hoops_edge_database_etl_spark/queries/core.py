@@ -488,3 +488,60 @@ def q169_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'n_custs', n_custs) AS (metric, value)"
         ),
     )
+
+
+@query(
+    "q186_pseudonymize",
+    oracle="""
+    WITH ct AS (
+      SELECT substr(md5('pepper:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS token,
+             c_mktsegment
+      FROM customer
+    ),
+    ot AS (
+      SELECT substr(md5('pepper:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS token,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT ct.c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT ct.token) AS BIGINT) AS n_tokens,
+           CAST(COUNT(ot.token) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(ot.cents, 0)) AS BIGINT) AS total_cents
+    FROM ct LEFT JOIN ot ON ot.token = ct.token
+    GROUP BY ct.c_mktsegment
+    """,
+)
+def q186_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent key pseudonymization: every natural key is replaced by
+    a peppered-hash token (md5('pepper:' || key), 16 hex chars) BEFORE
+    any downstream processing — and because the same key always maps to
+    the same token, referential integrity survives: the customer↔orders
+    join runs ON THE TOKENS and reproduces exactly the per-segment order
+    counts and revenue the raw keys would give. That join-preserving
+    property is the entire point of tokenization over redaction (q98
+    destroys the value; this relinks it), and the hash check proves it
+    end-to-end.
+
+    At scale: tokenization is a pure map (no shuffle); the pepper is a
+    deploy-time secret making dictionary inversion infeasible; 64-bit
+    token space needs the birthday check at ~10⁹ keys (n_tokens =
+    #distinct keys in-result is that audit)."""
+    tok = lambda c: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit("pepper:"), F.col(c).cast("string"))), 1, 16
+    )
+    c = load(spark, sf_dir, "customer").select(
+        tok("c_custkey").alias("token"), "c_mktsegment"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        tok("o_custkey").alias("o_token"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        c.join(o, c.token == o.o_token, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+            F.count("o_token").cast("bigint").alias("n_orders"),
+            F.sum(F.coalesce("cents", F.lit(0))).cast("bigint").alias("total_cents"),
+        )
+    )

@@ -784,3 +784,85 @@ def q174_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_purchase_value").cast("double"),
         (F.unix_micros("__p_ts") - F.unix_micros("ts")).alias("micros_to_purchase"),
     )
+
+
+@query(
+    "q184_temporal_dim_join",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+             TIMESTAMP '1995-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000,
+             TIMESTAMP '1998-01-01'
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(d.bal_cents) AS BIGINT) AS bal_at_order_cents
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+    WHERE d.valid_from <= CAST(o.o_orderdate AS TIMESTAMP)
+      AND NOT EXISTS (
+        SELECT 1 FROM dim d2
+        WHERE d2.c_custkey = d.c_custkey
+          AND d2.valid_from <= CAST(o.o_orderdate AS TIMESTAMP)
+          AND d2.valid_from > d.valid_from
+      )
+    GROUP BY d.c_mktsegment
+    """,
+)
+def q184_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (effective-dated) dimension join: each fact row joins the
+    dimension VERSION valid at its event time — the SCD2 lookup every
+    warehouse fact load runs. The dimension is carved in-plan (every 3rd
+    customer gets a +$100 version effective 1998-01-01, q101's
+    construction); the lookup is the union+window as-of operator
+    (operators/asof.py, non-strict backward on the version's valid_from)
+    — ONE shuffle on the key, no per-fact interval probe and no row
+    explosion, where the oracle's declarative form (valid_from ≤ ts and
+    no later version — a NOT EXISTS anti-probe) would nest-loop per
+    fact. The validity-interval end column never needs to exist: "latest
+    version at or before ts" IS the interval semantics.
+
+    q17 (as-of on events), q65 (numeric range join), and THIS form the
+    interval-join triangle; this one is the star-schema instance."""
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    c = load(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        bal.alias("bal_cents"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (bal + 10000).alias("bal_cents"),
+        F.lit("1998-01-01").cast("timestamp").alias("valid_from"),
+    )
+    dim = v1.unionByName(v2).select(
+        "k", "valid_from",
+        F.col("seg").alias("segment"),
+        F.col("bal_cents").alias("bal_at_order"),
+    )
+    o = load(spark, sf_dir, "orders")
+    facts = o.select(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts"))
+    joined = asof_join(
+        facts,
+        dim,
+        on="k",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["segment", "bal_at_order"],
+        strict=False,
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("bal_at_order").cast("bigint").alias("bal_at_order_cents"),
+    )

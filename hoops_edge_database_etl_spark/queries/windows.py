@@ -666,3 +666,178 @@ def q113_possession_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "game_id", "play_id", "possession_id", "offense_team_id", "possession_end"
     )
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (q185): inventory / queue-depth semantics — the
+# balance can never go below zero (you cannot ship stock you don't have).
+# The recurrence C_i = max(C_{i-1} + x_i, 0) looks inherently sequential;
+# Lindley's identity C_i = S_i − min(0, min_{j≤i} S_j) turns it into TWO
+# plain window aggregates. The oracle runs the RECURRENCE itself (DuckDB
+# recursive CTE) — a different algorithm proving the identity.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q185_clamped_balance",
+    oracle="""
+    WITH RECURSIVE flow AS (
+      SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
+                           ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+      FROM lineitem GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT s, day, net,
+             ROW_NUMBER() OVER (PARTITION BY s ORDER BY day) AS i
+      FROM flow
+    ),
+    walk AS (
+      SELECT s, i, net, GREATEST(net, 0) AS c FROM idx WHERE i = 1
+      UNION ALL
+      SELECT idx.s, idx.i, idx.net, GREATEST(walk.c + idx.net, 0)
+      FROM walk JOIN idx ON idx.s = walk.s AND idx.i = walk.i + 1
+    )
+    SELECT s AS l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(CASE WHEN i = mx THEN c END) AS BIGINT) AS final_balance,
+           CAST(MAX(c) AS BIGINT) AS max_balance,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_days
+    FROM (SELECT *, MAX(i) OVER (PARTITION BY s) AS mx FROM walk)
+    GROUP BY s
+    """,
+)
+def q185_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running inventory per supplier (daily net flow:
+    +quantity on open lines, −quantity on finished), WITHOUT the
+    sequential recurrence: Lindley's identity C_i = S_i − min(0, minₚᵣₑ S)
+    — the waiting-time solution from queueing theory — computes the
+    clamped walk from a running SUM and a running MIN, two ordinary
+    window aggregates over the bounded per-supplier daily series. The
+    oracle executes the recurrence itself as a DuckDB recursive CTE, so
+    the hash match PROVES the identity on this data rather than assuming
+    it. Output is the bounded per-supplier audit (final/max balance,
+    stock-out days).
+
+    At 100 TB: the fact table reduces map-side to supplier-day rows
+    first (the q167/q178 contract); the two windows then scan each
+    supplier's ≤ days-of-history rows once. The recurrence form would
+    force a driver loop or applyInPandas; the identity keeps it in
+    whole-stage codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    flow = li.groupBy(
+        F.col("l_suppkey").alias("s"), F.to_date("l_shipdate").alias("day")
+    ).agg(
+        F.sum(
+            F.when(F.col("l_linestatus") == "O", F.col("l_quantity").cast("long"))
+            .otherwise(-F.col("l_quantity").cast("long"))
+        ).cast("bigint").alias("net")
+    )
+    w = (
+        Window.partitionBy("s")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ssum = flow.select("s", "day", F.sum("net").over(w).alias("ss"))
+    walk = ssum.select(
+        "s",
+        "day",
+        (F.col("ss") - F.least(F.lit(0).cast("long"), F.min("ss").over(w))).alias("c"),
+    )
+    wl = Window.partitionBy("s").orderBy(F.col("day").desc())
+    return (
+        walk.withColumn("rn", F.row_number().over(wl))
+        .groupBy(F.col("s").alias("l_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).cast("bigint")
+            .alias("final_balance"),
+            F.max("c").cast("bigint").alias("max_balance"),
+            F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).cast("bigint")
+            .alias("n_empty_days"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling regression slope (q187): the 7-day trend line per group — "is
+# revenue accelerating?" as a windowed OLS, from the same exact power sums
+# q120/q152 fit globally.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_rolling_slope",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS day,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    wnd AS (
+      SELECT flag, day,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM d
+      WINDOW w AS (PARTITION BY flag ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, day,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             AS slope_cents_per_day
+    FROM wnd WHERE n = 7
+    """,
+)
+def q187_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling OLS slope of daily revenue per return flag: the five
+    power sums (n, Σx, Σy, Σxy, Σx²) accumulate in ONE window pass over
+    the bounded per-flag daily series — exact int64 (x = day index from
+    the epoch date, y = exact cents; products stay ≤ 2⁴⁸ at this scale;
+    a 1000× corpus moves y's sums to DECIMAL exactly as q152 does) — and
+    the slope is a single float expression per row. Emitted only for
+    full 7-day windows, so every row is the same-sized regression.
+
+    This is the trend detector that pairs with q167's level-shift
+    detector: CUSUM finds WHERE the level broke, the rolling slope reads
+    HOW FAST it is moving now. The frame is ROWS-based over the dense
+    daily reduction; gap-sensitive variants swap in q91's calendar spine
+    first."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.to_date("l_shipdate").alias("day"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.partitionBy("flag").orderBy("day").rowsBetween(-6, 0)
+    wnd = d.select(
+        "flag",
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return wnd.filter(n == 7).select(
+        "flag",
+        "day",
+        ((n * sxy - sx * sy) / (n * sxx - sx * F.col("sx"))).alias(
+            "slope_cents_per_day"
+        ),
+    )

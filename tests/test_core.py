@@ -96,3 +96,21 @@ def test_set_ops_all_bag_semantics(spark, duck):
         if want_i:
             assert inter[k] == want_i
         assert exc.get(k, 0) == want_e if want_e else k not in exc
+
+
+def test_pseudonymize_preserves_join_counts(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q186_pseudonymize")
+    rows = all_queries()["q186_pseudonymize"](spark, SF_DIR).collect()
+    raw = {
+        seg: (nt, no)
+        for seg, nt, no in duck.execute("""
+            SELECT c_mktsegment, COUNT(DISTINCT c.c_custkey), COUNT(o.o_orderkey)
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """).fetchall()
+    }
+    for r in rows:
+        assert raw[r["segment"]] == (r["n_tokens"], r["n_orders"])

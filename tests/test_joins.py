@@ -123,3 +123,15 @@ def test_asof_forward_semantics_on_synthetic_frame(spark):
     got2 = {(r["k"], r["ts"]): r["v"] for r in out2.collect()}
     assert got2[(1, 10)] == "a"  # non-strict: same-ts row matches
     assert F2 is not None
+
+
+def test_temporal_dim_join_orders_conserved(spark, duck):
+    """Every order matches exactly one dimension version — totals equal
+    the raw order count."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q184_temporal_dim_join")
+    rows = all_queries()["q184_temporal_dim_join"](spark, SF_DIR).collect()
+    n_orders = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert sum(r["n_orders"] for r in rows) == n_orders

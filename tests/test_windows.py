@@ -138,3 +138,61 @@ def test_play_classifier_compiles_to_expression(spark):
 
     n = df.filter(contains_any("play_text", ["rebound", "turnover"])).count()
     assert n == 2
+
+
+def test_clamped_balance_lindley_vs_python_recurrence(spark, duck):
+    """Re-run the recurrence in plain Python for a few suppliers and
+    compare final/max/empty-day stats."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q185_clamped_balance")
+    got = {
+        r["l_suppkey"]: (r["final_balance"], r["max_balance"], r["n_empty_days"])
+        for r in all_queries()["q185_clamped_balance"](spark, SF_DIR).collect()
+    }
+    flows = duck.execute("""
+        SELECT l_suppkey, CAST(l_shipdate AS DATE),
+               SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT)
+                        ELSE -CAST(l_quantity AS BIGINT) END)
+        FROM lineitem WHERE l_suppkey <= 5 GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    series: dict[int, list[int]] = {}
+    for s, _, net in flows:
+        series.setdefault(s, []).append(net)
+    for s, nets in series.items():
+        c, mx, empty = 0, 0, 0
+        for x in nets:
+            c = max(c + x, 0)
+            mx = max(mx, c)
+            empty += c == 0
+        assert got[s] == (c, mx, empty), s
+
+
+def test_rolling_slope_constant_series_is_zero(spark):
+    """A constant daily series has slope exactly 0 under the power-sum
+    formula."""
+    import pyspark.sql.functions as F2
+
+    df = spark.createDataFrame(
+        [("A", i, 100) for i in range(10)], "flag string, x long, y long"
+    )
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("flag").orderBy("x").rowsBetween(-6, 0)
+    wnd = df.select(
+        F2.count(F2.lit(1)).over(w).alias("n"),
+        F2.sum("x").over(w).alias("sx"),
+        F2.sum("y").over(w).alias("sy"),
+        F2.sum(F2.col("x") * F2.col("y")).over(w).alias("sxy"),
+        F2.sum(F2.col("x") * F2.col("x")).over(w).alias("sxx"),
+    ).filter(F2.col("n") == 7)
+    rows = wnd.select(
+        (
+            (F2.col("n") * F2.col("sxy").cast("double")
+             - F2.col("sx").cast("double") * F2.col("sy"))
+            / (F2.col("n") * F2.col("sxx").cast("double")
+               - F2.col("sx").cast("double") * F2.col("sx"))
+        ).alias("slope")
+    ).collect()
+    assert rows and all(r["slope"] == 0.0 for r in rows)
