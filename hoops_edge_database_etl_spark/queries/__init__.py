@@ -65,6 +65,11 @@ _DRIVER_PRIORITY = [
     "q185_clamped_balance",
     "q186_pseudonymize",
     "q187_rolling_slope",
+    "q188_bounce_rate",
+    "q189_confusion_matrix",
+    "q190_null_safe_join",
+    "q191_sql_filtered_aggs",
+    "q192_explode_outer",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

@@ -1457,3 +1457,65 @@ def q178_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("acf1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix + exact-rational classifier metrics (q189): the eval
+# readout that closes the train (q120/q152) → score → THRESHOLD → judge
+# loop.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q189_confusion_matrix",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(SUM(pred * label) AS BIGINT) AS tp,
+             CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+             CAST(SUM((1 - pred) * label) AS BIGINT) AS fn,
+             CAST(SUM((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+           CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+    FROM m
+    """,
+)
+def q189_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation in ONE aggregation pass: the four
+    confusion cells as integer indicator sums (tp = Σ pred·label etc. —
+    map-side combining, no groupBy-pivot), then precision / recall / F1 /
+    accuracy as exact cross-multiplied rationals with one division each
+    (F1 stated as 2tp/(2tp+fp+fn) — algebraically the harmonic mean
+    without the intermediate ratios that would float-compound). The
+    thresholded price stands in for q152's fitted score; swapping in any
+    model column is a one-line change.
+
+    At 100 TB the entire evaluation is one scan and a 4-integer
+    reduction — the shape that lets you re-grade a model on the full
+    corpus after every threshold move instead of a sample."""
+    o = load(spark, sf_dir, "orders")
+    pred = F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0)
+    label = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    m = o.agg(
+        F.sum(pred * label).cast("bigint").alias("tp"),
+        F.sum(pred * (1 - label)).cast("bigint").alias("fp"),
+        F.sum((1 - pred) * label).cast("bigint").alias("fn"),
+        F.sum((1 - pred) * (1 - label)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        (tp.cast("double") / (tp + fp)).alias("precision_"),
+        (tp.cast("double") / (tp + fn)).alias("recall_"),
+        ((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1"),
+        ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+    )

@@ -1516,3 +1516,92 @@ def q182_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounce-rate report (q188): per-day session quality — the product KPI
+# layered on the q37 gap sessionizer.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                     - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+                         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       )) >= 1800000000
+                  OR LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    ),
+    s AS (
+      SELECT user_id, session_no,
+             CAST(MIN(ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS bounce_rate,
+           CAST(SUM(dur_us) AS BIGINT) AS total_session_us
+    FROM s GROUP BY day
+    """,
+)
+def q188_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessionize with the 30-minute gap rule (q37's
+    cumulative-flag formulation — identical session boundaries to Spark's
+    native session_window), attribute each session to its START day, and
+    report the share of single-event sessions plus total engaged time —
+    exact integers everywhere, one division for the rate.
+
+    The per-user window runs over each user's own stream (bounded by
+    retention); the daily rollup is map-side-combined. The KPI stack on
+    one sessionizer: q37 materializes sessions, q139 scopes funnels to
+    them, q156 runs the same boundaries under Structured Streaming, THIS
+    reads the quality metric off them."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo)) >= 1_800_000_000)
+            | F.lag("ts").over(wo).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(wc).alias("session_no")
+    )
+    s = sessions.groupBy("user_id", "session_no").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return s.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        F.sum("dur_us").cast("bigint").alias("total_session_us"),
+    )

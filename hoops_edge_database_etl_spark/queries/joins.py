@@ -866,3 +866,49 @@ def q184_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("bal_at_order").cast("bigint").alias("bal_at_order_cents"),
     )
+
+
+@query(
+    "q190_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE o_orderkey % 10 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN o_custkey % 89 = 0 THEN NULL
+                  ELSE o_orderkey % 10 END AS k,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(a.k AS BIGINT) AS k, a.n_a, b.n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q190_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (Spark ``<=>`` ≡ SQL IS NOT DISTINCT
+    FROM): the NULL bucket on each side — rows whose key genuinely could
+    not be derived — matches the other side's NULL bucket instead of
+    silently dropping, the semantics reconciliation jobs need when
+    "unknown" is itself a joinable category. Both sides reduce to their
+    bounded key histogram first, so the join is 11×11; plan-wise Spark
+    hashes the null-safe key like any other equi-key (no fallback to a
+    nested loop), which is exactly why ``<=>`` beats the
+    ``(a = b OR (a IS NULL AND b IS NULL))`` formulation that defeats
+    hash partitioning."""
+    o = load(spark, sf_dir, "orders")
+    a = o.groupBy(
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+        .otherwise(F.col("o_orderkey") % 10)
+        .alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    b = o.groupBy(
+        F.when(F.col("o_custkey") % 89 == 0, None)
+        .otherwise(F.col("o_orderkey") % 10)
+        .alias("kb")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select(
+        F.col("k").cast("bigint").alias("k"), "n_a", "n_b"
+    )

@@ -282,3 +282,25 @@ _sql_query(
     a per-key multiplicity rollup hash-checks the surviving COUNTS, the
     strongest observable of bag semantics.""",
 )
+
+
+_sql_query(
+    "q191_sql_filtered_aggs",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS finished_cents,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'O')
+                AS BIGINT) AS open_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    """SQL:2003 FILTER clause — per-aggregate predicates in ONE grouped
+    scan (the standard form of the CASE-WHEN pivot idiom, q76/q189's
+    underlying pattern). Both engines parse the identical text and plan
+    a single hash aggregate with conditional accumulators — adding a
+    filtered metric never adds a scan, the same one-pass rule the q143
+    profiler and q168 drift monitor are built on.""",
+)

@@ -1609,3 +1609,65 @@ def q181_sparse_cosine_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") / (F.col("na") * F.col("nn"))).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Outer explode semantics (q192): the row-preservation contract of
+# explode_outer — the difference between "no long tokens" and "document
+# silently vanished from the report".
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_explode_outer",
+    oracle="""
+    WITH arrs AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), t -> len(t) >= 8) AS long_toks
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(greatest(len(long_toks), 1)) AS BIGINT) AS n_exploded_rows,
+           CAST(SUM(CASE WHEN len(long_toks) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_without,
+           CAST(SUM(len(long_toks)) AS BIGINT) AS n_long_tokens
+    FROM arrs GROUP BY source
+    """,
+)
+def q192_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` row accounting: exploding each document's
+    long-token array (len ≥ 8) with the OUTER variant keeps a NULL row
+    for empty arrays, so the per-source rollup still counts every
+    document — the oracle states the invariant arithmetically
+    (rows = Σ max(|arr|, 1), docs-without = #empty arrays) and the hash
+    match proves Spark's generator emits exactly that. A plain
+    ``explode`` drops the empty-array documents and silently deflates
+    n_docs — the classic fan-out bug in per-entity reports.
+
+    Zero shuffles before the bounded rollup; generator + aggregate fuse
+    into one whole-stage-codegen pass."""
+    d = load(spark, sf_dir, "documents")
+    arrs = d.select(
+        "source",
+        F.filter(F.split("text", " "), lambda t: F.length(t) >= 8).alias("long_toks"),
+    )
+    ex = arrs.select("source", F.explode_outer("long_toks").alias("tok"))
+    return (
+        ex.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exploded_rows"),
+            F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_without"),
+            F.count("tok").cast("bigint").alias("n_long_tokens"),
+        )
+        .join(
+            arrs.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs")
+            ),
+            "source",
+        )
+        .select(
+            "source", "n_docs", "n_exploded_rows", "n_docs_without", "n_long_tokens"
+        )
+    )

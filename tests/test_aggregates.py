@@ -166,3 +166,16 @@ def test_autocorrelation_in_unit_interval(spark, duck):
     for r in rows:
         assert -1.0 <= r["acf1"] <= 1.0
         assert r["n_pairs"] > 10
+
+
+def test_confusion_matrix_cells_partition_table(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q189_confusion_matrix")
+    r = all_queries()["q189_confusion_matrix"](spark, SF_DIR).collect()[0]
+    n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+    assert 0.0 <= r["precision_"] <= 1.0 and 0.0 <= r["recall_"] <= 1.0
+    p, q = r["precision_"], r["recall_"]
+    assert abs(r["f1"] - (2 * p * q / (p + q))) < 1e-12

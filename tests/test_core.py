@@ -114,3 +114,14 @@ def test_pseudonymize_preserves_join_counts(spark, duck):
     }
     for r in rows:
         assert raw[r["segment"]] == (r["n_tokens"], r["n_orders"])
+
+
+def test_filtered_aggs_subset_bounds(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q191_sql_filtered_aggs")
+    rows = all_queries()["q191_sql_filtered_aggs"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_finished"] <= r["n_orders"]

@@ -227,3 +227,14 @@ def test_sparse_cosine_full_pair_matrix(spark, duck):
     assert len(rows) == 190  # C(20, 2) source pairs
     for r in rows:
         assert 0.0 < r["cosine"] <= 1.0 + 1e-12
+
+
+def test_explode_outer_preserves_docs(spark, duck):
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q192_explode_outer")
+    rows = all_queries()["q192_explode_outer"](spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == 500
+    for r in rows:
+        assert r["n_exploded_rows"] == r["n_long_tokens"] + r["n_docs_without"]

@@ -256,3 +256,15 @@ def test_path_trigrams_top10_ordering(spark, duck):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert len(r["path"].split(">")) == 3
+
+
+def test_bounce_rate_consistent_with_session_query(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q188_bounce_rate")
+    sessions = _q("q37_session_window")(spark, SF_DIR).collect()
+    rows = _q("q188_bounce_rate")(spark, SF_DIR).collect()
+    assert sum(r["n_sessions"] for r in rows) == len(sessions)
+    assert sum(r["n_bounces"] for r in rows) == sum(
+        1 for s in sessions if s["n_events"] == 1
+    )

@@ -135,3 +135,14 @@ def test_temporal_dim_join_orders_conserved(spark, duck):
     rows = all_queries()["q184_temporal_dim_join"](spark, SF_DIR).collect()
     n_orders = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert sum(r["n_orders"] for r in rows) == n_orders
+
+
+def test_null_safe_join_matches_null_bucket(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q190_null_safe_join")
+    rows = all_queries()["q190_null_safe_join"](spark, SF_DIR).collect()
+    assert len(rows) == 11  # 10 buckets + the matched NULL bucket
+    nulls = [r for r in rows if r["k"] is None]
+    assert len(nulls) == 1 and nulls[0]["n_a"] > 0 and nulls[0]["n_b"] > 0
