@@ -70,6 +70,9 @@ _DRIVER_PRIORITY = [
     "q190_null_safe_join",
     "q191_sql_filtered_aggs",
     "q192_explode_outer",
+    "q193_correlation_matrix",
+    "q194_ohlc_bars",
+    "q195_cdc_compaction",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

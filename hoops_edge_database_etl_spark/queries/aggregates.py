@@ -1519,3 +1519,110 @@ def q189_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1"),
         ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass correlation matrix (q193): every pairwise Pearson r between k
+# metric columns from a SINGLE scan — k(k+1)/2 product sums as conditional
+# accumulators, never k² scans (the q143 profiler rule applied to second
+# moments).
+# ---------------------------------------------------------------------------
+
+CORR_COLS = ("qty", "price", "disc", "tax")
+
+
+def _corr_pairs():
+    cols = list(CORR_COLS)
+    return [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+
+@query(
+    "q193_correlation_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qty) AS BIGINT) AS s_qty, CAST(SUM(price) AS BIGINT) AS s_price,
+             CAST(SUM(disc) AS BIGINT) AS s_disc, CAST(SUM(tax) AS BIGINT) AS s_tax,
+             CAST(CAST(SUM(CAST(qty AS DECIMAL(38,0)) * qty) AS VARCHAR) AS DOUBLE) AS ss_qty,
+             CAST(CAST(SUM(CAST(price AS DECIMAL(38,0)) * price) AS VARCHAR) AS DOUBLE) AS ss_price,
+             CAST(CAST(SUM(CAST(disc AS DECIMAL(38,0)) * disc) AS VARCHAR) AS DOUBLE) AS ss_disc,
+             CAST(CAST(SUM(CAST(tax AS DECIMAL(38,0)) * tax) AS VARCHAR) AS DOUBLE) AS ss_tax,
+             CAST(CAST(SUM(CAST(qty AS DECIMAL(38,0)) * price) AS VARCHAR) AS DOUBLE) AS p_qty_price,
+             CAST(CAST(SUM(CAST(qty AS DECIMAL(38,0)) * disc) AS VARCHAR) AS DOUBLE) AS p_qty_disc,
+             CAST(CAST(SUM(CAST(qty AS DECIMAL(38,0)) * tax) AS VARCHAR) AS DOUBLE) AS p_qty_tax,
+             CAST(CAST(SUM(CAST(price AS DECIMAL(38,0)) * disc) AS VARCHAR) AS DOUBLE) AS p_price_disc,
+             CAST(CAST(SUM(CAST(price AS DECIMAL(38,0)) * tax) AS VARCHAR) AS DOUBLE) AS p_price_tax,
+             CAST(CAST(SUM(CAST(disc AS DECIMAL(38,0)) * tax) AS VARCHAR) AS DOUBLE) AS p_disc_tax
+      FROM c
+    )
+    SELECT col_a, col_b,
+           (n * pxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((n * ssx - CAST(sx AS DOUBLE) * sx) * (n * ssy - CAST(sy AS DOUBLE) * sy))
+             AS r
+    FROM (
+      SELECT 'qty' AS col_a, 'price' AS col_b, n, s_qty AS sx, s_price AS sy,
+             ss_qty AS ssx, ss_price AS ssy, p_qty_price AS pxy FROM m
+      UNION ALL SELECT 'qty', 'disc', n, s_qty, s_disc, ss_qty, ss_disc, p_qty_disc FROM m
+      UNION ALL SELECT 'qty', 'tax', n, s_qty, s_tax, ss_qty, ss_tax, p_qty_tax FROM m
+      UNION ALL SELECT 'price', 'disc', n, s_price, s_disc, ss_price, ss_disc, p_price_disc FROM m
+      UNION ALL SELECT 'price', 'tax', n, s_price, s_tax, ss_price, ss_tax, p_price_tax FROM m
+      UNION ALL SELECT 'disc', 'tax', n, s_disc, s_tax, ss_disc, ss_tax, p_disc_tax FROM m
+    )
+    """,
+)
+def q193_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pairwise Pearson matrix over four exact-cents metrics in
+    ONE aggregation: 4 sums + 4 square sums + 6 cross-product sums as
+    DECIMAL(38,0) accumulators in a single scan (adding a metric adds
+    k accumulators, never a scan), then each of the 6 correlations is
+    one closed-form float expression over those 14 exact numbers —
+    the q23 single-pair machinery vectorized the way a feature-selection
+    or collinearity audit actually needs it. The unpivot to (col_a,
+    col_b, r) rows happens AFTER the reduction, on 1 row."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = {
+        "qty": "l_quantity",
+        "price": "l_extendedprice",
+        "disc": "l_discount",
+        "tax": "l_tax",
+    }
+    c = li.select(
+        *[
+            F.floor(F.col(src) * 100 + F.lit(0.5)).cast("long").alias(dst)
+            for dst, src in cents.items()
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for k in CORR_COLS:
+        aggs.append(F.sum(k).cast("bigint").alias(f"s_{k}"))
+        aggs.append(
+            F.sum(F.col(k).cast("decimal(38,0)") * F.col(k))
+            .cast("string").cast("double").alias(f"ss_{k}")
+        )
+    for x, y in _corr_pairs():
+        aggs.append(
+            F.sum(F.col(x).cast("decimal(38,0)") * F.col(y))
+            .cast("string").cast("double").alias(f"p_{x}_{y}")
+        )
+    m = c.agg(*aggs)
+    arms = []
+    for x, y in _corr_pairs():
+        arms.extend(
+            [
+                f"'{x}', '{y}'",
+                f"(n * p_{x}_{y} - CAST(s_{x} AS DOUBLE) * s_{y}) / "
+                f"sqrt((n * ss_{x} - CAST(s_{x} AS DOUBLE) * s_{x})"
+                f" * (n * ss_{y} - CAST(s_{y} AS DOUBLE) * s_{y}))",
+            ]
+        )
+    stacked = ", ".join(arms)
+    return m.select(
+        F.expr(f"stack({len(_corr_pairs())}, {stacked}) AS (col_a, col_b, r)")
+    )

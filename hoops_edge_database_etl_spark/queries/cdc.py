@@ -11,7 +11,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -441,3 +441,73 @@ def q180_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("surviving_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC log compaction (q195): collapse a Debezium-style op log (multiple
+# I/U/D per key over time) to the net final state — the snapshot builder
+# that turns a change feed back into a table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_cdc_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey % 5000 AS k,
+             o_orderkey AS seq,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, op, cents FROM (
+        SELECT k, op, cents,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+           CAST(SUM(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT) AS live_cents,
+           CAST((SELECT COUNT(*) FROM log) AS BIGINT) AS n_log_entries
+    FROM latest
+    """,
+)
+def q195_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed compaction: each key keeps only its LATEST op (strict
+    sequence-number order — latest-wins, the Kafka compacted-topic /
+    Debezium snapshot rule), a trailing delete leaves a tombstone, and
+    the output is the live-table audit. The op log is carved in-plan
+    (orders folded onto 5 000 keys, ~3 ops per key, op derived from the
+    key so both engines replay the identical feed).
+
+    Shape: latest-per-key is the q34 pattern — one shuffle on the key, a
+    ROW_NUMBER over each key's (bounded) op history, no self-join against
+    a MAX-subquery. At 100 TB this is exactly how a feed with billions
+    of rows per day compacts: partition by key, keep rank 1, partial
+    tombstone counts map-side."""
+    o = load(spark, sf_dir, "orders")
+    log = o.select(
+        (F.col("o_orderkey") % 5000).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    n_log = log.agg(F.count(F.lit(1)).cast("bigint").alias("n_log_entries"))
+    out = latest.agg(
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).cast("bigint").alias("n_live"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("bigint")
+        .alias("n_tombstones"),
+        F.sum(F.when(F.col("op") != "D", F.col("cents")).otherwise(0)).cast("bigint")
+        .alias("live_cents"),
+    )
+    return out.crossJoin(F.broadcast(n_log))

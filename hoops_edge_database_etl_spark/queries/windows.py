@@ -841,3 +841,79 @@ def q187_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_cents_per_day"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (q194): downsample an event stream to
+# open/high/low/close bars — the financial-series aggregation whose trap
+# is that OPEN/CLOSE are order statistics over TIME while HIGH/LOW are
+# order statistics over VALUE, in the same group.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q194_ohlc_bars",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             CAST(date_trunc('week', CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS week,
+             CAST(l_shipdate AS TIMESTAMP) AS ts,
+             l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag, week, cents,
+             ROW_NUMBER() OVER (PARTITION BY flag, week
+                                ORDER BY ts, l_orderkey, l_linenumber) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY flag, week
+                                ORDER BY ts DESC, l_orderkey DESC,
+                                         l_linenumber DESC) AS rl
+      FROM t
+    )
+    SELECT flag, week,
+           CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM r GROUP BY flag, week
+    """,
+)
+def q194_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC bars per return flag: HIGH/LOW are plain MIN/MAX
+    (map-side combining), while OPEN/CLOSE need the first/last tick BY
+    TIME — selected with two ROW_NUMBERs under a TOTAL order
+    (ts, orderkey, linenumber — shipdates collide at day granularity,
+    so the key tiebreak is what makes both engines pick the same tick;
+    ``first_value`` without it is nondeterministic under repartition).
+    One shuffle on (flag, week), windows over bounded weekly groups,
+    then a single hash aggregate folds all five statistics.
+
+    The same shape resamples any tick stream to bars; finer bars just
+    change the date_trunc unit."""
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
+        F.col("l_shipdate").alias("ts"),
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wf = Window.partitionBy("flag", "week").orderBy("ts", "l_orderkey", "l_linenumber")
+    wl = Window.partitionBy("flag", "week").orderBy(
+        F.col("ts").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    r = t.select(
+        "flag", "week", "cents",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return r.groupBy("flag", "week").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("cents"))).cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max(F.when(F.col("rl") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )

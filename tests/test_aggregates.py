@@ -179,3 +179,21 @@ def test_confusion_matrix_cells_partition_table(spark, duck):
     assert 0.0 <= r["precision_"] <= 1.0 and 0.0 <= r["recall_"] <= 1.0
     p, q = r["precision_"], r["recall_"]
     assert abs(r["f1"] - (2 * p * q / (p + q))) < 1e-12
+
+
+def test_correlation_matrix_diagonal_consistency(spark, duck):
+    """r is symmetric-bounded and the price/qty cell agrees with q23's
+    single-pair machinery recomputed in DuckDB."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q193_correlation_matrix")
+    rows = {(r["col_a"], r["col_b"]): r["r"]
+            for r in all_queries()["q193_correlation_matrix"](spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    for v in rows.values():
+        assert -1.0 <= v <= 1.0
+    want = duck.execute(
+        "SELECT corr(l_quantity, l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    assert abs(rows[("qty", "price")] - want) < 1e-6

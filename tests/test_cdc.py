@@ -88,3 +88,16 @@ def test_merge_upsert_action_matrix(spark, duck):
         rows["inserted"]["n_rows"] + rows["updated"]["n_rows"] + rows["kept"]["n_rows"]
         == final_n
     )
+
+
+def test_cdc_compaction_key_space_partition(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q195_cdc_compaction")
+    r = all_queries()["q195_cdc_compaction"](spark, SF_DIR).collect()[0]
+    n_keys = duck.execute(
+        "SELECT COUNT(DISTINCT o_orderkey % 5000) FROM orders"
+    ).fetchone()[0]
+    assert r["n_live"] + r["n_tombstones"] == n_keys
+    assert r["n_log_entries"] > n_keys  # genuinely compacting multiple ops

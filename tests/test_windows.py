@@ -196,3 +196,16 @@ def test_rolling_slope_constant_series_is_zero(spark):
         ).alias("slope")
     ).collect()
     assert rows and all(r["slope"] == 0.0 for r in rows)
+
+
+def test_ohlc_bars_invariants(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q194_ohlc_bars")
+    rows = all_queries()["q194_ohlc_bars"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+        assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+        assert r["n_ticks"] >= 1
