@@ -73,6 +73,10 @@ _DRIVER_PRIORITY = [
     "q193_correlation_matrix",
     "q194_ohlc_bars",
     "q195_cdc_compaction",
+    "q196_small_qty_revenue",
+    "q197_dominant_suppliers",
+    "q198_iqr_outliers",
+    "q199_join_cardinality",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",

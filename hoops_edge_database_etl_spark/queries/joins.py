@@ -912,3 +912,101 @@ def q190_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("k").eqNullSafe(F.col("kb"))).select(
         F.col("k").cast("bigint").alias("k"), "n_a", "n_b"
     )
+
+
+@query(
+    "q196_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS small_revenue_cents
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * pa.n * 10 < 7 * pa.sq
+    """,
+)
+def q196_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17's shape: revenue from lineitems whose quantity is below
+    0.7× their part's average — a FACT-to-FACT-AGGREGATE join (the
+    per-part average is computed from the same fact table it filters).
+    The correlated form ("WHERE quantity < (SELECT 0.7*avg ...)") would
+    re-aggregate per row; the decorrelated plan aggregates once and
+    joins back — both sides shuffle on partkey, the aggregate side is
+    |parts| rows. The threshold is the exact integer cross-multiply
+    q·n·10 < 7·Σq (no float average anywhere — the q136 rule).
+
+    Completes the TPC-H shape coverage: Q1 (q01), Q3 (q106), Q5 (q105),
+    Q17 (this) — the four canonical plan archetypes."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("sq"),
+    )
+    j = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity").cast("long") * F.col("n") * 10 < 7 * F.col("sq")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("small_revenue_cents"),
+    )
+
+
+@query(
+    "q197_dominant_suppliers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq FROM ps GROUP BY 1
+    ),
+    dom AS (
+      SELECT ps.l_suppkey
+      FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+      WHERE ps.sq * 20 > 3 * pt.tq
+      GROUP BY ps.l_suppkey
+    )
+    SELECT s.s_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_dominant_suppliers
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM dom)
+    GROUP BY s.s_nationkey
+    """,
+)
+def q197_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-threshold SEMI join (TPC-H Q20's archetype): suppliers
+    holding an OUTSIZED share (>15%) of some part's volume (the share
+    comparison as exact integer cross-multiply 20·q > 3·Σq), then the
+    supplier dimension filters with a LEFT SEMI against that derived key
+    set — never an inner join that would duplicate a supplier dominating
+    several parts. Two map-side-combining aggregations build the share
+    table; the semi join ships only distinct qualifying keys.
+
+    The anti-form ("suppliers dominating NOTHING") is the same plan with
+    left_anti — the q14 gap-repair machinery over a derived threshold
+    set instead of a raw key set."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("sq")
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("sq").cast("bigint").alias("tq"))
+    dom = (
+        ps.join(pt, "l_partkey")
+        .filter(F.col("sq") * 20 > 3 * F.col("tq"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_suppliers"))
+    )

@@ -271,3 +271,70 @@ def q149_bloom_block_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("rows_scanned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram join-cardinality estimation (q199): the optimizer-statistics
+# identity |A ⋈ B| = Σ_k a(k)·b(k). On FULL per-key histograms the
+# "estimate" is EXACT — which is precisely what the hash check proves —
+# and bucketed variants (what CBO actually stores) are the same plan over
+# coarser keys.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_join_cardinality",
+    oracle="""
+    WITH ha AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na FROM orders GROUP BY 1
+    ),
+    hb AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb FROM customer GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(SUM(na * nb) AS BIGINT) AS est_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+             CAST(MAX(na * nb) AS BIGINT) AS hottest_key_rows
+      FROM ha JOIN hb ON hb.k = ha.k
+    ),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT est_rows, actual_rows, n_common_keys, hottest_key_rows
+    FROM est, act
+    """,
+)
+def q199_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from per-key histograms: |A ⋈ B| = Σ na·nb
+    over common keys — computed from two bounded count tables (the
+    histograms a cost-based optimizer keeps), side-by-side with the
+    ACTUAL join count so the hash check certifies the identity (on full
+    histograms the estimate is exact; CBO's bucketed histograms run the
+    identical plan over coarser keys and inherit the bucket-uniformity
+    error). hottest_key_rows is the skew figure the q87/q104 machinery
+    keys off — the same Σ na·nb decomposition localizes WHERE a join
+    explodes before you run it.
+
+    The histogram join is |keys|-sized; only the verification arm pays
+    the real join — in production you drop it and keep the estimator."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    ha = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    hb = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    est = ha.join(hb, "k").agg(
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("est_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common_keys"),
+        F.max(F.col("na") * F.col("nb")).cast("bigint").alias("hottest_key_rows"),
+    )
+    act = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "est_rows", "actual_rows", "n_common_keys", "hottest_key_rows"
+    )

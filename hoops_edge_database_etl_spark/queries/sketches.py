@@ -1217,3 +1217,85 @@ def q172_bootstrap_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (nb * stt - st * st) / (nb.cast("double") * (nb - 1))
         ).alias("boot_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR outlier fences (q198): the boxplot rule — [p25 − 1.5·IQR,
+# p75 + 1.5·IQR] — as exact order statistics through the shared
+# histogram-select core. The quantile-based sibling of q127's MAD gate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_iqr_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM s
+    ),
+    q AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN cents END) AS p25,
+             MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN cents END) AS p75,
+             CAST(MAX(n) AS BIGINT) AS n
+      FROM r GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(q.p25 AS BIGINT) AS p25_cents,
+           CAST(q.p75 AS BIGINT) AS p75_cents, q.n AS n_events,
+           CAST(SUM(CASE WHEN 2 * s.cents < 5 * q.p25 - 3 * q.p75
+                          OR 2 * s.cents > 5 * q.p75 - 3 * q.p25
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM s JOIN q ON q.event_type = s.event_type
+    GROUP BY s.event_type, q.p25, q.p75, q.n
+    """,
+)
+def q198_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot fences per event stream: exact p25/p75 via TWO runs
+    of the shared ``_grouped_kth`` histogram-select core (no per-group
+    sort — the oracle's full ROW_NUMBER ranking is what this avoids),
+    broadcast back, and the fence test stated as the INTEGER inequality
+    2v < 5·p25 − 3·p75 (algebraically v < p25 − 1.5·IQR with no float
+    1.5 anywhere). The alternative robust gate is q127's MAD; Tukey
+    fences are the one every BI boxplot draws, and they need two
+    quantiles where MAD needs two medians — same machinery, different
+    robustness profile."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    p25 = _grouped_kth(s, "event_type", "cents", 0.25, 100.0).select(
+        "event_type", F.col("kth").alias("p25"), F.col("n").alias("n")
+    )
+    p75 = _grouped_kth(s, "event_type", "cents", 0.75, 100.0).select(
+        "event_type", F.col("kth").alias("p75")
+    )
+    q = p25.join(p75, "event_type")
+    low = 5 * F.col("p25") - 3 * F.col("p75")
+    high = 5 * F.col("p75") - 3 * F.col("p25")
+    return (
+        s.join(F.broadcast(q), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("p25").cast("bigint").alias("p25_cents"),
+            F.col("p75").cast("bigint").alias("p75_cents"),
+            F.col("n").cast("bigint").alias("n_events"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (2 * F.col("cents") < low) | (2 * F.col("cents") > high), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )

@@ -146,3 +146,31 @@ def test_null_safe_join_matches_null_bucket(spark, duck):
     assert len(rows) == 11  # 10 buckets + the matched NULL bucket
     nulls = [r for r in rows if r["k"] is None]
     assert len(nulls) == 1 and nulls[0]["n_a"] > 0 and nulls[0]["n_b"] > 0
+
+
+def test_small_qty_revenue_subset_of_total(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q196_small_qty_revenue")
+    r = all_queries()["q196_small_qty_revenue"](spark, SF_DIR).collect()[0]
+    total = duck.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert 0 < r["n_small_lines"] < total
+
+
+def test_dominant_suppliers_semi_no_duplicates(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q197_dominant_suppliers")
+    rows = all_queries()["q197_dominant_suppliers"](spark, SF_DIR).collect()
+    assert rows
+    n = sum(r["n_dominant_suppliers"] for r in rows)
+    distinct = duck.execute("""
+        WITH ps AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) sq
+                    FROM lineitem GROUP BY 1, 2),
+        pt AS (SELECT l_partkey, SUM(sq) tq FROM ps GROUP BY 1)
+        SELECT COUNT(DISTINCT ps.l_suppkey) FROM ps JOIN pt USING (l_partkey)
+        WHERE ps.sq * 20 > 3 * pt.tq
+    """).fetchone()[0]
+    assert n == distinct  # semi join counted each supplier once

@@ -261,3 +261,15 @@ def test_countmin_sketch_broadcasts(spark):
     broadcast, never shuffle the probes."""
     plan = _executed(_qs()["q125_countmin_heavy_hitters"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_join_cardinality_identity(spark, duck):
+    """The histogram estimate must EQUAL the actual join count — the
+    identity, not an approximation, on full per-key histograms."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q199_join_cardinality")
+    r = all_queries()["q199_join_cardinality"](spark, SF_DIR).collect()[0]
+    assert r["est_rows"] == r["actual_rows"] > 0
+    assert r["hottest_key_rows"] >= 1

@@ -270,3 +270,14 @@ def test_bootstrap_variance_estimates_the_total(spark, duck):
     # Poisson(1) multiplicities are unbiased: the replicate mean sits
     # within a few SEs of the point estimate.
     assert abs(r["boot_mean"] - r["point_total_cents"]) < 6 * r["boot_se"]
+
+
+def test_iqr_fences_match_numpy_style_selection(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q198_iqr_outliers")
+    rows = all_queries()["q198_iqr_outliers"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["p25_cents"] <= r["p75_cents"]
+        assert 0 <= r["n_outliers"] < r["n_events"]
