@@ -41,42 +41,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round from the CORRECTNESS_r{N}.json history.
 _DRIVER_PRIORITY = [
     # new in round 5 — never driver-checked
-    "q164_kmeans_lloyd",
-    "q165_containment_dedup",
-    "q166_rfm_segments",
-    "q167_cusum_changepoint",
-    "q168_tvd_drift",
-    "q169_unpivot_long",
-    "q170_bigram_surprise",
-    "q171_decile_lift",
-    "q172_bootstrap_variance",
-    "q173_merkle_table_diff",
-    "q174_asof_forward",
-    "q175_normalized_dedup",
-    "q176_int8_quantize",
-    "q177_oov_rate",
-    "q178_autocorrelation",
-    "q179_funnel_latency_median",
-    "q180_merge_upsert",
-    "q181_sparse_cosine_sources",
-    "q182_path_trigrams",
-    "q183_sql_set_ops_all",
-    "q184_temporal_dim_join",
-    "q185_clamped_balance",
-    "q186_pseudonymize",
-    "q187_rolling_slope",
-    "q188_bounce_rate",
-    "q189_confusion_matrix",
-    "q190_null_safe_join",
-    "q191_sql_filtered_aggs",
-    "q192_explode_outer",
-    "q193_correlation_matrix",
-    "q194_ohlc_bars",
-    "q195_cdc_compaction",
-    "q196_small_qty_revenue",
-    "q197_dominant_suppliers",
-    "q198_iqr_outliers",
-    "q199_join_cardinality",
     "q125_countmin_heavy_hitters",
     "q126_kmv_set_ops",
     "q127_mad_outliers",
@@ -129,6 +93,45 @@ _DRIVER_PRIORITY = [
     "q122_cooccurrence_lift",
     "q123_array_hof_suite",
     "q124_touch_attribution",
+    # new in round 5, second session — never driver-checked (queued after
+    # the longer-waiting q113-q163 block; the driver caps ~50 rows/round)
+    "q164_kmeans_lloyd",
+    "q165_containment_dedup",
+    "q166_rfm_segments",
+    "q167_cusum_changepoint",
+    "q168_tvd_drift",
+    "q169_unpivot_long",
+    "q170_bigram_surprise",
+    "q171_decile_lift",
+    "q172_bootstrap_variance",
+    "q173_merkle_table_diff",
+    "q174_asof_forward",
+    "q175_normalized_dedup",
+    "q176_int8_quantize",
+    "q177_oov_rate",
+    "q178_autocorrelation",
+    "q179_funnel_latency_median",
+    "q180_merge_upsert",
+    "q181_sparse_cosine_sources",
+    "q182_path_trigrams",
+    "q183_sql_set_ops_all",
+    "q184_temporal_dim_join",
+    "q185_clamped_balance",
+    "q186_pseudonymize",
+    "q187_rolling_slope",
+    "q188_bounce_rate",
+    "q189_confusion_matrix",
+    "q190_null_safe_join",
+    "q191_sql_filtered_aggs",
+    "q192_explode_outer",
+    "q193_correlation_matrix",
+    "q194_ohlc_bars",
+    "q195_cdc_compaction",
+    "q196_small_qty_revenue",
+    "q197_dominant_suppliers",
+    "q198_iqr_outliers",
+    "q199_join_cardinality",
+    "q200_streaming_cdc_compaction",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

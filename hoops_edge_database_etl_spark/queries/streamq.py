@@ -260,3 +260,81 @@ def q156_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("w.end").cast("string").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "q200_streaming_cdc_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey % 5000 AS k,
+             o_orderkey AS seq,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                  WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    latest AS (
+      SELECT k, op, cents FROM (
+        SELECT k, op, cents,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log
+      ) WHERE rn = 1
+    )
+    SELECT CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+           CAST(SUM(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT) AS live_cents
+    FROM latest
+    """,
+)
+def q200_streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q195's change-feed compaction executed AS A STREAM: the op log
+    replays through ``readStream`` (availableNow) and a stateful
+    latest-wins aggregation — ``max(struct(seq, op, cents))`` per key, an
+    arg-max the state store merges associatively regardless of arrival
+    order — maintains exactly one surviving op per key; the final audit
+    must hash-match the batch window formulation. This is the THIRD
+    stateful-operator class under the streaming≡batch gate (q71 windowed
+    agg, q95 dedup state, THIS arg-max upsert state) — and it is
+    precisely how a live Debezium feed folds into a serving table
+    (foreachBatch MERGE being the sink-side variant, q180).
+
+    State per key is one (seq, op, cents) struct — bounded by keyspace,
+    not stream length; production adds a watermark on a seq-derived
+    event time to expire idle keys."""
+    src = load_stream(spark, sf_dir, "orders")
+    log = src.select(
+        (F.col("o_orderkey") % 5000).alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D")
+        .when(F.col("o_orderkey") % 2 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    latest = log.groupBy("k").agg(
+        F.max(F.struct("seq", "op", "cents")).alias("last")
+    )
+    sink = "q200_streaming_cdc_sink"
+    ck = tempfile.mkdtemp(prefix="q200_ck_")
+    q = (
+        latest.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    final = spark.table(sink).select(
+        F.col("last.op").alias("op"), F.col("last.cents").alias("cents")
+    )
+    return final.agg(
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).cast("bigint").alias("n_live"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("bigint")
+        .alias("n_tombstones"),
+        F.sum(F.when(F.col("op") != "D", F.col("cents")).otherwise(0)).cast("bigint")
+        .alias("live_cents"),
+    )

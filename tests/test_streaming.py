@@ -192,3 +192,17 @@ def test_streaming_session_window_merges_across_batches(spark):
         sess.sort(key=lambda r: r["session_start"])
         for a, b in zip(sess, sess[1:]):
             assert a["session_end"] <= b["session_start"]
+
+
+def test_streaming_cdc_compaction_matches_batch_twin(spark, duck):
+    """q200 (stream) and q195 (batch) must agree on every shared column."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q200_streaming_cdc_compaction")
+    qs = all_queries()
+    s = qs["q200_streaming_cdc_compaction"](spark, SF_DIR).collect()[0]
+    b = qs["q195_cdc_compaction"](spark, SF_DIR).collect()[0]
+    assert (s["n_live"], s["n_tombstones"], s["live_cents"]) == (
+        b["n_live"], b["n_tombstones"], b["live_cents"]
+    )
