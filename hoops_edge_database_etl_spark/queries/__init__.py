@@ -132,6 +132,9 @@ _DRIVER_PRIORITY = [
     "q198_iqr_outliers",
     "q199_join_cardinality",
     "q200_streaming_cdc_compaction",
+    "q201_trending_rank_delta",
+    "q202_cumulative_adoption",
+    "q203_quality_router",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

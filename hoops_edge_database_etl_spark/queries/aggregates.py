@@ -1626,3 +1626,98 @@ def q193_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.expr(f"stack({len(_corr_pairs())}, {stacked}) AS (col_a, col_b, r)")
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-level quality router (q203): q151 grades the TABLE; this routes each
+# ROW — pass rows continue, violators carry their failed-rule tags to the
+# dead-letter side (S12's sink is where the quarantine stream lands).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_quality_router",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 937 = 0 THEN NULL ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 941 = 0 THEN 'Z' ELSE o_orderstatus END AS status,
+             o_orderdate
+      FROM orders
+    ),
+    tagged AS (
+      SELECT *,
+             CASE WHEN price IS NULL THEN 1 ELSE 0 END AS v_null_price,
+             CASE WHEN price IS NOT NULL AND (price <= 0 OR price > 1000000)
+                  THEN 1 ELSE 0 END AS v_price_range,
+             CASE WHEN status NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END AS v_status,
+             CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END AS v_date
+      FROM raw
+    )
+    SELECT CAST(SUM(CASE WHEN v_null_price + v_price_range + v_status + v_date = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN v_null_price + v_price_range + v_status + v_date > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+           CAST(SUM(v_null_price) AS BIGINT) AS v_null_price,
+           CAST(SUM(v_price_range) AS BIGINT) AS v_price_range,
+           CAST(SUM(v_status) AS BIGINT) AS v_status,
+           CAST(SUM(v_date) AS BIGINT) AS v_date,
+           CAST(SUM(CASE WHEN v_null_price + v_price_range + v_status + v_date = 0
+                         THEN CAST(floor(price * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS clean_cents
+    FROM tagged
+    """,
+)
+def q203_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level expectations ROUTER: every row is tagged with the rules
+    it violates (null price, out-of-range price, unknown status, date
+    floor — the checks a Delta constraint or dq framework would declare)
+    in ONE projection, then a single aggregate reads off the routing
+    audit: clean rows + per-rule violation counts + the revenue that
+    PASSED (what actually loads downstream). Violations are injected
+    in-plan (every 937th price nulled, every 941st status corrupted) so
+    the router demonstrably fires; production swaps the injected columns
+    for the raw ones and writes the quarantine side through the S12
+    dead-letter sink with the same tags.
+
+    One scan, conditional accumulators, zero shuffles before the 1-row
+    audit — adding a rule is one column, never a pass (q143/q191's
+    rule)."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 937 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 941 == 0, "Z")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        "o_orderdate",
+    )
+    v_null = F.when(F.col("price").isNull(), 1).otherwise(0)
+    v_range = F.when(
+        F.col("price").isNotNull()
+        & ((F.col("price") <= 0) | (F.col("price") > 1_000_000)),
+        1,
+    ).otherwise(0)
+    v_status = F.when(~F.col("status").isin("O", "F", "P"), 1).otherwise(0)
+    v_date = F.when(
+        F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    total_v = v_null + v_range + v_status + v_date
+    return raw.agg(
+        F.sum(F.when(total_v == 0, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        F.sum(F.when(total_v > 0, 1).otherwise(0)).cast("bigint").alias("n_quarantined"),
+        F.sum(v_null).cast("bigint").alias("v_null_price"),
+        F.sum(v_range).cast("bigint").alias("v_price_range"),
+        F.sum(v_status).cast("bigint").alias("v_status"),
+        F.sum(v_date).cast("bigint").alias("v_date"),
+        F.sum(
+            F.when(
+                total_v == 0,
+                F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("clean_cents"),
+    )

@@ -1605,3 +1605,61 @@ def q188_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
         F.sum("dur_us").cast("bigint").alias("total_session_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative adoption curve (q202): distinct users EVER seen, by day — the
+# growth-accounting metric COUNT(DISTINCT) OVER (ORDER BY day) cannot
+# express scalably (distinct state explodes); first-occurrence reduction
+# makes it a plain cumsum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_cumulative_adoption",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, event_type, MIN(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY user_id, event_type
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY event_type, day
+    )
+    SELECT event_type, day, n_new,
+           CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+)
+def q202_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature adoption curves: each (user, event type) reduces to a
+    first-use day (map-side MIN — the only pass over the event volume), daily
+    new-user counts reduce again, and the cumulative total is a window
+    over the BOUNDED daily series. The naive windowed COUNT(DISTINCT
+    user) OVER (ORDER BY day) carries an ever-growing distinct set as
+    window state and is unsupported/unscalable in both engines — the
+    first-occurrence transform IS the standard trick that turns "distinct
+    ever" into an additive metric (same move as q90's cohort entry and
+    q128's dedup-then-fan-out).
+
+    Retention-adjusted variants (distinct ACTIVE in trailing 30d) are
+    q128's sliding-distinct shape; this is the monotone ever-seen curve
+    investors read."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type", "day", "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )

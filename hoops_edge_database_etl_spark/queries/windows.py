@@ -917,3 +917,81 @@ def q194_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rl") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending ranks (q201): week-over-week rank movement — "what's climbing"
+# — the leaderboard-delta readout behind every trending panel.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_trending_rank_delta",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', CAST(l_shipdate AS TIMESTAMP)) AS DATE) AS week,
+             l_partkey % 200 AS item,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT week, item, qty,
+             CAST(ROW_NUMBER() OVER (PARTITION BY week ORDER BY qty DESC, item)
+                  AS BIGINT) AS rnk
+      FROM wk
+    ),
+    j AS (
+      SELECT c.week, c.item, c.qty, c.rnk,
+             p.rnk AS prev_rnk
+      FROM rk c JOIN rk p
+        ON p.item = c.item AND p.week = c.week - INTERVAL 7 DAY
+      WHERE c.rnk <= 20 AND p.rnk - c.rnk >= 5
+    )
+    SELECT week, CAST(item AS BIGINT) AS item, qty, rnk, prev_rnk,
+           prev_rnk - rnk AS rank_gain
+    FROM j
+    """,
+)
+def q201_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: rank every item within its week (total
+    (qty DESC, item) order), self-join consecutive weeks on the item, and
+    keep current top-20 items that CLIMBED ≥5 positions — the
+    leaderboard-delta panel. The weekly reduction is map-side; ranking
+    partitions by week (bounded item sets per week — the q166 NTILE
+    caveat applies at extreme catalog sizes, with the same q93
+    histogram-cut escape); the week-over-week self-join is 1:1 on
+    (item, week−7d) — no fan-out.
+
+    LAG over (item ORDER BY week) would need every item present every
+    week; the explicit previous-week join states the calendar contract
+    instead of silently comparing against "whenever this item last
+    appeared"."""
+    li = load(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
+        (F.col("l_partkey") % 200).alias("item"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("bigint").alias("qty"))
+    w = Window.partitionBy("week").orderBy(F.col("qty").desc(), "item")
+    rk = wk.select(
+        "week", "item", "qty", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+    prev = rk.select(
+        F.col("item").alias("p_item"),
+        (F.col("week") + F.expr("INTERVAL 7 DAY")).cast("date").alias("p_next_week"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return (
+        rk.join(
+            prev,
+            (F.col("item") == F.col("p_item")) & (F.col("week") == F.col("p_next_week")),
+        )
+        .filter((F.col("rnk") <= 20) & (F.col("prev_rnk") - F.col("rnk") >= 5))
+        .select(
+            "week",
+            F.col("item").cast("bigint").alias("item"),
+            "qty",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
+        )
+    )

@@ -197,3 +197,15 @@ def test_correlation_matrix_diagonal_consistency(spark, duck):
         "SELECT corr(l_quantity, l_extendedprice) FROM lineitem"
     ).fetchone()[0]
     assert abs(rows[("qty", "price")] - want) < 1e-6
+
+
+def test_quality_router_partitions_rows(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q203_quality_router")
+    r = all_queries()["q203_quality_router"](spark, SF_DIR).collect()[0]
+    n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert r["n_pass"] + r["n_quarantined"] == n
+    assert r["v_null_price"] > 0 and r["v_status"] > 0  # injections fired
+    assert r["v_price_range"] == 0 and r["v_date"] == 0  # clean generator

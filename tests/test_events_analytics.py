@@ -268,3 +268,16 @@ def test_bounce_rate_consistent_with_session_query(spark, duck):
     assert sum(r["n_bounces"] for r in rows) == sum(
         1 for s in sessions if s["n_events"] == 1
     )
+
+
+def test_cumulative_adoption_monotone(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q202_cumulative_adoption")
+    rows = _q("q202_cumulative_adoption")(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_type.setdefault(r["event_type"], []).append(r["cumulative_users"])
+    for vals in by_type.values():
+        assert vals == sorted(vals)  # monotone non-decreasing
+        assert vals[-1] <= 150  # bounded by user population

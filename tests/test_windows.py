@@ -209,3 +209,15 @@ def test_ohlc_bars_invariants(spark, duck):
         assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
         assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
         assert r["n_ticks"] >= 1
+
+
+def test_trending_rank_delta_semantics(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q201_trending_rank_delta")
+    rows = all_queries()["q201_trending_rank_delta"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["rnk"] <= 20 and r["rank_gain"] >= 5
+        assert r["prev_rnk"] - r["rnk"] == r["rank_gain"]
