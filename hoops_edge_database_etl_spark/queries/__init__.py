@@ -135,6 +135,9 @@ _DRIVER_PRIORITY = [
     "q201_trending_rank_delta",
     "q202_cumulative_adoption",
     "q203_quality_router",
+    "q204_sql_grouping_id",
+    "q205_linear_attribution",
+    "q206_fifo_allocation",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

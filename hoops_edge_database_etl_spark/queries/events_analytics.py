@@ -1663,3 +1663,90 @@ def q202_cumulative_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "n_new",
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear (multi-touch) attribution (q205): q124 gives first/last touch all
+# the credit; LINEAR splits each conversion's credit equally across its
+# preceding touches — in deterministic fixed point, never 1/k floats.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_linear_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_p
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type, COALESCE(prior_p, 0) + 1 AS conv_no
+      FROM ev WHERE event_type IN ('view', 'click')
+    ),
+    convs AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS conv_no
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT t.user_id, t.event_type, t.conv_no,
+             CAST(COUNT(*) OVER (PARTITION BY t.user_id, t.conv_no) AS BIGINT) AS k
+      FROM touches t JOIN convs c
+        ON c.user_id = t.user_id AND c.conv_no = t.conv_no
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT (user_id, conv_no)) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(floor(10000.0 / k) AS BIGINT)) AS BIGINT) AS credit_bp
+    FROM attributed GROUP BY event_type
+    """,
+)
+def q205_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each touch (view/click) belongs to
+    the NEXT purchase in its user's stream (membership = running count of
+    prior purchases — one window, the q89 ordered-step rule), converted
+    touches split their conversion's credit equally, and the 1/k share is
+    the FIXED-POINT integer ⌊10000/k⌋ basis points (float 1/k sums would
+    be partition-order-dependent; the q170/q132 rule). Touches after a
+    user's final purchase attribute to nothing and drop via the
+    conversion join — exactly the unconverted-journey semantics.
+
+    Channel credit in one pass over each user's bounded stream + a 1:1
+    join on (user, conversion ordinal); compare q124's first/last-touch
+    winners to read how concentration changes under the model."""
+    ev = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = wo.rowsBetween(Window.unboundedPreceding, -1)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wp)
+        .alias("prior_p"),
+    ).withColumn("prior_p", F.coalesce("prior_p", F.lit(0)))
+    touches = base.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", (F.col("prior_p") + 1).alias("conv_no")
+    )
+    convs = (
+        base.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.row_number().over(wo).alias("conv_no"))
+    )
+    wk = Window.partitionBy("user_id", "conv_no")
+    attributed = touches.join(convs, ["user_id", "conv_no"]).select(
+        "user_id",
+        "event_type",
+        "conv_no",
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("k"),
+    )
+    return attributed.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("user_id", "conv_no").cast("bigint").alias("n_conversions"),
+        F.sum(F.floor(F.lit(10000.0) / F.col("k")).cast("long"))
+        .cast("bigint")
+        .alias("credit_bp"),
+    )

@@ -1010,3 +1010,110 @@ def q197_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nation"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominant_suppliers"))
     )
+
+
+@query(
+    "q206_fifo_allocation",
+    oracle="""
+    WITH sup AS (
+      SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM lineitem WHERE l_linestatus = 'O'
+    ),
+    dem AS (
+      SELECT l_partkey AS p, CAST(l_quantity AS BIGINT) AS q,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    alloc AS (
+      SELECT s.p,
+             LEAST(s.cum_end, d.cum_end)
+               - GREATEST(s.cum_end - s.q, d.cum_end - d.q) AS a
+      FROM sup s JOIN dem d ON d.p = s.p
+        AND s.cum_end - s.q < d.cum_end
+        AND d.cum_end - d.q < s.cum_end
+    ),
+    tot AS (
+      SELECT p, CAST(SUM(q) AS BIGINT) AS supply FROM sup GROUP BY p
+    ),
+    dtot AS (
+      SELECT p, CAST(SUM(q) AS BIGINT) AS demand FROM dem GROUP BY p
+    )
+    SELECT t.p AS l_partkey, t.supply, dtot.demand,
+           CAST(COALESCE(SUM(al.a), 0) AS BIGINT) AS allocated,
+           CAST(COALESCE(COUNT(al.a), 0) AS BIGINT) AS n_matches
+    FROM tot t
+    JOIN dtot ON dtot.p = t.p
+    LEFT JOIN alloc al ON al.p = t.p
+    GROUP BY t.p, t.supply, dtot.demand
+    """,
+)
+def q206_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation WITHOUT sequential matching: map each supply
+    lot and each demand onto the part's cumulative-quantity NUMBER LINE
+    (running sums in arrival order — total (date, orderkey, linenumber)
+    tiebreak), and FIFO matching becomes pure INTERVAL OVERLAP: lot
+    [s₀,s₁) serves demand [d₀,d₁) exactly where the intervals intersect,
+    allocated = min(s₁,d₁) − max(s₀,d₀). The pointer-walk a warehouse
+    system codes imperatively is an equi-join on part + a range predicate
+    — fully parallel per part, and the invariant Σallocated =
+    min(supply, demand) per part falls out (asserted in tests).
+
+    Scale: two windowed cumsums over per-part bounded sequences, then a
+    within-part overlap join (per-part quadratic worst case — the q65
+    bin-bucketed range join is the escape when single parts carry
+    millions of lots). Output is the bounded per-part audit."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def cumline(status: str) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return li.filter(F.col("l_linestatus") == status).select(
+            F.col("l_partkey").alias("p"),
+            F.col("l_quantity").cast("long").alias("q"),
+            F.sum(F.col("l_quantity").cast("long")).over(w).alias("cum_end"),
+        )
+
+    sup = cumline("O")
+    dem = cumline("F")
+    s = sup.select(
+        "p", F.col("q").alias("sq"),
+        (F.col("cum_end") - F.col("q")).alias("s0"), F.col("cum_end").alias("s1"),
+    )
+    d = dem.select(
+        F.col("p").alias("dp"), F.col("q").alias("dq"),
+        (F.col("cum_end") - F.col("q")).alias("d0"), F.col("cum_end").alias("d1"),
+    )
+    alloc = s.join(
+        d,
+        (F.col("p") == F.col("dp")) & (F.col("s0") < F.col("d1")) & (F.col("d0") < F.col("s1")),
+    ).select(
+        "p",
+        (F.least("s1", "d1") - F.greatest("s0", "d0")).alias("a"),
+    )
+    tot = sup.groupBy("p").agg(F.sum("q").cast("bigint").alias("supply"))
+    dtot = dem.groupBy("p").agg(F.sum("q").cast("bigint").alias("demand"))
+    al = alloc.groupBy("p").agg(
+        F.sum("a").cast("bigint").alias("allocated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+    )
+    return (
+        tot.join(dtot, "p")
+        .join(al, "p", "left")
+        .select(
+            F.col("p").alias("l_partkey"),
+            "supply",
+            "demand",
+            F.coalesce("allocated", F.lit(0)).cast("bigint").alias("allocated"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        )
+    )

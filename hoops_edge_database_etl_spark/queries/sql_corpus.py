@@ -304,3 +304,23 @@ _sql_query(
     filtered metric never adds a scan, the same one-pass rule the q143
     profiler and q168 drift monitor are built on.""",
 )
+
+
+_sql_query(
+    "q204_sql_grouping_id",
+    """
+    SELECT COALESCE(o_orderstatus, '<total>') AS status,
+           COALESCE(o_orderpriority, '<total>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    """GROUPING() disambiguation on ROLLUP levels — the only correct way
+    to tell a subtotal row's NULL from a genuine NULL data value (the
+    COALESCE to '<total>' is safe ONLY because GROUPING() gates which
+    rows are aggregates; q26's plain rollup leaves that ambiguity open).
+    Shared text: both engines implement the SQL-standard GROUPING()
+    bitmap over the identical rollup lattice.""",
+)

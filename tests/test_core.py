@@ -125,3 +125,15 @@ def test_filtered_aggs_subset_bounds(spark, duck):
     assert rows
     for r in rows:
         assert r["n_finished"] <= r["n_orders"]
+
+
+def test_grouping_id_distinguishes_totals(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q204_sql_grouping_id")
+    rows = all_queries()["q204_sql_grouping_id"](spark, SF_DIR).collect()
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1 and grand[0]["status"] == "<total>"
+    n_total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert grand[0]["n"] == n_total

@@ -281,3 +281,34 @@ def test_cumulative_adoption_monotone(spark, duck):
     for vals in by_type.values():
         assert vals == sorted(vals)  # monotone non-decreasing
         assert vals[-1] <= 150  # bounded by user population
+
+
+def test_linear_attribution_credit_conservation(spark, duck):
+    """Each conversion hands out ≤ 10000 bp (floor rounding loses < k bp)."""
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q205_linear_attribution")
+    rows = _q("q205_linear_attribution")(spark, SF_DIR).collect()
+    assert {r["channel"] for r in rows} == {"view", "click"}
+    total_bp = sum(r["credit_bp"] for r in rows)
+    n_convs_with_touches = duck.execute("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_p
+          FROM events
+        ),
+        touches AS (SELECT user_id, COALESCE(prior_p, 0) + 1 AS conv_no
+                    FROM ev WHERE event_type IN ('view', 'click')),
+        convs AS (SELECT user_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS conv_no
+                  FROM ev WHERE event_type = 'purchase')
+        SELECT COUNT(*) FROM (
+          SELECT DISTINCT t.user_id, t.conv_no
+          FROM touches t JOIN convs c ON c.user_id = t.user_id AND c.conv_no = t.conv_no
+        )
+    """).fetchone()[0]
+    assert total_bp <= 10000 * n_convs_with_touches
+    assert total_bp >= 9000 * n_convs_with_touches  # floor loses < 10%
+    assert n_convs_with_touches > 0

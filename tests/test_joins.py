@@ -174,3 +174,16 @@ def test_dominant_suppliers_semi_no_duplicates(spark, duck):
         WHERE ps.sq * 20 > 3 * pt.tq
     """).fetchone()[0]
     assert n == distinct  # semi join counted each supplier once
+
+
+def test_fifo_allocation_conservation(spark, duck):
+    """Per part: Σ allocated == min(supply, demand) — the FIFO identity."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q206_fifo_allocation")
+    rows = all_queries()["q206_fifo_allocation"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["allocated"] == min(r["supply"], r["demand"]), r
+        assert r["n_matches"] >= 1
