@@ -138,6 +138,10 @@ _DRIVER_PRIORITY = [
     "q204_sql_grouping_id",
     "q205_linear_attribution",
     "q206_fifo_allocation",
+    "q207_map_column_ops",
+    "q208_value_percentiles",
+    "q209_lorenz_concentration",
+    "q210_golden_record",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

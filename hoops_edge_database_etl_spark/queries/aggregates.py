@@ -1721,3 +1721,73 @@ def q203_quality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("clean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration / Lorenz points (q209): "what share of revenue
+# comes from the top X% of customers" — the continuous-value concentration
+# curve (q161's Gini is its categorical cousin).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_lorenz_concentration",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT cents, NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile FROM u
+    ),
+    g AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_custs,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM d GROUP BY decile
+    )
+    SELECT decile, n_custs, cents,
+           CAST(SUM(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / SUM(cents) OVER () AS cum_revenue_share,
+           CAST(SUM(n_custs) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / SUM(n_custs) OVER () AS cum_customer_share
+    FROM g
+    """,
+)
+def q209_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration points: customers ranked by exact spend into
+    NTILE(10) deciles (total tiebreak — the q171 machinery pointed at
+    concentration instead of model lift), then each decile's cumulative
+    revenue share against its cumulative customer share — the "top 10%
+    of customers carry Y% of revenue" readout, with both shares as one
+    division over exact integer cumsums of the 10-row decile table. The
+    gap between the two cumulative columns IS the Lorenz curve's bow;
+    feeding the 10 points into the trapezoid rule gives the continuous
+    Gini if a scalar is wanted."""
+    o = load(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    d = u.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), "o_custkey")).alias("decile"),
+    )
+    g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return g.select(
+        "decile", "n_custs", "cents",
+        (F.sum("cents").over(wc).cast("double") / F.sum("cents").over(wt))
+        .alias("cum_revenue_share"),
+        (F.sum("n_custs").over(wc).cast("double") / F.sum("n_custs").over(wt))
+        .alias("cum_customer_share"),
+    )

@@ -511,3 +511,100 @@ def q195_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("live_cents"),
     )
     return out.crossJoin(F.broadcast(n_log))
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (q210): MDM's merge step — duplicate records
+# of one entity collapse to a single best row, field by field.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q210_golden_record",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey AS k, 1 AS src, CAST(c_custkey * 7 % 1000 AS BIGINT) AS ts,
+             c_name AS name,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, CAST(c_custkey * 13 % 1000 AS BIGINT),
+             CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE upper(c_name) END,
+             c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 50 END
+      FROM customer
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY CASE WHEN name IS NULL
+               THEN 1 ELSE 0 END, ts DESC, src DESC) AS rn_name,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY CASE WHEN segment IS NULL
+               THEN 1 ELSE 0 END, ts DESC, src DESC) AS rn_seg,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY CASE WHEN bal IS NULL
+               THEN 1 ELSE 0 END, ts DESC, src DESC) AS rn_bal
+      FROM versions
+    )
+    SELECT CAST(k AS BIGINT) AS c_custkey,
+           MAX(CASE WHEN rn_name = 1 THEN name END) AS name,
+           MAX(CASE WHEN rn_seg = 1 THEN segment END) AS segment,
+           CAST(MAX(CASE WHEN rn_bal = 1 THEN bal END) AS BIGINT) AS bal_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM ranked GROUP BY k
+    """,
+)
+def q210_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (the MDM golden record): each entity's
+    duplicate versions collapse FIELD BY FIELD — every column
+    independently takes the newest NON-NULL value (nulls-last, then
+    recency, then source id: a total order, so both engines elect the
+    same winner per field even when the freshest version is partially
+    null — the case single-row "latest wins" gets wrong). Implemented as
+    one ``max_by``-style reduction per field over structs ordered by
+    (non-null, ts, src) — one shuffle on the entity key, all fields in
+    the same aggregate. Two conflicting versions per customer are carved
+    in-plan with complementary null patterns so every survivorship path
+    executes.
+
+    This closes the entity-resolution pipeline: q18 fuzzy-matches, q175
+    normalizes, q62 clusters, THIS merges."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(1).alias("src"),
+        (F.col("c_custkey") * 7 % 1000).cast("long").alias("ts"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        bal.alias("bal"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(2).alias("src"),
+        (F.col("c_custkey") * 13 % 1000).cast("long").alias("ts"),
+        F.when(F.col("c_custkey") % 2 == 0, None)
+        .otherwise(F.upper("c_name"))
+        .alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_custkey") % 5 == 0, None).otherwise(bal + 50).alias("bal"),
+    )
+    versions = v1.unionByName(v2)
+
+    def survivor(col: str):
+        pref = F.struct(
+            F.col(col).isNotNull().cast("int").alias("nn"),
+            F.col("ts").alias("ts"),
+            F.col("src").alias("src"),
+            F.col(col).alias("v"),
+        )
+        return F.max(pref)["v"]
+
+    return versions.groupBy(F.col("k").cast("bigint").alias("c_custkey")).agg(
+        survivor("name").alias("name"),
+        survivor("segment").alias("segment"),
+        survivor("bal").cast("bigint").alias("bal_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )

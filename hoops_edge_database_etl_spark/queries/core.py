@@ -545,3 +545,101 @@ def q186_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("cents", F.lit(0))).cast("bigint").alias("total_cents"),
         )
     )
+
+
+@query(
+    "q207_map_column_ops",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS views,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_keys
+    FROM events GROUP BY user_id
+    """,
+)
+def q207_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column round trip: per user, counts aggregate into a
+    genuine ``map<string,bigint>`` (``map_from_entries`` over collected
+    (type, count) structs), and the report reads through MAP operators —
+    ``element_at`` lookups (NULL-safe for absent keys → coalesce 0) and
+    ``map_keys`` cardinality. The oracle states the same numbers
+    relationally, so the hash check certifies the map construction,
+    lookup, and key-set semantics — the column type every
+    feature-store/profile table uses for sparse per-entity attributes.
+
+    The map stays JVM-side throughout (no UDF); at scale the per-user
+    map is bounded by |event_types|, and building it AFTER the count
+    reduction keeps the collect_list on k rows per user, never raw
+    events."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("view")), F.lit(0))
+        .cast("bigint")
+        .alias("views"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
+    )
+
+
+@query(
+    "q208_value_percentiles",
+    oracle="""
+    WITH probes AS (
+      SELECT CAST(p AS DOUBLE) AS probe
+      FROM (VALUES (50000.0), (100000.0), (200000.0), (400000.0)) AS t(p)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+    SELECT probe,
+           CAST(SUM(CASE WHEN o.o_totalprice <= p.probe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below,
+           n.total AS n_total,
+           CAST(SUM(CASE WHEN o.o_totalprice <= p.probe THEN 1 ELSE 0 END)
+                AS DOUBLE) / n.total AS pct_below
+    FROM probes p CROSS JOIN orders o CROSS JOIN n
+    GROUP BY probe, n.total
+    """,
+)
+def q208_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERSE percentile lookup — "where does $X sit in the
+    distribution?" — the empirical CDF evaluated at a fixed probe list:
+    one scan with |probes| conditional counters (each probe is a CASE
+    arm, the q143/q193 one-pass rule — never |probes| scans and never a
+    sort), exact integer counts, one division per probe. The forward
+    problem ("what value is p50?") is q93/q107's histogram-select; this
+    is its adjoint, and the pair brackets everything a percentile API
+    serves.
+
+    The tiny probe table broadcasts; at 100 TB the cost is exactly one
+    corpus scan regardless of probe count."""
+    o = load(spark, sf_dir, "orders")
+    probes = spark.createDataFrame(
+        [(50000.0,), (100000.0,), (200000.0,), (400000.0,)], "probe double"
+    )
+    hit = F.when(F.col("o_totalprice") <= F.col("probe"), 1).otherwise(0)
+    per = (
+        o.crossJoin(F.broadcast(probes))
+        .groupBy("probe")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_below"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+    )
+    return per.select(
+        "probe",
+        "n_below",
+        "n_total",
+        (F.col("n_below").cast("double") / F.col("n_total")).alias("pct_below"),
+    )

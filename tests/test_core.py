@@ -137,3 +137,28 @@ def test_grouping_id_distinguishes_totals(spark, duck):
     assert len(grand) == 1 and grand[0]["status"] == "<total>"
     n_total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert grand[0]["n"] == n_total
+
+
+def test_map_column_ops_counts(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q207_map_column_ops")
+    rows = all_queries()["q207_map_column_ops"](spark, SF_DIR).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert 1 <= r["n_keys"] <= 5
+
+
+def test_value_percentiles_monotone(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q208_value_percentiles")
+    rows = sorted(
+        all_queries()["q208_value_percentiles"](spark, SF_DIR).collect(),
+        key=lambda r: r["probe"],
+    )
+    pcts = [r["pct_below"] for r in rows]
+    assert pcts == sorted(pcts)
+    assert rows[-1]["pct_below"] <= 1.0
