@@ -142,6 +142,9 @@ _DRIVER_PRIORITY = [
     "q208_value_percentiles",
     "q209_lorenz_concentration",
     "q210_golden_record",
+    "q211_rate_limit_violations",
+    "q212_funnel_timeout",
+    "q213_bitmap_presence",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1750,3 +1750,140 @@ def q205_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit violation scan (q211): "any rolling hour with more than N
+# events" — abuse/bot detection as a RANGE-frame window, the time-based
+# frame ROWS windows cannot express.
+# ---------------------------------------------------------------------------
+
+RATE_N = 2  # events per trailing hour (the synthetic stream is sparse)
+
+
+@query(
+    "q211_rate_limit_violations",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+      FROM events
+    ),
+    r AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS cnt
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN cnt > {RATE_N} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(cnt) AS BIGINT) AS max_hourly_rate
+    FROM r GROUP BY user_id
+    HAVING MAX(cnt) > {RATE_N}
+    """,
+)
+def q211_rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting: for every event, the count of the
+    same user's events in the trailing 3600 seconds — a RANGE frame over
+    epoch seconds (value-based, so sparse activity costs nothing; a ROWS
+    frame cannot state "one hour"), then the per-user violation report
+    for users whose peak trailing-hour rate ever exceeded RATE_N. Exact
+    integer seconds and counts.
+
+    The window state is one user's in-frame events (bounded by the rate
+    itself — a user emitting more holds more, which is exactly the
+    signal); the production streaming twin keeps the same trailing
+    counts with ``applyInPandasWithState`` eviction. This is the
+    detection query behind throttling ledgers and bot flags."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", (F.unix_micros("ts") / 1_000_000).cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    r = e.select("user_id", F.count(F.lit(1)).over(w).alias("cnt"))
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("cnt") > RATE_N, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("cnt").cast("bigint").alias("max_hourly_rate"),
+        )
+        .filter(F.col("max_hourly_rate") > RATE_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel with conversion window (q212): q89 counts ordered completion
+# EVER; real funnels only credit conversions inside a timeout.
+# ---------------------------------------------------------------------------
+
+FUNNEL_TIMEOUT_US = 24 * 3600 * 1_000_000
+
+
+@query(
+    "q212_funnel_timeout",
+    oracle=f"""
+    WITH fv AS (
+      SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+      FROM events e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > fv.v_us
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_entered,
+           CAST(SUM(CASE WHEN fp.p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted_ever,
+           CAST(SUM(CASE WHEN fp.p_us - fv.v_us <= {FUNNEL_TIMEOUT_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
+           CAST(SUM(CASE WHEN fp.p_us - fv.v_us <= {FUNNEL_TIMEOUT_US}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS cvr_24h
+    FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id
+    """,
+)
+def q212_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion UNDER A TIMEOUT: first view → first subsequent
+    purchase, credited only within 24 hours — the windowed-conversion
+    semantics every funnel product defaults to (q89 answers "ever",
+    which inflates; q179 reads the latency distribution; THIS reads the
+    rate at a cutoff). Exact microsecond integers; NULL-safe: never-
+    converting users stay in the denominator via the left join.
+
+    Same two map-side reductions as q179; changing the cutoff is a
+    constant, and a multi-cutoff report (1h/24h/7d) is one CASE arm
+    each — one scan regardless (the q208 probe rule)."""
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("v_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.unix_micros("ts") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("p_us"))
+    )
+    j = fv.join(fp, "user_id", "left")
+    in_window = F.when(
+        (F.col("p_us") - F.col("v_us")) <= FUNNEL_TIMEOUT_US, 1
+    ).otherwise(0)
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_entered"),
+        F.sum(F.when(F.col("p_us").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_converted_ever"),
+        F.sum(in_window).cast("bigint").alias("n_converted_24h"),
+        (F.sum(in_window).cast("double") / F.count(F.lit(1))).alias("cvr_24h"),
+    )

@@ -1299,3 +1299,59 @@ def q198_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap presence encoding (q213): a 30-day activity calendar packed into
+# ONE int64 per (user, month) — the roaring-bitmap idea at word size.
+# Presence joins, streak math, and DAU-style rollups become bitwise ops.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_bitmap_presence",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(date_diff('day', DATE '2024-01-01',
+                    CAST(ts AS DATE)) AS INTEGER)) AS days_bm
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(bit_count(days_bm) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN (days_bm & 7) = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active_first3_streak
+    FROM b GROUP BY bit_count(days_bm)
+    """,
+)
+def q213_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-calendar bitmaps: each user's January activity packs into
+    a single int64 (day-of-month bit, merged with the associative
+    ``bit_or`` aggregate — map-side combining carries the whole
+    reduction, 8 bytes of state per user), and calendar questions become
+    bit arithmetic: active-day count = popcount, "active each of the
+    first 3 days" = mask test (bm & 7) = 7. Output is the bounded
+    active-day histogram.
+
+    This is the word-sized core of roaring-bitmap presence indexes:
+    segment-membership joins become bitwise AND, retention streaks
+    become mask tests, and a year is 6 such words — no per-day rows
+    survive past the first reduction. The q128 sliding-distinct and q202
+    adoption curves read the same signal relationally; the bitmap form
+    is what serving layers store."""
+    ev = load(spark, sf_dir, "events")
+    day_bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), "
+        "CAST(datediff(to_date(ts), DATE '2024-01-01') AS INT))"
+    )
+    b = ev.groupBy("user_id").agg(F.bit_or(day_bit).alias("days_bm"))
+    return b.groupBy(
+        F.bit_count("days_bm").cast("bigint").alias("n_active_days")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(
+            F.when(F.col("days_bm").bitwiseAND(F.lit(7)) == 7, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_active_first3_streak"),
+    )

@@ -312,3 +312,24 @@ def test_linear_attribution_credit_conservation(spark, duck):
     assert total_bp <= 10000 * n_convs_with_touches
     assert total_bp >= 9000 * n_convs_with_touches  # floor loses < 10%
     assert n_convs_with_touches > 0
+
+
+def test_rate_limit_violations_have_real_peaks(spark, duck):
+    from tests.conftest import compare_query
+    from hoops_edge_database_etl_spark.queries.events_analytics import RATE_N
+
+    compare_query(spark, duck, "q211_rate_limit_violations")
+    rows = _q("q211_rate_limit_violations")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["max_hourly_rate"] > RATE_N
+        assert 1 <= r["n_violating"] <= r["n_events"]
+
+
+def test_funnel_timeout_tighter_than_ever(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q212_funnel_timeout")
+    r = _q("q212_funnel_timeout")(spark, SF_DIR).collect()[0]
+    assert r["n_converted_24h"] <= r["n_converted_ever"] <= r["n_entered"]
+    assert 0.0 <= r["cvr_24h"] <= 1.0

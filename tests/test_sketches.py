@@ -281,3 +281,15 @@ def test_iqr_fences_match_numpy_style_selection(spark, duck):
     for r in rows:
         assert r["p25_cents"] <= r["p75_cents"]
         assert 0 <= r["n_outliers"] < r["n_events"]
+
+
+def test_bitmap_presence_conserves_users(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q213_bitmap_presence")
+    rows = all_queries()["q213_bitmap_presence"](spark, SF_DIR).collect()
+    assert sum(r["n_users"] for r in rows) == 150
+    for r in rows:
+        assert 1 <= r["n_active_days"] <= 31
+        assert r["n_active_first3_streak"] <= r["n_users"]
