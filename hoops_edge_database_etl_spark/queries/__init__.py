@@ -145,6 +145,7 @@ _DRIVER_PRIORITY = [
     "q211_rate_limit_violations",
     "q212_funnel_timeout",
     "q213_bitmap_presence",
+    "q214_benford_digits",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

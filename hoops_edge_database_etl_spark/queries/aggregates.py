@@ -1791,3 +1791,77 @@ def q209_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_custs").over(wc).cast("double") / F.sum("n_custs").over(wt))
         .alias("cum_customer_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (q214): fabricated numbers rarely follow
+# Benford's law; real multiplicative quantities do. The forensic screen
+# auditors run over financial columns.
+# ---------------------------------------------------------------------------
+
+#: Benford P(d) = log10(1 + 1/d) in parts-per-million — precomputed integer
+#: literals so NO log evaluates in either engine (the ln rule).
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN {ppm}" for i, ppm in enumerate(BENFORD_PPM)
+) + " END"
+
+
+@query(
+    "q214_benford_digits",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY d
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.d AS digit, c.n,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+           CAST(c.n * 1000000 AS BIGINT) // t.total AS observed_ppm,
+           abs(CAST(c.n * 1000000 AS BIGINT) // t.total - {_BENFORD_CASE})
+             AS deviation_ppm
+    FROM c, t
+    """,
+)
+def q214_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals: leading-digit frequencies
+    (extracted from the exact cents integer's decimal string — no float
+    log10/pow anywhere) against the Benford expectation, which enters as
+    PRECOMPUTED parts-per-million integer literals (the ln rule: both
+    engines see the same constants, never evaluate a transcendental).
+    Observed shares are integer-divided ppm, so every output cell is an
+    exact integer and the per-digit deviation is the audit flag.
+
+    One scan + a 9-row reduction; columns to screen are CASE arms in the
+    same pass (q193's rule). A uniform synthetic price distribution
+    FAILS Benford loudly — which is itself the point: the test detects
+    distributional fingerprints, and the hash check certifies the
+    machinery, not the data's innocence."""
+    o = load(spark, sf_dir, "orders")
+    x = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    c = x.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(p).cast("bigint") for p in BENFORD_PPM]), F.col("d").cast("int")
+    )
+    obs_int = F.expr("CAST(n * 1000000 AS BIGINT) div total")
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("d").alias("digit"),
+        "n",
+        expected.alias("expected_ppm"),
+        obs_int.alias("observed_ppm"),
+        F.abs(obs_int - expected).alias("deviation_ppm"),
+    )

@@ -226,3 +226,18 @@ def test_lorenz_concentration_shape(spark, duck):
         assert r["cum_revenue_share"] >= r["cum_customer_share"] - 1e-12
     assert abs(rows[-1]["cum_revenue_share"] - 1.0) < 1e-12
     assert abs(rows[-1]["cum_customer_share"] - 1.0) < 1e-12
+
+
+def test_benford_shares_sum_to_one_million(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.aggregates import BENFORD_PPM
+
+    compare_query(spark, duck, "q214_benford_digits")
+    rows = all_queries()["q214_benford_digits"](spark, SF_DIR).collect()
+    assert {r["digit"] for r in rows} == set(range(1, 10))
+    assert sum(BENFORD_PPM) == 1_000_000  # the law's shares partition unity
+    total_obs = sum(r["observed_ppm"] for r in rows)
+    assert 999990 <= total_obs <= 1000000  # integer-floor ppm
+    for r in rows:
+        assert r["deviation_ppm"] == abs(r["observed_ppm"] - r["expected_ppm"])
