@@ -146,6 +146,9 @@ _DRIVER_PRIORITY = [
     "q212_funnel_timeout",
     "q213_bitmap_presence",
     "q214_benford_digits",
+    "q215_emd_drift",
+    "q216_fiscal_calendar",
+    "q217_asof_nearest",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

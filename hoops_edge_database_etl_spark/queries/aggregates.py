@@ -1865,3 +1865,81 @@ def q214_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs_int.alias("observed_ppm"),
         F.abs(obs_int - expected).alias("deviation_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Earth-mover drift (q215): q168's TVD ignores that a histogram is
+# ORDERED — a one-bucket shift and a ten-bucket shift look identical to
+# it. 1-D EMD (Wasserstein-1) is the L1 distance between CDFs and weighs
+# distance moved; exact integers via cross-multiplication.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_emd_drift",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(least(floor(o_totalprice / 30000), 9) AS BIGINT) AS bin,
+             CAST(o_orderdate < TIMESTAMP '1998-01-01' AS INTEGER) AS before
+      FROM orders
+    ),
+    c AS (
+      SELECT bin, CAST(SUM(before) AS BIGINT) AS c1,
+             CAST(SUM(1 - before) AS BIGINT) AS c2
+      FROM s GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
+    w AS (
+      SELECT bin,
+             SUM(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS f2
+      FROM c
+    )
+    SELECT t.n1 AS n_before, t.n2 AS n_after,
+           CAST(SUM(abs(w.f1 * t.n2 - w.f2 * t.n1)) AS BIGINT) AS emd_numer,
+           CAST(SUM(abs(w.f1 * t.n2 - w.f2 * t.n1)) AS DOUBLE) / (t.n1 * t.n2)
+             AS emd_bins
+    FROM w, t GROUP BY t.n1, t.n2
+    """,
+)
+def q215_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift between two periods' price distributions over
+    a fixed 10-bin grid: EMD = Σ_bins |F₁ − F₂| of the CDFs, computed as
+    the exact integer Σ|cum₁·N₂ − cum₂·N₁| over the common denominator —
+    the ORDERED drift metric (a distribution sliding one bin right scores
+    1/10th of one sliding ten bins; q168's TVD scores both the same,
+    which is why monitoring stacks report both). One scan builds the
+    binned counts; the CDF walk runs over the 10-row histogram; units of
+    the final float are "bins moved per unit mass".
+
+    At 100 TB the bins come from q153's equi-depth boundaries instead of
+    a fixed grid — same plan downstream of the bucketing."""
+    o = load(spark, sf_dir, "orders")
+    before = (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).cast("int")
+    s = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 30000), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        before.alias("before"),
+    )
+    c = s.groupBy("bin").agg(
+        F.sum("before").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("before")).cast("bigint").alias("c2"),
+    )
+    t = c.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = c.select(
+        "bin",
+        F.sum("c1").over(wb).alias("f1"),
+        F.sum("c2").over(wb).alias("f2"),
+    )
+    j = w.crossJoin(F.broadcast(t))
+    diff = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return j.groupBy(
+        F.col("n1").alias("n_before"), F.col("n2").alias("n_after")
+    ).agg(
+        F.sum(diff).cast("bigint").alias("emd_numer"),
+        (F.sum(diff).cast("double") / (F.col("n1") * F.col("n2"))).alias("emd_bins"),
+    )

@@ -643,3 +643,81 @@ def q208_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         (F.col("n_below").cast("double") / F.col("n_total")).alias("pct_below"),
     )
+
+
+@query(
+    "q216_fiscal_calendar",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(date_diff('day', DATE '1995-01-02', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS d
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-02'
+    ),
+    w AS (
+      SELECT cents, d // 7 AS wk,
+             (d // 7) // 52 AS fy,
+             (d // 7) % 52 AS wiy
+      FROM f
+    ),
+    p AS (
+      SELECT cents, fy,
+             (wiy // 13) * 3 + CASE WHEN wiy % 13 < 4 THEN 0
+                                    WHEN wiy % 13 < 8 THEN 1 ELSE 2 END + 1
+               AS period
+      FROM w
+    )
+    SELECT CAST(1995 + fy AS BIGINT) AS fiscal_year,
+           CAST(period AS BIGINT) AS fiscal_period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM p GROUP BY fy, period
+    """,
+)
+def q216_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal-calendar rollup: dates map to a week-aligned retail
+    calendar (52-week fiscal years anchored on Monday 1995-01-02;
+    quarters split 4+4+5 weeks — the comparability trick every retailer
+    uses so periods contain whole weeks) with PURE integer arithmetic —
+    day ordinal // 7 → week, // 52 → fiscal year, the 4-4-5 split as a
+    mod-13 CASE. No calendar library, no timezone surface, identical
+    digits in both engines, and at scale the mapping is a zero-shuffle
+    projection the rollup aggregates over (a broadcast dim table of
+    (date → period) rows is the alternative when the rules get
+    irregular — 53rd weeks, restated years).
+
+    Gregorian rollups (q09, q26) answer "March"; this answers "P3" —
+    and the two never reconcile exactly, which is why the mapping must
+    live IN the engine."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-02").cast("timestamp")
+    ).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-02").cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    wk = (F.col("d") / 7).cast("long")
+    # integer division semantics: d >= 0 by the filter, so floor == trunc
+    w = f.select(
+        "cents",
+        (wk / 52).cast("long").alias("fy"),
+        (wk % 52).alias("wiy"),
+    )
+    period = (
+        (F.col("wiy") / 13).cast("long") * 3
+        + F.when(F.col("wiy") % 13 < 4, 0).when(F.col("wiy") % 13 < 8, 1).otherwise(2)
+        + 1
+    )
+    return (
+        w.select("cents", "fy", period.alias("period"))
+        .groupBy(
+            (F.lit(1995) + F.col("fy")).cast("bigint").alias("fiscal_year"),
+            F.col("period").cast("bigint").alias("fiscal_period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -1117,3 +1117,90 @@ def q206_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
         )
     )
+
+
+@query(
+    "q217_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT e.event_id, e.user_id,
+             epoch_us(CAST(e.ts AS TIMESTAMP)) AS e_us,
+             epoch_us(CAST(c.ts AS TIMESTAMP)) AS c_us,
+             c.event_id AS c_id
+      FROM e JOIN c ON c.user_id = e.user_id
+    ),
+    best AS (
+      SELECT event_id, user_id, e_us, c_us, c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_id
+               ORDER BY abs(c_us - e_us), c_us, c_id
+             ) AS rn
+      FROM b
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           abs(c_us - e_us) AS nearest_gap_us,
+           CASE WHEN c_us < e_us THEN 'before'
+                WHEN c_us > e_us THEN 'after' ELSE 'same' END AS direction
+    FROM best WHERE rn = 1
+    """,
+)
+def q217_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of: for each error event, the click by the same
+    user CLOSEST in either direction — sensor-fusion / root-cause
+    alignment semantics (backward q17 answers "state at the time";
+    forward q174 answers "what happened next"; nearest answers "what is
+    this correlated with"). Plan: run the union+window operator BOTH ways
+    — last-preceding and first-following are each one shuffle-free
+    window over the shared key partitioning — then pick the closer match
+    per row with a deterministic (gap, ts, id) tiebreak. The oracle's
+    per-pair |Δt| ranking is the quadratic formulation this avoids: the
+    operator form touches each row twice regardless of key fan-out.
+
+    Timestamps ride as value columns (the q174 trick), so gap and
+    direction are plain arithmetic on the output."""
+    from hoops_edge_database_etl_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("ts").alias("__b_ts"),
+        F.col("event_id").alias("__b_id"),
+    )
+    back = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["__b_ts", "__b_id"], strict=False, direction="backward",
+    )
+    clicks_f = clicks.select(
+        "user_id", "ts",
+        F.col("__b_ts").alias("__f_ts"),
+        F.col("__b_id").alias("__f_id"),
+    )
+    both = asof_join(
+        back, clicks_f, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["__f_ts", "__f_id"], strict=True, direction="forward",
+    )
+    b_gap = F.unix_micros("ts") - F.unix_micros("__b_ts")
+    f_gap = F.unix_micros("__f_ts") - F.unix_micros("ts")
+    # closer wins; ties (equal |Δt|) go to the EARLIER candidate — the same
+    # (gap, c_us, id) total order the oracle ranks by
+    take_back = F.col("__b_ts").isNotNull() & (
+        F.col("__f_ts").isNull() | (b_gap <= f_gap)
+    )
+    return (
+        both.filter(F.col("__b_ts").isNotNull() | F.col("__f_ts").isNotNull())
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.when(take_back, b_gap).otherwise(f_gap).alias("nearest_gap_us"),
+            F.when(take_back & (b_gap == 0), "same")
+            .when(take_back, "before")
+            .otherwise("after")
+            .alias("direction"),
+        )
+    )

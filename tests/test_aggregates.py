@@ -241,3 +241,13 @@ def test_benford_shares_sum_to_one_million(spark, duck):
     assert 999990 <= total_obs <= 1000000  # integer-floor ppm
     for r in rows:
         assert r["deviation_ppm"] == abs(r["observed_ppm"] - r["expected_ppm"])
+
+
+def test_emd_drift_scale(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q215_emd_drift")
+    r = all_queries()["q215_emd_drift"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["emd_bins"] <= 9.0  # at most the grid span
+    assert r["emd_numer"] >= 0

@@ -162,3 +162,15 @@ def test_value_percentiles_monotone(spark, duck):
     pcts = [r["pct_below"] for r in rows]
     assert pcts == sorted(pcts)
     assert rows[-1]["pct_below"] <= 1.0
+
+
+def test_fiscal_periods_have_445_weeks(spark, duck):
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q216_fiscal_calendar")
+    rows = all_queries()["q216_fiscal_calendar"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["fiscal_period"] <= 12
+        assert r["fiscal_year"] >= 1995

@@ -187,3 +187,23 @@ def test_fifo_allocation_conservation(spark, duck):
     for r in rows:
         assert r["allocated"] == min(r["supply"], r["demand"]), r
         assert r["n_matches"] >= 1
+
+
+def test_asof_nearest_gap_is_minimal(spark, duck):
+    """Spot-check: the reported gap equals the true minimum |Δt| for a
+    sample of error events."""
+    from tests.conftest import SF_DIR, compare_query
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q217_asof_nearest")
+    rows = all_queries()["q217_asof_nearest"](spark, SF_DIR).collect()
+    got = {r["event_id"]: r["nearest_gap_us"] for r in rows[:100]}
+    for eid, gap in list(got.items())[:20]:
+        want = duck.execute(f"""
+            SELECT MIN(abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+                           - epoch_us(CAST(e.ts AS TIMESTAMP))))
+            FROM events e JOIN events c ON c.user_id = e.user_id
+            WHERE e.event_id = {eid} AND e.event_type = 'error'
+              AND c.event_type = 'click'
+        """).fetchone()[0]
+        assert gap == want, eid
