@@ -149,6 +149,8 @@ _DRIVER_PRIORITY = [
     "q215_emd_drift",
     "q216_fiscal_calendar",
     "q217_asof_nearest",
+    "q218_ks_test",
+    "q219_srm_check",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1943,3 +1943,153 @@ def q215_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(diff).cast("bigint").alias("emd_numer"),
         (F.sum(diff).cast("double") / (F.col("n1") * F.col("n2"))).alias("emd_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample statistic (q218): max CDF gap — the
+# third drift lens (TVD q168: unordered mass; EMD q215: mass × distance;
+# KS: worst single point). All three share the exact cross-multiplied
+# integer machinery.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    pts AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM s GROUP BY cents
+    ),
+    t AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM pts
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS fa,
+             SUM(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS fb
+      FROM pts
+    )
+    SELECT t.na, t.nb,
+           CAST(MAX(abs(cum.fa * t.nb - cum.fb * t.na)) AS BIGINT) AS ks_numer,
+           CAST(MAX(abs(cum.fa * t.nb - cum.fb * t.na)) AS DOUBLE) / (t.na * t.nb)
+             AS ks_stat
+    FROM cum, t GROUP BY t.na, t.nb
+    """,
+)
+def q218_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click and
+    error value distributions: D = max over observed points of
+    |F₁ − F₂|, computed as the exact integer max|cum₁·N₂ − cum₂·N₁| over
+    the merged support (one grouped reduction to distinct values, one
+    cumulative walk over the bounded value histogram — the empirical
+    CDFs only change at observed points, so checking every distinct
+    value IS the exact supremum). Completes the drift triptych: q168's
+    TVD reads total reshuffled mass, q215's EMD reads mass × distance,
+    KS reads the single worst vertical gap — the statistic with the
+    classical significance table.
+
+    The support table is |distinct values| rows; its cumulative window
+    is the only ordered pass, and the heavy input never survives the
+    first map-side-combining reduction."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    pts = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint").alias("b"),
+    )
+    t = pts.agg(
+        F.sum("a").cast("bigint").alias("na"), F.sum("b").cast("bigint").alias("nb")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        F.sum("a").over(w).alias("fa"), F.sum("b").over(w).alias("fb")
+    )
+    diff = F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na"))
+    return (
+        cum.crossJoin(F.broadcast(t))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(diff).cast("bigint").alias("ks_numer"),
+            (F.max(diff).cast("double") / (F.col("na") * F.col("nb"))).alias("ks_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch (q219): the experimentation guardrail — if the
+# hash split says 50/50 and the arms aren't, the EXPERIMENT is broken
+# before any metric is read.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':exp1'),
+                               1, 8) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             user_id
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM arms GROUP BY arm
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.arm, c.n, t.total,
+           CAST((2 * c.n - t.total) * (2 * c.n - t.total) AS DOUBLE)
+             / (2.0 * t.total) AS chi2_contrib
+    FROM c, t
+    """,
+)
+def q219_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: users assign to control/treatment
+    by the stable peppered hash (the q68 split machinery — never rand(),
+    so the assignment is reproducible and the check is re-runnable), and
+    each arm's χ² contribution against the declared 50/50 is the exact
+    rational (2n−N)²/(2N) — one distinct-users reduction and a 2-row
+    audit. A contribution summing past ~3.84 (χ²₁ at 5%) means the
+    assignment or logging pipeline is dropping one arm's users, which
+    invalidates every downstream metric (the first check an A/B platform
+    runs, before q144's t-test ever fires).
+
+    Generalizing to unequal declared ratios swaps the constants; per-day
+    SRM (detecting when the breakage STARTED) adds the day key to both
+    reductions."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    arms = ev.select("user_id").distinct().select(arm.alias("arm"))
+    c = arms.groupBy("arm").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "arm",
+        "n",
+        "total",
+        (
+            ((2 * F.col("n") - F.col("total")) * (2 * F.col("n") - F.col("total")))
+            .cast("double")
+            / (F.lit(2.0) * F.col("total"))
+        ).alias("chi2_contrib"),
+    )

@@ -251,3 +251,36 @@ def test_emd_drift_scale(spark, duck):
     r = all_queries()["q215_emd_drift"](spark, SF_DIR).collect()[0]
     assert 0.0 <= r["emd_bins"] <= 9.0  # at most the grid span
     assert r["emd_numer"] >= 0
+
+
+def test_ks_dominates_nothing_weird(spark, duck):
+    """KS ∈ [0, 1]; and KS ≥ TVD is NOT required (different supports) —
+    but KS must be ≥ the CDF gap at any single probe point."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q218_ks_test")
+    r = all_queries()["q218_ks_test"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    probe = duck.execute("""
+        WITH s AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) cents
+                   FROM events WHERE event_type IN ('click', 'error'))
+        SELECT abs(
+          (SELECT CAST(COUNT(*) AS DOUBLE) FROM s WHERE event_type='click' AND cents <= 25000)
+            / (SELECT COUNT(*) FROM s WHERE event_type='click')
+          - (SELECT CAST(COUNT(*) AS DOUBLE) FROM s WHERE event_type='error' AND cents <= 25000)
+            / (SELECT COUNT(*) FROM s WHERE event_type='error'))
+    """).fetchone()[0]
+    assert r["ks_stat"] >= probe - 1e-12
+
+
+def test_srm_check_balanced_hash_split(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    compare_query(spark, duck, "q219_srm_check")
+    rows = all_queries()["q219_srm_check"](spark, SF_DIR).collect()
+    assert {r["arm"] for r in rows} == {"control", "treatment"}
+    assert sum(r["n"] for r in rows) == 150
+    # an honest hash split of 150 users should not scream SRM
+    assert sum(r["chi2_contrib"] for r in rows) < 15.0
