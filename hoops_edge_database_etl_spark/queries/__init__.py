@@ -151,6 +151,15 @@ _DRIVER_PRIORITY = [
     "q217_asof_nearest",
     "q218_ks_test",
     "q219_srm_check",
+    # new in round 5, third session — never driver-checked
+    "q220_volume_shipping",
+    "q221_important_parts",
+    "q222_customer_distribution",
+    "q223_top_supplier",
+    "q224_disjunctive_predicates",
+    "q225_waiting_suppliers",
+    "q226_sales_opportunity",
+    "q227_market_share",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",
@@ -260,6 +269,7 @@ def _load_modules() -> None:
         events_analytics,
         cdc,
         layout,
+        tpch_shapes,
     )
 
     _LOADED = True

@@ -1,0 +1,484 @@
+"""Remaining TPC-H plan archetypes (beyond SURVEY §2's own surface).
+
+Round 3/4 landed Q1 (q01), Q3 (q106), Q5 (q105), Q17 (q196), Q20 (q197).
+This module completes the canonical decision-support plan-shape matrix —
+each query here exercises a DISTINCT optimizer/shuffle pattern a 100 TB
+warehouse user hits daily, and each has an exact DuckDB oracle:
+
+- q220 (Q7)  — disjunctive JOIN-pair predicate (nation-pair trade volume)
+- q221 (Q11) — HAVING against a broadcast global-scalar threshold
+- q222 (Q13) — outer-join count-of-counts (zero-preserving distribution)
+- q223 (Q15) — aggregate joined back against its own MAX (ties kept)
+- q224 (Q19) — OR-of-ANDs disjunctive pushdown across a join
+- q225 (Q21) — EXISTS + NOT-EXISTS decorrelated into aggregate joins
+- q226 (Q22) — anti join + scalar-average subquery (exact integer compare)
+- q227 (Q8)  — conditional market-share ratio over a multi-join
+
+Float parity follows the house rules (queries/joins.py:560+): money stays
+DECIMAL(18,2) until one final cast-through-VARCHAR to DOUBLE; thresholds
+compare as exact integer cross-multiplies, never float averages.
+
+The reference has no TPC-H, but these shapes back its real workloads: the
+gap-fill anti-joins (`src/cbbd_etl/gap_fill.py:433-478`) are Q21/Q22's
+NOT-EXISTS shape, and the Athena audit SQL (`scripts/sql/*.sql`) leans on
+exactly these join-agg archetypes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+DEC = "decimal(18,2)"
+
+# Exact cents: round-half-up in both engines (floor(x*100 + 0.5)).
+_CENTS_SQL = "CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+
+
+def _cents(col: str):
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _rev():
+    return F.col("l_extendedprice").cast(DEC) * (1 - F.col("l_discount").cast(DEC))
+
+
+@query(
+    "q220_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')})
+                AS VARCHAR(64)) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+    """,
+)
+def q220_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral nation-pair trade volume. The signature
+    is the DISJUNCTIVE pair predicate ((A,B) OR (B,A)) that binds the two
+    nation dims to *different* sides of the fact chain: neither branch can
+    be pushed to a single scan, so Catalyst keeps it as a post-join filter
+    over two broadcast-joined nation copies while the date range pushes
+    into the lineitem scan. Both nation joins broadcast; the two fact-fact
+    joins (lineitem↔orders, orders↔customer) shuffle on their keys. At
+    100 TB the filter drops ~(2/25²) of pairs AFTER the broadcast joins —
+    cheap, because broadcast joins add no shuffle; the heavy date filter
+    already pruned the fact scan."""
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(_rev()).cast("string").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q221_important_parts",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM({_CENTS_SQL.format(col='l_extendedprice')}) AS BIGINT) AS value_cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pv)
+    SELECT CAST(pv.l_partkey AS BIGINT) AS p_partkey, pv.value_cents
+    FROM pv, tot
+    WHERE pv.value_cents * 2000 > tot.total_cents
+    """,
+)
+def q221_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — groups HAVING more than a FRACTION OF THE GLOBAL
+    TOTAL. The scalar total is a one-row aggregate cross-joined (broadcast
+    nested loop over 1 row — free) into the per-part aggregate; the
+    fraction test is the exact integer cross-multiply value·2000 > Σvalue,
+    never a float `> 0.0005 * sum`. One shuffle builds the per-part sums
+    with map-side combine; the global total REUSES that aggregate (sums
+    the |parts|-row result, not the fact table) — at 100 TB the fact
+    table is read once, and the second pass runs over parts only."""
+    li = load(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).cast("bigint").alias("value_cents")
+    )
+    tot = pv.agg(F.sum("value_cents").cast("bigint").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 2000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"), "value_cents"
+        )
+    )
+
+
+@query(
+    "q222_customer_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q222_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — COUNT-OF-COUNTS over an OUTER join. The zero
+    bucket is the whole point: customers with NO (non-urgent) orders must
+    survive, so the join is LEFT OUTER with the priority filter as a JOIN
+    condition (an ON-clause filter on the right side — pushed to the
+    orders scan), never a WHERE (which would turn the outer join inner
+    and silently drop the zero bucket). Two aggregations: per-customer
+    count (shuffle on custkey — same key as the join, so AQE coalesces
+    into one exchange), then the tiny count-distribution rollup."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+@query(
+    "q223_top_supplier",
+    oracle=f"""
+    WITH sr AS (
+      SELECT l_suppkey,
+             CAST(CAST(SUM({_REV}) AS VARCHAR(64)) AS DOUBLE) AS total_revenue,
+             SUM({_REV}) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-07-01'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(rev_dec) AS max_rev FROM sr)
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, sr.total_revenue
+    FROM sr JOIN mx ON sr.rev_dec = mx.max_rev
+    JOIN supplier s ON s.s_suppkey = sr.l_suppkey
+    """,
+)
+def q223_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — an aggregate joined back against its OWN MAX
+    (the "view + max(view)" pattern), keeping ties. The revenue stays
+    DECIMAL through the max-equality compare (floats would make 'equal
+    to the max' nondeterministic); the one-row max broadcast-joins back.
+    ORDER BY ... LIMIT 1 would DROP ties — the equality join is the
+    correct semantics, and at 100 TB it costs one extra one-row
+    broadcast, not a sort. Supplier dim broadcasts onto the winners."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-07-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    sr = li.groupBy("l_suppkey").agg(
+        F.sum(_rev()).alias("rev_dec"),
+    )
+    mx = sr.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        sr.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("rev_dec").cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q224_disjunctive_predicates",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')})
+                AS VARCHAR(64)) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q224_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs spanning BOTH join sides. Catalyst
+    factors the disjunction: the part-only envelope (brand ∈ {12,23,3}
+    AND size ≤ 15) and the lineitem-only envelope (quantity ∈ [1,30])
+    push to their scans as weaker per-side filters, while the full
+    disjunction stays as the post-join residual. At 100 TB the envelope
+    pushdown is the difference between scanning 3/25 of part row-groups
+    and all of them — min/max stats prune on brand. The join itself
+    broadcasts part (dim-sized) so the residual runs map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(_rev()).cast("string").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q225_waiting_suppliers",
+    oracle="""
+    WITH os AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             MAX(l_shipdate) AS max_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lastl AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN os ON os.l_orderkey = l.l_orderkey AND l.l_shipdate = os.max_ship
+      WHERE os.n_supp >= 2
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    uniq AS (
+      SELECT l_orderkey FROM lastl GROUP BY l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT CAST(ll.l_suppkey AS BIGINT) AS s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lastl ll JOIN uniq u ON u.l_orderkey = ll.l_orderkey
+    GROUP BY ll.l_suppkey
+    """,
+)
+def q225_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — EXISTS (another supplier on the order) AND
+    NOT EXISTS (another supplier shipping as late) DECORRELATED into
+    aggregate joins: per-order stats once (distinct-supplier count, max
+    shipdate), the latest-shippers per order, and a uniqueness gate —
+    the supplier "kept the order waiting" iff it is the SOLE latest
+    shipper on a multi-supplier order. The correlated form re-scans
+    lineitem per row; this plan reads it twice total (once for stats,
+    once for the max-match join) and every join shuffles on l_orderkey —
+    one key, so AQE reuses the exchange. The reference's gap-fill
+    discovery (`src/cbbd_etl/gap_fill.py:433-478`) is this same
+    exists/not-exists shape over missing endpoints."""
+    li = load(spark, sf_dir, "lineitem")
+    os_ = (
+        li.groupBy(F.col("l_orderkey").alias("os_orderkey"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .filter(F.col("n_supp") >= 2)
+    )
+    lastl = (
+        li.join(
+            os_,
+            (li.l_orderkey == os_.os_orderkey) & (li.l_shipdate == os_.max_ship),
+        )
+        .select(F.col("os_orderkey").alias("ok"), "l_suppkey")
+        .distinct()
+    )
+    uniq = (
+        lastl.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n_last"))
+        .filter(F.col("n_last") == 1)
+        .select("ok")
+    )
+    return (
+        lastl.join(uniq, "ok", "left_semi")
+        .groupBy(F.col("l_suppkey").cast("bigint").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+
+
+@query(
+    "q226_sales_opportunity",
+    oracle="""
+    WITH cb AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    avgpos AS (
+      SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM cb WHERE bal_cents > 0
+    )
+    SELECT CAST(cb.c_nationkey AS BIGINT) AS cntry,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(cb.bal_cents) AS BIGINT) AS total_bal_cents
+    FROM cb, avgpos
+    WHERE cb.bal_cents * avgpos.n_pos > avgpos.sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = cb.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cb.c_nationkey
+    """,
+)
+def q226_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — ANTI JOIN + SCALAR-AVERAGE subquery: rich
+    customers (balance above the positive-balance average) with no
+    RECENT orders (none since 2000-01-01 — every customer has SOME
+    order in this dataset, so the recency filter keeps the anti join
+    meaningful AND pushes a date predicate into the orders scan),
+    grouped by country. The average compare is exact:
+    bal·n_pos > Σpos in integer cents (bal > avg ⟺ bal·n > Σ — the
+    q136/q196 no-float-average rule). The scalar aggregate broadcasts
+    (one row); the NOT EXISTS is a real LEFT ANTI against order custkeys
+    — at 100 TB the anti join's build side is orders' distinct custkeys,
+    and Catalyst ships it as a shuffled hash anti join on the same
+    custkey partitioning the group-by reuses."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _cents("c_acctbal").alias("bal_cents"),
+    )
+    avgpos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("bigint").alias("sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(avgpos)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+    )
+
+
+@query(
+    "q227_market_share",
+    oracle=f"""
+    WITH j AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             {_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS rev,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o    ON o.o_orderkey = l.l_orderkey
+      JOIN customer c  ON c.c_custkey = o.o_custkey
+      JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+      JOIN region r    ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS VARCHAR(64)) AS DOUBLE) AS nation_revenue,
+           CAST(CAST(SUM(rev) AS VARCHAR(64)) AS DOUBLE) AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+                AS VARCHAR(64)) AS DOUBLE)
+             / CAST(CAST(SUM(rev) AS VARCHAR(64)) AS DOUBLE) AS mkt_share
+    FROM j GROUP BY o_year
+    """,
+)
+def q227_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — CONDITIONAL MARKET SHARE: one nation's fraction
+    of a region's revenue per year, as a single pass (numerator via
+    CASE/when inside the same aggregate — never two scans joined). Both
+    sums stay DECIMAL; the share divides the two already-rounded DOUBLEs
+    so Spark and DuckDB perform the identical IEEE division. Dims
+    (nation ×2, region, supplier) broadcast; customer⋈orders⋈lineitem
+    are the only shuffles. The customer-region filter prunes through the
+    broadcast join BEFORE the fact shuffle — Catalyst pushes the
+    region-key IN-set down to the customer scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    nc = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nat_rev = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(nat_rev).cast("string").cast("double").alias("nation_revenue"),
+            F.sum(_rev()).cast("string").cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_revenue",
+        "total_revenue",
+        (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )

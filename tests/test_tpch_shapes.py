@@ -1,0 +1,48 @@
+"""TPC-H plan-archetype queries (q220-q227) vs the DuckDB oracle at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, compare_query
+
+from hoops_edge_database_etl_spark.queries import all_queries
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q220_volume_shipping",
+        "q221_important_parts",
+        "q222_customer_distribution",
+        "q223_top_supplier",
+        "q224_disjunctive_predicates",
+        "q225_waiting_suppliers",
+        "q226_sales_opportunity",
+        "q227_market_share",
+    ],
+)
+def test_tpch_shape_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_q222_zero_bucket_preserved(spark, duck):
+    """The outer join must keep customers with no qualifying orders."""
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in all_queries()["q222_customer_distribution"](spark, SF_DIR).collect()
+    }
+    assert 0 in rows and rows[0] > 0
+
+
+def test_q223_returns_max_tie_group(spark, duck):
+    rows = all_queries()["q223_top_supplier"](spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    revs = {r["total_revenue"] for r in rows}
+    assert len(revs) == 1  # every returned supplier ties at the max
+
+
+def test_q227_share_bounded(spark, duck):
+    for r in all_queries()["q227_market_share"](spark, SF_DIR).collect():
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["nation_revenue"] <= r["total_revenue"]
