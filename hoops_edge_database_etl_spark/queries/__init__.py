@@ -160,6 +160,10 @@ _DRIVER_PRIORITY = [
     "q225_waiting_suppliers",
     "q226_sales_opportunity",
     "q227_market_share",
+    "q228_segment_dedup",
+    "q229_bpe_merge_step",
+    "q230_sql_lateral_topk",
+    "q231_temperature_mix",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",
@@ -270,6 +274,7 @@ def _load_modules() -> None:
         cdc,
         layout,
         tpch_shapes,
+        tokenization,
     )
 
     _LOADED = True

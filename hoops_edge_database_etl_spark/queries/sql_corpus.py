@@ -324,3 +324,28 @@ _sql_query(
     Shared text: both engines implement the SQL-standard GROUPING()
     bitmap over the identical rollup lattice.""",
 )
+
+
+_sql_query(
+    "q230_sql_lateral_topk",
+    """
+    SELECT n.n_name AS nation_name, t.c_name, t.bal_cents
+    FROM nation n,
+    LATERAL (
+      SELECT c.c_name,
+             CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c.c_acctbal DESC, c.c_name
+      LIMIT 3
+    ) t
+    """,
+    """Correlated LATERAL subquery with ORDER BY ... LIMIT — the SQL-
+    standard per-row top-k shape. Spark's DecorrelateInnerQuery rewrites
+    the correlated limit into the same rank-filter plan q85's explicit
+    window builds (one shuffle on the correlation key, per-key top-3
+    heaps — never a per-nation re-scan); DuckDB executes the lateral
+    natively. Identical text, identical deterministic tiebreak
+    (acctbal DESC, name), hash-equal output — proof the registry's
+    window-based top-k operators and the SQL surface agree.""",
+)

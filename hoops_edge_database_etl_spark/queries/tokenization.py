@@ -1,0 +1,303 @@
+"""Tokenizer-training and corpus-composition operators (LLM-pipeline tier).
+
+Three ops a tokenizer/data-mixing pipeline runs at corpus scale, each with
+an exact DuckDB oracle:
+
+- q228 — SEGMENT-LEVEL corpus dedup (ExactSubstr-style at fixed-window
+  granularity): split every document into consecutive 10-word segments,
+  keep only the globally-FIRST occurrence of each distinct segment, and
+  reassemble the surviving text per document. The within-corpus
+  repetition remover that doc-level dedup (q41/q69) cannot express.
+- q229 — one BPE MERGE STEP at word granularity: exact global
+  adjacent-pair counts, deterministic best-pair selection
+  (count DESC, pair ASC), and greedy left-to-right application — the
+  inner loop of tokenizer training, with the x==x overlap case handled
+  by run-length arithmetic instead of naive pair counts.
+- q231 — TEMPERATURE-BASED source mixing (α = 0.5): per-source sampling
+  weights ∝ √tokens, the standard up-weighting of small sources when
+  composing a training mix. √ is IEEE-correctly-rounded in both engines,
+  so the ppm-quantized weights are exact; shares divide in int64.
+
+Reference tie-in: the per-source composition report mirrors the
+reference's lakehouse audit rollups (`scripts/audit_lakehouse.py`), and
+segment dedup generalizes its silver dedup pass
+(`scripts/deduplicate_silver.py`) from row-PK to content-window keys.
+
+House parity rules (README "Numeric-parity"): single-space split both
+sides, windows carry (doc_id, seg_idx) total tiebreaks, weights quantize
+through floor before any division.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+SEG = 10  # words per dedup segment
+
+
+@query(
+    "q228_segment_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, t.j AS seg_idx,
+             array_to_string(l[t.j*{SEG}+1 : t.j*{SEG}+{SEG}], ' ') AS seg
+      FROM d, unnest(generate_series(0, CAST(ceil(len(l)/{SEG}.0) AS INT) - 1)) AS t(j)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+             AS kept_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def q228_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus segment dedup (the coarse-grained ExactSubstr pass):
+    each doc becomes ⌈n/10⌉ consecutive 10-word segments built ARRAY-SIDE
+    (transform over a sequence + slice — zero shuffle, no groupBy to
+    reassemble what was just exploded); the global first-occurrence rank
+    is ONE window keyed by segment content (shuffle on seg hash — by
+    construction near-uniform, duplicate groups are the skew and they're
+    exactly what the operator removes); reassembly sorts the surviving
+    (seg_idx, seg) structs per doc. At 100 TB this is the plan you want:
+    one content-keyed exchange + one doc-keyed exchange, both columnar,
+    no Python. Doc-level dedup (q41) can never catch a duplicated
+    paragraph pasted into distinct docs — this does."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    nseg = F.ceil(F.size("l") / F.lit(SEG)).cast("int")
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda j: F.array_join(F.slice("l", j * SEG + 1, SEG), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(F.col("doc_id").cast("bigint").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1, F.struct("seg_idx", "seg")
+                            )
+                        )
+                    ),
+                    lambda s: s.seg,
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+
+
+@query(
+    "q229_bpe_merge_step",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, t.i AS i, l[t.i] AS w, l[t.i + 1] AS nxt
+      FROM toks, unnest(generate_series(1, len(l))) AS t(i)
+    ),
+    pairs AS (
+      SELECT w AS w1, nxt AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pos WHERE nxt IS NOT NULL GROUP BY w, nxt
+    ),
+    mx AS (SELECT MAX(cnt) AS max_cnt FROM pairs),
+    best AS (
+      SELECT MIN(struct_pack(w1 := w1, w2 := w2)) AS p
+      FROM pairs, mx WHERE cnt = max_cnt
+    ),
+    chosen AS (SELECT p.w1 AS bw1, p.w2 AS bw2 FROM best),
+    runs AS (
+      SELECT doc_id, source,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos, chosen WHERE w = bw1 AND bw1 = bw2
+    ),
+    run_merges AS (
+      SELECT doc_id, source, CAST(COUNT(*) / 2 AS BIGINT) AS m
+      FROM runs GROUP BY doc_id, source, grp
+    ),
+    doc_merges AS (
+      SELECT doc_id, source,
+             CASE WHEN (SELECT bw1 FROM chosen) = (SELECT bw2 FROM chosen)
+                  THEN COALESCE((SELECT SUM(m) FROM run_merges r
+                                 WHERE r.doc_id = p0.doc_id), 0)
+                  ELSE SUM(CASE WHEN w = (SELECT bw1 FROM chosen)
+                                 AND nxt = (SELECT bw2 FROM chosen)
+                            THEN 1 ELSE 0 END)
+             END AS n_merges,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM pos p0 GROUP BY doc_id, source
+    )
+    SELECT source,
+           (SELECT bw1 FROM chosen) AS pair_left,
+           (SELECT bw2 FROM chosen) AS pair_right,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(n_merges) AS BIGINT) AS n_merges,
+           CAST(SUM(n_tokens) - SUM(n_merges) AS BIGINT) AS tokens_after
+    FROM doc_merges GROUP BY source
+    """,
+)
+def q229_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step at word granularity — the tokenizer-training
+    inner loop, fully declarative:
+
+    1. EXACT global pair counts: zip each token array with its own tail
+       (arrays_zip over slices — built in the scan projection, no
+       shuffle), explode, one map-side-combining hash aggregate.
+    2. DETERMINISTIC selection: scalar MAX(count) broadcasts back; among
+       the tied pairs, MIN(struct(w1,w2)) — associative aggregates only,
+       never a single-partition ORDER BY 1 sort of the vocab² table.
+    3. GREEDY application arithmetic: for a chosen pair (x,y), x≠y
+       occurrences cannot overlap, so merges = adjacency count; x==y
+       merges are ⌊run/2⌋ summed over maximal runs (gaps-and-islands per
+       doc — the doc-bounded window). The naive pair count would
+       over-merge "x x x" as 2; the run formula says 1, which is what
+       greedy left-to-right BPE does.
+
+    Output is the per-source before/after token accounting a tokenizer
+    budget report needs. At 100 TB: two fact passes (pair agg, apply),
+    both combiner-friendly; the chosen pair is a 1-row broadcast."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("l")
+    )
+    n = F.size("l")
+    pairs = (
+        d.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("l", 1, n - 1).alias("w1"),
+                    F.slice("l", 2, n - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    mx = pairs.agg(F.max("cnt").alias("max_cnt"))
+    chosen = (
+        pairs.crossJoin(F.broadcast(mx))
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .agg(F.min(F.struct("w1", "w2")).alias("p"))
+        .select(F.col("p.w1").alias("bw1"), F.col("p.w2").alias("bw2"))
+    )
+    # Application phase is ENTIRELY array-side (zero shuffle beyond the
+    # 1-row broadcast): adjacency count via filter over the zipped pairs;
+    # the x==y case via a left-to-right fold (F.aggregate) that tallies
+    # ⌊run/2⌋ per maximal run — both stay in whole-stage codegen, no
+    # posexplode + per-token window (the first cut's 20s-at-sf0.01 sin).
+    j = d.crossJoin(F.broadcast(chosen))
+    zipped = F.arrays_zip(
+        F.slice("l", 1, F.size("l") - 1).alias("w1"),
+        F.slice("l", 2, F.size("l") - 1).alias("w2"),
+    )
+    adj = F.size(
+        F.filter(
+            zipped,
+            lambda p: (p.w1 == F.col("bw1")) & (p.w2 == F.col("bw2")),
+        )
+    ).cast("bigint")
+    # Fold state (merges_so_far, current_run_len); sentinel "" flushes the
+    # final run (documents are single-space-joined words, never empty).
+    run_calc = F.aggregate(
+        F.concat("l", F.array(F.lit(""))),
+        F.struct(
+            F.lit(0).cast("bigint").alias("m"), F.lit(0).cast("bigint").alias("r")
+        ),
+        lambda acc, tok: F.when(
+            tok == F.col("bw1"),
+            F.struct(acc.m.alias("m"), (acc.r + 1).alias("r")),
+        ).otherwise(
+            F.struct(
+                (acc.m + F.floor(acc.r / 2)).cast("bigint").alias("m"),
+                F.lit(0).cast("bigint").alias("r"),
+            )
+        ),
+        lambda acc: acc.m,
+    )
+    per_doc = j.select(
+        "source",
+        F.size("l").cast("bigint").alias("n_tokens"),
+        F.when(F.col("bw1") == F.col("bw2"), run_calc).otherwise(adj).alias("n_merges"),
+        "bw1",
+        "bw2",
+    )
+    return per_doc.groupBy("source").agg(
+        F.first("bw1").alias("pair_left"),
+        F.first("bw2").alias("pair_right"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_before"),
+        F.sum("n_merges").cast("bigint").alias("n_merges"),
+        (F.sum("n_tokens") - F.sum("n_merges")).cast("bigint").alias("tokens_after"),
+    )
+
+
+@query(
+    "q231_temperature_mix",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS weight_ppm
+      FROM src
+    ),
+    tot AS (SELECT CAST(SUM(weight_ppm) AS BIGINT) AS total_w FROM wts)
+    SELECT source, n_tokens, weight_ppm,
+           CAST(weight_ppm * 1000000 // total_w AS BIGINT) AS share_ppm
+    FROM wts, tot
+    """,
+)
+def q231_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix composition (α = 0.5): source
+    sampling weight ∝ tokens^α — the standard flattening that keeps
+    small high-quality sources from drowning at natural proportions.
+    Exactness: token counts are integers; √ is correctly-rounded IEEE in
+    both engines (the ONLY transcendental the parity rules admit, same
+    as q108's vector norms); ×1e6 + floor quantizes BEFORE any division;
+    shares are int64 floor-division against the exact integer weight
+    total. One grouped aggregate over the corpus + a 1-row broadcast —
+    the report is |sources|-bounded at any scale."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    wts = src.withColumn(
+        "weight_ppm",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast("bigint"),
+    )
+    tot = wts.agg(F.sum("weight_ppm").cast("bigint").alias("total_w"))
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "weight_ppm",
+        F.expr("CAST(weight_ppm * 1000000 DIV total_w AS BIGINT)").alias("share_ppm"),
+    )

@@ -1,0 +1,85 @@
+"""Tokenizer-training / corpus-mix queries (q228-q231) vs the oracle,
+plus unit checks on the BPE greedy-application arithmetic."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR, compare_query
+
+from hoops_edge_database_etl_spark.queries import all_queries
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q228_segment_dedup",
+        "q229_bpe_merge_step",
+        "q230_sql_lateral_topk",
+        "q231_temperature_mix",
+    ],
+)
+def test_tokenization_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_q228_conservation(spark):
+    """kept <= total segments, and at least one doc keeps everything
+    (the globally-first doc can lose nothing)."""
+    rows = all_queries()["q228_segment_dedup"](spark, SF_DIR).collect()
+    assert all(r["n_kept"] <= r["n_segments"] for r in rows)
+    assert any(r["n_kept"] == r["n_segments"] for r in rows)
+    total = sum(r["n_segments"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert 0 < kept <= total
+
+
+def test_q229_run_fold_handles_self_pair(spark):
+    """Greedy x==y merges are floor(run/2) per maximal run — 'x x x'
+    yields 1 merge, not the naive adjacency count of 2. Replays the
+    fold expression from q229 on synthetic token arrays."""
+    df = spark.createDataFrame(
+        [
+            (["x", "x", "x"], 1),          # one run of 3 -> 1
+            (["x", "x", "x", "x"], 2),     # run of 4 -> 2
+            (["x", "a", "x", "x"], 1),     # runs 1,2 -> 0+1
+            (["a", "b"], 0),               # no x at all
+            (["x"], 0),                    # run of 1 -> 0
+        ],
+        "l array<string>, expect int",
+    )
+    run_calc = F.aggregate(
+        F.concat("l", F.array(F.lit(""))),
+        F.struct(
+            F.lit(0).cast("bigint").alias("m"), F.lit(0).cast("bigint").alias("r")
+        ),
+        lambda acc, tok: F.when(
+            tok == F.lit("x"),
+            F.struct(acc.m.alias("m"), (acc.r + 1).alias("r")),
+        ).otherwise(
+            F.struct(
+                (acc.m + F.floor(acc.r / 2)).cast("bigint").alias("m"),
+                F.lit(0).cast("bigint").alias("r"),
+            )
+        ),
+        lambda acc: acc.m,
+    )
+    for row in df.select(run_calc.alias("got"), "expect").collect():
+        assert row["got"] == row["expect"]
+
+
+def test_q229_token_accounting(spark):
+    rows = all_queries()["q229_bpe_merge_step"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_after"] == r["tokens_before"] - r["n_merges"]
+        assert r["n_merges"] >= 0
+    # the chosen pair is global: identical across sources
+    assert len({(r["pair_left"], r["pair_right"]) for r in rows}) == 1
+
+
+def test_q231_shares_sum_below_unity(spark):
+    rows = all_queries()["q231_temperature_mix"](spark, SF_DIR).collect()
+    s = sum(r["share_ppm"] for r in rows)
+    assert 0 < s <= 1_000_000  # floor-division shares can undershoot only
