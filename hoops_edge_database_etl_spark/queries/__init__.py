@@ -164,6 +164,9 @@ _DRIVER_PRIORITY = [
     "q229_bpe_merge_step",
     "q230_sql_lateral_topk",
     "q231_temperature_mix",
+    "q232_sketch_rollup_merge",
+    "q233_regex_pretokenize",
+    "q234_kn_continuation_counts",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

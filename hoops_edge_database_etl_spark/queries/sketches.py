@@ -1355,3 +1355,119 @@ def q213_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_active_first3_streak"),
     )
+
+
+@query(
+    "q232_sketch_rollup_merge",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    daily AS (
+      SELECT event_type, d, hv FROM (
+        SELECT event_type, d, {_H60} AS hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type, d ORDER BY {_H60}) AS rn
+        FROM keys
+      ) WHERE rn <= {KMV_K}
+    ),
+    wk AS (
+      SELECT event_type,
+             CAST(floor((d - DATE '2024-01-01') / 7) AS BIGINT) AS week,
+             hv
+      FROM daily GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, week, MAX(hv) AS hk, COUNT(*) AS kk FROM (
+        SELECT event_type, week, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type, week ORDER BY hv) AS rn
+        FROM wk
+      ) WHERE rn <= {KMV_K} GROUP BY event_type, week
+    ),
+    direct_keys AS (
+      SELECT DISTINCT event_type,
+             CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS BIGINT) AS week,
+             user_id
+      FROM events
+    ),
+    direct AS (
+      SELECT event_type, week, MAX(hv) AS hk, COUNT(*) AS kk FROM (
+        SELECT event_type, week, {_H60} AS hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type, week ORDER BY {_H60}) AS rn
+        FROM direct_keys
+      ) WHERE rn <= {KMV_K} GROUP BY event_type, week
+    )
+    SELECT m.event_type, m.week,
+           CASE WHEN m.kk < {KMV_K} THEN CAST(m.kk AS DOUBLE)
+                ELSE ({KMV_K} - 1.0) * {HASH_M!r} / CAST(m.hk AS DOUBLE)
+           END AS est_from_merge,
+           CASE WHEN d.kk < {KMV_K} THEN CAST(d.kk AS DOUBLE)
+                ELSE ({KMV_K} - 1.0) * {HASH_M!r} / CAST(d.hk AS DOUBLE)
+           END AS est_direct
+    FROM merged m JOIN direct d
+      ON d.event_type = m.event_type AND d.week = m.week
+    """,
+)
+def q232_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH ROLLUP — the pre-aggregation serving pattern
+    (Druid/datasketches style): materialize a small KMV sketch per
+    (event_type, day), then answer WEEKLY distinct-count questions by
+    MERGING the daily sketches (union → keep k smallest) instead of
+    re-scanning raw events. Correctness is provable, not approximate-
+    on-approximate: any hash among the k smallest of the week is
+    necessarily among the k smallest of its own day, so merge-of-daily
+    ≡ direct-weekly EXACTLY — and the query emits both paths so the
+    oracle (and test_sketch_merge_identity) pins the identity. At
+    100 TB the daily sketch table is |types|·|days|·k rows — the raw
+    scan happens once at ingest; every rollup after that reads sketches.
+    The same merge shape serves month/quarter/arbitrary date ranges."""
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keys = ev.select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    dw = Window.partitionBy("event_type", "d").orderBy("hv")
+    daily = (
+        keys.select("event_type", "d", h.alias("hv"))
+        .withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    week = F.floor(F.datediff(F.col("d"), F.lit("2024-01-01")) / 7).cast("bigint")
+    wk = daily.select("event_type", week.alias("week"), "hv").distinct()
+    mw = Window.partitionBy("event_type", "week").orderBy("hv")
+    merged = (
+        wk.withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type", "week")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("kk"))
+    )
+    direct_keys = ev.select(
+        "event_type",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
+        .cast("bigint")
+        .alias("week"),
+        "user_id",
+    ).distinct()
+    direct = (
+        direct_keys.select("event_type", "week", h.alias("hv"))
+        .withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type", "week")
+        .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("kk"))
+    )
+
+    def est(kk, hk):
+        return F.when(kk < KMV_K, kk.cast("double")).otherwise(
+            F.lit(KMV_K - 1.0) * F.lit(HASH_M) / hk.cast("double")
+        )
+
+    m = merged.alias("m")
+    d_ = direct.alias("d")
+    return m.join(d_, ["event_type", "week"]).select(
+        "event_type",
+        "week",
+        est(F.col("m.kk"), F.col("m.hk")).alias("est_from_merge"),
+        est(F.col("d.kk"), F.col("d.hk")).alias("est_direct"),
+    )

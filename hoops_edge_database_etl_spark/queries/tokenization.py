@@ -301,3 +301,107 @@ def q231_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_ppm",
         F.expr("CAST(weight_ppm * 1000000 DIV total_w AS BIGINT)").alias("share_ppm"),
     )
+
+
+@query(
+    "q233_regex_pretokenize",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      FROM events
+    )
+    SELECT tok,
+           CASE WHEN regexp_matches(tok, '^[a-z]+$') THEN 'word'
+                WHEN regexp_matches(tok, '^[0-9]+$') THEN 'number'
+                ELSE 'punct' END AS kind,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY tok, kind
+    """,
+)
+def q233_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PRE-TOKENIZER (the GPT-2-style first pass before BPE):
+    letter runs, digit runs, and single punctuation marks become
+    separate pre-tokens — run here over the JSON props strings, the one
+    mixed-charset column in the testdata. The pattern is deliberately
+    ASCII-class-only so Java regex (Spark) and RE2 (DuckDB) agree
+    byte-for-byte; the branches match disjoint character classes, so
+    leftmost-first vs leftmost-longest alternation cannot diverge
+    either. Plan: regexp_extract_all in the scan projection (codegen),
+    explode, one combiner-friendly hash aggregate — the vocabulary
+    histogram every tokenizer-training run starts with. At 100 TB the
+    output is vocab-bounded; the explode is the only row expansion and
+    it carries a single short string column."""
+    ev = load(spark, sf_dir, "events")
+    toks = ev.select(
+        F.explode(
+            F.regexp_extract_all("props", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("tok")
+    )
+    kind = (
+        F.when(F.col("tok").rlike("^[a-z]+$"), "word")
+        .when(F.col("tok").rlike("^[0-9]+$"), "number")
+        .otherwise("punct")
+    )
+    return toks.groupBy("tok", kind.alias("kind")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+@query(
+    "q234_kn_continuation_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    bg AS (
+      SELECT l[t.i] AS w1, l[t.i + 1] AS w2
+      FROM toks, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ),
+    c AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ),
+    pre AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1plus_prefix FROM c GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1plus_cont FROM c GROUP BY w2
+    )
+    SELECT c.w1, c.w2, c.c, pre.n1plus_prefix, cont.n1plus_cont
+    FROM c
+    JOIN pre ON pre.w1 = c.w1
+    JOIN cont ON cont.w2 = c.w2
+    """,
+)
+def q234_kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney COUNT TABLES — the exact-integer statistics an n-gram
+    LM trainer needs: raw bigram counts c(w1,w2), prefix type counts
+    N1+(w1·) (distinct continuations of w1 — the backoff normalizer),
+    and continuation type counts N1+(·w2) (distinct histories of w2 —
+    the KN unigram replacement that fixes 'Francisco' getting high
+    unigram mass). All three derive from ONE bigram aggregate: the type
+    counts aggregate the |vocab²|-bounded count table, not the corpus,
+    so the fact scan happens exactly once. Bigrams come from the same
+    arrays_zip-in-projection trick as q229 — no posexplode windows. The
+    smoothing arithmetic itself (discount D = n1/(n1+2n2)) is a trivial
+    epilogue over these integers; emitting the tables keeps every column
+    oracle-exact."""
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("l"))
+    n = F.size("l")
+    bg = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("l", 1, n - 1).alias("w1"),
+                F.slice("l", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    pre = c.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1plus_prefix")
+    )
+    cont = c.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1plus_cont")
+    )
+    return c.join(F.broadcast(pre), "w1").join(F.broadcast(cont), "w2").select(
+        "w1", "w2", "c", "n1plus_prefix", "n1plus_cont"
+    )

@@ -293,3 +293,21 @@ def test_bitmap_presence_conserves_users(spark, duck):
     for r in rows:
         assert 1 <= r["n_active_days"] <= 31
         assert r["n_active_first3_streak"] <= r["n_users"]
+
+
+def test_q232_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q232_sketch_rollup_merge")
+
+
+def test_q232_merge_identity(spark):
+    """Merging daily KMV sketches must EXACTLY reproduce the direct
+    weekly sketch — the provable property that makes the rollup safe."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q232_sketch_rollup_merge"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["est_from_merge"] == r["est_direct"]

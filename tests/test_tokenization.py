@@ -83,3 +83,32 @@ def test_q231_shares_sum_below_unity(spark):
     rows = all_queries()["q231_temperature_mix"](spark, SF_DIR).collect()
     s = sum(r["share_ppm"] for r in rows)
     assert 0 < s <= 1_000_000  # floor-division shares can undershoot only
+
+
+@pytest.mark.parametrize(
+    "name", ["q233_regex_pretokenize", "q234_kn_continuation_counts"]
+)
+def test_lm_counts_match_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_q233_kinds_partition_vocab(spark):
+    rows = all_queries()["q233_regex_pretokenize"](spark, SF_DIR).collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"word", "number", "punct"}
+    # a pre-token never mixes classes
+    for r in rows:
+        assert (r["kind"] == "word") == r["tok"].isalpha()
+        assert (r["kind"] == "number") == r["tok"].isdigit()
+
+
+def test_q234_type_counts_consistent(spark):
+    rows = all_queries()["q234_kn_continuation_counts"](spark, SF_DIR).collect()
+    # N1+(w1.) equals the number of distinct (w1, w2) rows sharing w1
+    from collections import Counter
+    by_w1 = Counter(r["w1"] for r in rows)
+    by_w2 = Counter(r["w2"] for r in rows)
+    for r in rows:
+        assert r["n1plus_prefix"] == by_w1[r["w1"]]
+        assert r["n1plus_cont"] == by_w2[r["w2"]]
+        assert r["c"] >= 1
