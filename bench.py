@@ -66,6 +66,11 @@ HEADLINE = [
     "q172_bootstrap_variance",  # B=32 replicate explode + map-side combine
     "q174_asof_forward",        # forward as-of union+window
     "q176_int8_quantize",       # two-pass fixed-point quantize + error audit
+    "q220_volume_shipping",     # TPC-H Q7: disjunctive nation-pair predicate
+    "q225_waiting_suppliers",   # TPC-H Q21: exists/not-exists decorrelation
+    "q228_segment_dedup",       # 10-word-window corpus dedup + reassembly
+    "q229_bpe_merge_step",      # BPE pair count + select + greedy apply
+    "q232_sketch_rollup_merge", # daily->weekly KMV sketch merge
 ]
 
 

@@ -167,6 +167,9 @@ _DRIVER_PRIORITY = [
     "q232_sketch_rollup_merge",
     "q233_regex_pretokenize",
     "q234_kn_continuation_counts",
+    "q235_inverted_index",
+    "q236_phrase_search",
+    "q237_event_pattern_match",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",
@@ -278,6 +281,7 @@ def _load_modules() -> None:
         layout,
         tpch_shapes,
         tokenization,
+        search,
     )
 
     _LOADED = True

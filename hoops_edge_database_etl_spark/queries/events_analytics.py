@@ -1887,3 +1887,55 @@ def q212_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in_window).cast("bigint").alias("n_converted_24h"),
         (F.sum(in_window).cast("double") / F.count(F.lit(1))).alias("cvr_24h"),
     )
+
+
+@query(
+    "q237_event_pattern_match",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 've{2,}p')) AS BIGINT) AS n_matches
+    FROM coded
+    """,
+)
+def q237_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event detection: per user, find
+    non-overlapping occurrences of the pattern view → error{2,} →
+    purchase in event-time order. Each event type maps to a single
+    character (all five types have distinct initials), the per-user
+    ordered sequence folds into one string (array_sort over packed
+    (ts, event_id, code) structs — the q112 ordered-concat machinery,
+    with the event_id tiebreak making the order total), and the
+    pattern is a plain greedy regex both engines execute identically
+    on ASCII. Per-user state is retention-bounded; the streaming
+    escape for unbounded sequences is applyInPandasWithState (the
+    q156 session machinery) with this same code-string as state."""
+    ev = load(spark, sf_dir, "events")
+    coded = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda s: s.c,
+            ),
+            "",
+        ).alias("seq")
+    )
+    return coded.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("ve{2,}p"), 0))
+        .cast("bigint")
+        .alias("n_matches"),
+    )

@@ -1,0 +1,99 @@
+"""Search-index operators: inverted-index materialization and positional
+phrase search — the IR layer a corpus store serves retrieval from.
+
+Reference tie-in: the reference's gold layer materializes lookup tables
+keyed by entity for downstream reads (`src/cbbd_etl/gold/*`); an inverted
+index is the same materialize-for-reads pattern with term keys. Both
+queries here are exact and DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+
+@query(
+    "q235_inverted_index",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, t.i AS i, l[t.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l))) AS t(i)
+    )
+    SELECT w AS term,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+                      ORDER BY CAST(doc_id AS VARCHAR)) AS postings
+    FROM pos GROUP BY w
+    """,
+)
+def q235_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED-INDEX materialization: term → (document frequency,
+    collection frequency, sorted posting list). One explode + one
+    term-keyed aggregate; the posting list builds via collect_set →
+    array_sort → join, all JVM-side. Term keys are the classic skew
+    (stopwords own huge postings) — at 100 TB the high-df terms are
+    exactly the ones a search tier stoplists, and the aggregate is
+    still a single exchange with map-side combine because postings
+    merge associatively. Postings ship as a comma-joined string (the
+    serialized form an index segment would store); df/cf are the
+    statistics BM25/idf scoring reads without touching postings."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return d.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("cf"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), ","
+        ).alias("postings"),
+    )
+
+
+@query(
+    "q236_phrase_search",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, t.i AS i, l[t.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l))) AS t(i)
+    )
+    SELECT CAST(p1.doc_id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pos p1
+    JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.i = p1.i + 1
+    WHERE p1.w = 'table' AND p2.w = 'value'
+    GROUP BY p1.doc_id
+    """,
+)
+def q236_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL PHRASE SEARCH — the two-term positional-index
+    intersection ("table value" as adjacent words): filter each term's
+    positional postings FIRST, then join on (doc, pos+1). Spark pushes
+    both term filters into the exploded stream before the join, so the
+    join inputs are |postings(term)| rows, not corpus positions — the
+    classic reason phrase queries run on positional postings instead of
+    re-scanning text. Substring LIKE cannot express this correctly
+    (word boundaries, overlapping separators); the positional join is
+    exact. At 100 TB: two slim filtered streams shuffle on doc_id —
+    bounded by the rarer term's collection frequency."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
+    )
+    p1 = d.filter(F.col("w") == "table").select("doc_id", F.col("i").alias("i1"))
+    p2 = d.filter(F.col("w") == "value").select(
+        F.col("doc_id").alias("doc_id2"), F.col("i").alias("i2")
+    )
+    return (
+        p1.join(
+            p2,
+            (p1.doc_id == p2.doc_id2) & (p2.i2 == p1.i1 + 1),
+        )
+        .groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )

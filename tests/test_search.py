@@ -1,0 +1,49 @@
+"""Inverted index / phrase search / CEP pattern queries vs the oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, compare_query
+
+from hoops_edge_database_etl_spark.queries import all_queries
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q235_inverted_index", "q236_phrase_search", "q237_event_pattern_match"],
+)
+def test_search_matches_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_q235_postings_are_sorted_and_sized(spark):
+    rows = all_queries()["q235_inverted_index"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        postings = r["postings"].split(",")
+        assert len(postings) == r["df"]
+        assert postings == sorted(postings)
+        assert r["cf"] >= r["df"] >= 1
+
+
+def test_q236_agrees_with_index_intersection(spark):
+    """Every phrase hit must appear in BOTH terms' posting lists."""
+    idx = {
+        r["term"]: set(r["postings"].split(","))
+        for r in all_queries()["q235_inverted_index"](spark, SF_DIR).collect()
+    }
+    hits = all_queries()["q236_phrase_search"](spark, SF_DIR).collect()
+    assert hits
+    both = idx["table"] & idx["value"]
+    for r in hits:
+        assert str(r["doc_id"]) in both
+
+
+def test_q237_match_requires_pattern_events(spark):
+    rows = all_queries()["q237_event_pattern_match"](spark, SF_DIR).collect()
+    assert len(rows) == 150
+    assert any(r["n_matches"] > 0 for r in rows)
+    for r in rows:
+        # each match consumes >= 4 events (v, e, e, p)
+        assert r["n_matches"] * 4 <= r["n_events"]
