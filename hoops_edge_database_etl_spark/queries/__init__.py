@@ -170,6 +170,8 @@ _DRIVER_PRIORITY = [
     "q235_inverted_index",
     "q236_phrase_search",
     "q237_event_pattern_match",
+    "q238_exact_auc",
+    "q239_hierarchy_rollup",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2093,3 +2093,61 @@ def q219_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("total"))
         ).alias("chi2_contrib"),
     )
+
+
+@query(
+    "q239_hierarchy_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey AS anc FROM part
+      UNION ALL
+      SELECT node, anc // 10 FROM anc WHERE anc > 0
+    ),
+    v AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT CAST(a.anc AS BIGINT) AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_desc,
+           CAST(SUM(v.cents) AS BIGINT) AS subtree_value_cents
+    FROM anc a JOIN v ON v.p_partkey = a.node
+    GROUP BY a.anc
+    """,
+)
+def q239_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-DEPTH hierarchy (BOM) rollup: every node's subtree
+    count and value, on the implicit decimal tree parent(k) = k÷10.
+    The oracle walks it as a RECURSIVE CTE; the Spark plan is the
+    scale-correct DECORRELATION — each leaf emits its ancestor PATH
+    array-side (transform over ⌈log₁₀ key-space⌉ integer divisions +
+    array_distinct, zero shuffle, depth-bounded fan-out) and ONE
+    ancestor-keyed aggregate sums subtrees. No iteration, no driver
+    loop, no joins proportional to depth: a D-level hierarchy costs a
+    D× row expansion of (key, cents) pairs and one exchange — the same
+    flatten-the-hierarchy move every dimensional model makes, but
+    computed rather than hand-maintained. (q163 is the fixed-two-level
+    special case; q61/q94 handle recursion whose DEPTH is data-driven —
+    here depth is key-width-bounded, so the path explode wins.)"""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    # 8 levels cover any int64 partkey realistically present (10^8 ids at
+    # sf100); array_distinct collapses the trailing zeros into one root.
+    anc = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(8)),
+            lambda i: F.floor(F.col("p_partkey") / F.pow(F.lit(10.0), i)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        p.select(F.explode(anc).alias("node"), "cents")
+        .groupBy(F.col("node").cast("bigint").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_desc"),
+            F.sum("cents").cast("bigint").alias("subtree_value_cents"),
+        )
+    )

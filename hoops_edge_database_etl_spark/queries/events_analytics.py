@@ -1939,3 +1939,73 @@ def q237_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matches"),
     )
+
+
+@query(
+    "q238_exact_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    per_v AS (
+      SELECT v_cents,
+             CAST(SUM(pos) AS BIGINT) AS np_v,
+             CAST(SUM(1 - pos) AS BIGINT) AS nn_v
+      FROM scored GROUP BY v_cents
+    ),
+    cum AS (
+      SELECT v_cents, np_v, nn_v,
+             CAST(COALESCE(SUM(nn_v) OVER (
+               ORDER BY v_cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS nn_below
+      FROM per_v
+    )
+    SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos,
+           CAST(SUM(nn_v) AS BIGINT) AS n_neg,
+           CAST(SUM(np_v * (2 * nn_below + nn_v)) AS BIGINT) AS u2,
+           CAST(SUM(np_v * (2 * nn_below + nn_v)) AS DOUBLE)
+             / (2.0 * CAST(SUM(np_v) AS DOUBLE) * CAST(SUM(nn_v) AS DOUBLE)) AS auc
+    FROM cum
+    """,
+)
+def q238_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC (Mann–Whitney U) in one aggregation pass — does the
+    event's value separate purchases from the rest? The trick that makes
+    it scale: scores quantize to cents (their native precision), so the
+    ranking state is the PER-VALUE count table (score-domain-bounded,
+    ≤49k rows whatever the event count), and tie handling is exact
+    integer midrank arithmetic — U2 = Σ_v np_v·(2·nn_below + nn_v)
+    counts each cross pair twice and each tie pair once, no 0.5 floats
+    until the single final division. The cumulative window runs over
+    the tiny per-value table (the documented empty-partition-frame
+    exception, q163's rule), never over raw events. The naive
+    global-rank formulation is a full-data sort — this is the plan that
+    replaces it at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    per_v = scored.groupBy("v_cents").agg(
+        F.sum("pos").cast("bigint").alias("np_v"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("nn_v"),
+    )
+    w = (
+        Window.orderBy("v_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_v.withColumn(
+        "nn_below", F.coalesce(F.sum("nn_v").over(w), F.lit(0)).cast("bigint")
+    )
+    u2 = F.sum(F.col("np_v") * (2 * F.col("nn_below") + F.col("nn_v")))
+    return cum.agg(
+        F.sum("np_v").cast("bigint").alias("n_pos"),
+        F.sum("nn_v").cast("bigint").alias("n_neg"),
+        u2.cast("bigint").alias("u2"),
+        (
+            u2.cast("double")
+            / (2.0 * F.sum("np_v").cast("double") * F.sum("nn_v").cast("double"))
+        ).alias("auc"),
+    )

@@ -284,3 +284,22 @@ def test_srm_check_balanced_hash_split(spark, duck):
     assert sum(r["n"] for r in rows) == 150
     # an honest hash split of 150 users should not scream SRM
     assert sum(r["chi2_contrib"] for r in rows) < 15.0
+
+
+def test_q239_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q239_hierarchy_rollup")
+
+
+def test_q239_root_holds_everything(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["node"]: r for r in all_queries()["q239_hierarchy_rollup"](spark, SF_DIR).collect()}
+    total = rows[0]
+    # root subtree covers every part exactly once
+    assert total["n_desc"] == 2000
+    # parent subtree strictly contains the child's
+    assert rows[0]["subtree_value_cents"] >= rows[1]["subtree_value_cents"]
+    assert rows[1]["n_desc"] >= rows[19]["n_desc"]

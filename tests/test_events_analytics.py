@@ -333,3 +333,31 @@ def test_funnel_timeout_tighter_than_ever(spark, duck):
     r = _q("q212_funnel_timeout")(spark, SF_DIR).collect()[0]
     assert r["n_converted_24h"] <= r["n_converted_ever"] <= r["n_entered"]
     assert 0.0 <= r["cvr_24h"] <= 1.0
+
+
+def test_q238_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q238_exact_auc")
+
+
+def test_q238_auc_agrees_with_pairwise(spark):
+    """Exact U2 must equal the brute-force pairwise count on a sample."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    row = all_queries()["q238_exact_auc"](spark, SF_DIR).collect()[0]
+    ev = load(spark, SF_DIR, "events").select("event_type", "value").collect()
+    pos = sorted(round(r["value"] * 100) for r in ev if r["event_type"] == "purchase")
+    neg = sorted(round(r["value"] * 100) for r in ev if r["event_type"] != "purchase")
+    import bisect
+
+    u2 = 0
+    for p in pos:
+        lt = bisect.bisect_left(neg, p)
+        le = bisect.bisect_right(neg, p)
+        u2 += 2 * lt + (le - lt)
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["u2"] == u2
+    assert abs(row["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-12
