@@ -172,6 +172,8 @@ _DRIVER_PRIORITY = [
     "q237_event_pattern_match",
     "q238_exact_auc",
     "q239_hierarchy_rollup",
+    "q240_ndcg_at_10",
+    "q241_k_anonymity",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2151,3 +2151,79 @@ def q239_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("subtree_value_cents"),
         )
     )
+
+
+@query(
+    "q241_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c.c_custkey,
+             c.c_nationkey AS nat,
+             c.c_mktsegment AS seg,
+             CAST(floor(floor(c.c_acctbal * 100 + 0.5) / 100000) AS BIGINT) AS bal_band
+      FROM customer c
+    ),
+    grp AS (
+      SELECT nat, seg, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM qi GROUP BY nat, seg, bal_band
+    ),
+    ldiv AS (
+      SELECT q.nat, q.seg, q.bal_band,
+             CAST(COUNT(DISTINCT o.o_orderpriority) AS BIGINT) AS l_distinct
+      FROM qi q JOIN orders o ON o.o_custkey = q.c_custkey
+      GROUP BY q.nat, q.seg, q.bal_band
+    )
+    SELECT g.nat, g.seg, g.bal_band, g.group_size,
+           COALESCE(l.l_distinct, 0) AS l_distinct
+    FROM grp g LEFT JOIN ldiv l
+      ON l.nat = g.nat AND l.seg = g.seg AND l.bal_band = g.bal_band
+    WHERE g.group_size < 5
+    """,
+)
+def q241_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY + L-DIVERSITY audit — the re-identification risk
+    report a governance layer runs before release (the operational
+    sibling of q98's PII scrub and q186's pseudonymization): group by
+    the quasi-identifier tuple (nation, segment, $1000 balance band),
+    flag groups smaller than k=5, and measure each flagged group's
+    diversity of the sensitive attribute (distinct order priorities of
+    its members — an attacker who pins the group learns the sensitive
+    value when l=1). Plan: one QI-keyed aggregate for sizes; the
+    l-diversity join runs custkey-keyed THEN re-aggregates on QI —
+    both exchanges combiner-friendly; the balance band is exact cents
+    integer division so the banding never float-drifts a member across
+    groups. At 100 TB the flagged set is the output — tiny — and the
+    generalization loop (widen bands until no violations) is this
+    query re-run with a coarser band divisor."""
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) / 100000
+        )
+        .cast("bigint")
+        .alias("bal_band"),
+    )
+    grp = qi.groupBy("nat", "seg", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    ldiv = (
+        qi.join(o, qi.c_custkey == o.o_custkey)
+        .groupBy("nat", "seg", "bal_band")
+        .agg(F.countDistinct("o_orderpriority").cast("bigint").alias("l_distinct"))
+    )
+    return (
+        grp.filter(F.col("group_size") < 5)
+        .join(ldiv, ["nat", "seg", "bal_band"], "left")
+        .select(
+            "nat",
+            "seg",
+            "bal_band",
+            "group_size",
+            F.coalesce(F.col("l_distinct"), F.lit(0)).alias("l_distinct"),
+        )
+    )

@@ -2009,3 +2009,99 @@ def q238_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.sum("np_v").cast("double") * F.sum("nn_v").cast("double"))
         ).alias("auc"),
     )
+
+
+_NDCG_DISC = {  # floor(1e6 / log2(rank+1)) — precomputed, no transcendental in-plan
+    1: 1000000, 2: 630929, 3: 500000, 4: 430676, 5: 386852,
+    6: 356207, 7: 333333, 8: 315464, 9: 301029, 10: 289064,
+}
+_DISC_SQL = "CASE rnk " + " ".join(
+    f"WHEN {r} THEN {d}" for r, d in _NDCG_DISC.items()
+) + " ELSE 0 END"
+_REL_SQL = """CASE event_type WHEN 'purchase' THEN 7 WHEN 'signup' THEN 3
+              WHEN 'click' THEN 1 WHEN 'view' THEN 1 ELSE 0 END"""
+
+
+@query(
+    "q240_ndcg_at_10",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, {_REL_SQL} AS gain,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM events
+    ),
+    by_score AS (
+      SELECT user_id, gain,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY v_cents DESC, event_id) AS rnk
+      FROM g
+    ),
+    by_ideal AS (
+      SELECT user_id, gain,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY gain DESC, event_id) AS rnk
+      FROM g
+    ),
+    dcg AS (
+      SELECT user_id, CAST(SUM(gain * ({_DISC_SQL})) AS BIGINT) AS dcg_ppm
+      FROM by_score WHERE rnk <= 10 GROUP BY user_id
+    ),
+    idcg AS (
+      SELECT user_id, CAST(SUM(gain * ({_DISC_SQL})) AS BIGINT) AS idcg_ppm
+      FROM by_ideal WHERE rnk <= 10 GROUP BY user_id
+    )
+    SELECT CAST(d.user_id AS BIGINT) AS user_id, d.dcg_ppm, i.idcg_ppm,
+           CAST(d.dcg_ppm AS DOUBLE) / CAST(i.idcg_ppm AS DOUBLE) AS ndcg
+    FROM dcg d JOIN idcg i ON i.user_id = d.user_id
+    """,
+)
+def q240_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per user — the ranking-quality metric, exact: graded
+    gains (2^rel − 1 as integer literals), log2 position discounts
+    entering as PRECOMPUTED ppm integers (the q214 Benford rule: no
+    transcendental evaluates in either engine, so there is nothing to
+    disagree about), DCG and ideal-DCG as int64 sums over the top-10 of
+    two per-user rankings (score order vs gain order, both with the
+    event_id total tiebreak), one final exact-integer division to a
+    double. Per-user windows are retention-bounded; the discount CASE
+    is a 10-arm codegen expression. This is how you grade a ranker's
+    output table at corpus scale without a single float accumulation."""
+    ev = load(spark, sf_dir, "events")
+    gain = (
+        F.when(F.col("event_type") == "purchase", 7)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    g = ev.select(
+        "user_id",
+        "event_id",
+        gain.alias("gain"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+    )
+    disc = F.lit(0)
+    for r, d in _NDCG_DISC.items():
+        disc = F.when(F.col("rnk") == r, d).otherwise(disc)
+    ws = Window.partitionBy("user_id").orderBy(F.col("v_cents").desc(), "event_id")
+    wi = Window.partitionBy("user_id").orderBy(F.col("gain").desc(), "event_id")
+    dcg = (
+        g.withColumn("rnk", F.row_number().over(ws))
+        .filter(F.col("rnk") <= 10)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("gain") * disc).cast("bigint").alias("dcg_ppm"))
+    )
+    idcg = (
+        g.withColumn("rnk", F.row_number().over(wi))
+        .filter(F.col("rnk") <= 10)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("gain") * disc).cast("bigint").alias("idcg_ppm"))
+    )
+    return dcg.join(idcg, "user_id").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "dcg_ppm",
+        "idcg_ppm",
+        (F.col("dcg_ppm").cast("double") / F.col("idcg_ppm").cast("double")).alias(
+            "ndcg"
+        ),
+    )

@@ -303,3 +303,20 @@ def test_q239_root_holds_everything(spark):
     # parent subtree strictly contains the child's
     assert rows[0]["subtree_value_cents"] >= rows[1]["subtree_value_cents"]
     assert rows[1]["n_desc"] >= rows[19]["n_desc"]
+
+
+def test_q241_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q241_k_anonymity")
+
+
+def test_q241_only_violations_reported(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q241_k_anonymity"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["group_size"] < 5
+        assert r["l_distinct"] >= 0

@@ -361,3 +361,20 @@ def test_q238_auc_agrees_with_pairwise(spark):
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
     assert row["u2"] == u2
     assert abs(row["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-12
+
+
+def test_q240_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q240_ndcg_at_10")
+
+
+def test_q240_ndcg_bounded_and_ideal_dominates(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q240_ndcg_at_10"](spark, SF_DIR).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert 0 < r["ndcg"] <= 1.0
+        assert r["dcg_ppm"] <= r["idcg_ppm"]
