@@ -174,6 +174,9 @@ _DRIVER_PRIORITY = [
     "q239_hierarchy_rollup",
     "q240_ndcg_at_10",
     "q241_k_anonymity",
+    "q242_feature_hashing",
+    "q243_loo_target_encoding",
+    "q244_copurchase_topk",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

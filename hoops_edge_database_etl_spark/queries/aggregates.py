@@ -2227,3 +2227,55 @@ def q241_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("l_distinct"), F.lit(0)).alias("l_distinct"),
         )
     )
+
+
+@query(
+    "q243_loo_target_encoding",
+    oracle="""
+    WITH t AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+      SELECT seg, CAST(SUM(cents) AS BIGINT) AS s_cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY seg
+    )
+    SELECT CAST(t.o_orderkey AS BIGINT) AS o_orderkey, t.seg,
+           CAST(s.s_cents - t.cents AS DOUBLE)
+             / CAST((s.n - 1) * 100 AS DOUBLE) AS loo_encoding
+    FROM t JOIN s ON s.seg = t.seg
+    """,
+)
+def q243_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-correct categorical
+    feature: each row's category value becomes the mean target of the
+    OTHER rows in its category, (Σ − self)/(n − 1), so the row's own
+    label never leaks into its feature (the W7 no-leakage rule applied
+    to feature engineering; naive mean encoding leaks and overfits).
+    Exact: sums and counts are integer cents; the subtraction happens
+    in int64 per row; ONE final division to dollars. Plan: one
+    category aggregate (|categories| rows — broadcast back onto the
+    fact), zero windows, zero self-joins — at 100 TB the encoding is
+    a map-side join against a tiny statistics table, recomputable
+    per-fold by adding the fold key to both group-bys."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    s = t.groupBy("seg").agg(
+        F.sum("cents").cast("bigint").alias("s_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return t.join(F.broadcast(s), "seg").select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "seg",
+        (
+            (F.col("s_cents") - F.col("cents")).cast("double")
+            / ((F.col("n") - 1) * 100).cast("double")
+        ).alias("loo_encoding"),
+    )

@@ -1204,3 +1204,69 @@ def q217_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@query(
+    "q244_copurchase_topk",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM lines a JOIN lines b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    ranked AS (
+      SELECT p1, p2, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY p1
+                                ORDER BY n_orders DESC, p2) AS rnk
+      FROM pairs
+    )
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           n_orders, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def q244_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-PURCHASE candidate generation — the item-item co-visitation
+    table behind "customers also bought": distinct (order, part) pairs
+    self-join on the order (basket-bounded fan-out: a b-line basket
+    emits b·(b−1) ordered pairs — baskets are small by contract, THE
+    precondition for every market-basket algorithm), count pairs, keep
+    each item's top-5 partners with the (count DESC, partner) total
+    tiebreak. The within-order dedup runs FIRST so multi-line repeats
+    of the same part can't inflate counts. At 100 TB: one orderkey
+    shuffle for the pair explosion, one (p1,p2) combiner aggregate,
+    and the per-item rank runs on the pair-count table (≤ items ×
+    partners), not raw lineitem. The 'hot basket' degenerate case
+    (one order with 10⁶ lines) is exactly what the basket-size
+    contract + q104's skew profiler exist to catch upstream."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") != F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    w = Window.partitionBy("p1").orderBy(F.col("n_orders").desc(), "p2")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("p1").cast("bigint").alias("p1"),
+            F.col("p2").cast("bigint").alias("p2"),
+            "n_orders",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

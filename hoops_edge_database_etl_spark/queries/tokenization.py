@@ -405,3 +405,49 @@ def q234_kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(pre), "w1").join(F.broadcast(cont), "w2").select(
         "w1", "w2", "c", "n1plus_prefix", "n1plus_cont"
     )
+
+
+@query(
+    "q242_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS BIGINT)
+               AS bucket,
+             CASE WHEN strpos('01234567', substr(md5(tok), 16, 1)) > 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, bucket,
+           CAST(SUM(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    """,
+)
+def q242_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick): every token maps to one of
+    64 buckets by md5, with a ±1 sign drawn from an independent md5
+    nibble so collisions cancel in expectation — the fixed-width,
+    vocabulary-free featurization linear models and wide-and-deep
+    inputs use when the vocab is unbounded. Output is the sparse
+    (doc, bucket, weight) triplet table. Everything is integer: the
+    60-bit hash, the modulo, the signed sum — bit-identical in both
+    engines (the q72 hash-derivation rule). One explode + one
+    (doc, bucket)-keyed combiner aggregate; no vocabulary table ever
+    materializes, which is the entire point at 100 TB."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h60 = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    sgn = F.when(
+        F.substring(F.md5("tok"), 16, 1).isin(*"01234567"), 1
+    ).otherwise(-1)
+    return (
+        d.select(
+            "doc_id", (h60 % 64).cast("bigint").alias("bucket"), sgn.alias("sgn")
+        )
+        .groupBy(F.col("doc_id").cast("bigint").alias("doc_id"), "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+    )

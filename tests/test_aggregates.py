@@ -320,3 +320,33 @@ def test_q241_only_violations_reported(spark):
     for r in rows:
         assert 1 <= r["group_size"] < 5
         assert r["l_distinct"] >= 0
+
+
+def test_q243_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q243_loo_target_encoding")
+
+
+def test_q243_excludes_self(spark):
+    """A row's own target must not be in its encoding: for any segment,
+    encodings differ across rows exactly when targets differ."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+    import pyspark.sql.functions as F
+
+    enc = all_queries()["q243_loo_target_encoding"](spark, SF_DIR)
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    j = enc.join(o, "o_orderkey").collect()
+    by_seg = {}
+    for r in j:
+        by_seg.setdefault(r["seg"], []).append((round(r["o_totalprice"] * 100), r["loo_encoding"]))
+    for seg, rows in by_seg.items():
+        # same target -> same encoding; higher target -> strictly lower LOO mean
+        rows.sort()
+        for (t1, e1), (t2, e2) in zip(rows, rows[1:]):
+            if t1 == t2:
+                assert e1 == e2
+            else:
+                assert e1 > e2

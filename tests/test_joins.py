@@ -207,3 +207,23 @@ def test_asof_nearest_gap_is_minimal(spark, duck):
               AND c.event_type = 'click'
         """).fetchone()[0]
         assert gap == want, eid
+
+
+def test_q244_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q244_copurchase_topk")
+
+
+def test_q244_symmetric_counts(spark):
+    """Co-purchase counts are symmetric: n(p1,p2) == n(p2,p1) whenever
+    both directions survive the top-5 cut is not guaranteed, but any
+    pair present both ways must agree on the count."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q244_copurchase_topk"](spark, SF_DIR).collect()
+    cnt = {(r["p1"], r["p2"]): r["n_orders"] for r in rows}
+    both = [(k, v) for k, v in cnt.items() if (k[1], k[0]) in cnt]
+    assert both
+    for (p1, p2), v in both:
+        assert cnt[(p2, p1)] == v
+    assert all(r["rnk"] <= 5 for r in rows)

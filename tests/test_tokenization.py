@@ -112,3 +112,15 @@ def test_q234_type_counts_consistent(spark):
         assert r["n1plus_prefix"] == by_w1[r["w1"]]
         assert r["n1plus_cont"] == by_w2[r["w2"]]
         assert r["c"] >= 1
+
+
+def test_q242_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q242_feature_hashing")
+
+
+def test_q242_weight_conservation(spark):
+    """Σ|weight| ≤ total tokens; bucket ids live in [0, 64)."""
+    rows = all_queries()["q242_feature_hashing"](spark, SF_DIR).collect()
+    assert rows
+    assert all(0 <= r["bucket"] < 64 for r in rows)
+    assert any(r["weight"] < 0 for r in rows) and any(r["weight"] > 0 for r in rows)
