@@ -177,6 +177,8 @@ _DRIVER_PRIORITY = [
     "q242_feature_hashing",
     "q243_loo_target_encoding",
     "q244_copurchase_topk",
+    "q245_length_bucketed_batching",
+    "q246_hard_negative_mining",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -72,7 +72,7 @@ def q46_cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_top_pairs(spark, e, k=20, strategy="blocked")
 
 
-def _blocked_tiles(e: DataFrame, n_blocks: int) -> DataFrame:
+def _blocked_tiles(e: DataFrame, n_blocks: int, extra_cols: tuple = ()) -> DataFrame:
     """Tile membership for distributed all-pairs: rows hash into
     ``n_blocks`` row-groups; each row is replicated to every block-pair
     tile it participates in — as the "left" side of tiles (blk, j ≥ blk)
@@ -92,15 +92,17 @@ def _blocked_tiles(e: DataFrame, n_blocks: int) -> DataFrame:
         ),
         lambda s: s["bi"] < s["bj"],
     )
+    extras = list(extra_cols)
     return (
-        e.select("vec_id", "embedding", blk.alias("blk"))
+        e.select("vec_id", "embedding", *extras, blk.alias("blk"))
         .select(
             "vec_id",
             "embedding",
+            *extras,
             "blk",
             F.explode(F.concat(left, right)).alias("m"),
         )
-        .select("vec_id", "embedding", "blk", "m.bi", "m.bj")
+        .select("vec_id", "embedding", *extras, "blk", "m.bi", "m.bj")
     )
 
 
@@ -1064,4 +1066,107 @@ def q176_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs("code")).cast("bigint").alias("max_code"),
         F.sum(err).cast("bigint").alias("err_total_fixed"),
         F.max(err).cast("bigint").alias("err_max_fixed"),
+    )
+
+
+@query(
+    "q246_hard_negative_mining",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    prod AS (
+      SELECT a.vec_id AS qid, b.vec_id AS pid,
+             CAST(SUM({_QK % 'a'} * {_QK % 'b'}) AS BIGINT) AS dot
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id AND b.label <> a.label,
+           UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT qid, pid, CAST(dot AS DOUBLE) / (x.nn * y.nn) AS cosine
+      FROM prod JOIN nrm x ON x.vec_id = qid JOIN nrm y ON y.vec_id = pid
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(pid AS BIGINT) AS pid, cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT qid, pid, cosine,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, pid) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q246_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: each vector's 3
+    most-similar vectors carrying a DIFFERENT label — the negatives
+    that actually teach a metric-learning model (random negatives are
+    trivially separated; the hard ones sit near the decision surface).
+    Physical plan is the q46 blocked-tile shape with the label carried
+    into every tile: per tile, one int64 GEMM + a label-mask, each
+    query keeps its local top-3, and the global merge re-ranks the
+    ≤3·B candidates per query with a bounded window — per-tile top-3
+    is sufficient because every (query, partner) pair meets in exactly
+    one tile. Same fixed-point parity as the whole similarity family:
+    dot products exact int64, norms the only sqrt, one final division
+    identical in both engines. O(n²) like every exact mining pass; the
+    blocked layout keeps any single task to one tile."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    exploded = _blocked_tiles(e, 8, extra_cols=("label",))
+
+    def tile_topk(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"qid": [], "pid": [], "cosine": []}).astype(
+            {"qid": "int64", "pid": "int64", "cosine": "float64"}
+        )
+        bi, bj = int(pdf["bi"].iat[0]), int(pdf["bj"].iat[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        labels = pdf["label"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        qm = np.floor(mat * Q + 0.5).astype(np.int64)
+        nn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))
+
+        def emit(qi, pj):
+            """per query row in qi: top-3 different-label partners in pj."""
+            if not qi.any() or not pj.any():
+                return []
+            cos = (qm[qi] @ qm[pj].T).astype(np.float64) / (
+                nn[qi][:, None] * nn[pj][None, :]
+            )
+            out = []
+            q_ids, q_lab = ids[qi], labels[qi]
+            p_ids, p_lab = ids[pj], labels[pj]
+            for r in range(len(q_ids)):
+                mask = (p_lab != q_lab[r]) & (p_ids != q_ids[r])
+                if not mask.any():
+                    continue
+                c, p = cos[r][mask], p_ids[mask]
+                order = np.lexsort((p, -c))[:3]
+                out.extend((q_ids[r], p[o], c[o]) for o in order)
+            return out
+
+        rows = []
+        if bi == bj:
+            all_ = np.ones(len(ids), dtype=bool)
+            rows = emit(all_, all_)
+        else:
+            a = pdf["blk"].to_numpy() == bi
+            b = ~a
+            rows = emit(a, b) + emit(b, a)
+        if not rows:
+            return empty
+        qid, pid, cs = zip(*rows)
+        return pd.DataFrame(
+            {"qid": list(qid), "pid": list(pid), "cosine": list(cs)}
+        ).astype({"qid": "int64", "pid": "int64", "cosine": "float64"})
+
+    local = exploded.groupBy("bi", "bj").applyInPandas(
+        tile_topk, "qid long, pid long, cosine double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "pid")
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "pid", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
     )

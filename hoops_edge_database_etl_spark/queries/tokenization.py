@@ -451,3 +451,79 @@ def q242_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").cast("bigint").alias("doc_id"), "bucket")
         .agg(F.sum("sgn").cast("bigint").alias("weight"))
     )
+
+
+@query(
+    "q245_length_bucketed_batching",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)
+                  AS BIGINT) % 8 AS BIGINT) AS shard
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok, shard,
+             CAST(n_tok // 16 AS BIGINT) AS band,
+             ROW_NUMBER() OVER (PARTITION BY n_tok // 16, shard
+                                ORDER BY n_tok DESC, doc_id) AS rn
+      FROM d
+    )
+    SELECT band, shard,
+           CAST((rn - 1) // 8 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens,
+           CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS padding_waste
+    FROM ranked
+    GROUP BY band, shard, (rn - 1) // 8
+    """,
+)
+def q245_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING — the padding-efficiency step of a
+    training data loader: group sequences into 16-token length bands,
+    sort within band (descending, doc_id tiebreak), cut batches of 8,
+    and report each batch's padding waste (max_len·n − Σlen — the
+    tokens the GPU pads and throws away). Random batching wastes up to
+    the band width per row; length bucketing bounds waste to the
+    within-batch length spread. Scale honesty: the within-band sort is
+    SHARDED by a stable doc hash (8 shards here ≈ data-loader workers)
+    so no band ever needs a global sort — the same
+    bounded-partition-state rule as q74's range-partitioned packing;
+    waste statistics are unbiased across shards because the hash is
+    independent of length. All-integer arithmetic end to end."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 8
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("band", "shard").orderBy(F.col("n_tok").desc(), "doc_id")
+    ranked = d.withColumn("band", F.floor(F.col("n_tok") / 16).cast("bigint")).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", F.floor((F.col("rn") - 1) / 8).cast("bigint")
+        )
+        .groupBy("band", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tok").cast("bigint").alias("max_len"),
+            F.sum("n_tok").cast("bigint").alias("tokens"),
+            (F.max("n_tok") * F.count(F.lit(1)) - F.sum("n_tok"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+    )

@@ -290,3 +290,26 @@ def test_int8_quantize_codes_in_range(spark, duck):
         # round-to-nearest: |qv·127 − code·sc| ≤ sc/2 (one half code step,
         # where sc = scale·2²⁴ in fixed-point units)
         assert r["err_max_fixed"] * 2 <= r["scale"] * (1 << 24) + 2
+
+
+def test_q246_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q246_hard_negative_mining")
+
+
+def test_q246_negatives_cross_label(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, SF_DIR, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = all_queries()["q246_hard_negative_mining"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["qid"]] != labels[r["pid"]]
+        assert 1 <= r["rnk"] <= 3
+        assert -1.0 <= r["cosine"] <= 1.0

@@ -124,3 +124,17 @@ def test_q242_weight_conservation(spark):
     assert rows
     assert all(0 <= r["bucket"] < 64 for r in rows)
     assert any(r["weight"] < 0 for r in rows) and any(r["weight"] > 0 for r in rows)
+
+
+def test_q245_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q245_length_bucketed_batching")
+
+
+def test_q245_waste_bounded_by_band_width(spark):
+    rows = all_queries()["q245_length_bucketed_batching"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 8
+        # within a 16-token band, per-doc padding < band width
+        assert r["padding_waste"] < 16 * r["n_docs"]
+        assert r["max_len"] * r["n_docs"] - r["tokens"] == r["padding_waste"]
