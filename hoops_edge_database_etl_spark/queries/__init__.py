@@ -179,6 +179,8 @@ _DRIVER_PRIORITY = [
     "q244_copurchase_topk",
     "q245_length_bucketed_batching",
     "q246_hard_negative_mining",
+    "q247_reciprocal_rank_fusion",
+    "q248_half_life_decay",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

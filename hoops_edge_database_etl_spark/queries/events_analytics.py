@@ -2105,3 +2105,145 @@ def q240_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg"
         ),
     )
+
+
+_RRF_K = 60
+_RRF_PPM = {r: 1_000_000 // (_RRF_K + r) for r in range(1, 11)}
+_RRF_SQL = "CASE rnk " + " ".join(
+    f"WHEN {r} THEN {d}" for r, d in _RRF_PPM.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "q247_reciprocal_rank_fusion",
+    oracle=f"""
+    WITH by_value AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY floor(value * 100 + 0.5) DESC, event_id)
+               AS rnk
+      FROM events
+    ),
+    by_recency AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id) AS rnk
+      FROM events
+    ),
+    contrib AS (
+      SELECT user_id, event_id, {_RRF_SQL} AS ppm FROM by_value WHERE rnk <= 10
+      UNION ALL
+      SELECT user_id, event_id, {_RRF_SQL} AS ppm FROM by_recency WHERE rnk <= 10
+    ),
+    fused AS (
+      SELECT user_id, event_id, CAST(SUM(ppm) AS BIGINT) AS rrf_ppm
+      FROM contrib GROUP BY user_id, event_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_id, rrf_ppm,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM (
+      SELECT user_id, event_id, rrf_ppm,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY rrf_ppm DESC, event_id) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 5
+    """,
+)
+def q247_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION — combine two rankers (value-ordered and
+    recency-ordered, each cut at 10) into one list per user with
+    RRF(d) = Σ 1/(60 + rank_i(d)): the standard zero-tuning ensemble
+    for hybrid retrieval (BM25 ⊕ dense). The 1/(60+r) weights enter as
+    integer-ppm literals for the 10 possible ranks (q240's rule), so
+    fusion is a pure int64 sum; the final per-user re-rank carries the
+    event_id total tiebreak. Plan: two per-user windows (retention-
+    bounded), a UNION ALL, one combiner aggregate, one bounded window.
+    Items missing from a ranker contribute 0 — RRF's defining
+    robustness property, an outer-union not an inner join."""
+    ev = load(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).desc(), "event_id"
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), "event_id")
+    ppm = F.lit(0)
+    for r, d in _RRF_PPM.items():
+        ppm = F.when(F.col("rnk") == r, d).otherwise(ppm)
+    contrib = (
+        ev.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= 10)
+        .select("user_id", "event_id", ppm.alias("ppm"))
+        .unionAll(
+            ev.withColumn("rnk", F.row_number().over(wr))
+            .filter(F.col("rnk") <= 10)
+            .select("user_id", "event_id", ppm.alias("ppm"))
+        )
+    )
+    fused = contrib.groupBy("user_id", "event_id").agg(
+        F.sum("ppm").cast("bigint").alias("rrf_ppm")
+    )
+    wf = Window.partitionBy("user_id").orderBy(F.col("rrf_ppm").desc(), "event_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 5)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_id",
+            "rrf_ppm",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        )
+    )
+
+
+@query(
+    "q248_half_life_decay",
+    oracle="""
+    WITH aged AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor((DATE '2024-02-01' - CAST(ts AS DATE)) / 7) AS BIGINT)
+               AS weeks
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(cents * (CAST(16 AS BIGINT) >> LEAST(weeks, 4))) AS BIGINT)
+             AS decayed_16ths,
+           CAST(SUM(cents) AS BIGINT) AS raw_cents
+    FROM aged GROUP BY user_id
+    """,
+)
+def q248_half_life_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HALF-LIFE-DECAYED aggregation — recency-weighted lifetime value
+    with a one-week half-life, EXACTLY: age buckets to whole weeks and
+    the decay 2^(−weeks) becomes an integer RIGHT SHIFT of a 16× scaled
+    weight (16 → 8 → 4 → 2 → 1, floored at 4 weeks), so the decayed sum
+    is pure int64 — no exp(), no float accumulation, no cross-engine
+    transcendental drift (exp-based decay cannot hash-match; this
+    formulation is what you deploy when the leaderboard must be
+    reproducible). One aggregate, combiner-friendly; the reference date
+    is the pipeline's as-of date (the q53 snapshot-date pattern)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    weeks = F.floor(
+        F.datediff(F.lit("2024-02-01"), F.to_date("ts")) / 7
+    ).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    wk = F.least(weeks, F.lit(4))
+    w16 = (  # 16 >> min(weeks, 4); shiftright needs a literal bit count
+        F.when(wk == 0, 16)
+        .when(wk == 1, 8)
+        .when(wk == 2, 4)
+        .when(wk == 3, 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return (
+        ev.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            (cents * w16).alias("dec"),
+            cents.alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("dec").cast("bigint").alias("decayed_16ths"),
+            F.sum("cents").cast("bigint").alias("raw_cents"),
+        )
+    )

@@ -378,3 +378,41 @@ def test_q240_ndcg_bounded_and_ideal_dominates(spark):
     for r in rows:
         assert 0 < r["ndcg"] <= 1.0
         assert r["dcg_ppm"] <= r["idcg_ppm"]
+
+
+def test_q247_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q247_reciprocal_rank_fusion")
+
+
+def test_q247_fusion_dominance(spark):
+    """An item ranked #1 by BOTH rankers must be fused rank 1."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q247_reciprocal_rank_fusion"](spark, SF_DIR).collect()
+    assert rows
+    top_ppm = 2 * (1_000_000 // 61)
+    for r in rows:
+        assert r["fused_rank"] <= 5
+        assert r["rrf_ppm"] <= top_ppm
+        if r["rrf_ppm"] == top_ppm:
+            assert r["fused_rank"] == 1
+
+
+def test_q248_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q248_half_life_decay")
+
+
+def test_q248_decay_bounds(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q248_half_life_decay"](spark, SF_DIR).collect()
+    assert len(rows) == 150
+    for r in rows:
+        # decayed (in 16ths) is at most 16x raw and at least 1x raw
+        assert r["raw_cents"] <= r["decayed_16ths"] <= 16 * r["raw_cents"]
