@@ -181,6 +181,8 @@ _DRIVER_PRIORITY = [
     "q246_hard_negative_mining",
     "q247_reciprocal_rank_fusion",
     "q248_half_life_decay",
+    "q249_incremental_dedup",
+    "q250_maxsim_late_interaction",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1004,3 +1004,75 @@ def q175_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nh_total") > F.col("nh_in_source"), 1).otherwise(0))
         .cast("bigint").alias("n_cross_source_docs"),
     )
+
+
+@query(
+    "q249_incremental_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 400
+    ),
+    vs_base AS (
+      SELECT b.doc_id FROM batch b
+      WHERE EXISTS (SELECT 1 FROM base x WHERE x.h = b.h)
+    ),
+    within AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM batch
+      ) WHERE rn > 1
+    ),
+    dropped AS (
+      SELECT doc_id FROM vs_base UNION SELECT doc_id FROM within
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           CASE WHEN d.doc_id IS NOT NULL THEN 'drop' ELSE 'admit' END AS verdict
+    FROM batch b LEFT JOIN dropped d ON d.doc_id = b.doc_id
+    """,
+)
+def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the continuous-ingest shape: an
+    arriving batch (doc_id ≥ 400 here) checks against the ALREADY-
+    ADMITTED corpus index (a content-hash table, never the corpus
+    text) plus itself, without ever re-comparing corpus × corpus:
+
+    1. batch vs index: LEFT SEMI on the 16-byte hash — cost scales with
+       |batch|, and at 100 TB the index side is a bloom-filtered
+       hash-key join (q81's runtime-filter pattern), not a scan of
+       history;
+    2. batch vs batch: first-occurrence window WITHIN the batch only
+       (q41's rule, batch-sized state);
+    3. verdict per batch doc — 'admit' rows are what gets appended to
+       both the corpus and the index, keeping the next increment's
+       step 1 true.
+
+    This is the operational difference between re-running q69 nightly
+    (quadratic in corpus growth) and a constant-per-batch pipeline; the
+    reference's checkpointed re-ingest (orchestrate.py:311-364) is the
+    same admitted-set discipline at file granularity."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    base = d.filter(F.col("doc_id") < 400).select("h").distinct()
+    batch = d.filter(F.col("doc_id") >= 400)
+    vs_base = batch.join(base, "h", "left_semi").select("doc_id")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    within = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    dropped = vs_base.union(within).distinct()
+    return (
+        batch.join(dropped.withColumnRenamed("doc_id", "drop_id"),
+                   batch.doc_id == F.col("drop_id"), "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.when(F.col("drop_id").isNotNull(), "drop")
+            .otherwise("admit")
+            .alias("verdict"),
+        )
+    )

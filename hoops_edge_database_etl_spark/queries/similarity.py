@@ -1170,3 +1170,108 @@ def q246_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", "pid", "cosine", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@query(
+    "q250_maxsim_late_interaction",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10
+    ),
+    dv AS (
+      SELECT vec_id AS did, embedding FROM embeddings WHERE vec_id >= 10
+    ),
+    dots AS (
+      SELECT q.qid, d.did, t1.qt, t2.dt,
+             CAST(SUM(
+               CAST(floor(CAST(q.embedding[t1.qt*8 + t3.k] AS DOUBLE) * {Q} + 0.5) AS BIGINT)
+               * CAST(floor(CAST(d.embedding[t2.dt*8 + t3.k] AS DOUBLE) * {Q} + 0.5) AS BIGINT)
+             ) AS BIGINT) AS dot
+      FROM qv q JOIN dv d ON TRUE,
+           UNNEST(range(0, 8)) AS t1(qt),
+           UNNEST(range(0, 8)) AS t2(dt),
+           UNNEST(range(1, 9)) AS t3(k)
+      GROUP BY q.qid, d.did, t1.qt, t2.dt
+    ),
+    best AS (
+      SELECT qid, did, qt, MAX(dot) AS best_dot
+      FROM dots GROUP BY qid, did, qt
+    ),
+    maxsim AS (
+      SELECT qid, did, CAST(SUM(best_dot) AS BIGINT) AS score
+      FROM best GROUP BY qid, did
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(did AS BIGINT) AS did, score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT qid, did, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rnk
+      FROM maxsim
+    ) WHERE rnk <= 3
+    """,
+)
+def q250_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style MAXSIM late interaction: each 64-dim embedding is
+    viewed as 8 token-vectors × 8 dims (a documented synthetic reshape —
+    the testdata ships doc-level vectors; production stores real
+    per-token matrices in exactly this flattened layout), and
+    score(q,d) = Σ_qt max_dt ⟨qt,dt⟩ — every query token matches its
+    best document token. The entire interaction is ONE nested
+    higher-order expression in whole-stage codegen: slice the flat
+    array into token views, zip_with-multiply in int64 fixed point,
+    array_max over document tokens, fold over query tokens — no Python,
+    no explode (the 64-way row blowup the oracle's UNNEST form pays
+    stays array-side here). Queries are bounded-by-contract (q48's
+    rule) and broadcast onto the doc scan: one pass over documents, a
+    per-doc constant 8×8×8 flop kernel, then the bounded per-query
+    top-3 window. This is the retrieval scorer between bi-encoder dot
+    product (q48) and full cross-attention."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    dv = e.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("did"), F.col("embedding").alias("d_emb")
+    )
+
+    def quant(col):
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * Q + 0.5).cast("long")
+        )
+
+    j = dv.crossJoin(F.broadcast(qv)).select(
+        "qid", "did", quant("q_emb").alias("qi"), quant("d_emb").alias("di")
+    )
+    score = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda qt: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda dt: F.aggregate(
+                        F.zip_with(
+                            F.slice("qi", qt * 8 + 1, 8),
+                            F.slice("di", dt * 8 + 1, 8),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select("qid", "did", score.alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "did")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("did").cast("bigint").alias("did"),
+            "score",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -313,3 +313,65 @@ def test_q246_negatives_cross_label(spark):
         assert labels[r["qid"]] != labels[r["pid"]]
         assert 1 <= r["rnk"] <= 3
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_q249_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q249_incremental_dedup")
+
+
+def test_q249_admit_set_is_hash_unique_vs_corpus(spark):
+    """After the increment, admitted batch hashes are disjoint from the
+    base index and unique within the batch."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+    import hashlib
+
+    docs = {
+        r["doc_id"]: hashlib.md5(r["text"].encode()).hexdigest()
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    base_hashes = {h for d, h in docs.items() if d < 400}
+    verdicts = {
+        r["doc_id"]: r["verdict"]
+        for r in all_queries()["q249_incremental_dedup"](spark, SF_DIR).collect()
+    }
+    admitted = [d for d, v in verdicts.items() if v == "admit"]
+    admitted_hashes = [docs[d] for d in admitted]
+    assert len(set(admitted_hashes)) == len(admitted_hashes)
+    assert not (set(admitted_hashes) & base_hashes)
+    # every dropped doc has a justification
+    for d, v in verdicts.items():
+        if v == "drop":
+            h = docs[d]
+            dup_in_base = h in base_hashes
+            dup_in_batch = any(
+                docs[o] == h and o < d for o in verdicts if o != d
+            )
+            assert dup_in_base or dup_in_batch
+
+
+def test_q250_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q250_maxsim_late_interaction")
+
+
+def test_q250_maxsim_dominates_single_token(spark):
+    """MaxSim >= any single query-token's best dot: the sum of per-token
+    maxima dominates each term."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q250_maxsim_late_interaction"](spark, SF_DIR).collect()
+    assert len(rows) == 30  # 10 queries x top-3
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r["rnk"] for r in rs)
+        assert ranks == [1, 2, 3]
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert scores == sorted(scores, reverse=True)
