@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = [
     "q248_half_life_decay",
     "q249_incremental_dedup",
     "q250_maxsim_late_interaction",
+    "q251_ann_recall_eval",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1275,3 +1275,91 @@ def q250_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "q251_ann_recall_eval",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    qset AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+    exact_prod AS (
+      SELECT q.vec_id AS i, b.vec_id AS j,
+             CAST(SUM({_QK % 'q'} * {_QK % 'b'}) AS BIGINT) AS dot
+      FROM (SELECT e.* FROM embeddings e JOIN qset ON qset.vec_id = e.vec_id) q
+      JOIN embeddings b ON q.vec_id <> b.vec_id,
+           UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    exact_top AS (
+      SELECT i, j FROM (
+        SELECT i, j, ROW_NUMBER() OVER (
+          PARTITION BY i ORDER BY CAST(dot AS DOUBLE) / (x.nn * y.nn) DESC, j
+        ) AS rank
+        FROM exact_prod JOIN nrm x ON x.vec_id = i JOIN nrm y ON y.vec_id = j
+      ) WHERE rank <= 3
+    ),
+    bkt AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    ann_prod AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             CAST(SUM({_QK % 'a'} * {_QK % 'b'}) AS BIGINT) AS dot
+      FROM (SELECT bk.* FROM bkt bk JOIN qset ON qset.vec_id = bk.vec_id) a
+      JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id,
+           UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    ann_top AS (
+      SELECT i, j FROM (
+        SELECT i, j, ROW_NUMBER() OVER (
+          PARTITION BY i ORDER BY CAST(dot AS DOUBLE) / (x.nn * y.nn) DESC, j
+        ) AS rank
+        FROM ann_prod JOIN nrm x ON x.vec_id = i JOIN nrm y ON y.vec_id = j
+      ) WHERE rank <= 3
+    ),
+    matched AS (
+      SELECT e.i, CAST(COUNT(a.j) AS BIGINT) AS n_matched
+      FROM exact_top e
+      LEFT JOIN ann_top a ON a.i = e.i AND a.j = e.j
+      GROUP BY e.i
+    )
+    SELECT CAST(i AS BIGINT) AS query_id, n_matched,
+           CAST(n_matched * 1000000 // 3 AS BIGINT) AS recall_ppm
+    FROM matched
+    """,
+)
+def q251_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY GATE — recall@3 of the sign-LSH index (q47) against
+    the exact baseline (q48's query set), computed by COMPOSING the two
+    registered queries and joining their neighbor sets: the evaluation
+    harness every ANN deployment runs before swapping an index in. Per
+    query: |ANN top-3 ∩ exact top-3| / 3 as an integer-ppm recall. The
+    exact side is the q48 bounded-broadcast GEMM; the ANN side reuses
+    q47's bucket plan filtered to the query set — both lineages stay
+    distributed, and the verdict join is queries×3 rows. Drop-in rule
+    at 100 TB: recall is estimated on exactly this kind of hash-chosen
+    query subset (vec_id % 50), never the full corpus."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    exact = (
+        all_queries()["q48_knn_brute_force"](spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select(F.col("query_id").alias("i"), F.col("neighbor_id").alias("j"))
+    )
+    ann = (
+        all_queries()["q47_ann_sign_lsh"](spark, sf_dir)
+        .filter(F.col("query_id") % 50 == 0)
+        .select(
+            F.col("query_id").alias("ai"), F.col("neighbor_id").alias("aj")
+        )
+    )
+    matched = (
+        exact.join(
+            ann, (F.col("ai") == F.col("i")) & (F.col("aj") == F.col("j")), "left"
+        )
+        .groupBy("i")
+        .agg(F.count("aj").cast("bigint").alias("n_matched"))
+    )
+    return matched.select(
+        F.col("i").cast("bigint").alias("query_id"),
+        "n_matched",
+        F.expr("CAST(n_matched * 1000000 DIV 3 AS BIGINT)").alias("recall_ppm"),
+    )

@@ -375,3 +375,22 @@ def test_q250_maxsim_dominates_single_token(spark):
         assert ranks == [1, 2, 3]
         scores = [r["score"] for r in sorted(rs, key=lambda r: r["rnk"])]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_q251_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q251_ann_recall_eval")
+
+
+def test_q251_recall_bounds(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q251_ann_recall_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_matched"] <= 3
+        assert r["recall_ppm"] == r["n_matched"] * 1_000_000 // 3
+    # the sign-LSH index should find at least SOME true neighbors
+    assert sum(r["n_matched"] for r in rows) > 0
