@@ -78,6 +78,8 @@ _PYTHON_ALLOWED = {
     "q142_cogroup_reconcile",  # the cogroup applyInPandas surface itself
     "q145_audio_pcm_features",  # binary PCM pack/decode round trip (multimodal)
     "q146_video_frame_sample",  # binary frame-slice round trip (multimodal)
+    "q246_hard_negative_mining",  # blocked numpy tile GEMM (q46's kernel + labels)
+    "q251_ann_recall_eval",  # composes q47/q48 lineages (their kernels, sanctioned above)
 }
 
 
@@ -273,3 +275,54 @@ def test_join_cardinality_identity(spark, duck):
     r = all_queries()["q199_join_cardinality"](spark, SF_DIR).collect()[0]
     assert r["est_rows"] == r["actual_rows"] > 0
     assert r["hottest_key_rows"] >= 1
+
+
+def test_q224_part_envelope_pushdown(spark):
+    """q224's OR-of-ANDs must leave per-side envelope filters in the
+    scans (PushedFilters on part's brand/size In/range), with the full
+    disjunction as the post-join residual — and the part side must
+    broadcast, never shuffle."""
+    plan = _executed(_qs()["q224_disjunctive_predicates"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [" in plan
+    # the part scan must carry a brand predicate (envelope of the OR)
+    assert "p_brand" in plan.split("PushedFilters")[-1] or "p_brand" in plan
+
+
+def test_q228_two_exchanges_only(spark):
+    """q228 segment dedup: one content-keyed exchange (seg rank) + one
+    doc-keyed exchange (reassembly) — the segment construction itself
+    must be array-side (no exchange before the first window)."""
+    plan = _executed(_qs()["q228_segment_dedup"](spark, SF_DIR))
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 2, f"expected 2 shuffles, got {n}"
+    assert "SinglePartition" not in plan
+
+
+def test_q243_broadcast_stats_no_window(spark):
+    """q243 LOO encoding: the per-category stats join back via broadcast;
+    the plan must contain no window at all (the naive LOO uses one)."""
+    plan = _executed(_qs()["q243_loo_target_encoding"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q239_no_iteration_no_single_partition(spark):
+    """q239 hierarchy rollup: path-explode + one aggregate — no
+    SinglePartition exchange, exactly one hash-partitioned exchange
+    (the ancestor-keyed aggregate)."""
+    plan = _executed(_qs()["q239_hierarchy_rollup"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 shuffle, got {n}"
+
+
+def test_q250_no_python_no_explode(spark):
+    """q250 MaxSim: the nested-HOF scorer must stay JVM-side (no
+    FlatMapGroupsInPandas / BatchEvalPython) and must not explode the
+    token dimension into rows (no Generate in the plan)."""
+    plan = _executed(_qs()["q250_maxsim_late_interaction"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
