@@ -184,6 +184,8 @@ _DRIVER_PRIORITY = [
     "q249_incremental_dedup",
     "q250_maxsim_late_interaction",
     "q251_ann_recall_eval",
+    "q252_pit_features",
+    "q253_matched_controls",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -995,3 +995,161 @@ def q201_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
         )
     )
+
+
+@query(
+    "q252_pit_features",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS day,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(COUNT(*) OVER w30 AS BIGINT) AS n_orders_30d,
+           CAST(COALESCE(SUM(cents) OVER w30, 0) AS BIGINT) AS rev_30d_cents,
+           CAST(COUNT(*) OVER w90 AS BIGINT) AS n_orders_90d,
+           CAST(COALESCE(SUM(cents) OVER w90, 0) AS BIGINT) AS rev_90d_cents
+    FROM o
+    WINDOW
+      w30 AS (PARTITION BY o_custkey ORDER BY day
+              RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING),
+      w90 AS (PARTITION BY o_custkey ORDER BY day
+              RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def q252_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME multi-horizon features — the feature-store backfill
+    shape: for every order, the customer's trailing-30d and trailing-90d
+    order count and revenue AS OF the order date, with the current row
+    EXCLUDED (the RANGE frame ends at 1 PRECEDING — same-day leakage of
+    the label row is the classic backfill bug; a same-day SIBLING order
+    is legitimately visible and both engines include it identically
+    because the frame is value-based, not row-based). Both horizons ride
+    ONE per-customer time-ordered window partitioning — adding a horizon
+    adds a frame, not a shuffle. Exact integer cents; days as integers
+    so RANGE arithmetic is exact. At 100 TB this is the plan that
+    replaces per-(entity, horizon) self-joins: one exchange on the
+    entity key, frames evaluated in a single sorted pass."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w30 = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, -1)
+    )
+    w90 = (
+        Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-90, -1)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.count(F.lit(1)).over(w30).cast("bigint").alias("n_orders_30d"),
+        F.coalesce(F.sum("cents").over(w30), F.lit(0))
+        .cast("bigint")
+        .alias("rev_30d_cents"),
+        F.count(F.lit(1)).over(w90).cast("bigint").alias("n_orders_90d"),
+        F.coalesce(F.sum("cents").over(w90), F.lit(0))
+        .cast("bigint")
+        .alias("rev_90d_cents"),
+    )
+
+
+@query(
+    "q253_matched_controls",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated
+      FROM customer
+    ),
+    scan AS (
+      SELECT c_custkey, bal, treated,
+             LAST_VALUE(CASE WHEN treated = 0 THEN bal END IGNORE NULLS) OVER (
+               ORDER BY bal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below_bal,
+             LAST_VALUE(CASE WHEN treated = 0 THEN c_custkey END IGNORE NULLS) OVER (
+               ORDER BY bal, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below_key,
+             FIRST_VALUE(CASE WHEN treated = 0 THEN bal END IGNORE NULLS) OVER (
+               ORDER BY bal, c_custkey
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS above_bal,
+             FIRST_VALUE(CASE WHEN treated = 0 THEN c_custkey END IGNORE NULLS) OVER (
+               ORDER BY bal, c_custkey
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS above_key
+      FROM c
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS treated_key,
+           CAST(CASE
+             WHEN below_key IS NULL THEN above_key
+             WHEN above_key IS NULL THEN below_key
+             WHEN abs(bal - below_bal) < abs(above_bal - bal) THEN below_key
+             WHEN abs(above_bal - bal) < abs(bal - below_bal) THEN above_key
+             ELSE LEAST(below_key, above_key) END AS BIGINT) AS control_key,
+           CAST(CASE
+             WHEN below_key IS NULL THEN above_bal - bal
+             WHEN above_key IS NULL THEN bal - below_bal
+             ELSE LEAST(abs(bal - below_bal), abs(above_bal - bal))
+           END AS BIGINT) AS delta_cents
+    FROM scan WHERE treated = 1
+    """,
+)
+def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCHED CONTROL-GROUP construction — for every treated unit
+    (BUILDING-segment customer) find the nearest-balance control, the
+    covariate-matching step of an observational study. The plan is the
+    as-of/union trick applied to a VALUE axis instead of time: one sort
+    by (balance, key), carry the last preceding and first following
+    control with IGNORE-NULLS window edges, pick the closer side
+    (deterministic tie policy: equal gaps → smaller control key). The
+    quadratic form (every treated × every control argmin) never runs —
+    matching is O(n log n) with exactly one ordering. Matching WITH
+    replacement by design: controls may serve several treated units
+    (the standard greedy-nearest estimator). Global ordering note: the
+    single ORDER BY here is the bounded-population form; the 100 TB
+    variant range-partitions on balance with boundary-control exchange
+    (the q74 two-pass recipe) — semantics identical."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("treated"),
+    )
+    ctrl_bal = F.when(F.col("treated") == 0, F.col("bal"))
+    ctrl_key = F.when(F.col("treated") == 0, F.col("c_custkey"))
+    wb = Window.orderBy("bal", "c_custkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wa = Window.orderBy("bal", "c_custkey").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    scan = c.select(
+        "c_custkey",
+        "bal",
+        "treated",
+        F.last(ctrl_bal, ignorenulls=True).over(wb).alias("below_bal"),
+        F.last(ctrl_key, ignorenulls=True).over(wb).alias("below_key"),
+        F.first(ctrl_bal, ignorenulls=True).over(wa).alias("above_bal"),
+        F.first(ctrl_key, ignorenulls=True).over(wa).alias("above_key"),
+    )
+    d_below = F.abs(F.col("bal") - F.col("below_bal"))
+    d_above = F.abs(F.col("above_bal") - F.col("bal"))
+    control = (
+        F.when(F.col("below_key").isNull(), F.col("above_key"))
+        .when(F.col("above_key").isNull(), F.col("below_key"))
+        .when(d_below < d_above, F.col("below_key"))
+        .when(d_above < d_below, F.col("above_key"))
+        .otherwise(F.least("below_key", "above_key"))
+    )
+    delta = (
+        F.when(F.col("below_key").isNull(), F.col("above_bal") - F.col("bal"))
+        .when(F.col("above_key").isNull(), F.col("bal") - F.col("below_bal"))
+        .otherwise(F.least(d_below, d_above))
+    )
+    return scan.filter(F.col("treated") == 1).select(
+        F.col("c_custkey").cast("bigint").alias("treated_key"),
+        control.cast("bigint").alias("control_key"),
+        delta.cast("bigint").alias("delta_cents"),
+    )

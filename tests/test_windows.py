@@ -221,3 +221,51 @@ def test_trending_rank_delta_semantics(spark, duck):
     for r in rows:
         assert r["rnk"] <= 20 and r["rank_gain"] >= 5
         assert r["prev_rnk"] - r["rnk"] == r["rank_gain"]
+
+
+def test_q252_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q252_pit_features")
+
+
+def test_q252_no_leakage_and_monotone_horizons(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q252_pit_features"](spark, SF_DIR).collect()
+    assert len(rows) == 15000
+    for r in rows:
+        # wider horizon dominates
+        assert r["n_orders_90d"] >= r["n_orders_30d"]
+        assert r["rev_90d_cents"] >= r["rev_30d_cents"]
+
+
+def test_q253_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q253_matched_controls")
+
+
+def test_q253_match_is_truly_nearest(spark):
+    """Brute-force check: each treated unit's matched gap equals the true
+    minimum |Δbal| over all controls."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+    import bisect
+
+    cust = load(spark, SF_DIR, "customer").collect()
+    controls = sorted(
+        round(r["c_acctbal"] * 100) for r in cust if r["c_mktsegment"] != "BUILDING"
+    )
+    matches = all_queries()["q253_matched_controls"](spark, SF_DIR).collect()
+    bal = {r["c_custkey"]: round(r["c_acctbal"] * 100) for r in cust}
+    for m in matches:
+        b = bal[m["treated_key"]]
+        i = bisect.bisect_left(controls, b)
+        best = min(
+            abs(b - controls[j]) for j in (i - 1, i) if 0 <= j < len(controls)
+        )
+        assert m["delta_cents"] == best
+        assert abs(bal[m["control_key"]] - b) == best
