@@ -186,6 +186,9 @@ _DRIVER_PRIORITY = [
     "q251_ann_recall_eval",
     "q252_pit_features",
     "q253_matched_controls",
+    "q254_delta_encoding_estimate",
+    "q255_cohens_kappa",
+    "q256_maxmin_fair_share",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2279,3 +2279,131 @@ def q243_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("n") - 1) * 100).cast("double")
         ).alias("loo_encoding"),
     )
+
+
+@query(
+    "q256_maxmin_fair_share",
+    oracle="""
+    WITH demand AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS d
+      FROM documents GROUP BY source
+    ),
+    cap AS (SELECT CAST(SUM(d) // 2 AS BIGINT) AS c FROM demand),
+    ranked AS (
+      SELECT source, d,
+             ROW_NUMBER() OVER (ORDER BY d, source) AS k,
+             CAST(COALESCE(SUM(d) OVER (ORDER BY d, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS p_before,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM demand
+    ),
+    flagged AS (
+      SELECT r.*, cap.c,
+             CASE WHEN r.d * (r.n - r.k + 1) + r.p_before <= cap.c
+                  THEN 1 ELSE 0 END AS satisfied
+      FROM ranked r, cap
+    ),
+    boundary AS (
+      SELECT COALESCE(MIN(k), CAST(1e18 AS BIGINT)) AS k_star
+      FROM flagged WHERE satisfied = 0
+    ),
+    enriched AS (
+      SELECT f.*, b.k_star,
+             CASE WHEN f.k >= b.k_star THEN
+               ROW_NUMBER() OVER (PARTITION BY CASE WHEN f.k >= b.k_star
+                                               THEN 1 ELSE 0 END
+                                  ORDER BY f.source)
+             END AS rem_rank
+      FROM flagged f, boundary b
+    ),
+    leveled AS (
+      SELECT e.*,
+             CAST(e.c - (SELECT COALESCE(SUM(d), 0) FROM flagged
+                         WHERE satisfied = 1) AS BIGINT) AS r_cap,
+             CAST(e.n - e.k_star + 1 AS BIGINT) AS m
+      FROM enriched e
+    )
+    SELECT source, d AS demand_tokens,
+           CAST(CASE WHEN satisfied = 1 THEN d
+                ELSE r_cap // m
+                     + CASE WHEN rem_rank <= r_cap % m THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc_tokens,
+           CAST(1 - satisfied AS BIGINT) AS capped
+    FROM leveled
+    """,
+)
+def q256_maxmin_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-MIN FAIR SHARE (water-filling) — allocate a token budget
+    (half the corpus) across sources so no source can gain without a
+    smaller one losing: small demands are fully satisfied, the rest
+    split the remainder at a common level — the allocation rule behind
+    multi-tenant schedulers AND capped training-mix composition (q231's
+    temperature mix answers 'what proportions'; this answers 'who gets
+    cut when the budget binds'). Everything is exact integers: the
+    satisfiability test is the cross-multiply d·(remaining) + prefix ≤ C
+    evaluated per rank in ONE sorted pass over the |sources|-bounded
+    demand table; the level is floor division with the remainder handed
+    to capped tenants in deterministic source order (Σalloc ≡ C, proven
+    in the test). Windows run on the tiny aggregate — the fact scan
+    contributes one combiner aggregate, nothing else."""
+    d = load(spark, sf_dir, "documents")
+    demand = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("d")
+    )
+    cap = demand.agg(F.expr("CAST(SUM(d) DIV 2 AS BIGINT)").alias("c"))
+    wk = Window.orderBy("d", "source")
+    ranked = demand.select(
+        "source",
+        "d",
+        F.row_number().over(wk).alias("k"),
+        F.coalesce(
+            F.sum("d").over(wk.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("p_before"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(cap)).withColumn(
+        "satisfied",
+        F.when(
+            F.col("d") * (F.col("n") - F.col("k") + 1) + F.col("p_before")
+            <= F.col("c"),
+            1,
+        ).otherwise(0),
+    )
+    boundary = flagged.agg(
+        F.coalesce(
+            F.min(F.when(F.col("satisfied") == 0, F.col("k"))),
+            F.lit(10**18),
+        ).alias("k_star"),
+        F.coalesce(
+            F.sum(F.when(F.col("satisfied") == 1, F.col("d"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("sat_sum"),
+    )
+    wr = Window.partitionBy(F.col("k") >= F.col("k_star")).orderBy("source")
+    enriched = (
+        flagged.crossJoin(F.broadcast(boundary))
+        .withColumn(
+            "rem_rank",
+            F.when(F.col("k") >= F.col("k_star"), F.row_number().over(wr)),
+        )
+        .withColumn("r_cap", (F.col("c") - F.col("sat_sum")).cast("bigint"))
+        .withColumn("m", (F.col("n") - F.col("k_star") + 1).cast("bigint"))
+    )
+    alloc = F.when(F.col("satisfied") == 1, F.col("d")).otherwise(
+        F.expr("CAST(r_cap DIV m AS BIGINT)")
+        + F.when(F.col("rem_rank") <= F.expr("r_cap % m"), 1).otherwise(0)
+    )
+    return enriched.select(
+        "source",
+        F.col("d").alias("demand_tokens"),
+        alloc.cast("bigint").alias("alloc_tokens"),
+        (1 - F.col("satisfied")).cast("bigint").alias("capped"),
+    )

@@ -2247,3 +2247,148 @@ def q248_half_life_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("raw_cents"),
         )
     )
+
+
+@query(
+    "q254_delta_encoding_estimate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) // 1000000
+               - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events
+    ),
+    sized AS (
+      SELECT user_id,
+             CASE
+               WHEN gap_s IS NULL THEN 8
+               WHEN gap_s < 128 THEN 1
+               WHEN gap_s < 16384 THEN 2
+               WHEN gap_s < 2097152 THEN 3
+               WHEN gap_s < 268435456 THEN 4
+               ELSE 5 END AS nbytes
+      FROM seq
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(SUM(nbytes) AS BIGINT) AS delta_bytes,
+           CAST(SUM(nbytes) * 1000000 // (COUNT(*) * 8) AS BIGINT) AS ratio_ppm
+    FROM sized GROUP BY user_id
+    """,
+)
+def q254_delta_encoding_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA-ENCODING storage estimate — what a timestamp column costs
+    per user after gap + varint coding versus raw int64: the sizing
+    analysis behind every telemetry/timeseries storage engine (and
+    parquet's own DELTA_BINARY_PACKED choice). Gaps come from one
+    per-user LAG; varint byte counts are EXACT integer threshold
+    arithmetic (1 byte under 2⁷, 2 under 2¹⁴, … — no log() in-plan,
+    the q214 rule), the first event pays the full 8-byte anchor. One
+    window + one aggregate on the same user key — a single exchange.
+    The per-user ratio tells the storage planner which users' streams
+    are regular enough for aggressive encoding; the corpus rollup is
+    a trivial re-aggregation of this output."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ).alias("gap_s")
+    seq = ev.select("user_id", gap)
+    nbytes = (
+        F.when(F.col("gap_s").isNull(), 8)
+        .when(F.col("gap_s") < 128, 1)
+        .when(F.col("gap_s") < 16384, 2)
+        .when(F.col("gap_s") < 2097152, 3)
+        .when(F.col("gap_s") < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        seq.select("user_id", nbytes.alias("nbytes"))
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            (F.count(F.lit(1)) * 8).cast("bigint").alias("raw_bytes"),
+            F.sum("nbytes").cast("bigint").alias("delta_bytes"),
+            F.expr(
+                "CAST(SUM(nbytes) * 1000000 DIV (COUNT(*) * 8) AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )
+
+
+@query(
+    "q255_cohens_kappa",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 8)
+                       AS BIGINT) % 3 = 0 THEN 'keep' ELSE 'drop' END AS rater_a,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 8)
+                       AS BIGINT) % 3 = 0 THEN 'keep' ELSE 'drop' END AS rater_b
+      FROM documents
+    ),
+    counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END) AS BIGINT)
+               AS agree,
+             CAST(SUM(CASE WHEN rater_a = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS a_keep,
+             CAST(SUM(CASE WHEN rater_b = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS b_keep
+      FROM labeled
+    )
+    SELECT n, agree, a_keep, b_keep,
+           CAST((agree * n - (a_keep * b_keep + (n - a_keep) * (n - b_keep)))
+                AS DOUBLE)
+             / CAST((n * n - (a_keep * b_keep + (n - a_keep) * (n - b_keep)))
+                AS DOUBLE) AS kappa
+    FROM counts
+    """,
+)
+def q255_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA inter-annotator agreement — the QA metric for any
+    labeling pipeline (human raters or LLM judges): observed agreement
+    corrected for the agreement two independent raters would reach by
+    chance. κ = (pₒ−pₑ)/(1−pₑ) clears its denominators into one exact
+    integer form, (agree·n − Σ marginal products)/(n² − Σ), so the only
+    float is the final division (two exact int64s — identical IEEE in
+    both engines). The two 'raters' here are deterministic hash rules
+    standing in for label columns; swap in real annotation columns and
+    nothing else changes. One pass, four conditional counters, scalar
+    output — at 100 TB kappa costs exactly one combiner aggregate."""
+    d = load(spark, sf_dir, "documents")
+
+    def rater(salt):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.when(h % 3 == 0, "keep").otherwise("drop")
+
+    labeled = d.select(rater(":a").alias("rater_a"), rater(":b").alias("rater_b"))
+    counts = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("rater_a") == F.col("rater_b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+        F.sum(F.when(F.col("rater_a") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_keep"),
+        F.sum(F.when(F.col("rater_b") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_keep"),
+    )
+    chance = F.col("a_keep") * F.col("b_keep") + (F.col("n") - F.col("a_keep")) * (
+        F.col("n") - F.col("b_keep")
+    )
+    return counts.select(
+        "n",
+        "agree",
+        "a_keep",
+        "b_keep",
+        (
+            (F.col("agree") * F.col("n") - chance).cast("double")
+            / (F.col("n") * F.col("n") - chance).cast("double")
+        ).alias("kappa"),
+    )

@@ -350,3 +350,33 @@ def test_q243_excludes_self(spark):
                 assert e1 == e2
             else:
                 assert e1 > e2
+
+
+def test_q256_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q256_maxmin_fair_share")
+
+
+def test_q256_allocation_invariants(spark):
+    """Water-filling invariants: Σalloc == capacity, alloc ≤ demand,
+    uncapped tenants fully satisfied, capped allocations within 1 token
+    of each other and never above any uncapped tenant's demand."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q256_maxmin_fair_share"](spark, SF_DIR).collect()
+    total_demand = sum(r["demand_tokens"] for r in rows)
+    cap = total_demand // 2
+    assert sum(r["alloc_tokens"] for r in rows) == cap
+    capped = [r for r in rows if r["capped"] == 1]
+    uncapped = [r for r in rows if r["capped"] == 0]
+    assert capped, "budget of half the corpus must bind someone"
+    for r in rows:
+        assert r["alloc_tokens"] <= r["demand_tokens"]
+    for r in uncapped:
+        assert r["alloc_tokens"] == r["demand_tokens"]
+    allocs = [r["alloc_tokens"] for r in capped]
+    assert max(allocs) - min(allocs) <= 1
+    if uncapped:
+        assert max(r["alloc_tokens"] for r in uncapped) <= min(allocs) + 1

@@ -416,3 +416,37 @@ def test_q248_decay_bounds(spark):
     for r in rows:
         # decayed (in 16ths) is at most 16x raw and at least 1x raw
         assert r["raw_cents"] <= r["decayed_16ths"] <= 16 * r["raw_cents"]
+
+
+def test_q254_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q254_delta_encoding_estimate")
+
+
+def test_q254_delta_never_worse_than_raw(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q254_delta_encoding_estimate"](spark, SF_DIR).collect()
+    assert len(rows) == 150
+    for r in rows:
+        assert r["delta_bytes"] <= r["raw_bytes"]
+        assert r["ratio_ppm"] <= 1_000_000
+
+
+def test_q255_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q255_cohens_kappa")
+
+
+def test_q255_kappa_below_agreement(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    r = all_queries()["q255_cohens_kappa"](spark, SF_DIR).collect()[0]
+    po = r["agree"] / r["n"]
+    assert -1.0 <= r["kappa"] <= 1.0
+    # chance-corrected agreement never exceeds raw agreement
+    assert r["kappa"] <= po + 1e-12
