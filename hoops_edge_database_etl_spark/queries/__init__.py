@@ -189,6 +189,8 @@ _DRIVER_PRIORITY = [
     "q254_delta_encoding_estimate",
     "q255_cohens_kappa",
     "q256_maxmin_fair_share",
+    "q257_capped_sessions",
+    "q258_time_decay_attribution",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2392,3 +2392,176 @@ def q255_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("n") - chance).cast("double")
         ).alias("kappa"),
     )
+
+
+@query(
+    "q257_capped_sessions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS s,
+             CASE WHEN epoch_us(ts) // 1000000
+                       - LAG(epoch_us(ts) // 1000000) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 OR LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_gap
+      FROM events
+    ),
+    gapped AS (
+      SELECT user_id, event_id, s,
+             SUM(new_gap) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS gap_sess
+      FROM seq
+    ),
+    capped AS (
+      SELECT user_id, gap_sess, event_id, s,
+             (s - MIN(s) OVER (PARTITION BY user_id, gap_sess)) // 86400 AS sub
+      FROM gapped
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(gap_sess AS BIGINT) AS gap_sess,
+           CAST(sub AS BIGINT) AS sub_session,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s
+    FROM capped GROUP BY user_id, gap_sess, sub
+    """,
+)
+def q257_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUAL-CAP sessionization — split on a 30-minute inactivity gap OR
+    a 24-hour maximum session duration. The duration cap LOOKS stateful
+    (each split changes where the next cap starts), but measuring caps
+    from the GAP-SESSION's start makes it declarative: gap sessions via
+    the standard lag/flag/cumsum chain, then sub-sessions as
+    ⌊(t − session_start)/24h⌋ — a second window over the SAME
+    (user, time) ordering, so Spark plans one exchange and two window
+    passes, no applyInPandas, no iteration (this is the fixed-boundary
+    cap semantics CDNs/analytics warehouses use; the drifting-boundary
+    variant where each sub-session restarts the clock IS order-recursive
+    and lives in operators/sessionize.py's state machine). Every
+    sub-session provably spans ≤ 24h (test). Integer seconds end to
+    end via floored epoch microseconds (the q254 rule)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = F.col("ts").cast("long")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        s.alias("s"),
+        F.when(
+            (s - F.lag(s).over(w) > 1800) | F.lag("ts").over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("new_gap"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gapped = seq.withColumn("gap_sess", F.sum("new_gap").over(ws))
+    wm = Window.partitionBy("user_id", "gap_sess")
+    capped = gapped.withColumn(
+        "sub", F.floor((F.col("s") - F.min("s").over(wm)) / 86400).cast("bigint")
+    )
+    return capped.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("gap_sess").cast("bigint").alias("gap_sess"),
+        F.col("sub").alias("sub_session"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("s") - F.min("s")).cast("bigint").alias("span_s"),
+    )
+
+
+@query(
+    "q258_time_decay_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, ts AS touch_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+      SELECT c.user_id, c.conv_id, t.touch_id,
+             CAST(16 AS BIGINT) >> LEAST(
+               CAST((epoch_us(c.conv_ts) - epoch_us(t.touch_ts))
+                    // (86400000000 * 7) AS BIGINT), 4) AS w16
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id AND t.touch_ts < c.conv_ts
+       AND epoch_us(c.conv_ts) - epoch_us(t.touch_ts) <= 86400000000 * 30
+    ),
+    tot AS (
+      SELECT conv_id, CAST(SUM(w16) AS BIGINT) AS total16
+      FROM pairs GROUP BY conv_id
+    ),
+    credit AS (
+      SELECT p.user_id, p.touch_id,
+             CAST(p.w16 * 1000000 // t.total16 AS BIGINT) AS credit_ppm
+      FROM pairs p JOIN tot t ON t.conv_id = p.conv_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, touch_id,
+           CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM credit GROUP BY user_id, touch_id
+    """,
+)
+def q258_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — each purchase distributes
+    credit over the user's click/view touches in its trailing 30 days,
+    weighted by the q248 half-life rule (2^(−weeks) as exact 16×-scaled
+    integers), normalized per conversion into ppm shares by int64 floor
+    division. Completes the attribution family: first/last (q124),
+    linear (q205), and now recency-weighted — the three models every
+    marketing warehouse reconciles. The touch×conversion pair join is
+    user-keyed with a 30-day horizon bound (the fan-out is per-user
+    retention-bounded, same contract as q90's cohort join); per-touch
+    credit then re-aggregates across conversions. Zero floats anywhere —
+    the shares are auditable integers that sum to ≤ 1e6 per conversion
+    exactly."""
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("ts").alias("conv_ts")
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts").alias("touch_ts"),
+    )
+    # integer second ages via long casts (exact; epochs fit int64)
+    age = F.col("conv_ts").cast("long") - F.col("touch_ts").cast("long")
+    weeks = F.floor(age / (86400 * 7)).cast("int")
+    wk = F.least(weeks, F.lit(4))
+    w16 = (
+        F.when(wk == 0, 16)
+        .when(wk == 1, 8)
+        .when(wk == 2, 4)
+        .when(wk == 3, 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    pairs = conv.join(
+        touch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("conv_ts").cast("long") - F.col("touch_ts").cast("long")
+            <= 86400 * 30
+        ),
+    ).select("user_id", "conv_id", "touch_id", w16.alias("w16"))
+    tot = pairs.groupBy("conv_id").agg(
+        F.sum("w16").cast("bigint").alias("total16")
+    )
+    credit = pairs.join(tot, "conv_id").select(
+        "user_id",
+        "touch_id",
+        F.expr("CAST(w16 * 1000000 DIV total16 AS BIGINT)").alias("credit_ppm"),
+    )
+    return credit.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"), "touch_id"
+    ).agg(
+        F.sum("credit_ppm").cast("bigint").alias("credit_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+    )

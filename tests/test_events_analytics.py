@@ -450,3 +450,57 @@ def test_q255_kappa_below_agreement(spark):
     assert -1.0 <= r["kappa"] <= 1.0
     # chance-corrected agreement never exceeds raw agreement
     assert r["kappa"] <= po + 1e-12
+
+
+def test_q257_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q257_capped_sessions")
+
+
+def test_q257_caps_hold(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q257_capped_sessions"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["span_s"] < 86400  # duration cap
+        assert r["n_events"] >= 1
+    # sub-sessions exist only where a gap-session exceeded the cap
+    assert any(r["sub_session"] > 0 for r in rows) or all(
+        r["span_s"] < 86400 for r in rows
+    )
+
+
+def test_q258_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q258_time_decay_attribution")
+
+
+def test_q258_credit_conservation(spark, duck):
+    """Per conversion, distributed credit sums to 1e6 within the floor-
+    division undershoot (< number of touches)."""
+    rows = duck.execute("""
+      WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts
+                    FROM events WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts
+                FROM events WHERE event_type IN ('click','view')),
+      pairs AS (
+        SELECT c.conv_id,
+               CAST(16 AS BIGINT) >> LEAST(CAST((epoch_us(c.conv_ts) -
+                 epoch_us(t.touch_ts)) // (86400000000 * 7) AS BIGINT), 4) AS w16
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+         AND t.touch_ts < c.conv_ts
+         AND epoch_us(c.conv_ts) - epoch_us(t.touch_ts) <= 86400000000 * 30),
+      tot AS (SELECT conv_id, COUNT(*) AS n, SUM(w16) AS total16
+              FROM pairs GROUP BY conv_id)
+      SELECT t.conv_id, t.n,
+             SUM(CAST(p.w16 * 1000000 // t.total16 AS BIGINT)) AS s
+      FROM pairs p JOIN tot t ON t.conv_id = p.conv_id
+      GROUP BY t.conv_id, t.n
+    """).fetchall()
+    assert rows
+    for conv_id, n, s in rows:
+        assert 1_000_000 - n < s <= 1_000_000
