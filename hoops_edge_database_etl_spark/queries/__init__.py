@@ -191,6 +191,8 @@ _DRIVER_PRIORITY = [
     "q256_maxmin_fair_share",
     "q257_capped_sessions",
     "q258_time_decay_attribution",
+    "q259_semantic_decontamination",
+    "q260_prefix_cache_analysis",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

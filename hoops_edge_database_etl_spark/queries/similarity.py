@@ -1363,3 +1363,83 @@ def q251_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         F.expr("CAST(n_matched * 1000000 DIV 3 AS BIGINT)").alias("recall_ppm"),
     )
+
+
+@query(
+    "q259_semantic_decontamination",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 7),
+    prod AS (
+      SELECT c.vec_id AS cid, e.vec_id AS eid,
+             CAST(SUM({_QK % 'c'} * {_QK % 'e'}) AS BIGINT) AS dot
+      FROM embeddings c JOIN ev e ON e.vec_id <> c.vec_id,
+           UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT cid, eid, CAST(dot AS DOUBLE) / (x.nn * y.nn) AS cosine
+      FROM prod JOIN nrm x ON x.vec_id = cid JOIN nrm y ON y.vec_id = eid
+    )
+    SELECT CAST(cid AS BIGINT) AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_close_eval,
+           MAX(cosine) AS max_eval_cosine
+    FROM scored WHERE cosine >= 0.35
+    GROUP BY cid
+    """,
+)
+def q259_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — flag training vectors whose
+    embedding is ≥ 0.35 cosine to ANY held-out eval vector (the threshold is calibrated per corpus — here the synthetic vectors' cross-pair cosines top out near 0.49, so 0.35 flags the suspicious tail): the
+    paraphrase-level leak that q82's 5-gram overlap can never see
+    (reworded eval questions share no shingles but sit next to each
+    other in embedding space). The eval set is small by construction
+    (hash-chosen here) and BROADCASTS; the corpus streams once — a
+    corpus×eval GEMM, not corpus×corpus, so the cost is linear in the
+    corpus at any scale (the q48 bounded-side contract). Same 24-bit
+    fixed-point parity as the whole family; the threshold compares
+    identical doubles in both engines. Output: the contamination
+    report a data-release audit attaches — flagged vector, how many
+    eval items it leaks, and the worst offender score."""
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("e_emb")
+    )
+
+    def quant(col):
+        return F.transform(
+            col, lambda x: F.floor(x.cast("double") * Q + 0.5).cast("long")
+        )
+
+    j = (
+        e.select(F.col("vec_id").alias("cid"), quant("embedding").alias("ci"))
+        .crossJoin(
+            F.broadcast(ev.select("eid", quant("e_emb").alias("ei")))
+        )
+        .filter(F.col("cid") != F.col("eid"))
+    )
+    dot = F.aggregate(
+        F.zip_with("ci", "ei", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    scored = j.select(
+        "cid",
+        "eid",
+        (dot.cast("double") / (nrm("ci") * nrm("ei"))).alias("cosine"),
+    )
+    return (
+        scored.filter(F.col("cosine") >= 0.35)
+        .groupBy(F.col("cid").cast("bigint").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_close_eval"),
+            F.max("cosine").alias("max_eval_cosine"),
+        )
+    )

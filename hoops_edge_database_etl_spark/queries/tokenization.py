@@ -527,3 +527,73 @@ def q245_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("padding_waste"),
         )
     )
+
+
+@query(
+    "q260_prefix_cache_analysis",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    per_depth AS (
+      SELECT t.k AS depth,
+             array_to_string(l[1 : t.k], ' ') AS prefix
+      FROM d, unnest([5, 10]) AS t(k)
+      WHERE len(l) >= t.k
+    ),
+    grouped AS (
+      SELECT depth, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM per_depth GROUP BY depth, prefix
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_prefix_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_covered,
+           CAST(SUM((n_docs - 1) * depth) AS BIGINT) AS cacheable_tokens
+    FROM grouped GROUP BY depth
+    """,
+)
+def q260_prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARED-PREFIX (prompt-cache) analysis — how many tokens an
+    inference server's prefix cache saves at each cache depth: group
+    requests by their first-k tokens (k = 5, 10); every document after
+    the first in a group reuses k cached tokens, so the saving is
+    Σ(group−1)·k. This is the capacity-planning query behind KV-cache
+    sharing / RadixAttention deployments — run it before sizing the
+    cache tier. Plan: prefixes built array-side (slice in the scan
+    projection, one row per requested depth — no explosion beyond
+    |depths|×), one prefix-keyed combiner aggregate, then a tiny
+    per-depth rollup. Prefix-key skew IS the signal: the hot prefix
+    groups are exactly the cache hits being counted."""
+    d = load(spark, sf_dir, "documents").select(F.split("text", " ").alias("l"))
+    per_depth = d.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.array(F.lit(5), F.lit(10)),
+                    lambda k: F.when(
+                        F.size("l") >= k,
+                        F.struct(
+                            k.cast("bigint").alias("depth"),
+                            F.array_join(F.slice("l", 1, k), " ").alias("prefix"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("p")
+    ).select(F.col("p.depth").alias("depth"), F.col("p.prefix").alias("prefix"))
+    grouped = per_depth.groupBy("depth", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return grouped.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prefix_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_docs_covered"),
+        F.sum((F.col("n_docs") - 1) * F.col("depth"))
+        .cast("bigint")
+        .alias("cacheable_tokens"),
+    )

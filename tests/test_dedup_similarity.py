@@ -394,3 +394,20 @@ def test_q251_recall_bounds(spark):
         assert r["recall_ppm"] == r["n_matched"] * 1_000_000 // 3
     # the sign-LSH index should find at least SOME true neighbors
     assert sum(r["n_matched"] for r in rows) > 0
+
+
+def test_q259_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q259_semantic_decontamination")
+
+
+def test_q259_flags_are_above_threshold(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q259_semantic_decontamination"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["max_eval_cosine"] >= 0.35
+        assert r["n_close_eval"] >= 1

@@ -138,3 +138,22 @@ def test_q245_waste_bounded_by_band_width(spark):
         # within a 16-token band, per-doc padding < band width
         assert r["padding_waste"] < 16 * r["n_docs"]
         assert r["max_len"] * r["n_docs"] - r["tokens"] == r["padding_waste"]
+
+
+def test_q260_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q260_prefix_cache_analysis")
+
+
+def test_q260_depth_structure(spark):
+    rows = {
+        r["depth"]: r
+        for r in all_queries()["q260_prefix_cache_analysis"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {5, 10}
+    for depth, r in rows.items():
+        assert r["n_shared_groups"] <= r["n_prefix_groups"]
+        assert r["cacheable_tokens"] == depth * (
+            r["n_docs_covered"] - r["n_prefix_groups"]
+        )
+    # deeper prefixes can only fragment groups further
+    assert rows[10]["n_prefix_groups"] >= rows[5]["n_prefix_groups"]
