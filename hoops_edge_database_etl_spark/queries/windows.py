@@ -1108,10 +1108,14 @@ def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic form (every treated × every control argmin) never runs —
     matching is O(n log n) with exactly one ordering. Matching WITH
     replacement by design: controls may serve several treated units
-    (the standard greedy-nearest estimator). Global ordering note: the
-    single ORDER BY here is the bounded-population form; the 100 TB
-    variant range-partitions on balance with boundary-control exchange
-    (the q74 two-pass recipe) — semantics identical."""
+    (the standard greedy-nearest estimator). Scale shape: the ordering
+    is RANGE-PARTITIONED (the q74/q100 two-pass recipe, no
+    SinglePartition exchange, plan-audited): each range computes its
+    flanking controls locally, the per-range boundary controls (first/
+    last control per range — n_partitions rows) broadcast back through
+    a triangular join, and rows whose local window saw no control fill
+    from the nearest earlier/later range's boundary. Semantics are
+    identical to the single global ordering."""
     c = load(spark, sf_dir, "customer").select(
         "c_custkey",
         F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("bal"),
@@ -1119,20 +1123,76 @@ def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctrl_bal = F.when(F.col("treated") == 0, F.col("bal"))
     ctrl_key = F.when(F.col("treated") == 0, F.col("c_custkey"))
-    wb = Window.orderBy("bal", "c_custkey").rowsBetween(
-        Window.unboundedPreceding, -1
+    ranged = c.repartitionByRange("bal", "c_custkey").withColumn(
+        "__mc_pid", F.spark_partition_id()
     )
-    wa = Window.orderBy("bal", "c_custkey").rowsBetween(
-        1, Window.unboundedFollowing
+    wb = (
+        Window.partitionBy("__mc_pid")
+        .orderBy("bal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    scan = c.select(
+    wa = (
+        Window.partitionBy("__mc_pid")
+        .orderBy("bal", "c_custkey")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    local = ranged.select(
         "c_custkey",
         "bal",
         "treated",
+        "__mc_pid",
         F.last(ctrl_bal, ignorenulls=True).over(wb).alias("below_bal"),
         F.last(ctrl_key, ignorenulls=True).over(wb).alias("below_key"),
         F.first(ctrl_bal, ignorenulls=True).over(wa).alias("above_bal"),
         F.first(ctrl_key, ignorenulls=True).over(wa).alias("above_key"),
+    )
+    # Per-range boundary controls (n_partitions rows) — broadcast both ways.
+    bounds = (
+        ranged.filter(F.col("treated") == 0)
+        .groupBy("__mc_pid")
+        .agg(
+            F.max(F.struct("bal", "c_custkey")).alias("last_ctrl"),
+            F.min(F.struct("bal", "c_custkey")).alias("first_ctrl"),
+        )
+        .select(
+            F.col("__mc_pid").alias("__b_pid"), "last_ctrl", "first_ctrl"
+        )
+    )
+    # Triangular fill over ALL pids (a range with no control still needs
+    # its neighbors' boundaries), tiny × tiny, broadcast.
+    pids = local.select("__mc_pid").distinct()
+    fills = (
+        pids.join(
+            F.broadcast(
+                bounds.select(F.col("__b_pid").alias("p"), "last_ctrl", "first_ctrl")
+            ),
+            F.lit(True),
+            "left",
+        )
+        .groupBy("__mc_pid")
+        .agg(
+            F.max(
+                F.when(F.col("p") < F.col("__mc_pid"), F.col("last_ctrl"))
+            ).alias("prev_ctrl"),
+            F.min(
+                F.when(F.col("p") > F.col("__mc_pid"), F.col("first_ctrl"))
+            ).alias("next_ctrl"),
+        )
+    )
+    scan = (
+        local.join(F.broadcast(fills), "__mc_pid", "left")
+        .withColumn(
+            "below_bal", F.coalesce("below_bal", F.col("prev_ctrl.bal"))
+        )
+        .withColumn(
+            "below_key", F.coalesce("below_key", F.col("prev_ctrl.c_custkey"))
+        )
+        .withColumn(
+            "above_bal", F.coalesce("above_bal", F.col("next_ctrl.bal"))
+        )
+        .withColumn(
+            "above_key", F.coalesce("above_key", F.col("next_ctrl.c_custkey"))
+        )
     )
     d_below = F.abs(F.col("bal") - F.col("below_bal"))
     d_above = F.abs(F.col("above_bal") - F.col("bal"))

@@ -326,3 +326,13 @@ def test_q250_no_python_no_explode(spark):
     assert "BatchEvalPython" not in plan
     assert "Generate" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q253_no_single_partition_window(spark):
+    """q253's matching ordering must be the range-partitioned two-pass
+    plan — no SinglePartition exchange (the global-window trap), with
+    the range exchange and the __mc_pid-keyed local windows present."""
+    plan = _executed(_qs()["q253_matched_controls"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    assert "__mc_pid" in plan
