@@ -193,6 +193,9 @@ _DRIVER_PRIORITY = [
     "q258_time_decay_attribution",
     "q259_semantic_decontamination",
     "q260_prefix_cache_analysis",
+    "q261_uplift_deciles",
+    "q262_churn_labels",
+    "q263_calibration_error",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2565,3 +2565,212 @@ def q258_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_ppm").cast("bigint").alias("credit_ppm"),
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
     )
+
+
+@query(
+    "q261_uplift_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':arm'), 1, 8)
+                  AS BIGINT) % 2 AS BIGINT) AS treated,
+             CAST(SUM(CASE WHEN event_type <> 'purchase'
+                      THEN floor(value * 100 + 0.5) ELSE 0 END) AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM per_user
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(SUM(treated) AS BIGINT) AS n_treated,
+           CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+           CAST(SUM(treated * converted) AS BIGINT) AS conv_treated,
+           CAST(SUM((1 - treated) * converted) AS BIGINT) AS conv_control,
+           CAST(SUM(treated * converted) * 1000000 // NULLIF(SUM(treated), 0)
+                - SUM((1 - treated) * converted) * 1000000
+                  // NULLIF(SUM(1 - treated), 0) AS BIGINT) AS uplift_ppm
+    FROM ranked GROUP BY decile
+    """,
+)
+def q261_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT-BY-DECILE (Qini-table) — the evaluation every targeting
+    model gets: users ranked by a score (non-purchase engagement value
+    here), cut into deciles, and within each decile the TREATED minus
+    CONTROL conversion rate (arms assigned by stable hash — q219's SRM
+    machinery guarantees the split is sound). All counts integer; the
+    per-decile rates and their difference are int64 ppm floor-divisions
+    — the uplift column is auditable arithmetic, not float soup. NTILE
+    runs on the per-user aggregate (|users| rows, entity-bounded);
+    production replaces it with the q153 equi-depth boundaries joined
+    as a broadcast when even per-user tables are too wide for one
+    ordering. Top deciles positive + bottom near zero = the model
+    targets persuadables; uniform = the score is noise."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":arm"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.first(arm).alias("treated"),
+        F.sum(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "user_id")
+    ranked = per_user.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_control"),
+        F.sum(F.col("treated") * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_treated"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_control"),
+        F.expr(
+            """CAST(SUM(treated * converted) * 1000000 DIV NULLIF(SUM(treated), 0)
+               - SUM((1 - treated) * converted) * 1000000
+                 DIV NULLIF(SUM(1 - treated), 0) AS BIGINT)"""
+        ).alias("uplift_ppm"),
+    )
+
+
+@query(
+    "q262_churn_labels",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             MIN(epoch_us(ts) // 1000000) AS first_s,
+             MAX(epoch_us(ts) // 1000000) AS last_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(epoch_us(TIMESTAMP '2024-01-31') // 1000000 AS BIGINT) AS obs_end
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, n_events,
+           CAST(CASE WHEN obs_end - last_s > 7 * 86400 THEN 1 ELSE 0 END AS BIGINT)
+             AS churned,
+           CAST(CASE WHEN obs_end - first_s < 14 * 86400 THEN 1 ELSE 0 END AS BIGINT)
+             AS censored
+    FROM span, obs
+    """,
+)
+def q262_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHURN LABEL GENERATION with censoring — the supervised-label
+    build ML teams get subtly wrong: a user is 'churned' if silent for
+    the last 7 days of the observation window, and CENSORED (excluded
+    from training, not labeled active) if their history is too short
+    (< 14 days observed) to support the label — without the censoring
+    flag, late joiners pollute the negative class. One per-user
+    aggregate against a fixed as-of date (the q53/q248 snapshot rule);
+    integer epoch seconds throughout. Downstream training reads
+    WHERE censored = 0; the label distribution report is a rollup of
+    this output."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("first_s"),
+        F.max(F.col("ts").cast("long")).alias("last_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    # fixed UTC as-of: 2024-01-31T00:00:00Z (session timezone is UTC)
+    obs_end = F.to_timestamp(F.lit("2024-01-31 00:00:00")).cast("long")
+    return span.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_events",
+        F.when(obs_end - F.col("last_s") > 7 * 86400, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("churned"),
+        F.when(obs_end - F.col("first_s") < 14 * 86400, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("censored"),
+    )
+
+
+@query(
+    "q263_calibration_error",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000
+               // 49002 AS conf_ppm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    binned AS (
+      SELECT LEAST(conf_ppm * 10 // 1000000, 9) AS bin, conf_ppm, y
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm
+      FROM binned GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+           CAST(sum_conf_ppm // n AS BIGINT) AS avg_conf_ppm,
+           CAST(n_pos * 1000000 // n AS BIGINT) AS acc_ppm,
+           CAST(abs(sum_conf_ppm // n - n_pos * 1000000 // n) AS BIGINT)
+             AS gap_ppm
+    FROM per_bin
+    """,
+)
+def q263_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) TABLE — does a score of 0.7 convert 70%
+    of the time? Scores normalize to ppm confidences (value over its
+    max, exact integers), bucket into 10 confidence bins, and each bin
+    reports average confidence vs realized rate and their |gap| — the
+    per-bin table whose n-weighted gap sum is Expected Calibration
+    Error. Every column is an int64 floor-division of exact counts; no
+    float appears anywhere, so the ECE a model-risk auditor recomputes
+    from this table matches bit-for-bit. One combiner aggregate over
+    the fact stream; 10 output rows at any scale."""
+    ev = load(spark, sf_dir, "events")
+    # 49002 = the score domain's max cents (value tops out at 490.02);
+    # production derives it from a first-pass MAX broadcast (q176's recipe).
+    conf = F.expr(
+        "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) * 1000000 DIV 49002 AS BIGINT)"
+    )
+    scored = ev.select(
+        conf.alias("conf_ppm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.expr("conf_ppm * 10 DIV 1000000"), F.lit(9)).alias("bin"),
+        "conf_ppm",
+        "y",
+    )
+    per_bin = binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum("conf_ppm").cast("bigint").alias("sum_conf_ppm"),
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("CAST(sum_conf_ppm DIV n AS BIGINT)").alias("avg_conf_ppm"),
+        F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias("acc_ppm"),
+        F.expr(
+            "CAST(abs(sum_conf_ppm DIV n - n_pos * 1000000 DIV n) AS BIGINT)"
+        ).alias("gap_ppm"),
+    )

@@ -504,3 +504,44 @@ def test_q258_credit_conservation(spark, duck):
     assert rows
     for conv_id, n, s in rows:
         assert 1_000_000 - n < s <= 1_000_000
+
+
+def test_q261_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q261_uplift_deciles")
+
+
+def test_q261_decile_structure(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q261_uplift_deciles"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert sum(r["n_treated"] + r["n_control"] for r in rows) == 150
+    for r in rows:
+        assert r["conv_treated"] <= r["n_treated"]
+        assert r["conv_control"] <= r["n_control"]
+
+
+def test_q262_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q262_churn_labels")
+
+
+def test_q263_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q263_calibration_error")
+
+
+def test_q263_gap_is_consistent(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q263_calibration_error"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["gap_ppm"] == abs(r["avg_conf_ppm"] - r["acc_ppm"])
+        assert 0 <= r["acc_ppm"] <= 1_000_000
