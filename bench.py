@@ -71,6 +71,9 @@ HEADLINE = [
     "q228_segment_dedup",       # 10-word-window corpus dedup + reassembly
     "q229_bpe_merge_step",      # BPE pair count + select + greedy apply
     "q232_sketch_rollup_merge", # daily->weekly KMV sketch merge
+    "q246_hard_negative_mining", # blocked label-aware GEMM tiles
+    "q250_maxsim_late_interaction",  # broadcast-query einsum MaxSim kernel
+    "q252_pit_features",        # multi-horizon RANGE-frame features
 ]
 
 

@@ -196,6 +196,7 @@ _DRIVER_PRIORITY = [
     "q261_uplift_deciles",
     "q262_churn_labels",
     "q263_calibration_error",
+    "q264_deletion_propagation",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2407,3 +2407,59 @@ def q256_maxmin_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         alloc.cast("bigint").alias("alloc_tokens"),
         (1 - F.col("satisfied")).cast("bigint").alias("capped"),
     )
+
+
+@query(
+    "q264_deletion_propagation",
+    oracle="""
+    WITH victims AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM victims) AS BIGINT) AS n_rows_purged
+    UNION ALL
+    SELECT 'orders', CAST((SELECT COUNT(*) FROM o) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM o)) AS BIGINT)
+    """,
+)
+def q264_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-PROPAGATION (right-to-erasure) PLAN — given a deletion
+    cohort (hash-chosen stand-in for a GDPR request list), size the
+    cascade across the foreign-key chain customer → orders → lineitem
+    before executing it: the dry-run report a compliance pipeline files
+    with every purge. Each hop is a LEFT SEMI join down the FK edge
+    (victims broadcast; the orderkey set stays distributed — at 100 TB
+    the second hop is a shuffled semi join, never an IN-list collect).
+    The actual purge is these same semi joins flipped to LEFT ANTI and
+    rewritten partition-wise (sources/io.py's dynamic overwrite); the
+    post-purge orphan check is q19/q59's referential audit, which must
+    return zero by construction because the cascade walked every edge
+    of the FK graph."""
+    c = load(spark, sf_dir, "customer")
+    victims = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dead_orders = o.join(
+        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    n_c = victims.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_o = dead_orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_l = li.join(dead_orders, li.l_orderkey == dead_orders.o_orderkey, "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        n_c.select(F.lit("customer").alias("table_name"), F.col("n").alias("n_rows_purged"))
+        .unionAll(
+            n_o.select(F.lit("orders").alias("table_name"), F.col("n").alias("n_rows_purged"))
+        )
+        .unionAll(
+            n_l.select(F.lit("lineitem").alias("table_name"), F.col("n").alias("n_rows_purged"))
+        )
+    )

@@ -1216,23 +1216,77 @@ def q250_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     the testdata ships doc-level vectors; production stores real
     per-token matrices in exactly this flattened layout), and
     score(q,d) = Σ_qt max_dt ⟨qt,dt⟩ — every query token matches its
-    best document token. The entire interaction is ONE nested
-    higher-order expression in whole-stage codegen: slice the flat
-    array into token views, zip_with-multiply in int64 fixed point,
-    array_max over document tokens, fold over query tokens — no Python,
-    no explode (the 64-way row blowup the oracle's UNNEST form pays
-    stays array-side here). Queries are bounded-by-contract (q48's
-    rule) and broadcast onto the doc scan: one pass over documents, a
-    per-doc constant 8×8×8 flop kernel, then the bounded per-query
-    top-3 window. This is the retrieval scorer between bi-encoder dot
-    product (q48) and full cross-attention."""
+    best document token. Default plan is the q48 shape: the small query
+    set broadcasts, the corpus streams once through a mapInPandas numpy
+    kernel (one int64 einsum per batch — exact, and ~100× the
+    interpreted-expression form: Spark's higher-order array functions
+    do NOT enter whole-stage codegen, so a pure-HOF scorer pays per-
+    element lambda dispatch; :func:`maxsim_scores_hof` keeps that form
+    as the dependency-free semantic reference), per-partition local
+    top-3, then the bounded per-query merge window. This is the
+    retrieval scorer between bi-encoder dot product (q48) and full
+    cross-attention."""
+    import numpy as np
+
     e = load(spark, sf_dir, "embeddings")
-    qv = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    qv = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    q_ids = qv["vec_id"].to_numpy(dtype=np.int64)
+    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in qv["embedding"]])
+    q_tok = np.floor(q_mat * Q + 0.5).astype(np.int64).reshape(len(q_ids), 8, 8)
+    bc = spark.sparkContext.broadcast((q_ids, q_tok))
+
+    dv = e.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+
+    def score_batches(batches):
+        import pandas as pd
+
+        qi, qt = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            d_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            d_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d_tok = np.floor(d_mat * Q + 0.5).astype(np.int64).reshape(
+                len(d_ids), 8, 8
+            )
+            # D[q, n, s, t] = <query-token s, doc-token t> — exact int64
+            dots = np.einsum("qse,nte->qnst", qt, d_tok)
+            scores = dots.max(axis=3).sum(axis=2)  # [q, n]
+            out_q, out_d, out_s = [], [], []
+            for r in range(len(qi)):
+                order = np.lexsort((d_ids, -scores[r]))[:3]  # local top-3
+                out_q.extend([qi[r]] * len(order))
+                out_d.extend(d_ids[order])
+                out_s.extend(scores[r][order])
+            yield pd.DataFrame(
+                {
+                    "qid": np.array(out_q, dtype=np.int64),
+                    "did": np.array(out_d, dtype=np.int64),
+                    "score": np.array(out_s, dtype=np.int64),
+                }
+            )
+
+    local = dv.mapInPandas(score_batches, "qid long, did long, score long")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "did")
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "did", "score", F.col("rnk").cast("bigint").alias("rnk"))
     )
-    dv = e.filter(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("did"), F.col("embedding").alias("d_emb")
-    )
+
+
+def maxsim_scores_hof(dv: DataFrame, qv: DataFrame) -> DataFrame:
+    """Pure-JVM MaxSim scorer — the dependency-free semantic reference
+    for q250 (and the right choice for a handful of probe queries where
+    kernel spin-up dominates): one nested higher-order expression —
+    slice the flat array into token views, zip_with-multiply in int64
+    fixed point, array_max over doc tokens, fold over query tokens.
+    Correct and collect-free, but HOF lambdas are interpreted per
+    element (no codegen), so the kernel path wins ~100× on bulk
+    scoring. Expects dv(did, d_emb) and qv(qid, q_emb); returns
+    (qid, did, score)."""
 
     def quant(col):
         return F.transform(
@@ -1263,18 +1317,7 @@ def q250_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = j.select("qid", "did", score.alias("score"))
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), "did")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            F.col("qid").cast("bigint").alias("qid"),
-            F.col("did").cast("bigint").alias("did"),
-            "score",
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
-    )
+    return j.select("qid", "did", score.alias("score"))
 
 
 @query(

@@ -380,3 +380,26 @@ def test_q256_allocation_invariants(spark):
     assert max(allocs) - min(allocs) <= 1
     if uncapped:
         assert max(r["alloc_tokens"] for r in uncapped) <= min(allocs) + 1
+
+
+def test_q264_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q264_deletion_propagation")
+
+
+def test_q264_cascade_is_complete(spark, duck):
+    """After the simulated purge, no orphaned orders/lineitems remain."""
+    orphans = duck.execute("""
+      WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      o_dead AS (SELECT o_orderkey FROM orders
+                 WHERE o_custkey IN (SELECT c_custkey FROM victims))
+      SELECT
+        (SELECT COUNT(*) FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM victims)
+           AND o_orderkey NOT IN (SELECT o_orderkey FROM o_dead)),
+        (SELECT COUNT(*) FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM o_dead)
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM o_dead))
+    """).fetchone()
+    assert orphans == (0, 0)

@@ -80,6 +80,7 @@ _PYTHON_ALLOWED = {
     "q146_video_frame_sample",  # binary frame-slice round trip (multimodal)
     "q246_hard_negative_mining",  # blocked numpy tile GEMM (q46's kernel + labels)
     "q251_ann_recall_eval",  # composes q47/q48 lineages (their kernels, sanctioned above)
+    "q250_maxsim_late_interaction",  # broadcast-query einsum kernel (q48's shape)
 }
 
 
@@ -317,15 +318,37 @@ def test_q239_no_iteration_no_single_partition(spark):
     assert n == 1, f"expected 1 shuffle, got {n}"
 
 
-def test_q250_no_python_no_explode(spark):
-    """q250 MaxSim: the nested-HOF scorer must stay JVM-side (no
-    FlatMapGroupsInPandas / BatchEvalPython) and must not explode the
-    token dimension into rows (no Generate in the plan)."""
+def test_q250_kernel_plan_and_hof_reference_agree(spark):
+    """q250 MaxSim: default plan is the broadcast-query mapInPandas
+    einsum kernel (no Generate — the token dimension never explodes to
+    rows); the pure-JVM HOF reference scorer must produce identical
+    scores (the kernel's exactness proof)."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.queries.similarity import maxsim_scores_hof
+    from hoops_edge_database_etl_spark.tables import load
+
     plan = _executed(_qs()["q250_maxsim_late_interaction"](spark, SF_DIR))
-    assert "FlatMapGroupsInPandas" not in plan
-    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
     assert "Generate" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    e = load(spark, SF_DIR, "embeddings")
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    dv = e.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 60)).select(
+        F.col("vec_id").alias("did"), F.col("embedding").alias("d_emb")
+    )
+    hof = {
+        (r["qid"], r["did"]): r["score"]
+        for r in maxsim_scores_hof(dv, qv).collect()
+    }
+    kernel_rows = _qs()["q250_maxsim_late_interaction"](spark, SF_DIR).collect()
+    checked = 0
+    for r in kernel_rows:
+        if (r["qid"], r["did"]) in hof:
+            assert hof[(r["qid"], r["did"])] == r["score"]
+            checked += 1
+    assert checked > 0
 
 
 def test_q253_no_single_partition_window(spark):
