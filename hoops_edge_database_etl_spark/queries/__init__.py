@@ -197,6 +197,9 @@ _DRIVER_PRIORITY = [
     "q262_churn_labels",
     "q263_calibration_error",
     "q264_deletion_propagation",
+    "q265_rank_biased_overlap",
+    "q266_safety_blocklist",
+    "q267_repeat_factor_manifest",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

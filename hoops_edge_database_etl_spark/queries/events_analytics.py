@@ -2774,3 +2774,80 @@ def q263_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(abs(sum_conf_ppm DIV n - n_pos * 1000000 DIV n) AS BIGINT)"
         ).alias("gap_ppm"),
     )
+
+
+# RBO(p=1/2, depth 10) exact integer machinery: an item first covered at
+# overlap depth m contributes W(m) = Σ_{d=m..10} scale·(1−p)·p^(d−1)/d with
+# scale = lcm(1..10)·2⁹ = 1290240 — every term integral, no float until the
+# single final division. (q214's precomputed-literal rule applied to RBO.)
+_RBO_SCALE = 1290240
+_RBO_W = {1: 894220, 2: 249100, 3: 87820, 4: 34060, 5: 13900,
+          6: 5836, 7: 2476, 8: 1036, 9: 406, 10: 126}
+_RBO_W_SQL = "CASE m " + " ".join(
+    f"WHEN {m} THEN {w}" for m, w in _RBO_W.items()
+) + " ELSE 0 END"
+
+
+@query(
+    "q265_rank_biased_overlap",
+    oracle=f"""
+    WITH by_value AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY floor(value * 100 + 0.5) DESC, event_id)
+               AS ra
+      FROM events
+    ),
+    by_recency AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id) AS rb
+      FROM events
+    ),
+    covered AS (
+      SELECT a.user_id, GREATEST(a.ra, b.rb) AS m
+      FROM by_value a JOIN by_recency b
+        ON b.user_id = a.user_id AND b.event_id = a.event_id
+      WHERE a.ra <= 10 AND b.rb <= 10
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM({_RBO_W_SQL}) AS BIGINT) AS rbo_scaled,
+           CAST(SUM({_RBO_W_SQL}) AS DOUBLE) / {_RBO_SCALE} AS rbo
+    FROM covered GROUP BY user_id
+    """,
+)
+def q265_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP between two rankers (value-order vs recency-
+    order, p = 1/2, depth 10) — the top-weighted list-similarity metric
+    for comparing ranker versions before a swap (Kendall's τ treats
+    rank 1 and rank 100 alike; RBO weights the head). The identity that
+    makes it one aggregation: Σ_d w_d·|A_d ∩ B_d| re-groups per ITEM as
+    W(max(rank_A, rank_B)) — suffix-sum weights precomputed as exact
+    integers over the lcm·2⁹ grid, so the per-user score is an int64
+    sum with one final division. Join the two top-10 rankings on
+    (user, item), a 10-arm CASE, one aggregate — per-user bounded
+    everywhere. Complements q247 (fusing rankers) and q251 (grading an
+    index): this one decides whether two rankers even disagree."""
+    ev = load(spark, sf_dir, "events")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).desc(), "event_id"
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), "event_id")
+    a = ev.select(
+        "user_id", "event_id", F.row_number().over(wv).alias("ra")
+    ).filter(F.col("ra") <= 10)
+    b = ev.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_id").alias("eb"),
+        F.row_number().over(wr).alias("rb"),
+    ).filter(F.col("rb") <= 10)
+    both = a.join(
+        b, (F.col("ub") == F.col("user_id")) & (F.col("eb") == F.col("event_id"))
+    ).select("user_id", F.greatest("ra", "rb").alias("m"))
+    w_expr = F.lit(0)
+    for m, w in _RBO_W.items():
+        w_expr = F.when(F.col("m") == m, w).otherwise(w_expr)
+    return both.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.sum(w_expr).cast("bigint").alias("rbo_scaled"),
+        (F.sum(w_expr).cast("double") / _RBO_SCALE).alias("rbo"),
+    )

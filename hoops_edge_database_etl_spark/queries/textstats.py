@@ -1671,3 +1671,63 @@ def q192_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_exploded_rows", "n_docs_without", "n_long_tokens"
         )
     )
+
+
+@query(
+    "q266_safety_blocklist",
+    oracle="""
+    WITH scanned AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                 x -> translate(x, '013457', 'oieast') = 'slow')) AS n_high,
+             len(list_filter(string_split(text, ' '),
+                 x -> translate(x, '013457', 'oieast') = 'big')) AS n_low
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_high AS BIGINT) AS n_high,
+           CAST(n_low AS BIGINT) AS n_low,
+           CASE WHEN n_high > 0 THEN 'block'
+                WHEN n_low >= 3 THEN 'review'
+                ELSE 'pass' END AS verdict
+    FROM scanned
+    """,
+)
+def q266_safety_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAFETY BLOCKLIST filter with evasion normalization — the
+    tiered-severity screen a corpus runs before release: tokens are
+    leetspeak-normalized (0→o, 1→i, 3→e … via translate, the cheap
+    canonicalization that catches 'sl0w' for 'slow') and matched
+    against severity tiers — any high-severity hit blocks, ≥3
+    low-severity hits route to review, else pass (the q203 router's
+    three-way verdict applied to safety). Matching is entirely
+    array-side (filter + translate inside the scan projection, zero
+    shuffle, no explode); a production list swaps the two stand-in
+    terms for a broadcast blocklist join on the normalized token — the
+    verdict CASE and tier structure are unchanged. Complements q98
+    (PII redaction rewrites text; this gates documents)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def hits(word):
+        return F.size(
+            F.filter(
+                toks,
+                lambda t: F.translate(t, "013457", "oieast") == word,
+            )
+        ).cast("bigint")
+
+    scanned = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        hits("slow").alias("n_high"),
+        hits("big").alias("n_low"),
+    )
+    return scanned.select(
+        "doc_id",
+        "n_high",
+        "n_low",
+        F.when(F.col("n_high") > 0, "block")
+        .when(F.col("n_low") >= 3, "review")
+        .otherwise("pass")
+        .alias("verdict"),
+    )

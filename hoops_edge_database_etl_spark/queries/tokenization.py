@@ -597,3 +597,114 @@ def q260_prefix_cache_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cacheable_tokens"),
     )
+
+
+@query(
+    "q267_repeat_factor_manifest",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      FROM src
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wts),
+    quota AS (
+      SELECT source, n_docs,
+             CAST(1000 * w // tw AS BIGINT) AS base_copies,
+             CAST(1000 * w % tw AS BIGINT) AS rem
+      FROM wts, tot
+    ),
+    topped AS (
+      SELECT source, n_docs, base_copies,
+             CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                       <= 1000 - (SELECT SUM(base_copies) FROM quota)
+                  THEN base_copies + 1 ELSE base_copies END AS target_copies
+      FROM quota
+    ),
+    docs AS (
+      SELECT d.doc_id, d.source, t.target_copies, t.n_docs,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':rep'), d.doc_id
+             ) AS hrank
+      FROM documents d JOIN topped t ON t.source = d.source
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(target_copies // n_docs
+                + CASE WHEN hrank <= target_copies % n_docs THEN 1 ELSE 0 END
+             AS BIGINT) AS n_copies
+    FROM docs
+    """,
+)
+def q267_repeat_factor_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH REPEAT-FACTOR MANIFEST — materialize the per-document copy
+    counts a training loader actually reads: the q231 temperature
+    weights become a 1000-copy budget via LARGEST-REMAINDER
+    apportionment (floor quotas + the leftover copies to the biggest
+    remainders — the seat-allocation algorithm, exact in int64, Σ ≡
+    budget by construction), then each source's quota spreads over its
+    documents by stable hash rank (base copies each, +1 for the first
+    `quota mod n_docs` docs in hash order — deterministic fractional
+    epochs, the reason a 2.3-epoch source reproduces exactly across
+    reruns). Windows: one over the 20-row source table, one per-source
+    hash rank (the q73 stratified machinery). The loader consumes this
+    manifest verbatim; Σ n_copies per source equals its quota exactly
+    (test)."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    wts = src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = wts.agg(F.sum("w").cast("bigint").alias("tw"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("CAST(1000 * w DIV tw AS BIGINT)").alias("base_copies"),
+        F.expr("CAST(1000 * w % tw AS BIGINT)").alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(1000) - F.sum("base_copies")).cast("bigint").alias("short")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "source")
+    topped = (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            "source",
+            "n_docs",
+            F.when(F.col("rr") <= F.col("short"), F.col("base_copies") + 1)
+            .otherwise(F.col("base_copies"))
+            .alias("target_copies"),
+        )
+    )
+    wh = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rep"))), "doc_id"
+    )
+    docs = d.select("doc_id", "source").join(F.broadcast(topped), "source").withColumn(
+        "hrank", F.row_number().over(wh)
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        (
+            F.expr("CAST(target_copies DIV n_docs AS BIGINT)")
+            + F.when(
+                F.col("hrank") <= F.expr("target_copies % n_docs"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )

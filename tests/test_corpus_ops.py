@@ -238,3 +238,27 @@ def test_explode_outer_preserves_docs(spark, duck):
     assert sum(r["n_docs"] for r in rows) == 500
     for r in rows:
         assert r["n_exploded_rows"] == r["n_long_tokens"] + r["n_docs_without"]
+
+
+def test_q266_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q266_safety_blocklist")
+
+
+def test_q266_verdict_logic(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q266_safety_blocklist"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    seen = set()
+    for r in rows:
+        seen.add(r["verdict"])
+        if r["n_high"] > 0:
+            assert r["verdict"] == "block"
+        elif r["n_low"] >= 3:
+            assert r["verdict"] == "review"
+        else:
+            assert r["verdict"] == "pass"
+    assert "block" in seen and "pass" in seen

@@ -545,3 +545,20 @@ def test_q263_gap_is_consistent(spark):
     for r in rows:
         assert r["gap_ppm"] == abs(r["avg_conf_ppm"] - r["acc_ppm"])
         assert 0 <= r["acc_ppm"] <= 1_000_000
+
+
+def test_q265_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q265_rank_biased_overlap")
+
+
+def test_q265_bounds_and_identity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q265_rank_biased_overlap"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["rbo_scaled"] <= 1288980  # max attainable at depth 10
+        assert abs(r["rbo"] - r["rbo_scaled"] / 1290240) < 1e-15

@@ -157,3 +157,25 @@ def test_q260_depth_structure(spark):
         )
     # deeper prefixes can only fragment groups further
     assert rows[10]["n_prefix_groups"] >= rows[5]["n_prefix_groups"]
+
+
+def test_q267_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q267_repeat_factor_manifest")
+
+
+def test_q267_budget_exact(spark):
+    """Largest-remainder apportionment: total copies == 1000 exactly,
+    and per-source totals match their integer quotas."""
+    from collections import defaultdict
+
+    rows = all_queries()["q267_repeat_factor_manifest"](spark, SF_DIR).collect()
+    per_src = defaultdict(int)
+    for r in rows:
+        per_src[r["source"]] += r["n_copies"]
+    assert sum(per_src.values()) == 1000
+    # within each source, doc repeat counts differ by at most 1
+    per_src_counts = defaultdict(list)
+    for r in rows:
+        per_src_counts[r["source"]].append(r["n_copies"])
+    for src, counts in per_src_counts.items():
+        assert max(counts) - min(counts) <= 1
