@@ -200,6 +200,8 @@ _DRIVER_PRIORITY = [
     "q265_rank_biased_overlap",
     "q266_safety_blocklist",
     "q267_repeat_factor_manifest",
+    "q268_graph_neighbor_agg",
+    "q269_compaction_planner",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

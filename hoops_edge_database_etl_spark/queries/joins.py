@@ -1270,3 +1270,73 @@ def q244_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "q268_graph_neighbor_agg",
+    oracle="""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lines a JOIN lines b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+    ),
+    feat AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT CAST(e.src AS BIGINT) AS p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(SUM(f.cents) AS BIGINT) AS neigh_sum_cents,
+           CAST(SUM(f.cents) AS DOUBLE) / (COUNT(*) * 100.0) AS neigh_mean
+    FROM edges e JOIN feat f ON f.p_partkey = e.dst
+    GROUP BY e.src
+    """,
+)
+def q268_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE GNN MESSAGE-PASSING LAYER (GraphSAGE-mean) on the
+    co-purchase graph: for every part, the mean feature (retail price)
+    of its distinct co-purchased neighbors — exactly the neighbor-
+    aggregation step a distributed GNN trainer materializes per layer,
+    expressed as edges ⋈ features → one destination-keyed sum/count
+    (the sum exact in cents, the mean one final division). The edge
+    list derives from q244's within-basket pair explosion with a
+    DISTINCT (multigraph → simple graph — repeated co-purchases must
+    not overweight a neighbor in the mean). Two shuffles total: the
+    edge build on orderkey, the aggregate on src. Stacking layers =
+    re-joining this output as the next layer's feature table — each
+    layer is one more edge-keyed pass, never a driver loop; hub-part
+    skew is q104's profile and AQE's skew-join territory."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    a = lines.alias("a")
+    b = lines.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_partkey") != F.col("a.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    feat = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("dst"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return (
+        edges.join(F.broadcast(feat), "dst")
+        .groupBy(F.col("src").cast("bigint").alias("p_partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree"),
+            F.sum("cents").cast("bigint").alias("neigh_sum_cents"),
+            (F.sum("cents").cast("double") / (F.count(F.lit(1)) * 100.0)).alias(
+                "neigh_mean"
+            ),
+        )
+    )

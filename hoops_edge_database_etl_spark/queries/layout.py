@@ -11,7 +11,7 @@ powers of two), so DuckDB replays the layout decision bit-for-bit.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -337,4 +337,67 @@ def q199_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.crossJoin(F.broadcast(act)).select(
         "est_rows", "actual_rows", "n_common_keys", "hottest_key_rows"
+    )
+
+
+@query(
+    "q269_compaction_planner",
+    oracle="""
+    WITH files AS (
+      -- stand-in manifest: one 'file' per (month, orderkey-bucket) with
+      -- its actual row-bytes estimate (16 bytes/line)
+      SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+             CAST(l_orderkey % 50 AS BIGINT) AS file_id,
+             CAST(COUNT(*) * 16 AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sized AS (
+      SELECT part_month, file_id, bytes,
+             CAST(COALESCE(SUM(bytes) OVER (
+               PARTITION BY part_month ORDER BY file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM files WHERE bytes < 8192
+    )
+    SELECT part_month,
+           CAST(cum_before // 16384 AS BIGINT) AS merge_group,
+           CAST(COUNT(*) AS BIGINT) AS n_small_files,
+           CAST(SUM(bytes) AS BIGINT) AS group_bytes
+    FROM sized
+    GROUP BY part_month, cum_before // 16384
+    """,
+)
+def q269_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLAN — the lakehouse maintenance query:
+    from a file manifest (stood in by per-(month, bucket) size
+    estimates), select files under the small-file threshold and
+    bin-pack them into ~16 KB merge groups by CUMULATIVE-SUM CUTTING
+    (group = ⌊running-bytes-before / target⌋) within each partition —
+    the q74 packing recipe pointed at file maintenance instead of
+    token budgets. Each output row is one rewrite task: the compactor
+    reads that group's files and writes one. The cumsum window is
+    per-partition-month (bounded file counts by retention); groups can
+    overshoot by at most one file (greedy cutting — the standard
+    OPTIMIZE behavior, not an exact bin-pack, which is NP-hard and
+    pointless at file granularity). Everything integer; the manifest
+    scan is metadata-sized, never the data."""
+    li = load(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_month"),
+        (F.col("l_orderkey") % 50).cast("bigint").alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 16).cast("bigint").alias("bytes"))
+    w = (
+        Window.partitionBy("part_month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = files.filter(F.col("bytes") < 8192).withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0)).cast("bigint")
+    )
+    return sized.groupBy(
+        "part_month",
+        F.expr("CAST(cum_before DIV 16384 AS BIGINT)").alias("merge_group"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small_files"),
+        F.sum("bytes").cast("bigint").alias("group_bytes"),
     )

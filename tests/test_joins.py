@@ -227,3 +227,18 @@ def test_q244_symmetric_counts(spark):
     for (p1, p2), v in both:
         assert cnt[(p2, p1)] == v
     assert all(r["rnk"] <= 5 for r in rows)
+
+
+def test_q268_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q268_graph_neighbor_agg")
+
+
+def test_q268_mean_consistent(spark):
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = all_queries()["q268_graph_neighbor_agg"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        assert abs(r["neigh_mean"] - r["neigh_sum_cents"] / (r["degree"] * 100)) < 1e-9
+        assert r["degree"] >= 1

@@ -311,3 +311,29 @@ def test_q232_merge_identity(spark):
     assert rows
     for r in rows:
         assert r["est_from_merge"] == r["est_direct"]
+
+
+def test_q269_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q269_compaction_planner")
+
+
+def test_q269_groups_near_target(spark):
+    """Greedy cumsum cutting: every merge group except possibly a
+    partition's last lands within one small-file of the 16 KB target."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q269_compaction_planner"](spark, SF_DIR).collect()
+    assert rows
+    by_month = {}
+    for r in rows:
+        by_month.setdefault(r["part_month"], []).append(r)
+    for month, groups in by_month.items():
+        groups.sort(key=lambda g: g["merge_group"])
+        for g in groups[:-1]:
+            # a non-final group spans the target (within one file's bytes)
+            assert g["group_bytes"] >= 16384 - 8192
+        for g in groups:
+            assert g["group_bytes"] < 16384 + 8192
