@@ -202,6 +202,8 @@ _DRIVER_PRIORITY = [
     "q267_repeat_factor_manifest",
     "q268_graph_neighbor_agg",
     "q269_compaction_planner",
+    "q270_dependency_profiling",
+    "q271_mv_retraction_maintenance",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

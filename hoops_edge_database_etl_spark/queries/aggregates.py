@@ -2463,3 +2463,103 @@ def q264_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_l.select(F.lit("lineitem").alias("table_name"), F.col("n").alias("n_rows_purged"))
         )
     )
+
+
+@query(
+    "q270_dependency_profiling",
+    oracle="""
+    WITH fd1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+      FROM (SELECT n_nationkey, COUNT(DISTINCT n_regionkey) AS nd
+            FROM nation GROUP BY n_nationkey)
+    ),
+    fd2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+      FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY c_nationkey)
+    ),
+    key1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+      FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+            FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    ),
+    key2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+      FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    )
+    SELECT 'nation.nationkey->regionkey' AS candidate, n_groups, n_viol,
+           CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM fd1
+    UNION ALL
+    SELECT 'customer.nationkey->mktsegment', n_groups, n_viol,
+           CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS BIGINT) FROM fd2
+    UNION ALL
+    SELECT 'lineitem.(orderkey,linenumber) unique', n_groups, n_viol,
+           CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS BIGINT) FROM key1
+    UNION ALL
+    SELECT 'orders.orderkey unique', n_groups, n_viol,
+           CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS BIGINT) FROM key2
+    """,
+)
+def q270_dependency_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY & CANDIDATE-KEY discovery — the schema-
+    inference profiler behind data catalogs: does X → Y hold (every X
+    group has ONE distinct Y), is K a key (every K group has one row)?
+    Each candidate is one grouped count-distinct with map-side combine;
+    violations are groups breaking the invariant, and the verdict row
+    feeds the catalog (a holding FD becomes a declared constraint the
+    optimizer and the q151 expectations engine both exploit; a 99%-FD
+    is a data-quality lead). The candidate list here is fixed; a full
+    discovery run enumerates column pairs under a pruning lattice —
+    each candidate still being exactly this query shape. True/false
+    verdicts on real PK/FK structure (orders.orderkey unique holds;
+    customer nationkey→segment famously does not)."""
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def fd(df, lhs, rhs, name):
+        g = df.groupBy(*lhs).agg(F.countDistinct(*rhs).alias("nd"))
+        return g.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_viol"),
+        ).withColumn(
+            "holds",
+            F.when(F.col("n_viol") == 0, 1).otherwise(0).cast("bigint"),
+        )
+
+    def key(df, cols, name):
+        g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        return g.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_viol"),
+        ).withColumn(
+            "holds",
+            F.when(F.col("n_viol") == 0, 1).otherwise(0).cast("bigint"),
+        )
+
+    return (
+        fd(n, ["n_nationkey"], ["n_regionkey"], "nation.nationkey->regionkey")
+        .unionAll(
+            fd(c, ["c_nationkey"], ["c_mktsegment"], "customer.nationkey->mktsegment")
+        )
+        .unionAll(
+            key(
+                li,
+                ["l_orderkey", "l_linenumber"],
+                "lineitem.(orderkey,linenumber) unique",
+            )
+        )
+        .unionAll(key(o, ["o_orderkey"], "orders.orderkey unique"))
+    )

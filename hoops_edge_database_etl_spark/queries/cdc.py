@@ -608,3 +608,122 @@ def q210_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivor("bal").cast("bigint").alias("bal_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_versions"),
     )
+
+
+@query(
+    "q271_mv_retraction_maintenance",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':rx'),
+                            1, 8) AS BIGINT) % 20 = 0 THEN 1 ELSE 0 END AS retracted
+      FROM events
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM tagged WHERE d < DATE '2024-01-20' GROUP BY event_type
+    ),
+    delta AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN retracted = 0 THEN 1 ELSE -1 END) AS BIGINT) AS dn,
+             CAST(SUM(CASE WHEN retracted = 0 THEN cents ELSE -cents END)
+                  AS BIGINT) AS ds
+      FROM tagged WHERE d >= DATE '2024-01-20' GROUP BY event_type
+    ),
+    direct AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN d < DATE '2024-01-20' OR retracted = 0
+                      THEN 1 ELSE -1 END) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d < DATE '2024-01-20' OR retracted = 0
+                      THEN cents ELSE -cents END) AS BIGINT) AS s
+      FROM tagged GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(b.n + COALESCE(dl.dn, 0) AS BIGINT) AS maintained_n,
+           CAST(b.s + COALESCE(dl.ds, 0) AS BIGINT) AS maintained_sum_cents,
+           d.n AS direct_n,
+           d.s AS direct_sum_cents
+    FROM base b
+    LEFT JOIN delta dl ON dl.event_type = b.event_type
+    JOIN direct d ON d.event_type = b.event_type
+    """,
+)
+def q271_mv_retraction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-AWARE materialized-view maintenance — the +1/−1 delta
+    algebra streaming MV engines (Flink/Materialize) run: a grouped
+    count/sum MV built on the base window is MAINTAINED by applying the
+    later window's delta stream, where hash-chosen 'retracted' rows
+    enter as NEGATIVE contributions — and the query emits BOTH the
+    maintained state and the direct full recomputation so the oracle
+    (and test) pin their equality. This is q134's insert-only
+    incremental aggregation completed with deletes: count and sum are
+    self-maintainable under retraction (no log replay, no rescan);
+    min/max are NOT (a retracted max forces q195's log-compaction
+    path) — which is precisely why production MVs declare their
+    aggregate class. Two passes over the fact stream (base+delta vs
+    direct), both combiner aggregates."""
+    ev = load(spark, sf_dir, "events")
+    retracted = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":rx"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+        == 0
+    )
+    tagged = ev.select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.when(retracted, 1).otherwise(0).alias("retracted"),
+    )
+    cutoff = "2024-01-20"
+    base = tagged.filter(F.col("d") < cutoff).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    delta = tagged.filter(F.col("d") >= cutoff).groupBy("event_type").agg(
+        F.sum(F.when(F.col("retracted") == 0, 1).otherwise(-1))
+        .cast("bigint")
+        .alias("dn"),
+        F.sum(
+            F.when(F.col("retracted") == 0, F.col("cents")).otherwise(-F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("ds"),
+    )
+    direct = tagged.groupBy("event_type").agg(
+        F.sum(
+            F.when((F.col("d") < cutoff) | (F.col("retracted") == 0), 1).otherwise(-1)
+        )
+        .cast("bigint")
+        .alias("direct_n"),
+        F.sum(
+            F.when(
+                (F.col("d") < cutoff) | (F.col("retracted") == 0), F.col("cents")
+            ).otherwise(-F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("direct_sum_cents"),
+    )
+    return (
+        base.join(delta, "event_type", "left")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            (F.col("n") + F.coalesce(F.col("dn"), F.lit(0)))
+            .cast("bigint")
+            .alias("maintained_n"),
+            (F.col("s") + F.coalesce(F.col("ds"), F.lit(0)))
+            .cast("bigint")
+            .alias("maintained_sum_cents"),
+            F.col("direct_n").alias("direct_n"),
+            F.col("direct_sum_cents").alias("direct_sum_cents"),
+        )
+    )

@@ -403,3 +403,22 @@ def test_q264_cascade_is_complete(spark, duck):
            AND l_orderkey NOT IN (SELECT o_orderkey FROM o_dead))
     """).fetchone()
     assert orphans == (0, 0)
+
+
+def test_q270_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q270_dependency_profiling")
+
+
+def test_q270_known_structure(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {
+        r["candidate"]: r
+        for r in all_queries()["q270_dependency_profiling"](spark, SF_DIR).collect()
+    }
+    assert rows["nation.nationkey->regionkey"]["holds"] == 1
+    assert rows["orders.orderkey unique"]["holds"] == 1
+    assert rows["customer.nationkey->mktsegment"]["holds"] == 0

@@ -118,3 +118,22 @@ def test_golden_record_field_wise_survivorship(spark):
         assert r["name"] is not None  # at least one version carries a name
         assert r["bal_cents"] is not None
     assert F2 is not None
+
+
+def test_q271_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q271_mv_retraction_maintenance")
+
+
+def test_q271_maintained_equals_direct(spark):
+    """The delta-maintained MV must equal the full recomputation —
+    count/sum are self-maintainable under retraction."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q271_mv_retraction_maintenance"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["maintained_n"] == r["direct_n"]
+        assert r["maintained_sum_cents"] == r["direct_sum_cents"]
