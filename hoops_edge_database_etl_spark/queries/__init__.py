@@ -204,6 +204,8 @@ _DRIVER_PRIORITY = [
     "q269_compaction_planner",
     "q270_dependency_profiling",
     "q271_mv_retraction_maintenance",
+    "q272_bloom_fpr_audit",
+    "q273_codec_advisor",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -401,3 +401,213 @@ def q269_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_small_files"),
         F.sum("bytes").cast("bigint").alias("group_bytes"),
     )
+
+
+@query(
+    "q272_bloom_fpr_audit",
+    oracle="""
+    WITH member AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':b' || CAST(h.i AS VARCHAR)),
+                  1, 8) AS BIGINT) % 4096 AS bit
+      FROM member, unnest([1, 2, 3]) AS h(i)
+    ),
+    probes AS (
+      SELECT c.c_custkey AS k,
+             CASE WHEN EXISTS (SELECT 1 FROM member m WHERE m.k = c.c_custkey)
+                  THEN 1 ELSE 0 END AS is_member
+      FROM customer c
+    ),
+    probe_hits AS (
+      SELECT p.k, p.is_member,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM bits b WHERE b.bit =
+                 CAST('0x' || substr(md5(CAST(p.k AS VARCHAR) || ':b'
+                      || CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT) % 4096
+             ) THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM probes p, unnest([1, 2, 3]) AS h(i)
+      GROUP BY p.k, p.is_member
+    )
+    SELECT CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(1 - is_member) AS BIGINT) AS n_non_members,
+           CAST(SUM(CASE WHEN is_member = 1 AND n_hit = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS members_passed,
+           CAST(SUM(CASE WHEN is_member = 0 AND n_hit = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(SUM(CASE WHEN is_member = 0 AND n_hit = 3 THEN 1 ELSE 0 END)
+                * 1000000 // NULLIF(SUM(1 - is_member), 0) AS BIGINT)
+             AS observed_fpr_ppm
+    FROM probe_hits
+    """,
+)
+def q272_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FALSE-POSITIVE AUDIT — measure, don't trust, the
+    filter's advertised rate: build a deterministic 4096-bit / 3-hash
+    bloom over recent buyers (md5-derived bit positions — the q72 hash
+    rule, so both engines build the IDENTICAL filter), probe every
+    customer, and report members-passed (must be 100% — blooms have no
+    false negatives, the test pins it) and the observed FPR in exact
+    ppm against the non-member probe set. This is the calibration
+    check behind q81's bloom semi join and q149's block skipping: the
+    m/k sizing only pays if observed FPR tracks theory (~1.5% here).
+    Plan: the bit set is an aggregate (broadcastable at 512 bytes);
+    probes join it per hash — at 100 TB the real filter rides Spark's
+    native bloom, and THIS query is how you regression-test its
+    sizing."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    member = (
+        o.filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def bit(col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(col.cast("string"), F.lit(f":b{i}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4096
+        )
+
+    bits = (
+        member.select(
+            F.explode(
+                F.array(*[bit(F.col("k"), i) for i in (1, 2, 3)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = c.select(F.col("c_custkey").alias("k")).join(
+        member.withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select(
+        "k", F.when(F.col("mk").isNotNull(), 1).otherwise(0).alias("is_member")
+    )
+    probe_bits = probes.select(
+        "k",
+        "is_member",
+        F.explode(F.array(*[bit(F.col("k"), i) for i in (1, 2, 3)])).alias("pbit"),
+    )
+    probe_hits = (
+        probe_bits.join(
+            F.broadcast(bits), probe_bits.pbit == bits.bit, "left"
+        )
+        .groupBy("k", "is_member")
+        .agg(
+            F.sum(F.when(F.col("bit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    return probe_hits.agg(
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(1 - F.col("is_member")).cast("bigint").alias("n_non_members"),
+        F.sum(
+            F.when((F.col("is_member") == 1) & (F.col("n_hit") == 3), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("members_passed"),
+        F.sum(
+            F.when((F.col("is_member") == 0) & (F.col("n_hit") == 3), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+        F.expr(
+            """CAST(SUM(CASE WHEN is_member = 0 AND n_hit = 3 THEN 1 ELSE 0 END)
+               * 1000000 DIV NULLIF(SUM(1 - is_member), 0) AS BIGINT)"""
+        ).alias("observed_fpr_ppm"),
+    )
+
+
+@query(
+    "q273_codec_advisor",
+    oracle="""
+    WITH stats AS (
+      SELECT 'l_returnflag' AS col_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv,
+             CAST(SUM(CASE WHEN v = pv THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats
+      FROM (SELECT l_returnflag AS v,
+                   LAG(l_returnflag) OVER (ORDER BY l_orderkey, l_linenumber) AS pv
+            FROM lineitem)
+      UNION ALL
+      SELECT 'l_quantity', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT v) AS BIGINT),
+             CAST(SUM(CASE WHEN v = pv THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_quantity AS v,
+                   LAG(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber) AS pv
+            FROM lineitem)
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT v) AS BIGINT),
+             CAST(SUM(CASE WHEN v = pv THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_extendedprice AS v,
+                   LAG(l_extendedprice) OVER (ORDER BY l_orderkey, l_linenumber) AS pv
+            FROM lineitem)
+    )
+    SELECT col_name, n, ndv, n_repeats,
+           CASE WHEN ndv * 100 <= n THEN
+                  CASE WHEN n_repeats * 2 >= n THEN 'DICT+RLE' ELSE 'DICT' END
+                WHEN n_repeats * 2 >= n THEN 'RLE'
+                ELSE 'PLAIN' END AS advised_codec
+    FROM stats
+    """,
+)
+def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COLUMN ENCODING ADVISOR — the statistics parquet writers use
+    to pick encodings, surfaced as a report: NDV ratio (≤1% distinct →
+    dictionary pays) and adjacent-repeat rate under the table's native
+    sort (≥50% repeats → run-length pays), combined into a codec
+    verdict per column. The repeat scan orders by the storage key
+    (orderkey, linenumber) — run-length is a property OF A LAYOUT, not
+    of a column, which is why q133's Z-order changes these verdicts
+    (re-running this advisor after re-clustering is the point). The
+    LAG runs once per audited column over the defined total order;
+    production amortizes all columns into one pass. Integer thresholds
+    only — the advice is reproducible, and the q254 varint estimate
+    prices the winning codec's payload."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+
+    def stat(col):
+        return li.select(
+            F.col(col).alias("v"),
+            F.lag(col).over(w).alias("pv"),
+        ).agg(
+            F.lit(col).alias("col_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("v").cast("bigint").alias("ndv"),
+            F.sum(F.when(F.col("v") == F.col("pv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeats"),
+        )
+
+    stats = (
+        stat("l_returnflag")
+        .unionAll(stat("l_quantity"))
+        .unionAll(stat("l_extendedprice"))
+    )
+    return stats.select(
+        "col_name",
+        "n",
+        "ndv",
+        "n_repeats",
+        F.when(
+            F.col("ndv") * 100 <= F.col("n"),
+            F.when(F.col("n_repeats") * 2 >= F.col("n"), "DICT+RLE").otherwise(
+                "DICT"
+            ),
+        )
+        .when(F.col("n_repeats") * 2 >= F.col("n"), "RLE")
+        .otherwise("PLAIN")
+        .alias("advised_codec"),
+    )

@@ -337,3 +337,38 @@ def test_q269_groups_near_target(spark):
             assert g["group_bytes"] >= 16384 - 8192
         for g in groups:
             assert g["group_bytes"] < 16384 + 8192
+
+
+def test_q272_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q272_bloom_fpr_audit")
+
+
+def test_q272_no_false_negatives(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    r = all_queries()["q272_bloom_fpr_audit"](spark, SF_DIR).collect()[0]
+    assert r["members_passed"] == r["n_members"]  # blooms never miss members
+    assert 0 <= r["observed_fpr_ppm"] <= 1_000_000
+    assert r["n_members"] + r["n_non_members"] == 1500
+
+
+def test_q273_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q273_codec_advisor")
+
+
+def test_q273_verdicts_reasonable(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {
+        r["col_name"]: r
+        for r in all_queries()["q273_codec_advisor"](spark, SF_DIR).collect()
+    }
+    # 3-value flag must dictionary-encode; ~unique price must stay plain
+    assert rows["l_returnflag"]["advised_codec"].startswith("DICT")
+    assert rows["l_extendedprice"]["advised_codec"] == "PLAIN"
