@@ -206,6 +206,8 @@ _DRIVER_PRIORITY = [
     "q271_mv_retraction_maintenance",
     "q272_bloom_fpr_audit",
     "q273_codec_advisor",
+    "q274_sequential_ab_looks",
+    "q275_index_advisor",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

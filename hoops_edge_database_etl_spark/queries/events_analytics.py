@@ -2851,3 +2851,115 @@ def q265_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w_expr).cast("bigint").alias("rbo_scaled"),
         (F.sum(w_expr).cast("double") / _RBO_SCALE).alias("rbo"),
     )
+
+
+# O'Brien-Fleming-style two-look z boundaries (alpha=0.05 two-sided),
+# precomputed to ppm (the q214/q240 literal rule): look 1 (50% of data)
+# crosses at |z| >= 2.7965, look 2 (100%) at |z| >= 1.9774.
+_OBF_Z_PPM = {1: 2796500, 2: 1977400}
+
+
+@query(
+    "q274_sequential_ab_looks",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':arm'),
+                        1, 8) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 2 END
+               AS look
+      FROM events
+    ),
+    cum AS (
+      SELECT l.lk AS look,
+             CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT) AS x0
+      FROM assigned, unnest([1, 2]) AS l(lk)
+      WHERE assigned.look <= l.lk
+      GROUP BY l.lk
+    )
+    SELECT look, n1, x1, n0, x0,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             / sqrt(CAST(x1 + x0 AS DOUBLE) / (n1 + n0)
+                    * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                    * (1.0 / n1 + 1.0 / n0)) AS z,
+           CAST(CASE WHEN abs(
+             (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+               / sqrt(CAST(x1 + x0 AS DOUBLE) / (n1 + n0)
+                      * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                      * (1.0 / n1 + 1.0 / n0))) * 1000000
+             >= CASE look WHEN 1 THEN {_OBF_Z_PPM[1]} ELSE {_OBF_Z_PPM[2]} END
+           THEN 1 ELSE 0 END AS BIGINT) AS crossed
+    FROM cum
+    """,
+)
+def q274_sequential_ab_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-SEQUENTIAL A/B ANALYSIS (O'Brien–Fleming two looks) — the
+    peeking-safe experiment readout: cumulative two-proportion z at an
+    interim look (first half of the window) and the final look, each
+    compared to its spending-function boundary (the boundaries enter as
+    ppm literals — precomputed, never a normal quantile in-plan; the
+    q214 rule). Naive daily peeking at |z|≥1.96 inflates false
+    positives several-fold; the widened interim boundary (2.80) is what
+    makes early stopping sound. Arithmetic: counts exact int64 (arms by
+    stable hash — q219's assignment), the z statistic is pure IEEE
+    double ops over those integers (sqrt sanctioned), identical in both
+    engines. Each look is the SAME cumulative aggregate with a date
+    cutoff — the unnest([1,2]) trick computes both looks in one grouped
+    pass over the fact stream."""
+    ev = load(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":arm"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assigned = ev.select(
+        F.when(arm == 0, 1).otherwise(0).alias("treated"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.to_date("ts") < "2024-01-16", 1).otherwise(2).alias("ev_look"),
+    )
+    looks = assigned.crossJoin(
+        F.broadcast(
+            ev.sparkSession.createDataFrame([(1,), (2,)], "look int")
+        )
+    ).filter(F.col("ev_look") <= F.col("look"))
+    cum = looks.groupBy(F.col("look").cast("bigint").alias("look")).agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("x0"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    pp = (F.col("x1") + F.col("x0")).cast("double") / (F.col("n1") + F.col("n0"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
+    )
+    bound = F.when(F.col("look") == 1, _OBF_Z_PPM[1]).otherwise(_OBF_Z_PPM[2])
+    return cum.select(
+        "look",
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        z.alias("z"),
+        F.when(F.abs(z) * 1000000 >= bound, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("crossed"),
+    )

@@ -611,3 +611,94 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("PLAIN")
         .alias("advised_codec"),
     )
+
+
+@query(
+    "q275_index_advisor",
+    oracle="""
+    WITH w AS (
+      SELECT 'orders.o_orderpriority = 1-URGENT' AS predicate,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS matched
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_totalprice > 450000', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_shipdate in 1998-W01', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                            AND l_shipdate < TIMESTAMP '1998-01-08'
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_quantity = 1', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem
+    )
+    SELECT predicate, n, matched,
+           CAST(matched * 1000000 // n AS BIGINT) AS selectivity_ppm,
+           CASE WHEN matched * 100 <= n THEN 'cluster-or-index'
+                WHEN matched * 10 <= n THEN 'zone-map-benefit'
+                ELSE 'full-scan' END AS advice
+    FROM w
+    """,
+)
+def q275_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX / LAYOUT ADVISOR over a predicate workload — the physical-
+    design loop closed: measure each recurring predicate's EXACT
+    selectivity and grade the remedy (≤1% → cluster on it or index it;
+    ≤10% → min/max zone maps already pay, q133/q149's territory; else
+    the scan is the plan and the money goes to column pruning). The
+    thresholds are integer cross-multiplies; selectivity lands in exact
+    ppm. One pass per table (all that table's workload predicates fold
+    into one conditional-counter aggregate — the q143 profiler shape),
+    and the verdicts feed directly into which q133 Z-order / q269
+    compaction run is worth scheduling. At 100 TB this query reads
+    footer-level statistics in a real deployment; here it proves the
+    decision arithmetic end to end."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def probe(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("predicate"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias("matched"),
+        )
+
+    w = (
+        probe(
+            o,
+            "orders.o_orderpriority = 1-URGENT",
+            F.col("o_orderpriority") == "1-URGENT",
+        )
+        .unionAll(probe(o, "orders.o_totalprice > 450000", F.col("o_totalprice") > 450000))
+        .unionAll(
+            probe(
+                li,
+                "lineitem.l_shipdate in 1998-W01",
+                (F.col("l_shipdate") >= "1998-01-01")
+                & (F.col("l_shipdate") < "1998-01-08"),
+            )
+        )
+        .unionAll(
+            probe(
+                li,
+                "lineitem.l_quantity = 1",
+                F.col("l_quantity").cast("bigint") == 1,
+            )
+        )
+    )
+    return w.select(
+        "predicate",
+        "n",
+        "matched",
+        F.expr("CAST(matched * 1000000 DIV n AS BIGINT)").alias("selectivity_ppm"),
+        F.when(F.col("matched") * 100 <= F.col("n"), "cluster-or-index")
+        .when(F.col("matched") * 10 <= F.col("n"), "zone-map-benefit")
+        .otherwise("full-scan")
+        .alias("advice"),
+    )

@@ -562,3 +562,25 @@ def test_q265_bounds_and_identity(spark):
     for r in rows:
         assert 0 < r["rbo_scaled"] <= 1288980  # max attainable at depth 10
         assert abs(r["rbo"] - r["rbo_scaled"] / 1290240) < 1e-15
+
+
+def test_q274_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q274_sequential_ab_looks")
+
+
+def test_q274_structure(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {
+        r["look"]: r
+        for r in all_queries()["q274_sequential_ab_looks"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2}
+    # look 2 is cumulative: strictly more observations than look 1
+    assert rows[2]["n1"] + rows[2]["n0"] > rows[1]["n1"] + rows[1]["n0"]
+    for r in rows.values():
+        assert r["crossed"] in (0, 1)
+        assert r["x1"] <= r["n1"] and r["x0"] <= r["n0"]

@@ -372,3 +372,26 @@ def test_q273_verdicts_reasonable(spark):
     # 3-value flag must dictionary-encode; ~unique price must stay plain
     assert rows["l_returnflag"]["advised_codec"].startswith("DICT")
     assert rows["l_extendedprice"]["advised_codec"] == "PLAIN"
+
+
+def test_q275_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q275_index_advisor")
+
+
+def test_q275_advice_thresholds(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q275_index_advisor"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    for r in rows:
+        sel = r["matched"] / r["n"]
+        if sel <= 0.01:
+            assert r["advice"] == "cluster-or-index"
+        elif sel <= 0.10:
+            assert r["advice"] == "zone-map-benefit"
+        else:
+            assert r["advice"] == "full-scan"
+    assert {r["advice"] for r in rows} >= {"cluster-or-index", "full-scan"}
