@@ -208,6 +208,9 @@ _DRIVER_PRIORITY = [
     "q273_codec_advisor",
     "q274_sequential_ab_looks",
     "q275_index_advisor",
+    "q276_ledger_reconciliation",
+    "q277_masking_policy",
+    "q278_bandit_allocation",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

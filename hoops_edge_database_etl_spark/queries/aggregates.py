@@ -2563,3 +2563,85 @@ def q270_dependency_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(key(o, ["o_orderkey"], "orders.orderkey unique"))
     )
+
+
+@query(
+    "q276_ledger_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS lines_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
+             COALESCE(li.lines_cents, 0) AS lines_cents
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    graded AS (
+      SELECT CASE
+               WHEN lines_cents = 0 THEN 'no-lines'
+               WHEN header_cents = lines_cents THEN 'exact'
+               WHEN abs(header_cents - lines_cents) * 100 <= header_cents
+                 THEN 'within-1pct'
+               ELSE 'mismatch' END AS grade,
+             header_cents, lines_cents
+      FROM j
+    )
+    SELECT grade,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(header_cents) AS BIGINT) AS header_total_cents,
+           CAST(SUM(lines_cents) AS BIGINT) AS lines_total_cents,
+           CAST(SUM(abs(header_cents - lines_cents)) AS BIGINT) AS abs_drift_cents
+    FROM graded GROUP BY grade
+    """,
+)
+def q276_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEDGER RECONCILIATION — the finance-ops control: does every
+    order header's total agree with the sum of its lines? Exact-cents
+    comparison graded into exact / within-1% (integer cross-multiply
+    tolerance, never a float epsilon) / mismatch / no-lines, with the
+    aggregate drift per grade — the daily close report that catches
+    partial loads, double-applied discounts, and the q14 gap-repair
+    cases from the money side instead of the key side. One line-level
+    combiner aggregate + a LEFT join (headers without lines MUST
+    surface — an inner join would hide exactly the broken orders), one
+    grade rollup. On this synthetic data headers are generated
+    independently of lines, so 'mismatch' dominating is itself the
+    correct finding — the report's value is that its counts are
+    deterministic and auditable."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("lines_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "header_cents"
+        ),
+    ).join(lines, F.col("o_orderkey") == lines.l_orderkey, "left").select(
+        "header_cents", F.coalesce("lines_cents", F.lit(0)).alias("lines_cents")
+    )
+    grade = (
+        F.when(F.col("lines_cents") == 0, "no-lines")
+        .when(F.col("header_cents") == F.col("lines_cents"), "exact")
+        .when(
+            F.abs(F.col("header_cents") - F.col("lines_cents")) * 100
+            <= F.col("header_cents"),
+            "within-1pct",
+        )
+        .otherwise("mismatch")
+    )
+    return j.groupBy(grade.alias("grade")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("header_cents").cast("bigint").alias("header_total_cents"),
+        F.sum("lines_cents").cast("bigint").alias("lines_total_cents"),
+        F.sum(F.abs(F.col("header_cents") - F.col("lines_cents")))
+        .cast("bigint")
+        .alias("abs_drift_cents"),
+    )

@@ -2963,3 +2963,88 @@ def q274_sequential_ab_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("crossed"),
     )
+
+
+@query(
+    "q278_bandit_allocation",
+    oracle="""
+    WITH arms AS (
+      SELECT event_type AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN floor(value * 100 + 0.5) >= 25000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS wins
+      FROM events GROUP BY event_type
+    ),
+    post AS (
+      SELECT arm, n, wins,
+             CAST((wins + 1) * 1000000 // (n + 2) AS BIGINT) AS posterior_ppm
+      FROM arms
+    ),
+    tot AS (SELECT CAST(SUM(posterior_ppm) AS BIGINT) AS tp FROM post),
+    quota AS (
+      SELECT arm, n, wins, posterior_ppm,
+             CAST(1000 * posterior_ppm // tp AS BIGINT) AS base_alloc,
+             CAST(1000 * posterior_ppm % tp AS BIGINT) AS rem
+      FROM post, tot
+    )
+    SELECT arm, n, wins, posterior_ppm,
+           CAST(base_alloc + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, arm)
+                 <= 1000 - (SELECT SUM(base_alloc) FROM quota)
+                THEN 1 ELSE 0 END AS BIGINT) AS next_batch_alloc
+    FROM quota
+    """,
+)
+def q278_bandit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE TRAFFIC ALLOCATION — the bandit re-balancing step an
+    experimentation platform runs between batches: per arm, the
+    Beta(1,1)-posterior mean success rate ((wins+1)/(n+2), Laplace-
+    smoothed, exact ppm — the deterministic core of Thompson sampling
+    with the RNG draw deliberately replaced by the mean, since RNG can
+    never hash-match and mean-allocation is the deployable greedy
+    variant), then the next 1000 requests apportioned proportionally
+    by LARGEST REMAINDER (q267's seat-allocation machinery — Σ ≡ 1000
+    exactly, test-pinned). One grouped pass for the arm stats; windows
+    touch only the |arms|-row table. Swap the win condition for a real
+    reward column and this is production shape."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.groupBy(F.col("event_type").alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.floor(F.col("value") * 100 + F.lit(0.5)) >= 25000, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("wins"),
+    )
+    post = arms.withColumn(
+        "posterior_ppm",
+        F.expr("CAST((wins + 1) * 1000000 DIV (n + 2) AS BIGINT)"),
+    )
+    tot = post.agg(F.sum("posterior_ppm").cast("bigint").alias("tp"))
+    quota = post.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        "wins",
+        "posterior_ppm",
+        F.expr("CAST(1000 * posterior_ppm DIV tp AS BIGINT)").alias("base_alloc"),
+        F.expr("CAST(1000 * posterior_ppm % tp AS BIGINT)").alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(1000) - F.sum("base_alloc")).cast("bigint").alias("short")
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "arm")
+    return (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(wr))
+        .select(
+            "arm",
+            "n",
+            "wins",
+            "posterior_ppm",
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rr") <= F.col("short"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("next_batch_alloc"),
+        )
+    )

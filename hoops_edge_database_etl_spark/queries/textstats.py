@@ -1731,3 +1731,50 @@ def q266_safety_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("pass")
         .alias("verdict"),
     )
+
+
+@query(
+    "q277_masking_policy",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           concat(substr(c_name, 1, 9), repeat('*', length(c_name) - 9)) AS name_masked,
+           CAST(floor(floor(c_acctbal * 100 + 0.5) / 100000) * 1000 AS BIGINT)
+             AS acctbal_band_dollars,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           md5(CAST(c_custkey AS VARCHAR) || ':tok') AS custkey_token
+    FROM customer
+    """,
+)
+def q277_masking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MASKING POLICY applied for an 'analyst' role — the
+    row/column-level-security projection a governed warehouse serves
+    instead of the base table: names keep their stable prefix and mask
+    the identifying tail (length-preserving, so downstream width
+    assumptions hold), balances coarsen to $1000 bands (the q241
+    k-anonymity banding — the SAME generalization that made groups
+    k-anonymous is what the mask exposes), and the key is replaced by
+    its q186 pseudonymization token (joinable across masked tables,
+    irreversible without the salt registry). Pure projection — zero
+    shuffle, fully pushdown-compatible, and because every mask is a
+    deterministic expression the policy is testable: the oracle IS the
+    policy document. Row-level policies add a WHERE on the same view."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.concat(
+            F.substring("c_name", 1, 9),
+            F.expr("repeat('*', length(c_name) - 9)"),
+        ).alias("name_masked"),
+        (
+            F.floor(
+                F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)) / 100000
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("acctbal_band_dollars"),
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":tok"))).alias(
+            "custkey_token"
+        ),
+    )

@@ -422,3 +422,20 @@ def test_q270_known_structure(spark):
     assert rows["nation.nationkey->regionkey"]["holds"] == 1
     assert rows["orders.orderkey unique"]["holds"] == 1
     assert rows["customer.nationkey->mktsegment"]["holds"] == 0
+
+
+def test_q276_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q276_ledger_reconciliation")
+
+
+def test_q276_conservation(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q276_ledger_reconciliation"](spark, SF_DIR).collect()
+    assert sum(r["n_orders"] for r in rows) == 15000
+    for r in rows:
+        if r["grade"] == "exact":
+            assert r["abs_drift_cents"] == 0

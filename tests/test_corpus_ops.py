@@ -262,3 +262,28 @@ def test_q266_verdict_logic(spark):
         else:
             assert r["verdict"] == "pass"
     assert "block" in seen and "pass" in seen
+
+
+def test_q277_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q277_masking_policy")
+
+
+def test_q277_mask_properties(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in load(spark, SF_DIR, "customer").select("c_custkey", "c_name").collect()
+    }
+    rows = all_queries()["q277_masking_policy"](spark, SF_DIR).collect()
+    assert len(rows) == 1500
+    for r in rows[:100]:
+        orig = names[r["c_custkey"]]
+        assert len(r["name_masked"]) == len(orig)  # length-preserving
+        assert r["name_masked"][:9] == orig[:9]
+        assert set(r["name_masked"][9:]) <= {"*"}
+        assert r["acctbal_band_dollars"] % 1000 == 0

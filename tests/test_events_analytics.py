@@ -584,3 +584,20 @@ def test_q274_structure(spark):
     for r in rows.values():
         assert r["crossed"] in (0, 1)
         assert r["x1"] <= r["n1"] and r["x0"] <= r["n0"]
+
+
+def test_q278_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q278_bandit_allocation")
+
+
+def test_q278_allocation_sums_to_budget(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q278_bandit_allocation"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert sum(r["next_batch_alloc"] for r in rows) == 1000
+    for r in rows:
+        assert 0 < r["posterior_ppm"] < 1_000_000
