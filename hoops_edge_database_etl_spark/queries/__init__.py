@@ -211,6 +211,8 @@ _DRIVER_PRIORITY = [
     "q276_ledger_reconciliation",
     "q277_masking_policy",
     "q278_bandit_allocation",
+    "q279_spatial_radius_join",
+    "q280_nearest_facility",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",
@@ -323,6 +325,7 @@ def _load_modules() -> None:
         tpch_shapes,
         tokenization,
         search,
+        spatial,
     )
 
     _LOADED = True

@@ -1,0 +1,196 @@
+"""Spatial operators on a planar integer grid — the join family every
+geo-enabled warehouse ships (radius self-join, nearest-facility
+assignment), expressed with the same bucketing discipline as the 1-D
+range join (queries/joins.py q65) lifted to 2-D.
+
+Coordinates are DERIVED deterministically (md5 of the entity key →
+x, y on a 1,000,000² integer grid) because the testdata has no geo
+columns; swap in real projected coordinates (integer centimeters in a
+local CRS) and nothing changes. Distances are EXACT integer squared
+Euclidean — no sqrt needed for comparisons (d² < r² ⟺ d < r), no
+haversine (trig is transcendental and can never hash-match; production
+projects to a local plane first, which is also what makes distances
+cheap — the standard pattern for city/region-scale joins).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from hoops_edge_database_etl_spark.queries import query
+from hoops_edge_database_etl_spark.tables import load
+
+GRID = 1_000_000          # coordinate domain per axis
+RADIUS = 20_000           # q279 radius (2% of the domain)
+CELL = RADIUS             # cell size = radius → 3x3 neighborhood suffices
+
+_XY_SQL = """
+      SELECT c_custkey AS id,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':x'), 1, 8)
+                  AS BIGINT) % 1000000 AS x,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':y'), 1, 8)
+                  AS BIGINT) % 1000000 AS y
+      FROM customer
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    def coord(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % GRID
+        )
+
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        coord(":x").alias("x"),
+        coord(":y").alias("y"),
+    )
+
+
+@query(
+    "q279_spatial_radius_join",
+    oracle=f"""
+    WITH pts AS ({_XY_SQL}),
+    cells AS (
+      SELECT id, x, y, x // {CELL} AS cx, y // {CELL} AS cy FROM pts
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id < b.id
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(d2 AS BIGINT) AS dist_sq
+    FROM cand WHERE d2 < {RADIUS} * {RADIUS}
+    """,
+)
+def q279_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS SELF-JOIN — all point pairs within distance r,
+    the proximity query behind store-cannibalization, contact-tracing,
+    and spatial dedup. The plan is the 2-D lift of q65's bin-bucketed
+    range join: points hash into r-sized grid cells, candidates come
+    from an EQUI-join on the 3×3 cell neighborhood (expressed as two
+    BETWEENs that Catalyst turns into the cell-key join plus residual
+    — cell size = radius guarantees no within-r pair escapes the
+    neighborhood), and the exact integer d² < r² filter prunes the
+    candidates. Never the naive O(n²) cross join: work is per-cell
+    quadratic, and cell occupancy is the q104-profiled skew knob
+    (dense cities → smaller cells + the salting recipe). i<j dedups
+    the unordered pair once, at the join — not with a post-distinct."""
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x DIV {CELL}").alias("cx"),
+        F.expr(f"y DIV {CELL}").alias("cy"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    return (
+        a.join(
+            b,
+            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(d2 < RADIUS * RADIUS)
+        .select(
+            F.col("a.id").cast("bigint").alias("id_a"),
+            F.col("b.id").cast("bigint").alias("id_b"),
+            d2.cast("bigint").alias("dist_sq"),
+        )
+    )
+
+
+@query(
+    "q280_nearest_facility",
+    oracle=f"""
+    WITH pts AS ({_XY_SQL}),
+    fac AS (
+      SELECT s_suppkey AS fid,
+             CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':fx'), 1, 8)
+                  AS BIGINT) % 1000000 AS fx,
+             CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':fy'), 1, 8)
+                  AS BIGINT) % 1000000 AS fy
+      FROM supplier WHERE s_suppkey <= 10
+    ),
+    scored AS (
+      SELECT p.id, f.fid,
+             (p.x - f.fx) * (p.x - f.fx) + (p.y - f.fy) * (p.y - f.fy) AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.id
+               ORDER BY (p.x - f.fx) * (p.x - f.fx) + (p.y - f.fy) * (p.y - f.fy),
+                        f.fid
+             ) AS rn
+      FROM pts p CROSS JOIN fac f
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(fid AS BIGINT) AS nearest_facility,
+           CAST(d2 AS BIGINT) AS dist_sq
+    FROM scored WHERE rn = 1
+    """,
+)
+def q280_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-FACILITY ASSIGNMENT — every point to its closest of k
+    facilities (service-territory carving, warehouse assignment, the
+    geo Voronoi labeling). The facility set is small by definition and
+    BROADCASTS; each point scores all k with exact integer d² (ties
+    broken by facility id — deterministic territories) and keeps the
+    argmin via an associative min-of-struct — NO per-point window and
+    no shuffle at all beyond the broadcast: at 100 TB this is a
+    map-only job. The k-means assignment step (q164) is this exact
+    query with centroids for facilities; when k grows past broadcast
+    range, the q279 grid prunes candidates first (facility cells ± the
+    current-best radius)."""
+    pts = _points(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 10)
+
+    def fcoord(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("s_suppkey").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % GRID
+        )
+
+    fac = s.select(
+        F.col("s_suppkey").alias("fid"),
+        fcoord(":fx").alias("fx"),
+        fcoord(":fy").alias("fy"),
+    )
+    d2 = (F.col("x") - F.col("fx")) * (F.col("x") - F.col("fx")) + (
+        F.col("y") - F.col("fy")
+    ) * (F.col("y") - F.col("fy"))
+    scored = pts.crossJoin(F.broadcast(fac)).select(
+        "id", F.struct(d2.alias("d2"), F.col("fid").alias("fid")).alias("sc")
+    )
+    best = scored.groupBy("id").agg(F.min("sc").alias("best"))
+    return best.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("best.fid").cast("bigint").alias("nearest_facility"),
+        F.col("best.d2").cast("bigint").alias("dist_sq"),
+    )
