@@ -213,6 +213,8 @@ _DRIVER_PRIORITY = [
     "q278_bandit_allocation",
     "q279_spatial_radius_join",
     "q280_nearest_facility",
+    "q281_spatial_multires_rollup",
+    "q282_zone_containment_join",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

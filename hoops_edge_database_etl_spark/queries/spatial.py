@@ -194,3 +194,114 @@ def q280_nearest_facility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.fid").cast("bigint").alias("nearest_facility"),
         F.col("best.d2").cast("bigint").alias("dist_sq"),
     )
+
+
+@query(
+    "q281_spatial_multires_rollup",
+    oracle=f"""
+    WITH pts AS ({_XY_SQL}),
+    levels AS (
+      SELECT l.res AS res,
+             x // (1000000 // CAST(pow(4, l.res) AS BIGINT)) AS cx,
+             y // (1000000 // CAST(pow(4, l.res) AS BIGINT)) AS cy
+      FROM pts, unnest([1, 2, 3]) AS l(res)
+    )
+    SELECT CAST(res AS BIGINT) AS res,
+           CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM levels GROUP BY res, cx, cy
+    """,
+)
+def q281_spatial_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-RESOLUTION SPATIAL ROLLUP — point density at three nested
+    grid levels (4/16/64 cells per axis — the H3/quadkey serving-tile
+    pyramid): each point emits its cell id at every level array-side
+    (the q239 ancestor-path recipe on a grid — a coarse cell IS the
+    prefix of its fine cells, so parents are integer divisions of
+    children) and one grouped aggregate builds all levels. A tile
+    server reads the level matching the zoom; the nesting invariant
+    (every level-k cell's count equals the sum of its level-k+1
+    children, test-pinned) is what makes drill-down exact rather than
+    re-queried. pow(4, res) is an exact small-integer power in both
+    engines (integer-valued double, floor'd by the // — no float
+    drift possible below 2^53)."""
+    pts = _points(spark, sf_dir)
+    levels = pts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(res).cast("bigint").alias("res"),
+                        F.expr(f"x DIV {GRID // 4 ** res}").alias("cx"),
+                        F.expr(f"y DIV {GRID // 4 ** res}").alias("cy"),
+                    )
+                    for res in (1, 2, 3)
+                ]
+            )
+        ).alias("c")
+    ).select("c.res", "c.cx", "c.cy")
+    return levels.groupBy("res", "cx", "cy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+
+
+@query(
+    "q282_zone_containment_join",
+    oracle=f"""
+    WITH pts AS ({_XY_SQL}),
+    zones AS (
+      SELECT s_suppkey AS zid,
+             CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':zx'), 1, 8)
+                  AS BIGINT) % 800000 AS zx,
+             CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':zy'), 1, 8)
+                  AS BIGINT) % 800000 AS zy
+      FROM supplier WHERE s_suppkey < 20
+    )
+    SELECT CAST(z.zid AS BIGINT) AS zid,
+           CAST(COUNT(p.id) AS BIGINT) AS n_points_inside
+    FROM zones z LEFT JOIN pts p
+      ON p.x BETWEEN z.zx AND z.zx + 200000
+     AND p.y BETWEEN z.zy AND z.zy + 200000
+    GROUP BY z.zid
+    """,
+)
+def q282_zone_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-ZONE CONTAINMENT JOIN — count points inside each
+    rectangular service zone (the axis-aligned core of point-in-polygon:
+    real polygon joins run exactly this bounding-box join first and
+    refine survivors with the ray-cast test). Zones are few and
+    BROADCAST, so the containment predicate — two BETWEENs — evaluates
+    map-side against the streaming point scan: no shuffle, no explosion
+    beyond genuine (point, zone) hits, LEFT join so empty zones report
+    zero (the q222 zero-bucket rule). When zones number millions, flip
+    to the q279 grid: index zone bounding boxes by the cells they
+    overlap and equi-join on cell — same answers, bounded fan-out."""
+    pts = _points(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 20)
+
+    def zc(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("s_suppkey").cast("string"), F.lit(salt))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 800000
+        )
+
+    zones = s.select(
+        F.col("s_suppkey").alias("zid"), zc(":zx").alias("zx"), zc(":zy").alias("zy")
+    )
+    joined = F.broadcast(zones).join(
+        pts,
+        F.col("x").between(F.col("zx"), F.col("zx") + 200000)
+        & F.col("y").between(F.col("zy"), F.col("zy") + 200000),
+        "left",
+    )
+    return joined.groupBy(F.col("zid").cast("bigint").alias("zid")).agg(
+        F.count("id").cast("bigint").alias("n_points_inside")
+    )

@@ -54,3 +54,34 @@ def test_q280_assignment_is_argmin(spark):
             ((fx - x) ** 2 + (fy - y) ** 2, fid) for fid, (fx, fy) in fac.items()
         )
         assert (r["dist_sq"], r["nearest_facility"]) == best
+
+
+@pytest.mark.parametrize(
+    "name", ["q281_spatial_multires_rollup", "q282_zone_containment_join"]
+)
+def test_spatial_rollup_zone_match_oracle(spark, duck, name):
+    compare_query(spark, duck, name)
+
+
+def test_q281_nesting_invariant(spark):
+    """Every coarse cell's count equals the sum of its children."""
+    rows = all_queries()["q281_spatial_multires_rollup"](spark, SF_DIR).collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["res"], {})[(r["cx"], r["cy"])] = r["n_points"]
+    for res in (1, 2):
+        for (cx, cy), n in by_res[res].items():
+            children = sum(
+                v
+                for (kx, ky), v in by_res[res + 1].items()
+                if kx // 4 == cx and ky // 4 == cy
+            )
+            assert children == n
+    assert sum(by_res[1].values()) == 1500
+
+
+def test_q282_zero_zones_reported(spark):
+    rows = all_queries()["q282_zone_containment_join"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # every zone reports, including empty ones
+    assert all(r["n_points_inside"] >= 0 for r in rows)
+    assert any(r["n_points_inside"] > 0 for r in rows)
