@@ -215,6 +215,7 @@ _DRIVER_PRIORITY = [
     "q280_nearest_facility",
     "q281_spatial_multires_rollup",
     "q282_zone_containment_join",
+    "q283_dbscan_core_points",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

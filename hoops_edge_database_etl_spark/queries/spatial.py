@@ -305,3 +305,81 @@ def q282_zone_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("zid").cast("bigint").alias("zid")).agg(
         F.count("id").cast("bigint").alias("n_points_inside")
     )
+
+
+@query(
+    "q283_dbscan_core_points",
+    oracle=f"""
+    WITH pts AS ({_XY_SQL}),
+    cells AS (
+      SELECT id, x, y, x // {CELL} AS cx, y // {CELL} AS cy FROM pts
+    ),
+    neigh AS (
+      SELECT a.id,
+             CAST(SUM(CASE WHEN (a.x - b.x) * (a.x - b.x)
+                              + (a.y - b.y) * (a.y - b.y) < {RADIUS} * {RADIUS}
+                            AND a.id <> b.id
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_neighbors
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+      GROUP BY a.id
+    )
+    SELECT CAST(id AS BIGINT) AS id, n_neighbors,
+           CASE WHEN n_neighbors >= 3 THEN 'core'
+                WHEN n_neighbors >= 1 THEN 'border-or-noise'
+                ELSE 'noise' END AS label
+    FROM neigh
+    """,
+)
+def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN CORE-POINT CLASSIFICATION — the density pass of spatial
+    clustering: a point is CORE if ≥ minPts (3) neighbors sit within ε
+    (q279's radius), isolated points are NOISE, the rest are border
+    candidates. Same grid-cell neighborhood join as q279, but
+    aggregated per point instead of emitting pairs — the neighbor
+    COUNT needs no pair materialization beyond the join itself, and
+    every point reports (the self-pair is excluded in the count, not
+    the join, so zero-neighbor points survive to be labeled noise).
+    Full DBSCAN then unions core points within ε and runs the q62
+    connected-components sweep over THAT graph — core classification
+    is the one-pass 90% that decides how big the iterative 10% even
+    is. Exact integer d² throughout."""
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr(f"x DIV {CELL}").alias("cx"),
+        F.expr(f"y DIV {CELL}").alias("cy"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    neigh = (
+        a.join(
+            b,
+            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1),
+        )
+        .groupBy(F.col("a.id").alias("id"))
+        .agg(
+            F.sum(
+                F.when(
+                    (d2 < RADIUS * RADIUS) & (F.col("a.id") != F.col("b.id")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_neighbors")
+        )
+    )
+    return neigh.select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_neighbors",
+        F.when(F.col("n_neighbors") >= 3, "core")
+        .when(F.col("n_neighbors") >= 1, "border-or-noise")
+        .otherwise("noise")
+        .alias("label"),
+    )

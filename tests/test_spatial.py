@@ -85,3 +85,26 @@ def test_q282_zero_zones_reported(spark):
     assert len(rows) == 20  # every zone reports, including empty ones
     assert all(r["n_points_inside"] >= 0 for r in rows)
     assert any(r["n_points_inside"] > 0 for r in rows)
+
+
+def test_q283_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q283_dbscan_core_points")
+
+
+def test_q283_consistent_with_radius_join(spark):
+    """Neighbor counts must equal degrees in q279's pair list."""
+    from collections import Counter
+
+    pairs = all_queries()["q279_spatial_radius_join"](spark, SF_DIR).collect()
+    deg = Counter()
+    for p in pairs:
+        deg[p["id_a"]] += 1
+        deg[p["id_b"]] += 1
+    rows = all_queries()["q283_dbscan_core_points"](spark, SF_DIR).collect()
+    assert len(rows) == 1500
+    for r in rows:
+        assert r["n_neighbors"] == deg.get(r["id"], 0)
+        if r["label"] == "core":
+            assert r["n_neighbors"] >= 3
+        elif r["label"] == "noise":
+            assert r["n_neighbors"] == 0
