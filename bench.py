@@ -74,6 +74,7 @@ HEADLINE = [
     "q246_hard_negative_mining", # blocked label-aware GEMM tiles
     "q250_maxsim_late_interaction",  # broadcast-query einsum MaxSim kernel
     "q252_pit_features",        # multi-horizon RANGE-frame features
+    "q279_spatial_radius_join", # grid-cell equi-join spatial self-join
 ]
 
 

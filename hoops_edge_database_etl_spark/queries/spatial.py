@@ -35,6 +35,36 @@ _XY_SQL = """
 """
 
 
+def _cell_probe(pts: DataFrame) -> DataFrame:
+    """Each point replicated to its 3×3 neighbor cells — the probe side
+    of the grid equi-join (one row per (point, neighbor cell), built
+    array-side with zero shuffle)."""
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    return (
+        pts.select(
+            "id",
+            "x",
+            "y",
+            F.expr(f"x DIV {CELL}").alias("cx"),
+            F.expr(f"y DIV {CELL}").alias("cy"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "id",
+            "x",
+            "y",
+            (F.col("cx") + F.col("o.dx")).alias("kx"),
+            (F.col("cy") + F.col("o.dy")).alias("ky"),
+        )
+    )
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
 
@@ -84,38 +114,38 @@ def q279_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the proximity query behind store-cannibalization, contact-tracing,
     and spatial dedup. The plan is the 2-D lift of q65's bin-bucketed
     range join: points hash into r-sized grid cells, candidates come
-    from an EQUI-join on the 3×3 cell neighborhood (expressed as two
-    BETWEENs that Catalyst turns into the cell-key join plus residual
-    — cell size = radius guarantees no within-r pair escapes the
-    neighborhood), and the exact integer d² < r² filter prunes the
+    from a PURE EQUI-join on the cell key — the probe side replicates
+    each point to its 3×3 neighbor cells array-side, the build side
+    keeps one row per point, and one hash shuffle meets them (cell
+    size = radius guarantees no within-r pair escapes the
+    neighborhood); the exact integer d² < r² residual prunes the
     candidates. Never the naive O(n²) cross join: work is per-cell
     quadratic, and cell occupancy is the q104-profiled skew knob
     (dense cities → smaller cells + the salting recipe). i<j dedups
     the unordered pair once, at the join — not with a post-distinct."""
     pts = _points(spark, sf_dir)
-    cells = pts.select(
-        "id",
-        "x",
-        "y",
-        F.expr(f"x DIV {CELL}").alias("cx"),
-        F.expr(f"y DIV {CELL}").alias("cy"),
+    # Probe side: each point visits its 9 neighbor cells (array-side
+    # explode); build side: each point sits in its own cell. The join is
+    # then a PURE EQUI-join on the cell key — one hash shuffle — where
+    # the naive `b.cx BETWEEN a.cx±1` form plans a broadcast
+    # nested-loop (O(n²) comparisons; measured 3x slower at sf0.1).
+    probe = _cell_probe(pts)
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {CELL}").alias("kx"),
+        F.expr(f"y DIV {CELL}").alias("ky"),
     )
-    a = cells.alias("a")
-    b = cells.alias("b")
-    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
-        F.col("a.y") - F.col("b.y")
-    ) * (F.col("a.y") - F.col("b.y"))
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
     return (
-        a.join(
-            b,
-            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
-            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(d2 < RADIUS * RADIUS)
+        probe.join(build, ["kx", "ky"])
+        .filter((F.col("id") < F.col("id_b")) & (d2 < RADIUS * RADIUS))
         .select(
-            F.col("a.id").cast("bigint").alias("id_a"),
-            F.col("b.id").cast("bigint").alias("id_b"),
+            F.col("id").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
             d2.cast("bigint").alias("dist_sq"),
         )
     )
@@ -336,7 +366,8 @@ def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN CORE-POINT CLASSIFICATION — the density pass of spatial
     clustering: a point is CORE if ≥ minPts (3) neighbors sit within ε
     (q279's radius), isolated points are NOISE, the rest are border
-    candidates. Same grid-cell neighborhood join as q279, but
+    candidates. Same grid-cell equi-join as q279 (probe side
+    replicated to 9 neighbor cells, one hash shuffle), but
     aggregated per point instead of emitting pairs — the neighbor
     COUNT needs no pair materialization beyond the join itself, and
     every point reports (the self-pair is excluded in the count, not
@@ -346,29 +377,24 @@ def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the one-pass 90% that decides how big the iterative 10% even
     is. Exact integer d² throughout."""
     pts = _points(spark, sf_dir)
-    cells = pts.select(
-        "id",
-        "x",
-        "y",
-        F.expr(f"x DIV {CELL}").alias("cx"),
-        F.expr(f"y DIV {CELL}").alias("cy"),
+    probe = _cell_probe(pts)
+    build = pts.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.expr(f"x DIV {CELL}").alias("kx"),
+        F.expr(f"y DIV {CELL}").alias("ky"),
     )
-    a = cells.alias("a")
-    b = cells.alias("b")
-    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
-        F.col("a.y") - F.col("b.y")
-    ) * (F.col("a.y") - F.col("b.y"))
+    d2 = (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb")) + (
+        F.col("y") - F.col("yb")
+    ) * (F.col("y") - F.col("yb"))
     neigh = (
-        a.join(
-            b,
-            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
-            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1),
-        )
-        .groupBy(F.col("a.id").alias("id"))
+        probe.join(build, ["kx", "ky"])
+        .groupBy("id")
         .agg(
             F.sum(
                 F.when(
-                    (d2 < RADIUS * RADIUS) & (F.col("a.id") != F.col("b.id")), 1
+                    (d2 < RADIUS * RADIUS) & (F.col("id") != F.col("id_b")), 1
                 ).otherwise(0)
             )
             .cast("bigint")

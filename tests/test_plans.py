@@ -359,3 +359,14 @@ def test_q253_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
     assert "__mc_pid" in plan
+
+
+def test_spatial_grid_join_is_equi_join(spark):
+    """q279/q283 must plan the cell-key hash equi-join (probe side
+    exploded to 9 neighbor cells) — never a BroadcastNestedLoopJoin
+    over the raw BETWEEN neighborhood predicate."""
+    for name in ("q279_spatial_radius_join", "q283_dbscan_core_points"):
+        plan = _executed(_qs()[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "kx" in plan and "ky" in plan, name
