@@ -216,6 +216,9 @@ _DRIVER_PRIORITY = [
     "q281_spatial_multires_rollup",
     "q282_zone_containment_join",
     "q283_dbscan_core_points",
+    "q284_suppressed_rollup",
+    "q285_topk_plus_other",
+    "q286_dataset_fingerprint",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2645,3 +2645,105 @@ def q276_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_drift_cents"),
     )
+
+
+@query(
+    "q284_suppressed_rollup",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(nat AS BIGINT) AS nat,
+           CASE WHEN n >= 5 THEN seg ELSE '<suppressed>' END AS seg,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents
+    FROM cells
+    GROUP BY nat, CASE WHEN n >= 5 THEN seg ELSE '<suppressed>' END
+    """,
+)
+def q284_suppressed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY-SUPPRESSED ROLLUP — the census-style disclosure control
+    for published reports: cells smaller than k=5 do not appear under
+    their own label; they merge into one '<suppressed>' bucket per
+    parent group, so totals still reconcile (nothing is dropped —
+    Σn is conserved, test-pinned) but no small cell is attributable.
+    This is the REPORTING-side complement of q241's k-anonymity audit:
+    q241 finds risky groups in the microdata, this makes the published
+    aggregate safe. Two aggregations — the cell build (one combiner
+    pass over the facts) and the suppression re-group, which runs on
+    the |cells|-bounded table. A secondary-suppression pass (hide one
+    more cell when only one is hidden, else it's recoverable by
+    subtraction) is the same re-group keyed on parent totals."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nat"), F.col("c_mktsegment").alias("seg")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    label = F.when(F.col("n") >= 5, F.col("seg")).otherwise("<suppressed>")
+    return cells.groupBy(
+        F.col("nat").cast("bigint").alias("nat"), label.alias("seg")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("bal_cents").cast("bigint").alias("bal_cents"),
+    )
+
+
+@query(
+    "q285_topk_plus_other",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk
+      FROM per_part
+    )
+    SELECT CAST(CASE WHEN rnk <= 20 THEN l_partkey ELSE -1 END AS BIGINT)
+             AS part_or_other,
+           CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ranked
+    GROUP BY CASE WHEN rnk <= 20 THEN l_partkey ELSE -1 END
+    """,
+)
+def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K + OTHER — the high-cardinality dashboard pattern: the 20
+    highest-revenue parts individually, everything else collapsed into
+    one OTHER row (key −1) that keeps the report's total exactly equal
+    to the fact total (a top-k WITHOUT the residual silently drops the
+    tail — the classic dashboard lie; conservation is test-pinned).
+    Plan: one combiner aggregate to per-key totals, the rank over that
+    aggregate (|keys| rows — and the q85/topk.py associative two-phase
+    operator replaces the window when even the key table is huge),
+    then the re-group with the rank-gated key. The deterministic
+    (revenue, key) tiebreak makes the published top-20 stable across
+    runs — a report that flickers between equal-revenue parts is a
+    support ticket."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
+    ranked = per_part.withColumn("rnk", F.row_number().over(w))
+    key = F.when(F.col("rnk") <= 20, F.col("l_partkey")).otherwise(-1)
+    return ranked.groupBy(key.cast("bigint").alias("part_or_other")).agg(
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )

@@ -1778,3 +1778,73 @@ def q277_masking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey_token"
         ),
     )
+
+
+@query(
+    "q286_dataset_fingerprint",
+    oracle="""
+    WITH hashed AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                       1, 8) AS BIGINT) % 100 < 2 THEN 'test'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                       1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 2147483647 AS h
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                % 9223372036854775807 AS BIGINT) AS fingerprint,
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0)) * CAST(h AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) % 9223372036854775807 AS BIGINT) AS fingerprint2
+    FROM hashed GROUP BY split
+    """,
+)
+def q286_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET VERSION FINGERPRINT — a content-address per split that
+    training runs record so "trained on corpus v3" is checkable: each
+    document contributes its 60-bit content hash, combined with
+    COMMUTATIVE arithmetic (Σh and Σh² over 31-bit hash terms, exact in
+    DECIMAL(38,0) to beyond 10^12 documents, one final mod 2⁶³−1 —
+    order-independent, so no sort and no collect; the second moment
+    catches the swap-two-docs collisions the plain sum misses). Any
+    added, removed, or edited document changes the pair; byte-identical
+    corpora agree regardless of partitioning (the repartition-proof
+    gate covers this query too). The q173 Merkle diff answers WHICH
+    rows differ; this answers the cheap question first — one combiner
+    aggregate, three ints per split. Split keys are the q68 stable
+    hash split (2/3/95)."""
+    d = load(spark, sf_dir, "documents")
+    bk = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bk < 2, "test").when(bk < 5, "val").otherwise("train")
+    )
+    # 31-bit terms accumulated in DECIMAL(38,0): per-term squares fit
+    # int64 trivially, the decimal sum is exact past 10^12 rows, and the
+    # final mod brings it back to one bigint per split.
+    h = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+        % 2147483647
+    )
+    hashed = d.select(split.alias("split"), h.alias("h"))
+    return hashed.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            " % 9223372036854775807 AS BIGINT)"
+        ).alias("fingerprint"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(h AS DECIMAL(38,0)) * CAST(h AS DECIMAL(38,0)))"
+            " AS DECIMAL(38,0)) % 9223372036854775807 AS BIGINT)"
+        ).alias("fingerprint2"),
+    )

@@ -439,3 +439,40 @@ def test_q276_conservation(spark):
     for r in rows:
         if r["grade"] == "exact":
             assert r["abs_drift_cents"] == 0
+
+
+def test_q284_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q284_suppressed_rollup")
+
+
+def test_q284_conservation_and_suppression(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q284_suppressed_rollup"](spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == 1500  # nothing dropped
+    for r in rows:
+        if r["seg"] != "<suppressed>":
+            assert r["n"] >= 5  # no small cell published under its label
+
+
+def test_q285_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q285_topk_plus_other")
+
+
+def test_q285_other_conserves_total(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q285_topk_plus_other"](spark, SF_DIR).collect()
+    assert len(rows) == 21  # 20 named + OTHER
+    total = duck.execute(
+        "SELECT SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) FROM lineitem"
+    ).fetchone()[0]
+    assert sum(r["rev_cents"] for r in rows) == total
+    other = [r for r in rows if r["part_or_other"] == -1][0]
+    assert other["n_members"] > 1

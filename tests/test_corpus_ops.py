@@ -287,3 +287,42 @@ def test_q277_mask_properties(spark):
         assert r["name_masked"][:9] == orig[:9]
         assert set(r["name_masked"][9:]) <= {"*"}
         assert r["acctbal_band_dollars"] % 1000 == 0
+
+
+def test_q286_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q286_dataset_fingerprint")
+
+
+def test_q286_fingerprint_detects_change(spark, duck):
+    """Removing one document must change the fingerprint pair."""
+    base = {
+        r[0]: (r[2], r[3])
+        for r in duck.execute("""
+          WITH hashed AS (
+            SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                             1, 8) AS BIGINT) % 100 < 2 THEN 'test'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                             1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                        ELSE 'train' END AS split,
+                   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 2147483647 AS h
+            FROM documents WHERE doc_id <> 0
+          )
+          SELECT split, CAST(COUNT(*) AS BIGINT),
+                 CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                      % 9223372036854775807 AS BIGINT),
+                 CAST(CAST(SUM(CAST(h AS DECIMAL(38,0)) * CAST(h AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) % 9223372036854775807 AS BIGINT)
+          FROM hashed GROUP BY split
+        """).fetchall()
+    }
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    full = {
+        r["split"]: (r["fingerprint"], r["fingerprint2"])
+        for r in all_queries()["q286_dataset_fingerprint"](spark, SF_DIR).collect()
+    }
+    changed = [s for s in full if s in base and full[s] != base[s]]
+    assert changed  # doc 0's split must show a different fingerprint
