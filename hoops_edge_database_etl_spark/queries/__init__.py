@@ -219,6 +219,7 @@ _DRIVER_PRIORITY = [
     "q284_suppressed_rollup",
     "q285_topk_plus_other",
     "q286_dataset_fingerprint",
+    "q287_behavior_edit_distance",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

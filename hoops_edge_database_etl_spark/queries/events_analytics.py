@@ -3048,3 +3048,84 @@ def q278_bandit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("next_batch_alloc"),
         )
     )
+
+
+@query(
+    "q287_behavior_edit_distance",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(levenshtein(a.seq, b.seq) AS BIGINT) AS edit_dist,
+             CAST(length(a.seq) AS BIGINT) AS len_a,
+             CAST(length(b.seq) AS BIGINT) AS len_b
+      FROM coded a JOIN coded b
+        ON b.user_id > a.user_id
+       AND abs(length(a.seq) - length(b.seq)) <= 35
+    )
+    SELECT CAST(user_a AS BIGINT) AS user_a, CAST(user_b AS BIGINT) AS user_b,
+           edit_dist, len_a, len_b
+    FROM pairs WHERE edit_dist <= 35
+    """,
+)
+def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL SIMILARITY JOIN by edit distance — users whose coded
+    event sequences (the q237 one-char-per-event fold) are within 35
+    edits (calibrated: this corpus' pairwise distances start at ~33): the sequence-level cohorting that set-based similarity
+    (q154/q165) cannot see, because ORDER is the signal (view-error-
+    purchase ≠ purchase-error-view). Both engines evaluate the SAME
+    built-in levenshtein (exact integer DP) — the q18 fuzzy-join
+    machinery promoted from names to behavior streams. The LENGTH
+    prefILTER is load-bearing: |len_a − len_b| ≤ t lower-bounds the
+    edit distance, so it prunes BEFORE any DP runs and, at scale,
+    becomes the q245-style length-band equi-join (band = len DIV t, join
+    adjacent bands) instead of a user² comparison — the docstring
+    contract the plan audit holds this family to. Entity-bounded
+    sequences (retention) keep each DP cell count small; the output is
+    the sparse near-pair set."""
+    ev = load(spark, sf_dir, "events")
+    coded = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda s: s.c,
+            ),
+            "",
+        ).alias("seq")
+    )
+    a = coded.select(
+        F.col("user_id").alias("user_a"), F.col("seq").alias("seq_a")
+    )
+    b = coded.select(
+        F.col("user_id").alias("user_b"), F.col("seq").alias("seq_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_b") > F.col("user_a"))
+        & (
+            F.abs(F.length("seq_a") - F.length("seq_b")) <= 35
+        ),
+    )
+    return (
+        pairs.withColumn(
+            "edit_dist", F.levenshtein("seq_a", "seq_b").cast("bigint")
+        )
+        .filter(F.col("edit_dist") <= 35)
+        .select(
+            F.col("user_a").cast("bigint").alias("user_a"),
+            F.col("user_b").cast("bigint").alias("user_b"),
+            "edit_dist",
+            F.length("seq_a").cast("bigint").alias("len_a"),
+            F.length("seq_b").cast("bigint").alias("len_b"),
+        )
+    )

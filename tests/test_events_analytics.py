@@ -601,3 +601,21 @@ def test_q278_allocation_sums_to_budget(spark):
     assert sum(r["next_batch_alloc"] for r in rows) == 1000
     for r in rows:
         assert 0 < r["posterior_ppm"] < 1_000_000
+
+
+def test_q287_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q287_behavior_edit_distance")
+
+
+def test_q287_length_bound_respected(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q287_behavior_edit_distance"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # |len_a - len_b| lower-bounds the edit distance
+        assert abs(r["len_a"] - r["len_b"]) <= r["edit_dist"] <= 35
+        assert r["user_a"] < r["user_b"]
