@@ -220,6 +220,8 @@ _DRIVER_PRIORITY = [
     "q285_topk_plus_other",
     "q286_dataset_fingerprint",
     "q287_behavior_edit_distance",
+    "q288_consistent_hash_rebalance",
+    "q289_billing_proration",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1471,3 +1471,128 @@ def q232_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(F.col("m.kk"), F.col("m.hk")).alias("est_from_merge"),
         est(F.col("d.kk"), F.col("d.hk")).alias("est_direct"),
     )
+
+
+@query(
+    "q288_consistent_hash_rebalance",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey AS k,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':ring'), 1, 15)
+                  AS BIGINT) AS ring
+      FROM customer
+    ),
+    assign AS (
+      SELECT k,
+             k % 8 AS mod8, k % 9 AS mod9,
+             ring % 8 AS ring8,
+             ring % 9 AS ring9
+      FROM keys
+    )
+    SELECT 'mod-N' AS scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS moved_ppm
+    FROM assign
+    UNION ALL
+    SELECT 'rendezvous',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(moved) AS BIGINT),
+           CAST(SUM(moved) * 1000000 // COUNT(*) AS BIGINT)
+    FROM (
+      SELECT k,
+             CASE WHEN (
+               SELECT s FROM (
+                 SELECT t.s AS s,
+                        CAST('0x' || substr(md5(CAST(keys.k AS VARCHAR) || ':s'
+                             || CAST(t.s AS VARCHAR)), 1, 15) AS BIGINT) AS w
+                 FROM unnest(generate_series(0, 7)) AS t(s)
+                 ORDER BY w DESC, s LIMIT 1
+               )
+             ) <> (
+               SELECT s FROM (
+                 SELECT t.s AS s,
+                        CAST('0x' || substr(md5(CAST(keys.k AS VARCHAR) || ':s'
+                             || CAST(t.s AS VARCHAR)), 1, 15) AS BIGINT) AS w
+                 FROM unnest(generate_series(0, 8)) AS t(s)
+                 ORDER BY w DESC, s LIMIT 1
+               )
+             ) THEN 1 ELSE 0 END AS moved
+      FROM keys
+    )
+    """,
+)
+def q288_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-REBALANCING ANALYSIS: growing a cluster from 8 to 9 shards
+    under (a) naive mod-N assignment and (b) RENDEZVOUS (highest-random-
+    weight) hashing — the report that justifies consistent-hashing
+    infrastructure with numbers: mod-N moves ~8/9 of all keys (every
+    residue class reshuffles), rendezvous moves only the ~1/9 whose new
+    shard 8 wins the weight race, because every existing shard's weight
+    for a key is UNCHANGED by adding one more. Both schemes compute
+    exactly from md5 weights (argmax via max-of-struct with the weight
+    in front — associative, no window); the movement fractions are
+    integer ppm. The same rendezvous argmax is how the q249 corpus
+    index and q232's sketch store assign partitions without mass
+    migration on growth."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    keys = c.select(k.alias("k"))
+
+    def hrw_shard(n_shards):
+        weights = F.array(
+            *[
+                F.struct(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("k").cast("string"), F.lit(f":s{s}")
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    )
+                    .cast("bigint")
+                    .alias("w"),
+                    F.lit(-s).alias("neg_s"),  # ties -> smaller shard id wins
+                )
+                for s in range(n_shards)
+            ]
+        )
+        return -F.array_max(weights).getField("neg_s")
+
+    assign = keys.select(
+        "k",
+        (F.col("k") % 8).alias("mod8"),
+        (F.col("k") % 9).alias("mod9"),
+        hrw_shard(8).alias("hrw8"),
+        hrw_shard(9).alias("hrw9"),
+    )
+    modn = assign.agg(
+        F.lit("mod-N").alias("scheme"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("mod8") != F.col("mod9"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.expr(
+            "CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("moved_ppm"),
+    )
+    hrw = assign.agg(
+        F.lit("rendezvous").alias("scheme"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("hrw8") != F.col("hrw9"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hrw8 <> hrw9 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("moved_ppm"),
+    )
+    return modn.unionAll(hrw)

@@ -1213,3 +1213,60 @@ def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
         control.cast("bigint").alias("control_key"),
         delta.cast("bigint").alias("delta_cents"),
     )
+
+
+@query(
+    "q289_billing_proration",
+    oracle="""
+    WITH sub AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS start_d,
+             CAST(o_orderdate AS DATE) + 30 AS end_d
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-12-01'
+        AND o_orderdate < TIMESTAMP '1998-01-15'
+    ),
+    split AS (
+      SELECT o_orderkey,
+             GREATEST(0, LEAST(end_d, DATE '1998-01-01') - start_d) AS days_old,
+             GREATEST(0, end_d - GREATEST(start_d, DATE '1998-01-01')) AS days_new
+      FROM sub
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(days_old AS BIGINT) AS days_old,
+           CAST(days_new AS BIGINT) AS days_new,
+           CAST(days_old * 100 + days_new * 120 AS BIGINT) AS billed_cents
+    FROM split
+    """,
+)
+def q289_billing_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BILLING PRORATION across a rate change — each 30-day subscription
+    window starting near the 1998-01-01 price increase (100→120
+    cents/day) is split PRO-RATA by exact day counts on each side of
+    the boundary: billed = days_old·rate₁ + days_new·rate₂. The
+    interval-split arithmetic is pure GREATEST/LEAST on integer dates
+    (the q147/q206 interval algebra pointed at money) — no per-day
+    explode (a 30-row blowup per subscription that the naive
+    calendar-join version pays), no floats, and the invariant
+    days_old + days_new ≡ 30 is test-pinned. Multi-change rate tables
+    generalize by joining the q184 effective-dated dimension and
+    summing one GREATEST/LEAST term per overlapped period — still
+    explode-free. Runs in the scan projection: zero shuffles."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-12-01") & (F.col("o_orderdate") < "1998-01-15")
+    )
+    start_d = F.to_date("o_orderdate")
+    end_d = F.date_add(start_d, 30)
+    boundary = F.to_date(F.lit("1998-01-01"))
+    days_old = F.greatest(
+        F.lit(0), F.datediff(F.least(end_d, boundary), start_d)
+    )
+    days_new = F.greatest(
+        F.lit(0), F.datediff(end_d, F.greatest(start_d, boundary))
+    )
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        days_old.cast("bigint").alias("days_old"),
+        days_new.cast("bigint").alias("days_new"),
+        (days_old * 100 + days_new * 120).cast("bigint").alias("billed_cents"),
+    )

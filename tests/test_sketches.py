@@ -395,3 +395,23 @@ def test_q275_advice_thresholds(spark):
         else:
             assert r["advice"] == "full-scan"
     assert {r["advice"] for r in rows} >= {"cluster-or-index", "full-scan"}
+
+
+def test_q288_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q288_consistent_hash_rebalance")
+
+
+def test_q288_rendezvous_beats_modn(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {
+        r["scheme"]: r
+        for r in all_queries()["q288_consistent_hash_rebalance"](spark, SF_DIR).collect()
+    }
+    # mod-N reshuffles ~8/9 of keys; rendezvous moves ~1/9
+    assert rows["mod-N"]["moved_ppm"] > 700_000
+    assert rows["rendezvous"]["moved_ppm"] < 250_000
+    assert rows["rendezvous"]["n_moved"] < rows["mod-N"]["n_moved"]

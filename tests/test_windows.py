@@ -269,3 +269,22 @@ def test_q253_match_is_truly_nearest(spark):
         )
         assert m["delta_cents"] == best
         assert abs(bal[m["control_key"]] - b) == best
+
+
+def test_q289_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q289_billing_proration")
+
+
+def test_q289_proration_conserves_days(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q289_billing_proration"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["days_old"] + r["days_new"] == 30
+        assert r["billed_cents"] == r["days_old"] * 100 + r["days_new"] * 120
+    # the boundary genuinely splits some subscriptions
+    assert any(r["days_old"] > 0 and r["days_new"] > 0 for r in rows)
