@@ -222,6 +222,7 @@ _DRIVER_PRIORITY = [
     "q287_behavior_edit_distance",
     "q288_consistent_hash_rebalance",
     "q289_billing_proration",
+    "q290_adstock_carryover",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

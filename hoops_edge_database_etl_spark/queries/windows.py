@@ -1270,3 +1270,92 @@ def q289_billing_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         days_new.cast("bigint").alias("days_new"),
         (days_old * 100 + days_new * 120).cast("bigint").alias("billed_cents"),
     )
+
+
+@query(
+    "q290_adstock_carryover",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7) AS BIGINT)
+               AS week,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, 2
+    ),
+    spine AS (
+      SELECT DISTINCT s.user_id, w.wk AS week
+      FROM spend s, unnest(generate_series(0, 4)) AS w(wk)
+    ),
+    dense AS (
+      SELECT sp.user_id, sp.week, COALESCE(s.cents, 0) AS cents
+      FROM spine sp LEFT JOIN spend s
+        ON s.user_id = sp.user_id AND s.week = sp.week
+    ),
+    lagged AS (
+      SELECT user_id, week, cents,
+             COALESCE(LAG(cents, 1) OVER w, 0) AS l1,
+             COALESCE(LAG(cents, 2) OVER w, 0) AS l2,
+             COALESCE(LAG(cents, 3) OVER w, 0) AS l3
+      FROM dense
+      WINDOW w AS (PARTITION BY user_id ORDER BY week)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, week, cents,
+           CAST(cents * 8 + l1 * 4 + l2 * 2 + l3 AS BIGINT) AS adstock_8ths
+    FROM lagged
+    """,
+)
+def q290_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADSTOCK (geometric carryover) transform — marketing-mix
+    modeling's feature: this week's effective exposure is spend plus
+    decayed echoes of prior weeks. The infinite recursion
+    a_t = x_t + λ·a_{t−1} is order-recursive and float-divergent; with
+    λ = ½ truncated at 3 lags it becomes an EXACT bounded convolution —
+    8x_t + 4x_{t−1} + 2x_{t−2} + x_{t−3} in 8ths (the q248 power-of-two
+    decay rule applied to a sliding kernel). Three LAGs over one
+    per-user weekly ordering; the week spine densifies first (a missing
+    week must contribute ZERO, not collapse the kernel onto the next
+    observed week — the q91 gap-fill rule, and the bug naive adstock
+    implementations ship). The spine is |users|×5 rows built from a
+    bounded series. Truncation error is ≤ 1/8 of the oldest term —
+    noted, bounded, and the price of exactness."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7
+    ).cast("bigint")
+    spend = ev.groupBy("user_id", week.alias("week")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    spine = (
+        spend.select("user_id")
+        .distinct()
+        .select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("week")
+        )
+        .withColumn("week", F.col("week").cast("bigint"))
+    )
+    dense = spine.join(spend, ["user_id", "week"], "left").select(
+        "user_id", "week", F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = dense.select(
+        "user_id",
+        "week",
+        "cents",
+        F.coalesce(F.lag("cents", 1).over(w), F.lit(0)).alias("l1"),
+        F.coalesce(F.lag("cents", 2).over(w), F.lit(0)).alias("l2"),
+        F.coalesce(F.lag("cents", 3).over(w), F.lit(0)).alias("l3"),
+    )
+    return lagged.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "week",
+        "cents",
+        (
+            F.col("cents") * 8 + F.col("l1") * 4 + F.col("l2") * 2 + F.col("l3")
+        )
+        .cast("bigint")
+        .alias("adstock_8ths"),
+    )

@@ -288,3 +288,32 @@ def test_q289_proration_conserves_days(spark):
         assert r["billed_cents"] == r["days_old"] * 100 + r["days_new"] * 120
     # the boundary genuinely splits some subscriptions
     assert any(r["days_old"] > 0 and r["days_new"] > 0 for r in rows)
+
+
+def test_q290_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q290_adstock_carryover")
+
+
+def test_q290_kernel_identity(spark):
+    """adstock_8ths must equal the explicit 8/4/2/1 convolution over the
+    densified weekly series."""
+    from collections import defaultdict
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q290_adstock_carryover"](spark, SF_DIR).collect()
+    series = defaultdict(dict)
+    for r in rows:
+        series[r["user_id"]][r["week"]] = r["cents"]
+    for r in rows:
+        s = series[r["user_id"]]
+        expect = (
+            8 * s.get(r["week"], 0)
+            + 4 * s.get(r["week"] - 1, 0)
+            + 2 * s.get(r["week"] - 2, 0)
+            + 1 * s.get(r["week"] - 3, 0)
+        )
+        assert r["adstock_8ths"] == expect
