@@ -223,6 +223,8 @@ _DRIVER_PRIORITY = [
     "q288_consistent_hash_rebalance",
     "q289_billing_proration",
     "q290_adstock_carryover",
+    "q291_orphan_entity_sweep",
+    "q292_business_day_sla",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

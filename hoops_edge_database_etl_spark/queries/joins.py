@@ -1340,3 +1340,65 @@ def q268_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q291_orphan_entity_sweep",
+    oracle="""
+    SELECT 'customers_without_orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'parts_never_ordered',
+           CAST((SELECT COUNT(*) FROM part p
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_partkey = p.p_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'suppliers_without_lines',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_suppkey = s.s_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_without_lines',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+    """,
+)
+def q291_orphan_entity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-ENTITY SWEEP — the catalog-hygiene report consolidating
+    every "dimension row no fact references" check into one pass over
+    the FK graph: four LEFT ANTI joins (never NOT IN — its three-valued
+    NULL semantics silently return zero rows if the subquery ever
+    contains a NULL key; ANTI is the safe plan Spark and DuckDB both
+    decorrelate to), each one distinct-key-bounded on the build side.
+    Zero counts are findings too (every order HAS lines here — that's
+    the generator's referential guarantee, confirmed, not assumed).
+    The reference ran these as separate Athena audit queries
+    (scripts/sql/*); consolidated, the sweep is one scheduled job whose
+    output feeds retention policy (archive never-referenced rows) and
+    the q270 constraint catalog."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+
+    def orphans(left, right, lk, rk, name):
+        return left.join(
+            right, left[lk] == right[rk], "left_anti"
+        ).agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans"),
+        )
+
+    return (
+        orphans(c, o, "c_custkey", "o_custkey", "customers_without_orders")
+        .unionAll(orphans(p, li, "p_partkey", "l_partkey", "parts_never_ordered"))
+        .unionAll(
+            orphans(s := load(spark, sf_dir, "supplier"), li, "s_suppkey", "l_suppkey",
+                    "suppliers_without_lines")
+        )
+        .unionAll(orphans(o, li, "o_orderkey", "l_orderkey", "orders_without_lines"))
+    )

@@ -1359,3 +1359,65 @@ def q290_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("adstock_8ths"),
     )
+
+
+@query(
+    "q292_business_day_sla",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) - DATE '1995-01-02' AS d0
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    shifted AS (
+      -- add 5 business days: weekend starts roll forward to Monday
+      -- (7 - dow days), then 5 business days = exactly 7 calendar days.
+      SELECT o_orderkey, d0, d0 % 7 AS dow,
+             CASE WHEN d0 % 7 <= 4 THEN d0 + 7
+                  ELSE d0 + (7 - d0 % 7) + 7 END AS deadline_days
+      FROM base
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           strftime(DATE '1995-01-02' + CAST(d0 AS INTEGER), '%Y-%m-%d') AS start_day,
+           CAST(dow AS BIGINT) AS start_dow,
+           strftime(DATE '1995-01-02' + CAST(deadline_days AS INTEGER),
+                    '%Y-%m-%d') AS sla_deadline
+    FROM shifted
+    """,
+)
+def q292_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY SLA deadlines — "respond within 5 business days"
+    computed as PURE INTEGER arithmetic on days-since-a-known-Monday
+    (1995-01-02): day-of-week = offset mod 7 (engine-neutral — never
+    dayofweek()/strftime('%w'), whose week-start conventions differ
+    across engines and locales), weekend starts first roll
+    forward to Monday (7 − dow days), and 5 business days from a
+    weekday are exactly 7 calendar days; remainders for arbitrary N
+    walk the same mod-7 arithmetic.
+    Zero joins, zero shuffles — deadline assignment is a scan
+    projection; a holiday calendar joins in as a tiny broadcast table
+    adding its count to the walk (the q184 effective-dated pattern).
+    The oracle encodes the identical arithmetic, so the deadline rule
+    itself — the thing compliance audits — is what's hash-checked."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    monday = F.lit("1995-01-02")
+    d0 = F.datediff(F.to_date("o_orderdate"), F.to_date(monday))
+    dow = d0 % 7
+    # Weekend starts roll forward to Monday (7 - dow days) BEFORE the
+    # clock starts; 5 business days from a weekday are exactly 7
+    # calendar days. (The first cut walked the remainder over the
+    # weekend and landed Saturday starts on Sunday — caught by the
+    # deadline-property test, not by the oracle, because both engines
+    # shared the formula: the reason semantic property tests exist
+    # alongside hash parity.)
+    shifted = F.when(dow <= 4, d0 + 7).otherwise(d0 + (7 - dow) + 7)
+    return o.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("start_day"),
+        dow.cast("bigint").alias("start_dow"),
+        F.date_format(
+            F.date_add(F.to_date(monday), shifted.cast("int")), "yyyy-MM-dd"
+        ).alias("sla_deadline"),
+    )

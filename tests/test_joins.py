@@ -242,3 +242,23 @@ def test_q268_mean_consistent(spark):
     for r in rows[:50]:
         assert abs(r["neigh_mean"] - r["neigh_sum_cents"] / (r["degree"] * 100)) < 1e-9
         assert r["degree"] >= 1
+
+
+def test_q291_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q291_orphan_entity_sweep")
+
+
+def test_q291_known_referential_structure(spark):
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["check_name"]: r["n_orphans"]
+        for r in all_queries()["q291_orphan_entity_sweep"](spark, SF_DIR).collect()
+    }
+    assert len(rows) == 4
+    assert rows["customers_without_orders"] == 0  # generator guarantee
+    assert rows["parts_never_ordered"] == 0
+    # a genuine finding: the generator leaves some orders line-less
+    assert rows["orders_without_lines"] > 0
+    assert all(v >= 0 for v in rows.values())

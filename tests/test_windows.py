@@ -317,3 +317,37 @@ def test_q290_kernel_identity(spark):
             + 1 * s.get(r["week"] - 3, 0)
         )
         assert r["adstock_8ths"] == expect
+
+
+def test_q292_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q292_business_day_sla")
+
+
+def test_q292_deadline_properties(spark):
+    """Deadlines never land on weekends; weekday starts are exactly 7
+    calendar days out, weekend starts 8-9 (roll to Monday first)."""
+    import datetime
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q292_business_day_sla"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:300]:
+        start = datetime.date.fromisoformat(r["start_day"])
+        end = datetime.date.fromisoformat(r["sla_deadline"])
+        assert end.weekday() < 5  # never Saturday/Sunday
+        delta = (end - start).days
+        if start.weekday() < 5:
+            assert delta == 7
+            bd = sum(
+                1
+                for i in range(1, delta + 1)
+                if (start + datetime.timedelta(days=i)).weekday() < 5
+            )
+            assert bd == 5
+        else:
+            assert delta in (8, 9)
+            assert end.weekday() == 0  # Monday + 7 == Monday
