@@ -225,6 +225,7 @@ _DRIVER_PRIORITY = [
     "q290_adstock_carryover",
     "q291_orphan_entity_sweep",
     "q292_business_day_sla",
+    "q293_streaming_fingerprint",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -338,3 +338,78 @@ def q200_streaming_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("op") != "D", F.col("cents")).otherwise(0)).cast("bigint")
         .alias("live_cents"),
     )
+
+
+@query(
+    "q293_streaming_fingerprint",
+    oracle="""
+    WITH hashed AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                       1, 8) AS BIGINT) % 100 < 2 THEN 'test'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                       1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 2147483647 AS h
+      FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                % 9223372036854775807 AS BIGINT) AS fingerprint
+    FROM hashed GROUP BY split
+    """,
+)
+def q293_streaming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dataset fingerprint — q286's content address maintained
+    AS DOCUMENTS ARRIVE: the commutative Σh design is exactly what makes
+    the fingerprint a legal streaming aggregate (order-independent,
+    associative, bounded state of one decimal per split), so an
+    ingest-time stream keeps the corpus version id current with zero
+    re-reads — the property neither a sorted-concat hash nor a Merkle
+    root has without replay. Bounded availableNow replay here; the
+    final state must hash-match the batch oracle (the q71/q95 parity
+    recipe, now for a custom algebraic aggregate). In production this
+    graph runs unbounded in update mode and the sink upserts the
+    three-row fingerprint table every batch."""
+    src = load_stream(spark, sf_dir, "documents")
+    bk = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bk < 2, "test").when(bk < 5, "val").otherwise("train")
+    h = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+        % 2147483647
+    )
+    agg = (
+        src.select(split.alias("split"), h.alias("h"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                " % 9223372036854775807 AS BIGINT)"
+            ).alias("fingerprint"),
+        )
+    )
+    sink = "q293_streaming_fingerprint_sink"
+    ck = tempfile.mkdtemp(prefix="q293_ck_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(sink).select("split", "n_docs", "fingerprint")

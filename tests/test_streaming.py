@@ -206,3 +206,26 @@ def test_streaming_cdc_compaction_matches_batch_twin(spark, duck):
     assert (s["n_live"], s["n_tombstones"], s["live_cents"]) == (
         b["n_live"], b["n_tombstones"], b["live_cents"]
     )
+
+
+def test_q293_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q293_streaming_fingerprint")
+
+
+def test_q293_agrees_with_batch_fingerprint(spark):
+    """The streaming fingerprint must equal q286's batch computation —
+    the commutative-aggregate property in action."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    stream = {
+        r["split"]: (r["n_docs"], r["fingerprint"])
+        for r in all_queries()["q293_streaming_fingerprint"](spark, SF_DIR).collect()
+    }
+    batch = {
+        r["split"]: (r["n_docs"], r["fingerprint"])
+        for r in all_queries()["q286_dataset_fingerprint"](spark, SF_DIR).collect()
+    }
+    assert stream == batch
