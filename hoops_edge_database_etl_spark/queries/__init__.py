@@ -226,6 +226,10 @@ _DRIVER_PRIORITY = [
     "q291_orphan_entity_sweep",
     "q292_business_day_sla",
     "q293_streaming_fingerprint",
+    # new in round 5, fourth session — never driver-checked
+    "q294_max_drawdown",
+    "q295_coverage_gaps",
+    "q296_daily_streaks",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

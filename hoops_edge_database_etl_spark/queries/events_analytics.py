@@ -3129,3 +3129,249 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("seq_b").cast("bigint").alias("len_b"),
         )
     )
+
+
+@query(
+    "q294_max_drawdown",
+    oracle="""
+    WITH signed AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CASE event_type
+               WHEN 'purchase' THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+               WHEN 'error' THEN -CAST(floor(value * 100 + 0.5) AS BIGINT)
+               ELSE 0 END AS delta_cents
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    bal AS (
+      SELECT user_id, s, event_id, delta_cents,
+             SUM(delta_cents) OVER w AS balance
+      FROM signed
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    cum AS (
+      SELECT user_id, delta_cents, balance,
+             MAX(balance) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS peak
+      FROM bal
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(SUM(delta_cents) AS BIGINT) AS final_cents,
+           CAST(MAX(peak - balance) AS BIGINT) AS max_drawdown_cents
+    FROM cum GROUP BY user_id
+    """,
+)
+def q294_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX DRAWDOWN — the worst peak-to-trough slide of a running
+    balance (unit-economics per user: purchases add revenue cents,
+    errors charge their support cost). The classic O(n) scan —
+    running sum, running max of the running sum, max of the
+    difference — expressed as two stacked window frames over ONE
+    per-user ordering (epoch seconds + event_id tiebreak, the q31
+    total-order rule), so Tungsten computes both accumulators in a
+    single sort pass: one shuffle on user_id, no self-join, no
+    driver state. All integer cents; drawdown is provably >= 0 and
+    peak >= final (property-tested)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    signed = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", cents)
+        .otherwise(-cents)
+        .alias("delta_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        signed.select(
+            "user_id",
+            "s",
+            "event_id",
+            "delta_cents",
+            F.sum("delta_cents").over(w).alias("balance"),
+        )
+        .withColumn("peak", F.max("balance").over(w))
+        .drop("s", "event_id")
+    )
+    return cum.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flows"),
+        F.max("peak").cast("bigint").alias("peak_cents"),
+        F.sum("delta_cents").cast("bigint").alias("final_cents"),
+        F.max(F.col("peak") - F.col("balance"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+    )
+
+
+@query(
+    "q295_coverage_gaps",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + {INTERVAL_LEN_S} AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prev_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN max_prev_e IS NULL OR s > max_prev_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    agg AS (
+      SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+      FROM isl GROUP BY user_id, island
+    ),
+    gaps AS (
+      SELECT user_id, i_start, i_end,
+             i_start - LAG(i_end) OVER (PARTITION BY user_id
+                                        ORDER BY island) AS gap_s
+      FROM agg
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(SUM(gap_s), 0) AS BIGINT) AS total_gap_seconds,
+           CAST(COALESCE(MAX(gap_s), 0) AS BIGINT) AS longest_gap_seconds,
+           CAST(MAX(i_end) - MIN(i_start) AS BIGINT) AS span_seconds
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q295_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVERAGE GAPS — the complement of q147's interval union: every
+    event opens a 30-minute heartbeat window; this reports the BLIND
+    SPOTS (monitoring downtime, sensor dropout, missing telemetry)
+    between merged islands. Same single window pass to number islands,
+    then one LAG over the per-user island aggregate (a few rows per
+    user, not per event) yields each gap as island_start - prev
+    island_end. Invariant property-tested against q147: covered +
+    gaps == span, per user, exactly — the two queries are a
+    partition of the timeline, and the test would catch either one
+    double-counting a boundary second."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + INTERVAL_LEN_S).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "max_prev_e",
+        F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("max_prev_e").isNull() | (F.col("s") > F.col("max_prev_e")),
+                1,
+            ).otherwise(0)
+        ).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    agg = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    wg = Window.partitionBy("user_id").orderBy("island")
+    gaps = agg.withColumn(
+        "gap_s", F.col("i_start") - F.lag("i_end").over(wg)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("gap_s"), F.lit(0))
+        .cast("bigint")
+        .alias("total_gap_seconds"),
+        F.coalesce(F.max("gap_s"), F.lit(0))
+        .cast("bigint")
+        .alias("longest_gap_seconds"),
+        (F.max("i_end") - F.min("i_start"))
+        .cast("bigint")
+        .alias("span_seconds"),
+    )
+
+
+@query(
+    "q296_daily_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(ts AS DATE) - DATE '2024-01-01' AS d
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS start_d
+      FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           strftime(DATE '2024-01-01' + CAST(MIN(CASE WHEN len = (
+             SELECT MAX(len) FROM streaks s2 WHERE s2.user_id = streaks.user_id
+           ) THEN start_d END) AS INTEGER), '%Y-%m-%d') AS longest_streak_start
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q296_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSECUTIVE-DAY STREAKS (gaps-and-islands on the integer day
+    grid): the canonical d - ROW_NUMBER() trick — consecutive days
+    share a constant difference, so the group key falls out of one
+    window over the per-user DISTINCT day list (tiny: <= span days per
+    user, the heavy raw-event table collapses in the distinct's
+    map-side combine first). Reports longest streak and its start
+    date; ties on length resolve to the EARLIEST start (deterministic
+    MIN over a conditional). Streak analytics at 100 TB stay safe
+    because the window input is bounded by calendar days x users,
+    never by raw event volume."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.col("d") - F.row_number().over(wd))
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("d").alias("start_d"),
+    )
+    wl = Window.partitionBy("user_id")
+    marked = streaks.withColumn("max_len", F.max("len").over(wl))
+    return marked.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("2024-01-01")),
+                F.min(
+                    F.when(
+                        F.col("len") == F.col("max_len"), F.col("start_d")
+                    )
+                ).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("longest_streak_start"),
+    )

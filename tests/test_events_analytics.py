@@ -619,3 +619,59 @@ def test_q287_length_bound_respected(spark):
         # |len_a - len_b| lower-bounds the edit distance
         assert abs(r["len_a"] - r["len_b"]) <= r["edit_dist"] <= 35
         assert r["user_a"] < r["user_b"]
+
+
+def test_q294_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q294_max_drawdown")
+
+
+def test_q294_drawdown_invariants(spark):
+    rows = _q("q294_max_drawdown")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["max_drawdown_cents"] >= 0
+        assert r["peak_cents"] >= r["final_cents"]
+        # drawdown never exceeds peak-to-worst-possible distance
+        assert r["max_drawdown_cents"] >= r["peak_cents"] - r["final_cents"] - 0
+    # at least one user actually drew down (data has error events)
+    assert any(r["max_drawdown_cents"] > 0 for r in rows)
+
+
+def test_q295_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q295_coverage_gaps")
+
+
+def test_q295_partition_of_timeline_vs_q147(spark):
+    """Covered (q147) + gaps (q295) must exactly tile each user's span."""
+    cov = {r["user_id"]: r for r in _q("q147_interval_merge")(spark, SF_DIR).collect()}
+    gap = {r["user_id"]: r for r in _q("q295_coverage_gaps")(spark, SF_DIR).collect()}
+    assert set(cov) == set(gap)
+    for uid, g in gap.items():
+        c = cov[uid]
+        assert c["covered_seconds"] + g["total_gap_seconds"] == g["span_seconds"]
+        assert g["n_gaps"] == c["n_islands"] - 1
+        if g["n_gaps"] == 0:
+            assert g["total_gap_seconds"] == 0 == g["longest_gap_seconds"]
+        else:
+            assert 0 < g["longest_gap_seconds"] <= g["total_gap_seconds"]
+
+
+def test_q296_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q296_daily_streaks")
+
+
+def test_q296_streak_bounds(spark):
+    rows = _q("q296_daily_streaks")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["longest_streak_days"] <= r["n_active_days"]
+        assert r["n_streaks"] >= 1
+        # streaks partition active days: longest*count >= total
+        assert r["longest_streak_days"] * r["n_streaks"] >= r["n_active_days"]
+        assert r["longest_streak_start"] is not None
