@@ -230,6 +230,9 @@ _DRIVER_PRIORITY = [
     "q294_max_drawdown",
     "q295_coverage_gaps",
     "q296_daily_streaks",
+    "q297_mann_whitney_u",
+    "q298_tiered_pricing",
+    "q299_watermark_advisor",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

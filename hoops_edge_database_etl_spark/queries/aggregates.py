@@ -2747,3 +2747,91 @@ def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lines").cast("bigint").alias("n_lines"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (q297): the rank-based two-sample test — completes the
+# nonparametric corner of the stats suite (Welch q144 compares means,
+# KS q218 compares CDFs pointwise, MWU compares stochastic dominance).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q297_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pts AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM s GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, a, b,
+             COALESCE(SUM(a + b) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_n
+      FROM pts
+    ),
+    t AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+             CAST(SUM(a * (2 * before_n + a + b + 1)) AS BIGINT) AS r1_doubled
+      FROM cum
+    )
+    SELECT n1, n2, r1_doubled,
+           CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           CAST(2 * n1 * n2 - (r1_doubled - n1 * (n1 + 1)) AS BIGINT) AS u2_doubled,
+           CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2) AS auc_hat
+    FROM t
+    """,
+)
+def q297_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–WHITNEY U — exact, tie-corrected, and integer all the way:
+    pooled ranks are never materialized per row. The pooled sample
+    collapses to its distinct-value histogram first (q218's bounded-
+    support move); for a value with group counts (a, b) entered after
+    before_n pooled observations, every member shares the midrank
+    (2·before_n + a + b + 1)/2, so DOUBLED rank sums stay integers
+    (the house ×2 rule for halves). R1 in one cumulative walk over the
+    histogram, then U1 = R1 − n1(n1+1)/2 — reported doubled, with the
+    identity U1 + U2 = n1·n2 property-tested. auc_hat = U1/(n1·n2) is
+    the probability a random view-value exceeds a random click-value —
+    the effect size this test actually estimates (and the exact
+    pairwise-comparison AUC, the q238 statistic through a rank
+    identity). Heavy input dies in the first map-side combine; the
+    only ordered pass runs over the bounded support."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    pts = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint").alias("b"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.withColumn(
+        "before_n", F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0))
+    )
+    t = cum.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("a") * (2 * F.col("before_n") + F.col("a") + F.col("b") + 1)
+        )
+        .cast("bigint")
+        .alias("r1_doubled"),
+    )
+    u1 = F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
+    return t.select(
+        "n1",
+        "n2",
+        "r1_doubled",
+        u1.cast("bigint").alias("u1_doubled"),
+        (2 * F.col("n1") * F.col("n2") - u1).cast("bigint").alias("u2_doubled"),
+        (u1.cast("double") / (2 * F.col("n1") * F.col("n2"))).alias("auc_hat"),
+    )

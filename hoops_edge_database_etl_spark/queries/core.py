@@ -721,3 +721,91 @@ def q216_fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# Progressive tier schedule (cents thresholds, ppm rates): the classic
+# tax-bracket / volume-discount shape. Literals so both engines fold them.
+PRICING_TIERS = [
+    (0, 10_000_000, 20_000),        # first $100k of an order: 2% fee
+    (10_000_000, 20_000_000, 15_000),  # next $100k: 1.5%
+    (20_000_000, None, 10_000),     # everything above $200k: 1%
+]
+
+
+def tier_fee_expr(cents):
+    """Progressive-bracket fee in cents x ppm as a pure column expression
+    (shared by q298 and its boundary-continuity property test)."""
+    fee = F.lit(0)
+    for lo, hi, ppm in PRICING_TIERS:
+        over = F.greatest(cents - F.lit(lo), F.lit(0))
+        span = over if hi is None else F.least(over, F.lit(hi - lo))
+        fee = fee + span * F.lit(ppm)
+    return fee
+
+
+def _tier_fee_sql() -> str:
+    parts = []
+    for lo, hi, ppm in PRICING_TIERS:
+        span = (
+            f"LEAST(GREATEST(cents - {lo}, 0), {hi - lo})"
+            if hi is not None
+            else f"GREATEST(cents - {lo}, 0)"
+        )
+        parts.append(f"{span} * {ppm}")
+    return " + ".join(parts)
+
+
+@query(
+    "q298_tiered_pricing",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fee AS (
+      SELECT o_orderkey, o_orderpriority, cents,
+             CAST({_tier_fee_sql()} AS BIGINT) AS fee_ppm_cents
+      FROM o
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(fee_ppm_cents) AS BIGINT) AS fee_ppm_cents,
+           CAST(MAX(fee_ppm_cents) AS BIGINT) AS max_order_fee_ppm_cents
+    FROM fee GROUP BY o_orderpriority
+    """,
+)
+def q298_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE TIERED PRICING — the tax-bracket computation every
+    billing system ships (volume discounts, cloud egress tiers,
+    marketplace take rates): an order's fee is the sum over brackets of
+    rate x the slice of its value falling inside that bracket,
+    expressed as LEAST/GREATEST clamps over literal thresholds — a
+    when-free closed form that stays monotone and continuous in the
+    order value (both property-tested, since bracket-boundary
+    off-by-ones are THE classic billing bug; q289's proration handles
+    the time axis, this handles the value axis). Fees carry as
+    cents x ppm integers — exact, no rounding until the edge.
+    Plan: the fee is a zero-shuffle scan projection (Catalyst folds the
+    literal brackets into one codegen stage); the only exchange is the
+    final 5-group rollup. A 100 TB billing run is therefore
+    scan-bound — the right answer for an embarrassingly parallel
+    per-row computation."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        o.withColumn("fee_ppm_cents", tier_fee_expr(F.col("cents")).cast("bigint"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.sum("fee_ppm_cents").cast("bigint").alias("fee_ppm_cents"),
+            F.max("fee_ppm_cents").cast("bigint").alias("max_order_fee_ppm_cents"),
+        )
+    )

@@ -3375,3 +3375,74 @@ def q296_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("longest_streak_start"),
     )
+
+
+WATERMARK_THRESHOLDS_S = (60, 300, 900, 3600)
+
+
+@query(
+    "q299_watermark_advisor",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t
+      FROM events
+    ),
+    run AS (
+      SELECT event_type,
+             MAX(t) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) - t AS late_s
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(late_s) AS BIGINT) AS max_lateness_s,
+           CAST(SUM(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_60s,
+           CAST(SUM(CASE WHEN late_s > 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_300s,
+           CAST(SUM(CASE WHEN late_s > 900 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_900s,
+           CAST(SUM(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_3600s
+    FROM run GROUP BY event_type
+    """,
+)
+def q299_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK ADVISOR — measures a stream's event-time DISORDER so
+    the `withWatermark` delay is chosen from data, not folklore: in
+    arrival order (event_id is the monotone ingest sequence; Kafka
+    offset in production), an event's lateness is running-max(event
+    time) − its own event time — exactly the quantity a Structured
+    Streaming watermark of delay D compares against when deciding to
+    drop. Reports, per source partition (event_type here — watermarks
+    track per-partition maxima), the would-be drop count at each
+    candidate delay and the max observed lateness (the delay that
+    loses nothing). One window per partition in arrival order, then a
+    map-side-combining rollup; thresholds are literal so the counts
+    are conditional sums, not joins. This is the batch companion the
+    streaming gates (q71/q95/q156) assume when they pick delays; at
+    100 TB it's one sort per source partition — the same cost the
+    stream itself pays to resequence."""
+    ev = load(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type", "event_id", F.col("ts").cast("long").alias("t")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = arr.select(
+        "event_type", (F.max("t").over(w) - F.col("t")).alias("late_s")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("late_s").cast("bigint").alias("max_lateness_s"),
+    ] + [
+        F.sum(F.when(F.col("late_s") > F.lit(th), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"dropped_at_{th}s")
+        for th in WATERMARK_THRESHOLDS_S
+    ]
+    return run.groupBy("event_type").agg(*aggs)

@@ -476,3 +476,20 @@ def test_q285_other_conserves_total(spark, duck):
     assert sum(r["rev_cents"] for r in rows) == total
     other = [r for r in rows if r["part_or_other"] == -1][0]
     assert other["n_members"] > 1
+
+
+def test_q297_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q297_mann_whitney_u")
+
+
+def test_q297_u_identity_and_bounds(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q297_mann_whitney_u"](spark, SF_DIR).collect()
+    # U1 + U2 == n1*n2 (doubled on both sides)
+    assert r["u1_doubled"] + r["u2_doubled"] == 2 * r["n1"] * r["n2"]
+    assert 0 <= r["u1_doubled"] <= 2 * r["n1"] * r["n2"]
+    assert 0.0 <= r["auc_hat"] <= 1.0

@@ -174,3 +174,39 @@ def test_fiscal_periods_have_445_weeks(spark, duck):
     for r in rows:
         assert 1 <= r["fiscal_period"] <= 12
         assert r["fiscal_year"] >= 1995
+
+
+def test_q298_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q298_tiered_pricing")
+
+
+def test_q298_fee_monotone_and_continuous(spark):
+    """Progressive fees must be monotone in order value and continuous at
+    bracket boundaries (marginal fee per cent <= the max ppm rate) —
+    the classic billing off-by-one lives exactly at the thresholds."""
+    import pyspark.sql.functions as F
+
+    from hoops_edge_database_etl_spark.queries.core import (
+        PRICING_TIERS,
+        tier_fee_expr,
+    )
+
+    probes = sorted(
+        {0, 1}
+        | {v for lo, _, _ in PRICING_TIERS for v in (lo - 1, lo, lo + 1) if v >= 0}
+        | {10**9}
+    )
+    df = spark.createDataFrame([(c,) for c in probes], "cents long")
+    rows = (
+        df.select("cents", tier_fee_expr(F.col("cents")).alias("fee"))
+        .orderBy("cents")
+        .collect()
+    )
+    max_ppm = max(ppm for _, _, ppm in PRICING_TIERS)
+    for prev, cur in zip(rows, rows[1:]):
+        dfee = cur["fee"] - prev["fee"]
+        dc = cur["cents"] - prev["cents"]
+        assert dfee >= 0  # monotone
+        assert dfee <= dc * max_ppm  # no boundary jump

@@ -675,3 +675,26 @@ def test_q296_streak_bounds(spark):
         # streaks partition active days: longest*count >= total
         assert r["longest_streak_days"] * r["n_streaks"] >= r["n_active_days"]
         assert r["longest_streak_start"] is not None
+
+
+def test_q299_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q299_watermark_advisor")
+
+
+def test_q299_drop_counts_monotone_in_delay(spark):
+    rows = _q("q299_watermark_advisor")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        drops = [
+            r["dropped_at_60s"],
+            r["dropped_at_300s"],
+            r["dropped_at_900s"],
+            r["dropped_at_3600s"],
+        ]
+        # a longer watermark delay never drops more
+        assert all(a >= b for a, b in zip(drops, drops[1:]))
+        assert drops[0] <= r["n_events"]
+        if r["max_lateness_s"] <= 3600:
+            assert drops[-1] == 0
