@@ -233,6 +233,9 @@ _DRIVER_PRIORITY = [
     "q297_mann_whitney_u",
     "q298_tiered_pricing",
     "q299_watermark_advisor",
+    "q300_weighted_sssp",
+    "q301_key_gap_audit",
+    "q302_negative_sampling",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

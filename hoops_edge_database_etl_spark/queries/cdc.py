@@ -727,3 +727,84 @@ def q271_mv_retraction_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("direct_sum_cents").alias("direct_sum_cents"),
         )
     )
+
+
+GAP_AUDIT_BLOCK = 256  # keys per block; 1e6 at 100 TB keeps the boundary
+                       # pass to keyspace/B rows — always bounded by choice of B
+GAP_AUDIT_DROP_MOD = 23  # simulated feed loss: keys hashing to 0 mod 23
+
+
+@query(
+    "q301_key_gap_audit",
+    oracle=f"""
+    WITH present AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':feed'),
+                 1, 8) AS BIGINT) % {GAP_AUDIT_DROP_MOD} <> 0
+    ),
+    nxt AS (
+      SELECT k, LEAD(k) OVER (ORDER BY k) AS next_k FROM present
+    )
+    SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+           CAST(next_k - 1 AS BIGINT) AS gap_end,
+           CAST(next_k - k - 1 AS BIGINT) AS missing_n
+    FROM nxt WHERE next_k > k + 1
+    """,
+)
+def q301_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-GAP AUDIT — find every missing range in an append log's
+    monotone key sequence (dropped Kafka offsets, lost CDC LSNs,
+    skipped invoice numbers). The input simulates feed loss by hashing
+    out ~1/{GAP_AUDIT_DROP_MOD} of the dense orderkey space; the audit must
+    recover exactly those holes (property-tested against the punch-out
+    set — the audit and the corruption are independent code paths).
+
+    The naive LEAD over all keys is a single-reducer global sort, so
+    this runs the RANGE-PARTITIONED TWO-PASS shape (q74's cumsum
+    machinery applied to LEAD): pass 1 finds intra-block gaps with a
+    per-block window (block = key DIV {GAP_AUDIT_BLOCK}); pass 2 finds
+    cross-block gaps with a window over per-block (min, max) aggregates
+    — input bounded at keyspace/{GAP_AUDIT_BLOCK} rows, and the block size is
+    the knob that keeps it bounded at any scale (1e6 at 100 TB). Runs
+    of entirely-empty blocks collapse into one boundary gap because
+    absent blocks simply don't appear. The oracle is the naive global
+    LEAD — fine at sf, wrong at scale; the PLANS differ, the answer
+    must not."""
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":feed"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    present = o.select(F.col("o_orderkey").alias("k")).filter(
+        h % GAP_AUDIT_DROP_MOD != 0
+    )
+    blocked = present.withColumn(
+        "block", (F.col("k") / GAP_AUDIT_BLOCK).cast("long")
+    )
+    wi = Window.partitionBy("block").orderBy("k")
+    intra = (
+        blocked.withColumn("next_k", F.lead("k").over(wi))
+        .filter(F.col("next_k") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).cast("bigint").alias("gap_start"),
+            (F.col("next_k") - 1).cast("bigint").alias("gap_end"),
+        )
+    )
+    per_block = blocked.groupBy("block").agg(
+        F.min("k").alias("bmin"), F.max("k").alias("bmax")
+    )
+    wb = Window.orderBy("block")
+    cross = (
+        per_block.withColumn("prev_max", F.lag("bmax").over(wb))
+        .filter(F.col("bmin") > F.col("prev_max") + 1)
+        .select(
+            (F.col("prev_max") + 1).cast("bigint").alias("gap_start"),
+            (F.col("bmin") - 1).cast("bigint").alias("gap_end"),
+        )
+    )
+    return intra.unionByName(cross).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).cast("bigint").alias("missing_n"),
+    )

@@ -1486,3 +1486,111 @@ def q259_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("cosine").alias("max_eval_cosine"),
         )
     )
+
+
+NEG_TRIES = 8  # candidate draws per customer
+NEG_KEEP = 3   # negatives kept per customer
+
+
+@query(
+    "q302_negative_sampling",
+    oracle=f"""
+    WITH buyers AS (SELECT DISTINCT o_custkey AS c FROM orders),
+    pos AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    mx AS (SELECT MAX(p_partkey) AS maxpk FROM part),
+    cand AS (
+      SELECT b.c, t.i,
+             1 + CAST('0x' || substr(md5(CAST(b.c AS VARCHAR) || ':neg:' ||
+                   CAST(t.i AS VARCHAR)), 1, 8) AS BIGINT) % mx.maxpk AS p
+      FROM buyers b, mx, unnest(generate_series(1, {NEG_TRIES})) AS t(i)
+    ),
+    neg AS (
+      SELECT c.c, c.p, MIN(c.i) AS first_try
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.c = c.c AND pos.p = c.p)
+      GROUP BY c.c, c.p
+    ),
+    ranked AS (
+      SELECT c, p,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY first_try, p) AS rnk
+      FROM neg
+    )
+    SELECT CAST(c AS BIGINT) AS custkey, CAST(p AS BIGINT) AS neg_partkey,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {NEG_KEEP}
+    """,
+)
+def q302_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training primitive
+    (word2vec, two-tower retrieval, DPO pair mining): for every customer,
+    draw candidate parts from a seeded hash stream, REJECT any part the
+    customer actually bought (the classic false-negative bug — a
+    "negative" the user loved), and keep the first K survivors. Draws
+    are md5(c:neg:i) mod |parts| — reproducible across engines, runs,
+    and partitionings (no rand(): the house determinism rule). Plan:
+    buyers x {NEG_TRIES} literal tries via explode (narrow), ONE
+    anti-join against the positives table on (customer, part) — the
+    shuffle; the per-customer rank orders by first successful try over
+    <= {NEG_TRIES} rows per customer (bounded window). Rejection
+    shortfall is explicit: a customer whose draws all collide with
+    positives yields < K rows — visible in the output, property-tested,
+    and at 100 TB the fix is raising tries, not resampling in a loop.
+    The positives side is the big table; it arrives pre-hashed on the
+    same join key the anti-join shuffles on."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    buyers = o.select(F.col("o_custkey").alias("c")).distinct()
+    pos = (
+        o.select("o_orderkey", F.col("o_custkey").alias("c"))
+        .join(li.select(F.col("l_orderkey").alias("o_orderkey"),
+                        F.col("l_partkey").alias("p")), "o_orderkey")
+        .select("c", "p")
+        .distinct()
+    )
+    mx = part.agg(F.max("p_partkey").alias("maxpk"))
+    cand = (
+        buyers.crossJoin(F.broadcast(mx))
+        .select("c", "maxpk", F.explode(F.sequence(F.lit(1), F.lit(NEG_TRIES))).alias("i"))
+        .select(
+            "c",
+            "i",
+            (
+                1
+                + F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("c").cast("string"),
+                                F.lit(":neg:"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("maxpk")
+            ).alias("p"),
+        )
+    )
+    neg = (
+        cand.join(pos, ["c", "p"], "anti")
+        .groupBy("c", "p")
+        .agg(F.min("i").alias("first_try"))
+    )
+    w = Window.partitionBy("c").orderBy("first_try", "p")
+    return (
+        neg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= NEG_KEEP)
+        .select(
+            F.col("c").cast("bigint").alias("custkey"),
+            F.col("p").cast("bigint").alias("neg_partkey"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -696,3 +696,86 @@ def q135_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select(F.col("node").cast("bigint"), F.col("hops").cast("bigint"))
+
+
+SSSP_SOURCE = 0
+SSSP_MAX_SWEEPS = 16
+SSSP_DIST_CAP = 24  # both engines report only nodes with dist <= cap
+
+
+@query(
+    "q300_weighted_sssp",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst,
+             1 + (o_custkey % 100 * 31 + o_orderkey % 100) % 9 AS w
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    walk(node, d) AS (
+      SELECT {SSSP_SOURCE}, 0
+      UNION
+      SELECT e.dst, w.d + e.w
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.d + e.w <= {SSSP_DIST_CAP}
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MIN(d) AS BIGINT) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q300_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths — distributed BELLMAN-FORD
+    over q135's synthetic schedule graph with deterministic positive
+    integer weights (1 + (31·src + dst) mod 9): each sweep relaxes
+    every edge by joining the current distance table against the edge
+    list on src, min-merging candidates into the running distances,
+    and localCheckpointing to keep lineage O(1); the loop exits when a
+    sweep improves nothing (one scalar isEmpty probe — never a data
+    collect). Weights >= 1 guarantee monotone convergence in <=
+    diameter sweeps. The DuckDB oracle enumerates all walks of total
+    weight <= {SSSP_DIST_CAP} via a recursive CTE with SET semantics
+    (the cap bounds recursion on cycles) + MIN — the exact fixed point
+    Bellman-Ford reaches; both sides report only dist <= cap so the
+    two terminations agree by construction. At 100 TB: edges are the
+    big table, shuffled on src once per sweep (or pre-partitioned and
+    reused); the distance table is node-sized. q135 answers "how many
+    hops"; this answers "how far" — the actual routing/latency
+    question."""
+    o = load(spark, sf_dir, "orders")
+    src = (F.col("o_custkey") % 100).cast("long")
+    dst = (F.col("o_orderkey") % 100).cast("long")
+    e = (
+        o.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (1 + (F.col("src") * 31 + F.col("dst")) % 9).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(int(SSSP_SOURCE), 0)], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    for _ in range(SSSP_MAX_SWEEPS):
+        cand = (
+            e.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .filter(F.col("dist") <= SSSP_DIST_CAP)
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.join(
+            dist.withColumnRenamed("dist", "old"), "node", "left"
+        ).filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+        done = improved.isEmpty()
+        dist = merged
+        if done:
+            break
+    return dist.filter(F.col("dist") <= SSSP_DIST_CAP).select(
+        F.col("node").cast("bigint"), F.col("dist").cast("bigint")
+    )

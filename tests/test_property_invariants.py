@@ -392,3 +392,103 @@ def test_bfs_levels_are_consistent(spark):
     for e in edges:
         if e["src"] in hops and e["dst"] in hops:
             assert hops[e["dst"]] <= hops[e["src"]] + 1
+
+
+# --- weighted SSSP (q300) ------------------------------------------------
+
+
+def test_sssp_fixpoint_no_relaxable_edge(spark):
+    """Bellman-Ford's certificate: at the fixed point no edge can still
+    relax — dist[v] <= dist[u] + w for every edge with dist[u]+w within
+    the cap. Rebuilds the same deterministic edge list independently."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.solver import (
+        SSSP_DIST_CAP,
+        SSSP_SOURCE,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    dist = {
+        r["node"]: r["dist"]
+        for r in all_queries()["q300_weighted_sssp"](spark, SF_DIR).collect()
+    }
+    assert dist[SSSP_SOURCE] == 0
+    assert all(d > 0 for n, d in dist.items() if n != SSSP_SOURCE)
+    edges = (
+        load(spark, SF_DIR, "orders")
+        .selectExpr(
+            "o_custkey % 100 AS src", "o_orderkey % 100 AS dst"
+        )
+        .filter("src <> dst")
+        .distinct()
+        .collect()
+    )
+    for r in edges:
+        u, v = r["src"], r["dst"]
+        w = 1 + (u * 31 + v) % 9
+        if u in dist and dist[u] + w <= SSSP_DIST_CAP:
+            assert v in dist and dist[v] <= dist[u] + w
+
+
+# --- key-gap audit (q301) ------------------------------------------------
+
+
+def test_gap_audit_recovers_exact_punchout(spark, duck):
+    """The audit's union of [gap_start, gap_end] ranges must equal the
+    hash-dropped key set inside the observed span — computed here by an
+    independent DuckDB pass over the raw keys."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.cdc import GAP_AUDIT_DROP_MOD
+
+    gaps = all_queries()["q301_key_gap_audit"](spark, SF_DIR).collect()
+    recovered = set()
+    for g in gaps:
+        assert g["missing_n"] == g["gap_end"] - g["gap_start"] + 1
+        recovered |= set(range(g["gap_start"], g["gap_end"] + 1))
+    dropped = {
+        k
+        for (k,) in duck.execute(
+            f"""
+            SELECT o_orderkey FROM orders
+            WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':feed'),
+                       1, 8) AS BIGINT) % {GAP_AUDIT_DROP_MOD} = 0
+            """
+        ).fetchall()
+    }
+    present_span = duck.execute(
+        f"""
+        SELECT MIN(o_orderkey), MAX(o_orderkey) FROM orders
+        WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':feed'),
+                   1, 8) AS BIGINT) % {GAP_AUDIT_DROP_MOD} <> 0
+        """
+    ).fetchone()
+    expected = {k for k in dropped if present_span[0] < k < present_span[1]}
+    assert recovered == expected
+
+
+# --- negative sampling (q302) --------------------------------------------
+
+
+def test_negative_samples_never_positive(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.similarity import NEG_KEEP
+    from hoops_edge_database_etl_spark.tables import load
+
+    neg = all_queries()["q302_negative_sampling"](spark, SF_DIR)
+    rows = neg.collect()
+    assert rows
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r["custkey"], []).append(r["rnk"])
+    for ranks in per_cust.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= NEG_KEEP
+    o = load(spark, SF_DIR, "orders").selectExpr("o_orderkey", "o_custkey AS custkey")
+    li = load(spark, SF_DIR, "lineitem").selectExpr(
+        "l_orderkey AS o_orderkey", "l_partkey AS neg_partkey"
+    )
+    pos = o.join(li, "o_orderkey").select("custkey", "neg_partkey").distinct()
+    assert neg.join(pos, ["custkey", "neg_partkey"], "semi").isEmpty()
