@@ -236,6 +236,9 @@ _DRIVER_PRIORITY = [
     "q300_weighted_sssp",
     "q301_key_gap_audit",
     "q302_negative_sampling",
+    "q303_grouped_kfold",
+    "q304_encoding_audit",
+    "q305_utf8_accounting",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

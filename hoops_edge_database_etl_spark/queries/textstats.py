@@ -1848,3 +1848,216 @@ def q286_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) % 9223372036854775807 AS BIGINT)"
         ).alias("fingerprint2"),
     )
+
+
+KFOLD_K = 5
+
+
+@query(
+    "q303_grouped_kfold",
+    oracle=f"""
+    WITH folded AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || ':fold'),
+                  1, 8) AS BIGINT) % {KFOLD_K} AS fold
+      FROM orders o
+    )
+    SELECT fold,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM folded GROUP BY fold
+    """,
+)
+def q303_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE K-FOLD assignment — the cross-validation split that
+    respects entity boundaries: the fold is a function of the GROUP key
+    (customer), never the row, so every order of a customer lands in
+    the same fold and no entity leaks across the train/eval line (the
+    grouped sibling of q68's doc-level split; leakage through shared
+    groups is the classic CV inflation bug). Fold = md5(custkey)
+    first-32-bits mod {KFOLD_K}: deterministic, repartition-proof,
+    stable under re-runs and engine swaps — a new row for an existing
+    customer joins its fold with no reshuffling of anyone else (the
+    property rand()-based splits lack). Output is the balance report a
+    pipeline gates on: groups/rows/revenue per fold should be near-
+    uniform; exact disjointness is property-tested. Plan: one scan
+    projection + one {KFOLD_K}-group rollup with COUNT DISTINCT on the
+    group key (two-level agg, combiner-friendly)."""
+    o = load(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_custkey").cast("string"), F.lit(":fold"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLD_K
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            fold.alias("fold"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_groups"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+ENC_CORRUPT_MOD = 11  # docs hashing to 0 mod 11 get synthetic corruption
+
+
+@query(
+    "q304_encoding_audit",
+    oracle=f"""
+    WITH feed AS (
+      SELECT doc_id, source,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':enc'),
+                       1, 8) AS BIGINT) % {ENC_CORRUPT_MOD} = 0
+                  THEN '<p>' || text || 'caf' || chr(233) ||
+                       chr(65533) || '</p>'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(length(text) - length(replace(text, chr(65533), ''))
+               AS BIGINT) AS n_replacement_chars,
+             CAST((length(text) - length(replace(text, '</', ''))) / 2
+               AS BIGINT) AS n_closing_tags,
+             CAST(strlen(text) - length(text) AS BIGINT)
+               AS n_multibyte_extra
+      FROM feed
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_replacement_chars > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_replacement,
+           CAST(SUM(CASE WHEN n_closing_tags > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_with_markup,
+           CAST(SUM(n_multibyte_extra) AS BIGINT) AS multibyte_extra_bytes
+    FROM scored GROUP BY source
+    """,
+)
+def q304_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING-HEALTH AUDIT — the corpus gate that catches U+FFFD
+    replacement characters (lossy transcodes), residual HTML markup,
+    and unexpected multibyte density before a tokenizer bakes them
+    into a vocabulary. The clean synthetic corpus carries none, so a
+    deterministic md5-selected 1/{ENC_CORRUPT_MOD} of docs is wrapped
+    with <p> tags, a UTF-8 'é', and a U+FFFD — and the audit must
+    flag EXACTLY that subset (property-tested against the injection
+    list; audit and injection are separate expressions). Counting is
+    replace()-difference arithmetic, not regex — byte-identical
+    across engines where regex flavors drift — and multibyte density
+    is octet_length − char length, zero for pure ASCII. All JVM
+    column expressions in one scan + a per-source rollup; at 100 TB
+    this is the cheapest possible pass over the text (no
+    tokenization, no shuffling of document bodies)."""
+    d = load(spark, sf_dir, "documents")
+    corrupt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":enc"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % ENC_CORRUPT_MOD
+        == 0
+    )
+    feed = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            corrupt,
+            F.concat(
+                F.lit("<p>"),
+                F.col("text"),
+                F.lit("café�</p>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scored = feed.select(
+        "source",
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("�"), F.lit("")))
+        ).alias("n_replacement_chars"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("</"), F.lit("")))
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("n_closing_tags"),
+        (F.octet_length("text") - F.length("text")).alias("n_multibyte_extra"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_replacement_chars") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_replacement"),
+        F.sum(F.when(F.col("n_closing_tags") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_markup"),
+        F.sum("n_multibyte_extra").cast("bigint").alias("multibyte_extra_bytes"),
+    )
+
+
+@query(
+    "q305_utf8_accounting",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS chars,
+           CAST(SUM(strlen(text)) AS BIGINT) AS bytes,
+           CAST(SUM(strlen(text)) AS DOUBLE) / SUM(length(text))
+             AS bytes_per_char,
+           CAST(SUM(CASE WHEN strlen(text) = length(text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ascii_only_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q305_utf8_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 BYTE ACCOUNTING per language — the storage/tokenizer
+    planning number multilingual corpora need: chars vs encoded bytes
+    (octet_length), the bytes-per-char premium (CJK ~3x, Latin-accent
+    ~1.07x, ASCII exactly 1.0), and how many docs are pure ASCII.
+    Byte-level BPE budgets, parquet size forecasts, and context-window
+    economics all key off this ratio, and it's exact: two integer sums
+    per language with one division at the edge (numerator and
+    denominator are both reported, so downstream can re-derive any
+    blended ratio without float re-aggregation — the q21 cross-multiply
+    rule). Single scan, five-group rollup; string bodies never
+    shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("chars"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("bytes"),
+        (
+            F.sum(F.octet_length("text")).cast("double")
+            / F.sum(F.length("text"))
+        ).alias("bytes_per_char"),
+        F.sum(
+            F.when(F.octet_length("text") == F.length("text"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ascii_only_docs"),
+    )

@@ -326,3 +326,81 @@ def test_q286_fingerprint_detects_change(spark, duck):
     }
     changed = [s for s in full if s in base and full[s] != base[s]]
     assert changed  # doc 0's split must show a different fingerprint
+
+
+def test_q303_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q303_grouped_kfold")
+
+
+def test_q303_folds_partition_groups(spark):
+    """Every customer's rows land in exactly one fold; folds are
+    near-balanced (each within 3x of uniform at this sf)."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import KFOLD_K
+    from hoops_edge_database_etl_spark.tables import load
+
+    rows = all_queries()["q303_grouped_kfold"](spark, SF_DIR).collect()
+    assert {r["fold"] for r in rows} == set(range(KFOLD_K))
+    total_groups = sum(r["n_groups"] for r in rows)
+    distinct_custs = (
+        load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    # equality <=> no customer appears in two folds
+    assert total_groups == distinct_custs
+    uniform = total_groups / KFOLD_K
+    for r in rows:
+        assert uniform / 3 <= r["n_groups"] <= uniform * 3
+
+
+def test_q304_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q304_encoding_audit")
+
+
+def test_q304_flags_exactly_injected_docs(spark, duck):
+    """Replacement-char and markup flags must both equal the injection
+    subset size per source — computed independently in DuckDB."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import ENC_CORRUPT_MOD
+
+    got = {
+        r["source"]: r
+        for r in all_queries()["q304_encoding_audit"](spark, SF_DIR).collect()
+    }
+    expected = dict(
+        duck.execute(
+            f"""
+            SELECT source, SUM(CASE WHEN CAST('0x' ||
+                substr(md5(CAST(doc_id AS VARCHAR) || ':enc'), 1, 8) AS BIGINT)
+                % {ENC_CORRUPT_MOD} = 0 THEN 1 ELSE 0 END)
+            FROM documents GROUP BY source
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(expected)
+    for src, r in got.items():
+        assert r["docs_with_replacement"] == expected[src]
+        assert r["docs_with_markup"] == expected[src]
+        # 3 extra bytes per injected doc, zero elsewhere (corpus is ASCII)
+        assert r["multibyte_extra_bytes"] == 3 * expected[src]
+
+
+def test_q305_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q305_utf8_accounting")
+
+
+def test_q305_ascii_corpus_ratios(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    for r in all_queries()["q305_utf8_accounting"](spark, SF_DIR).collect():
+        assert r["bytes"] >= r["chars"]
+        assert r["bytes_per_char"] >= 1.0
+        assert 0 <= r["ascii_only_docs"] <= r["n_docs"]
