@@ -239,6 +239,9 @@ _DRIVER_PRIORITY = [
     "q303_grouped_kfold",
     "q304_encoding_audit",
     "q305_utf8_accounting",
+    "q306_quantile_normalize",
+    "q307_mode_imputation",
+    "q308_lsh_recall_eval",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

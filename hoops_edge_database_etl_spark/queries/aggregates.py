@@ -2835,3 +2835,85 @@ def q297_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * F.col("n1") * F.col("n2") - u1).cast("bigint").alias("u2_doubled"),
         (u1.cast("double") / (2 * F.col("n1") * F.col("n2"))).alias("auc_hat"),
     )
+
+
+IMPUTE_DROP_MOD = 13  # customers hashing to 0 mod 13 lose their segment
+
+
+@query(
+    "q307_mode_imputation",
+    oracle=f"""
+    WITH feed AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                       || ':seg'), 1, 8) AS BIGINT) % {IMPUTE_DROP_MOD} = 0
+                  THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    ),
+    modes AS (
+      SELECT c_nationkey, seg AS mode_seg
+      FROM (
+        SELECT c_nationkey, seg, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY COUNT(*) DESC, seg) AS rn
+        FROM feed WHERE seg IS NOT NULL
+        GROUP BY c_nationkey, seg
+      ) WHERE rn = 1
+    )
+    SELECT f.c_custkey,
+           CAST(f.c_nationkey AS BIGINT) AS c_nationkey,
+           f.seg IS NULL AS was_imputed,
+           COALESCE(f.seg, m.mode_seg) AS segment
+    FROM feed f JOIN modes m ON m.c_nationkey = f.c_nationkey
+    """,
+)
+def q307_mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE IMPUTATION — categorical repair by per-group majority vote:
+    a deterministic 1/{IMPUTE_DROP_MOD} of customers lose their market
+    segment (md5 punch-out simulating a lossy upstream), and each hole
+    is filled with the MODE segment of the customer's nation computed
+    over the SURVIVING rows only (imputing from values you still trust,
+    never from other holes). Ties break lexicographically (q22's mode
+    rule) so the repair is total and deterministic. Plan: one grouped
+    count + ROW_NUMBER over a 5-row-per-nation aggregate picks modes;
+    the repair itself is a BROADCAST join of the 25-row mode table onto
+    the scan — at 100 TB imputation costs one pass and zero wide
+    shuffles of the fact table. Property-tested: surviving rows pass
+    through byte-identical, and every imputed value equals an
+    independently computed majority."""
+    c = load(spark, sf_dir, "customer")
+    punched = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":seg"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % IMPUTE_DROP_MOD
+        == 0
+    )
+    feed = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(punched, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    counts = (
+        feed.filter(F.col("seg").isNotNull())
+        .groupBy("c_nationkey", "seg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wm = Window.partitionBy("c_nationkey").orderBy(F.col("cnt").desc(), "seg")
+    modes = (
+        counts.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("seg").alias("mode_seg"))
+    )
+    return feed.join(F.broadcast(modes), "c_nationkey").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.col("seg").isNull().alias("was_imputed"),
+        F.coalesce("seg", "mode_seg").alias("segment"),
+    )

@@ -1076,3 +1076,80 @@ def q249_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+@query(
+    "q308_lsh_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i, j FROM inter JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+      WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.5
+    ),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM band a JOIN band b ON a.b = b.b AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    ),
+    hits AS (SELECT t.i, t.j FROM truth t JOIN cand c ON c.i = t.i AND c.j = t.j)
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM hits) * 1000000
+                // (SELECT COUNT(*) FROM truth) AS BIGINT) AS recall_ppm,
+           CAST((SELECT COUNT(*) FROM hits) * 1000000
+                // (SELECT COUNT(*) FROM cand) AS BIGINT) AS precision_ppm
+    """,
+)
+def q308_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP QUALITY GATE — measures the MinHash-LSH candidate generator
+    (q43, the 100 TB path) against exact n-gram Jaccard ground truth
+    (q42, the sf-scale oracle): recall = how many true J >= 0.5 pairs
+    the bands caught, precision = how many candidates are true — the
+    dedup family's twin of q251's ANN recall gate, and the number that
+    decides whether 4x2 banding is safe to ship before a corpus run.
+    Both lineages are the REGISTERED queries re-invoked (not
+    re-implementations), so this gate inherits any fix or regression
+    in either; ratios are integer ppm (floor division on both
+    engines). The eval itself adds one pair-key equi-join and three
+    scalar counts — at corpus scale the exact side is sampled, the
+    LSH side is production."""
+    d = load(spark, sf_dir, "documents")
+    truth = jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    cand = q43_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    n_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_t.crossJoin(n_c)
+        .crossJoin(n_h)
+        .select(
+            F.col("n_truth").cast("bigint"),
+            F.col("n_candidates").cast("bigint"),
+            F.col("n_hits").cast("bigint"),
+            F.expr("n_hits * 1000000 DIV n_truth").cast("bigint").alias("recall_ppm"),
+            F.expr("n_hits * 1000000 DIV n_candidates")
+            .cast("bigint")
+            .alias("precision_ppm"),
+        )
+    )

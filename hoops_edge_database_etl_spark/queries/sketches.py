@@ -1596,3 +1596,113 @@ def q288_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("moved_ppm"),
     )
     return modn.unionAll(hrw)
+
+
+QN_RANK_BLOCK = 1024  # rank-space block size for the distributed lookup
+
+
+@query(
+    "q306_quantile_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    g AS (
+      SELECT event_id, event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_g,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    hist AS (SELECT cents AS hcents, COUNT(*) AS cnt FROM s GROUP BY cents),
+    ch AS (
+      SELECT hcents,
+             SUM(cnt) OVER (ORDER BY hcents ROWS UNBOUNDED PRECEDING) AS hi,
+             SUM(cnt) OVER (ORDER BY hcents ROWS UNBOUNDED PRECEDING)
+               - cnt + 1 AS lo
+      FROM hist
+    ),
+    q AS (
+      SELECT event_id, event_type, cents,
+             (r * n + n_g - 1) // n_g AS k
+      FROM g
+    )
+    SELECT q.event_id, q.event_type, q.cents,
+           CAST(ch.hcents AS BIGINT) AS norm_cents
+    FROM q JOIN ch ON q.k BETWEEN ch.lo AND ch.hi
+    """,
+)
+def q306_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION — map every group's values onto the pooled
+    distribution by matching relative rank (batch-effect correction;
+    for LLM pipelines: calibrating scores across judges who use the
+    scale differently — a harsh grader's p90 becomes THE pooled p90).
+    Exact and integer: within-group rank r (event_id tiebreak) maps to
+    pooled target rank k = ceil(r·N/n_g) via (r·N + n_g − 1) DIV n_g,
+    and the pooled value at rank k comes from the distinct-value
+    cumulative histogram (q218's bounded support), whose contiguous
+    [lo, hi] rank ranges tile 1..N.
+
+    The rank lookup is the scale move: instead of a global
+    sort-position join (single reducer) or a BETWEEN nested loop, each
+    histogram range explodes onto the rank-space blocks it covers
+    (block = (k−1) DIV {B}) and the lookup becomes an EQUI-join on
+    block + an in-block range filter — q279's spatial-grid trick on
+    the rank axis; explosion is bounded by support + N/{B}. Property:
+    normalization preserves within-group order and maps each group's
+    top rank to the pooled max.""".replace("{B}", str(QN_RANK_BLOCK))
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    n_tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wg = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    g = (
+        s.withColumn("r", F.row_number().over(wg).cast("long"))
+        .withColumn(
+            "n_g", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    q = g.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.expr("(r * n + n_g - 1) DIV n_g").alias("k"),
+    )
+    hist = s.groupBy(F.col("cents").alias("hcents")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wh = Window.orderBy("hcents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ch = hist.select(
+        "hcents",
+        F.sum("cnt").over(wh).alias("hi"),
+        (F.sum("cnt").over(wh) - F.col("cnt") + 1).alias("lo"),
+    )
+    B = QN_RANK_BLOCK
+    ch_blocked = ch.select(
+        "hcents",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"(lo - 1) DIV {B}"), F.expr(f"(hi - 1) DIV {B}")
+            )
+        ).alias("blk"),
+    )
+    q_blocked = q.withColumn("blk", F.expr(f"(k - 1) DIV {B}"))
+    return (
+        q_blocked.join(ch_blocked, "blk")
+        .filter((F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.col("hcents").cast("bigint").alias("norm_cents"),
+        )
+    )

@@ -493,3 +493,48 @@ def test_q297_u_identity_and_bounds(spark):
     assert r["u1_doubled"] + r["u2_doubled"] == 2 * r["n1"] * r["n2"]
     assert 0 <= r["u1_doubled"] <= 2 * r["n1"] * r["n2"]
     assert 0.0 <= r["auc_hat"] <= 1.0
+
+
+def test_q307_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q307_mode_imputation")
+
+
+def test_q307_repairs_only_holes_with_true_majority(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.aggregates import IMPUTE_DROP_MOD
+
+    rows = all_queries()["q307_mode_imputation"](spark, SF_DIR).collect()
+    orig = dict(
+        duck.execute("SELECT c_custkey, c_mktsegment FROM customer").fetchall()
+    )
+    punched = {
+        k
+        for (k,) in duck.execute(
+            f"""SELECT c_custkey FROM customer
+            WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':seg'),
+                  1, 8) AS BIGINT) % {IMPUTE_DROP_MOD} = 0"""
+        ).fetchall()
+    }
+    modes = dict(
+        duck.execute(
+            f"""SELECT c_nationkey, seg FROM (
+              SELECT c_nationkey, c_mktsegment AS seg,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+              FROM customer
+              WHERE c_custkey NOT IN (SELECT UNNEST(CAST(? AS BIGINT[])))
+              GROUP BY c_nationkey, c_mktsegment) WHERE rn = 1""",
+            [list(punched)],
+        ).fetchall()
+    )
+    assert len(rows) == len(orig)
+    for r in rows:
+        if r["c_custkey"] in punched:
+            assert r["was_imputed"]
+            assert r["segment"] == modes[r["c_nationkey"]]
+        else:
+            assert not r["was_imputed"]
+            assert r["segment"] == orig[r["c_custkey"]]

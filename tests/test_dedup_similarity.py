@@ -411,3 +411,21 @@ def test_q259_flags_are_above_threshold(spark):
     for r in rows:
         assert r["max_eval_cosine"] >= 0.35
         assert r["n_close_eval"] >= 1
+
+
+def test_q308_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q308_lsh_recall_eval")
+
+
+def test_q308_metric_bounds(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q308_lsh_recall_eval"](spark, SF_DIR).collect()
+    assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert 0 <= r["recall_ppm"] <= 1_000_000
+    assert 0 <= r["precision_ppm"] <= 1_000_000
+    # 4x2 banding at J>=0.5 must catch a solid majority of true pairs
+    assert r["recall_ppm"] >= 500_000

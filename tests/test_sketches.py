@@ -415,3 +415,26 @@ def test_q288_rendezvous_beats_modn(spark):
     assert rows["mod-N"]["moved_ppm"] > 700_000
     assert rows["rendezvous"]["moved_ppm"] < 250_000
     assert rows["rendezvous"]["n_moved"] < rows["mod-N"]["n_moved"]
+
+
+def test_q306_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q306_quantile_normalize")
+
+
+def test_q306_preserves_group_order_and_hits_pooled_max(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q306_quantile_normalize"](spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    pooled_max = max(r["cents"] for r in rows)
+    for grp in by_type.values():
+        grp.sort(key=lambda r: (r["cents"], r["event_id"]))
+        norms = [r["norm_cents"] for r in grp]
+        assert norms == sorted(norms)  # order-preserving
+        assert norms[-1] == pooled_max  # top rank maps to pooled max
