@@ -370,3 +370,25 @@ def test_spatial_grid_join_is_equi_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "kx" in plan and "ky" in plan, name
+
+
+def test_gap_audit_intra_block_window_is_partitioned(spark):
+    """q301's per-key window must exchange on the block key (the raw
+    present-key stream never funnels through one reducer); only the
+    bounded per-block aggregate may use an ordered boundary pass."""
+    plan = _executed(_qs()["q301_key_gap_audit"](spark, SF_DIR))
+    assert "hashpartitioning(block" in plan
+
+
+def test_quantile_normalize_lookup_is_equi_join(spark):
+    """q306's rank lookup must plan as an equi-join on the rank block
+    (grid trick), never a nested-loop BETWEEN join over the histogram."""
+    plan = _executed(_qs()["q306_quantile_normalize"](spark, SF_DIR))
+    assert "blk" in plan
+    assert "CartesianProduct" not in plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "Join" in ln and "BroadcastNestedLoop" not in ln
+    ]
+    assert any("blk" in ln for ln in joins), "no equi join on blk found"
