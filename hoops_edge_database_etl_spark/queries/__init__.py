@@ -242,6 +242,9 @@ _DRIVER_PRIORITY = [
     "q306_quantile_normalize",
     "q307_mode_imputation",
     "q308_lsh_recall_eval",
+    "q309_pq_assign",
+    "q310_price_volume_mix",
+    "q311_popularity_bias",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1402,3 +1402,92 @@ def q291_orphan_entity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(orphans(o, li, "o_orderkey", "l_orderkey", "orders_without_lines"))
     )
+
+
+POP_DECILES = 10
+
+
+@query(
+    "q311_popularity_bias",
+    oracle=f"""
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pop AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+      FROM lines GROUP BY l_partkey
+    ),
+    dec AS (
+      SELECT l_partkey,
+             (ROW_NUMBER() OVER (ORDER BY n_ord DESC, l_partkey) - 1)
+               * {POP_DECILES} // COUNT(*) OVER () AS decile
+      FROM pop
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM lines a JOIN lines b
+        ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    recs AS (
+      SELECT p2 FROM (
+        SELECT p1, p2, ROW_NUMBER() OVER (PARTITION BY p1
+                 ORDER BY n_orders DESC, p2) AS rnk
+        FROM pairs
+      ) WHERE rnk <= 5
+    ),
+    rd AS (SELECT d.decile FROM recs r JOIN dec d ON d.l_partkey = r.p2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rd)
+    SELECT rd.decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rec_slots,
+           CAST(COUNT(*) * 1000000 // tot.n AS BIGINT) AS share_ppm
+    FROM rd, tot GROUP BY rd.decile, tot.n
+    """,
+)
+def q311_popularity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULARITY-BIAS report for the co-purchase recommender (q244,
+    re-invoked — not re-implemented): bucket the catalog into
+    popularity deciles by distinct-order count (decile 0 = head), then
+    measure where recommendation SLOTS land. A healthy candidate
+    generator shows head concentration but non-zero tail mass; a
+    degenerate one recommends only decile 0 — the feedback loop that
+    collapses catalogs, caught here before serving. Decile assignment
+    is exact integer rank arithmetic ((rank−1)·{POP_DECILES} DIV n
+    over the per-part aggregate — the q171 decile rule, part-key
+    tiebroken); shares are ppm floor division. The added plan is one
+    broadcast-sized join from rec slots to the part-decile dim plus a
+    {POP_DECILES}-row rollup — the recommender's own cost dominates.
+    The global rank window runs over the per-part AGGREGATE (catalog-
+    sized, not order-sized); at 100 TB catalogs the q306 rank-block
+    trick drops in."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_partkey").distinct()
+    pop = lines.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ord")
+    )
+    n_parts = pop.agg(F.count(F.lit(1)).cast("long").alias("n_cat"))
+    wr = Window.orderBy(F.col("n_ord").desc(), "l_partkey")
+    dec = (
+        pop.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            "l_partkey",
+            F.expr(f"(rnk - 1) * {POP_DECILES} DIV n_cat").alias("decile"),
+        )
+    )
+    recs = q244_copurchase_topk(spark, sf_dir).select(
+        F.col("p2").alias("l_partkey")
+    )
+    rd = recs.join(dec, "l_partkey").select("decile")
+    tot = rd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        rd.groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rec_slots"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_rec_slots",
+            F.expr("n_rec_slots * 1000000 DIV n").cast("bigint").alias("share_ppm"),
+        )
+    )

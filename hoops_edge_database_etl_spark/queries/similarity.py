@@ -1594,3 +1594,86 @@ def q302_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+PQ_SUBSPACES = 4          # 64 dims -> 4 x 16-dim subvectors
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_K = 8                  # centroids per subspace: subvectors of vec_id < 8
+
+
+@query(
+    "q309_pq_assign",
+    oracle=f"""
+    WITH qd AS (
+      SELECT vec_id, t.k, (t.k - 1) // {PQ_SUBDIM} AS sub,
+             CAST(floor(CAST(embedding[k] AS DOUBLE) * {Q} + 0.5) AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(k)
+    ),
+    cb AS (SELECT vec_id AS cid, k, qv AS qc FROM qd WHERE vec_id < {PQ_K}),
+    d AS (
+      SELECT q.vec_id, q.sub, c.cid,
+             CAST(SUM((q.qv - c.qc) * (q.qv - c.qc)) AS BIGINT) AS dist
+      FROM qd q JOIN cb c ON c.k = q.k
+      GROUP BY 1, 2, 3
+    ),
+    r AS (
+      SELECT vec_id, sub, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(sub AS BIGINT) AS sub,
+           CAST(cid AS BIGINT) AS code, dist
+    FROM r WHERE rn = 1
+    """,
+)
+def q309_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION encoding — the memory-side half of modern
+    ANN (FAISS's PQ/IVFPQ): split each {DIM}-dim vector into
+    {PQ_SUBSPACES} x {PQ_SUBDIM}-dim subvectors and store only the id
+    of the nearest codebook centroid per subspace — {PQ_SUBSPACES}
+    bytes instead of {DIM} floats, a 64x compression that turns a
+    100 TB embedding store into a RAM-resident index. Codebook =
+    subvectors of vec_id < {PQ_K} (deterministic "training", q63's IVF
+    codebook rule; a real train step is k-means — q164 — feeding the
+    same assignment). Distances are exact int64 fixed-point squared-L2
+    (the q108 norm rule: no float accumulation, ties break on centroid
+    id). Plan: posexplode dims -> broadcast {PQ_K}x{DIM}-row codebook
+    equi-join on the dim index -> (vec, subspace, centroid) sum -> one
+    bounded {PQ_K}-row-per-key argmin window. Everything codegen
+    JVM; per-vector cost is O({DIM} x {PQ_K}) independent of corpus
+    size."""
+    e = load(spark, sf_dir, "embeddings")
+    qd = e.select(
+        "vec_id", F.posexplode("embedding").alias("k0", "val")
+    ).select(
+        "vec_id",
+        "k0",
+        F.expr(f"k0 DIV {PQ_SUBDIM}").alias("sub"),
+        F.floor(F.col("val").cast("double") * Q + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    cb = qd.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cid"), "k0", F.col("qv").alias("qc")
+    )
+    d = (
+        qd.join(F.broadcast(cb), "k0")
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            F.sum((F.col("qv") - F.col("qc")) * (F.col("qv") - F.col("qc")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").cast("bigint"),
+            F.col("sub").cast("bigint"),
+            F.col("cid").cast("bigint").alias("code"),
+            F.col("dist").cast("bigint"),
+        )
+    )

@@ -482,3 +482,107 @@ def q227_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
     )
+
+
+@query(
+    "q310_price_volume_mix",
+    oracle="""
+    WITH yr AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+                  THEN 0 ELSE 1 END AS y,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+    ),
+    per AS (
+      SELECT l_partkey,
+             CAST(SUM(CASE WHEN y = 0 THEN qty ELSE 0 END) AS BIGINT) AS qty_a,
+             CAST(SUM(CASE WHEN y = 1 THEN qty ELSE 0 END) AS BIGINT) AS qty_b,
+             CAST(SUM(CASE WHEN y = 0 THEN cents ELSE 0 END) AS BIGINT) AS rev_a,
+             CAST(SUM(CASE WHEN y = 1 THEN cents ELSE 0 END) AS BIGINT) AS rev_b
+      FROM yr GROUP BY l_partkey
+    ),
+    eff AS (
+      SELECT l_partkey, qty_a, qty_b, rev_a, rev_b,
+             rev_b - rev_a AS delta_rev,
+             CAST(rev_a AS DOUBLE) * (qty_b - qty_a) / qty_a AS volume_effect,
+             (rev_b - rev_a)
+               - CAST(rev_a AS DOUBLE) * (qty_b - qty_a) / qty_a AS price_effect
+      FROM per WHERE qty_a > 0 AND qty_b > 0
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS partkey, qty_a, qty_b, rev_a, rev_b,
+           CAST(delta_rev AS BIGINT) AS delta_rev_cents,
+           volume_effect, price_effect
+    FROM eff
+    ORDER BY abs(delta_rev) DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def q310_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE-VOLUME-MIX decomposition — the FP&A bridge explaining WHY
+    revenue moved between two fiscal years: per part,
+    ΔRev = p_a·Δq (volume effect: sold more units at old prices)
+         + Δp·q_b (price effect: new prices on the new volume),
+    an exact algebraic identity (no unexplained residual — the "mix"
+    term is absorbed into price, the standard two-factor bridge).
+    Period sums are exact integers (qty units, revenue cents); the
+    average price p_a = rev_a/qty_a enters through ONE division per
+    part at the report edge — volume_effect and the delta it splits
+    are derived from the same integers in the same expression order on
+    both engines (the identity volume + price == Δrev is exact in
+    floats too, price being computed BY subtraction — property-
+    tested). Plan: a year-bucketed conditional aggregate per part (one
+    shuffle, map-side combined), then a top-20-by-|ΔRev| report — the
+    q03 bounded-output rule. The per-part rows are the drill-down a
+    CFO dashboard wants; parts absent from either year are excluded
+    (their bridge is trivially all-volume)."""
+    li = load(spark, sf_dir, "lineitem")
+    yr = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select(
+        "l_partkey",
+        F.when(
+            F.col("l_shipdate") < F.lit("1996-01-01").cast("date"), 0
+        )
+        .otherwise(1)
+        .alias("y"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    per = yr.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("y") == 0, F.col("qty")).otherwise(0))
+        .cast("bigint").alias("qty_a"),
+        F.sum(F.when(F.col("y") == 1, F.col("qty")).otherwise(0))
+        .cast("bigint").alias("qty_b"),
+        F.sum(F.when(F.col("y") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("rev_a"),
+        F.sum(F.when(F.col("y") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint").alias("rev_b"),
+    )
+    eff = per.filter((F.col("qty_a") > 0) & (F.col("qty_b") > 0)).select(
+        F.col("l_partkey").cast("bigint").alias("partkey"),
+        "qty_a",
+        "qty_b",
+        "rev_a",
+        "rev_b",
+        (F.col("rev_b") - F.col("rev_a")).cast("bigint").alias("delta_rev_cents"),
+        (
+            F.col("rev_a").cast("double")
+            * (F.col("qty_b") - F.col("qty_a"))
+            / F.col("qty_a")
+        ).alias("volume_effect"),
+        (
+            (F.col("rev_b") - F.col("rev_a"))
+            - F.col("rev_a").cast("double")
+            * (F.col("qty_b") - F.col("qty_a"))
+            / F.col("qty_a")
+        ).alias("price_effect"),
+    )
+    return eff.orderBy(
+        F.abs("delta_rev_cents").desc(), "partkey"
+    ).limit(20)

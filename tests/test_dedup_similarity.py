@@ -429,3 +429,32 @@ def test_q308_metric_bounds(spark):
     assert 0 <= r["precision_ppm"] <= 1_000_000
     # 4x2 banding at J>=0.5 must catch a solid majority of true pairs
     assert r["recall_ppm"] >= 500_000
+
+
+def test_q309_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q309_pq_assign")
+
+
+def test_q309_codebook_vectors_encode_to_themselves(spark):
+    """A codebook member's nearest centroid in every subspace is itself
+    at distance zero — the PQ sanity identity."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.similarity import (
+        PQ_K,
+        PQ_SUBSPACES,
+    )
+
+    rows = all_queries()["q309_pq_assign"](spark, SF_DIR).collect()
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], {})[r["sub"]] = r
+    for vid, subs in per_vec.items():
+        assert set(subs) == set(range(PQ_SUBSPACES))
+        for r in subs.values():
+            assert 0 <= r["code"] < PQ_K
+            assert r["dist"] >= 0
+            if vid < PQ_K:
+                assert r["code"] == vid and r["dist"] == 0

@@ -262,3 +262,22 @@ def test_q291_known_referential_structure(spark):
     # a genuine finding: the generator leaves some orders line-less
     assert rows["orders_without_lines"] > 0
     assert all(v >= 0 for v in rows.values())
+
+
+def test_q311_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q311_popularity_bias")
+
+
+def test_q311_shares_sum_and_head_skew(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q311_popularity_bias"](spark, SF_DIR).collect()
+    total = sum(r["n_rec_slots"] for r in rows)
+    assert total > 0
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000  # floor division
+    by_dec = {r["decile"]: r["n_rec_slots"] for r in rows}
+    # co-purchase candidates should over-represent the head decile
+    assert by_dec.get(0, 0) >= total // 10

@@ -46,3 +46,24 @@ def test_q227_share_bounded(spark, duck):
     for r in all_queries()["q227_market_share"](spark, SF_DIR).collect():
         assert 0.0 <= r["mkt_share"] <= 1.0
         assert r["nation_revenue"] <= r["total_revenue"]
+
+
+def test_q310_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q310_price_volume_mix")
+
+
+def test_q310_bridge_is_exact_identity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q310_price_volume_mix"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["delta_rev_cents"] == r["rev_b"] - r["rev_a"]
+        # volume + price reconstructs the delta exactly (price is computed
+        # by subtraction, so the identity holds in floats too)
+        assert r["volume_effect"] + r["price_effect"] == float(
+            r["delta_rev_cents"]
+        )
