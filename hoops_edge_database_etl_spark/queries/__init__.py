@@ -245,6 +245,9 @@ _DRIVER_PRIORITY = [
     "q309_pq_assign",
     "q310_price_volume_mix",
     "q311_popularity_bias",
+    "q312_bitemporal_audit",
+    "q313_shapley_attribution",
+    "q314_retry_storm_detector",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

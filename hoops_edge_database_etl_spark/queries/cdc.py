@@ -808,3 +808,90 @@ def q301_key_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).cast("bigint").alias("missing_n"),
     )
+
+
+BITEMP_AUDIT_TS = "1996-01-01"  # the transaction-time audit point
+
+
+@query(
+    "q312_bitemporal_audit",
+    oracle=f"""
+    WITH facts AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS valid_d,
+             CAST(o_orderdate AS DATE)
+               + CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                     || ':late'), 1, 8) AS BIGINT) % 7 AS INTEGER) AS recorded_d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-10-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+    )
+    SELECT strftime(date_trunc('month', valid_d), '%Y-%m') AS valid_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_final,
+           CAST(SUM(CASE WHEN recorded_d < DATE '{BITEMP_AUDIT_TS}'
+                         THEN cents ELSE 0 END) AS BIGINT) AS rev_known_at_audit,
+           CAST(SUM(cents) AS BIGINT) AS rev_final,
+           CAST(SUM(CASE WHEN recorded_d >= DATE '{BITEMP_AUDIT_TS}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_rows,
+           CAST(SUM(CASE WHEN recorded_d >= DATE '{BITEMP_AUDIT_TS}'
+                         THEN cents ELSE 0 END) AS BIGINT) AS restatement_cents
+    FROM facts GROUP BY 1
+    """,
+)
+def q312_bitemporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL RESTATEMENT — the two-clock accounting question "what
+    did we KNOW on the audit date vs what is TRUE now": every fact has
+    a valid time (when the order happened) and a transaction time
+    (when the warehouse learned of it — here valid + a deterministic
+    0-6-day booking lag). Q4-1995 monthly revenue is reported twice
+    from one conditional aggregate: the as-known-at-{BITEMP_AUDIT_TS}
+    figure (only rows recorded before the audit instant) and the
+    final figure; their difference is the restatement — the number a
+    close process signs off on. This is the append-only fast path of
+    bitemporality (facts never mutate, so no SCD2 spine is needed —
+    q101 handles mutating dimensions); the plan is one scan with a
+    pushed valid-time range filter and a months-sized rollup, so a
+    100 TB ledger answers "as-of any T" by changing one literal — no
+    snapshot copies. Invariant property-tested: known + restatement
+    == final, per month, exactly."""
+    o = load(spark, sf_dir, "orders")
+    lag_days = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":late"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+    )
+    facts = o.filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    ).select(
+        F.to_date("o_orderdate").alias("valid_d"),
+        F.date_add(F.to_date("o_orderdate"), lag_days.cast("int")).alias(
+            "recorded_d"
+        ),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    audit = F.lit(BITEMP_AUDIT_TS).cast("date")
+    late = F.col("recorded_d") >= audit
+    return facts.groupBy(
+        F.date_format("valid_d", "yyyy-MM").alias("valid_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_final"),
+        F.sum(F.when(~late, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("rev_known_at_audit"),
+        F.sum("cents").cast("bigint").alias("rev_final"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late_rows"),
+        F.sum(F.when(late, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("restatement_cents"),
+    )

@@ -3446,3 +3446,207 @@ def q299_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         for th in WATERMARK_THRESHOLDS_S
     ]
     return run.groupBy("event_type").agg(*aggs)
+
+
+# Shapley over the 3-channel game: literal (channel_bit, subset-without-c,
+# x6 weight |S|!(2-|S|)!) rows, generated once here and inlined into BOTH
+# engines' plans so only v(S) comes from data.
+_SHAP_CHANNELS = {"view": 1, "click": 2, "signup": 4}
+_SHAP_TERMS = [
+    (name, bit, s, 2 if bin(s).count("1") in (0, 2) else 1)
+    for name, bit in _SHAP_CHANNELS.items()
+    for s in range(8)
+    if s & bit == 0
+]
+_SHAP_TERMS_SQL = ", ".join(
+    f"('{n}', {b}, {s}, {w})" for n, b, s, w in _SHAP_TERMS
+)
+_SHAP_SUBSETS_SQL = ", ".join(f"({s})" for s in range(8))
+
+
+@query(
+    "q313_shapley_attribution",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+               AS INTEGER)
+             + 2 * CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+               AS INTEGER)
+             + 4 * CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+               AS INTEGER) AS mask,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+               AS INTEGER) AS converted
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT mask, CAST(SUM(converted) AS BIGINT) AS n_conv
+      FROM per_user GROUP BY mask
+    ),
+    v AS (
+      SELECT s.s, CAST(COALESCE(SUM(c.n_conv), 0) AS BIGINT) AS val
+      FROM (VALUES {_SHAP_SUBSETS_SQL}) AS s(s)
+      LEFT JOIN conv c ON (c.mask & s.s) = c.mask
+      GROUP BY s.s
+    )
+    SELECT t.channel,
+           CAST(SUM(t.w * (vc.val - vs.val)) AS BIGINT) AS shapley_x6,
+           CAST(SUM(t.w * (vc.val - vs.val)) AS DOUBLE) / 6 AS shapley
+    FROM (VALUES {_SHAP_TERMS_SQL}) AS t(channel, bit, s, w)
+    JOIN v vs ON vs.s = t.s
+    JOIN v vc ON vc.s = t.s + t.bit
+    GROUP BY t.channel
+    """,
+)
+def q313_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY channel attribution — the game-theoretic split of
+    conversion credit that q124 (position), q205 (linear), and q258
+    (time-decay) approximate with heuristics: with channels
+    {{view, click, signup}} and coalition value v(S) = conversions
+    among users whose touched-channel set fits inside S, channel c
+    earns phi_c = sum over S of |S|!·(n−1−|S|)!/n! · (v(S+c) − v(S)).
+    With n=3 the weights x6 are integers (2,1,1,2), so shapley_x6 is
+    EXACT — no sampling, no float permutation averaging. The data
+    side is two bounded aggregates: one per-user bitmask rollup (the
+    only real shuffle; bool-to-bit sums, map-side combined) and an
+    8-row mask histogram; everything else — the subset lattice, the
+    12 marginal-contribution terms — is LITERAL rows both engines
+    fold. Efficiency axiom property-tested: sum of Shapley values
+    equals v(grand coalition) − v(empty) exactly in x6 integers.
+    Beyond 3 channels the lattice doubles per channel — the exact
+    form holds to ~n=20 masks before the q73-style sampled
+    permutation estimate takes over."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    conv = per_user.groupBy("mask").agg(
+        F.sum("converted").cast("long").alias("n_conv")
+    )
+    subsets = spark.createDataFrame([(s,) for s in range(8)], "s int")
+    v = (
+        subsets.join(
+            F.broadcast(conv), F.expr("(mask & s) = mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("val"))
+    )
+    terms = spark.createDataFrame(
+        _SHAP_TERMS, "channel string, bit int, s int, w int"
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("val").alias("v_without"))
+    vc = v.select(F.col("s").alias("s1"), F.col("val").alias("v_with"))
+    return (
+        terms.join(F.broadcast(vs), F.col("s") == F.col("s0"))
+        .join(F.broadcast(vc), F.expr("s + bit") == F.col("s1"))
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("v_with") - F.col("v_without")))
+            .cast("bigint")
+            .alias("shapley_x6"),
+            (
+                F.sum(F.col("w") * (F.col("v_with") - F.col("v_without"))).cast(
+                    "double"
+                )
+                / 6
+            ).alias("shapley"),
+        )
+    )
+
+
+STORM_WINDOW_S = 21600  # 6h sliding burst window
+STORM_MIN_ERRORS = 3    # trigger threshold inside the window
+
+
+@query(
+    "q314_retry_storm_detector",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'error'
+    ),
+    burst AS (
+      SELECT user_id, event_id, s,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY s
+                            RANGE BETWEEN {STORM_WINDOW_S} PRECEDING
+                                      AND CURRENT ROW) AS n_in_window
+      FROM e
+    ),
+    trig AS (
+      SELECT user_id, event_id, s, n_in_window,
+             CASE WHEN s - LAG(s) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id) > {STORM_WINDOW_S}
+                  OR LAG(s) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM burst WHERE n_in_window >= {STORM_MIN_ERRORS}
+    ),
+    epi AS (
+      SELECT user_id, s, n_in_window,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS UNBOUNDED PRECEDING) AS episode
+      FROM trig
+    )
+    SELECT user_id, episode,
+           CAST(MIN(s) AS BIGINT) AS first_trigger_s,
+           CAST(MAX(s) AS BIGINT) AS last_trigger_s,
+           CAST(COUNT(*) AS BIGINT) AS n_triggers,
+           CAST(MAX(n_in_window) AS BIGINT) AS peak_burst
+    FROM epi GROUP BY user_id, episode
+    """,
+)
+def q314_retry_storm_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRY-STORM DETECTOR — the SRE alert that catches clients stuck in
+    tight error loops: a RANGE-framed sliding count ({STORM_WINDOW_S}s,
+    event-TIME based, so burst width is wall-clock — not the last-N-rows
+    frame, which dilates under low traffic) flags every error arriving
+    with >= {STORM_MIN_ERRORS} errors in its trailing window; triggers
+    closer than one window-width chain into EPISODES (q147's islands
+    cumsum over the sparse trigger stream, not the raw events), each
+    reported with span, trigger count, and peak burst. Two windows per
+    user partition — the heavy one over raw errors is the same
+    sort the per-user timeline already needs; the episode pass runs on
+    triggers only (rare by construction: alerts are the tail). The
+    streaming twin is q156's session window with a count gate; this
+    batch form is what you run to TUNE the thresholds from history —
+    the q299 advisor pattern applied to alerting."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    e = ev.select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("s")
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-STORM_WINDOW_S, 0)
+    )
+    burst = e.withColumn("n_in_window", F.count(F.lit(1)).over(wr))
+    wl = Window.partitionBy("user_id").orderBy("s", "event_id")
+    trig = burst.filter(F.col("n_in_window") >= STORM_MIN_ERRORS).withColumn(
+        "is_new",
+        F.when(
+            F.lag("s").over(wl).isNull()
+            | (F.col("s") - F.lag("s").over(wl) > STORM_WINDOW_S),
+            1,
+        ).otherwise(0),
+    )
+    epi = trig.withColumn(
+        "episode",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return epi.groupBy("user_id", "episode").agg(
+        F.min("s").cast("bigint").alias("first_trigger_s"),
+        F.max("s").cast("bigint").alias("last_trigger_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_triggers"),
+        F.max("n_in_window").cast("bigint").alias("peak_burst"),
+    )

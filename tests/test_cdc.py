@@ -137,3 +137,24 @@ def test_q271_maintained_equals_direct(spark):
     for r in rows:
         assert r["maintained_n"] == r["direct_n"]
         assert r["maintained_sum_cents"] == r["direct_sum_cents"]
+
+
+def test_q312_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q312_bitemporal_audit")
+
+
+def test_q312_restatement_identity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q312_bitemporal_audit"](spark, SF_DIR).collect()
+    assert {r["valid_month"] for r in rows} == {"1995-10", "1995-11", "1995-12"}
+    for r in rows:
+        assert r["rev_known_at_audit"] + r["restatement_cents"] == r["rev_final"]
+        assert 0 <= r["n_late_rows"] <= r["n_rows_final"]
+    # later valid months have had less time to book before the audit
+    by_m = {r["valid_month"]: r for r in rows}
+    frac = lambda r: r["n_late_rows"] / r["n_rows_final"]
+    assert frac(by_m["1995-12"]) >= frac(by_m["1995-10"])

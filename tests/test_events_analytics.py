@@ -698,3 +698,63 @@ def test_q299_drop_counts_monotone_in_delay(spark):
         assert drops[0] <= r["n_events"]
         if r["max_lateness_s"] <= 3600:
             assert drops[-1] == 0
+
+
+def test_q313_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q313_shapley_attribution")
+
+
+def test_q313_efficiency_axiom(spark, duck):
+    """Sum of Shapley values == v(grand coalition) − v(empty), exactly
+    in x6 integers — the axiom that distinguishes Shapley from the
+    heuristic attribution family."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q313_shapley_attribution"](spark, SF_DIR).collect()
+    assert {r["channel"] for r in rows} == {"view", "click", "signup"}
+    v7, v0 = duck.execute(
+        """
+        WITH per_user AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0 AS INTEGER)
+                 + 2 * CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0 AS INTEGER)
+                 + 4 * CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0 AS INTEGER) AS mask,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS INTEGER) AS conv
+          FROM events GROUP BY user_id
+        )
+        SELECT SUM(conv), SUM(CASE WHEN mask = 0 THEN conv ELSE 0 END)
+        FROM per_user
+        """
+    ).fetchone()
+    assert sum(r["shapley_x6"] for r in rows) == 6 * (v7 - v0)
+
+
+def test_q314_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q314_retry_storm_detector")
+
+
+def test_q314_episode_structure(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        STORM_MIN_ERRORS,
+        STORM_WINDOW_S,
+    )
+
+    rows = all_queries()["q314_retry_storm_detector"](spark, SF_DIR).collect()
+    assert rows
+    per_user = {}
+    for r in rows:
+        assert r["peak_burst"] >= STORM_MIN_ERRORS
+        assert r["last_trigger_s"] >= r["first_trigger_s"]
+        per_user.setdefault(r["user_id"], []).append(r)
+    for eps in per_user.values():
+        eps.sort(key=lambda r: r["first_trigger_s"])
+        for a, b in zip(eps, eps[1:]):
+            # episodes are separated by more than one window width
+            assert b["first_trigger_s"] - a["last_trigger_s"] > STORM_WINDOW_S
