@@ -248,6 +248,9 @@ _DRIVER_PRIORITY = [
     "q312_bitemporal_audit",
     "q313_shapley_attribution",
     "q314_retry_storm_detector",
+    "q315_backfill_planner",
+    "q316_cuped_adjustment",
+    "q317_pass_at_k",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -2917,3 +2917,140 @@ def q307_mode_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seg").isNull().alias("was_imputed"),
         F.coalesce("seg", "mode_seg").alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED (q316): variance-reduced experiment readout — the industry-standard
+# use of pre-period data to shrink A/B confidence intervals ~30-50%.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q316_cuped_adjustment",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                       AND CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                     || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             pre, post
+      FROM per_user
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sx,
+             CAST(SUM(post) AS BIGINT) AS sy,
+             CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+             CAST(SUM(pre * post) AS BIGINT) AS sxy
+      FROM armed
+    )
+    SELECT a.arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(a.pre) AS BIGINT) AS sum_pre,
+           CAST(SUM(a.post) AS BIGINT) AS sum_post,
+           CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS theta_numer,
+           CAST(g.n * g.sxx - g.sx * g.sx AS BIGINT) AS theta_denom,
+           CAST(SUM(a.post) AS DOUBLE) / COUNT(*)
+             - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                / (g.n * g.sxx - g.sx * g.sx))
+               * (CAST(SUM(a.pre) AS DOUBLE) / COUNT(*)
+                  - CAST(g.sx AS DOUBLE) / g.n) AS adj_mean_cents
+    FROM armed a, g
+    GROUP BY a.arm, g.n, g.sx, g.sy, g.sxx, g.sxy
+    """,
+)
+def q316_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — the pre-period covariate adjustment every large
+    experimentation platform runs (Deng et al., WSDM'13): the readout
+    metric Y is replaced by Y − θ(X − X̄) with θ = cov(X,Y)/var(X),
+    where X is the user's PRE-experiment activity (clicks before the
+    Jan 16 launch) — removing between-user variance that randomization
+    alone leaves in the comparison, shrinking CIs without bias (θ is
+    computed POOLED across arms, never per-arm — the classic CUPED
+    implementation bug that reintroduces bias). θ's numerator and
+    denominator are exact integers (n·Σxy − ΣxΣy over n·Σxx − Σx² —
+    q23's cross-multiply rule) and are REPORTED so downstream can
+    re-derive θ at any aggregation level; the adjusted means divide
+    once at the edge in a fixed expression order. Arms come from
+    q219's md5 hash split (the same experiment machinery). Plan: one
+    per-user rollup (the only user-keyed shuffle), a broadcast 1-row
+    pooled-moments aggregate, a 2-group readout."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit("2024-01-16").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "click") & (F.to_date("ts") < cutoff),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= cutoff),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("post"),
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    armed = per_user.select(arm.alias("arm"), "pre", "post")
+    g = armed.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pre").cast("long").alias("sx"),
+        F.sum("post").cast("long").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("long").alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).cast("long").alias("sxy"),
+    )
+    per_arm = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("pre").cast("bigint").alias("sum_pre"),
+        F.sum("post").cast("bigint").alias("sum_post"),
+    )
+    j = per_arm.crossJoin(F.broadcast(g))
+    theta_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta_d = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return j.select(
+        "arm",
+        "n_users",
+        "sum_pre",
+        "sum_post",
+        theta_n.cast("bigint").alias("theta_numer"),
+        theta_d.cast("bigint").alias("theta_denom"),
+        (
+            F.col("sum_post").cast("double") / F.col("n_users")
+            - (theta_n.cast("double") / theta_d)
+            * (
+                F.col("sum_pre").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+        ).alias("adj_mean_cents"),
+    )

@@ -895,3 +895,73 @@ def q312_bitemporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("restatement_cents"),
     )
+
+
+BACKFILL_UNIT_KEYS = 500  # max keys per backfill work unit
+
+
+@query(
+    "q315_backfill_planner",
+    oracle=f"""
+    WITH present AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':feed'),
+                 1, 8) AS BIGINT) % {GAP_AUDIT_DROP_MOD} <> 0
+    ),
+    nxt AS (
+      SELECT k, LEAD(k) OVER (ORDER BY k) AS next_k FROM present
+    ),
+    gaps AS (
+      SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+             CAST(next_k - 1 AS BIGINT) AS gap_end,
+             CAST(next_k - k - 1 AS BIGINT) AS missing_n
+      FROM nxt WHERE next_k > k + 1
+    )
+    SELECT gap_start AS gap_id,
+           CAST(c.j AS BIGINT) AS chunk_idx,
+           CAST(gap_start + c.j * {BACKFILL_UNIT_KEYS} AS BIGINT) AS unit_start,
+           CAST(LEAST(gap_end,
+                gap_start + (c.j + 1) * {BACKFILL_UNIT_KEYS} - 1) AS BIGINT)
+             AS unit_end,
+           CAST(LEAST(gap_end,
+                gap_start + (c.j + 1) * {BACKFILL_UNIT_KEYS} - 1)
+                - (gap_start + c.j * {BACKFILL_UNIT_KEYS}) + 1 AS BIGINT)
+             AS unit_keys
+    FROM gaps,
+         unnest(generate_series(0,
+           CAST((missing_n - 1) // {BACKFILL_UNIT_KEYS} AS BIGINT))) AS c(j)
+    """,
+)
+def q315_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKFILL PLANNER — turns q301's missing-range audit into an
+    executable work manifest: every gap is chunked into units of at
+    most {BACKFILL_UNIT_KEYS} keys (the replay-batch size an ingest API
+    tolerates), keyed by (gap_id, chunk_idx) so a scheduler can fan
+    units out idempotently and mark them done independently — re-running
+    the planner after a partial backfill shrinks the manifest instead
+    of restarting it. Audit-to-plan is one bounded explode
+    (generate_series over ceil(missing/{BACKFILL_UNIT_KEYS}) chunk
+    indices — output-sized, never keyspace-sized); the gap detection
+    underneath reuses q301's range-partitioned two-pass, so the whole
+    plan inherits its 100 TB shape. The unit-coverage identity (units
+    tile each gap exactly, no overlap, no spill past gap_end) is
+    property-tested against the audit output."""
+    gaps = q301_key_gap_audit(spark, sf_dir)
+    U = BACKFILL_UNIT_KEYS
+    units = gaps.select(
+        F.col("gap_start").alias("gap_id"),
+        "gap_start",
+        "gap_end",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.expr(f"(missing_n - 1) DIV {U}"))
+        ).alias("chunk_idx"),
+    )
+    unit_start = F.col("gap_start") + F.col("chunk_idx") * U
+    unit_end = F.least(F.col("gap_end"), F.col("gap_start") + (F.col("chunk_idx") + 1) * U - 1)
+    return units.select(
+        "gap_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        unit_start.cast("bigint").alias("unit_start"),
+        unit_end.cast("bigint").alias("unit_end"),
+        (unit_end - unit_start + 1).cast("bigint").alias("unit_keys"),
+    )

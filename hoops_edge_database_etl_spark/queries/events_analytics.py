@@ -3650,3 +3650,60 @@ def q314_retry_storm_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_triggers"),
         F.max("n_in_window").cast("bigint").alias("peak_burst"),
     )
+
+
+PASS_AT_K = 3
+
+
+@query(
+    "q317_pass_at_k",
+    oracle=f"""
+    WITH trials AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT user_id, n, c,
+           CAST((n * (n-1) * (n-2) - (n-c) * (n-c-1) * (n-c-2)) * 1000000
+                // (n * (n-1) * (n-2)) AS BIGINT) AS pass_at_3_ppm
+    FROM trials WHERE n >= {PASS_AT_K}
+    """,
+)
+def q317_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASS@K — the unbiased estimator LLM code evals standardize on
+    (Codex/HumanEval): given n sampled attempts of which c succeeded,
+    pass@k = 1 − C(n−c,k)/C(n,k) — the probability a random size-k
+    subset contains a success. NOT 1−(1−c/n)^k (the biased plug-in
+    that overestimates at small n — the bug the Codex paper calls
+    out). With k={PASS_AT_K} literal, the binomial ratio collapses to
+    falling factorials and the whole estimator is EXACT integer
+    arithmetic in ppm: (n·(n−1)·(n−2) − (n−c)(n−c−1)(n−c−2))·1e6 //
+    n·(n−1)·(n−2). Here "attempts" are a user's click+purchase
+    trials, successes the purchases — the shape of any (task,
+    attempts, successes) eval table. One grouped count per task and a
+    projection; a million-task eval suite is one combiner-friendly
+    shuffle. Estimator sanity property-tested against the exhaustive
+    subset enumeration on small (n, c)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    trials = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    return trials.filter(F.col("n") >= PASS_AT_K).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c").cast("bigint").alias("c"),
+        F.expr(
+            "(n * (n-1) * (n-2) - (n-c) * (n-c-1) * (n-c-2)) * 1000000"
+            " DIV (n * (n-1) * (n-2))"
+        )
+        .cast("bigint")
+        .alias("pass_at_3_ppm"),
+    )

@@ -538,3 +538,45 @@ def test_q307_repairs_only_holes_with_true_majority(spark, duck):
         else:
             assert not r["was_imputed"]
             assert r["segment"] == orig[r["c_custkey"]]
+
+
+def test_q316_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q316_cuped_adjustment")
+
+
+def test_q316_cuped_reduces_variance(spark, duck):
+    """The point of CUPED: Var(Y − θX) <= Var(Y) on the pooled sample
+    (guaranteed when θ is the pooled OLS slope). Recomputed from the
+    reported exact integer moments plus an independent DuckDB pass."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q316_cuped_adjustment"](spark, SF_DIR).collect()
+    assert {r["arm"] for r in rows} == {"control", "treatment"}
+    [tn] = {r["theta_numer"] for r in rows}
+    [td] = {r["theta_denom"] for r in rows}
+    assert td > 0
+    theta = tn / td
+    n, syy_c, sxx_c, sxy_c = duck.execute(
+        """
+        WITH per_user AS (
+          SELECT user_id,
+                 SUM(CASE WHEN event_type = 'click' AND CAST(ts AS DATE) < DATE '2024-01-16'
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS pre,
+                 SUM(CASE WHEN event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                          THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS post
+          FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*),
+               COUNT(*) * SUM(post * post) - SUM(post) * SUM(post),
+               COUNT(*) * SUM(pre * pre) - SUM(pre) * SUM(pre),
+               COUNT(*) * SUM(pre * post) - SUM(pre) * SUM(post)
+        FROM per_user
+        """
+    ).fetchone()
+    var_y = syy_c
+    var_adj = syy_c - 2 * theta * sxy_c + theta * theta * sxx_c
+    assert var_adj <= var_y + 1e-9
+    assert sxx_c == td and sxy_c == tn

@@ -158,3 +158,31 @@ def test_q312_restatement_identity(spark):
     by_m = {r["valid_month"]: r for r in rows}
     frac = lambda r: r["n_late_rows"] / r["n_rows_final"]
     assert frac(by_m["1995-12"]) >= frac(by_m["1995-10"])
+
+
+def test_q315_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q315_backfill_planner")
+
+
+def test_q315_units_tile_gaps_exactly(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.cdc import BACKFILL_UNIT_KEYS
+
+    qs = all_queries()
+    gaps = {r["gap_start"]: r for r in qs["q301_key_gap_audit"](spark, SF_DIR).collect()}
+    plan = {}
+    for u in qs["q315_backfill_planner"](spark, SF_DIR).collect():
+        assert 1 <= u["unit_keys"] <= BACKFILL_UNIT_KEYS
+        plan.setdefault(u["gap_id"], []).append(u)
+    assert set(plan) == set(gaps)
+    for gid, units in plan.items():
+        units.sort(key=lambda u: u["chunk_idx"])
+        g = gaps[gid]
+        assert units[0]["unit_start"] == g["gap_start"]
+        assert units[-1]["unit_end"] == g["gap_end"]
+        for a, b in zip(units, units[1:]):
+            assert b["unit_start"] == a["unit_end"] + 1  # no overlap, no hole
+        assert sum(u["unit_keys"] for u in units) == g["missing_n"]

@@ -758,3 +758,39 @@ def test_q314_episode_structure(spark):
         for a, b in zip(eps, eps[1:]):
             # episodes are separated by more than one window width
             assert b["first_trigger_s"] - a["last_trigger_s"] > STORM_WINDOW_S
+
+
+def test_q317_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q317_pass_at_k")
+
+
+def test_q317_estimator_matches_exhaustive_subsets(spark):
+    """pass@3 formula vs brute-force enumeration of all C(n,3) subsets
+    for every (n, c) up to n=8 — the unbiasedness ground truth."""
+    from itertools import combinations
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    for n in range(3, 9):
+        for c in range(0, n + 1):
+            outcomes = [1] * c + [0] * (n - c)
+            subsets = list(combinations(range(n), 3))
+            hit = sum(1 for s in subsets if any(outcomes[i] for i in s))
+            formula = (
+                (n * (n - 1) * (n - 2) - (n - c) * (n - c - 1) * (n - c - 2))
+                * 1_000_000
+                // (n * (n - 1) * (n - 2))
+            )
+            exact = hit / len(subsets)
+            assert abs(formula / 1_000_000 - exact) < 1e-6 + 1 / 1_000_000
+    rows = all_queries()["q317_pass_at_k"](spark, SF_DIR).collect()
+    for r in rows:
+        assert 0 <= r["pass_at_3_ppm"] <= 1_000_000
+        if r["c"] == 0:
+            assert r["pass_at_3_ppm"] == 0
+        if r["c"] >= r["n"] - 2:
+            # fewer than 3 failures: every 3-subset contains a success
+            assert r["pass_at_3_ppm"] == 1_000_000
