@@ -251,6 +251,9 @@ _DRIVER_PRIORITY = [
     "q315_backfill_planner",
     "q316_cuped_adjustment",
     "q317_pass_at_k",
+    "q318_dag_critical_path",
+    "q319_join_strategy_advisor",
+    "q320_slo_burn_rate",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

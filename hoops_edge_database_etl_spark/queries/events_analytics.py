@@ -3707,3 +3707,96 @@ def q317_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pass_at_3_ppm"),
     )
+
+
+SLO_ERR_NUM, SLO_ERR_DEN = 3, 20     # error-budget target: 15% error rate
+BURN_PAGE_PPM = 2_000_000            # 2x budget burn in fast AND slow window
+BURN_TICKET_PPM = 1_500_000          # 1.5x sustained in the slow window
+
+
+@query(
+    "q320_slo_burn_rate",
+    oracle=f"""
+    WITH hours AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errs
+      FROM events GROUP BY 1
+    ),
+    roll AS (
+      SELECT h, total, errs,
+             SUM(errs) OVER w6 AS e6, SUM(total) OVER w6 AS t6,
+             SUM(errs) OVER w24 AS e24, SUM(total) OVER w24 AS t24
+      FROM hours
+      WINDOW w6 AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+             w24 AS (ORDER BY h RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h,
+           CAST(errs * {SLO_ERR_DEN} * 1000000
+                // (total * {SLO_ERR_NUM}) AS BIGINT) AS burn_1h_ppm,
+           CAST(e6 * {SLO_ERR_DEN} * 1000000
+                // (t6 * {SLO_ERR_NUM}) AS BIGINT) AS burn_6h_ppm,
+           CAST(e24 * {SLO_ERR_DEN} * 1000000
+                // (t24 * {SLO_ERR_NUM}) AS BIGINT) AS burn_24h_ppm,
+           CASE WHEN errs * {SLO_ERR_DEN} * 1000000
+                     // (total * {SLO_ERR_NUM}) >= {BURN_PAGE_PPM}
+                 AND e6 * {SLO_ERR_DEN} * 1000000
+                     // (t6 * {SLO_ERR_NUM}) >= {BURN_PAGE_PPM} THEN 'page'
+                WHEN e24 * {SLO_ERR_DEN} * 1000000
+                     // (t24 * {SLO_ERR_NUM}) >= {BURN_TICKET_PPM} THEN 'ticket'
+                ELSE 'ok' END AS alert
+    FROM roll
+    """,
+)
+def q320_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WINDOW SLO BURN-RATE alerts — the Google SRE Workbook
+    policy verbatim: burn rate = observed error rate over the budget
+    target ({SLO_ERR_NUM}/{SLO_ERR_DEN}), and a PAGE requires the
+    fast window (1 h) AND a slow window (6 h) both over 2x — fast
+    alone is noise, slow alone pages too late; a sustained 1.5x over
+    24 h files a ticket. Rates are exact ppm integers
+    (errs·{SLO_ERR_DEN}·1e6 DIV total·{SLO_ERR_NUM} — cross-multiplied,
+    never float-divided, so an alert fires identically on every
+    engine and partitioning). Rolling sums use RANGE frames over the
+    HOUR index (gap-correct: a silent hour contributes nothing but
+    still ages out the frame — a ROWS frame would stretch the window
+    across outages, the classic burn-rate bug). The ordered pass runs
+    over the hourly PRE-aggregate — bounded by the calendar (8.8 k
+    rows/year), never by traffic; per-service alerting partitions the
+    same window by service key."""
+    ev = load(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.expr("CAST(ts AS LONG) DIV 3600").cast("long").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    w6 = Window.orderBy("h").rangeBetween(-5, 0)
+    w24 = Window.orderBy("h").rangeBetween(-23, 0)
+    roll = hours.select(
+        "h",
+        "total",
+        "errs",
+        F.sum("errs").over(w6).alias("e6"),
+        F.sum("total").over(w6).alias("t6"),
+        F.sum("errs").over(w24).alias("e24"),
+        F.sum("total").over(w24).alias("t24"),
+    )
+    burn1 = F.expr(f"errs * {SLO_ERR_DEN} * 1000000 DIV (total * {SLO_ERR_NUM})")
+    burn6 = F.expr(f"e6 * {SLO_ERR_DEN} * 1000000 DIV (t6 * {SLO_ERR_NUM})")
+    burn24 = F.expr(f"e24 * {SLO_ERR_DEN} * 1000000 DIV (t24 * {SLO_ERR_NUM})")
+    return roll.select(
+        "h",
+        burn1.cast("bigint").alias("burn_1h_ppm"),
+        burn6.cast("bigint").alias("burn_6h_ppm"),
+        burn24.cast("bigint").alias("burn_24h_ppm"),
+        F.when(
+            (burn1 >= BURN_PAGE_PPM) & (burn6 >= BURN_PAGE_PPM), "page"
+        )
+        .when(burn24 >= BURN_TICKET_PPM, "ticket")
+        .otherwise("ok")
+        .alias("alert"),
+    )

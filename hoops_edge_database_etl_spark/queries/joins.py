@@ -1491,3 +1491,134 @@ def q311_popularity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_rec_slots * 1000000 DIV n").cast("bigint").alias("share_ppm"),
         )
     )
+
+
+# Build-side tables of the schema's FK joins, with their string columns
+# (variable width, measured) and count of fixed-width columns (8 B each).
+_ADVISOR_BUILDS = {
+    "region": (["r_name"], 1),
+    "nation": (["n_name"], 2),
+    "customer": (["c_name", "c_mktsegment"], 3),
+    "supplier": (["s_name"], 3),
+    "part": (["p_name", "p_brand", "p_type"], 3),
+    "orders": (["o_orderstatus", "o_orderpriority"], 4),
+}
+_ADVISOR_JOINS = [  # (join name, probe side, build side)
+    ("orders_x_customer", "orders", "customer"),
+    ("lineitem_x_orders", "lineitem", "orders"),
+    ("lineitem_x_part", "lineitem", "part"),
+    ("lineitem_x_supplier", "lineitem", "supplier"),
+    ("customer_x_nation", "customer", "nation"),
+    ("supplier_x_nation", "supplier", "nation"),
+    ("nation_x_region", "nation", "region"),
+]
+BROADCAST_LIMIT_BYTES = 10 * 1024 * 1024
+SHUFFLE_HASH_RATIO = 3  # build must be this many times smaller than probe
+
+
+@query(
+    "q319_join_strategy_advisor",
+    oracle=f"""
+    WITH stats AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM({" + ".join(f"strlen({c}) + 4" for c in cols)}
+                 + {nfix} * 8) AS BIGINT) AS tot_bytes
+            FROM {t}'''
+        for t, (cols, nfix) in _ADVISOR_BUILDS.items())}
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(strlen(l_returnflag) + strlen(l_linestatus) + 8
+                  + 9 * 8) AS BIGINT)
+      FROM lineitem
+    ),
+    cand AS (SELECT * FROM (VALUES
+      {", ".join(f"('{j}', '{p}', '{b}')" for j, p, b in _ADVISOR_JOINS)}
+    ) AS v(join_name, probe_tbl, build_tbl))
+    SELECT c.join_name,
+           b.n_rows AS build_rows,
+           b.tot_bytes AS build_bytes,
+           p.n_rows AS probe_rows,
+           CASE WHEN b.tot_bytes < {BROADCAST_LIMIT_BYTES} THEN 'broadcast'
+                WHEN p.n_rows >= b.n_rows * {SHUFFLE_HASH_RATIO}
+                  THEN 'shuffle_hash'
+                ELSE 'sort_merge' END AS strategy
+    FROM cand c
+    JOIN stats b ON b.tbl = c.build_tbl
+    JOIN stats p ON p.tbl = c.probe_tbl
+    """,
+)
+def q319_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-STRATEGY ADVISOR — the cost-based decision this repo makes
+    by hand all over (broadcast q11, shuffle-hash vs sort-merge in the
+    skew family), produced as data: for every FK join in the schema,
+    measure the build side's rows and estimated in-memory bytes
+    (measured string widths + 4 B overhead, 8 B per fixed column — the
+    same width model Spark's SizeEstimator approximates) and recommend
+    broadcast (< {{limit}} MB — spark.sql.autoBroadcastJoinThreshold's
+    default neighborhood), shuffle-hash (build {SHUFFLE_HASH_RATIO}x
+    smaller than probe — worth skipping the sort), else sort-merge.
+    This is what a 100 TB deployment runs nightly to pin join hints
+    BEFORE stats go stale — AQE re-plans at runtime, but only within
+    the shuffle it already scheduled; the advisor moves the plan before
+    the shuffle exists. One aggregate per table (column-pruned scans),
+    a literal candidate list, two tiny joins.""".format(
+        limit=BROADCAST_LIMIT_BYTES // (1024 * 1024),
+        SHUFFLE_HASH_RATIO=SHUFFLE_HASH_RATIO,
+    )
+    stat_frames = []
+    for t, (cols, nfix) in _ADVISOR_BUILDS.items():
+        width = sum(
+            (F.octet_length(c) + F.lit(4) for c in cols), F.lit(nfix * 8)
+        )
+        stat_frames.append(
+            load(spark, sf_dir, t).agg(
+                F.lit(t).alias("tbl"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(width).cast("long").alias("tot_bytes"),
+            )
+        )
+    li_width = (
+        F.octet_length("l_returnflag")
+        + F.octet_length("l_linestatus")
+        + F.lit(8)
+        + F.lit(9 * 8)
+    )
+    stat_frames.append(
+        load(spark, sf_dir, "lineitem").agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(li_width).cast("long").alias("tot_bytes"),
+        )
+    )
+    stats = stat_frames[0]
+    for fr in stat_frames[1:]:
+        stats = stats.unionByName(fr)
+    cand = spark.createDataFrame(
+        _ADVISOR_JOINS, "join_name string, probe_tbl string, build_tbl string"
+    )
+    b = stats.select(
+        F.col("tbl").alias("build_tbl"),
+        F.col("n_rows").alias("build_rows"),
+        F.col("tot_bytes").alias("build_bytes"),
+    )
+    p = stats.select(
+        F.col("tbl").alias("probe_tbl"), F.col("n_rows").alias("probe_rows")
+    )
+    return (
+        cand.join(F.broadcast(b), "build_tbl")
+        .join(F.broadcast(p), "probe_tbl")
+        .select(
+            "join_name",
+            F.col("build_rows").cast("bigint"),
+            F.col("build_bytes").cast("bigint"),
+            F.col("probe_rows").cast("bigint"),
+            F.when(F.col("build_bytes") < BROADCAST_LIMIT_BYTES, "broadcast")
+            .when(
+                F.col("probe_rows") >= F.col("build_rows") * SHUFFLE_HASH_RATIO,
+                "shuffle_hash",
+            )
+            .otherwise("sort_merge")
+            .alias("strategy"),
+        )
+    )

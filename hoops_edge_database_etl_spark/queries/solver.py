@@ -779,3 +779,82 @@ def q300_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.filter(F.col("dist") <= SSSP_DIST_CAP).select(
         F.col("node").cast("bigint"), F.col("dist").cast("bigint")
     )
+
+
+DAG_MAX_SWEEPS = 24
+
+
+@query(
+    "q318_dag_critical_path",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+      FROM orders
+      WHERE o_orderkey % 100 - o_custkey % 100 >= 7
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    walk(node, d) AS (
+      SELECT node, 0 FROM nodes
+      UNION
+      SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(MAX(d) AS BIGINT) AS wave
+    FROM walk GROUP BY node
+    """,
+)
+def q318_dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRITICAL-PATH WAVE SCHEDULING — the DAG layering a pipeline
+    orchestrator needs: a task's wave is the length of its LONGEST
+    prerequisite chain, so wave k tasks can all start the moment wave
+    k−1 finishes, and max(wave) is the critical-path lower bound on
+    end-to-end latency no amount of parallelism beats. The q300
+    Bellman-Ford skeleton with MIN flipped to MAX — sound only because
+    the edge list is a DAG (edges only run >= 7 ids forward, orienting q135's graph with a
+    bounded chain length; on a
+    cyclic graph longest-path is NP-hard and the sweep would diverge,
+    so the loop's sweep cap doubles as a cycle tripwire: hitting it
+    without convergence means the input wasn't a DAG — asserted).
+    Distributed: each sweep joins edges (shuffled on src once) to the
+    current wave table and max-merges; sweeps needed = critical path
+    length, frontier-bounded like q135. The DuckDB oracle seeds every
+    node at 0 and takes MAX(d) over the recursive closure — set
+    semantics bound states by nodes x path-length."""
+    o = load(spark, sf_dir, "orders")
+    src = (F.col("o_custkey") % 100).cast("long")
+    dst = (F.col("o_orderkey") % 100).cast("long")
+    e = (
+        o.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") - F.col("src") >= 7)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lvl = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .withColumn("wave", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(DAG_MAX_SWEEPS):
+        cand = (
+            e.join(lvl.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), (F.col("wave") + 1).alias("wave"))
+        )
+        merged = (
+            lvl.unionByName(cand)
+            .groupBy("node")
+            .agg(F.max("wave").alias("wave"))
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.join(
+            lvl.withColumnRenamed("wave", "old"), "node"
+        ).filter(F.col("wave") > F.col("old"))
+        done = improved.isEmpty()
+        lvl = merged
+        if done:
+            converged = True
+            break
+    assert converged, "sweep cap hit: edge input is not a DAG"
+    return lvl.select(F.col("node").cast("bigint"), F.col("wave").cast("bigint"))

@@ -794,3 +794,32 @@ def test_q317_estimator_matches_exhaustive_subsets(spark):
         if r["c"] >= r["n"] - 2:
             # fewer than 3 failures: every 3-subset contains a success
             assert r["pass_at_3_ppm"] == 1_000_000
+
+
+def test_q320_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q320_slo_burn_rate")
+
+
+def test_q320_alert_policy_consistency(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        BURN_PAGE_PPM,
+        BURN_TICKET_PPM,
+    )
+
+    rows = _q("q320_slo_burn_rate")(spark, SF_DIR).collect()
+    assert rows
+    n_alerts = 0
+    for r in rows:
+        page = (
+            r["burn_1h_ppm"] >= BURN_PAGE_PPM and r["burn_6h_ppm"] >= BURN_PAGE_PPM
+        )
+        ticket = r["burn_24h_ppm"] >= BURN_TICKET_PPM
+        expect = "page" if page else ("ticket" if ticket else "ok")
+        assert r["alert"] == expect
+        n_alerts += r["alert"] != "ok"
+    # thresholds are tuned so the month contains at least one alert
+    assert n_alerts > 0

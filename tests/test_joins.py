@@ -281,3 +281,31 @@ def test_q311_shares_sum_and_head_skew(spark):
     by_dec = {r["decile"]: r["n_rec_slots"] for r in rows}
     # co-purchase candidates should over-represent the head decile
     assert by_dec.get(0, 0) >= total // 10
+
+
+def test_q319_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q319_join_strategy_advisor")
+
+
+def test_q319_recommendations_consistent(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.joins import (
+        BROADCAST_LIMIT_BYTES,
+        SHUFFLE_HASH_RATIO,
+    )
+
+    rows = all_queries()["q319_join_strategy_advisor"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    for r in rows:
+        if r["build_bytes"] < BROADCAST_LIMIT_BYTES:
+            assert r["strategy"] == "broadcast"
+        elif r["probe_rows"] >= r["build_rows"] * SHUFFLE_HASH_RATIO:
+            assert r["strategy"] == "shuffle_hash"
+        else:
+            assert r["strategy"] == "sort_merge"
+    # the tiny dims are always broadcastable at any tested sf
+    by_name = {r["join_name"]: r["strategy"] for r in rows}
+    assert by_name["nation_x_region"] == "broadcast"

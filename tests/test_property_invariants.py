@@ -492,3 +492,30 @@ def test_negative_samples_never_positive(spark):
     )
     pos = o.join(li, "o_orderkey").select("custkey", "neg_partkey").distinct()
     assert neg.join(pos, ["custkey", "neg_partkey"], "semi").isEmpty()
+
+
+# --- DAG critical path (q318) --------------------------------------------
+
+
+def test_dag_waves_respect_every_edge(spark):
+    """Wave numbering certificate: wave(dst) >= wave(src) + 1 for every
+    DAG edge, and some node sits at wave 0 (a root)."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    waves = {
+        r["node"]: r["wave"]
+        for r in all_queries()["q318_dag_critical_path"](spark, SF_DIR).collect()
+    }
+    assert min(waves.values()) == 0
+    edges = (
+        load(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey % 100 AS src", "o_orderkey % 100 AS dst")
+        .filter("dst - src >= 7")
+        .distinct()
+        .collect()
+    )
+    assert edges
+    for e in edges:
+        assert waves[e["dst"]] >= waves[e["src"]] + 1
