@@ -254,6 +254,9 @@ _DRIVER_PRIORITY = [
     "q318_dag_critical_path",
     "q319_join_strategy_advisor",
     "q320_slo_burn_rate",
+    "q321_seasonal_naive_backtest",
+    "q322_truncation_loss",
+    "q323_oneway_anova",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3054,3 +3054,103 @@ def q316_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("adj_mean_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (q323): the k-group generalization of q144's Welch t —
+# pivoted to ONE row of integer moments so every float combines in a
+# fixed, engine-identical expression order.
+# ---------------------------------------------------------------------------
+
+_ANOVA_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _anova_sql() -> str:
+    cols = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        cond = f"o_orderpriority = '{g}'"
+        cols += [
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}",
+            f"CAST(SUM(CASE WHEN {cond} THEN dollars ELSE 0 END) AS BIGINT) AS s{i}",
+            f"CAST(SUM(CASE WHEN {cond} THEN dollars * dollars ELSE 0 END)"
+            f" AS BIGINT) AS q{i}",
+        ]
+    k = len(_ANOVA_GROUPS)
+    n = " + ".join(f"n{i}" for i in range(k))
+    s = " + ".join(f"s{i}" for i in range(k))
+    q = " + ".join(f"q{i}" for i in range(k))
+    ssb_terms = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(k)
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS dollars,
+             o_orderpriority
+      FROM orders
+    ),
+    piv AS (SELECT {", ".join(cols)} FROM m),
+    d AS (
+      SELECT ({n}) AS n, ({s}) AS s, ({q}) AS q,
+             ({ssb_terms}) - CAST(({s}) AS DOUBLE) * ({s}) / ({n}) AS ssb,
+             CAST(({q}) AS DOUBLE) - ({ssb_terms}) AS ssw
+      FROM piv
+    )
+    SELECT CAST(n AS BIGINT) AS n, ssb, ssw,
+           (ssb / {k - 1}) / (ssw / (n - {k})) AS f_stat,
+           ssb / (ssb + ssw) AS eta_squared
+    FROM d
+    """
+
+
+@query("q323_oneway_anova", oracle=_anova_sql())
+def q323_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA across the five order priorities — the k-group
+    member of the inference suite (q144 Welch: 2 groups; q158 χ²:
+    categorical; q297 MWU: rank-based): F = (SSB/(k−1))/(SSW/(n−k))
+    with η² = SSB/SST as the effect size. Float-parity is the whole
+    design: the per-group moments (n_i, Σx, Σx²) are exact integers
+    PIVOTED into one row by literal group (a k-literal conditional
+    aggregate — no GROUP BY, so no engine-dependent reduce order),
+    and SSB/SSW then combine those integers in one fixed
+    left-to-right expression both engines evaluate identically —
+    the only way a Σ(double) over groups can hash-match (the q21
+    lesson applied to variance decomposition). One scan, one
+    combiner-friendly global aggregate; k more groups = 3k more
+    columns, not more rows."""
+    o = load(spark, sf_dir, "orders")
+    m = o.select(
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("dollars"),
+        "o_orderpriority",
+    )
+    aggs = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        cond = F.col("o_orderpriority") == g
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("dollars")).otherwise(0))
+            .cast("long")
+            .alias(f"s{i}"),
+            F.sum(F.when(cond, F.col("dollars") * F.col("dollars")).otherwise(0))
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    piv = m.agg(*aggs)
+    k = len(_ANOVA_GROUPS)
+    n = " + ".join(f"n{i}" for i in range(k))
+    s = " + ".join(f"s{i}" for i in range(k))
+    q = " + ".join(f"q{i}" for i in range(k))
+    ssb_terms = " + ".join(
+        f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(k)
+    )
+    d = piv.selectExpr(
+        f"({n}) AS n",
+        f"({ssb_terms}) - CAST(({s}) AS DOUBLE) * ({s}) / ({n}) AS ssb",
+        f"CAST(({q}) AS DOUBLE) - ({ssb_terms}) AS ssw",
+    )
+    return d.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "ssb",
+        "ssw",
+        f"(ssb / {k - 1}) / (ssw / (n - {k})) AS f_stat",
+        "ssb / (ssb + ssw) AS eta_squared",
+    )

@@ -2061,3 +2061,61 @@ def q305_utf8_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ascii_only_docs"),
     )
+
+
+TRUNC_CONTEXT_TOKENS = 120  # context-window budget per document
+
+
+@query(
+    "q322_truncation_loss",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tokens > {TRUNC_CONTEXT_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+           CAST(SUM(GREATEST(n_tokens - {TRUNC_CONTEXT_TOKENS}, 0)) AS BIGINT)
+             AS tokens_lost,
+           CAST(SUM(GREATEST(n_tokens - {TRUNC_CONTEXT_TOKENS}, 0)) * 1000000
+                // SUM(n_tokens) AS BIGINT) AS loss_ppm
+    FROM toks GROUP BY source
+    """,
+)
+def q322_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATION-LOSS accounting — before fixing a context length for
+    training or embedding, measure what a hard cut at
+    {TRUNC_CONTEXT_TOKENS} tokens actually destroys: per source, docs
+    affected and tokens lost, in exact ppm of the corpus. The loss
+    curve across candidate budgets (re-run with a different literal,
+    or one pass with an array of budgets) is how the 512-vs-1024-vs-
+    2048 decision gets made on data instead of vibes — the cheap
+    companion to q74's packing (which RESCUES the remainder this
+    report writes off) and q245's length bucketing. Whitespace token
+    counts reuse q51's rule (split on ' ' — byte-identical in both
+    engines); one scan, per-source rollup, no shuffle of text
+    bodies."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    B = TRUNC_CONTEXT_TOKENS
+    lost = F.greatest(F.col("n_tokens") - B, F.lit(0).cast("long"))
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_truncated"),
+        F.sum(lost).cast("bigint").alias("tokens_lost"),
+        F.expr(
+            f"SUM(GREATEST(n_tokens - {B}, 0)) * 1000000 DIV SUM(n_tokens)"
+        )
+        .cast("bigint")
+        .alias("loss_ppm"),
+    )

@@ -1421,3 +1421,100 @@ def q292_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(F.to_date(monday), shifted.cast("int")), "yyyy-MM-dd"
         ).alias("sla_deadline"),
     )
+
+
+@query(
+    "q321_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, s.d
+      FROM (SELECT DISTINCT event_type FROM daily) t,
+           (SELECT UNNEST(generate_series(0,
+              (SELECT MAX(d) FROM daily))) AS d) s
+    ),
+    dense AS (
+      SELECT sp.event_type, sp.d, COALESCE(da.cents, 0) AS actual
+      FROM spine sp LEFT JOIN daily da
+        ON da.event_type = sp.event_type AND da.d = sp.d
+    ),
+    fc AS (
+      SELECT event_type, d, actual,
+             LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY d)
+               AS forecast
+      FROM dense
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(forecast - actual)) AS BIGINT) AS sum_abs_err_cents,
+           CAST(SUM(actual) AS BIGINT) AS sum_actual_cents,
+           CAST(SUM(abs(forecast - actual)) * 1000000
+                // SUM(actual) AS BIGINT) AS wape_ppm,
+           CAST(SUM(forecast - actual) AS BIGINT) AS bias_cents
+    FROM fc WHERE forecast IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q321_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE BACKTEST — the forecast-eval floor every model
+    must beat before it ships (M-competition rule): predict each day
+    with the same weekday last week (LAG 7 over a DENSIFIED daily
+    spine — q290's rule again: a missing day is a zero, and skipping
+    it would slide the weekly phase), then score WAPE = Σ|err|/Σactual
+    in exact ppm (the aggregate-ratio form that dodges sMAPE's
+    per-row division instability and MAPE's zero-day blowups) plus
+    signed bias. A model catalog at 100 TB runs this per (series,
+    model) pair as one densify + one LAG + one rollup — the spine is
+    calendar x series-sized, the raw stream dies in the first
+    map-side combine. WAPE here is also the q24 error-metric family's
+    scale-safe member: numerator and denominator both reported for
+    exact re-blending across hierarchies."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dmax = daily.agg(F.max("d").alias("dmax"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("dmax"))).alias("d"),
+        )
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).cast("long").alias("actual")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = dense.withColumn("forecast", F.lag("actual", 7).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("forecast") - F.col("actual")))
+        .cast("bigint")
+        .alias("sum_abs_err_cents"),
+        F.sum("actual").cast("bigint").alias("sum_actual_cents"),
+        F.expr(
+            "SUM(abs(forecast - actual)) * 1000000 DIV SUM(actual)"
+        )
+        .cast("bigint")
+        .alias("wape_ppm"),
+        F.sum(F.col("forecast") - F.col("actual"))
+        .cast("bigint")
+        .alias("bias_cents"),
+    )

@@ -580,3 +580,37 @@ def test_q316_cuped_reduces_variance(spark, duck):
     var_adj = syy_c - 2 * theta * sxy_c + theta * theta * sxx_c
     assert var_adj <= var_y + 1e-9
     assert sxx_c == td and sxy_c == tn
+
+
+def test_q323_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q323_oneway_anova")
+
+
+def test_q323_anova_against_scipy_formula(spark, duck):
+    """F recomputed from raw group data in pure Python (the textbook
+    two-pass formula) must agree to float tolerance."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q323_oneway_anova"](spark, SF_DIR).collect()
+    groups = {}
+    for pri, dollars in duck.execute(
+        "SELECT o_orderpriority, CAST(floor(o_totalprice + 0.5) AS BIGINT)"
+        " FROM orders"
+    ).fetchall():
+        groups.setdefault(pri, []).append(dollars)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["n"] == n
+    assert abs(r["ssb"] - ssb) / max(ssb, 1) < 1e-9
+    assert abs(r["ssw"] - ssw) / max(ssw, 1) < 1e-9
+    assert abs(r["f_stat"] - f) / max(abs(f), 1e-9) < 1e-9
+    assert 0.0 <= r["eta_squared"] <= 1.0

@@ -404,3 +404,31 @@ def test_q305_ascii_corpus_ratios(spark):
         assert r["bytes"] >= r["chars"]
         assert r["bytes_per_char"] >= 1.0
         assert 0 <= r["ascii_only_docs"] <= r["n_docs"]
+
+
+def test_q322_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q322_truncation_loss")
+
+
+def test_q322_loss_accounting(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import (
+        TRUNC_CONTEXT_TOKENS,
+    )
+
+    rows = all_queries()["q322_truncation_loss"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["tokens_lost"] <= r["total_tokens"]
+        assert 0 <= r["docs_truncated"] <= r["n_docs"]
+        if r["docs_truncated"]:
+            # each truncated doc lost at least one token
+            assert r["tokens_lost"] >= r["docs_truncated"]
+            # and kept its full budget
+            assert (
+                r["tokens_lost"]
+                <= r["total_tokens"] - r["docs_truncated"] * TRUNC_CONTEXT_TOKENS
+            )

@@ -351,3 +351,22 @@ def test_q292_deadline_properties(spark):
         else:
             assert delta in (8, 9)
             assert end.weekday() == 0  # Monday + 7 == Monday
+
+
+def test_q321_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q321_seasonal_naive_backtest")
+
+
+def test_q321_wape_consistency(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q321_seasonal_naive_backtest"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["wape_ppm"] == r["sum_abs_err_cents"] * 1_000_000 // r["sum_actual_cents"]
+        # |bias| can never exceed total absolute error
+        assert abs(r["bias_cents"]) <= r["sum_abs_err_cents"]
+        assert r["n_days"] >= 7
