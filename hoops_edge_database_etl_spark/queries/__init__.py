@@ -257,6 +257,9 @@ _DRIVER_PRIORITY = [
     "q321_seasonal_naive_backtest",
     "q322_truncation_loss",
     "q323_oneway_anova",
+    "q324_double_charge_detector",
+    "q325_partition_advisor",
+    "q326_mix_schedule",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3800,3 +3800,78 @@ def q320_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("alert"),
     )
+
+
+DOUBLE_CHARGE_WINDOW_S = 86400  # same-amount repeat within 24h is suspect
+
+
+@query(
+    "q324_double_charge_detector",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(floor(value) AS BIGINT) AS dollars,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           a.event_id AS first_charge_id, b.event_id AS second_charge_id,
+           a.dollars,
+           CAST(b.s - a.s AS BIGINT) AS gap_seconds
+    FROM p a JOIN p b
+      ON b.user_id = a.user_id AND b.dollars = a.dollars
+     AND b.s >= a.s AND b.s - a.s <= {DOUBLE_CHARGE_WINDOW_S}
+     AND (b.s > a.s OR b.event_id > a.event_id)
+     AND a.event_id <> b.event_id
+     AND NOT EXISTS (
+       SELECT 1 FROM p c
+       WHERE c.user_id = a.user_id AND c.dollars = a.dollars
+         AND c.event_id <> a.event_id AND c.event_id <> b.event_id
+         AND c.s >= a.s AND c.s <= b.s
+         AND (c.s > a.s OR c.event_id > a.event_id)
+         AND (c.s < b.s OR c.event_id < b.event_id)
+     )
+    """,
+)
+def q324_double_charge_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE-CHARGE DETECTOR — the fintech dedup that exact-hash dedup
+    (q41) misses because the rows are NOT identical: same customer,
+    same amount, a second time within 24 h (retried checkout, replayed
+    webhook, double-tap). Reports CONSECUTIVE suspect pairs (each
+    charge pairs with its immediate same-amount successor — a triple
+    yields two pairs, not three; the NOT-EXISTS in the oracle, a LEAD
+    window here) with the gap for triage. Scale shape: the naive
+    same-user-same-amount self-join explodes on hot (user, amount)
+    keys; the window form sorts once per user partition and compares
+    ADJACENT same-amount charges only — per-key cost linear, the
+    q147 islands discipline applied to fraud. Total order by (s,
+    event_id) makes pairing deterministic under ties. At 100 TB the
+    partition key (user, dollars) spreads the sort; a same-day
+    replay storm on one key is q87's salting case."""
+    p = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "event_id",
+        F.floor("value").cast("long").alias("dollars"),
+        F.col("ts").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id", "dollars").orderBy("s", "event_id")
+    nxt = p.select(
+        "user_id",
+        "dollars",
+        F.col("event_id").alias("first_charge_id"),
+        F.col("s").alias("s_a"),
+        F.lead("event_id").over(w).alias("second_charge_id"),
+        F.lead("s").over(w).alias("s_b"),
+    )
+    return nxt.filter(
+        F.col("second_charge_id").isNotNull()
+        & (F.col("s_b") - F.col("s_a") <= DOUBLE_CHARGE_WINDOW_S)
+    ).select(
+        "user_id",
+        "first_charge_id",
+        "second_charge_id",
+        "dollars",
+        (F.col("s_b") - F.col("s_a")).cast("bigint").alias("gap_seconds"),
+    )

@@ -702,3 +702,93 @@ def q275_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("full-scan")
         .alias("advice"),
     )
+
+
+# Width model per table: (string columns measured, fixed-width bytes/row).
+_PART_ADVISOR_TABLES = {
+    "region": (["r_name"], 4),
+    "nation": (["n_name"], 8),
+    "customer": (["c_name", "c_mktsegment"], 20),
+    "supplier": (["s_name"], 20),
+    "part": (["p_name", "p_brand", "p_type"], 20),
+    "orders": (["o_orderstatus", "o_orderpriority"], 32),
+    "lineitem": (["l_returnflag", "l_linestatus"], 72),
+    "events": (["event_type", "props"], 32),
+    "documents": (["text", "lang", "source"], 16),
+    "embeddings": ([], 64 * 4 + 12),
+}
+SHUFFLE_TARGET_BYTES = 128 * 1024 * 1024  # in-memory partition target
+FILE_TARGET_BYTES = 512 * 1024 * 1024    # on-disk file target
+
+
+@query(
+    "q325_partition_advisor",
+    oracle=f"""
+    WITH stats AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM({(" + ".join(f"strlen({c}) + 4" for c in cols) + " + ")
+                      if cols else ""}{nfix}) AS BIGINT) AS est_bytes
+            FROM {t}'''
+        for t, (cols, nfix) in _PART_ADVISOR_TABLES.items())}
+    )
+    SELECT tbl, n_rows, est_bytes,
+           est_bytes // n_rows AS avg_row_bytes,
+           GREATEST(1, (est_bytes + {SHUFFLE_TARGET_BYTES} - 1)
+                       // {SHUFFLE_TARGET_BYTES}) AS shuffle_partitions,
+           GREATEST(1, (est_bytes + {FILE_TARGET_BYTES} - 1)
+                       // {FILE_TARGET_BYTES}) AS target_files
+    FROM stats
+    """,
+)
+def q325_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SIZING ADVISOR — the nightly job that keeps
+    spark.sql.shuffle.partitions and writer file counts tracking the
+    DATA instead of a config fossil: per table, measured bytes (string
+    widths summed from the scan + fixed widths per schema — the q319
+    width model) divided by the 128 MB in-memory shuffle target and
+    the 512 MB on-disk file target, ceil'd in integer arithmetic.
+    Completes the physical-layout advisory trio: q269 finds the small
+    files to compact, q273 picks their encodings, this sets HOW MANY
+    to write and how wide the exchanges should be. AQE coalesces
+    oversized shuffle fan-out at runtime, but the initial partition
+    count still gates task-scheduling overhead and spill behavior —
+    at 100 TB the difference between 200 and 800 lineitem partitions
+    is a spilled join. One count+sum aggregate per table over pruned
+    columns; recommendations are projections."""
+    frames = []
+    for t, (cols, nfix) in _PART_ADVISOR_TABLES.items():
+        width = sum(
+            (F.octet_length(c) + F.lit(4) for c in cols),
+            F.lit(nfix).cast("long"),
+        )
+        frames.append(
+            load(spark, sf_dir, t).agg(
+                F.lit(t).alias("tbl"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(width).cast("long").alias("est_bytes"),
+            )
+        )
+    stats = frames[0]
+    for fr in frames[1:]:
+        stats = stats.unionByName(fr)
+    return stats.select(
+        "tbl",
+        F.col("n_rows").cast("bigint"),
+        F.col("est_bytes").cast("bigint"),
+        F.expr("est_bytes DIV n_rows").cast("bigint").alias("avg_row_bytes"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(est_bytes + {SHUFFLE_TARGET_BYTES} - 1) DIV {SHUFFLE_TARGET_BYTES}"
+            ),
+        )
+        .cast("bigint")
+        .alias("shuffle_partitions"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(est_bytes + {FILE_TARGET_BYTES} - 1) DIV {FILE_TARGET_BYTES}"),
+        )
+        .cast("bigint")
+        .alias("target_files"),
+    )

@@ -2119,3 +2119,82 @@ def q322_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("loss_ppm"),
     )
+
+
+MIX_WEIGHTS_PPM = {  # target training-mix shares (sum = 1e6)
+    "en": 400_000,
+    "zh": 200_000,
+    "de": 150_000,
+    "fr": 150_000,
+    "es": 100_000,
+}
+MIX_SCHEDULE_LEN = 200
+_MIX_WEIGHTS_SQL = ", ".join(
+    f"('{k}', {v})" for k, v in MIX_WEIGHTS_PPM.items()
+)
+
+
+@query(
+    "q326_mix_schedule",
+    oracle=f"""
+    WITH w AS (SELECT * FROM (VALUES {_MIX_WEIGHTS_SQL}) AS v(lang, w_ppm)),
+    ranked AS (
+      SELECT d.lang, d.doc_id, w.w_ppm,
+             ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn
+      FROM documents d JOIN w ON w.lang = d.lang
+    ),
+    pos AS (
+      SELECT lang, doc_id, rn,
+             CAST(rn AS BIGINT) * 1000000 // w_ppm AS vtime
+      FROM ranked
+    ),
+    sched AS (
+      SELECT lang, doc_id, vtime
+      FROM pos ORDER BY vtime, lang, rn LIMIT {MIX_SCHEDULE_LEN}
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY vtime, lang, doc_id) AS schedule_idx,
+           lang, doc_id, vtime
+    FROM sched
+    """,
+)
+def q326_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC DATA-MIX SCHEDULE — q231's temperature mix says
+    HOW MUCH of each source a training run should see; this emits the
+    ORDER: stride scheduling (WFQ / lottery-free fair queuing), where
+    the r-th document of language L is released at virtual time
+    r·1e6 DIV weight_ppm and the global schedule is the virtual-time
+    sort. The WFQ bound guarantees every prefix tracks the target mix
+    within one stride per source — no RNG, no epoch-boundary
+    clumping, and the schedule is reproducible across engines, runs,
+    and resumptions (resume = seek to vtime, the q100 row-id
+    discipline applied to curriculum order) — property-tested on
+    prefix composition. Per-source ranks are partitioned windows;
+    the global sort exists only because a SCHEDULE is a total order —
+    emitted here as a bounded {MIX_SCHEDULE_LEN}-row prefix (orderBy
+    + limit = distributed TakeOrdered, no single-reducer window; the
+    full 100 TB schedule would go to a range-partitioned writer
+    sorted WITHIN files by vtime)."""
+    d = load(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        list(MIX_WEIGHTS_PPM.items()), "lang string, w_ppm long"
+    )
+    wr = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = (
+        d.join(F.broadcast(w), "lang")
+        .select("lang", "doc_id", "w_ppm")
+        .withColumn("rn", F.row_number().over(wr).cast("long"))
+    )
+    pos = ranked.select(
+        "lang",
+        "doc_id",
+        "rn",
+        F.expr("rn * 1000000 DIV w_ppm").alias("vtime"),
+    )
+    sched = pos.orderBy("vtime", "lang", "rn").limit(MIX_SCHEDULE_LEN)
+    wi = Window.orderBy("vtime", "lang", "doc_id")
+    return sched.select(
+        F.row_number().over(wi).cast("bigint").alias("schedule_idx"),
+        "lang",
+        "doc_id",
+        F.col("vtime").cast("bigint").alias("vtime"),
+    )

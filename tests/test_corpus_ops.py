@@ -432,3 +432,29 @@ def test_q322_loss_accounting(spark, duck):
                 r["tokens_lost"]
                 <= r["total_tokens"] - r["docs_truncated"] * TRUNC_CONTEXT_TOKENS
             )
+
+
+def test_q326_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q326_mix_schedule")
+
+
+def test_q326_prefixes_track_target_mix(spark):
+    """The WFQ guarantee: in every prefix of the schedule, each
+    language's count stays within one stride of its target share."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import MIX_WEIGHTS_PPM
+
+    rows = sorted(
+        all_queries()["q326_mix_schedule"](spark, SF_DIR).collect(),
+        key=lambda r: r["schedule_idx"],
+    )
+    assert [r["schedule_idx"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = dict.fromkeys(MIX_WEIGHTS_PPM, 0)
+    for i, r in enumerate(rows, start=1):
+        counts[r["lang"]] += 1
+        for lang, w in MIX_WEIGHTS_PPM.items():
+            expected = i * w / 1_000_000
+            assert abs(counts[lang] - expected) <= 2.0, (i, lang)

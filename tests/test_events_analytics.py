@@ -823,3 +823,27 @@ def test_q320_alert_policy_consistency(spark):
         n_alerts += r["alert"] != "ok"
     # thresholds are tuned so the month contains at least one alert
     assert n_alerts > 0
+
+
+def test_q324_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q324_double_charge_detector")
+
+
+def test_q324_pairs_are_consecutive_and_windowed(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        DOUBLE_CHARGE_WINDOW_S,
+    )
+
+    rows = all_queries()["q324_double_charge_detector"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["gap_seconds"] <= DOUBLE_CHARGE_WINDOW_S
+        assert r["first_charge_id"] != r["second_charge_id"]
+    # no charge may appear as the FIRST of two different pairs with the
+    # same amount (consecutiveness)
+    firsts = [(r["user_id"], r["dollars"], r["first_charge_id"]) for r in rows]
+    assert len(firsts) == len(set(firsts))

@@ -392,3 +392,28 @@ def test_quantile_normalize_lookup_is_equi_join(spark):
         if "Join" in ln and "BroadcastNestedLoop" not in ln
     ]
     assert any("blk" in ln for ln in joins), "no equi join on blk found"
+
+
+def test_q325_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q325_partition_advisor")
+
+
+def test_q325_recommendations_scale_with_bytes(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.layout import (
+        FILE_TARGET_BYTES,
+        SHUFFLE_TARGET_BYTES,
+    )
+
+    rows = {r["tbl"]: r for r in all_queries()["q325_partition_advisor"](spark, SF_DIR).collect()}
+    assert len(rows) == 10
+    for r in rows.values():
+        assert r["avg_row_bytes"] >= 1
+        assert r["shuffle_partitions"] == max(
+            1, -(-r["est_bytes"] // SHUFFLE_TARGET_BYTES)
+        )
+        assert r["target_files"] == max(1, -(-r["est_bytes"] // FILE_TARGET_BYTES))
+    assert rows["lineitem"]["est_bytes"] > rows["nation"]["est_bytes"]
