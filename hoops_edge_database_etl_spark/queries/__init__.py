@@ -260,6 +260,9 @@ _DRIVER_PRIORITY = [
     "q324_double_charge_detector",
     "q325_partition_advisor",
     "q326_mix_schedule",
+    "q327_diff_in_diff",
+    "q328_kaplan_meier",
+    "q329_density_grid",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3154,3 +3154,112 @@ def q323_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(ssb / {k - 1}) / (ssw / (n - {k})) AS f_stat",
         "ssb / (ssb + ssw) AS eta_squared",
     )
+
+
+@query(
+    "q327_diff_in_diff",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    piv AS (
+      SELECT CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN treated = 1 THEN pre ELSE 0 END) AS BIGINT) AS st_pre,
+             CAST(SUM(CASE WHEN treated = 1 THEN post ELSE 0 END) AS BIGINT) AS st_post,
+             CAST(SUM(CASE WHEN treated = 0 THEN pre ELSE 0 END) AS BIGINT) AS sc_pre,
+             CAST(SUM(CASE WHEN treated = 0 THEN post ELSE 0 END) AS BIGINT) AS sc_post
+      FROM per_user
+    )
+    SELECT nt, nc, st_pre, st_post, sc_pre, sc_post,
+           (CAST(st_post AS DOUBLE) / nt - CAST(st_pre AS DOUBLE) / nt)
+           - (CAST(sc_post AS DOUBLE) / nc - CAST(sc_pre AS DOUBLE) / nc)
+             AS did_cents
+    FROM piv
+    """,
+)
+def q327_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the causal readout when you have a
+    launch date and two groups but no perfect randomization: the
+    treatment effect is the treated group's pre→post change MINUS the
+    control group's (which absorbs the seasonal drift both groups
+    share — the parallel-trends assumption q321's seasonal baseline
+    exists to sanity-check). Completes the causal shelf: q253 builds
+    matched controls, q316 shrinks variance with CUPED, q261 slices
+    uplift, DiD handles the launch-day natural experiment. The four
+    cell sums and two cohort sizes are exact integers pivoted into
+    ONE row (the q323 fixed-order rule), so the double arithmetic of
+    the final estimate runs in one engine-identical expression; the
+    cells are also reported raw so any CI procedure can re-derive.
+    One per-user shuffle + one global conditional aggregate."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit("2024-01-16").cast("date")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        != 0
+    ).cast("int")
+    per_user = ev.groupBy("user_id").agg(
+        F.first(treated).alias("treated"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.to_date("ts") < cutoff),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= cutoff),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("post"),
+    )
+    piv = per_user.agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("pre")).otherwise(0))
+        .cast("long").alias("st_pre"),
+        F.sum(F.when(F.col("treated") == 1, F.col("post")).otherwise(0))
+        .cast("long").alias("st_post"),
+        F.sum(F.when(F.col("treated") == 0, F.col("pre")).otherwise(0))
+        .cast("long").alias("sc_pre"),
+        F.sum(F.when(F.col("treated") == 0, F.col("post")).otherwise(0))
+        .cast("long").alias("sc_post"),
+    )
+    return piv.selectExpr(
+        "CAST(nt AS BIGINT) AS nt",
+        "CAST(nc AS BIGINT) AS nc",
+        "CAST(st_pre AS BIGINT) AS st_pre",
+        "CAST(st_post AS BIGINT) AS st_post",
+        "CAST(sc_pre AS BIGINT) AS sc_pre",
+        "CAST(sc_post AS BIGINT) AS sc_post",
+        "(CAST(st_post AS DOUBLE) / nt - CAST(st_pre AS DOUBLE) / nt)"
+        " - (CAST(sc_post AS DOUBLE) / nc - CAST(sc_pre AS DOUBLE) / nc)"
+        " AS did_cents",
+    )

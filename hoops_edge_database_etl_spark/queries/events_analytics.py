@@ -3875,3 +3875,128 @@ def q324_double_charge_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dollars",
         (F.col("s_b") - F.col("s_a")).cast("bigint").alias("gap_seconds"),
     )
+
+
+KM_CENSOR_DATE = "2024-01-25"  # last purchase on/after this = still active
+
+
+@query(
+    "q328_kaplan_meier",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+               AS dur,
+             CASE WHEN MAX(CAST(ts AS DATE)) < DATE '{KM_CENSOR_DATE}'
+                  THEN 1 ELSE 0 END AS churned
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    hist AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS cnt_all,
+             CAST(SUM(churned) AS BIGINT) AS d
+      FROM per_user GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST((SELECT COUNT(*) FROM per_user) AS BIGINT)
+               - COALESCE(SUM(cnt_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM hist
+    ),
+    steps AS (SELECT dur, d, n_risk FROM risk WHERE d > 0),
+    folded AS (
+      SELECT s.dur, s.d, s.n_risk,
+             list(CAST(p.n_risk - p.d AS DOUBLE) / p.n_risk
+                  ORDER BY p.dur) AS ratios
+      FROM steps s JOIN steps p ON p.dur <= s.dur
+      GROUP BY s.dur, s.d, s.n_risk
+    )
+    SELECT dur AS t_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS d_churned,
+           CAST(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), ratios),
+                (a, b) -> a * b) AS DOUBLE) AS survival
+    FROM folded
+    """,
+)
+def q328_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve — the censoring-correct retention
+    estimator (q262 labels churn; this estimates the CURVE): a user's
+    lifetime is first-to-last activity, users still active near the
+    window edge are CENSORED (they exit the risk set without counting
+    as deaths — naive retention curves silently call them churned,
+    biasing survival down; the whole reason KM exists). S(t) =
+    Π_{{t'<=t}} (n_t' − d_t')/n_t' over event times with deaths. The
+    float product is the parity hazard: an unordered product aggregate
+    would round differently per engine, so both sides materialize the
+    per-step ratios as an ORDERED list (sort_array of structs here,
+    list(... ORDER BY) there) and FOLD left-to-right — the q323
+    fixed-order rule extended from sums to products. Risk sets come
+    from the duration histogram's cumulative complement (bounded by
+    the observation window in days), so the curve costs one per-user
+    rollup + calendar-sized passes; the step-pair join is steps²,
+    still calendar-bounded."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("dur"),
+        F.when(
+            F.max(F.to_date("ts")) < F.lit(KM_CENSOR_DATE).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    n_total = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    hist = per_user.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_all"),
+        F.sum("churned").cast("long").alias("d"),
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        hist.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_tot")
+            - F.coalesce(F.sum("cnt_all").over(wc), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+        .select("dur", "d", "n_risk")
+    )
+    s = risk.alias("s")
+    p = risk.alias("p")
+    folded = (
+        s.join(p, F.col("p.dur") <= F.col("s.dur"))
+        .groupBy(
+            F.col("s.dur").alias("t_days"),
+            F.col("s.d").alias("d_churned"),
+            F.col("s.n_risk").alias("n_at_risk"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("p.dur").alias("tp"),
+                        (
+                            (F.col("p.n_risk") - F.col("p.d")).cast("double")
+                            / F.col("p.n_risk")
+                        ).alias("ratio"),
+                    )
+                )
+            ).alias("ratios")
+        )
+    )
+    surv = F.aggregate(
+        F.transform(F.col("ratios"), lambda x: x["ratio"]),
+        F.lit(1.0).cast("double"),
+        lambda acc, x: acc * x,
+    )
+    return folded.select(
+        F.col("t_days").cast("bigint"),
+        F.col("n_at_risk").cast("bigint"),
+        F.col("d_churned").cast("bigint"),
+        surv.alias("survival"),
+    )

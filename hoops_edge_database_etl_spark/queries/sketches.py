@@ -1706,3 +1706,51 @@ def q306_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hcents").cast("bigint").alias("norm_cents"),
         )
     )
+
+
+DENSITY_VALUE_BIN = 25  # dollars per value bin
+
+
+@query(
+    "q329_density_grid",
+    oracle=f"""
+    SELECT event_type,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS BIGINT)
+             AS hour_of_day,
+           CAST(floor(value) AS BIGINT) // {DENSITY_VALUE_BIN} AS value_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q329_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSITY GRID — the datashader move: a scatter plot of 100 TB of
+    events is not 10^12 points shipped to a browser, it's a bounded
+    (series x hour-of-day x value-bin) grid of counts and sums
+    aggregated WHERE THE DATA LIVES, rendered client-side as a
+    heatmap. Output cardinality is fixed by the grid (5 x 24 x
+    {DENSITY_VALUE_BIN}-dollar bins), independent of input rows — the
+    property that makes dashboards over raw events possible at all.
+    Integer bin arithmetic (epoch mod 86400 int-div 3600; dollars
+    int-div {DENSITY_VALUE_BIN}) so every point lands in the same cell
+    on every engine; sums carried in cents for exact drill-through
+    (the cell's sum/n reproduces the tooltip average with no float
+    re-aggregation). One map-side-combining rollup — the cheapest
+    query in the repo per byte scanned, by design."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.expr("CAST(ts AS LONG) % 86400 DIV 3600")
+        .cast("bigint")
+        .alias("hour_of_day"),
+        F.expr(f"CAST(floor(value) AS BIGINT) DIV {DENSITY_VALUE_BIN}")
+        .cast("bigint")
+        .alias("value_bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -614,3 +614,21 @@ def test_q323_anova_against_scipy_formula(spark, duck):
     assert abs(r["ssw"] - ssw) / max(ssw, 1) < 1e-9
     assert abs(r["f_stat"] - f) / max(abs(f), 1e-9) < 1e-9
     assert 0.0 <= r["eta_squared"] <= 1.0
+
+
+def test_q327_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q327_diff_in_diff")
+
+
+def test_q327_did_from_cells(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q327_diff_in_diff"](spark, SF_DIR).collect()
+    assert r["nt"] > 0 and r["nc"] > 0
+    recomputed = (r["st_post"] / r["nt"] - r["st_pre"] / r["nt"]) - (
+        r["sc_post"] / r["nc"] - r["sc_pre"] / r["nc"]
+    )
+    assert abs(r["did_cents"] - recomputed) < 1e-6

@@ -847,3 +847,31 @@ def test_q324_pairs_are_consecutive_and_windowed(spark, duck):
     # same amount (consecutiveness)
     firsts = [(r["user_id"], r["dollars"], r["first_charge_id"]) for r in rows]
     assert len(firsts) == len(set(firsts))
+
+
+def test_q328_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q328_kaplan_meier")
+
+
+def test_q328_km_monotone_and_bounded(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q328_kaplan_meier"](spark, SF_DIR).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0.0 < r["survival"] <= 1.0
+        assert r["survival"] <= prev_s + 1e-12  # survival never rises
+        assert 1 <= r["d_churned"] <= r["n_at_risk"]
+        if prev_risk is not None:
+            assert r["n_at_risk"] <= prev_risk  # risk set only shrinks
+        prev_s, prev_risk = r["survival"], r["n_at_risk"]
+    # manual product check on the first step
+    f = rows[0]
+    assert abs(f["survival"] - (f["n_at_risk"] - f["d_churned"]) / f["n_at_risk"]) < 1e-12

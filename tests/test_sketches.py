@@ -438,3 +438,24 @@ def test_q306_preserves_group_order_and_hits_pooled_max(spark):
         norms = [r["norm_cents"] for r in grp]
         assert norms == sorted(norms)  # order-preserving
         assert norms[-1] == pooled_max  # top rank maps to pooled max
+
+
+def test_q329_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q329_density_grid")
+
+
+def test_q329_grid_bounded_and_complete(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q329_density_grid"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["hour_of_day"] <= 23
+        assert r["n"] >= 1
+    [(n_events,)] = duck.execute("SELECT COUNT(*) FROM events").fetchall()
+    assert sum(r["n"] for r in rows) == n_events  # every point lands somewhere
+    # bounded output regardless of input size
+    assert len(rows) <= 5 * 24 * 14
