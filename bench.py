@@ -75,6 +75,10 @@ HEADLINE = [
     "q250_maxsim_late_interaction",  # broadcast-query einsum MaxSim kernel
     "q252_pit_features",        # multi-horizon RANGE-frame features
     "q279_spatial_radius_join", # grid-cell equi-join spatial self-join
+    "q300_weighted_sssp",       # Bellman-Ford min-merge sweeps
+    "q306_quantile_normalize",  # rank-block equi-join lookup (no BETWEEN loop)
+    "q309_pq_assign",           # PQ encode: broadcast codebook + argmin window
+    "q313_shapley_attribution", # bitmask rollup + literal subset lattice
 ]
 
 
