@@ -263,6 +263,9 @@ _DRIVER_PRIORITY = [
     "q327_diff_in_diff",
     "q328_kaplan_meier",
     "q329_density_grid",
+    "q330_lru_stack_distance",
+    "q331_interval_forecast_eval",
+    "q332_graph_modularity",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

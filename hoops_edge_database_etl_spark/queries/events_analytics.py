@@ -4000,3 +4000,105 @@ def q328_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_churned").cast("bigint"),
         surv.alias("survival"),
     )
+
+
+LRU_CACHE_K = 4
+LRU_ITEM_DIV = 20  # item id = floor(value / 20): ~17 distinct items
+
+
+@query(
+    "q330_lru_stack_distance",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(value / {LRU_ITEM_DIV}) AS BIGINT) AS item,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                         event_id) AS ord
+      FROM events
+    ),
+    withprev AS (
+      SELECT user_id, event_id, item, ord,
+             LAG(ord) OVER (PARTITION BY user_id, item ORDER BY ord) AS p_ord
+      FROM ev
+    ),
+    scored AS (
+      SELECT w.user_id, w.ord, w.p_ord,
+             CASE WHEN w.p_ord IS NULL THEN NULL
+                  ELSE (SELECT COUNT(DISTINCT e2.item) FROM ev e2
+                        WHERE e2.user_id = w.user_id
+                          AND e2.ord > w.p_ord AND e2.ord < w.ord
+                          AND e2.item <> w.item) END AS others_between
+      FROM withprev w
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_accesses,
+           CAST(SUM(CASE WHEN p_ord IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reuses,
+           CAST(SUM(CASE WHEN others_between <= {LRU_CACHE_K} - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN others_between <= {LRU_CACHE_K} - 1
+                         THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hit_ppm
+    FROM scored GROUP BY user_id
+    """,
+)
+def q330_lru_stack_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LRU CACHE SIMULATION from an access trace — the working-set
+    analysis that sizes caches before buying RAM: replay each user's
+    event stream against an LRU of capacity {LRU_CACHE_K} and report
+    hit rates. The Spark side runs a REAL LRU (an ordered-dict state
+    machine in applyInPandas — §2.9's sanctioned grouped-map pattern,
+    one partition-local pass per user like q113's possession machine);
+    the oracle computes MATTSON STACK DISTANCES declaratively (an
+    access hits a size-k LRU iff fewer than k distinct other items
+    appeared since its previous access). The two formulations are
+    independent code paths whose equality IS Mattson's 1970 inclusion
+    theorem — the strongest oracle shape in the repo: a theorem, not a
+    re-implementation. Per-user streams are the parallel unit; state
+    is O(k); and one replay prices EVERY cache size <= k at once via
+    the distance histogram (the working-set curve — the reason stack
+    distance beats naive simulation at 100 TB: simulate once, answer
+    all capacities)."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr(f"CAST(floor(value / {LRU_ITEM_DIV}) AS BIGINT)").alias("item"),
+        F.col("ts").cast("long").alias("s"),
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["s", "event_id"])
+        cache: list[int] = []  # front = most recent
+        hits = reuses = 0
+        seen: set[int] = set()
+        for item in pdf["item"]:
+            if item in seen:
+                reuses += 1
+            if item in cache:
+                hits += 1
+                cache.remove(item)
+            elif len(cache) == LRU_CACHE_K:
+                cache.pop()
+            cache.insert(0, int(item))
+            seen.add(item)
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_accesses": [n],
+                "n_reuses": [reuses],
+                "hits": [hits],
+                "hit_ppm": [hits * 1_000_000 // n],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        replay,
+        schema=(
+            "user_id long, n_accesses long, n_reuses long, "
+            "hits long, hit_ppm long"
+        ),
+    )

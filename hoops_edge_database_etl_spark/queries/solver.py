@@ -858,3 +858,114 @@ def q318_dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     assert converged, "sweep cap hit: edge input is not a DAG"
     return lvl.select(F.col("node").cast("bigint"), F.col("wave").cast("bigint"))
+
+
+MODULARITY_COMM_DIV = 10  # community(node) = node DIV 10
+
+
+@query(
+    "q332_graph_modularity",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT LEAST(o_custkey % 100, o_orderkey % 100) AS u,
+             GREATEST(o_custkey % 100, o_orderkey % 100) AS v
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM raw),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT u AS node FROM raw UNION ALL SELECT v FROM raw
+      ) GROUP BY node
+    ),
+    comm AS (
+      SELECT node, k, node // {MODULARITY_COMM_DIV} AS c FROM deg
+    ),
+    kc AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(k) AS BIGINT) AS k_total
+      FROM comm GROUP BY c
+    ),
+    ewithin AS (
+      SELECT u // {MODULARITY_COMM_DIV} AS c, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM raw WHERE u // {MODULARITY_COMM_DIV} = v // {MODULARITY_COMM_DIV}
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT kc.c, kc.n_nodes, kc.k_total,
+             COALESCE(e.e_in, 0) AS e_within,
+             4 * m.m * COALESCE(e.e_in, 0) - kc.k_total * kc.k_total
+               AS contribution_scaled
+      FROM kc LEFT JOIN ewithin e ON e.c = kc.c, m
+    ),
+    tot AS (SELECT CAST(SUM(contribution_scaled) AS BIGINT) AS q_scaled FROM per)
+    SELECT per.c, per.n_nodes, per.k_total,
+           CAST(per.e_within AS BIGINT) AS e_within,
+           CAST(per.contribution_scaled AS BIGINT) AS contribution_scaled,
+           CAST(tot.q_scaled AS DOUBLE) / (4 * m.m * m.m) AS modularity
+    FROM per, tot, m
+    """,
+)
+def q332_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH MODULARITY of a community assignment — the quality score
+    that tells you whether a clustering (here the node DIV
+    {MODULARITY_COMM_DIV} blocks; in production q62's connected
+    components or a Louvain pass) actually beats random wiring:
+    Q = (1/2m)·Σ_same-community [A_ij − k_i·k_j/2m]. The whole sum
+    collapses to exact integers: per community, Q-contribution x (2m)²
+    = 4m·E_within − K_c² (twice-the-within-edges times 2m minus the
+    squared degree mass), so Q is ONE division at the edge and the
+    per-community breakdown — the thing you actually read to find the
+    weak cluster — is exactly reportable. Completes the graph shelf:
+    build (q62/q117/q135/q300/q318), embed (q268), now SCORE. Plan:
+    edge canonicalization + a degree aggregate + two community
+    rollups, all combiner-friendly; nothing is ever node²."""
+    o = load(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 100).cast("long")
+    b = (F.col("o_orderkey") % 100).cast("long")
+    raw = (
+        o.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    m = raw.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select("v"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    D = MODULARITY_COMM_DIV
+    kc = deg.groupBy(F.expr(f"node DIV {D}").alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("k").cast("long").alias("k_total"),
+    )
+    ewithin = (
+        raw.filter(F.expr(f"u DIV {D} = v DIV {D}"))
+        .groupBy(F.expr(f"u DIV {D}").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    per = (
+        kc.join(ewithin, "c", "left")
+        .withColumn("e_within", F.coalesce("e_in", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "contribution_scaled",
+            4 * F.col("m") * F.col("e_within")
+            - F.col("k_total") * F.col("k_total"),
+        )
+    )
+    tot = per.agg(F.sum("contribution_scaled").cast("long").alias("q_scaled"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "n_nodes",
+            "k_total",
+            F.col("e_within").cast("bigint").alias("e_within"),
+            F.col("contribution_scaled").cast("bigint").alias("contribution_scaled"),
+            (
+                F.col("q_scaled").cast("double")
+                / (4 * F.col("m") * F.col("m"))
+            ).alias("modularity"),
+        )
+    )

@@ -1518,3 +1518,129 @@ def q321_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bias_cents"),
     )
+
+
+FC_TRAIN_END = "2024-01-22"  # train < this date, evaluate on the rest
+
+
+@query(
+    "q331_interval_forecast_eval",
+    oracle=f"""
+    WITH train AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE CAST(ts AS DATE) < DATE '{FC_TRAIN_END}'
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM train GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    bands AS (
+      SELECT event_type,
+             MIN(CASE WHEN c >= (n + 9) // 10 THEN cents END) AS p10,
+             MIN(CASE WHEN c >= (9 * n + 9) // 10 THEN cents END) AS p90
+      FROM cum GROUP BY event_type
+    ),
+    test AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS a
+      FROM events WHERE CAST(ts AS DATE) >= DATE '{FC_TRAIN_END}'
+    )
+    SELECT t.event_type,
+           CAST(b.p10 AS BIGINT) AS p10_cents,
+           CAST(b.p90 AS BIGINT) AS p90_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.a BETWEEN b.p10 AND b.p90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN t.a BETWEEN b.p10 AND b.p90
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS coverage_ppm,
+           CAST(SUM(GREATEST(t.a - b.p10, 9 * (b.p10 - t.a))) AS BIGINT)
+             AS pinball10_x10,
+           CAST(SUM(GREATEST(9 * (t.a - b.p90), b.p90 - t.a)) AS BIGINT)
+             AS pinball90_x10
+    FROM test t JOIN bands b ON b.event_type = t.event_type
+    GROUP BY t.event_type, b.p10, b.p90
+    """,
+)
+def q331_interval_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-FORECAST evaluation — point forecasts get WAPE (q321);
+    PREDICTION INTERVALS get coverage and PINBALL LOSS, the scoring
+    rule quantile forecasts are trained on (and the M5-Uncertainty
+    metric): a [p10, p90] band fit on the first three weeks is scored
+    on the holdout by (a) empirical coverage vs the nominal 80%, and
+    (b) pinball at each tail — x10 integers, since the 0.1/0.9
+    quantile weights make loss = max(a−f, 9(f−a))/10, and the /10 can
+    wait for the report edge (the house ppm discipline). The band
+    itself uses the EXPLICIT ceil-rank histogram rule — min value
+    whose cumulative count reaches ceil(q·n) — not an engine quantile
+    function, because engines disagree on interpolation (the q93
+    lesson; this makes the quantile definition part of the tested
+    contract). Pinball is asymmetric ON PURPOSE: under-covering the
+    p90 costs 9x more than over-covering — the property test checks
+    that degenerate bands strictly worsen the score. Train-side
+    histograms are bounded support; the eval is one broadcast join of
+    a 5-row band table onto the holdout scan."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit(FC_TRAIN_END).cast("date")
+    train = ev.filter(F.to_date("ts") < cutoff).select(
+        "event_type", cents.alias("cents")
+    )
+    hist = train.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bands = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("c") >= F.expr("(n + 9) DIV 10"), F.col("cents"))
+        ).alias("p10"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(9 * n + 9) DIV 10"), F.col("cents"))
+        ).alias("p90"),
+    )
+    test = ev.filter(F.to_date("ts") >= cutoff).select(
+        "event_type", cents.alias("a")
+    )
+    j = test.join(F.broadcast(bands), "event_type")
+    covered = (F.col("a") >= F.col("p10")) & (F.col("a") <= F.col("p90"))
+    return j.groupBy("event_type", "p10", "p90").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(covered, 1).otherwise(0)).cast("bigint").alias("n_covered"),
+        F.expr(
+            "SUM(CASE WHEN a BETWEEN p10 AND p90 THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("coverage_ppm"),
+        F.sum(F.greatest(F.col("a") - F.col("p10"), 9 * (F.col("p10") - F.col("a"))))
+        .cast("bigint")
+        .alias("pinball10_x10"),
+        F.sum(F.greatest(9 * (F.col("a") - F.col("p90")), F.col("p90") - F.col("a")))
+        .cast("bigint")
+        .alias("pinball90_x10"),
+    ).select(
+        "event_type",
+        F.col("p10").cast("bigint").alias("p10_cents"),
+        F.col("p90").cast("bigint").alias("p90_cents"),
+        "n_test",
+        "n_covered",
+        "coverage_ppm",
+        "pinball10_x10",
+        "pinball90_x10",
+    )

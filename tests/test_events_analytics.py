@@ -875,3 +875,56 @@ def test_q328_km_monotone_and_bounded(spark):
     # manual product check on the first step
     f = rows[0]
     assert abs(f["survival"] - (f["n_at_risk"] - f["d_churned"]) / f["n_at_risk"]) < 1e-12
+
+
+def test_q330_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q330_lru_stack_distance")
+
+
+def test_q330_mattson_inclusion_property(spark):
+    """A bigger cache never hits less (Mattson inclusion): replay the
+    same traces through the operator's own LRU at k and k+2 in pure
+    Python and compare against the reported k-hits."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        LRU_CACHE_K,
+        LRU_ITEM_DIV,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+    import pyspark.sql.functions as FF
+
+    rows = {r["user_id"]: r for r in all_queries()["q330_lru_stack_distance"](spark, SF_DIR).collect()}
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select(
+            "user_id",
+            "event_id",
+            FF.expr(f"CAST(floor(value / {LRU_ITEM_DIV}) AS BIGINT)").alias("item"),
+            FF.col("ts").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    traces = {}
+    for r in sorted(ev, key=lambda r: (r["s"], r["event_id"])):
+        traces.setdefault(r["user_id"], []).append(r["item"])
+
+    def lru_hits(trace, k):
+        cache, hits = [], 0
+        for x in trace:
+            if x in cache:
+                hits += 1
+                cache.remove(x)
+            elif len(cache) == k:
+                cache.pop()
+            cache.insert(0, x)
+        return hits
+
+    for uid, trace in traces.items():
+        r = rows[uid]
+        assert r["n_accesses"] == len(trace)
+        assert r["hits"] == lru_hits(trace, LRU_CACHE_K)
+        assert lru_hits(trace, LRU_CACHE_K + 2) >= r["hits"]
+        assert r["hits"] <= r["n_reuses"]

@@ -519,3 +519,32 @@ def test_dag_waves_respect_every_edge(spark):
     assert edges
     for e in edges:
         assert waves[e["dst"]] >= waves[e["src"]] + 1
+
+
+# --- modularity (q332) ---------------------------------------------------
+
+
+def test_modularity_identities(spark):
+    """Σ contributions / (2m)² == reported Q; Σ K_c == 2m; Σ E_within <= m;
+    and Q is within the theoretical (-0.5, 1) range."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    rows = all_queries()["q332_graph_modularity"](spark, SF_DIR).collect()
+    m = (
+        load(spark, SF_DIR, "orders")
+        .selectExpr(
+            "LEAST(o_custkey % 100, o_orderkey % 100) AS u",
+            "GREATEST(o_custkey % 100, o_orderkey % 100) AS v",
+        )
+        .filter("u <> v")
+        .distinct()
+        .count()
+    )
+    assert sum(r["k_total"] for r in rows) == 2 * m
+    assert sum(r["e_within"] for r in rows) <= m
+    q = rows[0]["modularity"]
+    assert all(abs(r["modularity"] - q) < 1e-15 for r in rows)
+    assert -0.5 < q < 1.0
+    assert abs(sum(r["contribution_scaled"] for r in rows) / (4 * m * m) - q) < 1e-12

@@ -370,3 +370,50 @@ def test_q321_wape_consistency(spark):
         # |bias| can never exceed total absolute error
         assert abs(r["bias_cents"]) <= r["sum_abs_err_cents"]
         assert r["n_days"] >= 7
+
+
+def test_q331_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q331_interval_forecast_eval")
+
+
+def test_q331_band_and_pinball_sanity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q331_interval_forecast_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p10_cents"] <= r["p90_cents"]
+        assert r["n_covered"] <= r["n_test"]
+        # an 80% band fit on 3 weeks should cover a substantial majority
+        # of the holdout (loose bound: > 50%)
+        assert r["coverage_ppm"] > 500_000
+        assert r["pinball10_x10"] >= 0 and r["pinball90_x10"] >= 0
+
+
+def test_q331_degenerate_band_scores_worse(spark):
+    """Moving the p90 edge down to the p10 edge must not improve the p90
+    pinball sum — the scoring rule punishes under-coverage 9:1."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    import pyspark.sql.functions as FF
+    from hoops_edge_database_etl_spark.queries.windows import FC_TRAIN_END
+    from hoops_edge_database_etl_spark.tables import load
+
+    rows = all_queries()["q331_interval_forecast_eval"](spark, SF_DIR).collect()
+    ev = load(spark, SF_DIR, "events").filter(
+        FF.to_date("ts") >= FF.lit(FC_TRAIN_END).cast("date")
+    ).select(
+        "event_type",
+        FF.floor(FF.col("value") * 100 + FF.lit(0.5)).cast("long").alias("a"),
+    )
+    test_rows = ev.collect()
+    by_type = {}
+    for t in test_rows:
+        by_type.setdefault(t["event_type"], []).append(t["a"])
+    for r in rows:
+        f_bad = r["p10_cents"]  # degenerate: p90 collapsed onto p10
+        bad = sum(max(9 * (a - f_bad), f_bad - a) for a in by_type[r["event_type"]])
+        assert bad >= r["pinball90_x10"]
