@@ -266,6 +266,9 @@ _DRIVER_PRIORITY = [
     "q330_lru_stack_distance",
     "q331_interval_forecast_eval",
     "q332_graph_modularity",
+    "q333_median_ci",
+    "q334_posthoc_pairwise",
+    "q335_ngram_novelty",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

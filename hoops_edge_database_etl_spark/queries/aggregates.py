@@ -3263,3 +3263,109 @@ def q327_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - (CAST(sc_post AS DOUBLE) / nc - CAST(sc_pre AS DOUBLE) / nc)"
         " AS did_cents",
     )
+
+
+def _posthoc_ssw_sql() -> str:
+    k = len(_ANOVA_GROUPS)
+    ssb_terms = " + ".join(f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(k))
+    q = " + ".join(f"q{i}" for i in range(k))
+    n = " + ".join(f"n{i}" for i in range(k))
+    cols = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        cond = f"o_orderpriority = '{g}'"
+        cols += [
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}",
+            f"CAST(SUM(CASE WHEN {cond} THEN dollars ELSE 0 END) AS BIGINT) AS s{i}",
+            f"CAST(SUM(CASE WHEN {cond} THEN dollars * dollars ELSE 0 END)"
+            f" AS BIGINT) AS q{i}",
+        ]
+    return f"""
+    WITH m AS (
+      SELECT CAST(floor(o_totalprice + 0.5) AS BIGINT) AS dollars,
+             o_orderpriority
+      FROM orders
+    ),
+    piv AS (SELECT {", ".join(cols)} FROM m),
+    pooled AS (
+      SELECT (CAST(({q}) AS DOUBLE) - ({ssb_terms})) / (({n}) - {k}) AS msw
+      FROM piv
+    ),
+    grp AS (
+      SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dollars) AS BIGINT) AS s
+      FROM m GROUP BY o_orderpriority
+    )
+    SELECT a.pri AS pri_a, b.pri AS pri_b, a.n AS n_a, b.n AS n_b,
+           CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n AS mean_diff,
+           sqrt(pooled.msw * (CAST(1 AS DOUBLE) / a.n + CAST(1 AS DOUBLE) / b.n))
+             AS se,
+           (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / sqrt(pooled.msw * (CAST(1 AS DOUBLE) / a.n
+                                  + CAST(1 AS DOUBLE) / b.n)) AS t_stat
+    FROM grp a JOIN grp b ON a.pri < b.pri, pooled
+    """
+
+
+@query("q334_posthoc_pairwise", oracle=_posthoc_ssw_sql())
+def q334_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST-HOC PAIRWISE comparisons — the step after q323's ANOVA says
+    "the groups differ": WHICH pairs differ, via the Fisher-LSD /
+    Tukey-family statistic diff / sqrt(MSW·(1/n_i + 1/n_j)) with the
+    POOLED within-group variance (pooling borrows strength from all
+    five groups, so small groups get honest SEs — the reason this
+    beats running C(5,2) Welch tests). MSW reuses q323's pivoted
+    fixed-order computation verbatim (one row, engine-identical float
+    order); the 10 pairs come from a self-join of the 5-row group-
+    stats aggregate, each row's statistic a fixed expression over
+    exact integers + one correctly-rounded sqrt. Consistency with
+    q323 is property-tested: every pairwise t² is bounded by (k−1)·F
+    only up to between-group structure, but sign and scale must
+    agree with the raw means — checked directly."""
+    o = load(spark, sf_dir, "orders")
+    m = o.select(
+        F.floor(F.col("o_totalprice") + F.lit(0.5)).cast("long").alias("dollars"),
+        "o_orderpriority",
+    )
+    aggs = []
+    for i, g in enumerate(_ANOVA_GROUPS):
+        cond = F.col("o_orderpriority") == g
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("dollars")).otherwise(0))
+            .cast("long").alias(f"s{i}"),
+            F.sum(F.when(cond, F.col("dollars") * F.col("dollars")).otherwise(0))
+            .cast("long").alias(f"q{i}"),
+        ]
+    piv = m.agg(*aggs)
+    k = len(_ANOVA_GROUPS)
+    nn = " + ".join(f"n{i}" for i in range(k))
+    qq = " + ".join(f"q{i}" for i in range(k))
+    ssb_terms = " + ".join(f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(k))
+    pooled = piv.selectExpr(
+        f"(CAST(({qq}) AS DOUBLE) - ({ssb_terms})) / (({nn}) - {k}) AS msw"
+    )
+    grp = m.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dollars").cast("long").alias("s"),
+    )
+    a = grp.select(
+        F.col("pri").alias("pri_a"), F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = grp.select(
+        F.col("pri").alias("pri_b"), F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    pairs = (
+        a.join(b, F.col("pri_a") < F.col("pri_b"))
+        .crossJoin(F.broadcast(pooled))
+    )
+    return pairs.selectExpr(
+        "pri_a",
+        "pri_b",
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b AS mean_diff",
+        "sqrt(msw * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se",
+        "(CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)"
+        " / sqrt(msw * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
+        " AS t_stat",
+    )

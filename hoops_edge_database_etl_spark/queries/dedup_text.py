@@ -1153,3 +1153,87 @@ def q308_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_ppm"),
         )
     )
+
+
+@query(
+    "q335_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    split AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                  1, 8) AS BIGINT) % 100 < 80 AS is_train
+      FROM documents
+    ),
+    train_sh AS (
+      SELECT DISTINCT sh.s FROM sh JOIN split ON split.doc_id = sh.doc_id
+      WHERE split.is_train
+    ),
+    test_sh AS (
+      SELECT DISTINCT d.lang, sh.s
+      FROM sh JOIN split ON split.doc_id = sh.doc_id
+      JOIN documents d ON d.doc_id = sh.doc_id
+      WHERE NOT split.is_train
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test_shingles,
+           CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_seen_in_train,
+           CAST(SUM(CASE WHEN tr.s IS NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM test_sh t LEFT JOIN train_sh tr ON tr.s = t.s
+    GROUP BY t.lang
+    """,
+)
+def q335_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY — the memorization lens the doc-level gates miss:
+    q82/q138 ask "is this TEST DOCUMENT leaked?"; this asks what
+    fraction of the holdout's 3-gram PHRASES exist anywhere in train —
+    the statistic used to audit whether generated text is recombining
+    or parroting (low novelty on a model's samples = memorization),
+    and to judge a benchmark's real difficulty. Splits reuse q68's
+    exact md5 doc split, shingles reuse q42's 3-gram machinery, so the
+    number is consistent with the rest of the corpus pipeline by
+    construction. Plan: distinct train shingles (hash-sized shuffle
+    key), one left join from the distinct per-lang test shingles,
+    ppm floor division. At 100 TB the train side is the big set —
+    it arrives pre-hashed on the join key, and a q81-style bloom
+    prefilter drops the obviously-novel majority before the
+    shuffle."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id", "lang", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
+    )
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 80
+    )
+    tagged = sh.withColumn("is_train", is_train)
+    train_sh = tagged.filter("is_train").select("s").distinct()
+    test_sh = tagged.filter(~F.col("is_train")).select("lang", "s").distinct()
+    j = test_sh.join(
+        train_sh.withColumn("seen", F.lit(1)), "s", "left"
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_shingles"),
+        F.sum(F.when(F.col("seen").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seen_in_train"),
+        F.expr(
+            "SUM(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )

@@ -1754,3 +1754,107 @@ def q329_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@query(
+    "q333_median_ci",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    ranks AS (
+      SELECT event_type, cents, c, n,
+             (n + 1) // 2 AS k_med,
+             GREATEST(CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+                      AS BIGINT), 1) AS k_lo,
+             LEAST(CAST(ceil((n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2)
+                   AS BIGINT) + 1, n) AS k_hi
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN c >= k_med THEN cents END) AS BIGINT)
+             AS median_cents,
+           CAST(MIN(CASE WHEN c >= k_lo THEN cents END) AS BIGINT) AS ci_lo,
+           CAST(MIN(CASE WHEN c >= k_hi THEN cents END) AS BIGINT) AS ci_hi
+    FROM ranks GROUP BY event_type
+    """,
+)
+def q333_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTION-FREE median confidence interval — the order-
+    statistics result that needs NO bootstrap and NO normality: a 95%
+    CI for the median is simply the values at ranks
+    (n ± 1.96·√n)/2 (the binomial(n, ½) normal approximation — the
+    only transcendental is sqrt, the one function IEEE-754 requires
+    correctly rounded, hence engine-identical: the house sqrt
+    exemption). Where q172 bootstraps B=32 resamples to get a
+    variance, this reads the CI straight off the cumulative histogram
+    — three rank-selects (q93's machinery) instead of 32 passes, the
+    100 TB way to put error bars on a median. Rank arithmetic floors/
+    ceils doubles built only from n — deterministic; selection is the
+    min-value-reaching-rank rule over the bounded support. Property-
+    tested: ci_lo <= median <= ci_hi, and the interval covers the
+    true median rank by construction."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    hist = s.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "cents",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    ranks = cum.select(
+        "event_type",
+        "cents",
+        "c",
+        "n",
+        F.expr("(n + 1) DIV 2").alias("k_med"),
+        F.greatest(
+            F.floor(
+                (F.col("n") - 1.96 * F.sqrt(F.col("n").cast("double"))) / 2
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("k_lo"),
+        F.least(
+            F.ceil(
+                (F.col("n") + 1.96 * F.sqrt(F.col("n").cast("double"))) / 2
+            ).cast("long")
+            + 1,
+            F.col("n"),
+        ).alias("k_hi"),
+    )
+    return ranks.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(F.when(F.col("c") >= F.col("k_med"), F.col("cents")))
+        .cast("bigint")
+        .alias("median_cents"),
+        F.min(F.when(F.col("c") >= F.col("k_lo"), F.col("cents")))
+        .cast("bigint")
+        .alias("ci_lo"),
+        F.min(F.when(F.col("c") >= F.col("k_hi"), F.col("cents")))
+        .cast("bigint")
+        .alias("ci_hi"),
+    )

@@ -632,3 +632,30 @@ def test_q327_did_from_cells(spark):
         r["sc_post"] / r["nc"] - r["sc_pre"] / r["nc"]
     )
     assert abs(r["did_cents"] - recomputed) < 1e-6
+
+
+def test_q334_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q334_posthoc_pairwise")
+
+
+def test_q334_pairwise_consistent_with_group_means(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q334_posthoc_pairwise"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    means = dict(
+        duck.execute(
+            """SELECT o_orderpriority,
+               CAST(SUM(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*)
+               FROM orders GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        expect = means[r["pri_a"]] - means[r["pri_b"]]
+        assert abs(r["mean_diff"] - expect) < 1e-6
+        assert r["se"] > 0
+        assert (r["t_stat"] >= 0) == (r["mean_diff"] >= 0)

@@ -458,3 +458,24 @@ def test_q309_codebook_vectors_encode_to_themselves(spark):
             assert r["dist"] >= 0
             if vid < PQ_K:
                 assert r["code"] == vid and r["dist"] == 0
+
+
+def test_q335_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q335_ngram_novelty")
+
+
+def test_q335_novelty_accounting(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q335_ngram_novelty"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_seen_in_train"] <= r["n_test_shingles"]
+        expect = (
+            (r["n_test_shingles"] - r["n_seen_in_train"]) * 1_000_000
+            // r["n_test_shingles"]
+        )
+        assert r["novelty_ppm"] == expect

@@ -459,3 +459,32 @@ def test_q329_grid_bounded_and_complete(spark, duck):
     assert sum(r["n"] for r in rows) == n_events  # every point lands somewhere
     # bounded output regardless of input size
     assert len(rows) <= 5 * 24 * 14
+
+
+def test_q333_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q333_median_ci")
+
+
+def test_q333_ci_brackets_median(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q333_median_ci"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["ci_lo"] <= r["median_cents"] <= r["ci_hi"]
+    # median agrees with an independent exact computation
+    truth = dict(
+        duck.execute(
+            """SELECT event_type,
+               CAST(quantile_disc(CAST(floor(value*100+0.5) AS BIGINT), 0.5)
+                    AS BIGINT)
+               FROM events GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        # ceil-rank median can sit one support point off quantile_disc's
+        # convention; it must still be inside the CI and near the truth
+        assert r["ci_lo"] <= truth[r["event_type"]] <= r["ci_hi"]
