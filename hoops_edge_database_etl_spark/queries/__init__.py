@@ -269,6 +269,9 @@ _DRIVER_PRIORITY = [
     "q333_median_ci",
     "q334_posthoc_pairwise",
     "q335_ngram_novelty",
+    "q336_cohort_ltv",
+    "q337_reprocess_planner",
+    "q338_tier_migration",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -965,3 +965,91 @@ def q315_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit_end.cast("bigint").alias("unit_end"),
         (unit_end - unit_start + 1).cast("bigint").alias("unit_keys"),
     )
+
+
+REPROCESS_DELTA_MAX_PPM = 100_000  # >10% stale rows => full partition rebuild
+
+
+@query(
+    "q337_reprocess_planner",
+    oracle=f"""
+    WITH facts AS (
+      SELECT CAST(o_orderdate AS DATE) AS valid_d,
+             CAST(o_orderdate AS DATE)
+               + CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                     || ':late'), 1, 8) AS BIGINT) % 7 AS INTEGER) AS recorded_d
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-10-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+    ),
+    per AS (
+      SELECT valid_d,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN recorded_d = DATE '{BITEMP_AUDIT_TS}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+      FROM facts GROUP BY valid_d
+    )
+    SELECT strftime(valid_d, '%Y-%m-%d') AS partition_day,
+           n_total, n_arrived,
+           CAST(n_arrived * 1000000 // n_total AS BIGINT) AS arrived_ppm,
+           CASE WHEN n_arrived * 1000000 // n_total > {REPROCESS_DELTA_MAX_PPM}
+                THEN 'rebuild' ELSE 'delta' END AS action
+    FROM per WHERE n_arrived > 0
+    """,
+)
+def q337_reprocess_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-REPROCESS PLANNER — the nightly-close decision q312's
+    restatement report implies: today's batch of late-arriving facts
+    (booking lag = the q312 hash model; in production, yesterday's CDC
+    stream) lands across MANY valid-date partitions, and each touched
+    partition either takes a cheap DELTA apply (q134/q271's machinery)
+    or a full REBUILD when the stale fraction clears
+    {REPROCESS_DELTA_MAX_PPM} ppm — the crossover where re-aggregating
+    beats merging. Output is the work list an orchestrator fans out:
+    only touched partitions appear (the 100 TB property — cost scales
+    with the DELTA, not the table), each with exact ppm staleness in
+    integer arithmetic so the rebuild/delta decision replays
+    identically anywhere. One conditional aggregate over the
+    valid-time range scan; composes with q315's unit chunking for
+    partitions too big to rebuild in one task."""
+    o = load(spark, sf_dir, "orders")
+    lag_days = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":late"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+    )
+    facts = o.filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-10-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    ).select(
+        F.to_date("o_orderdate").alias("valid_d"),
+        F.date_add(F.to_date("o_orderdate"), lag_days.cast("int")).alias(
+            "recorded_d"
+        ),
+    )
+    audit = F.lit(BITEMP_AUDIT_TS).cast("date")
+    per = facts.groupBy("valid_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("recorded_d") == audit, 1).otherwise(0))
+        .cast("long")
+        .alias("n_arrived"),
+    )
+    return per.filter(F.col("n_arrived") > 0).select(
+        F.date_format("valid_d", "yyyy-MM-dd").alias("partition_day"),
+        F.col("n_total").cast("bigint"),
+        F.col("n_arrived").cast("bigint"),
+        F.expr("n_arrived * 1000000 DIV n_total").cast("bigint").alias("arrived_ppm"),
+        F.when(
+            F.expr("n_arrived * 1000000 DIV n_total") > REPROCESS_DELTA_MAX_PPM,
+            "rebuild",
+        )
+        .otherwise("delta")
+        .alias("action"),
+    )

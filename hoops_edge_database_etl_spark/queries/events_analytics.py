@@ -4102,3 +4102,168 @@ def q330_lru_stack_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits long, hit_ppm long"
         ),
     )
+
+
+@query(
+    "q336_cohort_ltv",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id,
+             MIN(CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7)
+                 AS BIGINT)) AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+      SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM firstw GROUP BY cohort_w
+    ),
+    rev AS (
+      SELECT f.cohort_w,
+             CAST(floor((CAST(e.ts AS DATE) - DATE '2024-01-01') / 7)
+               AS BIGINT) - f.cohort_w AS age_w,
+             CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS week_cents
+      FROM events e JOIN firstw f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_w, age_w, week_cents,
+             SUM(week_cents) OVER (PARTITION BY cohort_w ORDER BY age_w
+                                   ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev
+    )
+    SELECT c.cohort_w, c.age_w, s.n_users,
+           CAST(c.week_cents AS BIGINT) AS week_cents,
+           CAST(c.cum_cents AS BIGINT) AS cum_cents,
+           CAST(c.cum_cents // s.n_users AS BIGINT) AS ltv_per_user_cents
+    FROM cum c JOIN cohort_size s ON s.cohort_w = c.cohort_w
+    """,
+)
+def q336_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV MATRIX — the finance twin of q90's retention triangle:
+    users cohorted by first-seen week, purchase revenue accumulated by
+    cohort AGE, reported as cumulative lifetime value per user — the
+    curve whose plateau is what a CAC payback model is allowed to
+    spend. Denominator discipline is the point: LTV divides by the
+    FULL cohort size (including users who never bought — survivors-
+    only LTV flatters every cohort, the classic SaaS-board bug), so
+    cohort sizes come from a separate first-touch aggregate and join
+    back. All integer cents with one floor division per cell; the
+    cumulative window runs over cohort x age cells (calendar-bounded,
+    q32's spine rule). One shuffle keys the first-touch lookup, one
+    the weekly rollup."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    firstw = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    cohort_size = firstw.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .groupBy(
+            "cohort_w", (week - F.col("cohort_w")).alias("age_w")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("week_cents")
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_w")
+        .orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("week_cents").over(wcum))
+    return cum.join(F.broadcast(cohort_size), "cohort_w").select(
+        "cohort_w",
+        "age_w",
+        "n_users",
+        F.col("week_cents").cast("bigint"),
+        F.col("cum_cents").cast("bigint"),
+        F.expr("cum_cents DIV n_users").cast("bigint").alias("ltv_per_user_cents"),
+    )
+
+
+@query(
+    "q338_tier_migration",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS p1,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS p2
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    tiers AS (
+      SELECT user_id,
+             CASE WHEN p1 = 0 THEN -1 ELSE
+               (ROW_NUMBER() OVER (PARTITION BY (p1 > 0)
+                                   ORDER BY p1, user_id) - 1) * 4
+               // SUM(CASE WHEN p1 > 0 THEN 1 ELSE 0 END) OVER ()
+             END AS tier1,
+             CASE WHEN p2 = 0 THEN -1 ELSE
+               (ROW_NUMBER() OVER (PARTITION BY (p2 > 0)
+                                   ORDER BY p2, user_id) - 1) * 4
+               // SUM(CASE WHEN p2 > 0 THEN 1 ELSE 0 END) OVER ()
+             END AS tier2
+      FROM spend
+    )
+    SELECT tier1, tier2, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM tiers GROUP BY tier1, tier2
+    """,
+)
+def q338_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEND-TIER MIGRATION MATRIX — the CRM question q160's event-level
+    Markov chain doesn't answer: how do CUSTOMERS move between value
+    quartiles from one period to the next (upgrades, downgrades,
+    lapses into tier −1)? Tiers are exact rank arithmetic —
+    (rank−1)·4 DIV n over spenders only, q171's decile rule at
+    quartile granularity, user-id tiebroken — never NTILE, whose
+    remainder distribution is engine-defined. Zero-spend users form
+    their own −1 tier rather than polluting quartile boundaries (the
+    partition-by-(p>0) trick keeps ranks dense among actual
+    spenders). The migration rollup is the retention/churn/win-back
+    dashboard in one 5x5 matrix; the diagonal is stability, below it
+    is the churn early-warning. Rank windows run over the per-user
+    aggregate; at catalog scale the q306 rank-block join replaces
+    them."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit("2024-01-16").cast("date")
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("p1"),
+        F.sum(F.when(F.to_date("ts") >= cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("p2"),
+    )
+
+    def tier(col: str) -> F.Column:
+        active = F.col(col) > 0
+        w = Window.partitionBy(active).orderBy(F.col(col), F.col("user_id"))
+        n_active = F.sum(F.when(active, 1).otherwise(0)).over(
+            Window.partitionBy()
+        )
+        rank = F.row_number().over(w).cast("long")
+        return F.when(~active, F.lit(-1).cast("long")).otherwise(
+            ((rank - 1) * 4 - ((rank - 1) * 4) % n_active) / n_active
+        ).cast("long")
+
+    tiers = spend.select(
+        tier("p1").alias("tier1"), tier("p2").alias("tier2")
+    )
+    return tiers.groupBy("tier1", "tier2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )

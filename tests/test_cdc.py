@@ -186,3 +186,27 @@ def test_q315_units_tile_gaps_exactly(spark):
         for a, b in zip(units, units[1:]):
             assert b["unit_start"] == a["unit_end"] + 1  # no overlap, no hole
         assert sum(u["unit_keys"] for u in units) == g["missing_n"]
+
+
+def test_q337_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q337_reprocess_planner")
+
+
+def test_q337_actions_follow_threshold(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.cdc import (
+        REPROCESS_DELTA_MAX_PPM,
+    )
+
+    rows = all_queries()["q337_reprocess_planner"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_arrived"] <= r["n_total"]
+        assert r["arrived_ppm"] == r["n_arrived"] * 1_000_000 // r["n_total"]
+        expect = (
+            "rebuild" if r["arrived_ppm"] > REPROCESS_DELTA_MAX_PPM else "delta"
+        )
+        assert r["action"] == expect

@@ -928,3 +928,50 @@ def test_q330_mattson_inclusion_property(spark):
         assert r["hits"] == lru_hits(trace, LRU_CACHE_K)
         assert lru_hits(trace, LRU_CACHE_K + 2) >= r["hits"]
         assert r["hits"] <= r["n_reuses"]
+
+
+def test_q336_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q336_cohort_ltv")
+
+
+def test_q336_ltv_cumulative_and_denominator(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q336_cohort_ltv"](spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_w"], []).append(r)
+    [(n_users_total,)] = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchall()
+    assert sum({r["cohort_w"]: r["n_users"] for r in rows}.values()) <= n_users_total
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r["age_w"])
+        run = 0
+        for c in cells:
+            run += c["week_cents"]
+            assert c["cum_cents"] == run  # cumulative is exact
+            assert c["ltv_per_user_cents"] == c["cum_cents"] // c["n_users"]
+
+
+def test_q338_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q338_tier_migration")
+
+
+def test_q338_matrix_partitions_users(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q338_tier_migration"](spark, SF_DIR).collect()
+    [(n_buyers,)] = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type='purchase'"
+    ).fetchall()
+    assert sum(r["n_users"] for r in rows) == n_buyers
+    for r in rows:
+        assert r["tier1"] in (-1, 0, 1, 2, 3) and r["tier2"] in (-1, 0, 1, 2, 3)
