@@ -272,6 +272,9 @@ _DRIVER_PRIORITY = [
     "q336_cohort_ltv",
     "q337_reprocess_planner",
     "q338_tier_migration",
+    "q339_multiclass_eval",
+    "q340_var_cvar",
+    "q341_power_mde",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3369,3 +3369,171 @@ def q334_posthoc_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(msw * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))"
         " AS t_stat",
     )
+
+
+# Literal decision-stump "model": predict event type from the value alone.
+_STUMP_SQL = """CASE WHEN value < 5 THEN 'click'
+                     WHEN value < 20 THEN 'view'
+                     WHEN value < 60 THEN 'error'
+                     WHEN value < 150 THEN 'signup'
+                     ELSE 'purchase' END"""
+
+
+@query(
+    "q339_multiclass_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_type AS actual, {_STUMP_SQL} AS pred FROM events
+    )
+    SELECT c.cls,
+           CAST(SUM(CASE WHEN actual = c.cls AND pred = c.cls
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN actual <> c.cls AND pred = c.cls
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN actual = c.cls AND pred <> c.cls
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN actual = c.cls AND pred = c.cls
+                         THEN 1 ELSE 0 END) * 2000000
+                // GREATEST(2 * SUM(CASE WHEN actual = c.cls AND pred = c.cls
+                                         THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN actual <> c.cls AND pred = c.cls
+                              THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN actual = c.cls AND pred <> c.cls
+                              THEN 1 ELSE 0 END), 1) AS BIGINT) AS f1_ppm
+    FROM scored, (SELECT DISTINCT event_type AS cls FROM events) c
+    GROUP BY c.cls
+    """,
+)
+def q339_multiclass_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTICLASS EVALUATION — per-class TP/FP/FN and F1 for a k-way
+    classifier (here a literal value-threshold stump both engines
+    share; in production the predictions column of a scored table):
+    the k-class generalization of q189's binary confusion matrix, and
+    the report card behind every "macro-F1" claim. F1 needs NO floats:
+    F1 = 2TP/(2TP + FP + FN) exactly, emitted as ppm floor division —
+    the harmonic mean collapses algebraically, one of the few ML
+    metrics that is a pure integer ratio (the reason it's the
+    house-preferred headline metric over precision/recall pairs).
+    Plan: one scan computes (actual, pred), a small cross join against
+    the k-row class list turns per-class one-vs-rest counts into
+    conditional sums — k passes' worth of metrics in ONE aggregate,
+    no per-class filtering jobs. Macro-F1 = mean of the f1_ppm column
+    (exact integers, so the average is safe anywhere downstream)."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.col("event_type").alias("actual"), F.expr(_STUMP_SQL).alias("pred")
+    )
+    classes = ev.select(F.col("event_type").alias("cls")).distinct()
+    j = scored.crossJoin(F.broadcast(classes))
+    tp = F.sum(
+        F.when((F.col("actual") == F.col("cls")) & (F.col("pred") == F.col("cls")), 1)
+        .otherwise(0)
+    )
+    fp = F.sum(
+        F.when((F.col("actual") != F.col("cls")) & (F.col("pred") == F.col("cls")), 1)
+        .otherwise(0)
+    )
+    fn = F.sum(
+        F.when((F.col("actual") == F.col("cls")) & (F.col("pred") != F.col("cls")), 1)
+        .otherwise(0)
+    )
+    return (
+        j.groupBy("cls")
+        .agg(
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            fn.cast("bigint").alias("fn"),
+        )
+        .selectExpr(
+            "cls",
+            "tp",
+            "fp",
+            "fn",
+            "CAST(tp * 2000000 DIV GREATEST(2 * tp + fp + fn, 1) AS BIGINT)"
+            " AS f1_ppm",
+        )
+    )
+
+
+MDE_TARGET_CENTS = 500  # effect size the team wants to detect
+Z_ALPHA, Z_BETA = 1.96, 0.84  # 5% two-sided, 80% power
+
+
+@query(
+    "q341_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM per_user
+    )
+    SELECT n, sx, sxx,
+           (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * (n - 1)) AS variance,
+           ({Z_ALPHA} + {Z_BETA})
+             * sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    / (CAST(n AS DOUBLE) * (n - 1))
+                    * (2.0 / (n // 2) + 2.0 / (n - n // 2))) / 1.0 AS mde_cents,
+           CAST(ceil(2.0 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+                    * ({Z_ALPHA} + {Z_BETA}) * ({Z_ALPHA} + {Z_BETA})
+                    / ({MDE_TARGET_CENTS}.0 * {MDE_TARGET_CENTS}))
+             AS BIGINT) AS n_per_arm_for_target
+    FROM mom
+    """,
+)
+def q341_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B POWER PLANNER — the question asked BEFORE q219/q274/q316 ever
+    run: with the metric's observed variance, (a) what's the minimum
+    detectable effect at the CURRENT population split in half, and
+    (b) how many users per arm would a {MDE_TARGET_CENTS}-cent effect
+    need? Textbook normal-approximation power algebra —
+    MDE = (z_α/2+z_β)·σ·sqrt(1/n₁+1/n₂) and
+    n = 2σ²(z_α/2+z_β)²/Δ² — with the variance built from exact
+    integer moments (n·Σx² − (Σx)², the q23 rule) and every float
+    step a fixed literal expression (z-values are constants; sqrt is
+    the IEEE-exempt transcendental). Experimentation platforms burn
+    real money running underpowered tests; this one-row report over a
+    per-user rollup is the guardrail, and re-running it per segment
+    is a groupBy away. The raw moments ship in the row so a different
+    α/β re-plans without rescanning."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x")
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    za_zb = Z_ALPHA + Z_BETA
+    return mom.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sx AS BIGINT) AS sx",
+        "CAST(sxx AS BIGINT) AS sxx",
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS variance",
+        f"({za_zb}) * sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n AS DOUBLE) * (n - 1))"
+        " * (2.0 / (n DIV 2) + 2.0 / (n - n DIV 2))) / 1.0 AS mde_cents",
+        f"CAST(ceil(2.0 * ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n AS DOUBLE) * (n - 1)))"
+        f" * ({za_zb}) * ({za_zb})"
+        f" / ({MDE_TARGET_CENTS}.0 * {MDE_TARGET_CENTS})) AS BIGINT)"
+        " AS n_per_arm_for_target",
+    )

@@ -1858,3 +1858,123 @@ def q333_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ci_hi"),
     )
+
+
+@query(
+    "q340_var_cvar",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pnl AS (
+      SELECT event_type,
+             cents - LAG(cents) OVER (PARTITION BY event_type ORDER BY d)
+               AS delta
+      FROM daily
+    ),
+    dd AS (SELECT event_type, delta FROM pnl WHERE delta IS NOT NULL),
+    hist AS (
+      SELECT event_type, delta, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM dd GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, delta,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY delta
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    var95 AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN c >= (n + 19) // 20 THEN delta END) AS var_cents
+      FROM cum GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(v.n AS BIGINT) AS n_days,
+           CAST(v.var_cents AS BIGINT) AS var95_cents,
+           CAST(SUM(CASE WHEN d.delta <= v.var_cents THEN d.delta ELSE 0 END)
+             AS BIGINT) AS tail_sum_cents,
+           CAST(SUM(CASE WHEN d.delta <= v.var_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS tail_n,
+           CAST(SUM(CASE WHEN d.delta <= v.var_cents THEN d.delta ELSE 0 END)
+             AS DOUBLE)
+             / SUM(CASE WHEN d.delta <= v.var_cents THEN 1 ELSE 0 END)
+             AS cvar95_cents
+    FROM dd d JOIN var95 v ON v.event_type = d.event_type
+    GROUP BY v.event_type, v.n, v.var_cents
+    """,
+)
+def q340_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-AT-RISK and EXPECTED SHORTFALL — the risk desk's two
+    numbers over a P&L series (here day-over-day revenue deltas per
+    stream): VaR95 is the 5th-percentile loss (exact ceil-rank select
+    over the delta histogram — q93's machinery pointed at the LEFT
+    tail), and CVaR/ES is the MEAN of everything at or below it — the
+    coherent risk measure Basel moved to precisely because VaR alone
+    ignores how bad the tail is. CVaR's division is the one float: the
+    tail sum and count are reported as exact integers (re-blendable
+    across desks — the q21 rule), and the mean divides once at the
+    edge. Deliberately NOT integer-DIV'd: Spark's DIV truncates toward
+    zero while DuckDB's // floors, and tail sums are NEGATIVE — the
+    one integer-arithmetic corner where the house ppm idiom would
+    hash-mismatch, documented here as the counterexample. Bounded
+    passes throughout: calendar-sized series, support-sized
+    histogram."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    dd = (
+        daily.withColumn("delta", F.col("cents") - F.lag("cents").over(wl))
+        .filter(F.col("delta").isNotNull())
+        .select("event_type", "delta")
+    )
+    hist = dd.groupBy("event_type", "delta").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "delta",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    var95 = cum.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(F.col("c") >= F.expr("(n + 19) DIV 20"), F.col("delta"))
+        ).alias("var_cents"),
+    )
+    j = dd.join(F.broadcast(var95), "event_type")
+    in_tail = F.col("delta") <= F.col("var_cents")
+    return j.groupBy("event_type", "n", "var_cents").agg(
+        F.sum(F.when(in_tail, F.col("delta")).otherwise(0))
+        .cast("long")
+        .alias("tail_sum_cents"),
+        F.sum(F.when(in_tail, 1).otherwise(0)).cast("long").alias("tail_n"),
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("var_cents").cast("bigint").alias("var95_cents"),
+        F.col("tail_sum_cents").cast("bigint"),
+        F.col("tail_n").cast("bigint"),
+        (F.col("tail_sum_cents").cast("double") / F.col("tail_n")).alias(
+            "cvar95_cents"
+        ),
+    )

@@ -659,3 +659,54 @@ def test_q334_pairwise_consistent_with_group_means(spark, duck):
         assert abs(r["mean_diff"] - expect) < 1e-6
         assert r["se"] > 0
         assert (r["t_stat"] >= 0) == (r["mean_diff"] >= 0)
+
+
+def test_q339_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q339_multiclass_eval")
+
+
+def test_q339_confusion_identities(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q339_multiclass_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    [(n_events,)] = duck.execute("SELECT COUNT(*) FROM events").fetchall()
+    # one-vs-rest bookkeeping: sum(tp) + sum(fn) == total (every event has
+    # exactly one actual class); same for fp by prediction
+    assert sum(r["tp"] + r["fn"] for r in rows) == n_events
+    assert sum(r["tp"] + r["fp"] for r in rows) == n_events
+    for r in rows:
+        assert r["f1_ppm"] == r["tp"] * 2_000_000 // max(2 * r["tp"] + r["fp"] + r["fn"], 1)
+
+
+def test_q341_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q341_power_mde")
+
+
+def test_q341_power_algebra(spark):
+    import math
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.aggregates import (
+        MDE_TARGET_CENTS,
+        Z_ALPHA,
+        Z_BETA,
+    )
+
+    [r] = all_queries()["q341_power_mde"](spark, SF_DIR).collect()
+    var = (r["n"] * r["sxx"] - r["sx"] * r["sx"]) / (r["n"] * (r["n"] - 1))
+    assert abs(r["variance"] - var) < 1e-6
+    assert r["mde_cents"] > 0
+    n_req = math.ceil(
+        2 * var * (Z_ALPHA + Z_BETA) ** 2 / MDE_TARGET_CENTS**2
+    )
+    assert r["n_per_arm_for_target"] == n_req
+    # a bigger sample must shrink the MDE: n_req detects the target
+    mde_at_req = (Z_ALPHA + Z_BETA) * math.sqrt(var * 2 / n_req)
+    assert mde_at_req <= MDE_TARGET_CENTS * 1.01

@@ -488,3 +488,24 @@ def test_q333_ci_brackets_median(spark, duck):
         # ceil-rank median can sit one support point off quantile_disc's
         # convention; it must still be inside the CI and near the truth
         assert r["ci_lo"] <= truth[r["event_type"]] <= r["ci_hi"]
+
+
+def test_q340_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q340_var_cvar")
+
+
+def test_q340_cvar_dominates_var(spark):
+    """Expected shortfall is at least as bad as VaR (coherence), and the
+    tail actually holds ~5% of days."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q340_var_cvar"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["cvar95_cents"] <= r["var95_cents"]
+        assert 1 <= r["tail_n"]
+        assert r["tail_n"] <= max(2, r["n_days"] // 10)
+        assert abs(r["cvar95_cents"] - r["tail_sum_cents"] / r["tail_n"]) < 1e-9
