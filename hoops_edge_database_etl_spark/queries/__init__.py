@@ -275,6 +275,9 @@ _DRIVER_PRIORITY = [
     "q339_multiclass_eval",
     "q340_var_cvar",
     "q341_power_mde",
+    "q342_isotonic_calibration",
+    "q343_funnel_significance",
+    "q344_lsh_s_curve",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3537,3 +3537,96 @@ def q341_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / ({MDE_TARGET_CENTS}.0 * {MDE_TARGET_CENTS})) AS BIGINT)"
         " AS n_per_arm_for_target",
     )
+
+
+ISO_BIN_DIV = 20  # score bin = floor(value / 20)
+
+
+@query(
+    "q342_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(floor(value / {ISO_BIN_DIV}) AS BIGINT) AS b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    bins AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY b
+    ),
+    intervals AS (
+      SELECT k.b AS k, j.b AS j,
+             CAST(SUM(m.pos) AS BIGINT) AS ipos,
+             CAST(SUM(m.n) AS BIGINT) AS inn
+      FROM bins k JOIN bins j ON k.b <= j.b
+      JOIN bins m ON m.b BETWEEN k.b AND j.b
+      GROUP BY k.b, j.b
+    ),
+    minin AS (
+      SELECT i.b AS i, iv.k,
+             MIN(CAST(iv.ipos AS DOUBLE) / iv.inn) AS min_avg
+      FROM bins i JOIN intervals iv ON iv.k <= i.b AND iv.j >= i.b
+      GROUP BY i.b, iv.k
+    )
+    SELECT m.i AS bin, bb.n, bb.pos,
+           CAST(bb.pos AS DOUBLE) / bb.n AS rate_raw,
+           MAX(m.min_avg) AS rate_iso
+    FROM minin m JOIN bins bb ON bb.b = m.i
+    GROUP BY m.i, bb.n, bb.pos
+    """,
+)
+def q342_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (PAVA) for probability calibration — the
+    standard post-hoc calibrator (sklearn's IsotonicRegression behind
+    CalibratedClassifierCV): fit the best MONOTONE step function of
+    purchase rate over score bins. The sequential pool-adjacent-
+    violators loop doesn't distribute — but its fixed point has the
+    CLOSED FORM iso_i = max_{{k<=i}} min_{{j>=i}} avg(k..j) (the
+    max-min theorem), and THAT is two bounded joins over the bin
+    table + a min and a max — fully declarative, no loop, no state.
+    The property test runs an independent textbook PAVA in Python and
+    asserts equality: like q330, the oracle match certifies a
+    THEOREM, not a shared implementation. Interval averages are one
+    division each off exact integer prefix sums; bins are bounded
+    (score support / {ISO_BIN_DIV}), so the k<=i<=j lattice is
+    bins³ — trivial beside the single scan that builds the bins. The
+    calibrated rate_iso is what q263's ECE should be measured
+    AGAINST after calibration."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.expr(f"CAST(floor(value / {ISO_BIN_DIV}) AS BIGINT)").alias("b"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    k = bins.select(F.col("b").alias("k"))
+    j = bins.select(F.col("b").alias("j"))
+    m = bins.select(F.col("b").alias("mb"), "n", "pos")
+    intervals = (
+        k.join(j, F.col("k") <= F.col("j"))
+        .join(m, (F.col("mb") >= F.col("k")) & (F.col("mb") <= F.col("j")))
+        .groupBy("k", "j")
+        .agg(
+            F.sum("pos").cast("long").alias("ipos"),
+            F.sum("n").cast("long").alias("inn"),
+        )
+    )
+    i = bins.select(F.col("b").alias("i"), F.col("n").alias("bn"), F.col("pos").alias("bpos"))
+    minin = (
+        i.join(intervals, (F.col("k") <= F.col("i")) & (F.col("j") >= F.col("i")))
+        .groupBy("i", "bn", "bpos", "k")
+        .agg(F.min(F.col("ipos").cast("double") / F.col("inn")).alias("min_avg"))
+    )
+    return minin.groupBy(
+        F.col("i").alias("bin"),
+        F.col("bn").alias("n"),
+        F.col("bpos").alias("pos"),
+    ).agg(F.max("min_avg").alias("rate_iso")).select(
+        "bin",
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n")).alias("rate_raw"),
+        "rate_iso",
+    )

@@ -1237,3 +1237,105 @@ def q335_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+@query(
+    "q344_lsh_s_curve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i, j,
+             CAST(floor(CAST(c AS DOUBLE) / (x.n + y.n - c) * 10) AS BIGINT)
+               AS bucket
+      FROM inter JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+    ),
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM band a JOIN band b ON a.b = b.b AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    )
+    SELECT t.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_caught,
+           CAST(SUM(CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS catch_ppm,
+           1 - (1 - ((CAST(t.bucket AS DOUBLE) + 0.5) / 10)
+                    * ((CAST(t.bucket AS DOUBLE) + 0.5) / 10))
+             * (1 - ((CAST(t.bucket AS DOUBLE) + 0.5) / 10)
+                    * ((CAST(t.bucket AS DOUBLE) + 0.5) / 10))
+             * (1 - ((CAST(t.bucket AS DOUBLE) + 0.5) / 10)
+                    * ((CAST(t.bucket AS DOUBLE) + 0.5) / 10))
+             * (1 - ((CAST(t.bucket AS DOUBLE) + 0.5) / 10)
+                    * ((CAST(t.bucket AS DOUBLE) + 0.5) / 10)) AS theory_mid
+    FROM truth t LEFT JOIN cand c ON c.i = t.i AND c.j = t.j
+    GROUP BY t.bucket
+    """,
+)
+def q344_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-CURVE calibration — q308 grades the one shipped config;
+    this measures the whole CURVE: for every exact-Jaccard decile of
+    truly-overlapping pairs, the empirical probability that 4x2
+    banding catches the pair, next to the theory 1−(1−s²)⁴ at the
+    bucket midpoint. Where empirical sags under theory, the MinHash
+    independence assumption is being strained by your data (few
+    shingles per doc, skewed shingle frequencies) — THE diagnostic
+    for choosing (bands, rows) before a 100 TB dedup run. The theory
+    column expands the polynomial as literal multiplications (never
+    pow(), whose exp·log path needn't round identically across
+    engines — the transcendental ban applied to an innocent-looking
+    builtin). Bucketing floors 10·jaccard on identical doubles;
+    catch rates are ppm floor division. Cost: q42's exact pair scan
+    (the sampled side at corpus scale) + q43's candidate set + one
+    pair-keyed left join."""
+    d = load(spark, sf_dir, "documents")
+    truth = (
+        jaccard_pairs(d, threshold=0.0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 10).cast("long").alias("bucket"),
+        )
+    )
+    cand = (
+        q43_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .withColumn("caught", F.lit(1))
+    )
+    j = truth.join(cand, ["doc_a", "doc_b"], "left")
+    s_mid = (F.col("bucket").cast("double") + 0.5) / 10
+    one_minus_s2 = 1 - s_mid * s_mid
+    theory = 1 - one_minus_s2 * one_minus_s2 * one_minus_s2 * one_minus_s2
+    return j.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("caught").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_caught"),
+        F.expr(
+            "SUM(CASE WHEN caught IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("catch_ppm"),
+        F.first(theory).alias("theory_mid"),
+    )

@@ -4267,3 +4267,124 @@ def q338_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiers.groupBy("tier1", "tier2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "q343_funnel_significance",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s_view,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s_buy
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    arms AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             s_view, s_click, s_buy
+      FROM steps
+    ),
+    cells AS (
+      SELECT step, arm, n, conv FROM (
+        SELECT 'view_to_click' AS step, arm,
+               CAST(SUM(s_view) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN s_view = 1 AND s_click = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        FROM arms GROUP BY arm
+        UNION ALL
+        SELECT 'click_to_buy', arm,
+               CAST(SUM(s_click) AS BIGINT),
+               CAST(SUM(CASE WHEN s_click = 1 AND s_buy = 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM arms GROUP BY arm
+      )
+    ),
+    piv AS (
+      SELECT step,
+             MAX(CASE WHEN arm = 'treatment' THEN n END) AS n1,
+             MAX(CASE WHEN arm = 'treatment' THEN conv END) AS c1,
+             MAX(CASE WHEN arm = 'control' THEN n END) AS n0,
+             MAX(CASE WHEN arm = 'control' THEN conv END) AS c0
+      FROM cells GROUP BY step
+    )
+    SELECT step,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+           CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS rate_diff,
+           (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                    * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n0))
+             AS z_stat
+    FROM piv
+    """,
+)
+def q343_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL-STEP SIGNIFICANCE — the two-proportion z-test applied
+    where experiment dashboards actually need it: per funnel edge
+    (view→click, click→buy) at USER-DAY granularity (a day with a view
+    that also saw a click converts the edge), did the treatment arm
+    convert differently?
+    Uses the POOLED-proportion standard error (the correct null for a
+    difference test — per-arm variances flatter small effects), with
+    the conditioning set re-based per step: the click→buy denominator
+    is CLICKERS, not everyone, so a treatment that inflates clicks
+    with junk traffic shows up as a click→buy DROP — the funnel
+    decomposition q158's global chi-square can't localize. Counts are
+    exact integer cells pivoted per step (q323's rule); the z is one
+    fixed expression with the IEEE-exempt sqrt. One per-user rollup,
+    a 4-cell aggregate per step, output two rows."""
+    ev = load(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("s_click"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("s_buy"),
+    )
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    arms = steps.select(arm.alias("arm"), "s_view", "s_click", "s_buy")
+    v2c = arms.groupBy("arm").agg(
+        F.sum("s_view").cast("long").alias("n"),
+        F.sum(F.when((F.col("s_view") == 1) & (F.col("s_click") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    ).withColumn("step", F.lit("view_to_click"))
+    c2b = arms.groupBy("arm").agg(
+        F.sum("s_click").cast("long").alias("n"),
+        F.sum(F.when((F.col("s_click") == 1) & (F.col("s_buy") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    ).withColumn("step", F.lit("click_to_buy"))
+    cells = v2c.unionByName(c2b)
+    piv = cells.groupBy("step").agg(
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("conv"))).alias("c1"),
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == "control", F.col("conv"))).alias("c0"),
+    )
+    return piv.selectExpr(
+        "step",
+        "CAST(n1 AS BIGINT) AS n1",
+        "CAST(c1 AS BIGINT) AS c1",
+        "CAST(n0 AS BIGINT) AS n0",
+        "CAST(c0 AS BIGINT) AS c0",
+        "CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS rate_diff",
+        "(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)"
+        " / sqrt((CAST(c1 + c0 AS DOUBLE) / (n1 + n0))"
+        " * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))"
+        " * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n0)) AS z_stat",
+    )

@@ -710,3 +710,51 @@ def test_q341_power_algebra(spark):
     # a bigger sample must shrink the MDE: n_req detects the target
     mde_at_req = (Z_ALPHA + Z_BETA) * math.sqrt(var * 2 / n_req)
     assert mde_at_req <= MDE_TARGET_CENTS * 1.01
+
+
+def test_q342_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q342_isotonic_calibration")
+
+
+def test_q342_maxmin_equals_textbook_pava(spark):
+    """The max-min closed form must equal an independent sequential
+    PAVA implementation (the theorem), and be monotone + mass-
+    conserving on pooled blocks."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q342_isotonic_calibration"](spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+
+    # textbook PAVA: pool adjacent violators on (pos, n) blocks
+    blocks = [[r["pos"], r["n"]] for r in rows]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expanded = []
+    for pos, n in blocks:
+        rate = pos / n
+        total = 0
+        while total < n:
+            take = rows[len(expanded)]["n"]
+            expanded.append(rate)
+            total += take
+    assert len(expanded) == len(rows)
+    for r, pava in zip(rows, expanded):
+        assert abs(r["rate_iso"] - pava) < 1e-9
+    iso = [r["rate_iso"] for r in rows]
+    assert iso == sorted(iso)  # monotone
+    assert abs(
+        sum(r["rate_iso"] * r["n"] for r in rows) - sum(r["pos"] for r in rows)
+    ) < 1e-6  # pooling conserves total positives

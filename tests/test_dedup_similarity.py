@@ -479,3 +479,28 @@ def test_q335_novelty_accounting(spark):
             // r["n_test_shingles"]
         )
         assert r["novelty_ppm"] == expect
+
+
+def test_q344_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q344_lsh_s_curve")
+
+
+def test_q344_s_curve_shape(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q344_lsh_s_curve"](spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert 0.0 <= r["theory_mid"] <= 1.0
+    # empirical catch rate is nondecreasing in jaccard bucket (S-curve)
+    catches = [r["catch_ppm"] for r in rows]
+    assert catches == sorted(catches)
+    # the top bucket must be nearly always caught
+    assert rows[-1]["catch_ppm"] >= 900_000

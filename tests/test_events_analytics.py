@@ -975,3 +975,23 @@ def test_q338_matrix_partitions_users(spark, duck):
     assert sum(r["n_users"] for r in rows) == n_buyers
     for r in rows:
         assert r["tier1"] in (-1, 0, 1, 2, 3) and r["tier2"] in (-1, 0, 1, 2, 3)
+
+
+def test_q343_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q343_funnel_significance")
+
+
+def test_q343_z_consistency(spark):
+    import math
+
+    from tests.conftest import SF_DIR
+
+    rows = _q("q343_funnel_significance")(spark, SF_DIR).collect()
+    assert {r["step"] for r in rows} == {"view_to_click", "click_to_buy"}
+    for r in rows:
+        assert 0 < r["c1"] <= r["n1"] and 0 < r["c0"] <= r["n0"]
+        p = (r["c1"] + r["c0"]) / (r["n1"] + r["n0"])
+        se = math.sqrt(p * (1 - p) * (1 / r["n1"] + 1 / r["n0"]))
+        assert abs(r["z_stat"] - r["rate_diff"] / se) < 1e-9
