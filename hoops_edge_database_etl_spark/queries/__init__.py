@@ -278,6 +278,9 @@ _DRIVER_PRIORITY = [
     "q342_isotonic_calibration",
     "q343_funnel_significance",
     "q344_lsh_s_curve",
+    "q345_matryoshka_eval",
+    "q346_dag_slack",
+    "q347_simpson_guard",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3630,3 +3630,137 @@ def q342_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos").cast("double") / F.col("n")).alias("rate_raw"),
         "rate_iso",
     )
+
+
+@query(
+    "q347_simpson_guard",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase'
+                  AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN 1 ELSE 0 END) AS converted,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS treated
+      FROM events GROUP BY user_id
+    ),
+    tiered AS (
+      SELECT treated, converted,
+             (ROW_NUMBER() OVER (ORDER BY n_events, user_id) - 1) * 3
+               // COUNT(*) OVER () AS stratum
+      FROM per_user
+    ),
+    cells AS (
+      SELECT CAST(stratum AS VARCHAR) AS stratum,
+             CAST(SUM(treated) AS BIGINT) AS n1,
+             CAST(SUM(treated * converted) AS BIGINT) AS c1,
+             CAST(SUM(1 - treated) AS BIGINT) AS n0,
+             CAST(SUM((1 - treated) * converted) AS BIGINT) AS c0
+      FROM tiered GROUP BY stratum
+      UNION ALL
+      SELECT 'ALL',
+             CAST(SUM(treated) AS BIGINT),
+             CAST(SUM(treated * converted) AS BIGINT),
+             CAST(SUM(1 - treated) AS BIGINT),
+             CAST(SUM((1 - treated) * converted) AS BIGINT)
+      FROM tiered
+    ),
+    pooled AS (
+      SELECT CASE WHEN c1 * n0 > c0 * n1 THEN 1
+                  WHEN c1 * n0 < c0 * n1 THEN -1 ELSE 0 END AS pooled_dir
+      FROM cells WHERE stratum = 'ALL'
+    )
+    SELECT c.stratum, c.n1, c.c1, c.n0, c.c0,
+           CASE WHEN c.c1 * c.n0 > c.c0 * c.n1 THEN 1
+                WHEN c.c1 * c.n0 < c.c0 * c.n1 THEN -1 ELSE 0 END AS direction,
+           (CASE WHEN c.c1 * c.n0 > c.c0 * c.n1 THEN 1
+                 WHEN c.c1 * c.n0 < c.c0 * c.n1 THEN -1 ELSE 0 END)
+             <> p.pooled_dir AS disagrees_with_pooled
+    FROM cells c, pooled p
+    """,
+)
+def q347_simpson_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX GUARD — the sanity row every pooled experiment
+    readout should ship with: the treatment-vs-control conversion
+    DIRECTION per activity stratum (rank-tercile on event volume, the
+    q171/q338 exact-rank rule) next to the pooled direction, with a
+    disagreement flag. When strata disagree with the pool, the pooled
+    number is confounded by the stratum mix (the UC-Berkeley
+    admissions case, and in experiments: a treatment that shifts WHO
+    shows up) — q327's DiD and q316's CUPED both silently assume this
+    flag is false. Directions are sign(c1·n0 − c0·n1): exact integer
+    cross-multiplication, so no rate is ever floated and a tie is an
+    honest 0, not a rounding artifact. One per-user rollup, one rank
+    pass over the user aggregate, a 4-cell conditional sum per
+    stratum + pooled."""
+    ev = load(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        != 0
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= F.lit("2024-01-16").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+        F.first(treated).alias("treated"),
+    )
+    n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    wr = Window.orderBy("n_events", "user_id")
+    tiered = (
+        per_user.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "treated",
+            "converted",
+            F.expr("(rnk - 1) * 3 DIV nn").cast("string").alias("stratum"),
+        )
+    )
+    def cells(df):
+        return df.agg(
+            F.sum("treated").cast("long").alias("n1"),
+            F.sum(F.col("treated") * F.col("converted")).cast("long").alias("c1"),
+            F.sum(1 - F.col("treated")).cast("long").alias("n0"),
+            F.sum((1 - F.col("treated")) * F.col("converted"))
+            .cast("long")
+            .alias("c0"),
+        )
+
+    strata = cells(tiered.groupBy("stratum"))
+    pooled_cells = cells(tiered.groupBy()).withColumn("stratum", F.lit("ALL"))
+    allc = strata.unionByName(pooled_cells.select(*strata.columns))
+    direction = (
+        F.when(F.col("c1") * F.col("n0") > F.col("c0") * F.col("n1"), 1)
+        .when(F.col("c1") * F.col("n0") < F.col("c0") * F.col("n1"), -1)
+        .otherwise(0)
+    )
+    with_dir = allc.withColumn("direction", direction)
+    pooled_dir = with_dir.filter(F.col("stratum") == "ALL").select(
+        F.col("direction").alias("pooled_dir")
+    )
+    return with_dir.crossJoin(F.broadcast(pooled_dir)).select(
+        "stratum",
+        F.col("n1").cast("bigint"),
+        F.col("c1").cast("bigint"),
+        F.col("n0").cast("bigint"),
+        F.col("c0").cast("bigint"),
+        F.col("direction").cast("int").alias("direction"),
+        (F.col("direction") != F.col("pooled_dir")).alias(
+            "disagrees_with_pooled"
+        ),
+    )

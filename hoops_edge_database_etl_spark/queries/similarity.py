@@ -1677,3 +1677,135 @@ def q309_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("bigint"),
         )
     )
+
+
+MRL_DIM = 16  # truncated prefix length under evaluation
+
+
+@query(
+    "q345_matryoshka_eval",
+    oracle=f"""
+    WITH nrm64 AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM({_QK % 'embeddings'} * {_QK % 'embeddings'})
+                  AS DOUBLE)) AS nn
+      FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY vec_id
+    ),
+    nrm16 AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM({_QK % 'embeddings'} * {_QK % 'embeddings'})
+                  AS DOUBLE)) AS nn
+      FROM embeddings, UNNEST(range(1, {MRL_DIM + 1})) AS t(k)
+      GROUP BY vec_id
+    ),
+    qset AS (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0),
+    dot64 AS (
+      SELECT q.vec_id AS i, b.vec_id AS j,
+             CAST(SUM({_QK % 'q'} * {_QK % 'b'}) AS BIGINT) AS dot
+      FROM (SELECT e.* FROM embeddings e JOIN qset ON qset.vec_id = e.vec_id) q
+      JOIN embeddings b ON q.vec_id <> b.vec_id,
+           UNNEST(range(1, {DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    dot16 AS (
+      SELECT q.vec_id AS i, b.vec_id AS j,
+             CAST(SUM({_QK % 'q'} * {_QK % 'b'}) AS BIGINT) AS dot
+      FROM (SELECT e.* FROM embeddings e JOIN qset ON qset.vec_id = e.vec_id) q
+      JOIN embeddings b ON q.vec_id <> b.vec_id,
+           UNNEST(range(1, {MRL_DIM + 1})) AS t(k)
+      GROUP BY 1, 2
+    ),
+    top64 AS (
+      SELECT i, j FROM (
+        SELECT i, j, ROW_NUMBER() OVER (
+          PARTITION BY i ORDER BY CAST(dot AS DOUBLE) / (x.nn * y.nn) DESC, j
+        ) AS rnk
+        FROM dot64 JOIN nrm64 x ON x.vec_id = i JOIN nrm64 y ON y.vec_id = j
+      ) WHERE rnk <= 3
+    ),
+    top16 AS (
+      SELECT i, j FROM (
+        SELECT i, j, ROW_NUMBER() OVER (
+          PARTITION BY i ORDER BY CAST(dot AS DOUBLE) / (x.nn * y.nn) DESC, j
+        ) AS rnk
+        FROM dot16 JOIN nrm16 x ON x.vec_id = i JOIN nrm16 y ON y.vec_id = j
+      ) WHERE rnk <= 3
+    )
+    SELECT CAST(e.i AS BIGINT) AS query_id,
+           CAST(COUNT(a.j) AS BIGINT) AS n_matched,
+           CAST(COUNT(a.j) * 1000000 // 3 AS BIGINT) AS recall_ppm
+    FROM top64 e LEFT JOIN top16 a ON a.i = e.i AND a.j = e.j
+    GROUP BY e.i
+    """,
+)
+def q345_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION eval — the question MRL embeddings let you
+    ask: if retrieval ranks by only the FIRST {MRL_DIM} of {DIM}
+    dimensions (4x cheaper dot products, 4x smaller index), how much
+    of full-precision top-3 survives? Same recall@k harness as q251,
+    but the "approximate" side is a DIMENSION PREFIX instead of an LSH
+    bucket — the modern cost lever (rerank the truncated top-K with
+    full dims) that the IVF/LSH family doesn't measure. Cosine per
+    width uses its OWN prefix norms (the subtle bug: ranking truncated
+    dots against full-width norms silently changes the metric). Exact
+    int64 fixed-point dots at both widths; per-query rank windows are
+    bounded by the query set. At corpus scale the truncated pass is
+    the cheap full sweep and the full-dim pass runs only on its
+    survivors — this gate certifies that shortcut's recall before it
+    ships."""
+    e = load(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    base = e.select(F.col("vec_id").alias("did"), F.col("embedding").alias("de"))
+
+    def quant(col, dim):
+        return F.transform(
+            F.slice(col, 1, dim),
+            lambda x: F.floor(x.cast("double") * Q + F.lit(0.5)).cast("long"),
+        )
+
+    def tops(dim, label):
+        qq = qset.select("qid", quant(F.col("qe"), dim).alias("qv"))
+        dd = base.select("did", quant(F.col("de"), dim).alias("dv"))
+        j = qq.crossJoin(dd).filter(F.col("qid") != F.col("did"))
+        dot = F.aggregate(
+            F.zip_with("qv", "dv", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        nrm = lambda c: F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+        scored = j.select(
+            "qid",
+            "did",
+            (dot.cast("double") / (nrm(F.col("qv")) * nrm(F.col("dv")))).alias(
+                "cosine"
+            ),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "did")
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("qid", F.col("did").alias(label))
+        )
+
+    full = tops(DIM, "j64").withColumnRenamed("qid", "fqid")
+    trunc = tops(MRL_DIM, "j16").withColumnRenamed("qid", "tqid")
+    j = full.join(
+        trunc,
+        (F.col("fqid") == F.col("tqid")) & (F.col("j64") == F.col("j16")),
+        "left",
+    ).select(F.col("fqid").alias("query_id"), F.col("j16").alias("hit"))
+    return j.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_matched"),
+        F.expr("COUNT(hit) * 1000000 DIV 3").cast("bigint").alias("recall_ppm"),
+    ).select(
+        F.col("query_id").cast("bigint"), "n_matched", "recall_ppm"
+    )

@@ -969,3 +969,102 @@ def q332_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+@query(
+    "q346_dag_slack",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+      FROM orders
+      WHERE o_orderkey % 100 - o_custkey % 100 >= 7
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    fwd(node, d) AS (
+      SELECT node, 0 FROM nodes
+      UNION
+      SELECT e.dst, w.d + 1 FROM fwd w JOIN e ON e.src = w.node
+    ),
+    bwd(node, d) AS (
+      SELECT node, 0 FROM nodes
+      UNION
+      SELECT e.src, w.d + 1 FROM bwd w JOIN e ON e.dst = w.node
+    ),
+    f AS (SELECT node, MAX(d) AS fwd_d FROM fwd GROUP BY node),
+    b AS (SELECT node, MAX(d) AS bwd_d FROM bwd GROUP BY node),
+    j AS (
+      SELECT f.node, f.fwd_d, b.bwd_d FROM f JOIN b ON b.node = f.node
+    ),
+    cp AS (SELECT MAX(fwd_d + bwd_d) AS cp_len FROM j)
+    SELECT CAST(j.node AS BIGINT) AS node,
+           CAST(j.fwd_d AS BIGINT) AS earliest_wave,
+           CAST(j.bwd_d AS BIGINT) AS tail_len,
+           CAST(cp.cp_len AS BIGINT) AS critical_path_len,
+           CAST(cp.cp_len - j.fwd_d - j.bwd_d AS BIGINT) AS slack
+    FROM j, cp
+    """,
+)
+def q346_dag_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG SLACK — the scheduling metric q318's waves only half-compute:
+    a task's slack is how long it can slip without stretching the
+    whole pipeline, CP_len − (longest chain INTO it + longest chain
+    OUT of it). Slack-0 tasks ARE the critical path — the list an
+    on-call engineer reads when the nightly run is late; high-slack
+    tasks are where you steal capacity. Two MAX-relax passes (q318's
+    sweep, run once forward and once on the REVERSED edge list — same
+    distributed shape, edges re-keyed on dst) meet in one node-sized
+    join; the oracle mirrors with two recursive closures. Property-
+    tested: slack >= 0 everywhere, at least one slack-0 chain of
+    length CP exists, and slack is edge-consistent (an edge's slack
+    can't exceed its endpoints')."""
+    o = load(spark, sf_dir, "orders")
+    src = (F.col("o_custkey") % 100).cast("long")
+    dst = (F.col("o_orderkey") % 100).cast("long")
+    e = (
+        o.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") - F.col("src") >= 7)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    )
+
+    def max_relax(edges, start_nodes):
+        lvl = start_nodes.withColumn("d", F.lit(0).cast("long")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(DAG_MAX_SWEEPS):
+            cand = edges.join(
+                lvl.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+            merged = (
+                lvl.unionByName(cand)
+                .groupBy("node")
+                .agg(F.max("d").alias("d"))
+                .localCheckpoint(eager=True)
+            )
+            improved = merged.join(
+                lvl.withColumnRenamed("d", "old"), "node"
+            ).filter(F.col("d") > F.col("old"))
+            done = improved.isEmpty()
+            lvl = merged
+            if done:
+                return lvl
+        raise AssertionError("sweep cap hit: edge input is not a DAG")
+
+    fwd = max_relax(e, nodes).withColumnRenamed("d", "fwd_d")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = max_relax(rev, nodes).withColumnRenamed("d", "bwd_d")
+    j = fwd.join(bwd, "node")
+    cp = j.agg(F.max(F.col("fwd_d") + F.col("bwd_d")).alias("cp_len"))
+    return j.crossJoin(F.broadcast(cp)).select(
+        F.col("node").cast("bigint"),
+        F.col("fwd_d").cast("bigint").alias("earliest_wave"),
+        F.col("bwd_d").cast("bigint").alias("tail_len"),
+        F.col("cp_len").cast("bigint").alias("critical_path_len"),
+        (F.col("cp_len") - F.col("fwd_d") - F.col("bwd_d"))
+        .cast("bigint")
+        .alias("slack"),
+    )

@@ -758,3 +758,24 @@ def test_q342_maxmin_equals_textbook_pava(spark):
     assert abs(
         sum(r["rate_iso"] * r["n"] for r in rows) - sum(r["pos"] for r in rows)
     ) < 1e-6  # pooling conserves total positives
+
+
+def test_q347_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q347_simpson_guard")
+
+
+def test_q347_cell_bookkeeping(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["stratum"]: r for r in all_queries()["q347_simpson_guard"](spark, SF_DIR).collect()}
+    assert set(rows) == {"0", "1", "2", "ALL"}
+    pooled = rows["ALL"]
+    assert not pooled["disagrees_with_pooled"]
+    for col in ("n1", "c1", "n0", "c0"):
+        assert sum(rows[s][col] for s in ("0", "1", "2")) == pooled[col]
+    for r in rows.values():
+        assert 0 <= r["c1"] <= r["n1"] and 0 <= r["c0"] <= r["n0"]
+        assert r["direction"] in (-1, 0, 1)

@@ -504,3 +504,23 @@ def test_q344_s_curve_shape(spark):
     assert catches == sorted(catches)
     # the top bucket must be nearly always caught
     assert rows[-1]["catch_ppm"] >= 900_000
+
+
+def test_q345_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q345_matryoshka_eval")
+
+
+def test_q345_recall_bounds_and_query_set(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q345_matryoshka_eval"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["query_id"] % 50 == 0
+        assert 0 <= r["n_matched"] <= 3
+        assert r["recall_ppm"] == r["n_matched"] * 1_000_000 // 3
+    # 16 of 64 dims should retain meaningful recall on average
+    assert sum(r["n_matched"] for r in rows) > 0

@@ -548,3 +548,35 @@ def test_modularity_identities(spark):
     assert all(abs(r["modularity"] - q) < 1e-15 for r in rows)
     assert -0.5 < q < 1.0
     assert abs(sum(r["contribution_scaled"] for r in rows) / (4 * m * m) - q) < 1e-12
+
+
+# --- DAG slack (q346) ----------------------------------------------------
+
+
+def test_dag_slack_certificates(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    rows = {
+        r["node"]: r
+        for r in all_queries()["q346_dag_slack"](spark, SF_DIR).collect()
+    }
+    cp = next(iter(rows.values()))["critical_path_len"]
+    assert all(r["critical_path_len"] == cp for r in rows.values())
+    assert all(r["slack"] >= 0 for r in rows.values())
+    on_cp = [r for r in rows.values() if r["slack"] == 0]
+    # the critical path itself: cp+1 zero-slack nodes at distinct waves
+    assert len({r["earliest_wave"] for r in on_cp}) == cp + 1
+    edges = (
+        load(spark, SF_DIR, "orders")
+        .selectExpr("o_custkey % 100 AS src", "o_orderkey % 100 AS dst")
+        .filter("dst - src >= 7")
+        .distinct()
+        .collect()
+    )
+    for e in edges:
+        s, d = rows[e["src"]], rows[e["dst"]]
+        # forward consistency and tail consistency per edge
+        assert d["earliest_wave"] >= s["earliest_wave"] + 1
+        assert s["tail_len"] >= d["tail_len"] + 1
