@@ -281,6 +281,9 @@ _DRIVER_PRIORITY = [
     "q345_matryoshka_eval",
     "q346_dag_slack",
     "q347_simpson_guard",
+    "q348_quantile_treatment_effect",
+    "q349_hotelling_t2",
+    "q350_theil_sen",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

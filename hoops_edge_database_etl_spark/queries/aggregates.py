@@ -3764,3 +3764,236 @@ def q347_simpson_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disagrees_with_pooled"
         ),
     )
+
+
+@query(
+    "q348_quantile_treatment_effect",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT arm, x, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM per_user GROUP BY arm, x
+    ),
+    cum AS (
+      SELECT arm, x,
+             SUM(cnt) OVER (PARTITION BY arm ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY arm) AS n
+      FROM hist
+    ),
+    qs AS (
+      SELECT arm,
+             MIN(CASE WHEN c >= (n + 3) // 4 THEN x END) AS p25,
+             MIN(CASE WHEN c >= (n + 1) // 2 THEN x END) AS p50,
+             MIN(CASE WHEN c >= (3 * n + 3) // 4 THEN x END) AS p75
+      FROM cum GROUP BY arm
+    ),
+    piv AS (
+      SELECT MAX(CASE WHEN arm = 'treatment' THEN p25 END) AS t25,
+             MAX(CASE WHEN arm = 'treatment' THEN p50 END) AS t50,
+             MAX(CASE WHEN arm = 'treatment' THEN p75 END) AS t75,
+             MAX(CASE WHEN arm = 'control' THEN p25 END) AS c25,
+             MAX(CASE WHEN arm = 'control' THEN p50 END) AS c50,
+             MAX(CASE WHEN arm = 'control' THEN p75 END) AS c75
+      FROM qs
+    )
+    SELECT q.p, q.q_treat, q.q_control,
+           CAST(q.q_treat - q.q_control AS BIGINT) AS qte_cents
+    FROM piv, LATERAL (VALUES
+      ('p25', t25, c25), ('p50', t50, c50), ('p75', t75, c75)
+    ) AS q(p, q_treat, q_control)
+    """,
+)
+def q348_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS — means (q327/q316) hide WHERE an
+    effect lives: a treatment that only moves whales shifts p75 and
+    not p25, one that activates non-buyers moves p25 and not p75. QTE
+    at each quartile is the treated quantile minus the control
+    quantile — exact ceil-rank selects over per-arm value histograms
+    (q93's machinery partitioned by arm; no interpolation, so the
+    effect is a difference of actual observed values, in integer
+    cents). The pivot to one row (q323's rule) then unpivots to the
+    three-row report — both engines fold the same literal lattice.
+    This is the distributional half of the causal shelf: q261 slices
+    uplift by SCORE decile; this slices the effect by OUTCOME
+    quantile. One per-user rollup + bounded histogram passes."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.first(arm).alias("arm"),
+    )
+    hist = per_user.groupBy("arm", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("arm")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "arm",
+        "x",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("arm")).alias("n"),
+    )
+    qs = cum.groupBy("arm").agg(
+        F.min(F.when(F.col("c") >= F.expr("(n + 3) DIV 4"), F.col("x"))).alias("p25"),
+        F.min(F.when(F.col("c") >= F.expr("(n + 1) DIV 2"), F.col("x"))).alias("p50"),
+        F.min(F.when(F.col("c") >= F.expr("(3 * n + 3) DIV 4"), F.col("x"))).alias("p75"),
+    )
+    piv = qs.groupBy().agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(p))).alias(f"{a[0]}{p[1:]}")
+            for a in ("treatment", "control")
+            for p in ("p25", "p50", "p75")
+        ]
+    )
+    unpivoted = piv.selectExpr(
+        "stack(3, 'p25', t25, c25, 'p50', t50, c50, 'p75', t75, c75)"
+        " AS (p, q_treat, q_control)"
+    )
+    return unpivoted.select(
+        "p",
+        F.col("q_treat").cast("bigint").alias("q_treat"),
+        F.col("q_control").cast("bigint").alias("q_control"),
+        (F.col("q_treat") - F.col("q_control")).cast("bigint").alias("qte_cents"),
+    )
+
+
+T2_THRESHOLD = 9.21  # chi-square(2 df) 99% critical value
+
+
+@query(
+    "q349_hotelling_t2",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    cov AS (
+      SELECT n,
+             CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cxx,
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cyy,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS cxy
+      FROM mom
+    )
+    SELECT d.d, d.x, d.y,
+           ((d.x - c.mx) * (d.x - c.mx) * c.cyy
+            - 2 * (d.x - c.mx) * (d.y - c.my) * c.cxy
+            + (d.y - c.my) * (d.y - c.my) * c.cxx)
+             / (c.cxx * c.cyy - c.cxy * c.cxy) AS t2,
+           ((d.x - c.mx) * (d.x - c.mx) * c.cyy
+            - 2 * (d.x - c.mx) * (d.y - c.my) * c.cxy
+            + (d.y - c.my) * (d.y - c.my) * c.cxx)
+             / (c.cxx * c.cyy - c.cxy * c.cxy) > {T2_THRESHOLD} AS is_anomaly
+    FROM daily d, cov c
+    """,
+)
+def q349_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOTELLING T² control chart — MULTIVARIATE anomaly detection the
+    univariate shelf (q27 z-scores, q127 MAD, q159 seasonal) cannot
+    do: a day whose click revenue and purchase revenue are each
+    individually normal but JOINTLY inconsistent (high clicks, dead
+    purchases — a broken checkout) lights up only under the
+    covariance-aware distance T² = d'S⁻¹d. With two metrics the 2x2
+    inverse is the closed adjugate form — no linear algebra library,
+    just the determinant denominator — so the whole chart is exact
+    integer moments (one q323-style one-row reduction) + fixed-order
+    float arithmetic per day, flagged against the chi-square(2) 99%
+    line. Per-service charts = the same expression under a groupBy;
+    p metrics means p(p+1)/2 moment columns, closed-form inverses up
+    to 3x3, then a solver. Property-tested: T² >= 0, mean T² ~= p,
+    and the marginally-normal-jointly-weird day construction is
+    caught."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov = mom.selectExpr(
+        "n",
+        "CAST(sx AS DOUBLE) / n AS mx",
+        "CAST(sy AS DOUBLE) / n AS my",
+        "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS cxx",
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS cyy",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS cxy",
+    )
+    t2_expr = (
+        "((x - mx) * (x - mx) * cyy - 2 * (x - mx) * (y - my) * cxy"
+        " + (y - my) * (y - my) * cxx) / (cxx * cyy - cxy * cxy)"
+    )
+    return daily.crossJoin(F.broadcast(cov)).selectExpr(
+        "d",
+        "x",
+        "y",
+        f"{t2_expr} AS t2",
+        f"{t2_expr} > {T2_THRESHOLD} AS is_anomaly",
+    )

@@ -1644,3 +1644,120 @@ def q331_interval_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pinball10_x10",
         "pinball90_x10",
     )
+
+
+@query(
+    "q350_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS slope,
+             a.d AS di, b.d AS dj
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, di, dj) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    ),
+    ts AS (
+      SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+             MAX(CASE WHEN rn = (m + 1) // 2 THEN slope END) AS theil_sen_slope
+      FROM ranked GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(cents) AS BIGINT) AS sc,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(d * cents) AS BIGINT) AS sdc
+      FROM daily GROUP BY event_type
+    )
+    SELECT t.event_type, t.n_pairs, t.theil_sen_slope,
+           (CAST(m.n AS DOUBLE) * m.sdc - CAST(m.sd AS DOUBLE) * m.sc)
+             / (CAST(m.n AS DOUBLE) * m.sdd - CAST(m.sd AS DOUBLE) * m.sd)
+             AS ols_slope
+    FROM ts t JOIN mom m ON m.event_type = t.event_type
+    """,
+)
+def q350_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend — the median of all pairwise slopes, the
+    estimator that shrugs off the outlier days that drag q120/q187's
+    least-squares slope (29.3% breakdown point vs OLS's zero): one
+    corrupted day moves OLS by an unbounded amount and Theil-Sen not
+    at all — both are emitted side by side so the GAP is itself the
+    outlier alarm. Pairwise slopes are single divisions over exact
+    integer (Δcents, Δdays); the median is a total-order rank select
+    (slope with (d_i, d_j) tiebreak — doubles sort identically on
+    both engines) over the calendar-bounded pair set: 30 days = 435
+    pairs per series, fine up to years of daily data; for long
+    series the O(n log n) Siegel repeated-median variant or a
+    sampled pair grid replaces the full lattice (noted, not needed
+    at calendar scale). Completes the robust shelf: q127 MAD
+    location, q140 winsorized moments, q198 IQR fences — now the
+    robust SLOPE."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("di"), F.col("cents").alias("ci")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("dj"),
+        F.col("cents").alias("cj"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("dj") > F.col("di"))
+    ).select(
+        "event_type",
+        ((F.col("cj") - F.col("ci")).cast("double") / (F.col("dj") - F.col("di"))).alias(
+            "slope"
+        ),
+        "di",
+        "dj",
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wr).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    ts = ranked.groupBy("event_type").agg(
+        F.max("m").cast("bigint").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(m + 1) DIV 2"), F.col("slope"))
+        ).alias("theil_sen_slope"),
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("cents").cast("long").alias("sc"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("d") * F.col("cents")).cast("long").alias("sdc"),
+    )
+    return ts.join(mom, "event_type").selectExpr(
+        "event_type",
+        "n_pairs",
+        "theil_sen_slope",
+        "(CAST(n AS DOUBLE) * sdc - CAST(sd AS DOUBLE) * sc)"
+        " / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd) AS ols_slope",
+    )

@@ -779,3 +779,73 @@ def test_q347_cell_bookkeeping(spark):
     for r in rows.values():
         assert 0 <= r["c1"] <= r["n1"] and 0 <= r["c0"] <= r["n0"]
         assert r["direction"] in (-1, 0, 1)
+
+
+def test_q348_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q348_quantile_treatment_effect")
+
+
+def test_q348_quantiles_ordered(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["p"]: r for r in all_queries()["q348_quantile_treatment_effect"](spark, SF_DIR).collect()}
+    assert set(rows) == {"p25", "p50", "p75"}
+    for side in ("q_treat", "q_control"):
+        assert rows["p25"][side] <= rows["p50"][side] <= rows["p75"][side]
+    for r in rows.values():
+        assert r["qte_cents"] == r["q_treat"] - r["q_control"]
+
+
+def test_q349_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q349_hotelling_t2")
+
+
+def test_q349_t2_distributional_sanity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q349_hotelling_t2"](spark, SF_DIR).collect()
+    assert rows
+    t2s = [r["t2"] for r in rows]
+    assert all(t >= 0 for t in t2s)
+    # E[T²] = p·(n-1)/(n-... ) ≈ p = 2 for near-normal data; loose band
+    mean_t2 = sum(t2s) / len(t2s)
+    assert 0.5 < mean_t2 < 8.0
+    for r in rows:
+        assert r["is_anomaly"] == (r["t2"] > 9.21)
+
+
+def test_q349_catches_jointly_inconsistent_point(spark):
+    """A synthetic day that is marginally typical but correlation-breaking
+    must score higher T² than every typical day."""
+    import pyspark.sql.functions as FF
+
+    from hoops_edge_database_etl_spark.queries.aggregates import T2_THRESHOLD
+
+    # strongly correlated x ~ y, one point with x high / y low
+    pts = [(i, 100 + i, 200 + 2 * i) for i in range(20)] + [(20, 119, 202)]
+    df = spark.createDataFrame(pts, "d long, x long, y long")
+    mom = df.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum("x").alias("sx"),
+        FF.sum("y").alias("sy"),
+        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
+        FF.sum(FF.col("y") * FF.col("y")).alias("syy"),
+        FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
+    )
+    cov = mom.selectExpr(
+        "CAST(sx AS DOUBLE)/n AS mx",
+        "CAST(sy AS DOUBLE)/n AS my",
+        "(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)/(CAST(n AS DOUBLE)*(n-1)) AS cxx",
+        "(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)/(CAST(n AS DOUBLE)*(n-1)) AS cyy",
+        "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)/(CAST(n AS DOUBLE)*(n-1)) AS cxy",
+    )
+    t2 = (
+        "((x-mx)*(x-mx)*cyy - 2*(x-mx)*(y-my)*cxy + (y-my)*(y-my)*cxx)"
+        "/(cxx*cyy-cxy*cxy)"
+    )
+    scored = {r["d"]: r["t2"] for r in df.crossJoin(cov).selectExpr("d", f"{t2} AS t2").collect()}
+    weird = scored.pop(20)
+    assert weird > max(scored.values())
+    assert weird > T2_THRESHOLD

@@ -417,3 +417,34 @@ def test_q331_degenerate_band_scores_worse(spark):
         f_bad = r["p10_cents"]  # degenerate: p90 collapsed onto p10
         bad = sum(max(9 * (a - f_bad), f_bad - a) for a in by_type[r["event_type"]])
         assert bad >= r["pinball90_x10"]
+
+
+def test_q350_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q350_theil_sen")
+
+
+def test_q350_theil_sen_vs_python_median(spark, duck):
+    """Median-of-slopes recomputed in pure Python per series."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["event_type"]: r for r in all_queries()["q350_theil_sen"](spark, SF_DIR).collect()}
+    series = {}
+    for et, d, cents in duck.execute(
+        """SELECT event_type, CAST(ts AS DATE) - DATE '2024-01-01',
+           SUM(CAST(floor(value*100+0.5) AS BIGINT))
+           FROM events GROUP BY 1, 2"""
+    ).fetchall():
+        series.setdefault(et, []).append((d, cents))
+    for et, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (cj - ci) / (dj - di)
+            for i, (di, ci) in enumerate(pts)
+            for dj, cj in pts[i + 1 :]
+        )
+        m = len(slopes)
+        assert rows[et]["n_pairs"] == m
+        assert abs(rows[et]["theil_sen_slope"] - slopes[(m + 1) // 2 - 1]) < 1e-9
