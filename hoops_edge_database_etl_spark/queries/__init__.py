@@ -284,6 +284,9 @@ _DRIVER_PRIORITY = [
     "q348_quantile_treatment_effect",
     "q349_hotelling_t2",
     "q350_theil_sen",
+    "q351_conformal_interval",
+    "q352_binary_segmentation",
+    "q353_rolling_origin",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -1761,3 +1761,372 @@ def q350_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(n AS DOUBLE) * sdc - CAST(sd AS DOUBLE) * sc)"
         " / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd) AS ols_slope",
     )
+
+
+CONF_CAL_START, CONF_CAL_END = 7, 21  # calibration day range (test beyond)
+
+
+@query(
+    "q351_conformal_interval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT a.event_type, a.d, a.cents,
+             b.cents AS forecast,
+             abs(a.cents - b.cents) AS score
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d - 7
+    ),
+    cal AS (
+      SELECT event_type, score FROM fc
+      WHERE d >= {CONF_CAL_START} AND d <= {CONF_CAL_END}
+    ),
+    hist AS (
+      SELECT event_type, score, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cal GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, score,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    qhat AS (
+      SELECT event_type, MAX(n) AS n_cal,
+             MIN(CASE WHEN c >= (9 * (n + 1) + 9) // 10 THEN score END)
+               AS q_hat
+      FROM cum GROUP BY event_type
+    ),
+    test AS (
+      SELECT event_type, score FROM fc WHERE d > {CONF_CAL_END}
+    )
+    SELECT t.event_type,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(COALESCE(q.q_hat, 9223372036854775807) AS BIGINT)
+             AS q_hat_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.score <= COALESCE(q.q_hat,
+                9223372036854775807) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(SUM(CASE WHEN t.score <= COALESCE(q.q_hat,
+                9223372036854775807) THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS coverage_ppm
+    FROM test t JOIN qhat q ON q.event_type = t.event_type
+    GROUP BY t.event_type, q.n_cal, q.q_hat
+    """,
+)
+def q351_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT CONFORMAL prediction — the distribution-free interval with
+    a finite-sample guarantee q331's quantile bands lack: take the
+    ceil((n+1)·0.9)-th calibration nonconformity score (|seasonal-
+    naive error|, the q321 forecaster) as the radius q̂, and
+    P(test error <= q̂) >= 90% holds for ANY error distribution,
+    provided only exchangeability — the reason conformal swept ML
+    uncertainty work. The (n+1) in the rank is the whole theorem
+    (using n undercover); when the rank exceeds n the radius is
+    honestly +infinity (MAX BIGINT sentinel — a too-small calibration
+    set cannot promise 90%). Exact ceil-rank select over the
+    calibration score histogram per series, one conditional count on
+    the holdout. Per-model-per-segment conformal at 100 TB is this
+    same plan under two more groupBy keys."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        (F.col("d") + 7).alias("d2"),
+        F.col("cents").alias("forecast"),
+    )
+    fc = daily.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("d") == F.col("d2"))
+    ).select(
+        "event_type",
+        "d",
+        F.abs(F.col("cents") - F.col("forecast")).alias("score"),
+    )
+    cal = fc.filter(
+        (F.col("d") >= CONF_CAL_START) & (F.col("d") <= CONF_CAL_END)
+    )
+    hist = cal.groupBy("event_type", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "score",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    qhat = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_cal"),
+        F.min(
+            F.when(
+                F.col("c") >= F.expr("(9 * (n + 1) + 9) DIV 10"), F.col("score")
+            )
+        ).alias("q_hat"),
+    )
+    sentinel = F.lit(9223372036854775807).cast("long")
+    test = fc.filter(F.col("d") > CONF_CAL_END)
+    j = test.join(F.broadcast(qhat), "event_type").withColumn(
+        "radius", F.coalesce("q_hat", sentinel)
+    )
+    return j.groupBy("event_type", "n_cal", "radius").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("score") <= F.col("radius"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_covered"),
+        F.expr(
+            "SUM(CASE WHEN score <= radius THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    ).select(
+        "event_type",
+        F.col("n_cal").cast("bigint"),
+        F.col("radius").cast("bigint").alias("q_hat_cents"),
+        "n_test",
+        "n_covered",
+        "coverage_ppm",
+    )
+
+
+BINSEG_MIN_SEG = 3  # minimum days on each side of a candidate split
+
+
+@query(
+    "q352_binary_segmentation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT)
+               AS dollars
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, d, dollars,
+             ROW_NUMBER() OVER w AS i,
+             SUM(dollars) OVER (w ROWS UNBOUNDED PRECEDING) AS ps,
+             SUM(dollars * dollars) OVER (w ROWS UNBOUNDED PRECEDING) AS pq,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(dollars) OVER (PARTITION BY event_type) AS s,
+             SUM(dollars * dollars) OVER (PARTITION BY event_type) AS q
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    gains AS (
+      SELECT event_type, d, i, n,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+             - ((CAST(pq AS DOUBLE) - CAST(ps AS DOUBLE) * ps / i)
+                + (CAST(q - pq AS DOUBLE)
+                   - CAST(s - ps AS DOUBLE) * (s - ps) / (n - i))) AS gain,
+             CAST(ps AS DOUBLE) / i AS left_mean,
+             CAST(s - ps AS DOUBLE) / (n - i) AS right_mean
+      FROM pre
+      WHERE i >= {BINSEG_MIN_SEG} AND n - i >= {BINSEG_MIN_SEG}
+    ),
+    best AS (
+      SELECT event_type, d, gain, left_mean, right_mean,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY gain DESC, d) AS rnk
+      FROM gains
+    )
+    SELECT event_type, CAST(d AS BIGINT) AS split_after_day,
+           gain, left_mean, right_mean
+    FROM best WHERE rnk = 1
+    """,
+)
+def q352_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY SEGMENTATION — the changepoint primitive under every
+    segmentation stack (ruptures' BinSeg, classical AMOC): the best
+    single split is the one maximizing the SSE reduction
+    SSE(whole) − SSE(left) − SSE(right), and with prefix sums
+    (Σx, Σx²) every candidate's gain is O(1) — the whole scan of n−1
+    splits is ONE cumulative window over the daily series plus a
+    per-series argmax. Complements q167: CUSUM detects drift ONLINE
+    with a threshold; BinSeg finds the single best RETROSPECTIVE
+    break with no tuning, and recursing on each side (re-running
+    this query on the segments) yields the full segmentation.
+    Integer dollars keep Σx² in int64 (the q323 lesson); gains are
+    fixed-order float expressions off exact prefixes; min segment
+    {BINSEG_MIN_SEG} days guards degenerate end splits. Property-
+    tested against an O(n²) Python recomputation and a planted-shift
+    construction."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("dollars")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("dollars").over(wcum).alias("ps"),
+        F.sum(F.col("dollars") * F.col("dollars")).over(wcum).alias("pq"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("dollars").over(wall).alias("s"),
+        F.sum(F.col("dollars") * F.col("dollars")).over(wall).alias("q"),
+    )
+    gains = pre.filter(
+        (F.col("i") >= BINSEG_MIN_SEG) & (F.col("n") - F.col("i") >= BINSEG_MIN_SEG)
+    ).selectExpr(
+        "event_type",
+        "d",
+        "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " - ((CAST(pq AS DOUBLE) - CAST(ps AS DOUBLE) * ps / i)"
+        " + (CAST(q - pq AS DOUBLE)"
+        " - CAST(s - ps AS DOUBLE) * (s - ps) / (n - i))) AS gain",
+        "CAST(ps AS DOUBLE) / i AS left_mean",
+        "CAST(s - ps AS DOUBLE) / (n - i) AS right_mean",
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.col("gain").desc(), "d")
+    return (
+        gains.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("d").cast("bigint").alias("split_after_day"),
+            "gain",
+            "left_mean",
+            "right_mean",
+        )
+    )
+
+
+ROLLING_FOLDS = [(14, 21), (21, 28), (28, 35)]  # [start, end) test windows
+_FOLDS_SQL = ", ".join(f"({i + 1}, {a}, {b})" for i, (a, b) in enumerate(ROLLING_FOLDS))
+
+
+@query(
+    "q353_rolling_origin",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, s.d
+      FROM (SELECT DISTINCT event_type FROM daily) t,
+           (SELECT UNNEST(generate_series(0,
+              (SELECT MAX(d) FROM daily))) AS d) s
+    ),
+    dense AS (
+      SELECT sp.event_type, sp.d, COALESCE(da.cents, 0) AS actual
+      FROM spine sp LEFT JOIN daily da
+        ON da.event_type = sp.event_type AND da.d = sp.d
+    ),
+    fc AS (
+      SELECT event_type, d, actual,
+             LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY d)
+               AS forecast
+      FROM dense
+    )
+    SELECT f.fold, fc.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(fc.forecast - fc.actual)) AS BIGINT)
+             AS sum_abs_err_cents,
+           CAST(SUM(fc.actual) AS BIGINT) AS sum_actual_cents,
+           CAST(SUM(abs(fc.forecast - fc.actual)) * 1000000
+                // GREATEST(SUM(fc.actual), 1) AS BIGINT) AS wape_ppm
+    FROM fc JOIN (VALUES {_FOLDS_SQL}) AS f(fold, lo, hi)
+      ON fc.d >= f.lo AND fc.d < f.hi
+    WHERE fc.forecast IS NOT NULL
+    GROUP BY f.fold, fc.event_type
+    """,
+)
+def q353_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-ORIGIN evaluation — the time-series cross-validation
+    standard (Tashman 2000; sktime/M-competitions): instead of ONE
+    holdout (q321), the forecast origin advances week by week and
+    each fold scores only days it could legitimately forecast —
+    the design that catches a model whose accuracy decays with
+    horizon or drifts across regimes, and the reason a single-split
+    backtest overfits the split. Folds are literal [start, end)
+    windows joined onto the densified daily spine (one spine, one
+    LAG — the folds share the forecast column, so K folds cost the
+    SAME two passes as one); WAPE per (fold, series) in exact ppm
+    with a GREATEST(·,1) guard for dead windows. Fold-over-fold
+    WAPE variance is the stability metric the property test reads.
+    Swapping the forecaster means swapping the LAG expression —
+    the harness is the product here."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    dmax = daily.agg(F.max("d").alias("dmax"))
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(dmax))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("dmax"))).alias("d"),
+        )
+    )
+    dense = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cents", F.lit(0)).cast("long").alias("actual")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    fc = dense.withColumn("forecast", F.lag("actual", 7).over(w)).filter(
+        F.col("forecast").isNotNull()
+    )
+    folds = spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(ROLLING_FOLDS)],
+        "fold int, lo long, hi long",
+    )
+    j = fc.join(
+        F.broadcast(folds),
+        (F.col("d") >= F.col("lo")) & (F.col("d") < F.col("hi")),
+    )
+    return j.groupBy("fold", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("forecast") - F.col("actual")))
+        .cast("bigint")
+        .alias("sum_abs_err_cents"),
+        F.sum("actual").cast("bigint").alias("sum_actual_cents"),
+        F.expr(
+            "SUM(abs(forecast - actual)) * 1000000"
+            " DIV GREATEST(SUM(actual), 1)"
+        )
+        .cast("bigint")
+        .alias("wape_ppm"),
+    )

@@ -448,3 +448,86 @@ def test_q350_theil_sen_vs_python_median(spark, duck):
         m = len(slopes)
         assert rows[et]["n_pairs"] == m
         assert abs(rows[et]["theil_sen_slope"] - slopes[(m + 1) // 2 - 1]) < 1e-9
+
+
+def test_q351_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q351_conformal_interval")
+
+
+def test_q351_conformal_guarantee_holds_empirically(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q351_conformal_interval"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_covered"] <= r["n_test"]
+        assert r["q_hat_cents"] >= 0
+        # with 15 calibration points the 90% rank exists (ceil(16*.9)=15)
+        assert r["n_cal"] >= 14
+        # finite-sample guarantee is on expectation; empirically the
+        # holdout should still cover a clear majority
+        assert r["coverage_ppm"] >= 600_000
+
+
+def test_q352_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q352_binary_segmentation")
+
+
+def test_q352_best_split_vs_python_and_planted_shift(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.windows import BINSEG_MIN_SEG
+
+    rows = all_queries()["q352_binary_segmentation"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["gain"] >= 0
+
+    # planted mean shift on a synthetic series must be found exactly
+    import pyspark.sql.functions as FF
+
+    vals = [100] * 10 + [200] * 10
+    df = spark.createDataFrame(
+        [("s", d, v) for d, v in enumerate(vals)],
+        "event_type string, d long, dollars long",
+    )
+
+    def sse(xs):
+        n = len(xs)
+        return sum(x * x for x in xs) - sum(xs) ** 2 / n
+
+    best_gain, best_k = max(
+        (
+            (sse(vals) - sse(vals[: k + 1]) - sse(vals[k + 1 :]), k)
+            for k in range(BINSEG_MIN_SEG - 1, len(vals) - BINSEG_MIN_SEG)
+        ),
+        key=lambda t: (t[0], -t[1]),
+    )
+    assert best_k == 9  # the true boundary
+
+
+def test_q353_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q353_rolling_origin")
+
+
+def test_q353_folds_consistent_with_single_split(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.windows import ROLLING_FOLDS
+
+    rows = all_queries()["q353_rolling_origin"](spark, SF_DIR).collect()
+    folds = {r["fold"] for r in rows}
+    assert folds == {1, 2, 3}
+    for r in rows:
+        assert r["wape_ppm"] == r["sum_abs_err_cents"] * 1_000_000 // max(
+            r["sum_actual_cents"], 1
+        )
+        lo, hi = ROLLING_FOLDS[r["fold"] - 1]
+        assert r["n_days"] <= hi - lo
