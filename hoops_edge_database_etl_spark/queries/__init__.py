@@ -287,6 +287,9 @@ _DRIVER_PRIORITY = [
     "q351_conformal_interval",
     "q352_binary_segmentation",
     "q353_rolling_origin",
+    "q354_randomized_response",
+    "q355_eb_shrinkage",
+    "q356_incremental_join",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -3997,3 +3997,62 @@ def q349_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{t2_expr} AS t2",
         f"{t2_expr} > {T2_THRESHOLD} AS is_anomaly",
     )
+
+
+EB_PSEUDO_N = 50  # shrinkage prior strength (pseudo-observations)
+
+
+@query(
+    "q355_eb_shrinkage",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    g AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS gr, CAST(SUM(n) AS BIGINT) AS gn
+      FROM per_part
+    )
+    SELECT p.l_partkey, p.n, p.r,
+           CAST(p.r AS DOUBLE) / p.n AS raw_rate,
+           (CAST(p.r AS DOUBLE) + {EB_PSEUDO_N} * CAST(g.gr AS DOUBLE) / g.gn)
+             / (p.n + {EB_PSEUDO_N}) AS shrunk_rate,
+           CAST(g.gr AS DOUBLE) / g.gn AS global_rate
+    FROM per_part p, g
+    """,
+)
+def q355_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL-BAYES SHRINKAGE — the fix for every leaderboard ranked
+    by raw rates: a part returned 2-of-3 times is NOT worse than one
+    returned 300-of-1000; shrink each part's return rate toward the
+    global rate with {EB_PSEUDO_N} pseudo-observations
+    ((r + m·p₀)/(n + m), the Beta-Binomial posterior mean — the same
+    smoothing q234's Kneser-Ney applies to n-grams and ad systems
+    apply to CTRs). Small-n parts collapse to the prior, large-n
+    parts keep their data; ranking by shrunk_rate is what "top
+    defective parts" dashboards should sort by. Raw integer counts
+    ship alongside so m can be re-tuned downstream without a rescan;
+    the two divisions are fixed-order floats off exact integers.
+    One grouped count + a broadcast 1-row global prior."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    g = per_part.agg(
+        F.sum("r").cast("long").alias("gr"), F.sum("n").cast("long").alias("gn")
+    )
+    return per_part.crossJoin(F.broadcast(g)).selectExpr(
+        "l_partkey",
+        "n",
+        "r",
+        "CAST(r AS DOUBLE) / n AS raw_rate",
+        f"(CAST(r AS DOUBLE) + {EB_PSEUDO_N} * CAST(gr AS DOUBLE) / gn)"
+        f" / (n + {EB_PSEUDO_N}) AS shrunk_rate",
+        "CAST(gr AS DOUBLE) / gn AS global_rate",
+    )

@@ -1053,3 +1053,112 @@ def q337_reprocess_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("delta")
         .alias("action"),
     )
+
+
+@query(
+    "q356_incremental_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':do'),
+                  1, 8) AS BIGINT) % 5 = 0 AS is_delta
+      FROM orders
+    ),
+    li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                  CAST(l_linenumber AS VARCHAR) || ':dl'), 1, 8) AS BIGINT)
+               % 7 = 0 AS is_delta
+      FROM lineitem
+    ),
+    terms AS (
+      SELECT CASE WHEN NOT o.is_delta AND NOT li.is_delta THEN 'base_base'
+                  WHEN NOT o.is_delta AND li.is_delta THEN 'base_delta'
+                  WHEN o.is_delta AND NOT li.is_delta THEN 'delta_base'
+                  ELSE 'delta_delta' END AS term,
+             li.cents
+      FROM o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM terms GROUP BY term
+    UNION ALL
+    SELECT 'full_join', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+    FROM terms
+    """,
+)
+def q356_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL JOIN MAINTENANCE — the differential-dataflow identity
+    that lets a materialized join absorb a CDC batch without
+    recomputing: (A+ΔA)⋈(B+ΔB) = A⋈B + A⋈ΔB + ΔA⋈B + ΔA⋈ΔB, so the
+    nightly work is the three Δ-terms — each join keyed with one side
+    tiny — while the A⋈B term is the standing materialization. Deltas
+    here are INDEPENDENT hash slices of each table (correlated deltas
+    would zero the cross terms and hide bugs); the output is all four
+    terms plus the full join, and the conservation identity
+    Σterms ≡ full — in both row count and revenue — is what the hash
+    check and the property test certify. This is the join sibling of
+    q271's aggregate delta algebra; together they cover the two MV
+    classes a lakehouse maintains incrementally. At 100 TB the
+    Δ-joins broadcast their delta side and never touch the base⋈base
+    cost — the entire point."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":do"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 5
+            == 0
+        ).alias("o_delta"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("l_orderkey").cast("string"),
+                            F.lit(":"),
+                            F.col("l_linenumber").cast("string"),
+                            F.lit(":dl"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 7
+            == 0
+        ).alias("li_delta"),
+    )
+    joined = o.join(li, "o_orderkey").select(
+        F.when(~F.col("o_delta") & ~F.col("li_delta"), "base_base")
+        .when(~F.col("o_delta") & F.col("li_delta"), "base_delta")
+        .when(F.col("o_delta") & ~F.col("li_delta"), "delta_base")
+        .otherwise("delta_delta")
+        .alias("term"),
+        "cents",
+    )
+    terms = joined.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    full = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    ).withColumn("term", F.lit("full_join"))
+    return terms.unionByName(full.select("term", "n_rows", "revenue_cents"))

@@ -2198,3 +2198,81 @@ def q326_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("vtime").cast("bigint").alias("vtime"),
     )
+
+
+@query(
+    "q354_randomized_response",
+    oracle="""
+    WITH truth AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS sensitive,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rr'),
+                  1, 8) AS BIGINT) % 4 AS coin
+      FROM documents
+    ),
+    reported AS (
+      -- Warner RR: with prob 1/2 report truth (coins 0,1); else report
+      -- the coin's parity (coin 2 -> 1, coin 3 -> 0)
+      SELECT sensitive,
+             CASE WHEN coin <= 1 THEN sensitive
+                  WHEN coin = 2 THEN 1 ELSE 0 END AS answer
+      FROM truth
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(answer) AS BIGINT) AS n_yes,
+           CAST(SUM(sensitive) AS BIGINT) AS n_true,
+           (CAST(SUM(answer) AS DOUBLE) / COUNT(*) - 0.25) / 0.5
+             AS estimated_rate,
+           CAST(SUM(sensitive) AS DOUBLE) / COUNT(*) AS true_rate
+    FROM reported
+    """,
+)
+def q354_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZED RESPONSE — the original local-DP mechanism (Warner
+    1965, the ancestor of RAPPOR): each respondent answers truthfully
+    with probability 1/2, else answers a fair coin — so any single
+    answer is deniable (ln(3)-LDP), yet the population rate debiases
+    exactly: π̂ = (p_yes − 1/4)/(1/2). The "randomness" is md5 coin
+    bits (the house determinism rule — a per-record hash coin is how
+    production LDP clients derandomize for replay anyway), so the
+    oracle can check BOTH halves: the mechanism's reported counts and
+    the debiased estimate, against the ground truth the mechanism is
+    hiding (is-English here). The estimate is one fixed float
+    expression off integer counts; the property test checks the
+    debiasing identity and that the estimate lands near truth while
+    individual answers disagree with truth ~25% of the time. One
+    scan, one global aggregate — privacy at 100 TB costs nothing at
+    query time; the noise was paid at collection."""
+    d = load(spark, sf_dir, "documents")
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rr"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    truth = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("sensitive"),
+        coin.alias("coin"),
+    )
+    reported = truth.select(
+        "sensitive",
+        F.when(F.col("coin") <= 1, F.col("sensitive"))
+        .when(F.col("coin") == 2, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("answer"),
+    )
+    return reported.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("answer").cast("bigint").alias("n_yes"),
+        F.sum("sensitive").cast("bigint").alias("n_true"),
+    ).selectExpr(
+        "n",
+        "n_yes",
+        "n_true",
+        "(CAST(n_yes AS DOUBLE) / n - 0.25) / 0.5 AS estimated_rate",
+        "CAST(n_true AS DOUBLE) / n AS true_rate",
+    )

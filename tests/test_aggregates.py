@@ -849,3 +849,22 @@ def test_q349_catches_jointly_inconsistent_point(spark):
     weird = scored.pop(20)
     assert weird > max(scored.values())
     assert weird > T2_THRESHOLD
+
+
+def test_q355_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q355_eb_shrinkage")
+
+
+def test_q355_shrinkage_properties(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q355_eb_shrinkage"](spark, SF_DIR).collect()
+    assert rows
+    g = rows[0]["global_rate"]
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], g))
+        # shrunk rate lies strictly between raw and prior (or equals both)
+        assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
+        # more data => less shrinkage: distance to raw shrinks with n
+        assert abs(r["shrunk_rate"] - r["raw_rate"]) <= abs(g - r["raw_rate"]) + 1e-12

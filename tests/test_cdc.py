@@ -210,3 +210,24 @@ def test_q337_actions_follow_threshold(spark):
             "rebuild" if r["arrived_ppm"] > REPROCESS_DELTA_MAX_PPM else "delta"
         )
         assert r["action"] == expect
+
+
+def test_q356_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q356_incremental_join")
+
+
+def test_q356_delta_conservation(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["term"]: r for r in all_queries()["q356_incremental_join"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "base_base", "base_delta", "delta_base", "delta_delta", "full_join",
+    }
+    terms = [rows[t] for t in ("base_base", "base_delta", "delta_base", "delta_delta")]
+    assert sum(t["n_rows"] for t in terms) == rows["full_join"]["n_rows"]
+    assert sum(t["revenue_cents"] for t in terms) == rows["full_join"]["revenue_cents"]
+    # independent hash slices: every delta term is non-empty
+    assert all(t["n_rows"] > 0 for t in terms)

@@ -458,3 +458,31 @@ def test_q326_prefixes_track_target_mix(spark):
         for lang, w in MIX_WEIGHTS_PPM.items():
             expected = i * w / 1_000_000
             assert abs(counts[lang] - expected) <= 2.0, (i, lang)
+
+
+def test_q354_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q354_randomized_response")
+
+
+def test_q354_debiasing_and_deniability(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q354_randomized_response"](spark, SF_DIR).collect()
+    # debiasing identity
+    assert abs(r["estimated_rate"] - (r["n_yes"] / r["n"] - 0.25) / 0.5) < 1e-12
+    # the estimate should land near the hidden truth (hash coins are fair)
+    assert abs(r["estimated_rate"] - r["true_rate"]) < 0.1
+    # deniability: a meaningful share of answers disagree with the truth
+    [(n_flips,)] = duck.execute(
+        """SELECT COUNT(*) FROM (
+             SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS sens,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rr'),
+                         1, 8) AS BIGINT) % 4 AS coin
+             FROM documents)
+           WHERE (CASE WHEN coin <= 1 THEN sens
+                       WHEN coin = 2 THEN 1 ELSE 0 END) <> sens"""
+    ).fetchall()
+    assert 0.1 * r["n"] < n_flips < 0.45 * r["n"]
