@@ -290,6 +290,9 @@ _DRIVER_PRIORITY = [
     "q354_randomized_response",
     "q355_eb_shrinkage",
     "q356_incremental_join",
+    "q357_mediation_analysis",
+    "q358_active_learning_batch",
+    "q359_spike_attribution",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -4056,3 +4056,119 @@ def q355_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / (n + {EB_PSEUDO_N}) AS shrunk_rate",
         "CAST(gr AS DOUBLE) / gn AS global_rate",
     )
+
+
+@query(
+    "q357_mediation_analysis",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS a,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(a * m) AS BIGINT) AS sam,
+             CAST(SUM(a * y) AS BIGINT) AS say,
+             CAST(SUM(m * y) AS BIGINT) AS smy,
+             CAST(SUM(m * m) AS BIGINT) AS smm
+      FROM per_user
+    ),
+    c AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * sam - CAST(sa AS DOUBLE) * sm AS cam,
+             CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy AS cay,
+             CAST(n AS DOUBLE) * smy - CAST(sm AS DOUBLE) * sy AS cmy,
+             CAST(n AS DOUBLE) * sa - CAST(sa AS DOUBLE) * sa AS vaa,
+             CAST(n AS DOUBLE) * smm - CAST(sm AS DOUBLE) * sm AS vmm
+      FROM mom
+    )
+    SELECT n,
+           cam / vaa AS alpha,
+           (cmy * vaa - cay * cam) / (vmm * vaa - cam * cam) AS beta_m,
+           (cay * vmm - cmy * cam) / (vmm * vaa - cam * cam) AS direct_effect,
+           (cam / vaa) * ((cmy * vaa - cay * cam) / (vmm * vaa - cam * cam))
+             AS indirect_effect,
+           cay / vaa AS total_effect
+    FROM c
+    """,
+)
+def q357_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIATION ANALYSIS (Baron-Kenny / product-of-coefficients) — the
+    causal decomposition q327's DiD can't give: HOW does treatment
+    move revenue? Through the mediator (a → more clicks → more
+    purchases, the indirect path α·β_m) or directly (a → purchases
+    holding clicks fixed, β_a)? The two-regressor OLS solves in
+    closed 2x2 form (determinant denominator — q349's adjugate trick
+    on the normal equations), every covariance an exact integer
+    cross-product (q23's rule), every division a fixed-order float.
+    The OLS identity TOTAL = DIRECT + INDIRECT holds exactly in this
+    closed form — property-tested to 1e-9, which simultaneously
+    certifies all three estimates. The caveat a docstring must carry:
+    mediator-outcome confounding biases β_m — this is the
+    descriptive decomposition, the sensitivity analysis is the
+    analyst's job. One per-user rollup + one 8-moment reduction."""
+    ev = load(spark, sf_dir, "events")
+    a = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        != 0
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.first(a).alias("a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("a") * F.col("m")).cast("long").alias("sam"),
+        F.sum(F.col("a") * F.col("y")).cast("long").alias("say"),
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("smy"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+    )
+    c = mom.selectExpr(
+        "n",
+        "CAST(n AS DOUBLE) * sam - CAST(sa AS DOUBLE) * sm AS cam",
+        "CAST(n AS DOUBLE) * say - CAST(sa AS DOUBLE) * sy AS cay",
+        "CAST(n AS DOUBLE) * smy - CAST(sm AS DOUBLE) * sy AS cmy",
+        "CAST(n AS DOUBLE) * sa - CAST(sa AS DOUBLE) * sa AS vaa",
+        "CAST(n AS DOUBLE) * smm - CAST(sm AS DOUBLE) * sm AS vmm",
+    )
+    return c.selectExpr(
+        "n",
+        "cam / vaa AS alpha",
+        "(cmy * vaa - cay * cam) / (vmm * vaa - cam * cam) AS beta_m",
+        "(cay * vmm - cmy * cam) / (vmm * vaa - cam * cam) AS direct_effect",
+        "(cam / vaa) * ((cmy * vaa - cay * cam) / (vmm * vaa - cam * cam))"
+        " AS indirect_effect",
+        "cay / vaa AS total_effect",
+    )

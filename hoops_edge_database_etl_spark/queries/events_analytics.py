@@ -4388,3 +4388,183 @@ def q343_funnel_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (1 - CAST(c1 + c0 AS DOUBLE) / (n1 + n0))"
         " * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n0)) AS z_stat",
     )
+
+
+AL_BATCH = 20          # labeling budget per round
+AL_PER_TYPE_CAP = 5    # diversity cap per event type
+
+
+@query(
+    "q358_active_learning_batch",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_id, event_type,
+             CAST(floor(value / 20) AS BIGINT) AS b,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    bins AS (
+      SELECT b, CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS rate_ppm
+      FROM scored GROUP BY b
+    ),
+    uncertain AS (
+      SELECT s.event_id, s.event_type, s.b, bn.rate_ppm,
+             abs(2 * bn.rate_ppm - 1000000) AS uncertainty_ppm
+      FROM scored s JOIN bins bn ON bn.b = s.b
+    ),
+    capped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY uncertainty_ppm, event_id) AS type_rnk
+      FROM uncertain
+    )
+    SELECT event_id, event_type, b AS bin, rate_ppm, uncertainty_ppm
+    FROM capped WHERE type_rnk <= {AL_PER_TYPE_CAP}
+    ORDER BY uncertainty_ppm, event_id LIMIT {AL_BATCH}
+    """,
+)
+def q358_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING batch selection — the labeling-ops query that
+    stretches an annotation budget: rank the pool by model
+    UNCERTAINTY (|2p − 1| off the q342 bin-rate model, in exact ppm)
+    and take the {AL_BATCH} most uncertain — but with a DIVERSITY cap
+    of {AL_PER_TYPE_CAP} per event type first, because uncertainty
+    sampling alone floods the batch from whichever slice the model is
+    globally confused about and starves the rest (the classic AL
+    failure mode; the cap is the cheap batch-mode diversity fix
+    before you pay for a k-DPP). Deterministic end to end: ppm
+    uncertainty, event-id tiebreaks, per-type rank windows, then a
+    bounded TakeOrdered — no global window. Re-running after labels
+    arrive shifts the bin rates and the batch moves on: this query IS
+    the loop body of pool-based AL at warehouse scale."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(floor(value / 20) AS BIGINT)").alias("b"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy("b").agg(
+        F.expr("SUM(y) * 1000000 DIV COUNT(*)").cast("long").alias("rate_ppm")
+    )
+    uncertain = scored.join(F.broadcast(bins), "b").select(
+        "event_id",
+        "event_type",
+        F.col("b").alias("bin"),
+        "rate_ppm",
+        F.abs(2 * F.col("rate_ppm") - 1_000_000).alias("uncertainty_ppm"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("uncertainty_ppm", "event_id")
+    capped = uncertain.withColumn("type_rnk", F.row_number().over(wt)).filter(
+        F.col("type_rnk") <= AL_PER_TYPE_CAP
+    )
+    return (
+        capped.orderBy("uncertainty_ppm", "event_id")
+        .limit(AL_BATCH)
+        .select("event_id", "event_type", "bin", "rate_ppm", "uncertainty_ppm")
+    )
+
+
+@query(
+    "q359_spike_attribution",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             event_type,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT d, CAST(SUM(cents) AS BIGINT) AS total FROM daily GROUP BY d
+    ),
+    spike AS (
+      SELECT d, total FROM totals ORDER BY total DESC, d LIMIT 1
+    ),
+    baseline AS (
+      SELECT dd.event_type,
+             CAST(SUM(dd.cents) AS BIGINT) AS base_sum,
+             CAST(COUNT(DISTINCT dd.d) AS BIGINT) AS base_days
+      FROM daily dd, spike WHERE dd.d <> spike.d
+      GROUP BY dd.event_type
+    ),
+    spike_rows AS (
+      SELECT dd.event_type, dd.cents AS spike_cents
+      FROM daily dd, spike WHERE dd.d = spike.d
+    ),
+    tot AS (
+      SELECT CAST(SUM(s.spike_cents) AS BIGINT) AS spike_total,
+             CAST(SUM(b.base_sum) AS BIGINT) AS base_sum_all,
+             CAST(MAX(b.base_days) AS BIGINT) AS base_days
+      FROM spike_rows s JOIN baseline b ON b.event_type = s.event_type
+    )
+    SELECT s.event_type,
+           (SELECT d FROM spike) AS spike_day,
+           s.spike_cents,
+           CAST(b.base_sum AS DOUBLE) / b.base_days AS baseline_mean_cents,
+           s.spike_cents - CAST(b.base_sum AS DOUBLE) / b.base_days
+             AS contribution_cents,
+           (s.spike_cents - CAST(b.base_sum AS DOUBLE) / b.base_days)
+             / (t.spike_total - CAST(t.base_sum_all AS DOUBLE) / t.base_days)
+             AS explained_share
+    FROM spike_rows s
+    JOIN baseline b ON b.event_type = s.event_type, tot t
+    """,
+)
+def q359_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPIKE ATTRIBUTION — the root-cause question every on-call dashboard
+    punts on: revenue spiked on day D; WHICH stream explains it? Each
+    event type's contribution is its spike-day value minus its own
+    baseline mean (all other days), and explained_share normalizes by
+    the total anomaly — Adtributor's explanatory-power measure in its
+    exact form. Shares sum to 1 BY CONSTRUCTION (the decomposition is
+    additive — property-tested), and negative shares are informative:
+    a stream that moved AGAINST the spike. The spike day is a
+    deterministic argmax (total, then day tiebreak) via TakeOrdered-1,
+    never a driver-side max; baselines are one conditional aggregate.
+    Generalizing to multi-dimensional root cause (type x nation x
+    segment) is the same query over a cube — the surprise ranking
+    stays a per-cell projection."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        "event_type",
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    totals = daily.groupBy("d").agg(F.sum("cents").cast("long").alias("total"))
+    spike = totals.orderBy(F.col("total").desc(), "d").limit(1).select(
+        F.col("d").alias("spike_day")
+    )
+    withspike = daily.crossJoin(F.broadcast(spike))
+    baseline = (
+        withspike.filter(F.col("d") != F.col("spike_day"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("cents").cast("long").alias("base_sum"),
+            F.countDistinct("d").cast("long").alias("base_days"),
+        )
+    )
+    spike_rows = withspike.filter(F.col("d") == F.col("spike_day")).select(
+        "event_type", "spike_day", F.col("cents").alias("spike_cents")
+    )
+    j = spike_rows.join(baseline, "event_type")
+    tot = j.agg(
+        F.sum("spike_cents").cast("long").alias("spike_total"),
+        F.sum("base_sum").cast("long").alias("base_sum_all"),
+        F.max("base_days").cast("long").alias("bdays"),
+    )
+    return j.crossJoin(F.broadcast(tot)).selectExpr(
+        "event_type",
+        "spike_day",
+        "spike_cents",
+        "CAST(base_sum AS DOUBLE) / base_days AS baseline_mean_cents",
+        "spike_cents - CAST(base_sum AS DOUBLE) / base_days"
+        " AS contribution_cents",
+        "(spike_cents - CAST(base_sum AS DOUBLE) / base_days)"
+        " / (spike_total - CAST(base_sum_all AS DOUBLE) / bdays)"
+        " AS explained_share",
+    )

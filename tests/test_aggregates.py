@@ -868,3 +868,19 @@ def test_q355_shrinkage_properties(spark):
         assert lo - 1e-12 <= r["shrunk_rate"] <= hi + 1e-12
         # more data => less shrinkage: distance to raw shrinks with n
         assert abs(r["shrunk_rate"] - r["raw_rate"]) <= abs(g - r["raw_rate"]) + 1e-12
+
+
+def test_q357_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q357_mediation_analysis")
+
+
+def test_q357_effect_decomposition_identity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q357_mediation_analysis"](spark, SF_DIR).collect()
+    # the OLS identity: total == direct + alpha * beta_m, exactly
+    assert abs(
+        r["total_effect"] - (r["direct_effect"] + r["indirect_effect"])
+    ) < 1e-9 * max(1.0, abs(r["total_effect"]))
+    assert abs(r["indirect_effect"] - r["alpha"] * r["beta_m"]) < 1e-9

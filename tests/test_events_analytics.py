@@ -995,3 +995,47 @@ def test_q343_z_consistency(spark):
         p = (r["c1"] + r["c0"]) / (r["n1"] + r["n0"])
         se = math.sqrt(p * (1 - p) * (1 / r["n1"] + 1 / r["n0"]))
         assert abs(r["z_stat"] - r["rate_diff"] / se) < 1e-9
+
+
+def test_q358_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q358_active_learning_batch")
+
+
+def test_q358_batch_respects_caps_and_order(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        AL_BATCH,
+        AL_PER_TYPE_CAP,
+    )
+
+    rows = all_queries()["q358_active_learning_batch"](spark, SF_DIR).collect()
+    assert len(rows) == AL_BATCH
+    per_type = {}
+    for r in rows:
+        per_type[r["event_type"]] = per_type.get(r["event_type"], 0) + 1
+        assert r["uncertainty_ppm"] == abs(2 * r["rate_ppm"] - 1_000_000)
+    assert all(v <= AL_PER_TYPE_CAP for v in per_type.values())
+    assert len(per_type) >= 2  # diversity actually engaged
+
+
+def test_q359_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q359_spike_attribution")
+
+
+def test_q359_shares_decompose_to_one(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q359_spike_attribution"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert len({r["spike_day"] for r in rows}) == 1
+    assert abs(sum(r["explained_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(
+        sum(r["contribution_cents"] for r in rows)
+        - sum(r["spike_cents"] - r["baseline_mean_cents"] for r in rows)
+    ) < 1e-6
