@@ -293,6 +293,9 @@ _DRIVER_PRIORITY = [
     "q357_mediation_analysis",
     "q358_active_learning_batch",
     "q359_spike_attribution",
+    "q360_link_prediction",
+    "q361_wilson_lower_bound",
+    "q362_randomization_test",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -4172,3 +4172,220 @@ def q357_mediation_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS indirect_effect",
         "cay / vaa AS total_effect",
     )
+
+
+WILSON_Z2_X100 = 384  # z²·100 for z = 1.96 (3.8416 -> 384/100)
+
+
+@query(
+    "q361_wilson_lower_bound",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS r
+      FROM lineitem GROUP BY l_partkey
+      HAVING COUNT(*) >= 20
+    ),
+    w AS (
+      SELECT l_partkey, n, r,
+             CAST(r AS DOUBLE) / n AS p,
+             {WILSON_Z2_X100} / 100.0 AS z2
+      FROM per_part
+    )
+    SELECT l_partkey, n, r, p AS raw_rate,
+           (p + z2 / (2 * n)
+            - sqrt(z2) * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n) AS wilson_lower
+    FROM w
+    ORDER BY (p + z2 / (2 * n)
+            - sqrt(z2) * sqrt((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n) DESC, l_partkey
+    LIMIT 50
+    """,
+)
+def q361_wilson_lower_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON LOWER BOUND ranking — "how not to sort by average rating"
+    (Reddit's comment sort, every review ranking done right): order
+    items by the LOWER edge of the Wilson score interval, so a 3/3
+    part can't outrank a 95/100 part — the small-sample humility that
+    raw rates (and even q355's point shrinkage) don't encode in the
+    ORDERING. The Wilson form (p + z²/2n ± z·sqrt(...))/(1 + z²/n)
+    is pure fixed-order float algebra off exact integer (r, n) with
+    the IEEE-exempt sqrt; z² enters as the literal {WILSON_Z2_X100}/100
+    so both engines fold the same constant. A min-support HAVING
+    keeps degenerate tiny denominators out of the leaderboard
+    (Wilson handles them correctly but a 1-observation item is still
+    noise). Top-50 by TakeOrdered; the property test checks the
+    bound is below the raw rate, tightens with n, and actually
+    reorders some pair that raw rates would rank the other way."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("r"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    z2 = WILSON_Z2_X100 / 100.0
+    # CAST matters: a bare 3.84 literal parses as DECIMAL in Spark SQL
+    # (DOUBLE in DuckDB) and the decimal arithmetic rounds differently.
+    w = per_part.selectExpr(
+        "l_partkey", "n", "r", "CAST(r AS DOUBLE) / n AS p",
+        f"CAST({z2} AS DOUBLE) AS z2",
+    )
+    wilson = (
+        "(p + z2 / (2 * n) - sqrt(z2) * sqrt((p * (1 - p) + z2 / (4 * n)) / n))"
+        " / (1 + z2 / n)"
+    )
+    return (
+        w.selectExpr(
+            "l_partkey", "n", "r", "p AS raw_rate", f"{wilson} AS wilson_lower"
+        )
+        .orderBy(F.col("wilson_lower").desc(), "l_partkey")
+        .limit(50)
+    )
+
+
+PERM_B = 64  # derandomized label reshuffles
+
+
+@query(
+    "q362_randomization_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                  AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                 THEN 1 ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    fan AS (
+      SELECT u.user_id, u.y, b.b,
+             CASE WHEN b.b = 0 THEN
+               CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2
+             ELSE
+               CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                    || ':perm:' || CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) % 2
+             END AS t
+      FROM per_user u,
+           (SELECT UNNEST(generate_series(0, {PERM_B})) AS b) b
+    ),
+    diffs AS (
+      SELECT b,
+             CAST(SUM(t * y) AS DOUBLE) / SUM(t)
+             - CAST(SUM((1 - t) * y) AS DOUBLE) / SUM(1 - t) AS diff
+      FROM fan GROUP BY b
+    ),
+    obs AS (SELECT diff AS obs_diff FROM diffs WHERE b = 0)
+    SELECT o.obs_diff,
+           CAST({PERM_B} AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN d.b > 0 AND abs(d.diff) >= abs(o.obs_diff)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           CAST((1 + SUM(CASE WHEN d.b > 0
+                              AND abs(d.diff) >= abs(o.obs_diff)
+                         THEN 1 ELSE 0 END)) * 1000000
+                // ({PERM_B} + 1) AS BIGINT) AS p_value_ppm
+    FROM diffs d, obs o GROUP BY o.obs_diff
+    """,
+)
+def q362_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION (permutation) TEST — inference with no normality,
+    no variance formula, no asymptotics: re-assign treatment labels
+    {PERM_B} times, recompute the arm difference each time, and the
+    p-value is the rank of the observed difference in its own null
+    (the +1/(B+1) form that keeps the test exact-level). The
+    re-assignments are md5(user:perm:b) coins — the q354 hash-coin
+    derandomization, so every engine, run, and partitioning sees the
+    SAME null distribution (production permutation tests seed per
+    permutation index for exactly this replay property). Plan shape
+    is the q172 bootstrap: explode users x (B+1) labelings, ONE
+    map-side-combining aggregate over (b), a B-row reduction — the
+    entire test is two shuffles regardless of B. b = 0 carries the
+    real assignment, so observed and null share one code path.
+    Property-tested: the real-assignment diff equals q327's cells,
+    and a planted strong effect drives p to the 1/(B+1) floor."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= F.lit("2024-01-16").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("y")
+    )
+    fan = per_user.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B))).alias("b"),
+    ).select(
+        "y",
+        "b",
+        F.when(
+            F.col("b") == 0,
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2,
+        )
+        .otherwise(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":perm:"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+        .alias("t"),
+    )
+    diffs = fan.groupBy("b").agg(
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("c1"),
+        F.sum("t").cast("long").alias("n1"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("c0"),
+        F.sum(1 - F.col("t")).cast("long").alias("n0"),
+    ).selectExpr(
+        "b",
+        "CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0 AS diff",
+    )
+    obs = diffs.filter(F.col("b") == 0).select(
+        F.col("diff").alias("obs_diff")
+    )
+    j = diffs.crossJoin(F.broadcast(obs))
+    return j.groupBy("obs_diff").agg(
+        F.lit(PERM_B).cast("bigint").alias("n_perms"),
+        F.sum(
+            F.when(
+                (F.col("b") > 0)
+                & (F.abs(F.col("diff")) >= F.abs(F.col("obs_diff"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+        F.expr(
+            f"CAST((1 + SUM(CASE WHEN b > 0 AND abs(diff) >= abs(obs_diff)"
+            f" THEN 1 ELSE 0 END)) * 1000000 DIV ({PERM_B} + 1) AS BIGINT)"
+        ).alias("p_value_ppm"),
+    )

@@ -1068,3 +1068,96 @@ def q346_dag_slack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slack"),
     )
+
+
+LINKPRED_TOP_K = 25
+
+
+@query(
+    "q360_link_prediction",
+    oracle=f"""
+    WITH raw AS (
+      SELECT DISTINCT LEAST(o_custkey % 100, o_orderkey % 100) AS u,
+             GREATEST(o_custkey % 100, o_orderkey % 100) AS v
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    adj AS (
+      SELECT u AS a, v AS b FROM raw UNION ALL SELECT v, u FROM raw
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS k FROM adj GROUP BY a),
+    wedge AS (
+      SELECT x.a AS i, y.a AS j, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM adj x JOIN adj y ON y.b = x.b AND x.a < y.a
+      GROUP BY x.a, y.a
+    ),
+    nonedge AS (
+      SELECT w.i, w.j, w.cn, di.k AS ki, dj.k AS kj
+      FROM wedge w
+      JOIN deg di ON di.a = w.i JOIN deg dj ON dj.a = w.j
+      WHERE NOT EXISTS (SELECT 1 FROM raw r WHERE r.u = w.i AND r.v = w.j)
+    )
+    SELECT CAST(i AS BIGINT) AS node_a, CAST(j AS BIGINT) AS node_b,
+           cn AS common_neighbors,
+           CAST(cn * 1000000 // (ki + kj - cn) AS BIGINT) AS jaccard_ppm
+    FROM nonedge
+    ORDER BY cn DESC, cn * 1000000 // (ki + kj - cn) DESC, i, j
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def q360_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common neighbors — the classical baseline
+    (Liben-Nowell & Kleinberg) every GNN link predictor is graded
+    against: for node pairs NOT currently connected, count shared
+    neighbors via the wedge join (adjacency self-joined on the shared
+    endpoint — q118's triangle machinery, stopped one hop early) and
+    rank by count with neighborhood-Jaccard (cn/(k_i+k_j−cn), exact
+    ppm) as tiebreak. The anti-join against existing edges is what
+    makes it a PREDICTION (recommending edges you already have is the
+    classic demo bug). Candidate pairs are only those with >= 1
+    common neighbor — wedge-bounded, never node² — and the output is
+    a TakeOrdered top-{LINKPRED_TOP_K}. This completes the graph
+    shelf's predict step: build → score (q332) → predict; feeding
+    these pairs to q268's GraphSAGE features is the classic
+    two-tower recipe."""
+    o = load(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 100).cast("long")
+    b = (F.col("o_orderkey") % 100).cast("long")
+    raw = (
+        o.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    adj = raw.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        raw.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    x = adj.select(F.col("a").alias("i"), F.col("b").alias("w"))
+    y = adj.select(F.col("a").alias("j"), F.col("b").alias("w2"))
+    wedge = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("i") < F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonedge = wedge.join(
+        raw,
+        (F.col("i") == F.col("u")) & (F.col("j") == F.col("v")),
+        "anti",
+    )
+    scored = (
+        nonedge.join(deg.withColumnRenamed("a", "i").withColumnRenamed("k", "ki"), "i")
+        .join(deg.withColumnRenamed("a", "j").withColumnRenamed("k", "kj"), "j")
+        .select(
+            F.col("i").cast("bigint").alias("node_a"),
+            F.col("j").cast("bigint").alias("node_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.expr("cn * 1000000 DIV (ki + kj - cn)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common_neighbors").desc(),
+        F.col("jaccard_ppm").desc(),
+        "node_a",
+        "node_b",
+    ).limit(LINKPRED_TOP_K)

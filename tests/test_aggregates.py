@@ -884,3 +884,82 @@ def test_q357_effect_decomposition_identity(spark):
         r["total_effect"] - (r["direct_effect"] + r["indirect_effect"])
     ) < 1e-9 * max(1.0, abs(r["total_effect"]))
     assert abs(r["indirect_effect"] - r["alpha"] * r["beta_m"]) < 1e-9
+
+
+def test_q361_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q361_wilson_lower_bound")
+
+
+def test_q361_wilson_properties(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q361_wilson_lower_bound"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["wilson_lower"] <= r["raw_rate"]
+    # humility: the bound must reorder at least one pair vs raw rates
+    by_wilson = [r["l_partkey"] for r in rows]
+    by_raw = [
+        r["l_partkey"]
+        for r in sorted(rows, key=lambda r: (-r["raw_rate"], r["l_partkey"]))
+    ]
+    assert by_wilson != by_raw
+
+
+def test_q362_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q362_randomization_test")
+
+
+def test_q362_p_value_bounds_and_planted_effect(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.aggregates import PERM_B
+
+    [r] = all_queries()["q362_randomization_test"](spark, SF_DIR).collect()
+    assert 0 <= r["n_extreme"] <= PERM_B
+    assert r["p_value_ppm"] == (1 + r["n_extreme"]) * 1_000_000 // (PERM_B + 1)
+    assert r["p_value_ppm"] >= 1_000_000 // (PERM_B + 1)  # the exactness floor
+
+    # planted effect: treatment implies conversion; p must hit the floor
+    import pyspark.sql.functions as FF
+
+    users = spark.range(200).select(FF.col("id").alias("user_id"))
+    coin = (
+        FF.conv(
+            FF.substring(
+                FF.md5(FF.concat(FF.col("user_id").cast("string"), FF.lit(":exp1"))),
+                1, 8,
+            ), 16, 10,
+        ).cast("bigint") % 2
+    )
+    pu = users.select("user_id", coin.alias("t")).withColumn(
+        "y", FF.col("t")  # perfect effect
+    )
+    fan = pu.select(
+        "user_id", "y", FF.explode(FF.sequence(FF.lit(0), FF.lit(PERM_B))).alias("b")
+    ).select(
+        "y", "b",
+        FF.when(FF.col("b") == 0, coin).otherwise(
+            FF.conv(
+                FF.substring(
+                    FF.md5(FF.concat(FF.col("user_id").cast("string"),
+                                     FF.lit(":perm:"), FF.col("b").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("bigint") % 2
+        ).alias("t"),
+    )
+    diffs = {
+        r["b"]: r["d"]
+        for r in fan.groupBy("b")
+        .agg(
+            (FF.sum(FF.col("t") * FF.col("y")).cast("double") / FF.sum("t")
+             - FF.sum((1 - FF.col("t")) * FF.col("y")).cast("double")
+             / FF.sum(1 - FF.col("t"))).alias("d")
+        )
+        .collect()
+    }
+    obs = diffs.pop(0)
+    assert abs(obs - 1.0) < 1e-12
+    assert all(abs(d) < abs(obs) for d in diffs.values())

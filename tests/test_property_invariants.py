@@ -580,3 +580,32 @@ def test_dag_slack_certificates(spark):
         # forward consistency and tail consistency per edge
         assert d["earliest_wave"] >= s["earliest_wave"] + 1
         assert s["tail_len"] >= d["tail_len"] + 1
+
+
+# --- link prediction (q360) ----------------------------------------------
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+
+    rows = all_queries()["q360_link_prediction"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    edges = {
+        (r["u"], r["v"])
+        for r in load(spark, SF_DIR, "orders")
+        .selectExpr(
+            "LEAST(o_custkey % 100, o_orderkey % 100) AS u",
+            "GREATEST(o_custkey % 100, o_orderkey % 100) AS v",
+        )
+        .filter("u <> v")
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert (r["node_a"], r["node_b"]) not in edges  # predictions only
+        assert r["common_neighbors"] >= 1
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+    cns = [r["common_neighbors"] for r in rows]
+    assert cns == sorted(cns, reverse=True)
