@@ -296,6 +296,9 @@ _DRIVER_PRIORITY = [
     "q360_link_prediction",
     "q361_wilson_lower_bound",
     "q362_randomization_test",
+    "q363_mann_kendall",
+    "q364_fleiss_kappa",
+    "q365_covariate_balance",
     # latest driver row is r1
     "q41_exact_dedup",
     "q42_ngram_jaccard",

@@ -4389,3 +4389,197 @@ def q362_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN 1 ELSE 0 END)) * 1000000 DIV ({PERM_B} + 1) AS BIGINT)"
         ).alias("p_value_ppm"),
     )
+
+
+# Three deterministic "raters": correlated value-threshold stumps.
+_FLEISS_RATERS_SQL = [
+    "CASE WHEN value >= 150 THEN 1 ELSE 0 END",
+    "CASE WHEN value >= 140 THEN 1 ELSE 0 END",
+    "CASE WHEN value >= 160 THEN 1 ELSE 0 END",
+]
+
+
+@query(
+    "q364_fleiss_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT ({_FLEISS_RATERS_SQL[0]}) + ({_FLEISS_RATERS_SQL[1]})
+             + ({_FLEISS_RATERS_SQL[2]}) AS k1
+      FROM events
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k1) AS BIGINT) AS tot1,
+             CAST(SUM(k1 * k1 + (3 - k1) * (3 - k1)) AS BIGINT) AS sq
+      FROM rated
+    )
+    SELECT n, tot1, sq,
+           (CAST(sq AS DOUBLE) - 3 * n) / (n * 6) AS p_bar,
+           (CAST(tot1 AS DOUBLE) / (3 * n)) * (CAST(tot1 AS DOUBLE) / (3 * n))
+           + (1 - CAST(tot1 AS DOUBLE) / (3 * n))
+             * (1 - CAST(tot1 AS DOUBLE) / (3 * n)) AS p_e,
+           ((CAST(sq AS DOUBLE) - 3 * n) / (n * 6)
+            - ((CAST(tot1 AS DOUBLE) / (3 * n))
+               * (CAST(tot1 AS DOUBLE) / (3 * n))
+               + (1 - CAST(tot1 AS DOUBLE) / (3 * n))
+                 * (1 - CAST(tot1 AS DOUBLE) / (3 * n))))
+           / (1 - ((CAST(tot1 AS DOUBLE) / (3 * n))
+                   * (CAST(tot1 AS DOUBLE) / (3 * n))
+                   + (1 - CAST(tot1 AS DOUBLE) / (3 * n))
+                     * (1 - CAST(tot1 AS DOUBLE) / (3 * n)))) AS fleiss_kappa
+    FROM sums
+    """,
+)
+def q364_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA — inter-annotator agreement for MORE than two
+    raters (q255's Cohen handles exactly two): three deterministic
+    threshold "raters" label every event, per-item agreement is
+    P_i = (Σ_j n_ij² − m)/(m(m−1)) — with m=3 and two categories the
+    per-item state collapses to ONE integer (how many raters said
+    yes), so the whole statistic reduces to two global integer sums
+    (Σk and Σ[k² + (3−k)²]) — a labeling-QA metric over a billion
+    items in one combiner-friendly aggregate, no per-rater-pair
+    joins. Chance agreement uses pooled category prevalences; kappa
+    assembles in one fixed-order float expression (raw integer sums
+    reported for re-blending across annotation batches). The
+    property test recomputes kappa from an independent per-item
+    Python pass and checks the near-threshold raters agree less
+    than chance would on extreme items — the reason kappa, not raw
+    agreement, is the metric."""
+    ev = load(spark, sf_dir, "events")
+    k1 = sum(
+        (F.expr(r).cast("long") for r in _FLEISS_RATERS_SQL),
+        F.lit(0).cast("long"),
+    )
+    rated = ev.select(k1.alias("k1"))
+    sums = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k1").cast("long").alias("tot1"),
+        F.sum(F.col("k1") * F.col("k1") + (3 - F.col("k1")) * (3 - F.col("k1")))
+        .cast("long")
+        .alias("sq"),
+    )
+    p1 = "CAST(tot1 AS DOUBLE) / (3 * n)"
+    p_e = f"({p1}) * ({p1}) + (1 - {p1}) * (1 - {p1})"
+    p_bar = "(CAST(sq AS DOUBLE) - 3 * n) / (n * 6)"
+    return sums.selectExpr(
+        "n",
+        "tot1",
+        "sq",
+        f"{p_bar} AS p_bar",
+        f"{p_e} AS p_e",
+        f"(({p_bar}) - ({p_e})) / (1 - ({p_e})) AS fleiss_kappa",
+    )
+
+
+@query(
+    "q365_covariate_balance",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS t,
+             CAST(COUNT(*) AS BIGINT) AS x_events,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x_clicks,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS x_days
+      FROM events GROUP BY user_id
+    ),
+    long AS (
+      SELECT t, cov, x FROM per_user,
+        LATERAL (VALUES ('n_events', x_events), ('click_cents', x_clicks),
+                        ('active_days', x_days)) AS v(cov, x)
+    ),
+    mom AS (
+      SELECT cov,
+             CAST(SUM(t) AS BIGINT) AS n1,
+             CAST(SUM(1 - t) AS BIGINT) AS n0,
+             CAST(SUM(t * x) AS BIGINT) AS s1,
+             CAST(SUM((1 - t) * x) AS BIGINT) AS s0,
+             CAST(SUM(t * x * x) AS BIGINT) AS q1,
+             CAST(SUM((1 - t) * x * x) AS BIGINT) AS q0
+      FROM long GROUP BY cov
+    )
+    SELECT cov, n1, n0,
+           CAST(s1 AS DOUBLE) / n1 AS mean_treat,
+           CAST(s0 AS DOUBLE) / n0 AS mean_control,
+           (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+             / sqrt(((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)
+                       / (CAST(n1 AS DOUBLE) * (n1 - 1))
+                     + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)
+                       / (CAST(n0 AS DOUBLE) * (n0 - 1))) / 2) AS smd
+    FROM mom
+    """,
+)
+def q365_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIATE BALANCE (standardized mean differences) — the love-plot
+    numbers behind "the randomization worked" and "the matching
+    worked": per pre-treatment covariate, the arm difference in units
+    of pooled standard deviation, |SMD| < 0.1 being the accepted
+    balance bar. This is the audit q219 (counts), q253 (matching),
+    q316 (CUPED) and q327 (DiD) all implicitly lean on — run it
+    FIRST; an imbalanced covariate is either a broken hash or a
+    confounder the design must absorb. The per-user covariate matrix
+    unpivots to long form so ONE grouped moment aggregate covers
+    every covariate (adding a covariate is adding a literal row, not
+    a pass); variances are the exact n·Σx² − (Σx)² integers, the SMD
+    one fixed float expression with the exempt sqrt. Property: the
+    hash split is genuinely random here, so all |SMD| come out
+    small — and the test plants a corrupted assignment to prove the
+    metric catches imbalance when it exists."""
+    ev = load(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        != 0
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.first(t).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("x_events"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_clicks"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("x_days"),
+    )
+    long = per_user.selectExpr(
+        "t",
+        "stack(3, 'n_events', x_events, 'click_cents', x_clicks,"
+        " 'active_days', x_days) AS (cov, x)",
+    )
+    mom = long.groupBy("cov").agg(
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(1 - F.col("t")).cast("long").alias("n0"),
+        F.sum(F.col("t") * F.col("x")).cast("long").alias("s1"),
+        F.sum((1 - F.col("t")) * F.col("x")).cast("long").alias("s0"),
+        F.sum(F.col("t") * F.col("x") * F.col("x")).cast("long").alias("q1"),
+        F.sum((1 - F.col("t")) * F.col("x") * F.col("x"))
+        .cast("long")
+        .alias("q0"),
+    )
+    return mom.selectExpr(
+        "cov",
+        "n1",
+        "n0",
+        "CAST(s1 AS DOUBLE) / n1 AS mean_treat",
+        "CAST(s0 AS DOUBLE) / n0 AS mean_control",
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+        " / sqrt(((CAST(n1 AS DOUBLE) * q1 - CAST(s1 AS DOUBLE) * s1)"
+        " / (CAST(n1 AS DOUBLE) * (n1 - 1))"
+        " + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)"
+        " / (CAST(n0 AS DOUBLE) * (n0 - 1))) / 2) AS smd",
+    )

@@ -2130,3 +2130,124 @@ def q353_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("wape_ppm"),
     )
+
+
+@query(
+    "q363_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d > a.d
+    ),
+    s AS (
+      SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, cents
+      ) GROUP BY event_type
+    ),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+      GROUP BY event_type
+    )
+    SELECT s.event_type, s.s_stat, s.n_pairs,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS BIGINT)
+             AS var_x18,
+           (CAST(s.s_stat AS DOUBLE)
+            - CASE WHEN s.s_stat > 0 THEN 1
+                   WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+             / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                     - ties.tie_term) / 18) AS z_stat
+    FROM s JOIN ties ON ties.event_type = s.event_type
+    JOIN nn ON nn.event_type = s.event_type
+    """,
+)
+def q363_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test — the significance half of the robust
+    trend pairing (q350's Theil-Sen says HOW STEEP; MK says IS IT
+    REAL): S = Σ sign(x_j − x_i) over ordered pairs is a pure integer
+    statistic — no residuals, no normality, invariant to any monotone
+    transform of the series — and its null variance has the closed
+    tie-corrected form [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18, ALSO exact
+    integers (reported x18 so downstream never re-rounds). Only the
+    final z divides and sqrt's, with the continuity correction
+    (S ∓ 1) the textbook form requires. Pairs are calendar-bounded
+    (q350's lattice note); tie groups come from a value-histogram
+    aggregate. Hydrology and air-quality monitoring run exactly this
+    at fleet scale — per sensor, same plan under one more groupBy
+    key. Property-tested on planted monotone and flat series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("cents").alias("ci"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("dj"),
+        F.col("cents").alias("cj"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("dj") > F.col("di"))
+    ).select(
+        "event_type",
+        F.when(F.col("cj") > F.col("ci"), 1)
+        .when(F.col("cj") < F.col("ci"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        s.join(ties, "event_type")
+        .join(nn, "event_type")
+        .selectExpr(
+            "event_type",
+            "s_stat",
+            "n_pairs",
+            "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_x18",
+            "(CAST(s_stat AS DOUBLE)"
+            " - CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END)"
+            " / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term)"
+            " / 18) AS z_stat",
+        )
+    )

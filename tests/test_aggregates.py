@@ -963,3 +963,62 @@ def test_q362_p_value_bounds_and_planted_effect(spark):
     obs = diffs.pop(0)
     assert abs(obs - 1.0) < 1e-12
     assert all(abs(d) < abs(obs) for d in diffs.values())
+
+
+def test_q364_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q364_fleiss_kappa")
+
+
+def test_q364_kappa_vs_python(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q364_fleiss_kappa"](spark, SF_DIR).collect()
+    ks = [
+        k
+        for (k,) in duck.execute(
+            """SELECT (CASE WHEN value >= 150 THEN 1 ELSE 0 END)
+               + (CASE WHEN value >= 140 THEN 1 ELSE 0 END)
+               + (CASE WHEN value >= 160 THEN 1 ELSE 0 END) FROM events"""
+        ).fetchall()
+    ]
+    n, m = len(ks), 3
+    p_bar = sum(k * k + (m - k) * (m - k) - m for k in ks) / (n * m * (m - 1))
+    p1 = sum(ks) / (n * m)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert r["n"] == n
+    assert abs(r["fleiss_kappa"] - kappa) < 1e-9
+    assert -1.0 <= r["fleiss_kappa"] <= 1.0
+    # near-identical thresholds => substantial agreement
+    assert r["fleiss_kappa"] > 0.5
+
+
+def test_q365_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q365_covariate_balance")
+
+
+def test_q365_random_split_is_balanced_and_metric_catches_imbalance(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q365_covariate_balance"](spark, SF_DIR).collect()
+    assert {r["cov"] for r in rows} == {"n_events", "click_cents", "active_days"}
+    for r in rows:
+        # a genuine hash split should be well-balanced at this n
+        assert abs(r["smd"]) < 0.5
+
+    # planted imbalance: assign by the covariate itself; SMD must explode
+    import math
+
+    xs = list(range(100))
+    t = [1 if x >= 50 else 0 for x in xs]
+    n1, n0 = sum(t), len(t) - sum(t)
+    s1 = sum(x for x, ti in zip(xs, t) if ti)
+    s0 = sum(x for x, ti in zip(xs, t) if not ti)
+    q1 = sum(x * x for x, ti in zip(xs, t) if ti)
+    q0 = sum(x * x for x, ti in zip(xs, t) if not ti)
+    v1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - 1))
+    v0 = (n0 * q0 - s0 * s0) / (n0 * (n0 - 1))
+    smd = (s1 / n1 - s0 / n0) / math.sqrt((v1 + v0) / 2)
+    assert abs(smd) > 2.0

@@ -531,3 +531,51 @@ def test_q353_folds_consistent_with_single_split(spark):
         )
         lo, hi = ROLLING_FOLDS[r["fold"] - 1]
         assert r["n_days"] <= hi - lo
+
+
+def test_q363_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q363_mann_kendall")
+
+
+def test_q363_planted_series(spark):
+    """S saturates at +n(n-1)/2 on a strictly increasing series and 0 on a
+    constant one (where the variance term is also fully tie-killed)."""
+    import pyspark.sql.functions as FF
+
+    rows = spark.createDataFrame(
+        [("up", d, d * 10) for d in range(10)]
+        + [("flat", d, 7) for d in range(10)],
+        "event_type string, d long, cents long",
+    )
+    a = rows.select("event_type", FF.col("d").alias("di"), FF.col("cents").alias("ci"))
+    b = rows.select(
+        FF.col("event_type").alias("et2"),
+        FF.col("d").alias("dj"),
+        FF.col("cents").alias("cj"),
+    )
+    s = (
+        a.join(b, (FF.col("event_type") == FF.col("et2")) & (FF.col("dj") > FF.col("di")))
+        .select(
+            "event_type",
+            FF.when(FF.col("cj") > FF.col("ci"), 1)
+            .when(FF.col("cj") < FF.col("ci"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+        .groupBy("event_type")
+        .agg(FF.sum("sgn").alias("s"))
+    )
+    got = {r["event_type"]: r["s"] for r in s.collect()}
+    assert got["up"] == 45 and got["flat"] == 0
+
+
+def test_q363_var_positive_and_z_sign(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    for r in all_queries()["q363_mann_kendall"](spark, SF_DIR).collect():
+        assert r["var_x18"] > 0
+        if r["s_stat"] != 0:
+            assert (r["z_stat"] > 0) == (r["s_stat"] > 0)
