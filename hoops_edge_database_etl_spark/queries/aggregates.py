@@ -4583,3 +4583,64 @@ def q365_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (CAST(n0 AS DOUBLE) * q0 - CAST(s0 AS DOUBLE) * s0)"
         " / (CAST(n0 AS DOUBLE) * (n0 - 1))) / 2) AS smd",
     )
+
+
+@query(
+    "q367_capture_recapture",
+    oracle="""
+    WITH s1 AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    s2 AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n1,
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n2,
+             CAST((SELECT COUNT(*) FROM s1 JOIN s2 USING (user_id))
+               AS BIGINT) AS m,
+             CAST((SELECT COUNT(DISTINCT user_id) FROM events)
+               AS BIGINT) AS true_n
+    )
+    SELECT n1, n2, m, true_n,
+           CAST(n1 * n2 // m AS BIGINT) AS lincoln_petersen,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman
+    FROM counts
+    """,
+)
+def q367_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPTURE-RECAPTURE — ecology's population estimator doing data
+    engineering's coverage question: how many entities EXIST given two
+    overlapping observation channels? Mark n1 via one channel
+    (clickers), recapture n2 via another (viewers), and the overlap m
+    gives Lincoln-Petersen N̂ = n1·n2/m, with Chapman's
+    (n1+1)(n2+1)/(m+1) − 1 correcting the small-m bias. The warehouse
+    uses: estimating total customers when each source system sees a
+    biased slice, sizing the dedup universe before an MDM build,
+    auditing whether "distinct users" is undercounting. Here the data
+    holds the TRUE answer too, so both estimators are graded against
+    it (they land close because the channels are near-independent —
+    the estimator's assumption, stated and testable). Three distinct
+    counts and a semi-join overlap — all shuffle on the entity key;
+    integer floor division end to end."""
+    ev = load(spark, sf_dir, "events")
+    s1 = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    s2 = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n2")))
+        .crossJoin(
+            s1.join(s2, "user_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
+        )
+        .crossJoin(
+            ev.agg(F.countDistinct("user_id").cast("long").alias("true_n"))
+        )
+    )
+    return counts.selectExpr(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        "CAST(n1 * n2 DIV m AS BIGINT) AS lincoln_petersen",
+        "CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT) AS chapman",
+    )

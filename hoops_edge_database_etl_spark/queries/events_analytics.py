@@ -4568,3 +4568,110 @@ def q359_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (spike_total - CAST(base_sum_all AS DOUBLE) / bdays)"
         " AS explained_share",
     )
+
+
+SH_SURVIVORS = (5, 3, 2, 1)  # arms alive entering each weekly round
+
+
+@query(
+    "q366_successive_halving",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7)
+               AS BIGINT) AS wk,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-29'
+      GROUP BY 1, 2
+    ),
+    r0 AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, event_type) AS rnk
+      FROM weekly WHERE wk = 0
+    ),
+    r1 AS (
+      SELECT w.event_type, w.cents,
+             ROW_NUMBER() OVER (ORDER BY w.cents DESC, w.event_type) AS rnk
+      FROM weekly w JOIN r0 ON r0.event_type = w.event_type
+      WHERE w.wk = 1 AND r0.rnk <= {SH_SURVIVORS[1]}
+    ),
+    r2 AS (
+      SELECT w.event_type, w.cents,
+             ROW_NUMBER() OVER (ORDER BY w.cents DESC, w.event_type) AS rnk
+      FROM weekly w JOIN r1 ON r1.event_type = w.event_type
+      WHERE w.wk = 2 AND r1.rnk <= {SH_SURVIVORS[2]}
+    ),
+    r3 AS (
+      SELECT w.event_type, w.cents,
+             ROW_NUMBER() OVER (ORDER BY w.cents DESC, w.event_type) AS rnk
+      FROM weekly w JOIN r2 ON r2.event_type = w.event_type
+      WHERE w.wk = 3 AND r2.rnk <= {SH_SURVIVORS[3]}
+    )
+    SELECT 0 AS round, event_type, cents, CAST(rnk AS BIGINT) AS rnk,
+           rnk <= {SH_SURVIVORS[1]} AS advances FROM r0
+    UNION ALL
+    SELECT 1, event_type, cents, CAST(rnk AS BIGINT),
+           rnk <= {SH_SURVIVORS[2]} FROM r1
+    UNION ALL
+    SELECT 2, event_type, cents, CAST(rnk AS BIGINT),
+           rnk <= {SH_SURVIVORS[3]} FROM r2
+    UNION ALL
+    SELECT 3, event_type, cents, CAST(rnk AS BIGINT), rnk <= 1 FROM r3
+    """,
+)
+def q366_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUCCESSIVE HALVING — the budget-efficient selection schedule
+    under Hyperband and modern AutoML tuners, replayed offline over
+    logged data: every "arm" (stream) is measured on week 0, only the
+    top {SH_SURVIVORS[1]} earn week 1's budget, the top
+    {SH_SURVIVORS[2]} of THOSE earn week 2's, down to a single
+    champion — exploration cost concentrates on survivors
+    geometrically instead of splitting evenly (q278's bandit is the
+    anytime version; this is the fixed-budget tournament). Each round
+    is a rank window over the SURVIVOR subset only — the join chain
+    encodes the elimination, so a dropped arm's later weeks are never
+    even read (the budget saving is visible in the plan as pruned
+    rows). All integer cents with total-order tiebreaks; the audit
+    trail (per-round rank + advancement flag) is the output, because
+    the pathology worth catching is a week-0 fluke eliminating the
+    eventual best — the property test measures exactly that regret
+    against full-information hindsight."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.to_date("ts") < F.lit("2024-01-29").cast("date")
+    )
+    weekly = ev.groupBy(
+        "event_type",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        )
+        .cast("long")
+        .alias("wk"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    out = []
+    survivors = None
+    for rnd in range(4):
+        wkrows = weekly.filter(F.col("wk") == rnd).select("event_type", "cents")
+        if survivors is not None:
+            wkrows = wkrows.join(survivors, "event_type")
+        w = Window.orderBy(F.col("cents").desc(), "event_type")
+        ranked = wkrows.withColumn("rnk", F.row_number().over(w).cast("long"))
+        keep = SH_SURVIVORS[rnd + 1] if rnd + 1 < len(SH_SURVIVORS) else 1
+        out.append(
+            ranked.select(
+                F.lit(rnd).alias("round"),
+                "event_type",
+                "cents",
+                "rnk",
+                (F.col("rnk") <= keep).alias("advances"),
+            )
+        )
+        survivors = ranked.filter(F.col("rnk") <= keep).select("event_type")
+    res = out[0]
+    for fr in out[1:]:
+        res = res.unionByName(fr)
+    return res

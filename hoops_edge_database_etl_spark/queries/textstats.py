@@ -2276,3 +2276,58 @@ def q354_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(n_yes AS DOUBLE) / n - 0.25) / 0.5 AS estimated_rate",
         "CAST(n_true AS DOUBLE) / n AS true_rate",
     )
+
+
+@query(
+    "q368_chao1_richness",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS s_obs,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           CAST(COUNT(*)
+                + SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                  * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                  // (2 * GREATEST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END), 1))
+             AS BIGINT) AS chao1_estimate
+    FROM freq GROUP BY lang
+    """,
+)
+def q368_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAO1 RICHNESS — "how much vocabulary have we NOT seen yet":
+    the nonparametric lower bound on total distinct types,
+    S_obs + F1²/(2·F2), driven entirely by the singleton and
+    doubleton counts (many once-seen words ⇒ the corpus is still
+    discovering; no singletons ⇒ coverage is saturated). Ecology's
+    species estimator is the right tool for corpus planning — "will
+    10x more crawl find new vocabulary?" — and for sizing
+    vocabularies before a q229 BPE train; it's the question q110's
+    head report and q177's OOV rate circle without answering. Pure
+    integer pipeline: token histogram → conditional counts → one
+    floor division (F2 guarded to 1, the standard bias-corrected
+    fallback). The frequency histogram is the only shuffle; the F1/F2
+    reduction is map-side combined. Property-tested: estimate >=
+    observed, saturated synthetic corpora collapse to S_obs, and a
+    singleton-heavy corpus projects large unseen mass."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+        F.expr(
+            "CAST(COUNT(*) + SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)"
+            " * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)"
+            " DIV (2 * GREATEST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END), 1))"
+            " AS BIGINT)"
+        ).alias("chao1_estimate"),
+    )

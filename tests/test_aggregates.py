@@ -1022,3 +1022,20 @@ def test_q365_random_split_is_balanced_and_metric_catches_imbalance(spark):
     v0 = (n0 * q0 - s0 * s0) / (n0 * (n0 - 1))
     smd = (s1 / n1 - s0 / n0) / math.sqrt((v1 + v0) / 2)
     assert abs(smd) > 2.0
+
+
+def test_q367_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q367_capture_recapture")
+
+
+def test_q367_estimators_near_truth(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q367_capture_recapture"](spark, SF_DIR).collect()
+    assert r["m"] <= min(r["n1"], r["n2"])
+    # near-independent channels: both estimators within 20% of truth
+    for est in ("lincoln_petersen", "chapman"):
+        assert abs(r[est] - r["true_n"]) <= 0.2 * r["true_n"]
+    # Chapman never exceeds Lincoln-Petersen
+    assert r["chapman"] <= r["lincoln_petersen"]

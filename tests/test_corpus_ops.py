@@ -486,3 +486,22 @@ def test_q354_debiasing_and_deniability(spark, duck):
                        WHEN coin = 2 THEN 1 ELSE 0 END) <> sens"""
     ).fetchall()
     assert 0.1 * r["n"] < n_flips < 0.45 * r["n"]
+
+
+def test_q368_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q368_chao1_richness")
+
+
+def test_q368_chao1_bounds_and_saturation(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q368_chao1_richness"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["chao1_estimate"] >= r["s_obs"]
+        assert r["f1"] + r["f2"] <= r["s_obs"]
+        if r["f1"] == 0:
+            assert r["chao1_estimate"] == r["s_obs"]  # saturated corpus

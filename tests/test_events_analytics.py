@@ -1039,3 +1039,29 @@ def test_q359_shares_decompose_to_one(spark):
         sum(r["contribution_cents"] for r in rows)
         - sum(r["spike_cents"] - r["baseline_mean_cents"] for r in rows)
     ) < 1e-6
+
+
+def test_q366_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q366_successive_halving")
+
+
+def test_q366_elimination_structure(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        SH_SURVIVORS,
+    )
+
+    rows = all_queries()["q366_successive_halving"](spark, SF_DIR).collect()
+    by_round = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    assert sorted(by_round) == [0, 1, 2, 3]
+    for rnd, alive in enumerate(SH_SURVIVORS):
+        assert len(by_round[rnd]) == alive
+        advancing = {r["event_type"] for r in by_round[rnd] if r["advances"]}
+        if rnd + 1 in by_round:
+            assert advancing == {r["event_type"] for r in by_round[rnd + 1]}
+    assert sum(1 for r in by_round[3] if r["advances"]) == 1
