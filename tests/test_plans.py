@@ -81,6 +81,9 @@ _PYTHON_ALLOWED = {
     "q246_hard_negative_mining",  # blocked numpy tile GEMM (q46's kernel + labels)
     "q251_ann_recall_eval",  # composes q47/q48 lineages (their kernels, sanctioned above)
     "q250_maxsim_late_interaction",  # broadcast-query einsum kernel (q48's shape)
+    "q330_lru_stack_distance",  # per-user LRU replay state machine (its oracle
+    # is the declarative Mattson stack-distance formulation — the Python is
+    # the point: an imperative twin certified by a theorem)
 }
 
 
