@@ -4644,3 +4644,224 @@ def q367_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n1 * n2 DIV m AS BIGINT) AS lincoln_petersen",
         "CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT) AS chapman",
     )
+
+
+RDD_BANDWIDTH = 10  # local window on each side of the (median) cutoff
+
+
+@query(
+    "q369_regression_discontinuity",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-08'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS run_x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-08'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT run_x, CAST(COUNT(*) AS BIGINT) AS cnt FROM per_user GROUP BY 1
+    ),
+    cutoff AS (
+      SELECT MIN(run_x) AS c FROM (
+        SELECT run_x,
+               SUM(cnt) OVER (ORDER BY run_x ROWS UNBOUNDED PRECEDING) AS cm,
+               SUM(cnt) OVER () AS n
+        FROM hist
+      ) WHERE cm >= (n + 1) // 2
+    ),
+    local AS (
+      SELECT CASE WHEN p.run_x >= cutoff.c THEN 1 ELSE 0 END AS side,
+             CAST(p.run_x - cutoff.c AS BIGINT) AS x, p.y
+      FROM per_user p, cutoff
+      WHERE p.run_x >= cutoff.c - {RDD_BANDWIDTH}
+        AND p.run_x < cutoff.c + {RDD_BANDWIDTH}
+    ),
+    mom AS (
+      SELECT side,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM local GROUP BY side
+    ),
+    fits AS (
+      SELECT side, n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+             (CAST(sy AS DOUBLE) / n)
+               - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                 * (CAST(sx AS DOUBLE) / n) AS intercept
+      FROM mom
+    )
+    SELECT MAX(CASE WHEN side = 0 THEN n END) AS n_below,
+           MAX(CASE WHEN side = 1 THEN n END) AS n_above,
+           MAX(CASE WHEN side = 0 THEN intercept END) AS intercept_below,
+           MAX(CASE WHEN side = 1 THEN intercept END) AS intercept_above,
+           MAX(CASE WHEN side = 0 THEN slope END) AS slope_below,
+           MAX(CASE WHEN side = 1 THEN slope END) AS slope_above,
+           MAX(CASE WHEN side = 1 THEN intercept END)
+             - MAX(CASE WHEN side = 0 THEN intercept END) AS rdd_effect_cents
+    FROM fits
+    """,
+)
+def q369_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGRESSION DISCONTINUITY — the causal design for threshold-
+    assigned treatments (loyalty tiers, credit cutoffs, free-shipping
+    minimums): fit a local line to the outcome on each side of the
+    running-variable cutoff inside a bandwidth, and the treatment
+    effect is the JUMP between intercepts AT the cutoff — users just
+    below and just above the line are as-good-as-randomized, which is
+    the entire identification. Both fits are q23-style exact-moment
+    OLS (running variable centered at the cutoff so the intercept IS
+    the boundary value); the pivot to one row fixes the float order.
+    Here no real threshold policy exists, so the honest estimate is
+    ~0 — the PLACEBO test real RDD studies run at fake cutoffs, and
+    the property test both checks that and plants a true jump to
+    prove the estimator sees one. Bandwidth sensitivity = re-running
+    with a different literal; the McCrary density check at the
+    cutoff is q214's digit machinery pointed at run_x."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") < F.lit("2024-01-08").cast("date"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("run_x"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= F.lit("2024-01-08").cast("date")),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    hist = per_user.groupBy("run_x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wc = Window.orderBy("run_x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cutoff = (
+        hist.select(
+            "run_x",
+            F.sum("cnt").over(wc).alias("cm"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("cm") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("run_x").alias("c"))
+    )
+    local = per_user.crossJoin(F.broadcast(cutoff)).filter(
+        (F.col("run_x") >= F.col("c") - RDD_BANDWIDTH)
+        & (F.col("run_x") < F.col("c") + RDD_BANDWIDTH)
+    ).select(
+        F.when(F.col("run_x") >= F.col("c"), 1).otherwise(0).alias("side"),
+        (F.col("run_x") - F.col("c")).cast("long").alias("x"),
+        "y",
+    )
+    mom = local.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    fits = mom.selectExpr(
+        "side",
+        "n",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope",
+        "(CAST(sy AS DOUBLE) / n)"
+        " - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+        " * (CAST(sx AS DOUBLE) / n) AS intercept",
+    )
+    return fits.groupBy().agg(
+        F.max(F.when(F.col("side") == 0, F.col("n"))).cast("bigint").alias("n_below"),
+        F.max(F.when(F.col("side") == 1, F.col("n"))).cast("bigint").alias("n_above"),
+        F.max(F.when(F.col("side") == 0, F.col("intercept"))).alias("intercept_below"),
+        F.max(F.when(F.col("side") == 1, F.col("intercept"))).alias("intercept_above"),
+        F.max(F.when(F.col("side") == 0, F.col("slope"))).alias("slope_below"),
+        F.max(F.when(F.col("side") == 1, F.col("slope"))).alias("slope_above"),
+        (
+            F.max(F.when(F.col("side") == 1, F.col("intercept")))
+            - F.max(F.when(F.col("side") == 0, F.col("intercept")))
+        ).alias("rdd_effect_cents"),
+    )
+
+
+@query(
+    "q370_overdispersion",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS s,
+             CAST(SUM(k * k) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, s, q,
+           CAST(s AS DOUBLE) / n AS mean_k,
+           (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * (n - 1)) AS var_k,
+           ((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * (n - 1))) / (CAST(s AS DOUBLE) / n)
+             AS dispersion_index,
+           ((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * (n - 1))) / (CAST(s AS DOUBLE) / n)
+             > 1.5 AS overdispersed
+    FROM mom
+    """,
+)
+def q370_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION CHECK — the pre-modeling diagnostic for count
+    data: a Poisson model assumes variance == mean (dispersion index
+    1); real user-day event counts are almost always overdispersed
+    (bursty users, heterogeneity), and fitting Poisson anyway
+    understates every standard error downstream — the negative-
+    binomial switch decision is exactly this ratio. Per stream, the
+    index is the exact-moment variance over the mean (q23 integers,
+    one fixed division chain), with a literal 1.5 decision line; the
+    modeler reads (mean, var, index) and picks the likelihood. This
+    is also the q341 power planner's hidden assumption check — an
+    overdispersed metric needs variance from THIS table, not the
+    Poisson shortcut. One (type, user, day) rollup (the only real
+    shuffle) + a per-type moment reduction."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("q"),
+    )
+    return mom.selectExpr(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        "CAST(s AS DOUBLE) / n AS mean_k",
+        "(CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS var_k",
+        "((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1))) / (CAST(s AS DOUBLE) / n)"
+        " AS dispersion_index",
+        "((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1))) / (CAST(s AS DOUBLE) / n)"
+        " > 1.5 AS overdispersed",
+    )

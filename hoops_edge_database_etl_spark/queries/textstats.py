@@ -2331,3 +2331,96 @@ def q368_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("chao1_estimate"),
     )
+
+
+@query(
+    "q371_adversarial_validation",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                    || ':split'), 1, 8) AS BIGINT) % 100 < 80
+                  THEN 0 ELSE 1 END AS is_test
+      FROM documents
+    ),
+    pts AS (
+      SELECT n_chars,
+             CAST(SUM(is_test) AS BIGINT) AS a,
+             CAST(SUM(1 - is_test) AS BIGINT) AS b
+      FROM labeled GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars, a, b,
+             COALESCE(SUM(a + b) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_n
+      FROM pts
+    ),
+    t AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS nt, CAST(SUM(b) AS BIGINT) AS nc,
+             CAST(SUM(a * (2 * before_n + a + b + 1)) AS BIGINT) AS rt_doubled
+      FROM cum
+    )
+    SELECT nt AS n_test, nc AS n_train,
+           CAST(rt_doubled - nt * (nt + 1) AS BIGINT) AS u_doubled,
+           CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) AS auc,
+           abs(CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc)
+               - 0.5) < 0.1 AS split_unbiased
+    FROM t
+    """,
+)
+def q371_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADVERSARIAL VALIDATION — can a model tell train from test? If a
+    classifier separates the q68 split better than chance, the split
+    leaks a covariate shift and every offline metric computed on it
+    is suspect (the Kaggle-born check that caught countless
+    time-leaky splits). The "classifier" here is the single feature
+    n_chars and the metric is exact AUC via the rank identity —
+    q297's doubled-midrank machinery with the arms replaced by
+    split membership, so the whole test is one bounded-support
+    cumulative pass, no model fit at all (a feature with AUC 0.5
+    can't help any classifier built on it; run once per candidate
+    feature for the full audit). The verdict column applies a
+    |AUC − 0.5| < 0.1 band — wide enough that sampling noise at a few
+    hundred docs (sd ≈ 0.03 here) doesn't page anyone, tight enough
+    that any real shift trips it. A proper hash split passes BY
+    CONSTRUCTION — and the property test plants a biased
+    length-based split to show the check failing loudly."""
+    d = load(spark, sf_dir, "documents")
+    is_test = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        >= 80
+    ).cast("long")
+    labeled = d.select("n_chars", is_test.alias("is_test"))
+    pts = labeled.groupBy("n_chars").agg(
+        F.sum("is_test").cast("long").alias("a"),
+        F.sum(1 - F.col("is_test")).cast("long").alias("b"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pts.withColumn(
+        "before_n", F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0))
+    )
+    t = cum.agg(
+        F.sum("a").cast("long").alias("nt"),
+        F.sum("b").cast("long").alias("nc"),
+        F.sum(F.col("a") * (2 * F.col("before_n") + F.col("a") + F.col("b") + 1))
+        .cast("long")
+        .alias("rt_doubled"),
+    )
+    return t.selectExpr(
+        "nt AS n_test",
+        "nc AS n_train",
+        "CAST(rt_doubled - nt * (nt + 1) AS BIGINT) AS u_doubled",
+        "CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) AS auc",
+        "abs(CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) - 0.5)"
+        " < 0.1 AS split_unbiased",
+    )

@@ -1039,3 +1039,71 @@ def test_q367_estimators_near_truth(spark):
         assert abs(r[est] - r["true_n"]) <= 0.2 * r["true_n"]
     # Chapman never exceeds Lincoln-Petersen
     assert r["chapman"] <= r["lincoln_petersen"]
+
+
+def test_q369_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q369_regression_discontinuity")
+
+
+def test_q369_placebo_and_planted_jump(spark, duck):
+    import pyspark.sql.functions as FF
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q369_regression_discontinuity"](spark, SF_DIR).collect()
+    [(sd,)] = duck.execute(
+        """SELECT stddev_samp(y) FROM (
+             SELECT SUM(CASE WHEN event_type = 'purchase'
+                          AND CAST(ts AS DATE) >= DATE '2024-01-08'
+                         THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS y
+             FROM events GROUP BY user_id)"""
+    ).fetchall()
+    assert r["n_below"] > 10 and r["n_above"] > 10
+    assert abs(
+        r["rdd_effect_cents"] - (r["intercept_above"] - r["intercept_below"])
+    ) < 1e-9
+    # no real threshold policy exists: the placebo estimate must stay
+    # within the outcome's own noise scale (one pooled sd)
+    assert abs(r["rdd_effect_cents"]) < sd
+
+    # planted jump: y = 10x + 500·1[x>=0]; the estimator must recover ~500
+    pts = [(x, 10 * x + (500 if x >= 0 else 0)) for x in range(-20, 20)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    mom = df.withColumn("side", (FF.col("x") >= 0).cast("int")).groupBy("side").agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum("x").alias("sx"),
+        FF.sum("y").alias("sy"),
+        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
+        FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
+    )
+    fits = {
+        r["side"]: r
+        for r in mom.selectExpr(
+            "side",
+            "(CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)"
+            "/(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) AS slope",
+            "(CAST(sy AS DOUBLE)/n) - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)"
+            "/(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)) * (CAST(sx AS DOUBLE)/n)"
+            " AS intercept",
+        ).collect()
+    }
+    jump = fits[1]["intercept"] - fits[0]["intercept"]
+    assert abs(jump - 500) < 1e-6
+
+
+def test_q370_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q370_overdispersion")
+
+
+def test_q370_dispersion_identity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q370_overdispersion"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["mean_k"] > 0 and r["var_k"] >= 0
+        assert abs(r["dispersion_index"] - r["var_k"] / r["mean_k"]) < 1e-12
+        assert r["overdispersed"] == (r["dispersion_index"] > 1.5)

@@ -505,3 +505,42 @@ def test_q368_chao1_bounds_and_saturation(spark):
         assert r["f1"] + r["f2"] <= r["s_obs"]
         if r["f1"] == 0:
             assert r["chao1_estimate"] == r["s_obs"]  # saturated corpus
+
+
+def test_q371_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q371_adversarial_validation")
+
+
+def test_q371_hash_split_passes_biased_split_fails(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q371_adversarial_validation"](spark, SF_DIR).collect()
+    assert r["split_unbiased"] == (abs(r["auc"] - 0.5) < 0.1)
+    assert r["split_unbiased"]
+    assert 0.4 < r["auc"] < 0.6
+
+    # a split BY LENGTH must be trivially distinguishable by length
+    rows = duck.execute(
+        """WITH l AS (
+             SELECT n_chars,
+                    CASE WHEN n_chars >= (SELECT quantile_disc(n_chars, 0.8)
+                                          FROM documents)
+                         THEN 1 ELSE 0 END AS is_test
+             FROM documents)
+           SELECT is_test, n_chars FROM l"""
+    ).fetchall()
+    test_vals = sorted(v for t, v in rows if t)
+    train_vals = sorted(v for t, v in rows if not t)
+    import bisect
+
+    wins = ties = 0
+    for v in test_vals:
+        lo = bisect.bisect_left(train_vals, v)
+        hi = bisect.bisect_right(train_vals, v)
+        wins += lo
+        ties += hi - lo
+    auc = (wins + ties / 2) / (len(test_vals) * len(train_vals))
+    assert auc > 0.95
