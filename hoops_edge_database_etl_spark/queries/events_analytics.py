@@ -4675,3 +4675,128 @@ def q366_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in out[1:]:
         res = res.unionByName(fr)
     return res
+
+
+RMST_HORIZON_DAYS = 24
+
+
+@query(
+    "q373_rmst",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+               AS dur,
+             CASE WHEN MAX(CAST(ts AS DATE)) < DATE '{KM_CENSOR_DATE}'
+                  THEN 1 ELSE 0 END AS churned
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    hist AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS cnt_all,
+             CAST(SUM(churned) AS BIGINT) AS d
+      FROM per_user GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             CAST((SELECT COUNT(*) FROM per_user) AS BIGINT)
+               - COALESCE(SUM(cnt_all) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM hist
+    ),
+    steps AS (SELECT dur, d, n_risk FROM risk WHERE d > 0),
+    folded AS (
+      SELECT s.dur,
+             list(CAST(p.n_risk - p.d AS DOUBLE) / p.n_risk
+                  ORDER BY p.dur) AS ratios
+      FROM steps s JOIN steps p ON p.dur <= s.dur
+      GROUP BY s.dur
+    ),
+    surv AS (
+      SELECT dur,
+             CAST(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), ratios),
+                  (a, b) -> a * b) AS DOUBLE) AS s_t
+      FROM folded WHERE dur < {RMST_HORIZON_DAYS}
+    ),
+    seg AS (
+      SELECT dur, s_t,
+             COALESCE(LEAD(dur) OVER (ORDER BY dur), {RMST_HORIZON_DAYS})
+               AS next_t
+      FROM surv
+    ),
+    head AS (
+      SELECT COALESCE(MIN(dur), {RMST_HORIZON_DAYS}) AS t1 FROM surv
+    )
+    SELECT CAST({RMST_HORIZON_DAYS} AS BIGINT) AS horizon_days,
+           CAST((SELECT COUNT(*) FROM surv) AS BIGINT) AS n_steps,
+           CAST(head.t1 AS DOUBLE)
+             + COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(seg.s_t * (seg.next_t - seg.dur) ORDER BY seg.dur)),
+                 (a, b) -> a + b), 0)
+             AS rmst_days
+    FROM head LEFT JOIN seg ON TRUE
+    GROUP BY head.t1
+    """,
+)
+def q373_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTRICTED MEAN SURVIVAL TIME — the area under q328's KM curve up
+    to a horizon τ={RMST_HORIZON_DAYS}: "expected active days per user
+    in their first τ" — the survival summary regulators and A/B
+    readouts prefer over medians when curves cross or the median
+    isn't reached (censoring-aware expected lifetime, directly in
+    day units a finance model can multiply by daily revenue). The
+    integral of a step function is a sum of rectangles: S=1 from 0 to
+    the first death time, then S(t_k)·(t_{k+1}−t_k) per step, last
+    rectangle truncated at τ — one LEAD over the step table plus the
+    head segment. Survival values replay q328's ordered-fold product
+    (float order fixed on both engines); rectangle widths are exact
+    integer day gaps. Comparing arms = running this per treatment
+    group and differencing — the RMST-difference test that's
+    replacing logrank in pragmatic trials."""
+    steps = q328_kaplan_meier(spark, sf_dir).filter(
+        F.col("t_days") < RMST_HORIZON_DAYS
+    )
+    wl = Window.orderBy("t_days")
+    seg = steps.select(
+        "t_days",
+        "survival",
+        F.coalesce(
+            F.lead("t_days").over(wl), F.lit(RMST_HORIZON_DAYS).cast("long")
+        ).alias("next_t"),
+    )
+    head = steps.agg(
+        F.coalesce(F.min("t_days"), F.lit(RMST_HORIZON_DAYS).cast("long")).alias(
+            "t1"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+    )
+    # float rectangle areas fold in t order (the q328 rule: float sums
+    # over rows must have a fixed order to hash-match across engines)
+    area = seg.agg(
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("t_days").alias("t"),
+                                (
+                                    F.col("survival")
+                                    * (F.col("next_t") - F.col("t_days"))
+                                ).alias("a"),
+                            )
+                        )
+                    ),
+                    lambda x: x["a"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0.0),
+        ).alias("rect_area")
+    )
+    return head.crossJoin(F.broadcast(area)).select(
+        F.lit(RMST_HORIZON_DAYS).cast("bigint").alias("horizon_days"),
+        F.col("n_steps").cast("bigint").alias("n_steps"),
+        (F.col("t1").cast("double") + F.col("rect_area")).alias("rmst_days"),
+    )

@@ -2251,3 +2251,197 @@ def q363_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 18) AS z_stat",
         )
     )
+
+
+EVENT_STUDY_DAY = 15   # the "event" date (day index of 2024-01-16 launch)
+EVENT_WINDOW = 5       # offsets −W..+W reported
+
+
+@query(
+    "q372_event_study",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    baseline AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS base_sum,
+             CAST(COUNT(*) AS BIGINT) AS base_days
+      FROM daily WHERE d < {EVENT_STUDY_DAY} - {EVENT_WINDOW}
+    ),
+    win AS (
+      SELECT d - {EVENT_STUDY_DAY} AS offset_d, cents
+      FROM daily
+      WHERE d >= {EVENT_STUDY_DAY} - {EVENT_WINDOW}
+        AND d <= {EVENT_STUDY_DAY} + {EVENT_WINDOW}
+    ),
+    ab AS (
+      SELECT w.offset_d, w.cents,
+             w.cents - CAST(b.base_sum AS DOUBLE) / b.base_days AS abnormal
+      FROM win w, baseline b
+    )
+    SELECT offset_d, cents AS actual_cents,
+           abnormal AS abnormal_cents,
+           SUM(abnormal) OVER (ORDER BY offset_d ROWS UNBOUNDED PRECEDING)
+             AS cumulative_abnormal
+    FROM ab
+    """,
+)
+def q372_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT STUDY — finance's launch-impact lens without a control
+    group: each day in the ±{EVENT_WINDOW}-day window around the
+    event earns an ABNORMAL return (actual minus the pre-window
+    baseline mean — the counterfactual is the series' own calm
+    past), and the CUMULATIVE abnormal return (CAR) is the running
+    sum whose post-event drift is the effect estimate. Complements
+    the causal shelf's designs: q327's DiD differences out a control
+    GROUP; the event study differences out a control PERIOD — what
+    you run when everyone got the treatment at once (price change,
+    outage, press). Baseline strictly precedes the window (no
+    event-day leakage into the counterfactual — the classic bug);
+    abnormal returns are fixed-order floats off exact cents; the CAR
+    fold is an ordered cumulative window over 2·{EVENT_WINDOW}+1
+    rows. Per-security studies at scale = one more partition key on
+    every window."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    baseline = daily.filter(
+        F.col("d") < EVENT_STUDY_DAY - EVENT_WINDOW
+    ).agg(
+        F.sum("cents").cast("long").alias("base_sum"),
+        F.count(F.lit(1)).cast("long").alias("base_days"),
+    )
+    win = daily.filter(
+        (F.col("d") >= EVENT_STUDY_DAY - EVENT_WINDOW)
+        & (F.col("d") <= EVENT_STUDY_DAY + EVENT_WINDOW)
+    ).select((F.col("d") - EVENT_STUDY_DAY).alias("offset_d"), "cents")
+    ab = win.crossJoin(F.broadcast(baseline)).select(
+        "offset_d",
+        F.col("cents").alias("actual_cents"),
+        (
+            F.col("cents")
+            - F.col("base_sum").cast("double") / F.col("base_days")
+        ).alias("abnormal_cents"),
+    )
+    wc = Window.orderBy("offset_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ab.select(
+        "offset_d",
+        "actual_cents",
+        "abnormal_cents",
+        F.sum("abnormal_cents").over(wc).alias("cumulative_abnormal"),
+    )
+
+
+def _dow_terms(prefix: str) -> str:
+    return " + ".join(f"{prefix}{i}" for i in range(7))
+
+
+_SEAS_COLS_SQL = ", ".join(
+    f"""CAST(SUM(CASE WHEN d % 7 = {i} THEN 1 ELSE 0 END) AS BIGINT) AS n{i},
+        CAST(SUM(CASE WHEN d % 7 = {i} THEN dollars ELSE 0 END) AS BIGINT) AS s{i},
+        CAST(SUM(CASE WHEN d % 7 = {i} THEN dollars * dollars ELSE 0 END)
+          AS BIGINT) AS q{i}"""
+    for i in range(7)
+)
+_SEAS_SSB = " + ".join(f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(7))
+
+
+@query(
+    "q374_seasonality_strength",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT)
+               AS dollars
+      FROM events GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT event_type, {_SEAS_COLS_SQL}
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(({_dow_terms("n")}) AS BIGINT) AS n_days,
+           (({_SEAS_SSB})
+            - CAST(({_dow_terms("s")}) AS DOUBLE) * ({_dow_terms("s")})
+              / ({_dow_terms("n")}))
+           / (CAST(({_dow_terms("q")}) AS DOUBLE)
+              - CAST(({_dow_terms("s")}) AS DOUBLE) * ({_dow_terms("s")})
+                / ({_dow_terms("n")})) AS eta_squared,
+           (({_SEAS_SSB})
+            - CAST(({_dow_terms("s")}) AS DOUBLE) * ({_dow_terms("s")})
+              / ({_dow_terms("n")}))
+           / (CAST(({_dow_terms("q")}) AS DOUBLE)
+              - CAST(({_dow_terms("s")}) AS DOUBLE) * ({_dow_terms("s")})
+                / ({_dow_terms("n")})) > 0.3 AS is_seasonal
+    FROM piv
+    """,
+)
+def q374_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY STRENGTH — "does day-of-week explain this series":
+    eta-squared of the weekly cycle, i.e. the between-day-of-week sum
+    of squares over the total (q323's one-way ANOVA pointed at the
+    calendar; Hyndman's `seasonal_strength` is the STL-based cousin).
+    Above the 0.3 line, q321's seasonal-naive forecaster and q159's
+    slot baselines are the right defaults; below it they just add
+    variance — this query is the ROUTER for that decision. Day-of-
+    week is d mod 7 on days-since-Monday-2024-01-01 (the q292
+    engine-neutral rule, never dayofweek()); per-type moments pivot
+    to 21 literal columns so every float combines in one fixed
+    expression; integer dollars keep Σx² safe. Cost: the daily rollup
+    is the only real shuffle; the ANOVA itself runs on a
+    calendar-bounded aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("dollars")
+    )
+    aggs = []
+    for i in range(7):
+        cond = F.col("d") % 7 == i
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("dollars")).otherwise(0))
+            .cast("long")
+            .alias(f"s{i}"),
+            F.sum(F.when(cond, F.col("dollars") * F.col("dollars")).otherwise(0))
+            .cast("long")
+            .alias(f"q{i}"),
+        ]
+    piv = daily.groupBy("event_type").agg(*aggs)
+    nn, ss, qq = _dow_terms("n"), _dow_terms("s"), _dow_terms("q")
+    eta = (
+        f"(({_SEAS_SSB}) - CAST(({ss}) AS DOUBLE) * ({ss}) / ({nn}))"
+        f" / (CAST(({qq}) AS DOUBLE)"
+        f" - CAST(({ss}) AS DOUBLE) * ({ss}) / ({nn}))"
+    )
+    return piv.selectExpr(
+        "event_type",
+        f"CAST(({nn}) AS BIGINT) AS n_days",
+        f"{eta} AS eta_squared",
+        f"{eta} > 0.3 AS is_seasonal",
+    )

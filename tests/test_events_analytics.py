@@ -1065,3 +1065,35 @@ def test_q366_elimination_structure(spark):
         if rnd + 1 in by_round:
             assert advancing == {r["event_type"] for r in by_round[rnd + 1]}
     assert sum(1 for r in by_round[3] if r["advances"]) == 1
+
+
+def test_q373_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q373_rmst")
+
+
+def test_q373_rmst_bounds_and_curve_consistency(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        RMST_HORIZON_DAYS,
+    )
+
+    [r] = all_queries()["q373_rmst"](spark, SF_DIR).collect()
+    assert 0 < r["rmst_days"] <= RMST_HORIZON_DAYS
+    # recompute from the KM curve directly
+    steps = sorted(
+        (
+        s
+        for s in all_queries()["q328_kaplan_meier"](spark, SF_DIR).collect()
+        if s["t_days"] < RMST_HORIZON_DAYS
+        ),
+        key=lambda s: s["t_days"],
+    )
+    assert r["n_steps"] == len(steps)
+    area = steps[0]["t_days"] if steps else RMST_HORIZON_DAYS
+    for i, s in enumerate(steps):
+        nxt = steps[i + 1]["t_days"] if i + 1 < len(steps) else RMST_HORIZON_DAYS
+        area += s["survival"] * (nxt - s["t_days"])
+    assert abs(r["rmst_days"] - area) < 1e-9

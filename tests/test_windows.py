@@ -579,3 +579,73 @@ def test_q363_var_positive_and_z_sign(spark):
         assert r["var_x18"] > 0
         if r["s_stat"] != 0:
             assert (r["z_stat"] > 0) == (r["s_stat"] > 0)
+
+
+def test_q372_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q372_event_study")
+
+
+def test_q372_car_is_running_sum_and_baseline_clean(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.windows import EVENT_WINDOW
+
+    rows = sorted(
+        all_queries()["q372_event_study"](spark, SF_DIR).collect(),
+        key=lambda r: r["offset_d"],
+    )
+    assert [r["offset_d"] for r in rows] == list(
+        range(-EVENT_WINDOW, EVENT_WINDOW + 1)
+    )
+    run = 0.0
+    for r in rows:
+        run += r["abnormal_cents"]
+        assert abs(r["cumulative_abnormal"] - run) < 1e-6
+
+
+def test_q374_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q374_seasonality_strength")
+
+
+def test_q374_eta2_bounds_and_planted_cycle(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    for r in all_queries()["q374_seasonality_strength"](spark, SF_DIR).collect():
+        assert 0.0 <= r["eta_squared"] <= 1.0
+        assert r["is_seasonal"] == (r["eta_squared"] > 0.3)
+
+    # planted pure weekly cycle: eta^2 == 1 exactly
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame(
+        [("s", d, 100 + (d % 7) * 10) for d in range(28)],
+        "event_type string, d long, dollars long",
+    )
+    mom = df.groupBy("event_type").agg(
+        *[
+            agg
+            for i in range(7)
+            for agg in (
+                FF.sum(FF.when(FF.col("d") % 7 == i, 1).otherwise(0)).alias(f"n{i}"),
+                FF.sum(FF.when(FF.col("d") % 7 == i, FF.col("dollars")).otherwise(0)).alias(f"s{i}"),
+                FF.sum(
+                    FF.when(FF.col("d") % 7 == i, FF.col("dollars") * FF.col("dollars")).otherwise(0)
+                ).alias(f"q{i}"),
+            )
+        ]
+    )
+    nn = " + ".join(f"n{i}" for i in range(7))
+    ss = " + ".join(f"s{i}" for i in range(7))
+    qq = " + ".join(f"q{i}" for i in range(7))
+    ssb = " + ".join(f"CAST(s{i} AS DOUBLE) * s{i} / n{i}" for i in range(7))
+    [row] = mom.selectExpr(
+        f"(({ssb}) - CAST(({ss}) AS DOUBLE) * ({ss}) / ({nn}))"
+        f" / (CAST(({qq}) AS DOUBLE) - CAST(({ss}) AS DOUBLE) * ({ss}) / ({nn}))"
+        " AS eta"
+    ).collect()
+    assert abs(row["eta"] - 1.0) < 1e-12
