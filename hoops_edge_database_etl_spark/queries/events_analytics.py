@@ -4800,3 +4800,80 @@ def q373_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_steps").cast("bigint").alias("n_steps"),
         (F.col("t1").cast("double") + F.col("rect_area")).alias("rmst_days"),
     )
+
+
+STATE_TTLS_DAYS = (1, 7, 30)
+STATE_BYTES_PER_KEY = 64
+STATE_STORE_BUDGET = 1 << 30  # per-executor comfort line, bytes
+
+
+@query(
+    "q377_state_size_advisor",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    ttls AS (SELECT UNNEST(ARRAY{list(STATE_TTLS_DAYS)}) AS ttl),
+    per_day AS (
+      SELECT t.ttl, dd.d,
+             CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_keys
+      FROM ttls t, days dd
+      JOIN ud u ON u.d > dd.d - t.ttl AND u.d <= dd.d
+      GROUP BY t.ttl, dd.d
+    )
+    SELECT ttl AS ttl_days,
+           CAST(MAX(active_keys) AS BIGINT) AS peak_keys,
+           CAST(MAX(active_keys) * {STATE_BYTES_PER_KEY} AS BIGINT)
+             AS est_state_bytes,
+           MAX(active_keys) * {STATE_BYTES_PER_KEY} < {STATE_STORE_BUDGET}
+             AS fits_budget
+    FROM per_day GROUP BY ttl
+    """,
+)
+def q377_state_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-SIZE ADVISOR — q299 picks the watermark DELAY; this prices
+    its MEMORY: a stateful streaming operator (q95's dedup, q156's
+    sessions) holds one state row per key seen within the TTL, so the
+    store's peak footprint is the max over time of distinct keys in
+    any trailing TTL window x bytes-per-key. Computed exactly per
+    candidate TTL from the (user, day) activity table — the windowed
+    COUNT DISTINCT the streaming runtime pays implicitly, paid here
+    once, offline, before an OOM teaches the same number in
+    production. At warehouse scale the window-join form shown here
+    gives way to q128/q202's first-seen cumsum trick (distinct-over-
+    window without the join); the advisory shape — TTL grid, peak,
+    verdict against a literal budget — is the product. The property
+    test checks monotonicity (longer TTL never shrinks state) and
+    that TTL=1 equals the busiest single day."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    days = ud.select("d").distinct()
+    ttls = spark.createDataFrame([(t,) for t in STATE_TTLS_DAYS], "ttl long")
+    dd = days.select(F.col("d").alias("win_end"))
+    per_day = (
+        ttls.crossJoin(dd)
+        .join(
+            ud,
+            (F.col("d") > F.col("win_end") - F.col("ttl"))
+            & (F.col("d") <= F.col("win_end")),
+        )
+        .groupBy("ttl", "win_end")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_keys"))
+    )
+    return per_day.groupBy(F.col("ttl").alias("ttl_days")).agg(
+        F.max("active_keys").cast("bigint").alias("peak_keys"),
+        (F.max("active_keys") * STATE_BYTES_PER_KEY)
+        .cast("bigint")
+        .alias("est_state_bytes"),
+        (F.max("active_keys") * STATE_BYTES_PER_KEY < STATE_STORE_BUDGET).alias(
+            "fits_budget"
+        ),
+    )

@@ -13,10 +13,11 @@ scale rules differ — route through DOUBLE), no date formatting functions
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from hoops_edge_database_etl_spark.queries import query
-from hoops_edge_database_etl_spark.tables import register_views
+from hoops_edge_database_etl_spark.tables import load, register_views
 
 
 def _sql_query(name: str, sql: str, doc: str) -> None:
@@ -349,3 +350,102 @@ _sql_query(
     (acctbal DESC, name), hash-equal output — proof the registry's
     window-based top-k operators and the SQL surface agree.""",
 )
+
+
+@query(
+    "q376_null_semantics",
+    oracle="""
+    WITH holy AS (
+      -- seeded NULLs: clerk-era orders lose their custkey 1 time in 11
+      SELECT o_orderkey,
+             CASE WHEN CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                       || ':null'), 1, 8) AS BIGINT) % 11 = 0
+                  THEN NULL ELSE o_custkey END AS custkey
+      FROM orders
+    ),
+    probe AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+    SELECT 'not_in' AS method,
+           CAST((SELECT COUNT(*) FROM holy
+                 WHERE custkey NOT IN (SELECT c_custkey FROM probe))
+             AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'not_exists',
+           CAST((SELECT COUNT(*) FROM holy h
+                 WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                   WHERE p.c_custkey = h.custkey))
+             AS BIGINT)
+    UNION ALL
+    SELECT 'null_rows',
+           CAST((SELECT COUNT(*) FROM holy WHERE custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'not_in_null_safe',
+           CAST((SELECT COUNT(*) FROM holy
+                 WHERE custkey IS NOT NULL
+                   AND custkey NOT IN (SELECT c_custkey FROM probe))
+             AS BIGINT)
+    """,
+)
+def q376_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED-LOGIC AUDIT — the NOT IN trap, measured instead of
+    footnoted: against a probe list, `NOT IN` over a NULL-bearing
+    column returns rows where the predicate is TRUE — and x NOT IN
+    (...) is UNKNOWN for NULL x, so every NULL row silently vanishes
+    (and if the LIST held a NULL, the count would collapse to zero);
+    `NOT EXISTS` keeps them, because the correlated equality simply
+    never matches. This query emits all four counts — the two
+    semantics, the NULL population, and the guarded NOT IN — so the
+    invariant not_exists = not_in + null_rows (and not_in =
+    not_in_null_safe) is hash-checked across BOTH engines: the
+    strongest proof the repo's own anti-joins (q14, q291 — always
+    LEFT ANTI, never NOT IN) are built on the right rule. Seeded
+    NULLs use the house punch-out; at scale every branch is an
+    anti-join or a conditional count — this is a semantics fixture,
+    not a new plan shape."""
+    o = load(spark, sf_dir, "orders")
+    punched = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":null"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 11
+        == 0
+    )
+    holy = o.select(
+        F.when(punched, F.lit(None)).otherwise(F.col("o_custkey")).alias("custkey")
+    )
+    probe = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey")
+    )
+    holy.createOrReplaceTempView("q376_holy")
+    probe.createOrReplaceTempView("q376_probe")
+    return spark.sql(
+        """
+        SELECT 'not_in' AS method,
+               CAST((SELECT COUNT(*) FROM q376_holy
+                     WHERE custkey NOT IN (SELECT c_custkey FROM q376_probe))
+                 AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'not_exists',
+               CAST((SELECT COUNT(*) FROM q376_holy h
+                     WHERE NOT EXISTS (SELECT 1 FROM q376_probe p
+                                       WHERE p.c_custkey = h.custkey))
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'null_rows',
+               CAST((SELECT COUNT(*) FROM q376_holy WHERE custkey IS NULL)
+                 AS BIGINT)
+        UNION ALL
+        SELECT 'not_in_null_safe',
+               CAST((SELECT COUNT(*) FROM q376_holy
+                     WHERE custkey IS NOT NULL
+                       AND custkey NOT IN (SELECT c_custkey FROM q376_probe))
+                 AS BIGINT)
+        """
+    )

@@ -2424,3 +2424,75 @@ def q371_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "abs(CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) - 0.5)"
         " < 0.1 AS split_unbiased",
     )
+
+
+KNAPSACK_TOKEN_BUDGET = 10_000
+
+
+@query(
+    "q375_fractional_knapsack",
+    oracle=f"""
+    WITH items AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS value
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, tokens, value,
+             SUM(tokens) OVER (
+               ORDER BY value * 1000000 // tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM items
+    )
+    SELECT doc_id, tokens, value,
+           CAST(value * 1000000 // tokens AS BIGINT) AS density_ppm,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CASE WHEN cum_tokens <= {KNAPSACK_TOKEN_BUDGET} THEN 1000000
+                ELSE CAST(({KNAPSACK_TOKEN_BUDGET} - (cum_tokens - tokens))
+                     * 1000000 // tokens AS BIGINT) END AS take_ppm
+    FROM ranked
+    WHERE cum_tokens - tokens < {KNAPSACK_TOKEN_BUDGET}
+    """,
+)
+def q375_fractional_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL KNAPSACK curation — spend a {KNAPSACK_TOKEN_BUDGET}-
+    token training budget on the docs with the best value-per-token
+    (distinct-vocabulary yield here; any quality score slots in):
+    sort by density, take greedily, and split the ONE boundary doc
+    fractionally (its take_ppm is the truncation ratio a q322-style
+    cut applies) — for the fractional relaxation this greedy is
+    PROVABLY optimal, which makes the output a certified upper bound
+    on every 0/1 selection policy the curation team debates. Exact
+    ppm densities with doc-id tiebreaks; the cumulative-token window
+    runs over the corpus ordered by density — bounded here, and at
+    100 TB it's the q74 range-partitioned cumsum on the density key
+    (the same two-pass shape, different sort). Output is only the
+    funded prefix — budget-sized, not corpus-sized. Property-tested:
+    full docs + the boundary fraction hit the budget EXACTLY, and no
+    excluded doc has higher density than any included one."""
+    d = load(spark, sf_dir, "documents")
+    items = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("value"),
+    )
+    w = Window.orderBy(
+        F.expr("value * 1000000 DIV tokens").desc(), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = items.withColumn("cum_tokens", F.sum("tokens").over(w))
+    B = KNAPSACK_TOKEN_BUDGET
+    return ranked.filter(F.col("cum_tokens") - F.col("tokens") < B).select(
+        "doc_id",
+        "tokens",
+        "value",
+        F.expr("value * 1000000 DIV tokens").cast("bigint").alias("density_ppm"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.when(F.col("cum_tokens") <= B, F.lit(1_000_000))
+        .otherwise(
+            F.expr(f"({B} - (cum_tokens - tokens)) * 1000000 DIV tokens")
+        )
+        .cast("bigint")
+        .alias("take_ppm"),
+    )

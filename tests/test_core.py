@@ -210,3 +210,20 @@ def test_q298_fee_monotone_and_continuous(spark):
         dc = cur["cents"] - prev["cents"]
         assert dfee >= 0  # monotone
         assert dfee <= dc * max_ppm  # no boundary jump
+
+
+def test_q376_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q376_null_semantics")
+
+
+def test_q376_three_valued_logic_identities(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["method"]: r["n_rows"] for r in all_queries()["q376_null_semantics"](spark, SF_DIR).collect()}
+    assert rows["null_rows"] > 0  # the punch-out actually seeded NULLs
+    # NOT IN silently drops every NULL row; NOT EXISTS keeps them
+    assert rows["not_exists"] == rows["not_in"] + rows["null_rows"]
+    assert rows["not_in"] == rows["not_in_null_safe"]

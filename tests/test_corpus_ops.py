@@ -544,3 +544,41 @@ def test_q371_hash_split_passes_biased_split_fails(spark, duck):
         ties += hi - lo
     auc = (wins + ties / 2) / (len(test_vals) * len(train_vals))
     assert auc > 0.95
+
+
+def test_q375_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q375_fractional_knapsack")
+
+
+def test_q375_budget_exact_and_greedy_dominance(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import (
+        KNAPSACK_TOKEN_BUDGET,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+    import pyspark.sql.functions as FF
+
+    rows = all_queries()["q375_fractional_knapsack"](spark, SF_DIR).collect()
+    assert rows
+    spent = sum(r["tokens"] * r["take_ppm"] / 1_000_000 for r in rows)
+    assert abs(spent - KNAPSACK_TOKEN_BUDGET) < 1.0  # fractional boundary
+    assert sum(1 for r in rows if r["take_ppm"] < 1_000_000) <= 1
+    min_density = min(r["density_ppm"] for r in rows)
+    excluded = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            FF.expr(
+                "size(array_distinct(split(text, ' '))) * 1000000"
+                " DIV size(split(text, ' '))"
+            ).alias("density_ppm"),
+        )
+        .filter(~FF.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .agg(FF.max("density_ppm"))
+        .collect()[0][0]
+    )
+    # no excluded doc strictly denser than every included doc
+    assert excluded <= min_density or excluded is None

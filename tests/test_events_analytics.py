@@ -1097,3 +1097,33 @@ def test_q373_rmst_bounds_and_curve_consistency(spark):
         nxt = steps[i + 1]["t_days"] if i + 1 < len(steps) else RMST_HORIZON_DAYS
         area += s["survival"] * (nxt - s["t_days"])
     assert abs(r["rmst_days"] - area) < 1e-9
+
+
+def test_q377_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q377_state_size_advisor")
+
+
+def test_q377_state_monotone_in_ttl(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        STATE_BYTES_PER_KEY,
+    )
+
+    rows = sorted(
+        all_queries()["q377_state_size_advisor"](spark, SF_DIR).collect(),
+        key=lambda r: r["ttl_days"],
+    )
+    assert [r["ttl_days"] for r in rows] == [1, 7, 30]
+    peaks = [r["peak_keys"] for r in rows]
+    assert peaks == sorted(peaks)  # longer TTL never shrinks state
+    [(busiest,)] = duck.execute(
+        """SELECT MAX(n) FROM (
+             SELECT COUNT(DISTINCT user_id) AS n FROM events
+             GROUP BY CAST(ts AS DATE))"""
+    ).fetchall()
+    assert rows[0]["peak_keys"] == busiest
+    for r in rows:
+        assert r["est_state_bytes"] == r["peak_keys"] * STATE_BYTES_PER_KEY
