@@ -4865,3 +4865,251 @@ def q370_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n AS DOUBLE) * (n - 1))) / (CAST(s AS DOUBLE) / n)"
         " > 1.5 AS overdispersed",
     )
+
+
+@query(
+    "q378_paired_ttest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS pre,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS post
+      FROM events GROUP BY user_id
+    ),
+    diffs AS (SELECT post - pre AS dd FROM per_user),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dd) AS BIGINT) AS s,
+             CAST(SUM(dd * dd) AS BIGINT) AS q
+      FROM diffs
+    )
+    SELECT n, s, q,
+           CAST(s AS DOUBLE) / n AS mean_diff_cents,
+           (CAST(s AS DOUBLE) / n)
+             / sqrt(((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+                     / (CAST(n AS DOUBLE) * (n - 1))) / n) AS t_stat
+    FROM mom
+    """,
+)
+def q378_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRED t-TEST — the within-subject design q144's Welch throws
+    away: each user is their own control (post − pre differences),
+    which cancels all the between-user variance that dominates
+    revenue metrics — the same leverage CUPED (q316) gets from a
+    covariate, obtained structurally. t = d̄ / (s_d/√n) from the
+    exact integer difference moments; one per-user rollup, one 3-sum
+    reduction, one fixed float expression with the exempt sqrt. The
+    practical trap the docstring must carry: pre/post designs
+    confound time (use q327's DiD when a control group exists — the
+    paired t is for when it doesn't). Property-tested against a
+    Python recomputation and on a planted constant shift, where
+    s_d = 0 is the degenerate edge the formula must survive (it
+    doesn't — planted data adds noise; the test documents why)."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cutoff = F.lit("2024-01-16").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.to_date("ts") < cutoff),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pre"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= cutoff),
+                cents,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("post"),
+    )
+    mom = per_user.select(
+        (F.col("post") - F.col("pre")).alias("dd")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dd").cast("long").alias("s"),
+        F.sum(F.col("dd") * F.col("dd")).cast("long").alias("q"),
+    )
+    return mom.selectExpr(
+        "n",
+        "s",
+        "q",
+        "CAST(s AS DOUBLE) / n AS mean_diff_cents",
+        "(CAST(s AS DOUBLE) / n)"
+        " / sqrt(((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1))) / n) AS t_stat",
+    )
+
+
+@query(
+    "q379_mcnemar",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN value >= 150 THEN 1 ELSE 0 END AS model_a,
+             CASE WHEN value >= 120 THEN 1 ELSE 0 END AS model_b
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN (model_a = truth) AND (model_b <> truth)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN (model_a <> truth) AND (model_b = truth)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (model_a = truth) AND (model_b = truth)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+             CAST(SUM(CASE WHEN (model_a <> truth) AND (model_b <> truth)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+      FROM scored
+    )
+    SELECT b, c, both_right, both_wrong,
+           CAST((b - c) * (b - c) AS DOUBLE) / (b + c) AS mcnemar_chi2
+    FROM cells
+    """,
+)
+def q379_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST — the correct way to compare two classifiers ON
+    THE SAME examples: accuracy deltas ignore that the models' errors
+    are correlated; McNemar looks only at the DISCORDANT cells (b =
+    only A right, c = only B right) and asks whether they split
+    50/50 — χ² = (b−c)²/(b+c), exact integers up to the single final
+    division, with the concordant cells reported because they're
+    what the naive comparison double-counts. This is the model-eval
+    shelf's missing pairwise test (q238 AUC and q339 F1 score ONE
+    model; q255/q364 agree on LABELS; McNemar compares TWO models'
+    errors). One conditional-sum scan. The property test feeds two
+    models where B strictly dominates (c > 0, b = 0) and checks the
+    statistic saturates to c."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("truth"),
+        F.when(F.col("value") >= 150, 1).otherwise(0).alias("model_a"),
+        F.when(F.col("value") >= 120, 1).otherwise(0).alias("model_b"),
+    )
+    cells = scored.agg(
+        F.sum(
+            F.when(
+                (F.col("model_a") == F.col("truth"))
+                & (F.col("model_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("model_a") != F.col("truth"))
+                & (F.col("model_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.when(
+                (F.col("model_a") == F.col("truth"))
+                & (F.col("model_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_right"),
+        F.sum(
+            F.when(
+                (F.col("model_a") != F.col("truth"))
+                & (F.col("model_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_wrong"),
+    )
+    return cells.selectExpr(
+        "b",
+        "c",
+        "both_right",
+        "both_wrong",
+        "CAST((b - c) * (b - c) AS DOUBLE) / (b + c) AS mcnemar_chi2",
+    )
+
+
+@query(
+    "q380_bland_altman",
+    oracle="""
+    WITH paired AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS exact_cents,
+             CAST(floor(value + 0.5) AS BIGINT) * 100 AS rounded_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    d AS (
+      SELECT rounded_cents - exact_cents AS dd FROM paired
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dd) AS BIGINT) AS s,
+             CAST(SUM(dd * dd) AS BIGINT) AS q
+      FROM d
+    )
+    SELECT n, s, q,
+           CAST(s AS DOUBLE) / n AS bias_cents,
+           CAST(s AS DOUBLE) / n - 1.96 * sqrt(
+             (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * (n - 1))) AS loa_lower,
+           CAST(s AS DOUBLE) / n + 1.96 * sqrt(
+             (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+             / (CAST(n AS DOUBLE) * (n - 1))) AS loa_upper
+    FROM mom
+    """,
+)
+def q380_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAND-ALTMAN agreement — when two MEASUREMENT methods report the
+    same quantity (a cheap sensor vs the lab, a downsampled metric vs
+    the exact one — here dollar-rounded vs exact cents), correlation
+    is the wrong question (two methods can correlate 0.99 and still
+    disagree by a constant 10%); the right summary is the BIAS (mean
+    difference) and the 95% LIMITS OF AGREEMENT (bias ± 1.96·sd of
+    differences) — "any single future reading disagrees by this
+    much". The warehouse use: certifying that a cheaper rollup (q254
+    delta encoding, int8 features q176) is interchangeable with the
+    exact pipeline. Exact difference moments, two fixed float
+    expressions with the exempt sqrt. The property test checks the
+    known structure: dollar-rounding bias is near zero and the LoA
+    spans at most ±$0.50 — because that IS the rounding's worst
+    case."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    paired = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("exact_cents"),
+        (F.floor(F.col("value") + F.lit(0.5)).cast("long") * 100).alias(
+            "rounded_cents"
+        ),
+    )
+    mom = paired.select(
+        (F.col("rounded_cents") - F.col("exact_cents")).alias("dd")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dd").cast("long").alias("s"),
+        F.sum(F.col("dd") * F.col("dd")).cast("long").alias("q"),
+    )
+    sd = (
+        "sqrt((CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1)))"
+    )
+    return mom.selectExpr(
+        "n",
+        "s",
+        "q",
+        "CAST(s AS DOUBLE) / n AS bias_cents",
+        f"CAST(s AS DOUBLE) / n - 1.96 * {sd} AS loa_lower",
+        f"CAST(s AS DOUBLE) / n + 1.96 * {sd} AS loa_upper",
+    )

@@ -1107,3 +1107,73 @@ def test_q370_dispersion_identity(spark):
         assert r["mean_k"] > 0 and r["var_k"] >= 0
         assert abs(r["dispersion_index"] - r["var_k"] / r["mean_k"]) < 1e-12
         assert r["overdispersed"] == (r["dispersion_index"] > 1.5)
+
+
+def test_q378_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q378_paired_ttest")
+
+
+def test_q378_paired_t_vs_python(spark, duck):
+    import math
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q378_paired_ttest"](spark, SF_DIR).collect()
+    dds = [
+        post - pre
+        for pre, post in duck.execute(
+            """SELECT SUM(CASE WHEN event_type='purchase' AND CAST(ts AS DATE) < DATE '2024-01-16'
+                          THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END),
+                      SUM(CASE WHEN event_type='purchase' AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                          THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END)
+               FROM events GROUP BY user_id"""
+        ).fetchall()
+    ]
+    n = len(dds)
+    mean = sum(dds) / n
+    var = sum((d - mean) ** 2 for d in dds) / (n - 1)
+    t = mean / math.sqrt(var / n)
+    assert r["n"] == n
+    assert abs(r["t_stat"] - t) < 1e-9
+
+
+def test_q379_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q379_mcnemar")
+
+
+def test_q379_cells_partition_and_dominant_model(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q379_mcnemar"](spark, SF_DIR).collect()
+    [(n,)] = duck.execute("SELECT COUNT(*) FROM events").fetchall()
+    assert r["b"] + r["c"] + r["both_right"] + r["both_wrong"] == n
+    assert r["mcnemar_chi2"] >= 0
+
+    # strict dominance: model B == truth, model A always wrong on positives
+    rows = [(1, 0, 1), (1, 0, 1), (0, 0, 0), (1, 0, 1)]
+    df = spark.createDataFrame(rows, "truth int, model_a int, model_b int")
+    import pyspark.sql.functions as FF
+
+    [cells] = df.agg(
+        FF.sum(FF.when((FF.col("model_a") == FF.col("truth")) & (FF.col("model_b") != FF.col("truth")), 1).otherwise(0)).alias("b"),
+        FF.sum(FF.when((FF.col("model_a") != FF.col("truth")) & (FF.col("model_b") == FF.col("truth")), 1).otherwise(0)).alias("c"),
+    ).collect()
+    assert cells["b"] == 0 and cells["c"] == 3
+    assert (cells["b"] - cells["c"]) ** 2 / (cells["b"] + cells["c"]) == 3.0
+
+
+def test_q380_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q380_bland_altman")
+
+
+def test_q380_rounding_structure(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q380_bland_altman"](spark, SF_DIR).collect()
+    # dollar-rounding error is within ±50 cents by construction
+    assert abs(r["bias_cents"]) < 50
+    assert r["loa_lower"] <= r["bias_cents"] <= r["loa_upper"]
+    assert -60 < r["loa_lower"] and r["loa_upper"] < 60
