@@ -1339,3 +1339,97 @@ def q344_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("catch_ppm"),
         F.first(theory).alias("theory_mid"),
     )
+
+
+@query(
+    "q381_dup_cluster_histogram",
+    oracle="""
+    WITH feed AS (
+      -- replayed-ingest fixture: docs hashing 0 mod 7 arrive twice more
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents, (SELECT 1 AS r UNION ALL SELECT 2) dup
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dup'),
+                 1, 8) AS BIGINT) % 7 = 0
+    ),
+    clusters AS (
+      SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM feed GROUP BY md5(text)
+    ),
+    hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM clusters GROUP BY cluster_size
+    ),
+    tot AS (
+      SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS n_docs FROM hist
+    )
+    SELECT h.cluster_size, h.n_clusters,
+           CAST(h.cluster_size * h.n_clusters AS BIGINT) AS n_docs_in_bucket,
+           CAST((h.cluster_size - 1) * h.n_clusters AS BIGINT)
+             AS removable_docs,
+           CAST(h.cluster_size * h.n_clusters * 1000000 // t.n_docs AS BIGINT)
+             AS share_ppm
+    FROM hist h, tot t
+    """,
+)
+def q381_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-CLUSTER SIZE HISTOGRAM — the shape report a dedup run
+    files before deleting anything: how many exact-content clusters of
+    each size exist (a replayed-ingest fixture triples an md5-chosen
+    1/7 of docs so the histogram has a dup tail to report), how many docs they hold, and the REMOVABLE count
+    (size − 1 per cluster — what q41's keep-one policy will actually
+    delete). Web-scale corpora show heavy-tailed cluster sizes (a few
+    boilerplate pages duplicated millions of times dominate the
+    savings), and this histogram is how you see that before
+    committing — plus the capacity-planning number: Σ removable is
+    the exact byte-recovery forecast's numerator. Two grouped counts
+    (hash → size, size → bucket) + a broadcast total; the content
+    hash keeps the shuffle key 16 bytes (q41's rule). The property
+    test reconciles Σ n_docs_in_bucket with the corpus and
+    Σ removable with q41's is_dup count — the histogram and the
+    dedup must tell one story."""
+    d = load(spark, sf_dir, "documents")
+    dup_sel = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dup"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+        == 0
+    )
+    extra = (
+        d.filter(dup_sel)
+        .select("text")
+        .crossJoin(spark.createDataFrame([(1,), (2,)], "r int"))
+        .select("text")
+    )
+    feed = d.select("text").unionAll(extra)
+    clusters = feed.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs_in_bucket"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("removable_docs"),
+        F.expr("cluster_size * n_clusters * 1000000 DIV n_docs")
+        .cast("bigint")
+        .alias("share_ppm"),
+    )

@@ -586,3 +586,84 @@ def q310_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eff.orderBy(
         F.abs("delta_rev_cents").desc(), "partkey"
     ).limit(20)
+
+
+AGING_SNAPSHOT = "1996-06-01"
+AGING_BUCKETS = (30, 60, 90)  # days-past thresholds
+
+
+@query(
+    "q382_aging_buckets",
+    oracle=f"""
+    WITH open_orders AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(DATE '{AGING_SNAPSHOT}' - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS age_days,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      WHERE CAST(o.o_orderdate AS DATE) < DATE '{AGING_SNAPSHOT}'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > DATE '{AGING_SNAPSHOT}'
+        )
+    ),
+    bucketed AS (
+      SELECT o_orderpriority,
+             CASE WHEN age_days <= {AGING_BUCKETS[0]} THEN 'current'
+                  WHEN age_days <= {AGING_BUCKETS[1]} THEN '31-60'
+                  WHEN age_days <= {AGING_BUCKETS[2]} THEN '61-90'
+                  ELSE '90+' END AS bucket,
+             cents
+      FROM open_orders
+    )
+    SELECT o_orderpriority, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM bucketed GROUP BY o_orderpriority, bucket
+    """,
+)
+def q382_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGING BUCKETS — the receivables/backlog waterfall every finance
+    close produces: orders still OPEN at a snapshot date (placed
+    before it, with at least one line yet to ship — a LEFT SEMI
+    against the future-shipment condition, the q197 aggregate-
+    threshold shape), laid out by priority x age bucket
+    (current / 31-60 / 61-90 / 90+ days). The aging bucket is a
+    literal CASE ladder over integer day differences — no float, no
+    calendar function drift (q292's rule); the semi-join is the only
+    real work and it shuffles on the order key both sides already
+    carry. The property test cross-checks totals against an
+    independent open-order count and that bucket boundaries land
+    exactly (an order aged 30 days is 'current', 31 is not — the
+    off-by-one every aging report ships once)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    snap = F.lit(AGING_SNAPSHOT).cast("date")
+    future_lines = li.filter(F.to_date("l_shipdate") > snap).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    open_orders = (
+        o.filter(F.to_date("o_orderdate") < snap)
+        .join(future_lines, "o_orderkey", "semi")
+        .select(
+            "o_orderpriority",
+            F.datediff(snap, F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("age_days"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    b0, b1, b2 = AGING_BUCKETS
+    bucket = (
+        F.when(F.col("age_days") <= b0, "current")
+        .when(F.col("age_days") <= b1, "31-60")
+        .when(F.col("age_days") <= b2, "61-90")
+        .otherwise("90+")
+    )
+    return open_orders.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_cents"),
+    )

@@ -524,3 +524,28 @@ def test_q345_recall_bounds_and_query_set(spark):
         assert r["recall_ppm"] == r["n_matched"] * 1_000_000 // 3
     # 16 of 64 dims should retain meaningful recall on average
     assert sum(r["n_matched"] for r in rows) > 0
+
+
+def test_q381_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q381_dup_cluster_histogram")
+
+
+def test_q381_histogram_reconciles(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q381_dup_cluster_histogram"](spark, SF_DIR).collect()
+    sizes = {r["cluster_size"] for r in rows}
+    assert 1 in sizes and 3 in sizes  # fixture makes triplicates
+    [(n_docs,)] = duck.execute("SELECT COUNT(*) FROM documents").fetchall()
+    [(n_dup,)] = duck.execute(
+        """SELECT COUNT(*) FROM documents
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dup'),
+                 1, 8) AS BIGINT) % 7 = 0"""
+    ).fetchall()
+    assert sum(r["n_docs_in_bucket"] for r in rows) == n_docs + 2 * n_dup
+    assert sum(r["removable_docs"] for r in rows) == 2 * n_dup
+    for r in rows:
+        assert r["n_docs_in_bucket"] == r["cluster_size"] * r["n_clusters"]

@@ -67,3 +67,30 @@ def test_q310_bridge_is_exact_identity(spark):
         assert r["volume_effect"] + r["price_effect"] == float(
             r["delta_rev_cents"]
         )
+
+
+def test_q382_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q382_aging_buckets")
+
+
+def test_q382_open_set_and_boundaries(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.tpch_shapes import (
+        AGING_SNAPSHOT,
+    )
+
+    rows = all_queries()["q382_aging_buckets"](spark, SF_DIR).collect()
+    assert rows
+    [(n_open,)] = duck.execute(
+        f"""SELECT COUNT(*) FROM orders o
+            WHERE CAST(o.o_orderdate AS DATE) < DATE '{AGING_SNAPSHOT}'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND CAST(l.l_shipdate AS DATE)
+                                > DATE '{AGING_SNAPSHOT}')"""
+    ).fetchall()
+    assert sum(r["n_orders"] for r in rows) == n_open
+    assert {r["bucket"] for r in rows} <= {"current", "31-60", "61-90", "90+"}
