@@ -5113,3 +5113,113 @@ def q380_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(s AS DOUBLE) / n - 1.96 * {sd} AS loa_lower",
         f"CAST(s AS DOUBLE) / n + 1.96 * {sd} AS loa_upper",
     )
+
+
+@query(
+    "q385_design_effect",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(cents) AS BIGINT) AS s_i
+      FROM ev GROUP BY user_id
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(s_i) AS BIGINT) AS s,
+             CAST(SUM(n_i * n_i) AS BIGINT) AS nn2,
+             CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(CAST(s_i AS DOUBLE) * s_i / n_i ORDER BY user_id)),
+                  (a, b) -> a + b) AS DOUBLE) AS ssb_raw
+      FROM per_user
+    ),
+    q AS (SELECT CAST(SUM(cents * cents) AS BIGINT) AS qq FROM ev),
+    comp AS (
+      SELECT f.k, f.n,
+             (f.ssb_raw - CAST(f.s AS DOUBLE) * f.s / f.n) / (f.k - 1) AS msb,
+             (CAST(q.qq AS DOUBLE) - f.ssb_raw) / (f.n - f.k) AS msw,
+             (CAST(f.n AS DOUBLE) - CAST(f.nn2 AS DOUBLE) / f.n) / (f.k - 1)
+               AS m0
+      FROM folded f, q
+    )
+    SELECT k AS n_clusters, n AS n_obs, m0,
+           (msb - msw) / (msb + (m0 - 1) * msw) AS icc,
+           1 + (m0 - 1) * ((msb - msw) / (msb + (m0 - 1) * msw)) AS deff,
+           CAST(n AS DOUBLE)
+             / (1 + (m0 - 1) * ((msb - msw) / (msb + (m0 - 1) * msw)))
+             AS effective_n
+    FROM comp
+    """,
+)
+def q385_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESIGN EFFECT — the clustered-data correction q341's power math
+    silently needs: events cluster within users, so N events carry
+    fewer than N independent observations; the intraclass correlation
+    (one-way random-effects ANOVA: ICC = (MSB−MSW)/(MSB+(m₀−1)·MSW))
+    and DEFF = 1 + (m₀−1)·ICC convert raw N into EFFECTIVE N — the
+    divisor every event-level analysis of user-clustered data must
+    apply or its confidence intervals are fiction (the unit-of-
+    analysis error). With 150+ clusters the per-cluster s²/n terms
+    can't pivot to literal columns (the q323 trick caps at literal
+    group sets), so the float sum folds an ORDERED list keyed by
+    user_id — the q328/q373 rule scaled to group-indexed sums; every
+    other moment is an exact integer. m₀ is the ANOVA-estimator
+    average cluster size (not the naive mean — unequal clusters bias
+    it). Property-tested against a Python recomputation and the
+    effective_n = N/DEFF identity."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("cents").cast("long").alias("s_i"),
+    )
+    folded = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("nn2"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("user_id").alias("u"),
+                            (
+                                F.col("s_i").cast("double")
+                                * F.col("s_i")
+                                / F.col("n_i")
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        ).alias("ssb_raw"),
+    )
+    qq = ev.agg(
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("qq")
+    )
+    comp = folded.crossJoin(F.broadcast(qq)).selectExpr(
+        "k",
+        "n",
+        "(ssb_raw - CAST(s AS DOUBLE) * s / n) / (k - 1) AS msb",
+        "(CAST(qq AS DOUBLE) - ssb_raw) / (n - k) AS msw",
+        "(CAST(n AS DOUBLE) - CAST(nn2 AS DOUBLE) / n) / (k - 1) AS m0",
+    )
+    icc = "(msb - msw) / (msb + (m0 - 1) * msw)"
+    return comp.selectExpr(
+        "k AS n_clusters",
+        "n AS n_obs",
+        "m0",
+        f"{icc} AS icc",
+        f"1 + (m0 - 1) * ({icc}) AS deff",
+        f"CAST(n AS DOUBLE) / (1 + (m0 - 1) * ({icc})) AS effective_n",
+    )

@@ -2496,3 +2496,45 @@ def q375_fractional_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("take_ppm"),
     )
+
+
+@query(
+    "q383_langid_eval",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                  FROM documents),
+    preds AS (
+      SELECT lang AS labeled_lang,
+             {{argmax}} AS predicted_lang
+      FROM toks
+    )
+    SELECT labeled_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM preds GROUP BY labeled_lang, predicted_lang
+    """.format(
+        argmax=_argmax_case({lang: _score_duck(lang) for lang in LANG_MARKERS})
+    ),
+)
+def q383_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANG-ID CONFUSION MATRIX — q49 ships a classifier; this grades
+    it: the full labeled-vs-predicted language matrix, whose diagonal
+    mass is accuracy and whose off-diagonal cells name the SPECIFIC
+    confusions (Romance-language bleed, zh washing out on short docs)
+    — the per-class truth the q339 one-vs-rest scaffolding then
+    summarizes. Evaluating a REGISTERED operator against labels the
+    corpus already carries is the cheapest eval in the repo: the
+    classifier is the same shuffle-free expression q49 compiles, and
+    the matrix is one small groupBy — the pattern (ship the op, ship
+    its grade) the dedup (q308), ANN (q251/q345), and forecast (q321)
+    families follow. At 100 TB the labeled slice is the sample you
+    paid annotators for; the matrix costs one pass over it."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("w"))
+    scores = {lang: _score_expr(lang) for lang in LANG_MARKERS}
+    preds = toks.select(
+        F.col("lang").alias("labeled_lang"),
+        F.expr(_argmax_case(scores)).alias("predicted_lang"),
+    )
+    return preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -708,3 +708,60 @@ def q267_repeat_factor_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_copies"),
     )
+
+
+@query(
+    "q384_tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text,
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS subtoks,
+             CAST(strlen(text) AS BIGINT) AS bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(subtoks) AS BIGINT) AS subtokens,
+           CAST(SUM(subtoks) AS DOUBLE) / SUM(words) AS fertility,
+           CAST(SUM(bytes) AS DOUBLE) / SUM(subtoks) AS bytes_per_subtoken
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q384_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY — subtokens per word, the multilingual-cost
+    metric every tokenizer paper reports: a language whose words
+    shatter into many pieces pays proportionally more context window,
+    more latency, and more per-token billing for the SAME content (the
+    known inequity of English-centric vocabularies). Here the q233
+    regex pre-tokenizer plays the subword tokenizer over the corpus
+    text, whitespace words are the denominator (q51's rule), and
+    bytes-per-subtoken completes the q305 accounting chain
+    (bytes→chars→words→subtokens). Integer sums with the two ratios
+    divided once at the edge — re-blendable across shards. This is
+    the measurement that decides whether a vocabulary retrain (q229's
+    BPE step) is worth the migration; the property test checks
+    fertility >= the punctuation floor and that the q305 byte chain
+    reconciles."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        )
+        .cast("long")
+        .alias("subtoks"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("subtoks").cast("bigint").alias("subtokens"),
+        (F.sum("subtoks").cast("double") / F.sum("words")).alias("fertility"),
+        (F.sum("bytes").cast("double") / F.sum("subtoks")).alias(
+            "bytes_per_subtoken"
+        ),
+    )

@@ -1177,3 +1177,35 @@ def test_q380_rounding_structure(spark):
     assert abs(r["bias_cents"]) < 50
     assert r["loa_lower"] <= r["bias_cents"] <= r["loa_upper"]
     assert -60 < r["loa_lower"] and r["loa_upper"] < 60
+
+
+def test_q385_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q385_design_effect")
+
+
+def test_q385_icc_vs_python_and_identities(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q385_design_effect"](spark, SF_DIR).collect()
+    groups = {}
+    for uid, cents in duck.execute(
+        "SELECT user_id, CAST(floor(value*100+0.5) AS BIGINT) FROM events"
+    ).fetchall():
+        groups.setdefault(uid, []).append(cents)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    ssb_raw = sum(sum(groups[u]) ** 2 / len(groups[u]) for u in sorted(groups))
+    qq = sum(x * x for v in groups.values() for x in v)
+    msb = (ssb_raw - s * s / n) / (k - 1)
+    msw = (qq - ssb_raw) / (n - k)
+    nn2 = sum(len(v) ** 2 for v in groups.values())
+    m0 = (n - nn2 / n) / (k - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1 + (m0 - 1) * icc
+    assert r["n_clusters"] == k and r["n_obs"] == n
+    assert abs(r["icc"] - icc) < 1e-9
+    assert abs(r["deff"] - deff) < 1e-9
+    assert abs(r["effective_n"] - n / deff) < 1e-6
+    assert -1.0 < r["icc"] < 1.0 and r["deff"] > 0

@@ -582,3 +582,47 @@ def test_q375_budget_exact_and_greedy_dominance(spark):
     )
     # no excluded doc strictly denser than every included doc
     assert excluded <= min_density or excluded is None
+
+
+def test_q383_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q383_langid_eval")
+
+
+def test_q383_matrix_reconciles_with_q49(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q383_langid_eval"](spark, SF_DIR).collect()
+    [(n_docs,)] = duck.execute("SELECT COUNT(*) FROM documents").fetchall()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # the matrix must agree with q49's per-doc predictions exactly
+    preds = all_queries()["q49_lang_id"](spark, SF_DIR).collect()
+    from collections import Counter
+
+    want = Counter((p["labeled_lang"], p["predicted_lang"]) for p in preds)
+    got = {(r["labeled_lang"], r["predicted_lang"]): r["n_docs"] for r in rows}
+    assert got == dict(want)
+    # the stopword classifier on synthetic word-soup text is noisy but
+    # must clearly beat the 20% chance line
+    diag = sum(v for (l, p), v in got.items() if l == p)
+    assert diag > int(1.5 * n_docs / 5)
+
+
+def test_q384_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q384_tokenizer_fertility")
+
+
+def test_q384_fertility_floor_and_byte_chain(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q384_tokenizer_fertility"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["fertility"] >= 1.0  # every word yields >= 1 subtoken
+        assert r["bytes_per_subtoken"] > 0
+        assert r["subtokens"] >= r["words"]
