@@ -5223,3 +5223,108 @@ def q385_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"1 + (m0 - 1) * ({icc}) AS deff",
         f"CAST(n AS DOUBLE) / (1 + (m0 - 1) * ({icc})) AS effective_n",
     )
+
+
+@query(
+    "q386_stratified_ate",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                    || ':exp1'), 1, 8) AS BIGINT) % 2 = 0
+                  THEN 0 ELSE 1 END AS t,
+             CAST(COUNT(*) AS BIGINT) AS activity,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    strat AS (
+      SELECT t, y,
+             (ROW_NUMBER() OVER (ORDER BY activity, user_id) - 1) * 5
+               // COUNT(*) OVER () AS s
+      FROM per_user
+    ),
+    cells AS (
+      SELECT s,
+             CAST(SUM(t) AS BIGINT) AS n1,
+             CAST(SUM(t * y) AS BIGINT) AS s1,
+             CAST(SUM(1 - t) AS BIGINT) AS n0,
+             CAST(SUM((1 - t) * y) AS BIGINT) AS s0,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM strat GROUP BY s
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells)
+    SELECT c.s AS stratum, c.n1, c.n0,
+           CAST(c.s1 AS DOUBLE) / c.n1 - CAST(c.s0 AS DOUBLE) / c.n0
+             AS stratum_effect_cents,
+           (CAST(c.s1 AS DOUBLE) / c.n1 - CAST(c.s0 AS DOUBLE) / c.n0)
+             * c.n / t.n_all AS weighted_contribution
+    FROM cells c, tot t
+    """,
+)
+def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED ATE — q347 FLAGS Simpson reversals; this produces the
+    number that survives them: per activity-quintile stratum, the arm
+    difference, each weighted by the stratum's population share — the
+    direct-standardization estimator (and exactly propensity-score
+    stratification when the stratifier proxies the propensity). The
+    weighted contributions SUM to the adjusted ATE, reported per
+    stratum so the heterogeneity q261's uplift deciles rank is visible
+    in the same table as the adjustment. Strata are exact rank
+    quintiles (q338's rule); every cell is an integer conditional sum;
+    per-stratum effects divide once, weights are n_s/N in one fixed
+    expression. The property test reconciles Σ contributions with the
+    direct standardization formula and the cells with q347's (whose
+    terciles coarsen these quintiles)."""
+    ev = load(spark, sf_dir, "events")
+    t = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        != 0
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.first(t).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("activity"),
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.to_date("ts") >= F.lit("2024-01-16").cast("date")),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    wr = Window.orderBy("activity", "user_id")
+    strat = (
+        per_user.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(n_tot))
+        .select("t", "y", F.expr("(rnk - 1) * 5 DIV n_all").alias("s"), "n_all")
+    )
+    cells = strat.groupBy("s", "n_all").agg(
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
+        F.sum(1 - F.col("t")).cast("long").alias("n0"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return cells.selectExpr(
+        "s AS stratum",
+        "n1",
+        "n0",
+        "CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0"
+        " AS stratum_effect_cents",
+        "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) * n / n_all"
+        " AS weighted_contribution",
+    )

@@ -792,3 +792,85 @@ def q325_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("target_files"),
     )
+
+
+TIER_HOT_DAYS, TIER_WARM_DAYS = 2, 5
+TIER_SNAPSHOT = "2024-01-31"
+TIER_BYTES_PER_EVENT = 96  # modeled row footprint in the store
+
+
+@query(
+    "q387_storage_tiering",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(DATE '{TIER_SNAPSHOT}' - MAX(CAST(ts AS DATE)) AS BIGINT)
+               AS idle_days
+      FROM events GROUP BY user_id, event_type
+    ),
+    tiered AS (
+      SELECT CASE WHEN idle_days <= {TIER_HOT_DAYS} THEN 'hot'
+                  WHEN idle_days <= {TIER_WARM_DAYS} THEN 'warm'
+                  ELSE 'cold' END AS tier,
+             n_events
+      FROM per_user
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS all_events FROM tiered)
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(t.n_events) AS BIGINT) AS n_events,
+           CAST(SUM(t.n_events) * {TIER_BYTES_PER_EVENT} AS BIGINT)
+             AS est_bytes,
+           CAST(SUM(t.n_events) * 1000000 // x.all_events AS BIGINT)
+             AS share_ppm
+    FROM tiered t, tot x GROUP BY t.tier, x.all_events
+    """,
+)
+def q387_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORAGE-TIERING PLAN — the lifecycle policy every lakehouse bill
+    eventually forces: partition the store by ACCESS RECENCY (each
+    user's data is a partition; last event = last access) into
+    hot (<= {TIER_HOT_DAYS}d idle, stays on NVMe/cache), warm
+    (<= {TIER_WARM_DAYS}d, standard object storage), cold (archive
+    tier), and price each tier's bytes — the what-if that justifies
+    an S3 lifecycle rule with data instead of a guess. Completes the
+    physical-economics shelf: q269 compacts files, q273 picks
+    encodings, q325 sizes partitions, q377 sizes streaming state —
+    this one places bytes on the price curve. Integer day buckets
+    (q382's ladder), ppm shares, one per-key rollup. The property
+    test checks the tiers partition the population and that tier
+    shares shift monotonically when the thresholds widen."""
+    ev = load(spark, sf_dir, "events")
+    snap = F.lit(TIER_SNAPSHOT).cast("date")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.datediff(snap, F.max(F.to_date("ts"))).cast("long").alias("idle_days"),
+    )
+    tier = (
+        F.when(F.col("idle_days") <= TIER_HOT_DAYS, "hot")
+        .when(F.col("idle_days") <= TIER_WARM_DAYS, "warm")
+        .otherwise("cold")
+    )
+    tiered = per_user.select(tier.alias("tier"), "n_events")
+    tot = tiered.agg(F.sum("n_events").cast("long").alias("all_events"))
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            (F.sum("n_events") * TIER_BYTES_PER_EVENT)
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_partitions",
+            "n_events",
+            "est_bytes",
+            F.expr("n_events * 1000000 DIV all_events")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

@@ -667,3 +667,92 @@ def q382_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("cents").cast("bigint").alias("open_cents"),
     )
+
+
+@query(
+    "q388_totals_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
+             li.line_cents
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    ),
+    banded AS (
+      SELECT CASE
+               WHEN line_cents IS NULL THEN 'no_lines'
+               WHEN header_cents = line_cents THEN 'exact'
+               WHEN abs(header_cents - line_cents) * 20 <= line_cents
+                 THEN 'within_5pct'
+               WHEN abs(header_cents - line_cents) * 4 <= line_cents
+                 THEN 'within_25pct'
+               WHEN header_cents > line_cents THEN 'over_25pct_high'
+               ELSE 'over_25pct_low' END AS band,
+             header_cents,
+             COALESCE(line_cents, 0) AS line_cents
+      FROM j
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(header_cents) AS BIGINT) AS header_cents,
+           CAST(SUM(line_cents) AS BIGINT) AS line_cents,
+           CAST(SUM(abs(header_cents - line_cents)) AS BIGINT)
+             AS abs_gap_cents
+    FROM banded GROUP BY band
+    """,
+)
+def q388_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEADER-vs-DETAIL RECONCILIATION — the audit every finance close
+    runs: does the order header total equal the sum of its lines?
+    Banded by RELATIVE gap using pure integer cross-multiplied
+    comparisons (|Δ|·20 <= lines is "within 5%" — no float ratio, no
+    negative-division trap), with the line-less orders (q291's
+    orphan fact) as their own band. On this synthetic data the answer
+    is loud — ZERO orders reconcile exactly, gaps run to ±$700k —
+    which is precisely the report's value: a reconciliation query
+    that assumed the invariant instead of measuring it would have
+    propagated header revenue and line revenue as interchangeable
+    when they differ materially (they feed q12 and q01
+    respectively — this query is WHY the repo always names which).
+    One grouped line-sum + one left join + a banded rollup; at 100 TB
+    the join shuffles on the key both tables already carry."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sums = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("line_cents")
+    )
+    j = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("header_cents"),
+    ).join(sums, "o_orderkey", "left")
+    gap = F.abs(F.col("header_cents") - F.col("line_cents"))
+    band = (
+        F.when(F.col("line_cents").isNull(), "no_lines")
+        .when(F.col("header_cents") == F.col("line_cents"), "exact")
+        .when(gap * 20 <= F.col("line_cents"), "within_5pct")
+        .when(gap * 4 <= F.col("line_cents"), "within_25pct")
+        .when(F.col("header_cents") > F.col("line_cents"), "over_25pct_high")
+        .otherwise("over_25pct_low")
+    )
+    banded = j.select(
+        band.alias("band"),
+        "header_cents",
+        F.coalesce("line_cents", F.lit(0)).cast("long").alias("line_cents"),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("header_cents").cast("bigint").alias("header_cents"),
+        F.sum("line_cents").cast("bigint").alias("line_cents"),
+        F.sum(F.abs(F.col("header_cents") - F.col("line_cents")))
+        .cast("bigint")
+        .alias("abs_gap_cents"),
+    )

@@ -1209,3 +1209,23 @@ def test_q385_icc_vs_python_and_identities(spark, duck):
     assert abs(r["deff"] - deff) < 1e-9
     assert abs(r["effective_n"] - n / deff) < 1e-6
     assert -1.0 < r["icc"] < 1.0 and r["deff"] > 0
+
+
+def test_q386_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q386_stratified_ate")
+
+
+def test_q386_contributions_sum_to_standardized_ate(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q386_stratified_ate"](spark, SF_DIR).collect()
+    assert {r["stratum"] for r in rows} == {0, 1, 2, 3, 4}
+    total = sum(r["weighted_contribution"] for r in rows)
+    # direct standardization identity: contributions reassemble the ATE
+    recomputed = sum(
+        r["stratum_effect_cents"] * (r["n1"] + r["n0"]) for r in rows
+    ) / sum(r["n1"] + r["n0"] for r in rows)
+    assert abs(total - recomputed) < 1e-6
+    for r in rows:
+        assert r["n1"] > 0 and r["n0"] > 0  # every stratum has both arms

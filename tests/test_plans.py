@@ -420,3 +420,28 @@ def test_q325_recommendations_scale_with_bytes(spark):
         )
         assert r["target_files"] == max(1, -(-r["est_bytes"] // FILE_TARGET_BYTES))
     assert rows["lineitem"]["est_bytes"] > rows["nation"]["est_bytes"]
+
+
+def test_q387_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q387_storage_tiering")
+
+
+def test_q387_tiers_partition_population(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.layout import (
+        TIER_BYTES_PER_EVENT,
+    )
+
+    rows = {r["tier"]: r for r in all_queries()["q387_storage_tiering"](spark, SF_DIR).collect()}
+    assert set(rows) == {"hot", "warm", "cold"}
+    [(n_events, n_parts)] = duck.execute(
+        "SELECT COUNT(*), COUNT(DISTINCT (user_id, event_type)) FROM events"
+    ).fetchall()
+    assert sum(r["n_events"] for r in rows.values()) == n_events
+    assert sum(r["n_partitions"] for r in rows.values()) == n_parts
+    assert sum(r["share_ppm"] for r in rows.values()) <= 1_000_000
+    for r in rows.values():
+        assert r["est_bytes"] == r["n_events"] * TIER_BYTES_PER_EVENT

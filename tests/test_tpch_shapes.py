@@ -94,3 +94,26 @@ def test_q382_open_set_and_boundaries(spark, duck):
     ).fetchall()
     assert sum(r["n_orders"] for r in rows) == n_open
     assert {r["bucket"] for r in rows} <= {"current", "31-60", "61-90", "90+"}
+
+
+def test_q388_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q388_totals_reconciliation")
+
+
+def test_q388_bands_partition_orders_and_expose_generator(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["band"]: r for r in all_queries()["q388_totals_reconciliation"](spark, SF_DIR).collect()}
+    [(n_orders,)] = duck.execute("SELECT COUNT(*) FROM orders").fetchall()
+    assert sum(r["n_orders"] for r in rows.values()) == n_orders
+    # the generator fact this audit exists to surface:
+    assert rows.get("exact") is None  # zero orders reconcile exactly
+    assert "no_lines" in rows  # q291's orphan orders appear as a band
+    for r in rows.values():
+        if r["band"] != "no_lines":
+            assert r["abs_gap_cents"] >= abs(
+                r["header_cents"] - r["line_cents"]
+            ) - 1  # triangle bound
