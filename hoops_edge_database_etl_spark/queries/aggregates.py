@@ -5255,13 +5255,14 @@ def q385_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n
       FROM strat GROUP BY s
     ),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cells)
+    kept AS (SELECT * FROM cells WHERE n1 > 0 AND n0 > 0),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM kept)
     SELECT c.s AS stratum, c.n1, c.n0,
            CAST(c.s1 AS DOUBLE) / c.n1 - CAST(c.s0 AS DOUBLE) / c.n0
              AS stratum_effect_cents,
            (CAST(c.s1 AS DOUBLE) / c.n1 - CAST(c.s0 AS DOUBLE) / c.n0)
              * c.n / t.n_all AS weighted_contribution
-    FROM cells c, tot t
+    FROM kept c, tot t
     """,
 )
 def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5310,16 +5311,20 @@ def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat = (
         per_user.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .crossJoin(F.broadcast(n_tot))
-        .select("t", "y", F.expr("(rnk - 1) * 5 DIV n_all").alias("s"), "n_all")
+        .select("t", "y", F.expr("(rnk - 1) * 5 DIV n_all").alias("s"))
     )
-    cells = strat.groupBy("s", "n_all").agg(
+    cells = strat.groupBy("s").agg(
         F.sum("t").cast("long").alias("n1"),
         F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
         F.sum(1 - F.col("t")).cast("long").alias("n0"),
         F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    return cells.selectExpr(
+    # positivity: a stratum missing an arm has no defined effect; drop it
+    # and renormalize the standardization weights over retained strata
+    kept = cells.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    tot = kept.agg(F.sum("n").cast("long").alias("n_all"))
+    return kept.crossJoin(F.broadcast(tot)).selectExpr(
         "s AS stratum",
         "n1",
         "n0",
