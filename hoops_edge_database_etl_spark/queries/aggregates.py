@@ -5333,3 +5333,151 @@ def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) * n / n_all"
         " AS weighted_contribution",
     )
+
+
+JACKKNIFE_GROUPS = 20  # delete-one hash buckets
+
+
+@query(
+    "q390_jackknife_ratio",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':jk'),
+                  1, 8) AS BIGINT) % {JACKKNIFE_GROUPS} AS g,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS rev,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS clicks
+      FROM events GROUP BY user_id
+    ),
+    grp AS (
+      SELECT g, CAST(SUM(rev) AS BIGINT) AS r_g,
+             CAST(SUM(clicks) AS BIGINT) AS c_g
+      FROM per_user GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(r_g) AS BIGINT) AS r, CAST(SUM(c_g) AS BIGINT) AS c
+      FROM grp
+    ),
+    loo AS (
+      SELECT grp.g,
+             CAST(tot.r - grp.r_g AS DOUBLE) / (tot.c - grp.c_g) AS theta_g
+      FROM grp, tot
+    ),
+    jack AS (
+      SELECT CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(theta_g ORDER BY g)), (a, b) -> a + b)
+               / {JACKKNIFE_GROUPS} AS DOUBLE) AS theta_bar
+      FROM loo
+    ),
+    vr AS (
+      SELECT CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list((l.theta_g - j.theta_bar) * (l.theta_g - j.theta_bar)
+                       ORDER BY l.g)), (a, b) -> a + b)
+               * ({JACKKNIFE_GROUPS} - 1) / {JACKKNIFE_GROUPS} AS DOUBLE)
+               AS var_jack
+      FROM loo l, jack j
+    )
+    SELECT tot.r AS revenue_cents, tot.c AS clicks,
+           CAST(tot.r AS DOUBLE) / tot.c AS ratio_cents_per_click,
+           vr.var_jack,
+           sqrt(vr.var_jack) AS se_jack
+    FROM tot, vr
+    """,
+)
+def q390_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-GROUP JACKKNIFE — the standard error for RATIO metrics
+    (revenue per click, CTR, cost per acquisition) that the naive
+    per-row variance gets WRONG because numerator and denominator
+    covary within users: bucket users into {JACKKNIFE_GROUPS} hash
+    groups, recompute the ratio leaving each group out (cheap: totals
+    minus the group's — no rescan), and the spread of the leave-one-
+    out estimates IS the sampling variance, (k−1)/k·Σ(θ_g − θ̄)².
+    This is how large experimentation platforms CI every ratio metric
+    (delete-a-group / "delta method's honest cousin"). The two float
+    reductions over k estimates fold ORDERED lists (q385's rule);
+    everything upstream is exact integer totals, so doubling k
+    re-buckets without touching the math. The property test
+    recomputes in Python and checks the CI behaves (positive SE,
+    theta within a few SEs of every LOO estimate)."""
+    ev = load(spark, sf_dir, "events")
+    g = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":jk"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % JACKKNIFE_GROUPS
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.first(g).alias("g"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rev"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+    )
+    grp = per_user.groupBy("g").agg(
+        F.sum("rev").cast("long").alias("r_g"),
+        F.sum("clicks").cast("long").alias("c_g"),
+    )
+    tot = grp.agg(
+        F.sum("r_g").cast("long").alias("r"), F.sum("c_g").cast("long").alias("c")
+    )
+    loo = grp.crossJoin(F.broadcast(tot)).select(
+        "g",
+        (
+            (F.col("r") - F.col("r_g")).cast("double")
+            / (F.col("c") - F.col("c_g"))
+        ).alias("theta_g"),
+    )
+    k = JACKKNIFE_GROUPS
+
+    def ordered_sum(col_expr):
+        return F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("g").alias("g"), col_expr.alias("x")))
+                ),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+
+    jack = loo.agg((ordered_sum(F.col("theta_g")) / k).alias("theta_bar"))
+    vr = (
+        loo.crossJoin(F.broadcast(jack))
+        .agg(
+            (
+                ordered_sum(
+                    (F.col("theta_g") - F.col("theta_bar"))
+                    * (F.col("theta_g") - F.col("theta_bar"))
+                )
+                * (k - 1)
+                / k
+            ).alias("var_jack")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(vr))
+        .selectExpr(
+            "r AS revenue_cents",
+            "c AS clicks",
+            "CAST(r AS DOUBLE) / c AS ratio_cents_per_click",
+            "var_jack",
+            "sqrt(var_jack) AS se_jack",
+        )
+    )

@@ -4877,3 +4877,66 @@ def q377_state_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fits_budget"
         ),
     )
+
+
+APDEX_T_CENTS = 5000  # satisfied threshold T; tolerating up to 4T
+
+
+@query(
+    "q389_apdex",
+    oracle=f"""
+    WITH lat AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v <= {APDEX_T_CENTS} THEN 1 ELSE 0 END)
+             AS BIGINT) AS satisfied,
+           CAST(SUM(CASE WHEN v > {APDEX_T_CENTS}
+                          AND v <= 4 * {APDEX_T_CENTS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+           CAST((2 * SUM(CASE WHEN v <= {APDEX_T_CENTS} THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN v > {APDEX_T_CENTS}
+                             AND v <= 4 * {APDEX_T_CENTS}
+                            THEN 1 ELSE 0 END)) * 1000000
+                // (2 * COUNT(*)) AS BIGINT) AS apdex_ppm
+    FROM lat GROUP BY event_type
+    """,
+)
+def q389_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APDEX — the industry's user-satisfaction compression of a latency
+    distribution: (satisfied + tolerating/2)/total with satisfied <= T
+    and tolerating <= 4T (the Apdex Alliance spec's fixed 4x ratio),
+    here over per-event values as the latency stand-in. The /2 is the
+    only fraction and it clears by doubling (the house x2 rule), so
+    the score is exact ppm floor division — an SLO page can compare
+    two services' Apdex without a float in sight. Apdex exists
+    because percentiles (q107/q208) answer "how bad is the tail"
+    while product owners ask "what share of users were HAPPY" — both
+    belong on the dashboard, which is why this joins the q320 burn-
+    rate family. One conditional-sum scan; per-endpoint-per-minute
+    Apdex is the same aggregate under more keys."""
+    ev = load(spark, sf_dir, "events")
+    lat = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    T = APDEX_T_CENTS
+    sat = F.sum(F.when(F.col("v") <= T, 1).otherwise(0))
+    tol = F.sum(
+        F.when((F.col("v") > T) & (F.col("v") <= 4 * T), 1).otherwise(0)
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        sat.cast("bigint").alias("satisfied"),
+        tol.cast("bigint").alias("tolerating"),
+        F.expr(
+            f"(2 * SUM(CASE WHEN v <= {T} THEN 1 ELSE 0 END)"
+            f" + SUM(CASE WHEN v > {T} AND v <= {4 * T} THEN 1 ELSE 0 END))"
+            f" * 1000000 DIV (2 * COUNT(*))"
+        )
+        .cast("bigint")
+        .alias("apdex_ppm"),
+    )

@@ -1229,3 +1229,43 @@ def test_q386_contributions_sum_to_standardized_ate(spark, duck):
     assert abs(total - recomputed) < 1e-6
     for r in rows:
         assert r["n1"] > 0 and r["n0"] > 0  # every stratum has both arms
+
+
+def test_q390_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q390_jackknife_ratio")
+
+
+def test_q390_jackknife_vs_python(spark, duck):
+    import math
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.aggregates import (
+        JACKKNIFE_GROUPS,
+    )
+
+    [r] = all_queries()["q390_jackknife_ratio"](spark, SF_DIR).collect()
+    groups = {}
+    for g, rev, clicks in duck.execute(
+        f"""SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':jk'),
+                  1, 8) AS BIGINT) % {JACKKNIFE_GROUPS},
+                  SUM(CASE WHEN event_type='purchase'
+                       THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END),
+                  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+            FROM events GROUP BY user_id"""
+    ).fetchall():
+        a, b = groups.get(g, (0, 0))
+        groups[g] = (a + rev, b + clicks)
+    R = sum(a for a, _ in groups.values())
+    C = sum(b for _, b in groups.values())
+    thetas = [(R - a) / (C - b) for g, (a, b) in sorted(groups.items())]
+    k = len(thetas)
+    tbar = sum(thetas) / k
+    var = (k - 1) / k * sum((t - tbar) ** 2 for t in thetas)
+    assert r["revenue_cents"] == R and r["clicks"] == C
+    assert abs(r["var_jack"] - var) < 1e-9 * max(var, 1e-12)
+    assert r["se_jack"] > 0
+    # the point estimate sits within a few SEs of every LOO estimate
+    for t in thetas:
+        assert abs(t - r["ratio_cents_per_click"]) < 6 * r["se_jack"] + 1e-9
+    assert abs(r["se_jack"] - math.sqrt(var)) < 1e-12

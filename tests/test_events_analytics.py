@@ -1127,3 +1127,26 @@ def test_q377_state_monotone_in_ttl(spark, duck):
     assert rows[0]["peak_keys"] == busiest
     for r in rows:
         assert r["est_state_bytes"] == r["peak_keys"] * STATE_BYTES_PER_KEY
+
+
+def test_q389_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q389_apdex")
+
+
+def test_q389_apdex_identities(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        APDEX_T_CENTS,
+    )
+
+    rows = _q("q389_apdex")(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["satisfied"] + r["tolerating"] <= r["n"]
+        assert (
+            r["apdex_ppm"]
+            == (2 * r["satisfied"] + r["tolerating"]) * 1_000_000 // (2 * r["n"])
+        )
+        assert 0 <= r["apdex_ppm"] <= 1_000_000
