@@ -5481,3 +5481,86 @@ def q390_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(var_jack) AS se_jack",
         )
     )
+
+
+@query(
+    "q393_missingness_audit",
+    oracle="""
+    WITH feed AS (
+      -- segment-dependent sensor dropout: BUILDING loses 1/3, others 1/10
+      SELECT c_mktsegment AS seg,
+             CASE WHEN CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                       || ':miss'), 1, 8) AS BIGINT)
+                  % (CASE WHEN c_mktsegment = 'BUILDING' THEN 3 ELSE 10 END)
+                  = 0
+                  THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    ),
+    per_seg AS (
+      SELECT seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+      FROM feed GROUP BY seg
+    ),
+    ext AS (
+      SELECT MAX(n_missing * 1000000 // n) AS max_rate,
+             MIN(n_missing * 1000000 // n) AS min_rate
+      FROM per_seg
+    )
+    SELECT p.seg, p.n, p.n_missing,
+           CAST(p.n_missing * 1000000 // p.n AS BIGINT) AS rate_ppm,
+           e.max_rate > 2 * e.min_rate AS mcar_rejected
+    FROM per_seg p, ext e
+    """,
+)
+def q393_missingness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISSINGNESS-MECHANISM AUDIT — before imputing (q307) or dropping
+    NULLs, ask WHY they're missing: under MCAR the missing rate is
+    flat across observable covariates; here a seeded dropout loses
+    BUILDING customers' balances 3x more often than everyone else's,
+    and the audit must reject MCAR (max segment rate > 2x min, in
+    exact ppm integer comparison — no float rates). Rejecting MCAR is
+    the licence-revoker: complete-case analysis and mean imputation
+    are both biased once missingness tracks a covariate, and the
+    segment with the inflated rate names the stratum to re-weight or
+    model (MAR machinery). The mechanism and the detector are
+    separate code paths, so the property test recovers the planted
+    3x-vs-10x design exactly. One conditional aggregate + a 2-value
+    broadcast of the extremes."""
+    c = load(spark, sf_dir, "customer")
+    drop_mod = F.when(F.col("c_mktsegment") == "BUILDING", 3).otherwise(10)
+    missing = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":miss"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % drop_mod
+        == 0
+    )
+    feed = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(missing, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    per_seg = feed.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+    )
+    ext = per_seg.agg(
+        F.max(F.expr("n_missing * 1000000 DIV n")).alias("max_rate"),
+        F.min(F.expr("n_missing * 1000000 DIV n")).alias("min_rate"),
+    )
+    return per_seg.crossJoin(F.broadcast(ext)).selectExpr(
+        "seg",
+        "n",
+        "n_missing",
+        "CAST(n_missing * 1000000 DIV n AS BIGINT) AS rate_ppm",
+        "max_rate > 2 * min_rate AS mcar_rejected",
+    )

@@ -1433,3 +1433,92 @@ def q381_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+@query(
+    "q391_candidate_transitivity",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM band a JOIN band b ON a.b = b.b AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT i, j FROM cand UNION ALL SELECT j, i FROM cand),
+    wedges AS (
+      SELECT x.j AS apex, x.i AS u, y.j AS v
+      FROM sym x JOIN sym y ON y.i = x.j AND x.i < y.j
+    ),
+    closed AS (
+      SELECT w.apex, w.u, w.v,
+             CASE WHEN c.i IS NOT NULL THEN 1 ELSE 0 END AS is_closed
+      FROM wedges w LEFT JOIN cand c ON c.i = w.u AND c.j = w.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(SUM(is_closed) AS BIGINT) AS n_closed,
+           CAST(SUM(is_closed) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS closure_ppm
+    FROM closed
+    """,
+)
+def q391_candidate_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-GRAPH TRANSITIVITY — the audit between pair generation
+    (q43) and cluster formation (q62): connected components will
+    TRANSITIVELY merge a~b and b~c into one cluster whether or not
+    a~c holds, so the fraction of open wedges (a~b~c without a~c)
+    measures how much the clustering step ASSERTS beyond what LSH
+    observed — low closure means chains of borderline pairs are
+    welding unrelated docs into mega-clusters (the dedup disaster
+    mode: one hub doc bridges two real groups and both get deleted
+    to one survivor). Wedge enumeration is q118's triangle machinery
+    on the candidate graph (symmetrized join on the shared apex);
+    closure checks are one left join back to the pair set; ppm floor
+    division. Read with q308 (recall/precision) and q344 (S-curve),
+    this completes the LSH quality triptych: how many, how right,
+    how coherent."""
+    cand = (
+        q43_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("i"), F.col("doc_b").alias("j"))
+        .distinct()
+    )
+    sym = cand.unionAll(cand.select(F.col("j").alias("i"), F.col("i").alias("j")))
+    x = sym.select(F.col("j").alias("apex"), F.col("i").alias("u"))
+    y = sym.select(F.col("i").alias("apex2"), F.col("j").alias("v"))
+    wedges = x.join(
+        y, (F.col("apex") == F.col("apex2")) & (F.col("u") < F.col("v"))
+    ).select("apex", "u", "v")
+    closed = wedges.join(
+        cand.select(F.col("i").alias("u"), F.col("j").alias("v")).withColumn(
+            "hit", F.lit(1)
+        ),
+        ["u", "v"],
+        "left",
+    )
+    n_pairs = cand.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    stats = closed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_wedges"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_closed"),
+    )
+    return n_pairs.crossJoin(F.broadcast(stats)).selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(n_wedges AS BIGINT) AS n_wedges",
+        "CAST(n_closed AS BIGINT) AS n_closed",
+        "CAST(n_closed * 1000000 DIV GREATEST(n_wedges, 1) AS BIGINT)"
+        " AS closure_ppm",
+    )

@@ -2445,3 +2445,118 @@ def q374_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{eta} AS eta_squared",
         f"{eta} > 0.3 AS is_seasonal",
     )
+
+
+PERIOD_LAGS = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+
+
+@query(
+    "q392_dominant_period",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT)
+               AS dollars
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT a.event_type, l.lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.dollars) AS BIGINT) AS sx,
+             CAST(SUM(b.dollars) AS BIGINT) AS sy,
+             CAST(SUM(a.dollars * b.dollars) AS BIGINT) AS sxy,
+             CAST(SUM(a.dollars * a.dollars) AS BIGINT) AS sxx,
+             CAST(SUM(b.dollars * b.dollars) AS BIGINT) AS syy
+      FROM daily a
+      JOIN (SELECT UNNEST(ARRAY{list(PERIOD_LAGS)}) AS lag) l ON TRUE
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d + l.lag
+      GROUP BY a.event_type, l.lag
+    ),
+    acfs AS (
+      SELECT event_type, lag, n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS acf
+      FROM lagged
+    ),
+    best AS (
+      SELECT event_type, lag, n, acf,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY acf DESC, lag) AS rnk
+      FROM acfs
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS dominant_period_days,
+           CAST(n AS BIGINT) AS n_pairs, acf
+    FROM best WHERE rnk = 1
+    """,
+)
+def q392_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMINANT-PERIOD DETECTION — q374 assumes the cycle is weekly and
+    asks how strong; this asks WHICH cycle: the lag in 2..10 days
+    maximizing the lagged autocorrelation (the poor-engineer's
+    periodogram, exact where an FFT would drag in float transforms
+    Spark and DuckDB needn't agree on). Each lag's ACF is a full
+    Pearson on the overlapping pairs (q23's cross-multiplied
+    integers; both margins' variances, not the naive shared-mean
+    shortcut that biases short series), the lag grid is one literal
+    explode joined against the shifted series — nine lags cost one
+    self-join pass, not nine. Argmax with small-lag tiebreak. The
+    detected period feeds q321's LAG parameter and q374's grouping —
+    a 7 here is the data voting for the weekly model. Bounded:
+    calendar x lags rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("dollars")
+    )
+    lags = spark.createDataFrame([(l,) for l in PERIOD_LAGS], "lag long")
+    a = daily.select("event_type", "d", F.col("dollars").alias("x"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("dollars").alias("y"),
+    )
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("event_type") == F.col("et2"))
+            & (F.col("d2") == F.col("d") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+    )
+    acfs = lagged.selectExpr(
+        "event_type",
+        "lag",
+        "n",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS acf",
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("acf").desc(), "lag")
+    return (
+        acfs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("dominant_period_days"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            "acf",
+        )
+    )

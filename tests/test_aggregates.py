@@ -1269,3 +1269,22 @@ def test_q390_jackknife_vs_python(spark, duck):
     for t in thetas:
         assert abs(t - r["ratio_cents_per_click"]) < 6 * r["se_jack"] + 1e-9
     assert abs(r["se_jack"] - math.sqrt(var)) < 1e-12
+
+
+def test_q393_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q393_missingness_audit")
+
+
+def test_q393_recovers_planted_mechanism(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["seg"]: r for r in all_queries()["q393_missingness_audit"](spark, SF_DIR).collect()}
+    assert all(r["mcar_rejected"] for r in rows.values())
+    building = rows["BUILDING"]["rate_ppm"]
+    others = [r["rate_ppm"] for s, r in rows.items() if s != "BUILDING"]
+    # planted 1/3 vs 1/10 design: BUILDING ~333k ppm, others ~100k ppm
+    assert building > 2 * max(others) * 0.9
+    assert 200_000 < building < 500_000
+    for v in others:
+        assert 30_000 < v < 200_000

@@ -549,3 +549,19 @@ def test_q381_histogram_reconciles(spark, duck):
     assert sum(r["removable_docs"] for r in rows) == 2 * n_dup
     for r in rows:
         assert r["n_docs_in_bucket"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_q391_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q391_candidate_transitivity")
+
+
+def test_q391_closure_bounds(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q391_candidate_transitivity"](spark, SF_DIR).collect()
+    assert r["n_pairs"] > 0
+    assert 0 <= r["n_closed"] <= r["n_wedges"]
+    assert 0 <= r["closure_ppm"] <= 1_000_000

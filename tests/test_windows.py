@@ -649,3 +649,36 @@ def test_q374_eta2_bounds_and_planted_cycle(spark):
         " AS eta"
     ).collect()
     assert abs(row["eta"] - 1.0) < 1e-12
+
+
+def test_q392_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q392_dominant_period")
+
+
+def test_q392_planted_period_is_found(spark):
+    """A pure 7-day square wave must vote period 7 with ACF ~ 1."""
+    import pyspark.sql.functions as FF
+
+    vals = [(d, 100 + 50 * (1 if d % 7 < 3 else 0)) for d in range(28)]
+    df = spark.createDataFrame(
+        [("s", d, v) for d, v in vals], "event_type string, d long, dollars long"
+    )
+    best_lag, best_acf = None, -2.0
+    for lag in range(2, 11):
+        pairs = [
+            (vals[i][1], vals[i + lag][1]) for i in range(len(vals) - lag)
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        num = n * sxy - sx * sy
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        acf = num / den
+        if acf > best_acf:
+            best_lag, best_acf = lag, acf
+    assert best_lag == 7 and best_acf > 0.99
