@@ -5564,3 +5564,240 @@ def q393_missingness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_missing * 1000000 DIV n AS BIGINT) AS rate_ppm",
         "max_rate > 2 * min_rate AS mcar_rejected",
     )
+
+
+@query(
+    "q394_negative_binomial_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(k) AS BIGINT) AS s,
+             CAST(SUM(k * k) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    ),
+    mv AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS m,
+             (CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS v
+      FROM mom
+    )
+    SELECT event_type, n, m AS mean_k, v AS var_k,
+           CASE WHEN v > m THEN m * m / (v - m) ELSE NULL END AS nb_r,
+           CASE WHEN v > m THEN m / v ELSE NULL END AS nb_p,
+           v > m AS nb_applicable
+    FROM mv
+    """,
+)
+def q394_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-BINOMIAL FIT — q370 diagnoses overdispersion; this
+    prescribes the distribution: method-of-moments NB parameters
+    r = m²/(v−m) and p = m/v per stream, the two numbers a capacity
+    model or synthetic-data generator actually needs (NB is the
+    Poisson-Gamma mixture — r is the heterogeneity dial, and r→∞
+    recovers Poisson). When v <= m the mixture is unidentifiable and
+    the columns are an HONEST NULL with the applicability flag false
+    (an equi- or under-dispersed stream should be modeled Poisson or
+    binomial, not forced through a negative r — the failure mode of
+    blind MoM). Same exact integer moments as q370, two more fixed
+    float expressions; the property test checks the moment
+    round-trip (NB mean/variance from (r, p) reproduce m and v
+    exactly — the algebraic inverse)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("q"),
+    )
+    mv = mom.selectExpr(
+        "event_type",
+        "n",
+        "CAST(s AS DOUBLE) / n AS m",
+        "(CAST(n AS DOUBLE) * q - CAST(s AS DOUBLE) * s)"
+        " / (CAST(n AS DOUBLE) * (n - 1)) AS v",
+    )
+    return mv.selectExpr(
+        "event_type",
+        "n",
+        "m AS mean_k",
+        "v AS var_k",
+        "CASE WHEN v > m THEN m * m / (v - m) ELSE NULL END AS nb_r",
+        "CASE WHEN v > m THEN m / v ELSE NULL END AS nb_p",
+        "v > m AS nb_applicable",
+    )
+
+
+PREVALENCE_GRID_PPM = (10_000, 100_000, 500_000)
+
+
+@query(
+    "q395_prevalence_correction",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CASE WHEN value >= 150 THEN 1 ELSE 0 END AS pred
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(SUM(y * pred) AS BIGINT) AS tp,
+             CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn,
+             CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+             CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn
+      FROM scored
+    ),
+    rates AS (
+      SELECT tp, fn, fp, tn,
+             CAST(tp AS DOUBLE) / (tp + fn) AS sens,
+             CAST(tn AS DOUBLE) / (tn + fp) AS spec
+      FROM cells
+    )
+    SELECT g.prev_ppm, r.sens, r.spec,
+           (r.sens * g.prev_ppm)
+             / (r.sens * g.prev_ppm + (1 - r.spec) * (1000000 - g.prev_ppm))
+             AS ppv,
+           (r.spec * (1000000 - g.prev_ppm))
+             / (r.spec * (1000000 - g.prev_ppm) + (1 - r.sens) * g.prev_ppm)
+             AS npv
+    FROM rates r, (SELECT UNNEST(ARRAY{list(PREVALENCE_GRID_PPM)})
+                   AS prev_ppm) g
+    """,
+)
+def q395_prevalence_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREVALENCE-CORRECTED PPV/NPV — the deployment-shift arithmetic
+    that test-set precision hides: sensitivity and specificity are
+    properties of the CLASSIFIER, but precision is a property of the
+    classifier AND the base rate, so the q189 test-set precision is
+    wrong the moment deployment prevalence differs (fraud at 1%, not
+    the test set's 20%). Bayes does the correction:
+    PPV = sens·π / (sens·π + (1−spec)(1−π)) across a literal
+    prevalence grid in ppm — at π = 1% most flagged events are false
+    alarms even for a good classifier, the base-rate fallacy made
+    numeric. One confusion-cell scan; the grid is a literal unnest;
+    all floats fixed-order off exact integers. Property-tested
+    against Bayes' theorem recomputed directly and PPV monotonicity
+    in π."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("value") >= 150, 1).otherwise(0).alias("pred"),
+    )
+    cells = scored.agg(
+        F.sum(F.col("y") * F.col("pred")).cast("long").alias("tp"),
+        F.sum(F.col("y") * (1 - F.col("pred"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * F.col("pred")).cast("long").alias("fp"),
+        F.sum((1 - F.col("y")) * (1 - F.col("pred"))).cast("long").alias("tn"),
+    )
+    rates = cells.selectExpr(
+        "tp", "fn", "fp", "tn",
+        "CAST(tp AS DOUBLE) / (tp + fn) AS sens",
+        "CAST(tn AS DOUBLE) / (tn + fp) AS spec",
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in PREVALENCE_GRID_PPM], "prev_ppm long"
+    )
+    return rates.crossJoin(F.broadcast(grid)).selectExpr(
+        "prev_ppm",
+        "sens",
+        "spec",
+        "(sens * prev_ppm)"
+        " / (sens * prev_ppm + (1 - spec) * (1000000 - prev_ppm)) AS ppv",
+        "(spec * (1000000 - prev_ppm))"
+        " / (spec * (1000000 - prev_ppm) + (1 - sens) * prev_ppm) AS npv",
+    )
+
+
+@query(
+    "q396_weighted_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN value < 20 THEN 0 WHEN value < 60 THEN 1 ELSE 2 END AS a,
+             CASE WHEN value < 25 THEN 0 WHEN value < 70 THEN 1 ELSE 2 END AS b
+      FROM events
+    ),
+    conf AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o FROM rated GROUP BY a, b
+    ),
+    margins AS (
+      SELECT ra.a, rb.b, ra.row_n, rb.col_n
+      FROM (SELECT a, CAST(SUM(o) AS BIGINT) AS row_n FROM conf GROUP BY a) ra,
+           (SELECT b, CAST(SUM(o) AS BIGINT) AS col_n FROM conf GROUP BY b) rb
+    ),
+    sums AS (
+      SELECT CAST((SELECT SUM(o) FROM conf) AS BIGINT) AS n,
+             CAST((SELECT SUM((a - b) * (a - b) * o) FROM conf) AS BIGINT)
+               AS wo,
+             CAST((SELECT SUM((a - b) * (a - b) * row_n * col_n)
+                   FROM margins) AS BIGINT) AS we_scaled
+      FROM (SELECT 1)
+    )
+    SELECT n, wo, we_scaled,
+           1 - CAST(n AS DOUBLE) * wo / we_scaled AS qwk
+    FROM sums
+    """,
+)
+def q396_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUADRATIC-WEIGHTED KAPPA — ordinal agreement where NEAR misses
+    count: two raters putting an item one grade apart is penalized
+    (1−2)²=1 while two grades apart costs 4 — the metric medical
+    grading and essay-scoring ML standardized on (every Kaggle QWK
+    competition), and the right score for LLM-judge 1-5 ratings
+    where Cohen's kappa (q255) treats a 4-vs-5 split as total
+    disagreement. Everything is exact integers: observed weighted
+    disagreement ΣwO from the 3x3 confusion, expected from the
+    margin outer product scaled by N (one division at the edge:
+    κ_w = 1 − N·ΣwO / Σw·row·col). The two raters are ordinal
+    threshold stumps offset by a few dollars, so near-diagonal
+    mass dominates — the property test checks QWK lands between
+    plain Cohen's (which it should exceed here) and 1, and the
+    margins reconcile with N."""
+    ev = load(spark, sf_dir, "events")
+    rated = ev.select(
+        F.when(F.col("value") < 20, 0)
+        .when(F.col("value") < 60, 1)
+        .otherwise(2)
+        .alias("a"),
+        F.when(F.col("value") < 25, 0)
+        .when(F.col("value") < 70, 1)
+        .otherwise(2)
+        .alias("b"),
+    )
+    conf = rated.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = conf.groupBy("a").agg(F.sum("o").cast("long").alias("row_n"))
+    cols = conf.groupBy("b").agg(F.sum("o").cast("long").alias("col_n"))
+    margins = rows.crossJoin(cols)
+    n_wo = conf.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum((F.col("a") - F.col("b")) * (F.col("a") - F.col("b")) * F.col("o"))
+        .cast("long")
+        .alias("wo"),
+    )
+    we = margins.agg(
+        F.sum(
+            (F.col("a") - F.col("b"))
+            * (F.col("a") - F.col("b"))
+            * F.col("row_n")
+            * F.col("col_n")
+        )
+        .cast("long")
+        .alias("we_scaled")
+    )
+    return n_wo.crossJoin(F.broadcast(we)).selectExpr(
+        "n",
+        "wo",
+        "we_scaled",
+        "1 - CAST(n AS DOUBLE) * wo / we_scaled AS qwk",
+    )

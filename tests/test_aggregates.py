@@ -1288,3 +1288,74 @@ def test_q393_recovers_planted_mechanism(spark):
     assert 200_000 < building < 500_000
     for v in others:
         assert 30_000 < v < 200_000
+
+
+def test_q394_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q394_negative_binomial_fit")
+
+
+def test_q394_moment_round_trip(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = all_queries()["q394_negative_binomial_fit"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        if r["nb_applicable"]:
+            rr, p = r["nb_r"], r["nb_p"]
+            assert rr > 0 and 0 < p < 1
+            # NB(mean) = r(1-p)/p, NB(var) = r(1-p)/p² — the MoM inverse
+            assert abs(rr * (1 - p) / p - r["mean_k"]) < 1e-9
+            assert abs(rr * (1 - p) / p / p - r["var_k"]) < 1e-9
+        else:
+            assert r["nb_r"] is None and r["nb_p"] is None
+
+
+def test_q395_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q395_prevalence_correction")
+
+
+def test_q395_bayes_and_monotonicity(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q395_prevalence_correction"](spark, SF_DIR).collect(),
+        key=lambda r: r["prev_ppm"],
+    )
+    assert [r["prev_ppm"] for r in rows] == [10_000, 100_000, 500_000]
+    for r in rows:
+        pi = r["prev_ppm"] / 1_000_000
+        ppv = r["sens"] * pi / (r["sens"] * pi + (1 - r["spec"]) * (1 - pi))
+        assert abs(r["ppv"] - ppv) < 1e-12
+        assert 0 <= r["ppv"] <= 1 and 0 <= r["npv"] <= 1
+    # PPV rises with prevalence, NPV falls
+    assert rows[0]["ppv"] < rows[1]["ppv"] < rows[2]["ppv"]
+    assert rows[0]["npv"] > rows[2]["npv"]
+
+
+def test_q396_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q396_weighted_kappa")
+
+
+def test_q396_qwk_vs_python(spark, duck):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q396_weighted_kappa"](spark, SF_DIR).collect()
+    conf = {}
+    for a, b in duck.execute(
+        """SELECT CASE WHEN value < 20 THEN 0 WHEN value < 60 THEN 1 ELSE 2 END,
+                  CASE WHEN value < 25 THEN 0 WHEN value < 70 THEN 1 ELSE 2 END
+           FROM events"""
+    ).fetchall():
+        conf[(a, b)] = conf.get((a, b), 0) + 1
+    n = sum(conf.values())
+    wo = sum((a - b) ** 2 * o for (a, b), o in conf.items())
+    rowm = {a: sum(o for (x, _), o in conf.items() if x == a) for a in range(3)}
+    colm = {b: sum(o for (_, y), o in conf.items() if y == b) for b in range(3)}
+    we = sum((a - b) ** 2 * rowm[a] * colm[b] for a in range(3) for b in range(3))
+    qwk = 1 - n * wo / we
+    assert r["n"] == n and r["wo"] == wo and r["we_scaled"] == we
+    assert abs(r["qwk"] - qwk) < 1e-12
+    assert 0.5 < r["qwk"] <= 1.0  # near-identical thresholds agree strongly
