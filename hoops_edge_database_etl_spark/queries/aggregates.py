@@ -5801,3 +5801,90 @@ def q396_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "we_scaled",
         "1 - CAST(n AS DOUBLE) * wo / we_scaled AS qwk",
     )
+
+
+PROFIT_TP_CENTS, PROFIT_FP_CENTS = 400, 120  # benefit per catch, cost per alarm
+PROFIT_THRESHOLDS = (40, 60, 80, 100, 120, 150, 200, 250, 300)
+
+
+@query(
+    "q397_profit_threshold",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(floor(value) AS BIGINT) AS v
+      FROM events
+    ),
+    grid AS (SELECT UNNEST(ARRAY{list(PROFIT_THRESHOLDS)}) AS thr),
+    cells AS (
+      SELECT g.thr,
+             CAST(SUM(CASE WHEN s.v >= g.thr AND s.y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN s.v >= g.thr AND s.y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp
+      FROM scored s, grid g GROUP BY g.thr
+    ),
+    scoredg AS (
+      SELECT thr, tp, fp,
+             CAST(tp * {PROFIT_TP_CENTS} - fp * {PROFIT_FP_CENTS} AS BIGINT)
+               AS profit_cents
+      FROM cells
+    ),
+    best AS (SELECT MAX(profit_cents) AS best_profit FROM scoredg)
+    SELECT s.thr AS threshold, s.tp, s.fp, s.profit_cents,
+           s.profit_cents = b.best_profit AS is_optimal
+    FROM scoredg s, best b
+    """,
+)
+def q397_profit_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROFIT-OPTIMAL OPERATING POINT — the step after every classifier
+    metric in this repo (AUC q238, F1 q339, calibration q342): pick
+    the THRESHOLD, and pick it in money, not in F-scores — each grid
+    point's expected profit is tp·benefit − fp·cost with the
+    business's own literal economics (a fraud catch worth $4 against
+    a $1.20 review cost wants a very different threshold than
+    symmetric costs; accuracy-optimal and profit-optimal thresholds
+    agree only when costs do). The whole profit curve ships, flagged
+    at its max, because the NEIGHBORHOOD matters — a knife-edge
+    optimum is an unstable deployment. One scan x literal grid of
+    conditional sums (9 thresholds = one pass, the q395 grid trick),
+    pure integer cents. Property-tested: tp/fp are monotone in the
+    threshold and the flagged row is the argmax."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.floor("value").cast("long").alias("v"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in PROFIT_THRESHOLDS], "thr long"
+    )
+    cells = (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when((F.col("v") >= F.col("thr")) & (F.col("y") == 1), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("v") >= F.col("thr")) & (F.col("y") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    scoredg = cells.withColumn(
+        "profit_cents",
+        (F.col("tp") * PROFIT_TP_CENTS - F.col("fp") * PROFIT_FP_CENTS).cast(
+            "long"
+        ),
+    )
+    best = scoredg.agg(F.max("profit_cents").alias("best_profit"))
+    return scoredg.crossJoin(F.broadcast(best)).select(
+        F.col("thr").alias("threshold"),
+        F.col("tp").cast("bigint"),
+        F.col("fp").cast("bigint"),
+        F.col("profit_cents").cast("bigint"),
+        (F.col("profit_cents") == F.col("best_profit")).alias("is_optimal"),
+    )

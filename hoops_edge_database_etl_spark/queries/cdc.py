@@ -1162,3 +1162,137 @@ def q356_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     ).withColumn("term", F.lit("full_join"))
     return terms.unionByName(full.select("term", "n_rows", "revenue_cents"))
+
+
+@query(
+    "q400_health_scorecard",
+    oracle=f"""
+    WITH dup AS (
+      SELECT CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) * 1000000
+                  // SUM(cnt) AS BIGINT) AS v
+      FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY md5(text))
+    ),
+    recon AS (
+      SELECT CAST(SUM(CASE WHEN li.line_cents IS NOT NULL
+                        AND abs(CAST(floor(o.o_totalprice * 100 + 0.5)
+                                AS BIGINT) - li.line_cents) * 20
+                            <= li.line_cents
+                       THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS v
+      FROM orders o LEFT JOIN (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY l_orderkey
+      ) li ON li.l_orderkey = o.o_orderkey
+    ),
+    orphan AS (
+      SELECT CAST(COUNT(*) * 1000000
+                  // (SELECT COUNT(*) FROM orders) AS BIGINT) AS v
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey)
+    ),
+    err AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS v
+      FROM events
+    )
+    SELECT 'exact_dup_ppm' AS check_name, dup.v AS value_ppm,
+           dup.v <= 50000 AS passed FROM dup
+    UNION ALL
+    SELECT 'header_within5_ppm', recon.v, recon.v >= 100000 FROM recon
+    UNION ALL
+    SELECT 'orphan_order_ppm', orphan.v, orphan.v <= 50000 FROM orphan
+    UNION ALL
+    SELECT 'error_event_ppm', err.v, err.v <= 300000 FROM err
+    """,
+)
+def q400_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-HEALTH SCORECARD — the one-page verdict a platform team
+    pins to the wall, composed from four REGISTERED audit lineages:
+    exact-duplicate mass (q41's hash clusters), header-vs-detail
+    agreement within 5% (q388's band), orphaned orders (q291's FK
+    sweep), and the error-event share (q320's numerator) — each
+    compressed to one ppm number against a literal gate. The point
+    is the composition pattern: checks are the SAME expressions the
+    detailed audits run (not re-implementations drifting out of
+    sync), and the scorecard is a UNION of one-row aggregates, so
+    adding a check is appending a lineage — at 100 TB the scans
+    share the nightly audit pass. On this corpus the generator's
+    truth shows through: near-zero dups and orphans pass, the
+    reconciliation gate FAILS (q388's finding, promoted to a red
+    row) — a scorecard that can't fail is decoration."""
+    d = load(spark, sf_dir, "documents")
+    dup = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) * 1000000"
+                " DIV SUM(cnt)"
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .select(
+            F.lit("exact_dup_ppm").alias("check_name"),
+            F.col("v").cast("bigint").alias("value_ppm"),
+            (F.col("v") <= 50_000).alias("passed"),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sums = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("line_cents")
+    )
+    recon = (
+        o.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("header_cents"),
+        )
+        .join(sums, "o_orderkey", "left")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN line_cents IS NOT NULL AND"
+                " abs(header_cents - line_cents) * 20 <= line_cents"
+                " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*)"
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .select(
+            F.lit("header_within5_ppm").alias("check_name"),
+            F.col("v").cast("bigint").alias("value_ppm"),
+            (F.col("v") >= 100_000).alias("passed"),
+        )
+    )
+    n_orders = o.agg(F.count(F.lit(1)).cast("long").alias("n_ord"))
+    orphan = (
+        o.join(li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.lit("orphan_order_ppm").alias("check_name"),
+            F.expr("n_orphan * 1000000 DIV n_ord").cast("bigint").alias("value_ppm"),
+            (F.expr("n_orphan * 1000000 DIV n_ord") <= 50_000).alias("passed"),
+        )
+    )
+    ev = load(spark, sf_dir, "events")
+    err = ev.agg(
+        F.expr(
+            "SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)"
+            " * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("v")
+    ).select(
+        F.lit("error_event_ppm").alias("check_name"),
+        F.col("v").cast("bigint").alias("value_ppm"),
+        (F.col("v") <= 300_000).alias("passed"),
+    )
+    return dup.unionByName(recon).unionByName(orphan).unionByName(err)

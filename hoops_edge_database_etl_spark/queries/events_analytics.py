@@ -4940,3 +4940,73 @@ def q389_apdex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("apdex_ppm"),
     )
+
+
+SLA_TARGET_PPM = 850_000  # contracted non-error share
+SLA_CREDIT_LADDER = ((800_000, 250_000), (825_000, 100_000))  # (below, credit)
+
+
+@query(
+    "q399_sla_credits",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7)
+               AS BIGINT) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ok
+      FROM events GROUP BY 1
+    )
+    SELECT wk,
+           total, ok,
+           CAST(ok * 1000000 // total AS BIGINT) AS attainment_ppm,
+           ok * 1000000 // total >= {SLA_TARGET_PPM} AS met_sla,
+           CAST(CASE
+             WHEN ok * 1000000 // total < {SLA_CREDIT_LADDER[0][0]}
+               THEN {SLA_CREDIT_LADDER[0][1]}
+             WHEN ok * 1000000 // total < {SLA_CREDIT_LADDER[1][0]}
+               THEN {SLA_CREDIT_LADDER[1][1]}
+             ELSE 0 END AS BIGINT) AS credit_ppm
+    FROM weekly
+    """,
+)
+def q399_sla_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA CREDIT CALCULATION — the contract arithmetic downstream of
+    q320's alerts: per billing week, attainment (non-error share) in
+    exact ppm against the contracted {SLA_TARGET_PPM}, and the service
+    credit from the tiered ladder (deeper miss, bigger refund — the
+    standard cloud-SLA structure). Everything is integer floor
+    division, because this number moves MONEY and a float rate that
+    rounds 849999.5 ppm up to "met" is a dispute: the same
+    cross-multiplied discipline as q320, but here the output is an
+    invoice line, not a page. One weekly conditional rollup; the
+    ladder is literal CASE rungs, renegotiation is a constant swap.
+    Property-tested: credit is monotone in the miss depth and zero
+    exactly when the SLA is met."""
+    ev = load(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        )
+        .cast("long")
+        .alias("wk")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+        .cast("long")
+        .alias("ok"),
+    )
+    att = F.expr("ok * 1000000 DIV total")
+    (lo0, c0), (lo1, c1) = SLA_CREDIT_LADDER
+    return weekly.select(
+        "wk",
+        F.col("total").cast("bigint"),
+        F.col("ok").cast("bigint"),
+        att.cast("bigint").alias("attainment_ppm"),
+        (att >= SLA_TARGET_PPM).alias("met_sla"),
+        F.when(att < lo0, c0)
+        .when(att < lo1, c1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("credit_ppm"),
+    )

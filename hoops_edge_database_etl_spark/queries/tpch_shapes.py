@@ -756,3 +756,74 @@ def q388_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("abs_gap_cents"),
     )
+
+
+CARRY_RATE_PPM_PER_DAY = 500  # 0.05%/day holding cost
+
+
+@query(
+    "q398_carrying_cost",
+    oracle=f"""
+    WITH open_orders AS (
+      SELECT o.o_orderpriority,
+             CAST(DATE '{AGING_SNAPSHOT}' - CAST(o.o_orderdate AS DATE)
+               AS BIGINT) AS age_days,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      WHERE CAST(o.o_orderdate AS DATE) < DATE '{AGING_SNAPSHOT}'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > DATE '{AGING_SNAPSHOT}'
+        )
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_cents,
+           CAST(SUM(cents * age_days) AS BIGINT) AS cent_days,
+           CAST(SUM(cents * age_days) * {CARRY_RATE_PPM_PER_DAY}
+                // 1000000 AS BIGINT) AS carrying_cost_cents
+    FROM open_orders GROUP BY o_orderpriority
+    """,
+)
+def q398_carrying_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CARRYING COST — q382 lays the open book out by age bucket; this
+    prices it: holding cost accrues per cent-day (value x days open x
+    a {CARRY_RATE_PPM_PER_DAY} ppm/day rate — the cost-of-capital +
+    storage + obsolescence rate finance hands you), so the metric
+    that matters is Σ cents·age_days, an EXACT integer that buckets
+    destroy (two orders in '61-90' can differ 30 days of accrual).
+    cent_days is also the right prioritization key for a collections
+    or expedite queue — it ranks by money-time at risk, not by count
+    or age alone. Same open-order semi join as q382; one weighted
+    sum; the rate applies in one ppm floor division at the edge so
+    a rate change is a literal swap, not a rescan. Property-tested:
+    cent_days >= open_cents x min-age per group and the q382
+    reconciliation (same open population)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    snap = F.lit(AGING_SNAPSHOT).cast("date")
+    future_lines = li.filter(F.to_date("l_shipdate") > snap).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    open_orders = (
+        o.filter(F.to_date("o_orderdate") < snap)
+        .join(future_lines, "o_orderkey", "semi")
+        .select(
+            "o_orderpriority",
+            F.datediff(snap, F.to_date("o_orderdate")).cast("long").alias("age_days"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return open_orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_cents"),
+        F.sum(F.col("cents") * F.col("age_days")).cast("bigint").alias("cent_days"),
+        F.expr(
+            f"SUM(cents * age_days) * {CARRY_RATE_PPM_PER_DAY} DIV 1000000"
+        )
+        .cast("bigint")
+        .alias("carrying_cost_cents"),
+    )

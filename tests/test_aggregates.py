@@ -1359,3 +1359,23 @@ def test_q396_qwk_vs_python(spark, duck):
     assert r["n"] == n and r["wo"] == wo and r["we_scaled"] == we
     assert abs(r["qwk"] - qwk) < 1e-12
     assert 0.5 < r["qwk"] <= 1.0  # near-identical thresholds agree strongly
+
+
+def test_q397_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q397_profit_threshold")
+
+
+def test_q397_monotone_cells_and_argmax_flag(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q397_profit_threshold"](spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    best = max(r["profit_cents"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]  # stricter catches less
+    for r in rows:
+        assert r["is_optimal"] == (r["profit_cents"] == best)
+    assert sum(1 for r in rows if r["is_optimal"]) >= 1

@@ -231,3 +231,25 @@ def test_q356_delta_conservation(spark):
     assert sum(t["revenue_cents"] for t in terms) == rows["full_join"]["revenue_cents"]
     # independent hash slices: every delta term is non-empty
     assert all(t["n_rows"] > 0 for t in terms)
+
+
+def test_q400_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q400_health_scorecard")
+
+
+def test_q400_scorecard_tells_the_generator_truth(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = {r["check_name"]: r for r in all_queries()["q400_health_scorecard"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "exact_dup_ppm", "header_within5_ppm", "orphan_order_ppm",
+        "error_event_ppm",
+    }
+    assert rows["exact_dup_ppm"]["passed"]  # corpus has no exact dups
+    assert not rows["header_within5_ppm"]["passed"]  # q388's finding, promoted
+    assert rows["error_event_ppm"]["passed"]  # ~20% < 30% gate
+    for r in rows.values():
+        assert 0 <= r["value_ppm"] <= 1_000_000

@@ -1150,3 +1150,27 @@ def test_q389_apdex_identities(spark):
             == (2 * r["satisfied"] + r["tolerating"]) * 1_000_000 // (2 * r["n"])
         )
         assert 0 <= r["apdex_ppm"] <= 1_000_000
+
+
+def test_q399_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q399_sla_credits")
+
+
+def test_q399_credit_policy(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries.events_analytics import (
+        SLA_CREDIT_LADDER,
+        SLA_TARGET_PPM,
+    )
+
+    rows = _q("q399_sla_credits")(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["attainment_ppm"] == r["ok"] * 1_000_000 // r["total"]
+        assert r["met_sla"] == (r["attainment_ppm"] >= SLA_TARGET_PPM)
+        if r["met_sla"]:
+            assert r["credit_ppm"] == 0
+        if r["attainment_ppm"] < SLA_CREDIT_LADDER[0][0]:
+            assert r["credit_ppm"] == SLA_CREDIT_LADDER[0][1]

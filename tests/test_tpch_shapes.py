@@ -117,3 +117,28 @@ def test_q388_bands_partition_orders_and_expose_generator(spark, duck):
             assert r["abs_gap_cents"] >= abs(
                 r["header_cents"] - r["line_cents"]
             ) - 1  # triangle bound
+
+
+def test_q398_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q398_carrying_cost")
+
+
+def test_q398_reconciles_with_q382(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    cost = {r["o_orderpriority"]: r for r in qs["q398_carrying_cost"](spark, SF_DIR).collect()}
+    aging = {}
+    for r in qs["q382_aging_buckets"](spark, SF_DIR).collect():
+        a = aging.setdefault(r["o_orderpriority"], [0, 0])
+        a[0] += r["n_orders"]
+        a[1] += r["open_cents"]
+    assert set(cost) == set(aging)
+    for pri, r in cost.items():
+        assert r["n_orders"] == aging[pri][0]
+        assert r["open_cents"] == aging[pri][1]
+        assert r["cent_days"] >= r["open_cents"]  # every open order >= 1 day
+        assert r["carrying_cost_cents"] == r["cent_days"] * 500 // 1_000_000
