@@ -5888,3 +5888,56 @@ def q397_profit_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("profit_cents").cast("bigint"),
         (F.col("profit_cents") == F.col("best_profit")).alias("is_optimal"),
     )
+
+
+@query(
+    "q403_effective_size",
+    oracle="""
+    WITH shares AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(n * n) AS BIGINT) AS sq
+      FROM shares
+    )
+    SELECT k AS n_suppliers, total AS n_lines,
+           CAST(total AS DOUBLE) * total / sq AS effective_suppliers,
+           (CAST(total AS DOUBLE) * total / sq) / k AS evenness,
+           CAST(sq * 10000 // (total * total) AS BIGINT) AS hhi_bp
+    FROM mom
+    """,
+)
+def q403_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE SIZE (inverse Simpson) — "how many suppliers do we
+    REALLY have": N²/Σn² counts participants weighted by how evenly
+    volume spreads — 100 suppliers where one takes 90% is effectively
+    ~1.2 suppliers, the number procurement-risk and antitrust actually
+    reason about. The same statistic inverts to HHI (Σshare², here in
+    exact basis points via Σn²·10⁴ DIV N² — the DOJ's concentration
+    screen) and normalizes to evenness = effective/actual, and unlike
+    Shannon-entropy diversity it needs NO logarithm — the whole family
+    is two integer sums, which is why it's the house diversity metric
+    (q161's Gini ranks inequality; this counts effective
+    participants). One grouped count + a 3-sum reduction; per-region
+    effective supplier counts are a groupBy away. Property-tested:
+    1 <= effective <= k, uniform synthetic shares hit k exactly, and
+    hhi_bp·effective ≈ 10⁴."""
+    li = load(spark, sf_dir, "lineitem")
+    shares = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mom = shares.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sq"),
+    )
+    return mom.selectExpr(
+        "k AS n_suppliers",
+        "total AS n_lines",
+        "CAST(total AS DOUBLE) * total / sq AS effective_suppliers",
+        "(CAST(total AS DOUBLE) * total / sq) / k AS evenness",
+        "CAST(sq * 10000 DIV (total * total) AS BIGINT) AS hhi_bp",
+    )

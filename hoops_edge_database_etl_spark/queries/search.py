@@ -10,7 +10,7 @@ queries here are exact and DuckDB-oracled.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -96,4 +96,87 @@ def q236_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+
+
+# Three deterministic "rankers" over parts: revenue, quantity, order-count.
+_BORDA_TOP_N = 15
+
+
+def _borda_rankers_sql() -> str:
+    return """
+      SELECT l_partkey,
+             ROW_NUMBER() OVER (ORDER BY SUM(CAST(floor(l_extendedprice * 100
+               + 0.5) AS BIGINT)) DESC, l_partkey) AS r1,
+             ROW_NUMBER() OVER (ORDER BY SUM(CAST(l_quantity AS BIGINT)) DESC,
+               l_partkey) AS r2,
+             ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT l_orderkey) DESC,
+               l_partkey) AS r3
+      FROM lineitem GROUP BY l_partkey
+    """
+
+
+@query(
+    "q401_rank_aggregation",
+    oracle=f"""
+    WITH ranked AS ({_borda_rankers_sql()}),
+    scored AS (
+      SELECT l_partkey, r1, r2, r3,
+             CAST(r1 + r2 + r3 AS BIGINT) AS borda_cost
+      FROM ranked
+    )
+    SELECT l_partkey, r1, r2, r3, borda_cost,
+           CAST(ROW_NUMBER() OVER (ORDER BY borda_cost, l_partkey) AS BIGINT)
+             AS final_rank
+    FROM scored
+    ORDER BY borda_cost, l_partkey LIMIT {_BORDA_TOP_N}
+    """,
+)
+def q401_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BORDA RANK AGGREGATION — the voting-theory baseline for merging
+    rankers (q247's RRF is Borda with reciprocal weights; q265's RBO
+    COMPARES rankings, Borda COMBINES them): three single-criterion
+    part rankings (revenue, units, breadth-of-orders) fuse by summed
+    rank positions, the social-choice method that needs no score
+    calibration across rankers — only positions, which makes it the
+    safe merge when one ranker's scores are cents and another's are
+    counts (the scale-mismatch that breaks naive score averaging).
+    Pure integer positions with part-key tiebreaks end-to-end; three
+    rank windows share ONE grouped aggregate pass (the multi-window
+    q40 pattern), and the fused top-{_BORDA_TOP_N} is a TakeOrdered.
+    Condorcet caveat in the docstring where it belongs: Borda can
+    violate majority preference — when that matters, the pairwise
+    Copeland matrix is these same ranks self-joined."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.countDistinct("l_orderkey").cast("long").alias("brd"),
+    )
+    r1 = Window.orderBy(F.col("rev").desc(), "l_partkey")
+    r2 = Window.orderBy(F.col("qty").desc(), "l_partkey")
+    r3 = Window.orderBy(F.col("brd").desc(), "l_partkey")
+    scored = agg.select(
+        "l_partkey",
+        F.row_number().over(r1).cast("long").alias("r1"),
+        F.row_number().over(r2).cast("long").alias("r2"),
+        F.row_number().over(r3).cast("long").alias("r3"),
+    ).withColumn(
+        "borda_cost", (F.col("r1") + F.col("r2") + F.col("r3")).cast("long")
+    )
+    wf = Window.orderBy("borda_cost", "l_partkey")
+    return (
+        scored.withColumn("final_rank", F.row_number().over(wf).cast("long"))
+        .orderBy("borda_cost", "l_partkey")
+        .limit(_BORDA_TOP_N)
+        .select(
+            "l_partkey",
+            "r1",
+            "r2",
+            "r3",
+            F.col("borda_cost").cast("bigint"),
+            F.col("final_rank").cast("bigint"),
+        )
     )

@@ -1809,3 +1809,127 @@ def q345_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("query_id").cast("bigint"), "n_matched", "recall_ppm"
     )
+
+
+ELBOW_KS = (2, 3, 4, 5, 6)
+
+
+@query(
+    "q402_elbow_wcss",
+    oracle=f"""
+    WITH sweeps AS (SELECT UNNEST(ARRAY{list(ELBOW_KS)}) AS k),
+    qd AS (
+      SELECT vec_id, t.k AS dim,
+             CAST(floor(CAST(embedding[t.k] AS DOUBLE) * {Q} + 0.5)
+               AS BIGINT) AS qv
+      FROM embeddings, UNNEST(range(1, {DIM + 1})) AS t(k)
+    ),
+    dists AS (
+      SELECT s.k, v.vec_id, c.vec_id AS cid,
+             CAST(SUM((v.qv - c.qv) * (v.qv - c.qv)) AS BIGINT) AS dist
+      FROM sweeps s
+      JOIN qd v ON TRUE
+      JOIN qd c ON c.dim = v.dim AND c.vec_id < s.k
+      GROUP BY s.k, v.vec_id, c.vec_id
+    ),
+    nearest AS (
+      SELECT k, vec_id, MIN(dist) AS mind FROM dists GROUP BY k, vec_id
+    ),
+    wcss AS (
+      SELECT k, CAST(SUM(mind) AS BIGINT) AS wcss FROM nearest GROUP BY k
+    ),
+    curve AS (
+      SELECT k, wcss,
+             LAG(wcss) OVER (ORDER BY k) AS prev_w,
+             LEAD(wcss) OVER (ORDER BY k) AS next_w
+      FROM wcss
+    )
+    SELECT k, wcss,
+           CAST(prev_w - wcss AS BIGINT) AS drop_from_prev,
+           CASE WHEN prev_w IS NOT NULL AND next_w IS NOT NULL
+                THEN CAST(prev_w + next_w - 2 * wcss AS BIGINT) END
+             AS curvature,
+           prev_w IS NOT NULL AND next_w IS NOT NULL
+             AND prev_w + next_w - 2 * wcss = (
+               SELECT MAX(c2.prev_w + c2.next_w - 2 * c2.wcss) FROM curve c2
+               WHERE c2.prev_w IS NOT NULL AND c2.next_w IS NOT NULL)
+             AS is_knee
+    FROM curve
+    """,
+)
+def q402_elbow_wcss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELBOW CURVE for k selection — q164 runs Lloyd at one k; this
+    prices the CHOICE: within-cluster sum of squares at each k in
+    {ELBOW_KS} (deterministic first-k codebooks, q309's rule), the
+    discrete second difference as the curvature, and the max-
+    curvature row flagged as the KNEE — the classic heuristic made
+    exact, because with int64 fixed-point distances the WCSS values
+    and their differences are integers, so "where the curve bends"
+    has one deterministic answer instead of a matplotlib squint.
+    All five sweeps share one dimension-exploded pass (the sweep
+    grid joins the same quantized table — k more candidates, not k
+    more scans); the curvature window runs over five rows. The gap
+    statistic replaces the heuristic when rigor is needed — its
+    reference-set machinery is this query over hash-uniform points
+    (q354's coins), noted for the roadmap."""
+    e = load(spark, sf_dir, "embeddings")
+    qd = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("val").cast("double") * Q + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    sweeps = spark.createDataFrame([(k,) for k in ELBOW_KS], "k int")
+    cents = (
+        qd.filter(F.col("vec_id") < max(ELBOW_KS))
+        .crossJoin(F.broadcast(sweeps))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select("k", F.col("vec_id").alias("cid"), "dim", F.col("qv").alias("qc"))
+    )
+    dists = (
+        qd.join(F.broadcast(cents), "dim")
+        .groupBy("k", "vec_id", "cid")
+        .agg(
+            F.sum((F.col("qv") - F.col("qc")) * (F.col("qv") - F.col("qc")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    nearest = dists.groupBy("k", "vec_id").agg(F.min("dist").alias("mind"))
+    wcss = nearest.groupBy("k").agg(F.sum("mind").cast("long").alias("wcss"))
+    wk = Window.orderBy("k")
+    curve = wcss.select(
+        "k",
+        "wcss",
+        F.lag("wcss").over(wk).alias("prev_w"),
+        F.lead("wcss").over(wk).alias("next_w"),
+    )
+    curv = F.when(
+        F.col("prev_w").isNotNull() & F.col("next_w").isNotNull(),
+        F.col("prev_w") + F.col("next_w") - 2 * F.col("wcss"),
+    )
+    maxc = curve.agg(
+        F.max(
+            F.when(
+                F.col("prev_w").isNotNull() & F.col("next_w").isNotNull(),
+                F.col("prev_w") + F.col("next_w") - 2 * F.col("wcss"),
+            )
+        ).alias("max_curv")
+    )
+    return curve.crossJoin(F.broadcast(maxc)).select(
+        "k",
+        F.col("wcss").cast("bigint"),
+        (F.col("prev_w") - F.col("wcss")).cast("bigint").alias("drop_from_prev"),
+        curv.cast("bigint").alias("curvature"),
+        (
+            F.col("prev_w").isNotNull()
+            & F.col("next_w").isNotNull()
+            & (
+                F.col("prev_w") + F.col("next_w") - 2 * F.col("wcss")
+                == F.col("max_curv")
+            )
+        ).alias("is_knee"),
+    )

@@ -2538,3 +2538,86 @@ def q383_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.groupBy("labeled_lang", "predicted_lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+PREF_MARGIN = 0.15  # minimum quality gap for a trustworthy pair
+PREF_PAIRS_PER_GROUP = 5
+
+
+@query(
+    "q404_preference_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, length(text) AS n_chars, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             0.4 * least(CAST(len(w) AS DOUBLE) / 50, 1.0)
+               + 0.4 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+               + 0.2 * least((CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w))
+                             / 6, 1.0) AS quality
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.lang, a.doc_id AS chosen, b.doc_id AS rejected,
+             a.quality - b.quality AS gap
+      FROM q a JOIN q b
+        ON b.lang = a.lang AND a.quality - b.quality >= {PREF_MARGIN}
+    ),
+    ranked AS (
+      SELECT lang, chosen, rejected, gap,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY gap DESC, chosen, rejected) AS rnk
+      FROM pairs
+    )
+    SELECT lang, chosen, rejected, gap, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {PREF_PAIRS_PER_GROUP}
+    """,
+)
+def q404_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-PAIR MINING — DPO/RLHF data prep from scored corpora:
+    within each group (language here; prompt-id in production), emit
+    (chosen, rejected) pairs whose quality gap clears {PREF_MARGIN} —
+    the margin is the label-noise guard, because a pair separated by
+    less than scorer noise teaches the reward model static — capped
+    at the {PREF_PAIRS_PER_GROUP} widest gaps per group (extreme
+    pairs are the cheapest signal; NEAR pairs are curriculum for
+    later rounds — flip the ORDER BY). Quality is q50's composite
+    verbatim (one formula, composed — the q70 discipline), the pair
+    join is margin-pruned inside the group, and the per-group rank
+    window is bounded by the cap. At corpus scale the quadratic
+    pair join narrows by quality-BUCKET blocking first (join high
+    vs low buckets only — q203's router as the blocker); stated
+    here, not needed at sf. Property-tested: every gap >= margin,
+    chosen quality > rejected quality, per-group caps hold."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"),
+        F.split("text", " ").alias("w"),
+    )
+    _, _, _, quality = _quality_exprs()
+    q = t.select("doc_id", "lang", quality.alias("quality"))
+    a = q.select(
+        F.col("lang").alias("lang"),
+        F.col("doc_id").alias("chosen"),
+        F.col("quality").alias("qa"),
+    )
+    b = q.select(
+        F.col("lang").alias("lang2"),
+        F.col("doc_id").alias("rejected"),
+        F.col("quality").alias("qb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang2"))
+        & (F.col("qa") - F.col("qb") >= PREF_MARGIN),
+    ).select("lang", "chosen", "rejected", (F.col("qa") - F.col("qb")).alias("gap"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("gap").desc(), "chosen", "rejected"
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PREF_PAIRS_PER_GROUP)
+        .select("lang", "chosen", "rejected", "gap", F.col("rnk").cast("bigint"))
+    )

@@ -1379,3 +1379,30 @@ def test_q397_monotone_cells_and_argmax_flag(spark):
     for r in rows:
         assert r["is_optimal"] == (r["profit_cents"] == best)
     assert sum(1 for r in rows if r["is_optimal"]) >= 1
+
+
+def test_q403_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q403_effective_size")
+
+
+def test_q403_diversity_identities(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q403_effective_size"](spark, SF_DIR).collect()
+    assert 1.0 <= r["effective_suppliers"] <= r["n_suppliers"]
+    assert 0.0 < r["evenness"] <= 1.0
+    # inverse relation: HHI(bp) * effective ≈ 10^4 (floor-div slack)
+    assert abs(r["hhi_bp"] * r["effective_suppliers"] - 10_000) < 100
+
+    # uniform shares => effective == k exactly
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame([(i % 10, 1) for i in range(100)], "g int, one int")
+    mom = df.groupBy("g").agg(FF.count(FF.lit(1)).alias("n")).agg(
+        FF.count(FF.lit(1)).alias("k"),
+        FF.sum("n").alias("t"),
+        FF.sum(FF.col("n") * FF.col("n")).alias("sq"),
+    )
+    [m] = mom.collect()
+    assert m["t"] ** 2 / m["sq"] == m["k"]

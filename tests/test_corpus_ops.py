@@ -626,3 +626,32 @@ def test_q384_fertility_floor_and_byte_chain(spark):
         assert r["fertility"] >= 1.0  # every word yields >= 1 subtoken
         assert r["bytes_per_subtoken"] > 0
         assert r["subtokens"] >= r["words"]
+
+
+def test_q404_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q404_preference_pairs")
+
+
+def test_q404_pair_semantics(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.queries.textstats import (
+        PREF_MARGIN,
+        PREF_PAIRS_PER_GROUP,
+    )
+
+    rows = all_queries()["q404_preference_pairs"](spark, SF_DIR).collect()
+    assert rows
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+        assert r["gap"] >= PREF_MARGIN
+        assert r["chosen"] != r["rejected"]
+    for lang, pairs in per_lang.items():
+        assert len(pairs) <= PREF_PAIRS_PER_GROUP
+        ranks = sorted(p["rnk"] for p in pairs)
+        assert ranks == list(range(1, len(pairs) + 1))
+        gaps = [p["gap"] for p in sorted(pairs, key=lambda p: p["rnk"])]
+        assert gaps == sorted(gaps, reverse=True)

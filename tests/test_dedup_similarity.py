@@ -565,3 +565,28 @@ def test_q391_closure_bounds(spark):
     assert r["n_pairs"] > 0
     assert 0 <= r["n_closed"] <= r["n_wedges"]
     assert 0 <= r["closure_ppm"] <= 1_000_000
+
+
+def test_q402_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q402_elbow_wcss")
+
+
+def test_q402_wcss_monotone_and_knee(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q402_elbow_wcss"](spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 3, 4, 5, 6]
+    wcss = [r["wcss"] for r in rows]
+    assert wcss == sorted(wcss, reverse=True)  # more centroids never hurt
+    knees = [r for r in rows if r["is_knee"]]
+    assert len(knees) >= 1
+    interior = [r for r in rows if r["curvature"] is not None]
+    best = max(r["curvature"] for r in interior)
+    for r in interior:
+        assert r["is_knee"] == (r["curvature"] == best)

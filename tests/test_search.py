@@ -47,3 +47,26 @@ def test_q237_match_requires_pattern_events(spark):
     for r in rows:
         # each match consumes >= 4 events (v, e, e, p)
         assert r["n_matches"] * 4 <= r["n_events"]
+
+
+def test_q401_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q401_rank_aggregation")
+
+
+def test_q401_borda_dominance(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = sorted(
+        all_queries()["q401_rank_aggregation"](spark, SF_DIR).collect(),
+        key=lambda r: r["final_rank"],
+    )
+    assert [r["final_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    costs = [r["borda_cost"] for r in rows]
+    assert costs == sorted(costs)
+    for r in rows:
+        assert r["borda_cost"] == r["r1"] + r["r2"] + r["r3"]
+        # a part ranked #1 everywhere would have cost 3; sanity floor
+        assert r["borda_cost"] >= 3
