@@ -1161,3 +1161,79 @@ def q360_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_a",
         "node_b",
     ).limit(LINKPRED_TOP_K)
+
+
+@query(
+    "q405_degree_assortativity",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT LEAST(o_custkey % 100, o_orderkey % 100) AS u,
+             GREATEST(o_custkey % 100, o_orderkey % 100) AS v
+      FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+    ),
+    adj AS (SELECT u AS a, v AS b FROM raw UNION ALL SELECT v, u FROM raw),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS k FROM adj GROUP BY a),
+    ends AS (
+      SELECT du.k AS ku, dv.k AS kv
+      FROM adj e JOIN deg du ON du.a = e.a JOIN deg dv ON dv.a = e.b
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+             CAST(SUM(ku) AS BIGINT) AS s,
+             CAST(SUM(ku * kv) AS BIGINT) AS sxy,
+             CAST(SUM(ku * ku) AS BIGINT) AS sxx
+      FROM ends
+    )
+    SELECT m2 // 2 AS n_edges,
+           (CAST(m2 AS DOUBLE) * sxy - CAST(s AS DOUBLE) * s)
+             / (CAST(m2 AS DOUBLE) * sxx - CAST(s AS DOUBLE) * s)
+             AS assortativity
+    FROM mom
+    """,
+)
+def q405_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY — Newman's r: do hubs attach to hubs
+    (social networks, r > 0) or to leaves (the internet, r < 0)?
+    It's exactly the Pearson correlation of degrees across edge
+    endpoints, and because the DIRECTED edge list contains each
+    undirected edge both ways, the two endpoint margins are the same
+    distribution — Σku = Σkv and Σku² = Σkv², collapsing the Pearson
+    to three sums instead of five (the symmetry the textbook formula
+    hides; asserted by the property test, not assumed silently).
+    Exact integer moments over the edges⋈degrees join (q360's wedge
+    machinery stopped at the first hop), one fixed float expression.
+    The number decides real engineering: disassortative graphs
+    shatter under hub removal (cache the hubs, q87-salt their keys),
+    assortative ones percolate — and it's one of the cheap
+    structure stats a graph pipeline should log every build."""
+    o = load(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 100).cast("long")
+    b = (F.col("o_orderkey") % 100).cast("long")
+    raw = (
+        o.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    adj = raw.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        raw.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ends = (
+        adj.join(deg.withColumnRenamed("k", "ku"), "a")
+        .join(
+            deg.withColumnRenamed("a", "b").withColumnRenamed("k", "kv"), "b"
+        )
+        .select("ku", "kv")
+    )
+    mom = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("ku").cast("long").alias("s"),
+        F.sum(F.col("ku") * F.col("kv")).cast("long").alias("sxy"),
+        F.sum(F.col("ku") * F.col("ku")).cast("long").alias("sxx"),
+    )
+    return mom.selectExpr(
+        "m2 DIV 2 AS n_edges",
+        "(CAST(m2 AS DOUBLE) * sxy - CAST(s AS DOUBLE) * s)"
+        " / (CAST(m2 AS DOUBLE) * sxx - CAST(s AS DOUBLE) * s)"
+        " AS assortativity",
+    )

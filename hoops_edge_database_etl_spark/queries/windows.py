@@ -2560,3 +2560,131 @@ def q392_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf",
         )
     )
+
+
+@query(
+    "q406_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(d * d) AS BIGINT) AS sxx,
+             CAST(SUM(d * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM daily GROUP BY event_type
+    ),
+    diffs AS (
+      SELECT event_type,
+             CAST(SUM((y - py) * (y - py)) AS BIGINT) AS sdyy,
+             CAST(SUM((y - py) * (d - pd)) AS BIGINT) AS sdxy,
+             CAST(SUM((d - pd) * (d - pd)) AS BIGINT) AS sdxx
+      FROM (
+        SELECT event_type, d, y,
+               LAG(d) OVER w AS pd, LAG(y) OVER w AS py
+        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+      ) WHERE pd IS NOT NULL
+      GROUP BY event_type
+    ),
+    fit AS (
+      SELECT m.event_type, m.n, df.sdyy, df.sdxy, df.sdxx,
+             (CAST(m.n AS DOUBLE) * m.sxy - CAST(m.sx AS DOUBLE) * m.sy)
+               / (CAST(m.n AS DOUBLE) * m.sxx - CAST(m.sx AS DOUBLE) * m.sx)
+               AS b,
+             CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE) * m.sy / m.n AS cyy,
+             CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy / m.n AS cxy,
+             CAST(m.sxx AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sx / m.n AS cxx
+      FROM mom m JOIN diffs df ON df.event_type = m.event_type
+    )
+    SELECT event_type, n, b AS ols_slope,
+           (sdyy - 2 * b * sdxy + b * b * sdxx)
+             / (cyy - 2 * b * cxy + b * b * cxx) AS dw,
+           (sdyy - 2 * b * sdxy + b * b * sdxx)
+             / (cyy - 2 * b * cxy + b * b * cxx) < 1.5 AS positive_autocorr
+    FROM fit
+    """,
+)
+def q406_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON — the residual-autocorrelation check that decides
+    whether q120/q187/q350's regression standard errors can be
+    believed: DW ≈ 2 means independent residuals, toward 0 means the
+    errors trend together and the OLS CIs are optimistic fiction (the
+    q385 clustering problem in its time-series costume). The parity
+    trick is that residuals are NEVER materialized: e_t − e_{t−1} =
+    Δy − b·Δx, so both the numerator Σ(Δe)² and the denominator Σe²
+    expand into INTEGER lag-moment and central-moment sums combined
+    with b in one fixed float expression — no per-row float, nothing
+    to order (the q392 moment-algebra discipline; a per-row residual
+    sum would have needed an ordered fold). One grouped moment pass,
+    one LAG pass, both calendar-bounded. Property-tested: 0 <= DW <=
+    4, a planted AR(1)-like residual series scores < 1, white noise
+    scores near 2."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    diffs = (
+        daily.select(
+            "event_type",
+            "d",
+            "y",
+            F.lag("d").over(w).alias("pd"),
+            F.lag("y").over(w).alias("py"),
+        )
+        .filter(F.col("pd").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("y") - F.col("py")) * (F.col("y") - F.col("py")))
+            .cast("long")
+            .alias("sdyy"),
+            F.sum((F.col("y") - F.col("py")) * (F.col("d") - F.col("pd")))
+            .cast("long")
+            .alias("sdxy"),
+            F.sum((F.col("d") - F.col("pd")) * (F.col("d") - F.col("pd")))
+            .cast("long")
+            .alias("sdxx"),
+        )
+    )
+    fit = mom.join(diffs, "event_type").selectExpr(
+        "event_type",
+        "n",
+        "sdyy",
+        "sdxy",
+        "sdxx",
+        "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b",
+        "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy",
+        "CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS cxy",
+        "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS cxx",
+    )
+    return fit.selectExpr(
+        "event_type",
+        "n",
+        "b AS ols_slope",
+        "(sdyy - 2 * b * sdxy + b * b * sdxx)"
+        " / (cyy - 2 * b * cxy + b * b * cxx) AS dw",
+        "(sdyy - 2 * b * sdxy + b * b * sdxx)"
+        " / (cyy - 2 * b * cxy + b * b * cxx) < 1.5 AS positive_autocorr",
+    )

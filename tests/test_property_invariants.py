@@ -609,3 +609,43 @@ def test_link_prediction_excludes_existing_edges(spark):
         assert 0 < r["jaccard_ppm"] <= 1_000_000
     cns = [r["common_neighbors"] for r in rows]
     assert cns == sorted(cns, reverse=True)
+
+
+# --- assortativity (q405) ------------------------------------------------
+
+
+def test_assortativity_symmetry_and_bounds(spark):
+    """The symmetric edge list makes both endpoint margins identical —
+    the collapse the three-sum formula relies on — and r is a valid
+    correlation."""
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.tables import load
+    import pyspark.sql.functions as FF
+
+    [r] = all_queries()["q405_degree_assortativity"](spark, SF_DIR).collect()
+    assert -1.0 <= r["assortativity"] <= 1.0
+    raw = (
+        load(spark, SF_DIR, "orders")
+        .selectExpr(
+            "LEAST(o_custkey % 100, o_orderkey % 100) AS u",
+            "GREATEST(o_custkey % 100, o_orderkey % 100) AS v",
+        )
+        .filter("u <> v")
+        .distinct()
+    )
+    assert r["n_edges"] == raw.count()
+    adj = raw.selectExpr("u AS a", "v AS b").unionAll(
+        raw.selectExpr("v AS a", "u AS b")
+    )
+    deg = adj.groupBy("a").agg(FF.count(FF.lit(1)).alias("k"))
+    ends = (
+        adj.join(deg.withColumnRenamed("k", "ku"), "a")
+        .join(deg.withColumnRenamed("a", "b").withColumnRenamed("k", "kv"), "b")
+    )
+    [m] = ends.agg(
+        FF.sum("ku").alias("sku"), FF.sum("kv").alias("skv"),
+        FF.sum(FF.col("ku") * FF.col("ku")).alias("skuu"),
+        FF.sum(FF.col("kv") * FF.col("kv")).alias("skvv"),
+    ).collect()
+    assert m["sku"] == m["skv"] and m["skuu"] == m["skvv"]  # the symmetry

@@ -682,3 +682,39 @@ def test_q392_planted_period_is_found(spark):
         if acf > best_acf:
             best_lag, best_acf = lag, acf
     assert best_lag == 7 and best_acf > 0.99
+
+
+def test_q406_matches_oracle(spark, duck):
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q406_durbin_watson")
+
+
+def test_q406_dw_bounds_and_planted_series(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    for r in all_queries()["q406_durbin_watson"](spark, SF_DIR).collect():
+        assert 0.0 <= r["dw"] <= 4.0
+        assert r["positive_autocorr"] == (r["dw"] < 1.5)
+
+    # planted residual structures around a zero slope: a slow sine-like
+    # wave (adjacent residuals similar -> DW small) vs an alternating
+    # series (adjacent residuals flip -> DW near 4)
+    def dw_of(ys):
+        n = len(ys)
+        xs = list(range(n))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = sy / n - b * sx / n
+        e = [y - a - b * x for x, y in zip(xs, ys)]
+        return sum((e[i] - e[i - 1]) ** 2 for i in range(1, n)) / sum(
+            x * x for x in e
+        )
+
+    smooth = [0, 5, 9, 12, 13, 12, 9, 5, 0, -5, -9, -12, -13, -12, -9, -5]
+    alternating = [3 if i % 2 == 0 else -3 for i in range(16)]
+    assert dw_of(smooth) < 1.0
+    assert dw_of(alternating) > 3.0
