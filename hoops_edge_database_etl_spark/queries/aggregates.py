@@ -5941,3 +5941,199 @@ def q403_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(total AS DOUBLE) * total / sq) / k AS evenness",
         "CAST(sq * 10000 DIV (total * total) AS BIGINT) AS hhi_bp",
     )
+
+
+@query(
+    "q407_cochran_q",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN value >= 150 THEN 1 ELSE 0 END AS m1,
+             CASE WHEN value >= 140 THEN 1 ELSE 0 END AS m2,
+             CASE WHEN value >= 160 THEN 1 ELSE 0 END AS m3
+      FROM events
+    ),
+    correct AS (
+      SELECT CASE WHEN m1 = truth THEN 1 ELSE 0 END AS c1,
+             CASE WHEN m2 = truth THEN 1 ELSE 0 END AS c2,
+             CASE WHEN m3 = truth THEN 1 ELSE 0 END AS c3
+      FROM scored
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c1) AS BIGINT) AS t1,
+             CAST(SUM(c2) AS BIGINT) AS t2,
+             CAST(SUM(c3) AS BIGINT) AS t3,
+             CAST(SUM(c1 + c2 + c3) AS BIGINT) AS r,
+             CAST(SUM((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT) AS r2
+      FROM correct
+    )
+    SELECT n, t1, t2, t3,
+           CAST(2 * (3 * (CAST(t1 AS DOUBLE) * t1 + CAST(t2 AS DOUBLE) * t2
+                          + CAST(t3 AS DOUBLE) * t3)
+                     - CAST(r AS DOUBLE) * r)
+                / (3 * r - r2) AS DOUBLE) AS cochran_q
+    FROM sums
+    """,
+)
+def q407_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q — the k-classifier generalization of McNemar (q379
+    handles exactly two): do THREE models' correctness rates differ on
+    the same examples, accounting for the per-example correlation that
+    makes k independent proportion tests wrong? Q = (k−1)·
+    (kΣT_j² − (ΣT_j)²) / (kΣR_i − ΣR_i²) — equal to k(k−1)·Σ(T_j−T̄)²
+    over the same denominator where T_j are per-model
+    correct counts and R_i per-example correct counts — and with k=3
+    the per-example state is one small integer (0..3), so the whole
+    statistic reduces to column totals plus ΣR and ΣR² (the q364
+    Fleiss collapse reused for model comparison; rows where all three
+    agree contribute nothing, as they should). Exact integers to a
+    single division. Cochran's Q significant → follow with pairwise
+    McNemars; the property test verifies the k=2 degeneration equals
+    McNemar's statistic algebraically on a toy table."""
+    ev = load(spark, sf_dir, "events")
+    scored = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("truth"),
+        F.when(F.col("value") >= 150, 1).otherwise(0).alias("m1"),
+        F.when(F.col("value") >= 140, 1).otherwise(0).alias("m2"),
+        F.when(F.col("value") >= 160, 1).otherwise(0).alias("m3"),
+    )
+    correct = scored.select(
+        *[
+            F.when(F.col(m) == F.col("truth"), 1).otherwise(0).alias(c)
+            for m, c in (("m1", "c1"), ("m2", "c2"), ("m3", "c3"))
+        ]
+    )
+    sums = correct.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c1").cast("long").alias("t1"),
+        F.sum("c2").cast("long").alias("t2"),
+        F.sum("c3").cast("long").alias("t3"),
+        F.sum(F.col("c1") + F.col("c2") + F.col("c3")).cast("long").alias("r"),
+        F.sum(
+            (F.col("c1") + F.col("c2") + F.col("c3"))
+            * (F.col("c1") + F.col("c2") + F.col("c3"))
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    return sums.selectExpr(
+        "n",
+        "t1",
+        "t2",
+        "t3",
+        "CAST(2 * (3 * (CAST(t1 AS DOUBLE) * t1 + CAST(t2 AS DOUBLE) * t2"
+        " + CAST(t3 AS DOUBLE) * t3) - CAST(r AS DOUBLE) * r)"
+        " / (3 * r - r2) AS DOUBLE) AS cochran_q",
+    )
+
+
+@query(
+    "q409_partial_correlation",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS z
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * z) AS BIGINT) AS sxz,
+             CAST(SUM(y * z) AS BIGINT) AS syz,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(z * z) AS BIGINT) AS szz
+      FROM per_user
+    ),
+    corrs AS (
+      SELECT n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS rxy,
+             (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+               AS rxz,
+             (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+               / (sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                  * sqrt(CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+               AS ryz
+      FROM mom
+    )
+    SELECT n, rxy, rxz, ryz,
+           (rxy - rxz * ryz)
+             / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)) AS partial_rxy_z
+    FROM corrs
+    """,
+)
+def q409_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL CORRELATION — does the click↔revenue relationship survive
+    CONTROLLING for total activity? The raw r_xy between clicks and
+    purchase revenue is confounded by user volume (busy users do more
+    of everything — q385's clustering confound wearing a correlation
+    costume); the first-order partial
+    r_xy·z = (r_xy − r_xz·r_yz)/√(1−r_xz²)√(1−r_yz²) residualizes
+    both margins against the control in closed form — no regression
+    fit, just the three pairwise correlations q193's matrix already
+    computes, combined in one fixed expression (the recursion extends
+    to higher orders / inverse correlation matrices; first order is
+    where dashboards stop). All moments exact integers; sqrt exempt.
+    When raw r_xy is large and the partial collapses toward zero,
+    the 'clicks drive revenue' story was volume all along — the test
+    plants exactly that confound and watches the partial erase it."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.count(F.lit(1)).cast("long").alias("z"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("z").cast("long").alias("sz"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("long").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("long").alias("syz"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("szz"),
+    )
+    def r(ab, a, b, aa, bb):
+        return (
+            f"(CAST(n AS DOUBLE) * {ab} - CAST({a} AS DOUBLE) * {b})"
+            f" / (sqrt(CAST(n AS DOUBLE) * {aa} - CAST({a} AS DOUBLE) * {a})"
+            f" * sqrt(CAST(n AS DOUBLE) * {bb} - CAST({b} AS DOUBLE) * {b}))"
+        )
+    corrs = mom.selectExpr(
+        "n",
+        f"{r('sxy','sx','sy','sxx','syy')} AS rxy",
+        f"{r('sxz','sx','sz','sxx','szz')} AS rxz",
+        f"{r('syz','sy','sz','syy','szz')} AS ryz",
+    )
+    return corrs.selectExpr(
+        "n",
+        "rxy",
+        "rxz",
+        "ryz",
+        "(rxy - rxz * ryz)"
+        " / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)) AS partial_rxy_z",
+    )

@@ -180,3 +180,89 @@ def q401_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("final_rank").cast("bigint"),
         )
     )
+
+
+@query(
+    "q408_kendall_tau",
+    oracle="""
+    WITH agg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.rev - b.rev) * (a.qty - b.qty) > 0 THEN 1
+                  WHEN (a.rev - b.rev) * (a.qty - b.qty) < 0 THEN -1
+                  ELSE 0 END AS sgn,
+             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.qty = b.qty THEN 1 ELSE 0 END AS tie_y
+      FROM agg a JOIN agg b ON a.l_partkey < b.l_partkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(SUM(tie_x) AS BIGINT) AS ties_x,
+             CAST(SUM(tie_y) AS BIGINT) AS ties_y
+      FROM pairs
+    )
+    SELECT n_pairs, conc, disc, ties_x, ties_y,
+           CAST(conc - disc AS DOUBLE)
+             / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))
+                * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) AS tau_b
+    FROM s
+    """,
+)
+def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S τ-b — full-ranking concordance between two part
+    orderings (revenue vs units): q265's RBO weighs the TOP of two
+    lists; τ counts every pair — concordant minus discordant over the
+    tie-corrected geometric denominator, the rank correlation with a
+    clean probabilistic reading (P(agree) − P(disagree) on a random
+    pair). Everything to the final division is exact integers — the
+    sign of (Δrev)·(Δqty) per pair, tie counts per margin — and the
+    sqrt pair is the IEEE-exempt transcendental. The O(n²) pair join
+    is catalog-bounded here and honest about scale: the O(n log n)
+    merge-sort inversion count is the 100 TB form (a q74-style
+    range-partitioned two-pass), noted where the plan would change,
+    not silently assumed. Property-tested against scipy-formula
+    recomputation and ±1 on planted perfectly-agreeing/reversed
+    rankings."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    a = agg.select(
+        F.col("l_partkey").alias("pa"), F.col("rev").alias("ra"), F.col("qty").alias("qa")
+    )
+    b = agg.select(
+        F.col("l_partkey").alias("pb"), F.col("rev").alias("rb"), F.col("qty").alias("qb")
+    )
+    prod = (F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb"))
+    pairs = a.join(b, F.col("pa") < F.col("pb")).select(
+        F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0).alias("sgn"),
+        F.when(F.col("ra") == F.col("rb"), 1).otherwise(0).alias("tie_x"),
+        F.when(F.col("qa") == F.col("qb"), 1).otherwise(0).alias("tie_y"),
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("conc"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long").alias("disc"),
+        F.sum("tie_x").cast("long").alias("ties_x"),
+        F.sum("tie_y").cast("long").alias("ties_y"),
+    )
+    return s.selectExpr(
+        "n_pairs",
+        "conc",
+        "disc",
+        "ties_x",
+        "ties_y",
+        "CAST(conc - disc AS DOUBLE)"
+        " / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))"
+        " * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) AS tau_b",
+    )

@@ -1406,3 +1406,68 @@ def test_q403_diversity_identities(spark):
     )
     [m] = mom.collect()
     assert m["t"] ** 2 / m["sq"] == m["k"]
+
+
+def test_q407_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q407_cochran_q")
+
+
+def test_q407_q_properties(spark):
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q407_cochran_q"](spark, SF_DIR).collect()
+    assert r["cochran_q"] >= 0
+    # per-model totals bounded by n
+    for t in ("t1", "t2", "t3"):
+        assert 0 <= r[t] <= r["n"]
+    # k=2 degeneration: Cochran's Q == McNemar's (b-c)^2/(b+c) on a toy set
+    # rows: (c1, c2) correctness pairs with b = only-1-right, c = only-2-right
+    rows = [(1, 0)] * 5 + [(0, 1)] * 2 + [(1, 1)] * 3 + [(0, 0)] * 2
+    t1, t2 = sum(a for a, _ in rows), sum(b for _, b in rows)
+    rsum = sum(a + b for a, b in rows)
+    r2 = sum((a + b) ** 2 for a, b in rows)
+    q = 1 * (2 * (t1 * t1 + t2 * t2) - rsum * rsum) / (2 * rsum - r2)
+    b, c = 5, 2
+    assert abs(q - (b - c) ** 2 / (b + c)) < 1e-12
+
+
+def test_q409_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q409_partial_correlation")
+
+
+def test_q409_partial_kills_planted_confound(spark):
+    """x and y driven purely by z: raw r_xy large, partial ~ 0."""
+    import math
+    import random
+
+    rng = [(i, (i * 37) % 100) for i in range(200)]  # deterministic 'volume'
+    xs, ys, zs = [], [], []
+    for i, z in rng:
+        noise_x = (i * 17) % 7 - 3
+        noise_y = (i * 29) % 11 - 5
+        zs.append(z)
+        xs.append(2 * z + noise_x)
+        ys.append(5 * z + noise_y)
+    n = len(zs)
+
+    def corr(a, b):
+        sa, sb = sum(a), sum(b)
+        sab = sum(x * y for x, y in zip(a, b))
+        saa = sum(x * x for x in a)
+        sbb = sum(x * x for x in b)
+        return (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    partial = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert rxy > 0.99
+    assert abs(partial) < 0.3  # the confound is gone
+
+    from tests.conftest import SF_DIR
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    [r] = all_queries()["q409_partial_correlation"](spark, SF_DIR).collect()
+    for c in ("rxy", "rxz", "ryz", "partial_rxy_z"):
+        assert -1.0 <= r[c] <= 1.0
