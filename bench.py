@@ -105,6 +105,14 @@ def main() -> None:
     # MEDIAN, and per-query [min, max] spread is recorded so session
     # contention noise is distinguishable from real plan regressions.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Per-query UNTIMED warm runs before the timed reps: r5's q154 spread
+    # ([2.4, 5.4] s) traced to tiered-JIT warm-up of that query's codegen
+    # stages, not AQE or GC (GC was ~60 ms/rep) — C2 takes a few
+    # executions to compile the hot generated loops, and ONE warm run is
+    # not always enough (measured: 1-warm spreads still hit 1.7x; 2-warm
+    # spreads land within ±6% across fresh sessions). Steady-state is
+    # what we mean to measure; warm count is recorded in the JSON.
+    warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -116,8 +124,11 @@ def main() -> None:
         # System.gc() here made things WORSE — full-GC churn bleeds into
         # the next timed query on a 128 GiB heap.)
         spark.catalog.clearCache()
+        for _ in range(warm):
+            run(name)
         times = []
         for _ in range(reps):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             run(name)
             times.append(time.perf_counter() - t0)
@@ -135,7 +146,24 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "warm": warm,
                 "spread": spread,
+            }
+        )
+    )
+    # Compact summary LAST: the full line above outgrew the driver's tail
+    # capture in round 5 (BENCH_r05 recorded "parsed": null), so the tail
+    # must always end with a short parseable record of the headline total.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "reps": reps,
+                "warm": warm,
+                "n_queries": len(timings),
             }
         )
     )

@@ -1372,10 +1372,14 @@ def q290_adstock_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifted AS (
       -- add 5 business days: weekend starts roll forward to Monday
       -- (7 - dow days), then 5 business days = exactly 7 calendar days.
-      SELECT o_orderkey, d0, d0 % 7 AS dow,
-             CASE WHEN d0 % 7 <= 4 THEN d0 + 7
-                  ELSE d0 + (7 - d0 % 7) + 7 END AS deadline_days
-      FROM base
+      -- dow is a SIGN-SAFE mod: DuckDB % keeps the dividend sign, so
+      -- a start date before the 1995-01-02 anchor needs ((d%7)+7)%7
+      -- to land in the documented 0-6 domain (Sunday 1995-01-01 is
+      -- d0=-1 -> dow=6, a weekend start, not dow=-1 "weekday").
+      SELECT o_orderkey, d0, dow,
+             CASE WHEN dow <= 4 THEN d0 + 7
+                  ELSE d0 + (7 - dow) + 7 END AS deadline_days
+      FROM (SELECT o_orderkey, d0, ((d0 % 7) + 7) % 7 AS dow FROM base)
     )
     SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
            strftime(DATE '1995-01-02' + CAST(d0 AS INTEGER), '%Y-%m-%d') AS start_day,
@@ -1404,7 +1408,10 @@ def q292_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     monday = F.lit("1995-01-02")
     d0 = F.datediff(F.to_date("o_orderdate"), F.to_date(monday))
-    dow = d0 % 7
+    # pmod, not %: Spark % keeps the dividend sign, so dates before the
+    # Monday anchor would get a negative "day of week" and be treated
+    # as weekday starts (the sf0.01 fixture has Sunday 1995-01-01).
+    dow = F.pmod(d0, F.lit(7))
     # Weekend starts roll forward to Monday (7 - dow days) BEFORE the
     # clock starts; 5 business days from a weekday are exactly 7
     # calendar days. (The first cut walked the remainder over the

@@ -335,9 +335,14 @@ def test_q292_deadline_properties(spark):
 
     rows = all_queries()["q292_business_day_sla"](spark, SF_DIR).collect()
     assert rows
-    for r in rows[:300]:
+    # EVERY row, not a slice: the round-5 sign bug (dates before the
+    # Monday anchor getting dow=-1) sat at index ~1668 of ~3k rows and
+    # a rows[:300] slice sailed past it.
+    for r in rows:
         start = datetime.date.fromisoformat(r["start_day"])
         end = datetime.date.fromisoformat(r["sla_deadline"])
+        assert 0 <= r["start_dow"] <= 6
+        assert r["start_dow"] == start.weekday()
         assert end.weekday() < 5  # never Saturday/Sunday
         delta = (end - start).days
         if start.weekday() < 5:
