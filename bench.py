@@ -79,6 +79,7 @@ HEADLINE = [
     "q306_quantile_normalize",  # rank-block equi-join lookup (no BETWEEN loop)
     "q309_pq_assign",           # PQ encode: broadcast codebook + argmin window
     "q313_shapley_attribution", # bitmask rollup + literal subset lattice
+    "q410_star_components",     # large/small-star CC on a 256-diameter path
 ]
 
 
