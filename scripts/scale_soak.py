@@ -1,0 +1,70 @@
+"""Scaling-slope soak (VERDICT r5 item 6): run every headline query at two
+scale factors in one session and report the time ratio per query.
+
+The reference publishes no wall-clock baselines, so the real performance
+evidence is the SLOPE: with 10x the data, a query whose time ratio far
+exceeds the data ratio is hiding a super-linear stage. Quadratic-by-
+contract queries (all-pairs cosine/near-dup) are expected to exceed it and
+are labeled.
+
+Usage: python scripts/scale_soak.py [small_dir] [big_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# O(n^2)-by-contract queries: slope >> data ratio is the documented design.
+QUADRATIC = {
+    "q46_cosine_top_pairs",
+    "q60_embedding_near_dup",
+    "q48_knn_brute_force",       # corpus x fixed query set — linear, but big const
+    "q246_hard_negative_mining",
+}
+
+
+def main() -> None:
+    from bench import HEADLINE
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.session import get_spark
+
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
+    out = sys.argv[3] if len(sys.argv) > 3 else ".scratch/scale_soak.json"
+    spark = get_spark(app_name="scale-soak")
+    queries = all_queries()
+
+    def timed(name: str, sf_dir: str) -> float:
+        spark.catalog.clearCache()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    results = {}
+    for name in HEADLINE:
+        try:
+            t_small = timed(name, small)
+            t_big = timed(name, big)
+            results[name] = {
+                "small_s": t_small,
+                "big_s": t_big,
+                "slope": round(t_big / t_small, 2),
+                "quadratic_by_contract": name in QUADRATIC,
+            }
+            print(json.dumps({name: results[name]}), flush=True)
+        except Exception as exc:  # keep the soak going; report at the end
+            results[name] = {"error": str(exc)[:300]}
+            print(json.dumps({name: results[name]}), flush=True)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
