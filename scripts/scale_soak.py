@@ -46,8 +46,17 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    # resume: queries already in the out file are skipped, and a
+    # SOAK_SKIP env list marks queries recorded by hand (e.g. a designed-
+    # slow control whose big-sf run exceeds the soak budget).
     results = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    skip = set(os.environ.get("SOAK_SKIP", "").split(",")) - {""}
     for name in HEADLINE:
+        if name in results or name in skip:
+            continue
         try:
             t_small = timed(name, small)
             t_big = timed(name, big)
