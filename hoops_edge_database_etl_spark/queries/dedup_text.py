@@ -344,6 +344,46 @@ def q62_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from hoops_edge_database_etl_spark.queries import _ORACLES  # noqa: E402
+
+
+@query("q412_dedup_clusters_star", oracle=_ORACLES["q62_dedup_clusters"])
+def q412_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q62's near-dup clustering with the round-6 STAR-CONTRACTION engine
+    (operators/cc.py) swapped in for label propagation — SHARING q62's
+    oracle verbatim, so the two algorithms are hash-checked to produce
+    the IDENTICAL clustering on the real MinHash-LSH candidate graph,
+    not just the planted-path fixture (q410/q411).  On shallow LSH
+    components labelprop stays the cheaper default (README crossover:
+    star wins past diameter ~16); this twin exists so the swap is a
+    one-line, already-verified decision when a corpus's candidate graph
+    turns adversarial (chain-shaped near-dup families: versioned docs,
+    templated spam)."""
+    from hoops_edge_database_etl_spark.operators.cc import (
+        connected_components_star,
+    )
+
+    edges = q43_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components_star(edges).select(
+        "node", F.col("component").alias("lbl")
+    )
+    d = load(spark, sf_dir, "documents")
+    comp = (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node"], "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("cluster_id"))
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 _SIMHASH_H = "CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
 _SIMHASH_SUMS = ", ".join(
     f"SUM(2 * (({_SIMHASH_H} // {1 << (31 - j)}) % 2) - 1) AS s{j}" for j in range(32)

@@ -18,6 +18,14 @@ def test_q411_matches_oracle(spark, duck):
     compare_query(spark, duck, "q411_labelprop_components")
 
 
+def test_q412_matches_q62_oracle(spark, duck):
+    """Star contraction on the REAL LSH candidate graph must reproduce
+    q62's labelprop clustering exactly (shared oracle)."""
+    from tests.conftest import compare_query
+
+    compare_query(spark, duck, "q412_dedup_clusters_star")
+
+
 def _path_edges(spark, n, breaks=()):
     rows = [
         (i, i + 1) for i in range(n - 1) if i + 1 not in set(breaks)
