@@ -152,9 +152,11 @@ def main() -> None:
             }
         )
     )
-    # Compact summary LAST: the full line above outgrew the driver's tail
-    # capture in round 5 (BENCH_r05 recorded "parsed": null), so the tail
-    # must always end with a short parseable record of the headline total.
+    # Compact summary LAST — after spark.stop(), so no shutdown warning can
+    # land behind it: the driver keeps only the final 2000 chars of combined
+    # output, and round 5's full JSON line outgrew that window
+    # (BENCH_r05 recorded "parsed": null).
+    spark.stop()
     print(
         json.dumps(
             {
@@ -166,9 +168,9 @@ def main() -> None:
                 "warm": warm,
                 "n_queries": len(timings),
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
