@@ -9,6 +9,7 @@ not what we're measuring).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -125,6 +126,12 @@ def main() -> None:
         # System.gc() here made things WORSE — full-GC churn bleeds into
         # the next timed query on a 128 GiB heap.)
         spark.catalog.clearCache()
+        # Release the previous query's DataFrame graphs so ContextCleaner
+        # unpersists their localCheckpoint RDD blocks: iterative queries
+        # (q62/q117/q135/q300/q410) otherwise accumulate checkpoint blocks
+        # across the bench and later queries pay the storage pressure.
+        # (Python gc, not System.gc — the JVM full-GC experiment regressed.)
+        gc.collect()
         for _ in range(warm):
             run(name)
         times = []
