@@ -842,7 +842,14 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagrees on signs across engines); (3) sign fixed by ΣV ≥ 0. The
     oracle replays all {k} sweeps as unrolled CTEs — bit-identical.
     Uncentered PCA (top right-singular direction); centering would
-    subtract the q103 label-free mean first — same shapes.""".format(
+    subtract the q103 label-free mean first — same shapes.
+    CONVERGENCE CAVEAT (round-6 audit): {k} sweeps isolate the top
+    direction only when the eigengap allows — the synthetic corpus is
+    near-isotropic (λ2/λ1 ≈ 0.984), so here the output is a
+    NEAR-DOMINANT direction (Rayleigh quotient ≥ 0.95·λ1, asserted by
+    the eigh cross-check in test_formula_recompute2), not the exact top
+    eigenvector; structured real embeddings converge properly, and more
+    sweeps is a constant change.""".format(
         k=PCA_SWEEPS
     )
     e = load(spark, sf_dir, "embeddings")
