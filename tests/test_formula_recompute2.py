@@ -461,3 +461,99 @@ def test_q141_pca_exact_integer_replay_and_rayleigh(spark, duck):
     vv = sv / np.linalg.norm(sv)
     lam = np.linalg.eigvalsh(G)
     assert float(vv @ G @ vv) >= 0.94 * lam[-1]
+
+# --- changepoint / bootstrap / rolling regression --------------------------
+
+
+def test_q167_cusum_vs_python_walk(spark, duck):
+    rows = {r["event_type"]: r for r in _q(spark, "q167_cusum_changepoint")}
+    daily = duck.execute(
+        "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR),"
+        " CAST(COUNT(*) AS BIGINT) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    per = {}
+    for et, day, c in daily:
+        per.setdefault(et, []).append((day, c))
+    for et, series in per.items():
+        n_days = len(series)
+        total = sum(c for _, c in series)
+        cusum, best = 0, None
+        for day, c in series:  # already day-ordered
+            cusum += n_days * c - total
+            if best is None or abs(cusum) > best[1]:
+                best = (day, abs(cusum))
+        r = rows[et]
+        assert r["n_days"] == n_days
+        assert str(r["change_day"]) == best[0]
+        assert r["max_abs_cusum"] == best[1]
+
+
+def test_q172_bootstrap_vs_hashlib_replicates(spark, duck):
+    """Replicate totals rebuilt with hashlib + the Poisson(1) lattice,
+    SE via np.var(ddof=1); the lattice cut points themselves checked
+    against the true Poisson(1) CDF."""
+    from hoops_edge_database_etl_spark.queries.sketches import BOOT_B
+
+    cdf, p, k = [], math.exp(-1.0), 0
+    acc = p
+    for k in range(5):
+        cdf.append(round(acc * 1000))
+        p = p / (k + 1)
+        acc += p
+    assert cdf == [368, 736, 920, 981, 996]  # the lattice in _BOOT_M_SQL
+
+    def mult(u):
+        for m, cut in enumerate([368, 736, 920, 981, 996]):
+            if u < cut:
+                return m
+        return 5
+
+    [r] = _q(spark, "q172_bootstrap_variance")
+    raw = duck.execute(
+        "SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT)"
+        " FROM orders"
+    ).fetchall()
+    totals = []
+    for b in range(BOOT_B):
+        t = 0
+        for ok, cents in raw:
+            u = int(
+                hashlib.md5(f"{ok}:boot:{b}".encode()).hexdigest()[:8], 16
+            ) % 1000
+            t += mult(u) * cents
+        totals.append(t)
+    point = sum(c for _, c in raw)
+    tt = np.array(totals, dtype=np.float64)
+    assert r["point_total_cents"] == point
+    assert r["n_replicates"] == BOOT_B
+    _close(r["boot_mean"], float(tt.mean()), 1e-12)
+    _close(r["boot_se"], float(tt.std(ddof=1)), 1e-9)
+    # the bootstrap mean of a total is unbiased: within a few SE of point
+    assert abs(float(tt.mean()) - point) < 6 * float(tt.std(ddof=1))
+
+
+def test_q187_rolling_slope_vs_polyfit(spark, duck):
+    rows = {
+        (r["flag"], str(r["day"])): r["slope_cents_per_day"]
+        for r in _q(spark, "q187_rolling_slope")
+    }
+    daily = duck.execute(
+        "SELECT l_returnflag, CAST(CAST(l_shipdate AS DATE) AS VARCHAR),"
+        " CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))"
+        " AS BIGINT),"
+        " CAST(SUM(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT)"
+        " FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2"
+    ).fetchall()
+    per = {}
+    for f, day, x, y in daily:
+        per.setdefault(f, []).append((day, x, y))
+    n_checked = 0
+    for f, series in per.items():
+        for i in range(6, len(series)):
+            wnd = series[i - 6 : i + 1]
+            xs = np.array([x for _, x, _ in wnd], float)
+            ys = np.array([y for _, _, y in wnd], float)
+            slope = float(np.polyfit(xs, ys, 1)[0])
+            _close(rows[(f, series[i][0])], slope, 1e-7)
+            n_checked += 1
+    assert n_checked == len(rows) > 0
