@@ -6137,3 +6137,158 @@ def q409_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(rxy - rxz * ryz)"
         " / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)) AS partial_rxy_z",
     )
+
+
+@query(
+    "q417_brier_decomposition",
+    oracle="""
+    WITH pred AS (
+      SELECT (o_custkey % 101) * 1000000 // 101 AS f_ppm,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    binned AS (
+      SELECT CAST(f_ppm * 10 // 1000001 AS BIGINT) AS bin, y
+      FROM pred
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+      FROM binned
+    ),
+    perbin AS (
+      SELECT bin,
+             CAST(bin * 100000 + 50000 AS BIGINT) AS f_q_ppm,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(y) AS BIGINT) AS s_b
+      FROM binned GROUP BY bin
+    )
+    SELECT p.bin, p.f_q_ppm, p.n_b, p.s_b,
+           p.s_b * 1000000 // p.n_b AS o_b_ppm,
+           (CAST(p.f_q_ppm AS DOUBLE) * p.n_b - 1000000.0 * p.s_b)
+             * (CAST(p.f_q_ppm AS DOUBLE) * p.n_b - 1000000.0 * p.s_b)
+             / p.n_b AS rel_num_e12,
+           (CAST(p.s_b AS DOUBLE) * t.n - CAST(t.s AS DOUBLE) * p.n_b)
+             * 1000000.0
+             * (CAST(p.s_b AS DOUBLE) * t.n - CAST(t.s AS DOUBLE) * p.n_b)
+             * 1000000.0
+             / (CAST(p.n_b AS DOUBLE) * t.n * t.n) AS res_num_e12,
+           CAST(p.n_b * p.f_q_ppm * p.f_q_ppm
+                - 2 * p.f_q_ppm * 1000000 * p.s_b
+                + CAST(1000000 AS BIGINT) * 1000000 * p.s_b
+                AS DECIMAL(38,0)) AS brier_num_e12
+    FROM perbin p CROSS JOIN tot t
+    """,
+)
+def q417_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MURPHY DECOMPOSITION of the Brier score — reliability, resolution,
+    uncertainty — the forecast-verification triptych behind q263's ECE
+    table: REL (how far each bin's forecast sits from its realized
+    rate), RES (how much the bins separate from the base rate), UNC
+    (base-rate variance), with Brier = REL − RES + UNC holding EXACTLY
+    because forecasts are quantized to their bin (constant-within-bin
+    is the identity's precondition; the pytest property re-proves it
+    from this output with numpy). Forecasts are a deterministic
+    pseudo-uniform ppm score (custkey residue), outcome = order status
+    'F'. Everything upstream of the last step is exact integers: per-
+    bin counts and outcome sums, o_b in floor-ppm, and the per-bin
+    Brier numerator in DECIMAL(38,0) (Σ(f−y)² ppm² units — int64 would
+    overflow past ~sf1, decimal never does). REL/RES contributions are
+    e12-scaled doubles from ONE fixed cross-multiplied expression each
+    (the q406 moment-algebra discipline — no per-row floats, nothing
+    order-dependent; the global base rate arrives via a broadcast
+    1-row cross join, never a second scan). 10 output rows regardless
+    of input size — the fixed-cardinality rule."""
+    o = load(spark, sf_dir, "orders")
+    binned = o.select(
+        F.expr("(o_custkey % 101) * 1000000 div 101 * 10 div 1000001").alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    perbin = binned.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("s_b"),
+    )
+    return (
+        perbin.withColumn(
+            "f_q_ppm", (F.col("bin") * 100000 + 50000).cast("long")
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bin",
+            "f_q_ppm",
+            "n_b",
+            "s_b",
+            "s_b * 1000000 div n_b AS o_b_ppm",
+            "(CAST(f_q_ppm AS DOUBLE) * n_b - 1000000.0D * s_b)"
+            " * (CAST(f_q_ppm AS DOUBLE) * n_b - 1000000.0D * s_b)"
+            " / n_b AS rel_num_e12",
+            "(CAST(s_b AS DOUBLE) * n - CAST(s AS DOUBLE) * n_b)"
+            " * 1000000.0D"
+            " * (CAST(s_b AS DOUBLE) * n - CAST(s AS DOUBLE) * n_b)"
+            " * 1000000.0D"
+            " / (CAST(n_b AS DOUBLE) * n * n) AS res_num_e12",
+            "CAST(n_b * f_q_ppm * f_q_ppm"
+            " - 2 * f_q_ppm * 1000000 * s_b"
+            " + CAST(1000000 AS BIGINT) * 1000000 * s_b"
+            " AS DECIMAL(38,0)) AS brier_num_e12",
+        )
+    )
+
+
+@query(
+    "q418_l_diversity",
+    oracle="""
+    WITH qi AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment AS sensitive
+      FROM customer
+    )
+    SELECT nation, bal_band,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l,
+           COUNT(*) >= 5 AS meets_k5,
+           COUNT(DISTINCT sensitive) >= 3 AS meets_l3,
+           COUNT(*) >= 5 AND COUNT(DISTINCT sensitive) >= 3 AS publishable
+    FROM qi GROUP BY nation, bal_band
+    """,
+)
+def q418_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — the disclosure-control gate k-anonymity (q241)
+    cannot provide: a group of 50 identical quasi-identifiers is
+    k-anonymous yet leaks everything if all 50 share ONE sensitive
+    value (the homogeneity attack). Per QI group (nation × $1000
+    balance band), report k (group size), l (distinct sensitive market
+    segments), and the k>=5 / l>=3 / publishable verdicts — the policy
+    table q284's suppressed rollup and q277's masking policy would
+    consume before release. One grouped scan with map-side combine;
+    COUNT(DISTINCT) over a 5-value domain rewrites to the expand-
+    then-count plan Catalyst picks automatically (bounded by domain
+    size, never row count). Property tests: l <= min(k, 5) always, and
+    planting a homogeneous group (single segment) flips its
+    publishable verdict off."""
+    c = load(spark, sf_dir, "customer")
+    qi = c.select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    return l_diversity_audit(qi, ["nation", "bal_band"], "sensitive")
+
+
+def l_diversity_audit(
+    df: DataFrame, qi_cols: list[str], sensitive: str, k_min: int = 5, l_min: int = 3
+) -> DataFrame:
+    """Per-QI-group k/l counts and release verdicts (see q418)."""
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct(sensitive).cast("long").alias("l"),
+        (F.count(F.lit(1)) >= k_min).alias("meets_k5"),
+        (F.countDistinct(sensitive) >= l_min).alias("meets_l3"),
+        (
+            (F.count(F.lit(1)) >= k_min) & (F.countDistinct(sensitive) >= l_min)
+        ).alias("publishable"),
+    )

@@ -5010,3 +5010,261 @@ def q399_sla_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("credit_ppm"),
     )
+
+
+@query(
+    "q415_littles_law",
+    oracle="""
+    WITH job AS (
+      SELECT o.o_orderpriority AS prio,
+             CAST(o.o_orderdate AS DATE) AS arrive,
+             GREATEST(CAST(MAX(l.l_shipdate) AS DATE) + 1,
+                      CAST(o.o_orderdate AS DATE)) AS depart,
+             MAX(l.l_shipdate) < o.o_orderdate AS inverted
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, o.o_orderkey, 2, o.o_orderdate
+    ),
+    clipped AS (
+      SELECT prio, arrive, depart,
+             GREATEST(arrive, DATE '1995-01-01') AS cs,
+             LEAST(depart, DATE '2002-01-01') AS ce
+      FROM job
+      WHERE depart > DATE '1995-01-01' AND arrive < DATE '2002-01-01'
+        AND depart > arrive
+    ),
+    perjob AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n_open,
+             CAST(SUM(ce - cs) AS BIGINT) AS sum_overlap_days
+      FROM clipped GROUP BY prio
+    ),
+    delta AS (
+      SELECT prio, d, SUM(x) AS net FROM (
+        SELECT prio, cs AS d, 1 AS x FROM clipped
+        UNION ALL
+        SELECT prio, ce AS d, -1 AS x FROM clipped
+      ) GROUP BY prio, d
+    ),
+    sweep AS (
+      SELECT prio,
+             CAST(SUM(active * gap) AS BIGINT) AS integral_days
+      FROM (
+        SELECT prio,
+               SUM(net) OVER (PARTITION BY prio ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS active,
+               COALESCE(LEAD(d) OVER (PARTITION BY prio ORDER BY d) - d, 0)
+                 AS gap
+        FROM delta
+      ) GROUP BY prio
+    ),
+    arrivals AS (
+      SELECT prio,
+             CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             CAST(SUM(depart - arrive) AS BIGINT) AS sum_residence_days,
+             CAST(SUM(CASE WHEN inverted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inverted
+      FROM job
+      WHERE arrive >= DATE '1995-01-01' AND arrive < DATE '2002-01-01'
+      GROUP BY prio
+    )
+    SELECT p.prio, p.n_open, s.integral_days, p.sum_overlap_days,
+           s.integral_days = p.sum_overlap_days AS conservation_ok,
+           a.n_arrivals, a.n_inverted,
+           CAST(s.integral_days AS DOUBLE) / 2557 AS l_avg_open,
+           CAST(a.sum_residence_days AS DOUBLE) / 2557 AS lambda_w
+    FROM perjob p
+    JOIN sweep s ON s.prio = p.prio
+    JOIN arrivals a ON a.prio = p.prio
+    """,
+)
+def q415_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LITTLE'S LAW audit over the order-fulfillment queue — the queueing
+    identity L = λW checked from data, per priority class, on the
+    full-span [1995-01-01, 2002-01-01) measurement window (T = 2557
+    days — wide enough that almost every job is fully contained, so
+    `l_avg_open` vs `lambda_w` lands within a few percent; shrink the
+    window and the straddling jobs ARE the visible gap). Jobs are
+    orders (arrive = order date, depart = day after the last lineitem
+    ships — half-open [arrive, depart)).
+    The load L·T is computed by TWO INDEPENDENT ROUTES that the
+    conservation theorem says must agree EXACTLY in integer days:
+    (1) per-job — Σ of each job's clipped overlap with the window;
+    (2) boundary sweep — q121's +1/−1 delta cumsum × gap-to-next-
+    boundary, integrating the concurrency step function. Their equality
+    (`conservation_ok`, and the pytest property) is a THEOREM ORACLE:
+    any clipping, off-by-one, or frame bug breaks it. λW needs no
+    division dance — λ·W = (n/T)·(Σres/n) telescopes to Σres/T, ONE
+    float division, so `l_avg_open` vs `lambda_w` is the classic
+    finite-window Little comparison (they differ only by edge effects:
+    jobs straddling the window boundaries). Both routes are
+    calendar-bounded after the first grouped aggregate (the q91 rule) —
+    the sweep's window ordering runs over net-per-day rows, never raw
+    orders. Line-less orders (257 at sf0.01 — the q291 finding) are
+    excluded by the inner join on both engines. A second generator
+    artifact this query SURFACED (the replay test caught it — the two
+    conserved routes shared the bug, the independent recompute didn't):
+    ~15% of orders have max(l_shipdate) BEFORE o_orderdate; their
+    would-be-negative intervals are clamped to empty (depart :=
+    max(depart, arrive), zero residence) and counted in
+    `n_inverted`."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w0, w1 = F.lit("1995-01-01").cast("date"), F.lit("2002-01-01").cast("date")
+    job = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("arrive"),
+            F.col("o_orderdate").alias("odt"),
+        )
+        .agg(
+            F.greatest(
+                F.date_add(F.max(F.to_date("l_shipdate")), 1), F.col("arrive")
+            ).alias("depart"),
+            (F.max("l_shipdate") < F.col("odt")).alias("inverted"),
+        )
+    )
+    clipped = (
+        job.filter(
+            (F.col("depart") > w0)
+            & (F.col("arrive") < w1)
+            & (F.col("depart") > F.col("arrive"))
+        )
+        .select(
+            "prio",
+            F.greatest("arrive", w0).alias("cs"),
+            F.least("depart", w1).alias("ce"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    perjob = clipped.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_open"),
+        F.sum(F.datediff("ce", "cs")).cast("long").alias("sum_overlap_days"),
+    )
+    delta = (
+        clipped.select("prio", F.col("cs").alias("d"), F.lit(1).alias("x"))
+        .unionAll(clipped.select("prio", F.col("ce").alias("d"), F.lit(-1).alias("x")))
+        .groupBy("prio", "d")
+        .agg(F.sum("x").alias("net"))
+    )
+    ws = Window.partitionBy("prio").orderBy("d")
+    sweep = (
+        delta.select(
+            "prio",
+            F.sum("net").over(ws.rowsBetween(Window.unboundedPreceding, 0)).alias("active"),
+            F.coalesce(
+                F.datediff(F.lead("d").over(ws), F.col("d")), F.lit(0)
+            ).alias("gap"),
+        )
+        .groupBy("prio")
+        .agg(F.sum(F.col("active") * F.col("gap")).cast("long").alias("integral_days"))
+    )
+    arrivals = (
+        job.filter((F.col("arrive") >= w0) & (F.col("arrive") < w1))
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+            F.sum(F.datediff("depart", "arrive")).cast("long").alias("sum_residence_days"),
+            F.sum(F.col("inverted").cast("long")).cast("long").alias("n_inverted"),
+        )
+    )
+    return (
+        perjob.join(sweep, "prio")
+        .join(arrivals, "prio")
+        .select(
+            "prio",
+            "n_open",
+            "integral_days",
+            "sum_overlap_days",
+            (F.col("integral_days") == F.col("sum_overlap_days")).alias(
+                "conservation_ok"
+            ),
+            "n_arrivals",
+            "n_inverted",
+            (F.col("integral_days").cast("double") / 2557).alias("l_avg_open"),
+            (F.col("sum_residence_days").cast("double") / 2557).alias("lambda_w"),
+        )
+    )
+
+
+def _greedy_eft_kernel(pdf):
+    """Earliest-finish-time greedy scan over one user's intervals (sorted
+    by (e, s)); provably optimal for max non-overlapping selection."""
+    pdf = pdf.sort_values(["e", "s"], kind="mergesort")
+    out_s, out_e = [], []
+    last_e = None
+    for s, e in zip(pdf["s"], pdf["e"]):
+        if last_e is None or s >= last_e:
+            out_s.append(s)
+            out_e.append(e)
+            last_e = e
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"uid": pdf["uid"].iloc[:1].repeat(len(out_s)).values, "s": out_s, "e": out_e}
+    )
+
+
+@query(
+    "q416_activity_selection",
+    oracle="""
+    WITH RECURSIVE iv AS (
+      SELECT user_id AS uid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + (CAST(floor(value) AS BIGINT) % 240) * 60 + 600 AS e
+      FROM events
+    ),
+    sel(uid, s, e) AS (
+      SELECT uid, s, e FROM (
+        SELECT uid, s, e, ROW_NUMBER() OVER (PARTITION BY uid ORDER BY e, s)
+          AS rn
+        FROM iv
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT uid, s, e FROM (
+        SELECT c.uid, c.s, c.e,
+               ROW_NUMBER() OVER (PARTITION BY c.uid ORDER BY c.e, c.s) AS rn
+        FROM (
+          SELECT iv.uid, iv.s, iv.e
+          FROM sel JOIN iv ON iv.uid = sel.uid AND iv.s >= sel.e
+        ) c
+      ) WHERE rn = 1
+    )
+    SELECT uid, s, e FROM sel
+    """,
+)
+def q416_activity_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY SELECTION — the maximum set of non-overlapping meetings
+    per user (half-open [s, e) second intervals derived from events:
+    start = event second, duration = (⌊value⌋ mod 240) minutes + 10).
+    The earliest-finish-time greedy is PROVABLY optimal (the exchange
+    argument), and greedy chains are inherently sequential state — so
+    this is a sanctioned §2.9 grouped-map kernel: applyInPandas per
+    user runs the O(n log n) sort + linear scan where the user's rows
+    already live (one shuffle on user_id, no driver collect; the same
+    scale shape as q113's sessionizer). The DuckDB oracle replays the
+    chain as a recursive CTE — each recursion step picks the
+    ROW_NUMBER()=1 interval by (e, s) among those starting at/after the
+    previous selection's end, so the full selected CHAIN (not just its
+    size) is hash-checked. Ties on (e, s) pick identical-valued rows on
+    both engines, so the output is tie-safe. Property test: an
+    independent O(n²) DP on sampled users confirms the greedy count is
+    the true optimum (the theorem, re-proven on this data); unit chains
+    (meeting at a free slot exactly at last end) are exercised by the
+    half-open >= boundary."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + (F.floor("value").cast("long") % 240) * 60
+            + 600
+        ).alias("e"),
+    )
+    return iv.groupBy("uid").applyInPandas(
+        _greedy_eft_kernel, schema="uid long, s long, e long"
+    )

@@ -1341,3 +1341,298 @@ def q411_labelprop_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", F.coalesce("component", F.col("node")).alias("component")
         )
     )
+
+
+_HITS_SCALE = 1 << 20
+_HITS_SWEEPS = 8
+_HITS_MOD = 24
+
+
+def _hits_oracle() -> str:
+    """Unrolled-CTE HITS replay (the q141 fixed-sweep discipline): every
+    sweep's authority/hub update is an integer-exact aggregate plus a
+    max-normalized floor division, so DuckDB reproduces all 8 sweeps
+    bit-for-bit without recursion."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT CAST(o_custkey % {_HITS_MOD} AS BIGINT) AS src,
+             CAST(o_orderkey % {_HITS_MOD} AS BIGINT) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders
+      WHERE o_custkey % {_HITS_MOD} <> o_orderkey % {_HITS_MOD}
+      GROUP BY 1, 2
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS MATERIALIZED (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS h FROM nodes)"""
+    ]
+    for k in range(1, _HITS_SWEEPS + 1):
+        parts.append(
+            f""",
+    ar{k} AS MATERIALIZED (
+      SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS a
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(e.w * h.h) AS v
+        FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY 1
+      ) s ON s.node = n.node
+    ),
+    a{k} AS MATERIALIZED (SELECT node, a * {_HITS_SCALE} // (SELECT MAX(a) FROM ar{k}) AS a
+             FROM ar{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT n.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS h
+      FROM nodes n LEFT JOIN (
+        SELECT e.src AS node, SUM(e.w * a.a) AS v
+        FROM e JOIN a{k} a ON a.node = e.dst GROUP BY 1
+      ) s ON s.node = n.node
+    ),
+    h{k} AS MATERIALIZED (SELECT node, h * {_HITS_SCALE} // (SELECT MAX(h) FROM hr{k}) AS h
+             FROM hr{k})"""
+        )
+    parts.append(
+        f"""
+    SELECT n.node,
+           CAST(h.h AS DOUBLE) / {_HITS_SCALE} AS hub,
+           CAST(a.a AS DOUBLE) / {_HITS_SCALE} AS authority
+    FROM nodes n
+    JOIN h{_HITS_SWEEPS} h ON h.node = n.node
+    JOIN a{_HITS_SWEEPS} a ON a.node = n.node"""
+    )
+    return "".join(parts)
+
+
+@query("q413_hits_scores", oracle=_hits_oracle())
+def q413_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed customer→order matchup
+    graph (q94/q117's edge derivation at mod {_HITS_MOD}) — the
+    link-analysis twin PageRank doesn't cover: a node is a good HUB if
+    it points at good authorities, a good AUTHORITY if good hubs point
+    at it. 8 fixed mutual-reinforcement sweeps, HASH-CHECKABLE like
+    q94: scores are int64 fixed-point (2^20 units) and each sweep
+    max-normalizes with a floor division (not the textbook L2 norm —
+    sqrt would leave integer arithmetic; max-normalization has the same
+    fixed point direction and keeps every sweep order-independent
+    integer sums, so the DuckDB unrolled-CTE oracle replays all 8
+    sweeps bit-for-bit). The rank vectors stay DataFrames end-to-end
+    (the q117 discipline): each sweep is edges⋈scores → groupBy SUM →
+    broadcast 1-row max → floor-div, localCheckpoint truncating lineage
+    per sweep. At 100 TB the edge list shuffles once per sweep on the
+    join key and the score side is node-sized (broadcastable); the
+    int64 headroom bound is orders·2^40 < 2^63 (good through ~sf1 —
+    re-scale SCALE down one sweep earlier beyond that).  Property
+    tests: scores in [0, 1] with max == 1 on both axes, and a planted
+    star graph makes its hub/authority centers win."""
+    o = load(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % _HITS_MOD).cast("long").alias("src"),
+            (F.col("o_orderkey") % _HITS_MOD).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    return hits_iterate(e, sweeps=_HITS_SWEEPS)
+
+
+def hits_iterate(e: DataFrame, sweeps: int = _HITS_SWEEPS) -> DataFrame:
+    """Run the fixed-sweep integer HITS iteration over a weighted edge
+    DataFrame ``(src, dst, w)``; returns ``(node, hub, authority)``.
+    Factored out so property tests can plant synthetic graphs."""
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sweep(scores: DataFrame, edge_from: str, edge_to: str, col: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[edge_from] == scores.node)
+            .groupBy(F.col(edge_to).alias("node"))
+            .agg(F.sum(F.col("w") * F.col(col)).alias("v"))
+        )
+        full = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("v", F.lit(0)).cast("long").alias("raw")
+        )
+        mx = full.agg(F.max("raw").alias("mx"))
+        return (
+            full.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"raw * {_HITS_SCALE} div mx").alias(col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("node", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    for _ in range(sweeps):
+        a = _sweep(h.withColumnRenamed("h", "s"), "src", "dst", "s").withColumnRenamed(
+            "s", "a"
+        )
+        h = _sweep(a.withColumnRenamed("a", "s"), "dst", "src", "s").withColumnRenamed(
+            "s", "h"
+        )
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            "node",
+            (F.col("h").cast("double") / _HITS_SCALE).alias("hub"),
+            (F.col("a").cast("double") / _HITS_SCALE).alias("authority"),
+        )
+    )
+
+
+_KCORE_K = 4
+_KCORE_SWEEPS = 24
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling replay: each sweep recomputes degrees over the
+    surviving node set (zero-degree survivors INCLUDED via the LEFT
+    JOIN — they peel the sweep after their last edge vanishes) and
+    drops sub-k nodes plus their edges. Sweeps past the fixpoint are
+    no-ops, so any sweep budget >= the true peeling depth is exact."""
+    parts = [
+        f"""
+    WITH l1 AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber = 1),
+    l2 AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber = 2),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT CAST(LEAST(l1.l_partkey, l2.l_partkey) AS BIGINT) AS a,
+             CAST(GREATEST(l1.l_partkey, l2.l_partkey) AS BIGINT) AS b
+      FROM l1 JOIN l2 ON l2.l_orderkey = l1.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    n0 AS MATERIALIZED (SELECT a AS node FROM e0 UNION SELECT b FROM e0)"""
+    ]
+    for k in range(1, _KCORE_SWEEPS + 1):
+        parts.append(
+            f""",
+    d{k} AS MATERIALIZED (
+      SELECT n.node, COALESCE(c.d, 0) AS d
+      FROM n{k - 1} n LEFT JOIN (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT a AS node FROM e{k - 1} UNION ALL SELECT b FROM e{k - 1}
+        ) GROUP BY node
+      ) c ON c.node = n.node
+    ),
+    r{k} AS MATERIALIZED (SELECT node FROM d{k} WHERE d < {_KCORE_K}),
+    n{k} AS MATERIALIZED (SELECT node FROM d{k} WHERE d >= {_KCORE_K}),
+    e{k} AS MATERIALIZED (
+      SELECT a, b FROM e{k - 1} t
+      WHERE NOT EXISTS (SELECT 1 FROM r{k} r WHERE r.node = t.a)
+        AND NOT EXISTS (SELECT 1 FROM r{k} r WHERE r.node = t.b)
+    )"""
+        )
+    removed_union = " UNION ALL ".join(
+        f"SELECT node, CAST({k} AS BIGINT) AS removed_sweep FROM r{k}"
+        for k in range(1, _KCORE_SWEEPS + 1)
+    )
+    parts.append(
+        f"""
+    SELECT n.node, rr.removed_sweep, rr.removed_sweep IS NULL AS in_core
+    FROM n0 n LEFT JOIN ({removed_union}) rr ON rr.node = n.node"""
+    )
+    return "".join(parts)
+
+
+@query("q414_kcore_onion", oracle=_kcore_oracle())
+def q414_kcore_onion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (k={_KCORE_K}) of the part co-purchase graph
+    (parts appearing as line 1 & 2 of the same order) via iterative
+    peeling, with the ONION LAYER — the sweep at which each node was
+    peeled — as the output (NULL ⇒ the node survives in the 4-core).
+    The core is the standard dense-subgraph/community primitive; the
+    onion layers are the cascade record (a node peeled at sweep 9 was
+    structurally solid until 8 rounds of neighborhood collapse reached
+    it). Peeling is inherently iterative but each sweep is pure
+    DataFrame algebra: degree = groupBy COUNT over the edge endpoints,
+    sub-k nodes leave via LEFT ANTI joins (never NOT IN and its NULL
+    trap), localCheckpoint truncates lineage per sweep, and the loop
+    exits at the empirical fixpoint (17 sweeps at sf0.01, 14 at
+    sf0.001) with a hard cap matching the oracle's {_KCORE_SWEEPS}
+    unrolled sweeps — sweeps past the fixpoint are no-ops on both
+    engines, so the cap only needs to EXCEED the true depth, never
+    equal it. At 100 TB: each sweep shuffles the surviving edges once
+    on each endpoint; the peeled-node set is tiny after sweep 1 and
+    broadcasts. The zero-degree subtlety (a survivor whose last edge
+    vanished peels NEXT sweep, not never) is covered by computing
+    degrees over the NODE list, not the edge list. Property tests: the
+    4-core's induced degrees are all >= 4, peeling the core again is a
+    no-op (maximality-side fixpoint), and removal sweeps are a
+    contiguous 1..depth range."""
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_partkey")
+    l2 = (
+        li.filter(F.col("l_linenumber") == 2)
+        .select("l_orderkey", F.col("l_partkey").alias("p2"))
+    )
+    e = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("p2"))
+        .select(
+            F.least("l_partkey", "p2").cast("long").alias("a"),
+            F.greatest("l_partkey", "p2").cast("long").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return kcore_peel(e, k=_KCORE_K, max_sweeps=_KCORE_SWEEPS)
+
+
+def kcore_peel(e: DataFrame, k: int = _KCORE_K, max_sweeps: int = _KCORE_SWEEPS) -> DataFrame:
+    """Iteratively peel sub-``k``-degree nodes from an undirected edge
+    DataFrame ``(a, b)`` (canonical a < b, distinct); returns
+    ``(node, removed_sweep, in_core)``. Factored out so property tests
+    can plant clique-plus-pendant graphs."""
+    nodes0 = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = nodes0
+    removed: list[DataFrame] = []
+    for sweep in range(1, max_sweeps + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select("b"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        dd = nodes.join(deg, "node", "left").select(
+            "node", F.coalesce("d", F.lit(0)).alias("d")
+        )
+        bad = (
+            dd.filter(F.col("d") < k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if bad.count() == 0:
+            break
+        removed.append(bad.withColumn("removed_sweep", F.lit(sweep).cast("long")))
+        nodes = (
+            dd.filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        e = (
+            e.join(F.broadcast(bad), e.a == bad.node, "left_anti")
+            .join(F.broadcast(bad), F.col("b") == bad.node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not removed:
+        return nodes0.select(
+            "node",
+            F.lit(None).cast("long").alias("removed_sweep"),
+            F.lit(True).alias("in_core"),
+        )
+    rr = removed[0]
+    for part in removed[1:]:
+        rr = rr.unionAll(part)
+    return nodes0.join(rr, "node", "left").select(
+        "node",
+        "removed_sweep",
+        F.col("removed_sweep").isNull().alias("in_core"),
+    )
