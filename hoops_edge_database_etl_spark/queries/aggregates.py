@@ -6292,3 +6292,367 @@ def l_diversity_audit(
             (F.count(F.lit(1)) >= k_min) & (F.countDistinct(sensitive) >= l_min)
         ).alias("publishable"),
     )
+
+
+_NEYMAN_BUDGET = 1000
+_NEYMAN_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def _neyman_oracle() -> str:
+    w_sum = " + ".join(f"w_{s}" for s in _NEYMAN_SEGS)
+    w_cols = ",\n             ".join(
+        f"CAST(MAX(CASE WHEN stratum = '{s}' THEN w END) AS DOUBLE) AS w_{s}"
+        for s in _NEYMAN_SEGS
+    )
+    return f"""
+    WITH mom AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sx,
+             CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS sxx
+      FROM customer GROUP BY c_mktsegment
+    ),
+    sig AS (
+      SELECT stratum, n_h,
+             sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS sigma_c,
+             CAST(n_h AS DOUBLE)
+               * sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS w
+      FROM mom
+    ),
+    tot AS (
+      SELECT {w_cols}
+      FROM sig
+    ),
+    quota AS (
+      SELECT s.stratum, s.n_h, s.sigma_c, s.w,
+             ({_NEYMAN_BUDGET}.0 * s.w) / ({w_sum}) AS q
+      FROM sig s CROSS JOIN tot
+    ),
+    based AS (
+      SELECT stratum, n_h, sigma_c, w, q,
+             CAST(FLOOR(q) AS BIGINT) AS base,
+             q - FLOOR(q) AS rem
+      FROM quota
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk,
+             (SELECT CAST(SUM(base) AS BIGINT) FROM based) AS base_sum
+      FROM based
+    )
+    SELECT stratum, n_h, sigma_c, q AS neyman_quota,
+           base + CASE WHEN rk <= {_NEYMAN_BUDGET} - base_sum THEN 1 ELSE 0 END
+             AS alloc
+    FROM ranked
+    """
+
+
+@query("q421_neyman_allocation", oracle=_neyman_oracle())
+def q421_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN OPTIMAL ALLOCATION of a 1000-unit sampling budget across
+    the five market-segment strata: n_h ∝ N_h·σ_h (big AND noisy strata
+    earn more samples — the variance-minimizing stratified design), with
+    the fractional quotas settled by q267's largest-remainder
+    apportionment so Σ alloc ≡ budget exactly. Parity discipline:
+    per-stratum moments are exact int64 cent sums (σ via the
+    sqrt-only rule — ONE fixed expression over integer moments, q385's
+    shape); the cross-stratum weight TOTAL is the one float sum in the
+    query, so it goes through the pivot-to-one-row trick (q323/q343 —
+    five MAX(CASE) columns summed in a fixed literal order, never a
+    grouped float SUM whose partial order floats free). Remainder
+    ranking orders identical doubles on both engines with the stratum
+    as tiebreak. Property tests: Σ alloc == 1000, monotone in N_h·σ_h,
+    and a numpy replay (cents → std → largest remainder) reproduces
+    the allocation."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    mom = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(cents).cast("long").alias("sx"),
+        F.sum(cents * cents).cast("long").alias("sxx"),
+    )
+    sig = mom.selectExpr(
+        "stratum",
+        "n_h",
+        "sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS sigma_c",
+        "CAST(n_h AS DOUBLE)"
+        " * sqrt((CAST(n_h AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+        " / (CAST(n_h AS DOUBLE) * (n_h - 1))) AS w",
+    )
+    w_cols = [
+        F.max(F.when(F.col("stratum") == s, F.col("w")))
+        .cast("double")
+        .alias(f"w_{s}")
+        for s in _NEYMAN_SEGS
+    ]
+    tot = sig.agg(*w_cols)
+    w_sum = " + ".join(f"w_{s}" for s in _NEYMAN_SEGS)
+    quota = sig.crossJoin(F.broadcast(tot)).selectExpr(
+        "stratum",
+        "n_h",
+        "sigma_c",
+        "w",
+        f"({_NEYMAN_BUDGET}.0D * w) / ({w_sum}) AS q",
+    )
+    based = quota.selectExpr(
+        "stratum",
+        "n_h",
+        "sigma_c",
+        "w",
+        "q",
+        "CAST(FLOOR(q) AS BIGINT) AS base",
+        "q - FLOOR(q) AS rem",
+    )
+    bs = based.agg(F.sum("base").cast("long").alias("base_sum"))
+    wr = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    return (
+        based.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(bs))
+        .selectExpr(
+            "stratum",
+            "n_h",
+            "sigma_c",
+            "q AS neyman_quota",
+            f"base + CASE WHEN rk <= {_NEYMAN_BUDGET} - base_sum"
+            " THEN 1 ELSE 0 END AS alloc",
+        )
+    )
+
+
+@query(
+    "q422_hodges_lehmann",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    walsh AS (
+      SELECT a.event_type, a.v + b.v AS sum2,
+             CASE WHEN a.v = b.v THEN a.c * (a.c + 1) // 2
+                  ELSE a.c * b.c END AS w
+      FROM vals a JOIN vals b
+        ON b.event_type = a.event_type AND b.v >= a.v
+    ),
+    grouped AS (
+      SELECT event_type, sum2, CAST(SUM(w) AS BIGINT) AS w
+      FROM walsh GROUP BY event_type, sum2
+    ),
+    cum AS (
+      SELECT event_type, sum2, w,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY sum2
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             SUM(w) OVER (PARTITION BY event_type) AS tw
+      FROM grouped
+    )
+    SELECT event_type,
+           CAST(tw AS BIGINT) AS n_walsh,
+           CAST(MIN(sum2) FILTER (WHERE cw >= (tw + 1) // 2) AS BIGINT)
+             AS hl_sum2,
+           CAST(MIN(sum2) FILTER (WHERE cw >= (tw + 1) // 2) AS DOUBLE) / 2
+             AS hl_estimate
+    FROM cum GROUP BY event_type, tw
+    """,
+)
+def q422_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HODGES-LEHMANN estimator per event type — the median of all
+    pairwise Walsh averages (x_i + x_j)/2, i <= j: the location
+    estimate dual to the Wilcoxon signed-rank test, robust like the
+    median but ~95% as efficient as the mean at the Gaussian (the
+    median is 64%). The naive form is an O(n²) self-join that would
+    be 4·10¹⁴ pairs per group at sf1 — the scale move is COMPRESSION
+    TO DISTINCT VALUES first (~210 integer values per group however
+    many rows), so the Walsh join is value²/2 ≈ 22k weighted pairs
+    per group, INPUT-SIZE INDEPENDENT (q279's same trick in 1-D).
+    Multiplicities: c_a·c_b for a<b, c(c+1)/2 for the diagonal
+    (unordered pairs WITH self-pairs, the standard HL convention).
+    Everything stays integer by carrying DOUBLED sums (v_a + v_b, no
+    halving until the final single division); the weighted median is
+    the lower-median convention (smallest sum2 whose cumulative
+    weight reaches ⌈W/2⌉ — ties broken identically in both engines
+    because the key is an integer). Property tests: Σ weights ==
+    n(n+1)/2 exactly, a numpy brute-force over a sampled group
+    reproduces the estimate, and HL of a symmetric planted sample
+    equals its median."""
+    ev = load(spark, sf_dir, "events")
+    vals = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = vals.select(
+        "event_type", F.col("v").alias("va"), F.col("c").alias("ca")
+    )
+    b = vals.select(
+        "event_type", F.col("v").alias("vb"), F.col("c").alias("cb")
+    )
+    walsh = (
+        a.join(b, "event_type")
+        .filter(F.col("vb") >= F.col("va"))
+        .select(
+            "event_type",
+            (F.col("va") + F.col("vb")).alias("sum2"),
+            F.when(
+                F.col("va") == F.col("vb"),
+                F.expr("ca * (ca + 1) div 2"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("w"),
+        )
+        .groupBy("event_type", "sum2")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    wc = Window.partitionBy("event_type").orderBy("sum2").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cum = walsh.select(
+        "event_type",
+        "sum2",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("event_type", F.col("tw").cast("long").alias("n_walsh"))
+        .agg(
+            F.min(F.when(F.col("cw") >= F.expr("(tw + 1) div 2"), F.col("sum2")))
+            .cast("long")
+            .alias("hl_sum2")
+        )
+        .select(
+            "event_type",
+            "n_walsh",
+            "hl_sum2",
+            (F.col("hl_sum2").cast("double") / 2).alias("hl_estimate"),
+        )
+    )
+
+
+@query(
+    "q423_wilcoxon_signed_rank",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS BIGINT)
+             - CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events GROUP BY 1, 2
+    ),
+    nz AS (SELECT event_type, user_id, d, ABS(d) AS ad FROM halves WHERE d <> 0),
+    zeros AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_zero
+      FROM halves WHERE d = 0 GROUP BY event_type
+    ),
+    tie AS (
+      SELECT event_type, ad,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM nz GROUP BY event_type, ad
+    ),
+    ranked AS (
+      SELECT event_type, ad, cnt, pos,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+      FROM tie
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(pos * (2 * below + cnt + 1)) AS BIGINT) AS w2,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM ranked GROUP BY event_type
+    )
+    SELECT a.event_type, a.n, COALESCE(z.n_zero, 0) AS n_zero,
+           a.w2 AS w_plus_x2,
+           (2.0 * a.w2 - CAST(a.n AS DOUBLE) * (a.n + 1))
+             / sqrt((2.0 * a.n * (a.n + 1) * (2 * a.n + 1) - a.tie_term) / 3)
+             AS z_score,
+           ABS((2.0 * a.w2 - CAST(a.n AS DOUBLE) * (a.n + 1))
+             / sqrt((2.0 * a.n * (a.n + 1) * (2 * a.n + 1) - a.tie_term) / 3))
+             > 1.96 AS significant
+    FROM agg a LEFT JOIN zeros z ON z.event_type = a.event_type
+    """,
+)
+def q423_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test per event type — the nonparametric
+    paired test completing the trio (q297 Mann-Whitney for independent
+    samples, q378 paired t for within-subject means): did per-user
+    activity SHIFT between the month's first and second half, judged by
+    RANKS of |difference| so one whale user cannot buy the verdict.
+    Zero differences drop (the standard convention — reported in
+    `n_zero`); tied |d| values get MIDRANKS. The exactness move: work
+    in DOUBLED ranks — with `below` = count of smaller |d| and `cnt`
+    the tie size, 2·midrank = 2·below + cnt + 1 stays integer, so
+    2W⁺ = Σ_{d>0} (2·below + cnt + 1) is an exact int64 and the
+    normal-approximation z is ONE fixed float expression:
+    z = (2·(2W⁺) − n(n+1)) / √((2n(n+1)(2n+1) − Σ(t³−t))/3), the
+    16σ²-scaled form of the textbook variance WITH tie correction.
+    The rank pass runs over distinct |d| VALUES per group (bounded by
+    the count range, not the user count) — the q422 compression. The
+    numpy midrank replay (the formula-audit discipline) recomputes
+    W⁺ and z from raw differences with scipy-free textbook code."""
+    ev = load(spark, sf_dir, "events")
+    halves = ev.groupBy("event_type", "user_id").agg(
+        (
+            F.sum(
+                F.when(
+                    F.to_date("ts") >= F.lit("2024-01-16").cast("date"), 1
+                ).otherwise(0)
+            )
+            - F.sum(
+                F.when(
+                    F.to_date("ts") < F.lit("2024-01-16").cast("date"), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("d")
+    )
+    nz = halves.filter(F.col("d") != 0).withColumn("ad", F.abs("d"))
+    zeros = (
+        halves.filter(F.col("d") == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_zero"))
+    )
+    tie = nz.groupBy("event_type", "ad").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("pos"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = tie.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("long")
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("pos") * (2 * F.col("below") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    return (
+        agg.join(zeros, "event_type", "left")
+        .selectExpr(
+            "event_type",
+            "n",
+            "COALESCE(n_zero, 0L) AS n_zero",
+            "w2 AS w_plus_x2",
+            "(2.0D * w2 - CAST(n AS DOUBLE) * (n + 1))"
+            " / sqrt((2.0D * n * (n + 1) * (2 * n + 1) - tie_term) / 3)"
+            " AS z_score",
+            "ABS((2.0D * w2 - CAST(n AS DOUBLE) * (n + 1))"
+            " / sqrt((2.0D * n * (n + 1) * (2 * n + 1) - tie_term) / 3))"
+            " > 1.96D AS significant",
+        )
+    )

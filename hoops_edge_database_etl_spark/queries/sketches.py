@@ -1978,3 +1978,81 @@ def q340_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvar95_cents"
         ),
     )
+
+
+@query(
+    "q424_kde_epanechnikov",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n_g AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM vals GROUP BY 1
+    ),
+    grid AS (SELECT CAST(x AS BIGINT) AS g FROM range(0, 500, 10) t(x)),
+    contrib AS (
+      SELECT v.event_type, grid.g,
+             CAST(SUM(v.c * (625 - (grid.g - v.v) * (grid.g - v.v)))
+                  AS BIGINT) AS num
+      FROM grid JOIN vals v ON ABS(grid.g - v.v) < 25
+      GROUP BY v.event_type, grid.g
+    )
+    SELECT n.event_type, grid.g AS grid_x,
+           CAST(COALESCE(c.num, 0) AS BIGINT) AS density_num,
+           (3.0 * COALESCE(c.num, 0)) / (4.0 * n.n * 15625)
+             AS density
+    FROM n_g n CROSS JOIN grid
+    LEFT JOIN contrib c ON c.event_type = n.event_type AND c.g = grid.g
+    """,
+)
+def q424_kde_epanechnikov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KERNEL DENSITY ESTIMATE with the EPANECHNIKOV kernel on a fixed
+    50-point grid per event type — the smooth upgrade of q329's binned
+    density grid, and the reason this kernel (not the Gaussian) is the
+    distributed choice: K(u) = ¾(1−u²) is a POLYNOMIAL with compact
+    support, so every contribution c·(h² − (g−v)²) is an EXACT integer
+    (h = 25) and the infinite-tail exp() that would break cross-engine
+    parity never appears — plus it is the MSE-optimal kernel anyway
+    (Epanechnikov 1969). Scale shape: raw values compress to ~210
+    distinct integers per group (the q422 move), the 50-point grid
+    broadcasts, and the |g−v| < h band join + grouped integer sum is
+    input-size independent after the first aggregate. Zero-mass grid
+    points survive via the LEFT join from the (event_type × grid)
+    frame — a density CURVE has explicit zeros, not missing rows. The
+    single float division 3·num/(4·n·h³) happens once per output row.
+    Property tests: numpy replay matches exactly; the density
+    integrates to ≈ 1 (trapezoid over the grid); every point is
+    nonneg; plus the known-bandwidth sanity that mass concentrates
+    where the histogram does."""
+    ev = load(spark, sf_dir, "events")
+    vals = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_g = vals.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    grid = spark.range(0, 50).select((F.col("id") * 10).cast("long").alias("g"))
+    contrib = (
+        F.broadcast(grid)
+        .join(vals, F.abs(grid.g - vals.v) < 25)
+        .groupBy("event_type", "g")
+        .agg(
+            F.sum(
+                F.col("c") * (625 - (F.col("g") - F.col("v")) * (F.col("g") - F.col("v")))
+            )
+            .cast("long")
+            .alias("num")
+        )
+    )
+    frame = n_g.crossJoin(F.broadcast(grid))
+    return (
+        frame.join(contrib, ["event_type", "g"], "left")
+        .select(
+            "event_type",
+            F.col("g").alias("grid_x"),
+            F.coalesce("num", F.lit(0)).cast("long").alias("density_num"),
+            ((3.0 * F.coalesce("num", F.lit(0))) / (4.0 * F.col("n") * 15625)).alias(
+                "density"
+            ),
+        )
+    )

@@ -449,3 +449,45 @@ def q376_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT)
         """
     )
+
+
+_sql_query(
+    "q420_sql_range_frames",
+    """
+    WITH b AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      WHERE o_orderkey % 61 = 0
+      GROUP BY o_orderpriority, CAST(FLOOR(o_totalprice / 5000) AS BIGINT)
+    )
+    SELECT prio, bucket, n,
+           CAST(SUM(n) OVER (PARTITION BY prio ORDER BY bucket
+                RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_trail3,
+           CAST(SUM(n) OVER (PARTITION BY prio ORDER BY bucket
+                RANGE BETWEEN CURRENT ROW AND 3 FOLLOWING) AS BIGINT)
+             AS n_lead3,
+           CAST(SUM(n) OVER (PARTITION BY prio ORDER BY bucket
+                RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+             AS n_band2,
+           CAST(SUM(n) OVER (PARTITION BY prio ORDER BY bucket
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_rows3
+    FROM b
+    """,
+    """RANGE-frame window suite — the VALUE-distance frames (§2.5) the
+    ROWS-frame queries (q39, q67) do not cover: per priority class, the
+    order count within a trailing / leading / centered band of $5000
+    price buckets. RANGE frames aggregate over the ORDER-KEY DISTANCE,
+    not row offsets, so at the sparse tail of the price distribution
+    (buckets with gaps) n_trail3 and n_rows3 genuinely diverge — the
+    property test asserts they differ somewhere AND that a dict-based
+    Python recompute of every band matches exactly. Dialect notes: the
+    frame bound syntax is identical ANSI in both engines over a BIGINT
+    key; FLOOR before CAST (DuckDB CAST rounds, Spark truncates — the
+    q340 rule); the full GROUP BY expression is repeated because Spark
+    resolves output aliases in GROUP BY but DuckDB positional rules
+    differ across versions.""",
+)

@@ -2695,3 +2695,97 @@ def q406_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sdyy - 2 * b * sdxy + b * b * sdxx)"
         " / (cyy - 2 * b * cxy + b * b * cxx) < 1.5 AS positive_autocorr",
     )
+
+
+@query(
+    "q419_holt_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(SUM(CAST(floor(value + 0.5) AS BIGINT)) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             list_reduce(
+               list([y, CAST(0.0 AS DOUBLE)] ORDER BY d),
+               (a, x) -> [(x[1] + a[1] + a[2]) / 2,
+                          (((x[1] + a[1] + a[2]) / 2) - a[1] + a[2]) / 2]
+             ) AS st
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           st[1] AS level_s,
+           st[2] AS trend_b,
+           st[1] + 7 * st[2] AS forecast_7d
+    FROM folded
+    """,
+)
+def q419_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND smoothing (double exponential smoothing, α=β=½)
+    over each event type's daily count series — the trend-aware
+    extension of q130's EWMA: level s_t = (y_t + s_{t−1} + b_{t−1})/2,
+    trend b_t = ((s_t − s_{t−1}) + b_{t−1})/2, forecast = s + 7b. The
+    recursion is order-DEPENDENT float state, which is exactly the case
+    the ordered-fold parity rule exists for (q328/q373/q390): Spark
+    folds F.aggregate over a sort_array'd (day, y) list with a
+    struct(s, b) accumulator, DuckDB folds list_reduce over
+    list(... ORDER BY d) with a [s, b] list accumulator, and BOTH
+    evaluate the IDENTICAL arithmetic expression tree in the identical
+    order — b_t recomputes s_t inline rather than referencing it, so
+    the two engines' op sequences are the same IEEE stream and the
+    hash matches bit-for-bit. Initialization: first element seeds
+    [y_1, 0] (DuckDB's fold-from-first; Spark slices the array and
+    seeds the zero explicitly). The fold state is 16 bytes per group
+    regardless of series length; the grouped collect_list is bounded
+    by the calendar (30 days here), never raw events — at 100 TB the
+    pre-aggregate does the heavy lifting map-side. Property tests: a
+    planted pure-trend series (y = c + m·t) converges to trend ≈ m,
+    and a numpy replay of the recursion matches exactly."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") + F.lit(0.5)).cast("long"))
+        .cast("double")
+        .alias("y")
+    )
+    return holt_smooth(daily, "event_type")
+
+
+def holt_smooth(daily: DataFrame, group_col: str) -> DataFrame:
+    """Ordered-fold Holt smoothing over ``(group_col, d, y)`` rows; see
+    q419. Factored out so property tests can plant synthetic series."""
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("d").alias("d"), F.col("y").alias("y")))
+        ),
+        lambda s: s["y"],
+    )
+    folded = daily.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.struct(
+                F.element_at(arr, 1).alias("s"), F.lit(0.0).cast("double").alias("b")
+            ),
+            lambda acc, x: F.struct(
+                ((x + acc["s"] + acc["b"]) / 2).alias("s"),
+                ((((x + acc["s"] + acc["b"]) / 2) - acc["s"] + acc["b"]) / 2).alias(
+                    "b"
+                ),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        group_col,
+        "n_days",
+        F.col("st.s").alias("level_s"),
+        F.col("st.b").alias("trend_b"),
+        (F.col("st.s") + 7 * F.col("st.b")).alias("forecast_7d"),
+    )
