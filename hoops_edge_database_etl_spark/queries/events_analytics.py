@@ -5268,3 +5268,107 @@ def q416_activity_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iv.groupBy("uid").applyInPandas(
         _greedy_eft_kernel, schema="uid long, s long, e long"
     )
+
+
+def _weighted_interval_kernel(pdf):
+    """O(n log n) weighted-interval-scheduling DP over one user's
+    intervals: sort by end, p(i) via binary search, best[i] =
+    max(best[i-1], best[p(i)] + w_i)."""
+    import bisect
+
+    import pandas as pd
+
+    pdf = pdf.sort_values(["e", "s", "w"], kind="mergesort")
+    ends = pdf["e"].tolist()
+    starts = pdf["s"].tolist()
+    ws = pdf["w"].tolist()
+    n = len(ends)
+    best = [0] * (n + 1)
+    for i in range(1, n + 1):
+        pi = bisect.bisect_right(ends, starts[i - 1], 0, i - 1)
+        best[i] = max(best[i - 1], best[pi] + ws[i - 1])
+    return pd.DataFrame(
+        {
+            "uid": pdf["uid"].iloc[:1].values,
+            "best_value": [best[n]],
+            "n_intervals": [n],
+        }
+    )
+
+
+@query(
+    "q428_weighted_intervals",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id AS uid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               + (CAST(floor(value) AS BIGINT) % 240) * 60 + 600 AS e,
+             CAST(floor(value * 100) AS BIGINT) % 500 + 100 AS w
+      FROM events
+    ),
+    iv AS (
+      SELECT uid, s, e, w,
+             ROW_NUMBER() OVER (PARTITION BY uid ORDER BY e, s, w) AS i,
+             COUNT(*) OVER (PARTITION BY uid) AS n
+      FROM base
+    ),
+    p AS (
+      SELECT a.uid, a.i, a.w, a.n, COUNT(b.i) AS pi
+      FROM iv a LEFT JOIN iv b ON b.uid = a.uid AND b.e <= a.s
+      GROUP BY a.uid, a.i, a.w, a.n
+    ),
+    dp(uid, i, bests) AS (
+      SELECT uid, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)]
+      FROM (SELECT DISTINCT uid FROM iv)
+      UNION ALL
+      SELECT d.uid, d.i + 1,
+             list_append(d.bests,
+               GREATEST(d.bests[CAST(d.i + 1 AS INTEGER)],
+                        d.bests[CAST(p.pi + 1 AS INTEGER)] + p.w))
+      FROM dp d JOIN p ON p.uid = d.uid AND p.i = d.i + 1
+    )
+    SELECT d.uid AS uid,
+           CAST(d.bests[CAST(d.i + 1 AS INTEGER)] AS BIGINT) AS best_value,
+           CAST(d.i AS BIGINT) AS n_intervals
+    FROM dp d JOIN (SELECT DISTINCT uid AS u2, n FROM iv) nn
+      ON nn.u2 = d.uid AND d.i = nn.n
+    """,
+)
+def q428_weighted_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED INTERVAL SCHEDULING — q416's optimization-grade sibling:
+    maximize total VALUE (not count) of non-overlapping meetings per
+    user, where greedy is provably NOT optimal and the textbook
+    O(n log n) DP is required: sort by end, p(i) = last compatible
+    interval via binary search, best[i] = max(best[i−1],
+    best[p(i)] + w_i). Same grouped-map scale shape as q416 (one
+    shuffle on user_id, the DP runs where the rows live); the same
+    interval derivation plus an integer cents weight. The ORACLE is
+    the interesting artifact: the DP is replayed as a DuckDB
+    recursive CTE whose working row carries the whole best[] table as
+    a GROWING LIST — each recursion step appends
+    GREATEST(bests[i], bests[p(i)+1] + w) — proving the sequential
+    recurrence is expressible in pure SQL (p(i) precomputes
+    non-recursively as a count of intervals with e <= s_i, which is a
+    contiguous prefix of the end-sorted order precisely because
+    durations are positive). CROSSOVER THEOREM with q416: under unit
+    weights the DP optimum equals the greedy chain length — the
+    pytest property runs the kernel with w=1 and matches q416 per
+    user, tying the two independent implementations (and the two
+    oracle formulations — recursive argmin chain vs list-state DP)
+    to one another."""
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + (F.floor("value").cast("long") % 240) * 60
+            + 600
+        ).alias("e"),
+        (F.floor(F.col("value") * 100).cast("long") % 500 + 100).alias("w"),
+    )
+    return iv.groupBy("uid").applyInPandas(
+        _weighted_interval_kernel,
+        schema="uid long, best_value long, n_intervals long",
+    )

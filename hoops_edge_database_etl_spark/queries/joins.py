@@ -1622,3 +1622,189 @@ def q319_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("strategy"),
         )
     )
+
+
+@query(
+    "q425_fellegi_sunter",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey AS id, c_custkey % 40 AS blk,
+             CAST(c_nationkey AS BIGINT) AS nation,
+             c_custkey % 100 AS suffix,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    b AS (
+      SELECT c_custkey AS id, c_custkey % 40 AS blk,
+             CAST(CASE WHEN c_custkey % 10 = 0 THEN (c_nationkey + 1) % 25
+                       ELSE c_nationkey END AS BIGINT) AS nation,
+             (c_custkey + CASE WHEN c_custkey % 13 = 0 THEN 50 ELSE 0 END)
+               % 100 AS suffix,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               + CASE WHEN c_custkey % 7 = 0 THEN 250 ELSE 0 END AS cents
+      FROM customer
+    ),
+    cand AS (
+      SELECT a.id = b.id AS is_match,
+             a.nation = b.nation AS f_nation,
+             a.suffix = b.suffix AS f_suffix,
+             ABS(a.cents - b.cents) <= 100 AS f_bal
+      FROM a JOIN b ON b.blk = a.blk
+    ),
+    mu AS (
+      SELECT CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS md,
+             CAST(SUM(CASE WHEN is_match AND f_nation THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mn1,
+             CAST(SUM(CASE WHEN is_match AND f_suffix THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mn2,
+             CAST(SUM(CASE WHEN is_match AND f_bal THEN 1 ELSE 0 END)
+                  AS BIGINT) AS mn3,
+             CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS ud,
+             CAST(SUM(CASE WHEN NOT is_match AND f_nation THEN 1 ELSE 0 END)
+                  AS BIGINT) AS un1,
+             CAST(SUM(CASE WHEN NOT is_match AND f_suffix THEN 1 ELSE 0 END)
+                  AS BIGINT) AS un2,
+             CAST(SUM(CASE WHEN NOT is_match AND f_bal THEN 1 ELSE 0 END)
+                  AS BIGINT) AS un3
+      FROM cand
+    ),
+    pat AS (
+      SELECT f_nation, f_suffix, f_bal,
+             CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatch
+      FROM cand GROUP BY f_nation, f_suffix, f_bal
+    )
+    SELECT p.f_nation, p.f_suffix, p.f_bal, p.n_match, p.n_unmatch,
+           ((CASE WHEN p.f_nation
+                  THEN (CAST(m.mn1 + 1 AS DOUBLE) * (m.ud + 2)) / (CAST(m.md + 2 AS DOUBLE) * (m.un1 + 1))
+                  ELSE (CAST(m.md + 1 - m.mn1 AS DOUBLE) * (m.ud + 2))
+                       / (CAST(m.md + 2 AS DOUBLE) * (m.ud + 1 - m.un1)) END
+             * CASE WHEN p.f_suffix
+                  THEN (CAST(m.mn2 + 1 AS DOUBLE) * (m.ud + 2)) / (CAST(m.md + 2 AS DOUBLE) * (m.un2 + 1))
+                  ELSE (CAST(m.md + 1 - m.mn2 AS DOUBLE) * (m.ud + 2))
+                       / (CAST(m.md + 2 AS DOUBLE) * (m.ud + 1 - m.un2)) END)
+             * CASE WHEN p.f_bal
+                  THEN (CAST(m.mn3 + 1 AS DOUBLE) * (m.ud + 2)) / (CAST(m.md + 2 AS DOUBLE) * (m.un3 + 1))
+                  ELSE (CAST(m.md + 1 - m.mn3 AS DOUBLE) * (m.ud + 2))
+                       / (CAST(m.md + 2 AS DOUBLE) * (m.ud + 1 - m.un3)) END)
+             AS fs_ratio,
+           ((CASE WHEN p.f_nation
+                  THEN (CAST(m.mn1 + 1 AS DOUBLE) * (m.ud + 2)) / (CAST(m.md + 2 AS DOUBLE) * (m.un1 + 1))
+                  ELSE (CAST(m.md + 1 - m.mn1 AS DOUBLE) * (m.ud + 2))
+                       / (CAST(m.md + 2 AS DOUBLE) * (m.ud + 1 - m.un1)) END
+             * CASE WHEN p.f_suffix
+                  THEN (CAST(m.mn2 + 1 AS DOUBLE) * (m.ud + 2)) / (CAST(m.md + 2 AS DOUBLE) * (m.un2 + 1))
+                  ELSE (CAST(m.md + 1 - m.mn2 AS DOUBLE) * (m.ud + 2))
+                       / (CAST(m.md + 2 AS DOUBLE) * (m.ud + 1 - m.un2)) END)
+             * CASE WHEN p.f_bal
+                  THEN (CAST(m.mn3 + 1 AS DOUBLE) * (m.ud + 2)) / (CAST(m.md + 2 AS DOUBLE) * (m.un3 + 1))
+                  ELSE (CAST(m.md + 1 - m.mn3 AS DOUBLE) * (m.ud + 2))
+                       / (CAST(m.md + 2 AS DOUBLE) * (m.ud + 1 - m.un3)) END)
+             > 1.0 AS link_decision
+    FROM pat p CROSS JOIN mu m
+    """,
+)
+def q425_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER record-linkage scoring — the probabilistic model
+    behind every serious entity-resolution system (Splink, dedupe.io):
+    from a BLOCKED candidate-pair set between the customer table and a
+    deterministically corrupted copy of itself (10% nation typos, ~8%
+    name-suffix drift, ~14% balance drift — truth = same key), estimate
+    each comparison field's m-probability (P(agree | match)) and
+    u-probability (P(agree | non-match)), then score all 8 agreement
+    patterns with the likelihood ratio Π m/u (agreements) ×
+    (1−m)/(1−u) (disagreements). The textbook formulation is a SUM OF
+    LOG WEIGHTS; the ln-free house form multiplies the ratios instead
+    — m/u counts carry add-one (Laplace) smoothing, (mn+1)/(md+2) and
+    (un+1)/(ud+2), so a zero cell (at tiny scale a blocked candidate
+    set can have NO suffix-agreeing non-matches) never divides by
+    zero — each ratio is ONE float division of exact integer
+    cross-products
+    and the three-term product is explicitly parenthesized left-to-
+    right, so both engines execute the identical IEEE sequence (the
+    q404 precedence lesson). Blocking on key mod 40 keeps the
+    candidate set ~n²/40 of the cross join and never drops a true pair
+    (blocks derive from the UNCORRUPTED key on both sides — corrupt
+    the block key and recall dies, which is q308's recall-eval
+    lesson). One grouped pass estimates all six m/u counts; the
+    pattern table is 8 rows regardless of scale. Property tests: a
+    numpy replay from raw pair counts, monotonicity (all-agree pattern
+    outscores all-disagree by orders of magnitude), and the
+    m > u sanity every informative field must satisfy."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    a = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 40).alias("blk"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        (F.col("c_custkey") % 100).alias("suffix"),
+        cents.alias("cents"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id2"),
+        (F.col("c_custkey") % 40).alias("blk"),
+        F.when(
+            F.col("c_custkey") % 10 == 0, (F.col("c_nationkey") + 1) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .cast("long")
+        .alias("nation2"),
+        (
+            (
+                F.col("c_custkey")
+                + F.when(F.col("c_custkey") % 13 == 0, 50).otherwise(0)
+            )
+            % 100
+        ).alias("suffix2"),
+        (
+            cents + F.when(F.col("c_custkey") % 7 == 0, 250).otherwise(0)
+        ).alias("cents2"),
+    )
+    cand = a.join(b, "blk").select(
+        (F.col("id") == F.col("id2")).alias("is_match"),
+        (F.col("nation") == F.col("nation2")).alias("f_nation"),
+        (F.col("suffix") == F.col("suffix2")).alias("f_suffix"),
+        (F.abs(F.col("cents") - F.col("cents2")) <= 100).alias("f_bal"),
+    )
+    m = F.col("is_match").cast("long")
+    u = (~F.col("is_match")).cast("long")
+    mu = cand.agg(
+        F.sum(m).cast("long").alias("md"),
+        F.sum(m * F.col("f_nation").cast("long")).cast("long").alias("mn1"),
+        F.sum(m * F.col("f_suffix").cast("long")).cast("long").alias("mn2"),
+        F.sum(m * F.col("f_bal").cast("long")).cast("long").alias("mn3"),
+        F.sum(u).cast("long").alias("ud"),
+        F.sum(u * F.col("f_nation").cast("long")).cast("long").alias("un1"),
+        F.sum(u * F.col("f_suffix").cast("long")).cast("long").alias("un2"),
+        F.sum(u * F.col("f_bal").cast("long")).cast("long").alias("un3"),
+    )
+    pat = cand.groupBy("f_nation", "f_suffix", "f_bal").agg(
+        F.sum(m).cast("long").alias("n_match"),
+        F.sum(u).cast("long").alias("n_unmatch"),
+    )
+    ratio = (
+        "(CASE WHEN f_nation"
+        " THEN (CAST(mn1 + 1 AS DOUBLE) * (ud + 2)) / (CAST(md + 2 AS DOUBLE) * (un1 + 1))"
+        " ELSE (CAST(md + 1 - mn1 AS DOUBLE) * (ud + 2))"
+        " / (CAST(md + 2 AS DOUBLE) * (ud + 1 - un1)) END"
+        " * CASE WHEN f_suffix"
+        " THEN (CAST(mn2 + 1 AS DOUBLE) * (ud + 2)) / (CAST(md + 2 AS DOUBLE) * (un2 + 1))"
+        " ELSE (CAST(md + 1 - mn2 AS DOUBLE) * (ud + 2))"
+        " / (CAST(md + 2 AS DOUBLE) * (ud + 1 - un2)) END)"
+        " * CASE WHEN f_bal"
+        " THEN (CAST(mn3 + 1 AS DOUBLE) * (ud + 2)) / (CAST(md + 2 AS DOUBLE) * (un3 + 1))"
+        " ELSE (CAST(md + 1 - mn3 AS DOUBLE) * (ud + 2))"
+        " / (CAST(md + 2 AS DOUBLE) * (ud + 1 - un3)) END"
+    )
+    return pat.crossJoin(F.broadcast(mu)).selectExpr(
+        "f_nation",
+        "f_suffix",
+        "f_bal",
+        "n_match",
+        "n_unmatch",
+        f"({ratio}) AS fs_ratio",
+        f"({ratio}) > 1.0D AS link_decision",
+    )

@@ -5,7 +5,7 @@ non-SQL-expressible, SURVEY.md §2.5 W10/W11) and the normalize layer
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -1635,4 +1635,133 @@ def kcore_peel(e: DataFrame, k: int = _KCORE_K, max_sweeps: int = _KCORE_SWEEPS)
         "node",
         "removed_sweep",
         F.col("removed_sweep").isNull().alias("in_core"),
+    )
+
+
+_HC_PIVOTS = 32
+_HC_SWEEPS = 16
+
+
+@query(
+    "q429_harmonic_centrality",
+    oracle=f"""
+    WITH RECURSIVE l1 AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber = 1
+    ),
+    l2 AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linenumber = 2),
+    e AS MATERIALIZED (
+      SELECT DISTINCT CAST(LEAST(l1.l_partkey, l2.l_partkey) AS BIGINT) AS a,
+             CAST(GREATEST(l1.l_partkey, l2.l_partkey) AS BIGINT) AS b
+      FROM l1 JOIN l2 ON l2.l_orderkey = l1.l_orderkey
+      WHERE l1.l_partkey <> l2.l_partkey
+    ),
+    ed AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+    pivots AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(node AS VARCHAR) || ':hc'), node) AS rk
+        FROM nodes
+      ) WHERE rk <= {_HC_PIVOTS}
+    ),
+    bfs(p, node, d) AS (
+      SELECT node, node, CAST(0 AS BIGINT) FROM pivots
+      UNION
+      SELECT b.p, ed.dst, b.d + 1
+      FROM bfs b JOIN ed ON ed.src = b.node
+      WHERE b.d < {_HC_SWEEPS}
+    ),
+    dist AS (
+      SELECT p, node, MIN(d) AS d FROM bfs GROUP BY p, node
+    )
+    SELECT n.node,
+           CAST(COALESCE(SUM(CASE WHEN dd.d > 0 THEN 1000000 // dd.d END), 0)
+                AS BIGINT) AS harmonic_x1e6,
+           CAST(COALESCE(SUM(CASE WHEN dd.d > 0 THEN 1 END), 0) AS BIGINT)
+             AS n_reached
+    FROM nodes n LEFT JOIN dist dd ON dd.node = n.node
+    GROUP BY n.node
+    """,
+)
+def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT-SAMPLED HARMONIC CENTRALITY over the part co-purchase graph
+    (q414's edges): for every node, Σ 1/d(pivot, node) over 32
+    deterministic hash-ranked pivot sources — the Eppstein-Wang
+    estimator shape for closeness-family centralities, which is THE
+    way to do centrality at 100 TB (exact all-pairs is O(V·E);
+    pivot-sampled is O(k·E) with relative error ~1/√k, and the pivot
+    set is hash-ranked — q80's deterministic-sampling discipline — so
+    both engines pick the identical 32). Distances come from one
+    multi-source BFS carrying (pivot, node) pairs through frontier
+    expansion (the q135 loop, keyed per pivot; visited-set anti-join,
+    localCheckpoint per sweep, early exit — 9 sweeps suffice at
+    sf0.01, budget {_HC_SWEEPS} matches the oracle's bounded
+    recursion). Unreachable pairs contribute zero — harmonic (unlike
+    closeness) handles disconnected graphs natively, which is why it
+    is the right member of the family for a graph that dissolves into
+    islands at sf0.001. The parity trick for Σ 1/d: each term is the
+    INTEGER floor division 1000000 div d, so the cross-pivot sum is
+    exact int64 on both engines (a float Σ 1/d would be
+    order-dependent); the quantization (≤ 32 ulp of 1e-6) is
+    documented, deterministic, and identical on both sides. Property
+    tests: python BFS replay matches exactly; adding a pivot never
+    decreases anyone's score (monotonicity of the partial sum)."""
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_partkey")
+    l2 = (
+        li.filter(F.col("l_linenumber") == 2)
+        .select("l_orderkey", F.col("l_partkey").alias("p2"))
+    )
+    e = (
+        l1.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("p2"))
+        .select(
+            F.least("l_partkey", "p2").cast("long").alias("a"),
+            F.greatest("l_partkey", "p2").cast("long").alias("b"),
+        )
+        .distinct()
+    )
+    ed = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = ed.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    rk = Window.orderBy(
+        F.md5(F.concat(F.col("node").cast("string"), F.lit(":hc"))), F.col("node")
+    )
+    pivots = (
+        nodes.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _HC_PIVOTS)
+        .select("node")
+    )
+    visited = pivots.select(
+        F.col("node").alias("p"), F.col("node"), F.lit(0).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for d in range(1, _HC_SWEEPS + 1):
+        nxt = (
+            frontier.join(ed, frontier.node == ed.src)
+            .select("p", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["p", "node"], "left_anti")
+            .withColumn("d", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    contrib = visited.filter(F.col("d") > 0).groupBy("node").agg(
+        F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_x1e6"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        F.coalesce("harmonic_x1e6", F.lit(0)).cast("long").alias("harmonic_x1e6"),
+        F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
     )

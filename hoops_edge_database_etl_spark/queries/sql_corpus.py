@@ -491,3 +491,43 @@ _sql_query(
     resolves output aliases in GROUP BY but DuckDB positional rules
     differ across versions.""",
 )
+
+
+_sql_query(
+    "q430_sql_recursive_cte",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT CAST(c_custkey % 127 AS BIGINT) AS child,
+             CAST(FLOOR((c_custkey % 127) / 2.0) AS BIGINT) AS parent
+      FROM customer WHERE c_custkey % 127 > 0
+    ),
+    chain (node, depth, root_path_len) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT e.child, c.depth + 1, c.root_path_len + e.child
+      FROM chain c JOIN edges e ON e.parent = c.node
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node,
+           CAST(SUM(root_path_len) AS BIGINT) AS sum_path_weights
+    FROM chain GROUP BY depth
+    """,
+    """RECURSIVE CTE — the SQL-surface capability Spark gained in 4.x
+    (dialect-neutral ANSI `WITH RECURSIVE`), exercised as SHARED TEXT:
+    the identical string elaborates a 127-node binary management
+    hierarchy (node i reports to ⌊i/2⌋, derived from customer keys)
+    level-by-level on BOTH engines — per-depth node counts and
+    accumulated root-path weights. This is the one §3.3 surface the
+    corpus could not cover before (q94/q135/q410's iterative graph
+    queries run their recursions as DuckDB-side oracles with Spark
+    driver loops; HERE the recursion itself is a single declarative
+    query Catalyst plans as a loop of UnionExec steps). The hierarchy
+    is a tree, so UNION ALL terminates without cycle detection; depth
+    is bounded at ⌈log₂ 127⌉ = 7 levels; FLOOR-before-CAST sidesteps
+    the DuckDB-rounds/Spark-truncates CAST divergence (q340). The
+    pytest property checks the complete-binary-tree shape: level k
+    holds 2^k nodes (truncated at 127) and every node's depth is
+    ⌊log₂ node⌋.""",
+)

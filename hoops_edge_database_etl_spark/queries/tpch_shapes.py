@@ -27,7 +27,7 @@ exactly these join-agg archetypes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -826,4 +826,91 @@ def q398_carrying_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("carrying_cost_cents"),
+    )
+
+
+@query(
+    "q426_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             CAST(MIN(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cost_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, c.suppkey AS best_suppkey, c.cost_c
+    FROM part p
+    JOIN cost c ON c.partkey = p.p_partkey
+    WHERE p.p_size >= 45
+      AND c.cost_c = (SELECT MIN(c2.cost_c) FROM cost c2
+                      WHERE c2.partkey = c.partkey)
+      AND c.suppkey = (SELECT MIN(c3.suppkey) FROM cost c3
+                       WHERE c3.partkey = c.partkey
+                         AND c3.cost_c = (SELECT MIN(c4.cost_c) FROM cost c4
+                                          WHERE c4.partkey = c.partkey))
+    """,
+)
+def q426_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE — minimum-cost supplier per part within a region:
+    the classic CORRELATED-MIN-SUBQUERY query (`WHERE cost = (SELECT
+    MIN(cost) ... WHERE same part)`), completing the TPC-H shape
+    gallery (Q1 q01, Q3 q106, Q5 q105, Q7 q220, Q8 q227, Q11 q221,
+    Q13 q222, Q21-ish q225). The partsupp table doesn't exist in this
+    star schema, so supply cost derives from lineitem (min observed
+    cents per part × supplier, region-filtered through the
+    supplier→nation→region dimension chain — broadcast joins, the
+    dims are tiny). The ENGINE story is the point: the oracle runs the
+    textbook correlated subquery (with a nested tiebreak subquery for
+    the min-suppkey winner); Spark runs the DECORRELATED plan a real
+    optimizer would pick — ONE window argmin (ROW_NUMBER over
+    (cost_c, suppkey) per part) with zero self-joins — and the hash
+    proves the two formulations equivalent. Costs are exact cents so
+    the min-equality join has no float-equality trap. At 100 TB the
+    cost CTE is the only big aggregate (map-side combinable); the
+    window runs per-part after that reduction."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    p = load(spark, sf_dir, "part")
+    asia_supps = (
+        s.join(
+            F.broadcast(n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+                               n.n_regionkey == F.col("r_regionkey"))),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cost = (
+        li.join(F.broadcast(asia_supps), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.min(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cost_c")
+        )
+    )
+    w = Window.partitionBy("partkey").orderBy("cost_c", "suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        p.filter(F.col("p_size") >= 45)
+        .join(best, p.p_partkey == best.partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("suppkey").alias("best_suppkey"),
+            "cost_c",
+        )
     )
