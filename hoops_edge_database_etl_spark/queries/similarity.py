@@ -1940,3 +1940,140 @@ def q402_elbow_wcss(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("is_knee"),
     )
+
+
+_MMR_SENTINEL = -1152921504606846976  # -2^60: below any 24-bit-quantized dot
+_MMR_K = 10
+
+
+def _mmr_kernel(pdf):
+    """Integer-exact MMR (λ=½ → score ∝ rel − max_sim) over one query's
+    candidate pool; tiebreak on vec_id ascending."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id")
+    q_mask = pdf["vec_id"] == 0
+    qv = np.floor(
+        np.stack(pdf.loc[q_mask, "embedding"].values).astype(np.float64)
+        * (1 << 24)
+        + 0.5
+    ).astype(np.int64)[0]
+    cand = pdf.loc[~q_mask]
+    ids = cand["vec_id"].to_numpy()
+    mat = np.floor(
+        np.stack(cand["embedding"].values).astype(np.float64) * (1 << 24) + 0.5
+    ).astype(np.int64)
+    rel = mat @ qv
+    sims = mat @ mat.T
+    n = len(ids)
+    msim = np.full(n, _MMR_SENTINEL, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        score = rel - msim
+        # argmax with vec_id-ascending tiebreak over surviving candidates
+        best = min(
+            (i for i in range(n) if alive[i]),
+            key=lambda i: (-int(score[i]), int(ids[i])),
+        )
+        out.append(
+            (
+                rank,
+                int(ids[best]),
+                int(rel[best]),
+                None if msim[best] == _MMR_SENTINEL else int(msim[best]),
+            )
+        )
+        alive[best] = False
+        msim = np.maximum(msim, sims[:, best])
+    return pd.DataFrame(
+        out, columns=["rank", "vec_id", "rel", "max_sim_prev"]
+    )
+
+
+@query(
+    "q433_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT embedding FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id,
+             (SELECT CAST(SUM(
+                CAST(floor(CAST(e.embedding[k] AS DOUBLE) * 16777216 + 0.5)
+                     AS BIGINT)
+                * CAST(floor(CAST(q.embedding[k] AS DOUBLE) * 16777216 + 0.5)
+                       AS BIGINT)) AS BIGINT)
+              FROM range(1, 65) t(k)) AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             (SELECT CAST(SUM(
+                CAST(floor(CAST(a.embedding[k] AS DOUBLE) * 16777216 + 0.5)
+                     AS BIGINT)
+                * CAST(floor(CAST(b.embedding[k] AS DOUBLE) * 16777216 + 0.5)
+                       AS BIGINT)) AS BIGINT)
+              FROM range(1, 65) t(k)) AS s
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0
+    ),
+    mmr(iter, vec_id, rel, msim) AS (
+      SELECT CAST(0 AS BIGINT), vec_id, rel, CAST({_MMR_SENTINEL} AS BIGINT)
+      FROM cand
+      UNION ALL
+      SELECT t.iter + 1, t.vec_id, t.rel, GREATEST(t.msim, s.s)
+      FROM (
+        SELECT r.iter, r.vec_id, r.rel, r.msim,
+               FIRST_VALUE(r.vec_id) OVER (ORDER BY r.rel - r.msim DESC,
+                                           r.vec_id) AS wid
+        FROM mmr r
+      ) t JOIN sims s ON s.ai = t.vec_id AND s.bi = t.wid
+      WHERE t.vec_id <> t.wid AND t.iter < {_MMR_K - 1}
+    )
+    SELECT CAST(iter + 1 AS BIGINT) AS rank, vec_id, rel,
+           CASE WHEN msim = {_MMR_SENTINEL} THEN NULL ELSE msim END
+             AS max_sim_prev
+    FROM (
+      SELECT iter, vec_id, rel, msim,
+             ROW_NUMBER() OVER (PARTITION BY iter
+                                ORDER BY rel - msim DESC, vec_id) AS rn
+      FROM mmr
+    ) WHERE rn = 1
+    """,
+)
+def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Maximal Marginal Relevance) diversified re-ranking — the
+    serving-side step every retrieval stack runs between ANN recall
+    (q47/q63) and the response: pick 10 results that are RELEVANT to
+    the query (vec_id 0) but not redundant with each other, greedily
+    maximizing rel − max-sim-to-already-selected (λ=½, so the
+    tradeoff collapses to an integer subtraction — both dots are
+    q46's exact 24-bit fixed-point products, so the whole greedy
+    chain is integer arithmetic with a vec_id tiebreak, nothing
+    float-ordered anywhere). The kernel is a sanctioned §2.9 grouped
+    map (the candidate pool for ONE query is re-rank-sized by
+    construction — ANN already cut it; at 100 TB you run one group
+    per query, this fixture runs the single query the tables hold).
+    The ORACLE replays the greedy chain as a recursive CTE whose
+    working set carries every remaining candidate's CURRENT
+    max-sim-to-selected: each step picks the winner with a window
+    FIRST_VALUE (no second reference to the recursive table), drops
+    it, and folds its similarity row into the survivors' state — the
+    q428 list-state trick generalized to per-row state. The sentinel
+    init (−2^60, below any possible dot) makes the first pick pure
+    argmax-relevance without a special case. Property tests: a numpy
+    replay; the rank-1 item IS the q48-style top-1 by dot; and the
+    diversity guarantee — every selected item's sim to EARLIER picks
+    stays below what a pure top-k would have admitted for at least
+    one rank (redundancy strictly reduced)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: _mmr_kernel(pdf.drop(columns="__g")),
+            schema="rank long, vec_id long, rel long, max_sim_prev long",
+        )
+    )

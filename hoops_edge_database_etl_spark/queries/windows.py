@@ -2789,3 +2789,202 @@ def holt_smooth(daily: DataFrame, group_col: str) -> DataFrame:
         F.col("st.b").alias("trend_b"),
         (F.col("st.s") + 7 * F.col("st.b")).alias("forecast_7d"),
     )
+
+
+@query(
+    "q431_median_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    seas AS (
+      SELECT event_type, d % 7 AS dow,
+             CAST(list_sort(list(y))[CAST((COUNT(*) + 1) // 2 AS INTEGER)]
+                  AS BIGINT) AS seasonal
+      FROM daily GROUP BY event_type, d % 7
+    ),
+    dz AS (
+      SELECT dd.event_type, dd.d, dd.y, s.seasonal,
+             dd.y - s.seasonal AS deseason
+      FROM daily dd JOIN seas s
+        ON s.event_type = dd.event_type AND s.dow = dd.d % 7
+    ),
+    tr AS (
+      SELECT event_type, d, y, seasonal, deseason,
+             CAST(list_sort(list(deseason) OVER w)
+                    [CAST((COUNT(*) OVER w + 1) // 2 AS INTEGER)] AS BIGINT)
+               AS trend
+      FROM dz
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_type, d, y, seasonal, trend,
+           y - seasonal - trend AS remainder
+    FROM tr
+    """,
+)
+def q431_median_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST SEASONAL DECOMPOSITION by medians — the STL idea with the
+    loess swapped for order statistics so every component stays an
+    EXACT INTEGER: y = seasonal + trend + remainder, where seasonal is
+    the per-day-of-week LOWER MEDIAN of the daily count (medians shrug
+    off the spike days that would drag a dow-mean, q127's robustness
+    argument), trend is a ±3-day RANGE-frame rolling lower median of
+    the deseasonalized series, and the remainder is what anomaly
+    detection should actually be run on (q159 thresholds raw
+    slot-baselines; THIS hands it a series with the weekly shape and
+    the drift already removed). Lower-median convention throughout
+    ((n+1)//2-th smallest — both engines sort-and-index the same
+    window list, integers, no interpolation), RANGE frame so calendar
+    gaps would shrink the window rather than smear across them. The
+    window list is bounded by the frame (7 elements), the groups by
+    the calendar — the q91 rule. Property tests: the three components
+    re-add to y exactly on every row; planting a +500 spike on one day
+    leaves all OTHER days' trend within the spike-free baseline's
+    (median robustness, the property a mean-based trend fails)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    seas = (
+        daily.groupBy("event_type", (F.col("d") % 7).alias("dow"))
+        .agg(
+            F.element_at(
+                F.sort_array(F.collect_list("y")),
+                F.expr("CAST((count(1) + 1) div 2 AS INT)"),
+            )
+            .cast("long")
+            .alias("seasonal")
+        )
+    )
+    dz = (
+        daily.withColumn("dow", F.col("d") % 7)
+        .join(seas, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            "y",
+            "seasonal",
+            (F.col("y") - F.col("seasonal")).alias("deseason"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rangeBetween(-3, 3)
+    tr = dz.withColumn(
+        "trend",
+        F.element_at(
+            F.sort_array(F.collect_list("deseason").over(w)),
+            ((F.count(F.lit(1)).over(w) + 1) / 2).cast("int"),
+        ).cast("long"),
+    )
+    return tr.select(
+        "event_type",
+        "d",
+        "y",
+        "seasonal",
+        "trend",
+        (F.col("y") - F.col("seasonal") - F.col("trend")).alias("remainder"),
+    )
+
+
+@query(
+    "q432_locf_gapfill",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS val_c
+      FROM events
+      WHERE value > 300
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT et.event_type, CAST(gs.g AS BIGINT) AS d
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT UNNEST(range(0, 30)) AS g) gs
+    ),
+    joined AS (
+      SELECT s.event_type, s.d, o.val_c
+      FROM spine s LEFT JOIN obs o
+        ON o.event_type = s.event_type AND o.d = s.d
+    )
+    SELECT event_type, d, val_c AS observed_c,
+           last_value(val_c IGNORE NULLS) OVER w AS filled_c,
+           val_c IS NOT NULL AS is_observed,
+           d - last_value(CASE WHEN val_c IS NOT NULL THEN d END IGNORE NULLS)
+                 OVER w AS staleness_days
+    FROM joined
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q432_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill with staleness
+    accounting — the OTHER gap-fill semantics next to q91's linear
+    interpolation: sensor/price-style series must NOT invent
+    intermediate values (a price between two trades was the LAST
+    trade, not a blend), so sparse observations (days whose max
+    purchase-band value exceeded the $300 threshold) are spread onto
+    the dense 30-day calendar spine, nulls fill FORWARD only, leading
+    nulls stay null (no look-ahead — the q33 leakage rule), and every
+    filled row carries `staleness_days` (distance to its source
+    observation — the freshness metric a serving layer alerts on,
+    q295's coverage-gap question asked per-row). The engine surface is
+    the point: this is `last_value(x IGNORE NULLS)` over a running
+    frame — Spark spells it F.last(col, ignorenulls=True) / trailing
+    `IGNORE NULLS`, DuckDB puts the modifier INSIDE the call — same
+    ANSI semantics, syntactically disjoint, which is exactly why it
+    cannot join the shared-text corpus (q420/q430) and gets the
+    hash-checked oracle treatment instead. Cents stay exact integers.
+    Property tests: filled equals the most recent observation at or
+    before each row (python replay); staleness is 0 exactly on
+    observed rows and increments by 1 across unobserved runs."""
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.filter(F.col("value") > 300)
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.max(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("val_c")
+        )
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                load(spark, sf_dir, "events")
+                .sparkSession.range(0, 30)
+                .select(F.col("id").cast("long").alias("d"))
+            )
+        )
+    )
+    joined = spine.join(obs, ["event_type", "d"], "left")
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "event_type",
+        "d",
+        F.col("val_c").alias("observed_c"),
+        F.last("val_c", ignorenulls=True).over(w).alias("filled_c"),
+        F.col("val_c").isNotNull().alias("is_observed"),
+        (
+            F.col("d")
+            - F.last(
+                F.when(F.col("val_c").isNotNull(), F.col("d")), ignorenulls=True
+            ).over(w)
+        ).alias("staleness_days"),
+    )
