@@ -809,3 +809,53 @@ def q298_tiered_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fee_ppm_cents").cast("bigint").alias("max_order_fee_ppm_cents"),
         )
     )
+
+
+@query(
+    "q436_variant_json",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+    FROM parsed GROUP BY event_type
+    """,
+)
+def q436_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured extraction — Spark 4's columnar JSON
+    path (§2.6's get_json_object, q75, upgraded): `try_parse_json`
+    parses each props payload ONCE into the binary VARIANT encoding
+    and `try_variant_get` extracts the typed field — at 100 TB the
+    difference is material because VARIANT decodes lazily per path
+    access (and shreds into columns under Parquet variant shredding)
+    where repeated get_json_object calls re-parse the string per
+    expression. The try_ variants make malformed payloads NULL
+    instead of failing the job (the q10 lenient-cast posture;
+    count(k) vs count(*) surfaces the miss rate). The oracle runs
+    DuckDB's native JSON path extraction — two engines, two JSON
+    machineries, one hash. Grouped rollup is a plain map-side
+    combinable aggregate over the extracted BIGINT."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr(
+            "try_variant_get(try_parse_json(props), '$.k', 'bigint')"
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("long").alias("n_high"),
+    )

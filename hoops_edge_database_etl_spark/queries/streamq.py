@@ -413,3 +413,91 @@ def q293_streaming_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(sink).select("split", "n_docs", "fingerprint")
+
+
+from hoops_edge_database_etl_spark.queries import _ORACLES  # noqa: E402
+
+
+@query("q434_streaming_countmin", oracle=_ORACLES["q125_countmin_heavy_hitters"])
+def q434_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q125's COUNT-MIN SKETCH maintained AS A STREAM — the q293 design
+    argument applied to frequency sketching: the d×w counter grid is a
+    legal unbounded streaming aggregate precisely BECAUSE it is
+    cell-wise mergeable with fixed cardinality (≤ d·w grouped rows of
+    state, input-size independent — the property that makes count-min
+    a sketch is the same property that bounds the streaming state
+    store). Each incoming lineitem explodes into its d (row, bucket)
+    cells; a complete-mode groupBy-count over the bounded availableNow
+    replay materializes the finished sketch; the heavy-hitter PROBE
+    (exact top-10 candidates, min-over-rows estimate) then runs as
+    batch post-processing against the materialized grid. Output —
+    and therefore ORACLE — are q125's verbatim: the hash-equality
+    proves the streamed sketch is bit-identical to the batch-built
+    one, which is the exactly-once upgrade-path claim (rebuild the
+    sketch from a replayed log and nothing changes). The affine hash
+    family is RNG-free, so determinism survives the streaming
+    micro-batch split points."""
+    from hoops_edge_database_etl_spark.queries.sketches import (
+        CM_P,
+        CM_ROWS,
+        CM_TOPN,
+        CM_W,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    src = load_stream(spark, sf_dir, "lineitem")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (((F.lit(a) * F.col("key") + F.lit(b)) % CM_P) % CM_W).alias(
+                    "col"
+                ),
+            )
+            for j, a, b in CM_ROWS
+        ]
+    )
+    agg = (
+        src.select(F.col("l_suppkey").alias("key"))
+        .select(F.explode(buckets).alias("jc"))
+        .groupBy(F.col("jc.j").alias("j"), F.col("jc.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    sink = "q434_streaming_countmin_sink"
+    ck = tempfile.mkdtemp(prefix="q434_ck_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    sketch = spark.table(sink)
+
+    base = load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("key"))
+    exact = base.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+    cand = (
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("key"))
+        .limit(CM_TOPN)
+    )
+    probes = cand.select("key", "exact_cnt", F.explode(buckets).alias("jc")).select(
+        "key", "exact_cnt", F.col("jc.j").alias("j"), F.col("jc.col").alias("col")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "col"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+        .select(
+            "key",
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )

@@ -914,3 +914,64 @@ def q426_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cost_c",
         )
     )
+
+
+@query(
+    "q435_python_udtf",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(o_orderkey % 4 + 2 AS BIGINT) AS k
+      FROM orders WHERE o_orderkey % 31 = 0
+    )
+    SELECT b.o_orderkey, CAST(gs.i AS BIGINT) AS i,
+           CAST(b.cents // b.k
+                + CASE WHEN gs.i <= b.cents % b.k THEN 1 ELSE 0 END
+                AS BIGINT) AS amount
+    FROM base b, (SELECT UNNEST(range(1, 6)) AS i) gs
+    WHERE gs.i <= b.k
+    """,
+)
+def q435_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON UDTF — the §2.9 table-function surface (new in Spark 4's
+    Python UDTF API): an `installments(cents, k)` generator registered
+    with `spark.udtf.register` and invoked through a LATERAL join,
+    splitting each order's exact cents into k largest-remainder
+    installments (q267's apportionment as a ROW-GENERATING function —
+    base = cents div k, the first cents mod k installments get the
+    extra cent, Σ ≡ cents by construction, property-tested). The
+    honest engineering note lives here too: a UDTF is the SLOW PATH —
+    this exact expansion is expressible as the built-in
+    sequence+explode the ORACLE uses (and that a pure-SQL Spark
+    variant would use; the orderkey-residue filter bounds the fan-out
+    either way) — so the surface exists for logic that genuinely
+    cannot be a generator expression, and the hash check proves the
+    UDTF route is semantically identical to the declarative one. Rows
+    stream Arrow-batched through the Python worker; the LATERAL join
+    keys the expansion to each input row without a shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i: long, amount: long")
+    class Installments:
+        def eval(self, cents: int, k: int):
+            base, rem = divmod(cents, k)
+            for i in range(1, k + 1):
+                yield i, base + (1 if i <= rem else 0)
+
+    spark.udtf.register("q435_installments", Installments)
+    from hoops_edge_database_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT b.o_orderkey, s.i, s.amount
+        FROM (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                 CAST(o_orderkey % 4 + 2 AS BIGINT) AS k
+          FROM orders WHERE o_orderkey % 31 = 0
+        ) b,
+        LATERAL q435_installments(b.cents, b.k) s
+        """
+    )

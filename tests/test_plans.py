@@ -82,6 +82,7 @@ _PYTHON_ALLOWED = {
     "q416_activity_selection",  # greedy-EFT chain: sequential state per user (§2.9)
     "q428_weighted_intervals",  # weighted-interval DP: sequential state per user (§2.9)
     "q433_mmr_rerank",  # greedy MMR chain: sequential state per query group (§2.9)
+    "q435_python_udtf",  # the §2.9 UDTF surface itself (BatchEvalPythonUDTF)
     "q251_ann_recall_eval",  # composes q47/q48 lineages (their kernels, sanctioned above)
     "q250_maxsim_late_interaction",  # broadcast-query einsum kernel (q48's shape)
     "q330_lru_stack_distance",  # per-user LRU replay state machine (its oracle
