@@ -81,6 +81,8 @@ HEADLINE = [
     "q309_pq_assign",           # PQ encode: broadcast codebook + argmin window
     "q313_shapley_attribution", # bitmask rollup + literal subset lattice
     "q410_star_components",     # large/small-star CC on a 256-diameter path
+    "q422_hodges_lehmann",      # distinct-value-compressed Walsh-pair median
+    "q429_harmonic_centrality", # 32-pivot multi-source BFS + integer 1/d sums
 ]
 
 

@@ -5372,3 +5372,121 @@ def q428_weighted_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _weighted_interval_kernel,
         schema="uid long, best_value long, n_intervals long",
     )
+
+
+_LTV_SCALE = 1 << 20
+_LTV_T = 12
+
+
+def _ltv_oracle() -> str:
+    """Unrolled value-iteration replay: v_{t+1} = r + 0.9·P·v_t with
+    fixed-point probabilities and floor division at the two defined
+    points per sweep (the q94 discipline)."""
+    parts = [
+        f"""
+    WITH s AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    o AS MATERIALIZED (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    r AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY src),
+    p AS MATERIALIZED (
+      SELECT o.src, o.dst, o.n * {_LTV_SCALE} // r.rn AS p_fx
+      FROM o JOIN r ON r.src = o.src
+    ),
+    rew AS MATERIALIZED (
+      SELECT event_type AS state,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  // COUNT(*) AS BIGINT) AS r_c
+      FROM events GROUP BY event_type
+    ),
+    v0 AS MATERIALIZED (SELECT state, CAST(0 AS BIGINT) AS v FROM rew)"""
+    ]
+    for t in range(1, _LTV_T + 1):
+        parts.append(
+            f""",
+    v{t} AS MATERIALIZED (
+      SELECT rew.state,
+             rew.r_c + 9 * (SELECT COALESCE(SUM(p.p_fx * v.v), 0)
+                            FROM p JOIN v{t - 1} v ON v.state = p.dst
+                            WHERE p.src = rew.state) // {_LTV_SCALE} // 10 AS v
+      FROM rew
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT rew.state, rew.r_c,
+           v.v AS ltv{_LTV_T}_c,
+           CAST(v.v AS DOUBLE) / 100 AS ltv{_LTV_T}_dollars
+    FROM rew JOIN v{_LTV_T} v ON v.state = rew.state"""
+    )
+    return "".join(parts)
+
+
+@query("q437_markov_ltv", oracle=_ltv_oracle())
+def q437_markov_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-HORIZON LTV — expected cumulative discounted reward over a
+    12-step behavioral horizon: value iteration v_{t+1} = r + γ·P·v_t
+    (γ = 0.9) over q160's transition matrix, with per-state reward =
+    the state's mean event value in floor cents. This is the absorbing
+    -chain LTV / credit roll-rate computation done the q94 way: P is
+    int64 fixed-point (2^20 units, floor division at the row
+    normalize), each sweep is one matrix-vector product as a join +
+    grouped SUM with floor division at exactly two defined points
+    (÷SCALE then ÷10 for γ = 9/10) — order-independent integer
+    arithmetic, so the DuckDB unrolled-CTE oracle replays all 12
+    sweeps bit-for-bit. The value vector is state-count-sized (5 here,
+    millions for a real user-state model — still node-sized relative
+    to the event log, the q117 broadcast argument); the only full-data
+    passes build P and r once. Property tests: v is monotone
+    nondecreasing in t (rewards are nonneg), bounded by r_max·Σγ^t,
+    and a numpy float replay agrees within fixed-point quantization
+    (12 sweeps × ≤ 2 units/sweep)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    o = s.groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    r = o.groupBy("src").agg(F.sum("n").alias("rn"))
+    p = (
+        o.join(r, "src")
+        .select("src", "dst", F.expr(f"n * {_LTV_SCALE} div rn").alias("p_fx"))
+        .localCheckpoint(eager=True)
+    )
+    rew = ev.groupBy(F.col("event_type").alias("state")).agg(
+        F.expr("CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) div count(1) AS BIGINT)").alias(
+            "r_c"
+        )
+    ).localCheckpoint(eager=True)
+    v = rew.select("state", F.lit(0).cast("long").alias("v"))
+    for _ in range(_LTV_T):
+        pv = (
+            p.join(v, p.dst == v.state)
+            .groupBy(F.col("src").alias("state"))
+            .agg(F.sum(F.col("p_fx") * F.col("v")).alias("pv"))
+        )
+        v = (
+            rew.join(pv, "state", "left")
+            .select(
+                "state",
+                (
+                    F.col("r_c")
+                    + F.expr(f"9 * coalesce(pv, 0) div {_LTV_SCALE} div 10")
+                ).cast("long").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rew.join(v, "state").select(
+        "state",
+        "r_c",
+        F.col("v").alias(f"ltv{_LTV_T}_c"),
+        (F.col("v").cast("double") / 100).alias(f"ltv{_LTV_T}_dollars"),
+    )

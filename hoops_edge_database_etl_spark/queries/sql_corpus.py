@@ -531,3 +531,127 @@ _sql_query(
     holds 2^k nodes (truncated at 127) and every node's depth is
     ⌊log₂ node⌋.""",
 )
+
+
+def _selinger_sql() -> str:
+    """Generate the shared-text Selinger DP: textbook independence-model
+    size estimates (Π sizes × Π 1/max(ndv) for every predicate whose
+    sides are both present) for every prefix of every left-deep order
+    of {customer, orders, lineitem, supplier}."""
+    from itertools import permutations
+
+    sizes = {"C": "n_c", "O": "n_o", "L": "n_l", "S": "n_s"}
+    preds = {
+        frozenset("OC"): "GREATEST(d_c, d_oc)",
+        frozenset("LO"): "GREATEST(d_oo, d_lo)",
+        frozenset("LS"): "GREATEST(d_ls, d_s)",
+    }
+
+    def est(subset: str) -> str:
+        num = " * ".join(f"CAST({sizes[t]} AS DOUBLE)" for t in sorted(subset))
+        dens = [
+            expr
+            for pair, expr in sorted(preds.items(), key=lambda kv: sorted(kv[0]))
+            if pair <= frozenset(subset)
+        ]
+        if not dens:
+            return f"({num})"
+        return f"(({num}) / ({' * '.join(dens)}))"
+
+    rows = []
+    for perm in permutations("COLS"):
+        order = ",".join(perm)
+        p2, p3 = "".join(perm[:2]), "".join(perm[:3])
+        cost = f"{est(p2)} + {est(p3)}"
+        rows.append(
+            f"SELECT '{order}' AS join_order, CAST({cost} AS DOUBLE)"
+            " AS est_cost FROM stats"
+        )
+    unions = "\n      UNION ALL\n      ".join(rows)
+    return f"""
+    WITH stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_s,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+              FROM customer) AS d_c,
+             (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+              FROM orders) AS d_oc,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS d_oo,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+              FROM lineitem) AS d_lo,
+             (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+              FROM lineitem) AS d_ls,
+             (SELECT CAST(COUNT(DISTINCT s_suppkey) AS BIGINT)
+              FROM supplier) AS d_s
+    ),
+    plans AS (
+      {unions}
+    )
+    SELECT join_order, est_cost,
+           est_cost = MIN(est_cost) OVER () AS is_best,
+           CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+             AS cost_rank
+    FROM plans
+    """
+
+
+_sql_query(
+    "q438_selinger_join_order",
+    _selinger_sql(),
+    """SELINGER JOIN-ORDER SEARCH, declaratively — what a cost-based
+    optimizer does before any of these queries run, surfaced AS a
+    query: enumerate all 24 left-deep orders of the 4-table star
+    (customer, orders, lineitem, supplier), estimate every prefix's
+    cardinality with the textbook independence model (Π base sizes ×
+    Π 1/max(ndv) for each equi-join predicate contained in the
+    prefix; a prefix with no connecting predicate keeps the raw
+    product — the cross-join penalty that the search exists to
+    avoid), and rank plans by the sum of intermediate sizes. The
+    statistics are LIVE (one COUNT/NDV scan per base table — exactly
+    the stats ANALYZE collects); the lattice is generated literally
+    (q313's subset-lattice precedent), so the whole search is one
+    shared-text SQL string both engines execute identically. The
+    pytest property checks the invariants a real planner relies on:
+    FK-chain orders (L before its parents, no cross products) beat
+    every cross-product plan, and the best plan's cost matches a
+    python replay of the same estimator.""",
+)
+
+
+_sql_query(
+    "q439_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity) AS BIGINT)) > 150
+    )
+    SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS o_orderdate,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY b.sum_qty DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+    """TPC-H Q18 SHAPE — large-volume customers: orders whose total
+    lineitem quantity exceeds 150, enriched through the
+    orders→customer chain, top-20 by volume with a deterministic
+    orderkey tiebreak. The classic point of Q18 is WHERE the HAVING
+    runs: the quantity rollup reduces lineitem BEFORE any join (a
+    join-then-aggregate formulation would shuffle the full lineitem
+    against orders first), and the surviving handful of hot orders
+    make both subsequent joins effectively broadcast-sized — the
+    aggregate-pushdown pattern q196 (Q17) applies to averages,
+    applied here to a HAVING filter. FLOOR-before-CAST on the DOUBLE
+    quantity is the q340 rounds-vs-truncates rule; CAST(date AS
+    STRING) prints ISO on both engines (the shared-text date rule).
+    Shared text, one string, two engines.""",
+)
