@@ -1562,3 +1562,161 @@ def q391_candidate_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_closed * 1000000 DIV GREATEST(n_wedges, 1) AS BIGINT)"
         " AS closure_ppm",
     )
+
+
+@query(
+    "q440_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    und AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM band a JOIN band b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id <> b.doc_id
+    ),
+    lab(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.src, l.lbl FROM lab l JOIN und u ON u.dst = l.node
+      WHERE l.lbl < u.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM lab GROUP BY node),
+    assign AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                      || ':split'), 1, 8) AS BIGINT) % 100 < 2 THEN 'test'
+                  WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                      || ':split'), 1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                  ELSE 'train' END AS naive_split,
+             CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                      || ':split'), 1, 8) AS BIGINT) % 100 < 2 THEN 'test'
+                  WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                      || ':split'), 1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                  ELSE 'train' END AS safe_split
+      FROM comp
+    ),
+    pairs AS (SELECT src, dst FROM und WHERE src < dst),
+    leak AS (
+      SELECT
+        CAST(SUM(CASE WHEN a1.naive_split <> a2.naive_split THEN 1 ELSE 0 END)
+             AS BIGINT) AS naive_cross,
+        CAST(SUM(CASE WHEN a1.safe_split <> a2.safe_split THEN 1 ELSE 0 END)
+             AS BIGINT) AS safe_cross
+      FROM pairs p
+      JOIN assign a1 ON a1.doc_id = p.src
+      JOIN assign a2 ON a2.doc_id = p.dst
+    )
+    SELECT s.scheme, s.split, s.n_docs,
+           CASE WHEN s.scheme = 'naive' THEN l.naive_cross
+                ELSE l.safe_cross END AS cross_pairs
+    FROM (
+      SELECT 'naive' AS scheme, naive_split AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assign GROUP BY naive_split
+      UNION ALL
+      SELECT 'cluster_safe', safe_split, CAST(COUNT(*) AS BIGINT)
+      FROM assign GROUP BY safe_split
+    ) s CROSS JOIN leak l
+    """,
+)
+def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-SAFE TRAIN/VAL/TEST SPLIT — the leakage fix q68's
+    doc-level split cannot provide: hashing each DOCUMENT into a split
+    sends near-duplicates of training docs into the test set (the
+    contamination q82/q138 decontaminate after the fact), while
+    hashing each near-dup CLUSTER (q62's connected components over the
+    MinHash-LSH candidate graph) keeps every duplicate family on one
+    side BY CONSTRUCTION. The output quantifies exactly that: for both
+    schemes, per-split doc counts plus the number of candidate
+    near-dup pairs that CROSS split boundaries — nonzero for the
+    naive scheme on this corpus, and structurally ZERO for the
+    cluster-safe scheme (same cluster ⇒ same hash input ⇒ same split;
+    the pytest property asserts it, and the composed lineage means
+    q43's banding, q62's components, and q293's split rule are all
+    re-verified through one more hash). Scale: the split adds one
+    md5-mod per doc on top of q62's clustering — nothing new
+    shuffles; the leakage audit joins the (small) candidate-pair set
+    against the assignment twice, both sides hash-partitioned on
+    doc_id."""
+    comp = q62_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+
+    def bucket(col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(col).cast("string"), F.lit(":split"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        )
+
+    def split_of(col: str):
+        b = bucket(col)
+        return (
+            F.when(b < 2, "test").when(b < 5, "val").otherwise("train")
+        )
+
+    assign = comp.select(
+        "doc_id",
+        "cluster_id",
+        split_of("doc_id").alias("naive_split"),
+        split_of("cluster_id").alias("safe_split"),
+    ).localCheckpoint(eager=True)
+    edges = q43_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = edges.filter(F.col("doc_a") < F.col("doc_b"))
+    a1 = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("naive_split").alias("n1"),
+        F.col("safe_split").alias("s1"),
+    )
+    a2 = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("naive_split").alias("n2"),
+        F.col("safe_split").alias("s2"),
+    )
+    leak = (
+        pairs.join(a1, "doc_a")
+        .join(a2, "doc_b")
+        .agg(
+            F.sum(F.when(F.col("n1") != F.col("n2"), 1).otherwise(0))
+            .cast("long")
+            .alias("naive_cross"),
+            F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0))
+            .cast("long")
+            .alias("safe_cross"),
+        )
+    )
+    naive = assign.groupBy(F.col("naive_split").alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(F.lit("naive").alias("scheme"), "split", "n_docs")
+    safe = assign.groupBy(F.col("safe_split").alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).select(F.lit("cluster_safe").alias("scheme"), "split", "n_docs")
+    return (
+        naive.unionByName(safe)
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "scheme",
+            "split",
+            "n_docs",
+            F.when(F.col("scheme") == "naive", F.col("naive_cross"))
+            .otherwise(F.col("safe_cross"))
+            .alias("cross_pairs"),
+        )
+    )

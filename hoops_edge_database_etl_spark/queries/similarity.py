@@ -2077,3 +2077,125 @@ def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="rank long, vec_id long, rel long, max_sim_prev long",
         )
     )
+
+
+@query(
+    "q442_embedding_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id < 250 THEN 'old' ELSE 'new' END AS cohort,
+             k,
+             CAST(floor(CAST(embedding[k] AS DOUBLE) * 4096 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings, (SELECT UNNEST(range(1, 65)) AS k)
+    ),
+    cent AS (
+      SELECT label, cohort, k,
+             CAST(SUM(qv) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+      FROM q GROUP BY label, cohort, k
+    ),
+    wide AS (
+      SELECT o.label, o.k, o.s AS sa, n.s AS sb, o.n AS n_old, n.n AS n_new
+      FROM (SELECT * FROM cent WHERE cohort = 'old') o
+      JOIN (SELECT * FROM cent WHERE cohort = 'new') n
+        ON n.label = o.label AND n.k = o.k
+    )
+    SELECT label,
+           MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+           CAST(SUM(sa * sb) AS DOUBLE)
+             / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
+                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) AS cos_centroid,
+           CAST(SUM((sa * n_new - sb * n_old) * (sa * n_new - sb * n_old))
+                AS BIGINT) AS shift_num,
+           CAST(SUM((sa * n_new - sb * n_old) * (sa * n_new - sb * n_old))
+                AS DOUBLE)
+             / (CAST(MAX(n_old) AS DOUBLE) * MAX(n_old)
+                * MAX(n_new) * MAX(n_new)) AS l2_shift_sq,
+           CAST(SUM(sa * sb) AS DOUBLE)
+             / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
+                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) < 0.95 AS drifted
+    FROM wide GROUP BY label
+    """,
+)
+def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION DRIFT between two ingestion cohorts (old =
+    vec_id < 250, new = the rest), per label — the ML-ops check the
+    scalar drift family (q168 TVD, q215 EMD, q218 KS) cannot do,
+    because an embedding space drifts DIRECTIONALLY: per label, the
+    cosine between the two cohorts' centroid vectors and the squared
+    L2 shift between the cohort means. Parity design: coordinates
+    quantize once to 12-bit fixed point (4096 — coarser than q46's
+    2^24 so the SUM-of-products Σ(sa·n − sb·n)² stays inside int64
+    even with count cross-multipliers), centroids are never divided
+    into existence — cosine is SCALE-INVARIANT so cos(Σa, Σb) ==
+    cos(mean_a, mean_b) exactly (no division anywhere before the one
+    final float expression with the two exempt sqrts), and the mean
+    shift clears denominators by cross-multiplying counts (q406's
+    moment algebra). One explode over 64 dims, one grouped integer
+    sum — at 100 TB the per-(label, cohort, dim) partial sums are the
+    only shuffle, 64·cohorts·labels rows of state. Property tests:
+    numpy replay of both metrics; cos(x, x) == 1 on a self-compared
+    cohort; and the shift metric is zero iff the centroids coincide."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") < 250, "old").otherwise("new").alias("cohort"),
+        F.posexplode("embedding").alias("k0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "cohort",
+        (F.col("k0") + 1).alias("k"),
+        F.floor(F.col("x").cast("double") * 4096 + 0.5).cast("long").alias("qv"),
+    )
+    cent = q.groupBy("label", "cohort", "k").agg(
+        F.sum("qv").cast("long").alias("s"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    old = cent.filter(F.col("cohort") == "old").select(
+        "label", "k", F.col("s").alias("sa"), F.col("n").alias("n_old")
+    )
+    new = cent.filter(F.col("cohort") == "new").select(
+        "label", "k", F.col("s").alias("sb"), F.col("n").alias("n_new")
+    )
+    wide = old.join(new, ["label", "k"])
+    return wide.groupBy("label").agg(
+        F.max("n_old").cast("long").alias("n_old"),
+        F.max("n_new").cast("long").alias("n_new"),
+        (
+            F.sum(F.col("sa") * F.col("sb")).cast("double")
+            / (
+                F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
+                * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
+            )
+        ).alias("cos_centroid"),
+        F.sum(
+            (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
+            * (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
+        )
+        .cast("long")
+        .alias("shift_num"),
+        (
+            F.sum(
+                (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
+                * (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
+            ).cast("double")
+            / (
+                F.max("n_old").cast("double")
+                * F.max("n_old")
+                * F.max("n_new")
+                * F.max("n_new")
+            )
+        ).alias("l2_shift_sq"),
+        (
+            F.sum(F.col("sa") * F.col("sb")).cast("double")
+            / (
+                F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
+                * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
+            )
+            < 0.95
+        ).alias("drifted"),
+    )

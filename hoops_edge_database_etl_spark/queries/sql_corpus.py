@@ -655,3 +655,100 @@ _sql_query(
     STRING) prints ISO on both engines (the shared-text date rule).
     Shared text, one string, two engines.""",
 )
+
+
+def _mv_selection_sql() -> str:
+    """Generate the shared-text 3-round greedy MV-selection DP over the
+    (priority, year, status) rollup lattice: exact lattice sizes from
+    live scans, literal workload frequencies, unrolled greedy rounds."""
+    cols = {1: "o_orderpriority", 2: "year(o_orderdate)", 4: "o_orderstatus"}
+
+    def size_sq(mask: int) -> str:
+        sel = ", ".join(expr for bit, expr in cols.items() if mask & bit)
+        return (
+            f"SELECT {mask} AS mv_mask, CAST(COUNT(*) AS BIGINT) AS mv_size"
+            f" FROM (SELECT DISTINCT {sel} FROM orders) t{mask}"
+        )
+
+    sizes = "\n      UNION ALL\n      ".join(size_sq(m) for m in range(1, 8))
+    workload = ", ".join(
+        f"({m}, {f})" for m, f in [(1, 20), (2, 12), (3, 8), (4, 10), (5, 4), (6, 6), (7, 2)]
+    )
+    rounds = []
+    prev_state, prev_picked = "st0", None
+    for r in (1, 2, 3):
+        picked_filter = (
+            ""
+            if prev_picked is None
+            else f" WHERE mv.mv_mask NOT IN (SELECT mv_mask FROM picked{r - 1})"
+        )
+        rounds.append(
+            f""",
+    g{r} AS (
+      SELECT mv.mv_mask, mv.mv_size,
+             CAST(COALESCE(SUM(CASE
+               WHEN (w.q_mask & mv.mv_mask) = w.q_mask
+                 AND s.cost > mv.mv_size
+               THEN w.freq * (s.cost - mv.mv_size) ELSE 0 END), 0) AS BIGINT)
+               AS gain
+      FROM (SELECT mv_mask, mv_size FROM sizes{picked_filter.replace('mv.', '')}) mv
+      CROSS JOIN workload w
+      JOIN {prev_state} s ON s.q_mask = w.q_mask
+      GROUP BY mv.mv_mask, mv.mv_size
+    ),
+    p{r} AS (
+      SELECT mv_mask, mv_size, gain, CAST({r} AS BIGINT) AS round
+      FROM g{r} ORDER BY gain DESC, mv_mask ASC LIMIT 1
+    ),
+    picked{r} AS (
+      SELECT mv_mask FROM p{r}
+      {"" if prev_picked is None else f"UNION ALL SELECT mv_mask FROM picked{r - 1}"}
+    ),
+    st{r} AS (
+      SELECT s.q_mask,
+             CASE WHEN (s.q_mask & p.mv_mask) = s.q_mask
+                  THEN LEAST(s.cost, p.mv_size) ELSE s.cost END AS cost
+      FROM {prev_state} s CROSS JOIN p{r} p
+    )"""
+        )
+        prev_state, prev_picked = f"st{r}", f"picked{r}"
+    picks = "\n      UNION ALL\n      ".join(
+        f"SELECT round, mv_mask, mv_size, gain FROM p{r}" for r in (1, 2, 3)
+    )
+    return f"""
+    WITH sizes AS (
+      {sizes}
+    ),
+    workload(q_mask, freq) AS (VALUES {workload}),
+    st0 AS (
+      SELECT q_mask, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS cost
+      FROM workload
+    ){"".join(rounds)}
+    SELECT round, mv_mask, mv_size, gain AS marginal_gain,
+           CASE mv_mask WHEN 1 THEN 'P' WHEN 2 THEN 'Y' WHEN 3 THEN 'PY'
+                WHEN 4 THEN 'S' WHEN 5 THEN 'PS' WHEN 6 THEN 'YS'
+                ELSE 'PYS' END AS mv_dims
+    FROM ({picks}) all_picks
+    """
+
+
+_sql_query(
+    "q441_mv_selection",
+    _mv_selection_sql(),
+    """GREEDY MATERIALIZED-VIEW SELECTION — the Harinarayan/Rajaraman/
+    Ullman data-cube problem as one shared-text query: given the 7
+    non-empty rollup views over (priority, year, status), their EXACT
+    cardinalities (one distinct-count per lattice node — the stats a
+    warehouse's ANALYZE collects; a production pass fuses them into
+    one GROUPING SETS scan), and a literal query workload with
+    frequencies, pick 3 views greedily maximizing the workload's
+    scan-row savings (a query is answerable from a view iff its
+    group-by set is a SUBSET — bitmask containment (q & m) = q, both
+    engines' integer &). The three greedy rounds are unrolled CTEs,
+    each recomputing marginal gain against the current best-cost
+    state and excluding prior picks — the same unrolled-sequential-
+    choice shape as q433's MMR, here over the view lattice. Greedy is
+    the right algorithm, not a shortcut: benefit is submodular, so
+    the (1 − 1/e)·OPT bound holds — and the pytest property verifies
+    it against a brute force over all C(7,3) = 35 subsets.""",
+)
