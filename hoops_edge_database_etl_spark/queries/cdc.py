@@ -1296,3 +1296,80 @@ def q400_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") <= 300_000).alias("passed"),
     )
     return dup.unionByName(recon).unionByName(orphan).unionByName(err)
+
+
+@query(
+    "q445_hash_chain_ledger",
+    oracle="""
+    WITH tx AS (
+      SELECT o_custkey AS acct,
+             o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 9 = 0
+    ),
+    chain AS (
+      SELECT acct,
+             CAST(COUNT(*) AS BIGINT) AS n_tx,
+             list_reduce(
+               list_prepend('GENESIS',
+                 list(CAST(o_orderkey AS VARCHAR) || ':'
+                      || CAST(cents AS VARCHAR)
+                      ORDER BY o_orderkey)),
+               (acc, x) -> md5(acc || '|' || x)
+             ) AS head_digest
+      FROM tx GROUP BY acct
+    )
+    SELECT acct, n_tx, head_digest FROM chain
+    """,
+)
+def q445_hash_chain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHAIN LEDGER INTEGRITY — the tamper-evidence primitive audit
+    logs and billing ledgers use: each account's transactions (ordered
+    by orderkey) fold into a running digest h_t = md5(h_{t-1} | tx_t)
+    from a GENESIS seed, so the final head digest commits to the ENTIRE
+    ordered history — change any historical amount, insert, drop, or
+    reorder one transaction and the head changes (the property test
+    proves all four tamper classes detectably break the chain). This is
+    q286's content-address made ORDER-SENSITIVE: the commutative Σh
+    fingerprint detects set changes but not reorderings; the chain
+    detects everything at the cost of sequential folding — which is why
+    it runs per ACCOUNT (the fold is the q419 ordered-list fold with
+    md5 as the step function; chains parallelize across accounts, and
+    cross-account tampering is caught because each account's head is
+    its own commitment). Strings and md5 are bit-identical across
+    engines, so the oracle hash-checks every head digest. At 100 TB:
+    one shuffle on account; per-account lists are bounded by account
+    history (spill-safe; a per-epoch chain-of-chains caps them when
+    histories grow unbounded)."""
+    tx = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 9 == 0)
+        .select(
+            F.col("o_custkey").alias("acct"),
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    arr = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("cents").cast("string"),
+                    ).alias("s"),
+                )
+            )
+        ),
+        lambda st: st["s"],
+    )
+    return tx.groupBy("acct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tx"),
+        F.aggregate(
+            arr,
+            F.lit("GENESIS"),
+            lambda acc, x: F.md5(F.concat(acc, F.lit("|"), x)),
+        ).alias("head_digest"),
+    )

@@ -752,3 +752,35 @@ _sql_query(
     the (1 − 1/e)·OPT bound holds — and the pytest property verifies
     it against a brute force over all C(7,3) = 35 subsets.""",
 )
+
+
+_sql_query(
+    "q444_sql_group_by_all",
+    """
+    SELECT o_orderpriority,
+           year(o_orderdate) AS order_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_c
+    FROM orders
+    WHERE o_orderdate >= CAST('1996-01-01' AS DATE)
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    """GROUP BY ALL / ORDER BY ALL — the modern analyst sugar both
+    engines now parse identically (Spark gained it in 3.4, DuckDB
+    popularized it): every non-aggregate select item becomes a
+    grouping key, and the full select list becomes the sort — so
+    adding a dimension to the SELECT automatically extends both,
+    killing the classic copy-paste bug where a new column silently
+    aggregates under the old keys. Notable in the SHARED corpus
+    because inference runs in each engine's OWN analyzer — the hash
+    proves both resolve the same key set AND the same sort order
+    (which exercises ORDER BY ALL's left-to-right tiebreak
+    semantics, including the mixed types: string, int year, string,
+    then two counts). Of the adjacent sugar, only this pair made the
+    corpus: SELECT * EXCEPT vs EXCLUDE and QUALIFY are syntactically
+    disjoint across the two engines (noted the way q432 notes
+    IGNORE NULLS).""",
+)

@@ -2988,3 +2988,110 @@ def q432_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w)
         ).alias("staleness_days"),
     )
+
+
+@query(
+    "q443_stockout_projection",
+    oracle="""
+    WITH parts AS (
+      SELECT p_partkey,
+             CAST(p_size AS BIGINT) * 40 + 200 AS start_stock
+      FROM part WHERE p_partkey % 17 = 0
+    ),
+    demand AS (
+      SELECT l.l_partkey,
+             CAST(CAST(l.l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS d,
+             CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN parts p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT p.p_partkey, p.start_stock, dd.d, dd.qty,
+             p.start_stock
+               - SUM(dd.qty) OVER (PARTITION BY dd.l_partkey ORDER BY dd.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS stock_after
+      FROM demand dd JOIN parts p ON p.p_partkey = dd.l_partkey
+    )
+    SELECT p.p_partkey, p.start_stock,
+           CAST(COALESCE(t.total_demand, 0) AS BIGINT) AS total_demand,
+           s.first_stockout_d,
+           s.first_stockout_d IS NOT NULL AS stocks_out
+    FROM parts p
+    LEFT JOIN (
+      SELECT p_partkey, CAST(MIN(d) AS BIGINT) AS first_stockout_d
+      FROM run WHERE stock_after < 0 GROUP BY p_partkey
+    ) s ON s.p_partkey = p.p_partkey
+    LEFT JOIN (
+      SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total_demand
+      FROM demand GROUP BY l_partkey
+    ) t ON t.l_partkey = p.p_partkey
+    """,
+)
+def q443_stockout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCKOUT PROJECTION — the inventory-depletion question asked of a
+    demand ledger: given each part's opening stock (size-derived
+    deterministic fixture) and its daily shipped quantities, find the
+    FIRST day the running balance crosses below zero. This is the
+    level-crossing shape (q294's drawdown, q185's clamped balance)
+    pointed at operations: cumulative demand per part (ordered window
+    over the per-day rollup — calendar-bounded, the q91 rule), one
+    filter for negative balance, MIN(day) for the crossing, and LEFT
+    joins so parts that never stock out surface with NULL (the
+    at-risk-vs-healthy partition a replenishment planner consumes).
+    Exact integer units throughout (floor of the DOUBLE quantity —
+    the q340 rule). At 100 TB: the only big operation is the per-
+    (part, day) demand rollup (map-side combinable); the window runs
+    on the compacted series. Property tests: a python replay of the
+    depletion per part; stock_after at the stockout day is strictly
+    negative while the day before is >= 0; parts with total demand <=
+    start stock never flag."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 17 == 0)
+        .select(
+            "p_partkey",
+            (F.col("p_size").cast("long") * 40 + 200).alias("start_stock"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem")
+    demand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "l_partkey",
+            F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = demand.join(F.broadcast(p), demand.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        "d",
+        (F.col("start_stock") - F.sum("qty").over(w)).alias("stock_after"),
+    )
+    stockout = (
+        run.filter(F.col("stock_after") < 0)
+        .groupBy("l_partkey")
+        .agg(F.min("d").cast("long").alias("first_stockout_d"))
+    )
+    totals = demand.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("total_demand")
+    )
+    return (
+        p.join(stockout, p.p_partkey == stockout.l_partkey, "left")
+        .drop(stockout.l_partkey)
+        .join(totals, p.p_partkey == totals.l_partkey, "left")
+        .drop(totals.l_partkey)
+        .select(
+            "p_partkey",
+            "start_stock",
+            F.coalesce("total_demand", F.lit(0)).cast("long").alias("total_demand"),
+            "first_stockout_d",
+            F.col("first_stockout_d").isNotNull().alias("stocks_out"),
+        )
+    )
