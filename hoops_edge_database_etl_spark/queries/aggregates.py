@@ -6656,3 +6656,83 @@ def q423_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 1.96D AS significant",
         )
     )
+
+
+@query(
+    "q448_luhn_check",
+    oracle="""
+    WITH ids AS (
+      SELECT o_orderkey,
+             lpad(CAST(o_orderkey % 100000000 AS VARCHAR), 8, '0')
+               || lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0') AS acct12
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    digits AS (
+      SELECT o_orderkey, acct12, p.i,
+             CAST(substr(acct12, CAST(p.i AS INTEGER), 1) AS BIGINT) AS dgt
+      FROM ids, (SELECT UNNEST(range(1, 13)) AS i) p
+    ),
+    folded AS (
+      SELECT o_orderkey, acct12,
+             CAST(SUM(CASE WHEN (12 - i) % 2 = 1
+                  THEN CASE WHEN dgt * 2 > 9 THEN dgt * 2 - 9 ELSE dgt * 2 END
+                  ELSE dgt END) AS BIGINT) AS luhn_sum
+      FROM digits GROUP BY o_orderkey, acct12
+    )
+    SELECT o_orderkey, acct12, luhn_sum,
+           luhn_sum % 10 = 0 AS luhn_valid
+    FROM folded
+    """,
+)
+def q448_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN MOD-10 CHECKSUM validation — the data-quality gate every
+    ingest of card-like / IMEI-like / account-number identifiers runs
+    (ISO/IEC 7812): derive a deterministic 12-digit account string per
+    sampled order, double every second digit from the RIGHT (the
+    (12−i) mod 2 parity — the off-by-one that breaks most
+    hand-rolled Luhns, pinned by the property test), subtract 9 from
+    two-digit doublings, and accept iff the sum is ≡ 0 (mod 10). The
+    expansion is a bounded 12-row explode per id (position frame, not
+    data-dependent), the fold one grouped integer sum — at 100 TB
+    this is a map-only validation (q98's PII-scrub shape with
+    arithmetic instead of regex). Property tests: a python-stdlib
+    Luhn replay agrees on every id; appending the correct check digit
+    to any invalid id makes it valid (the generator-vs-validator
+    duality); and the valid rate sits near the 1-in-10 a uniform
+    checksum implies."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    ids = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 8, "0"),
+            F.lpad((F.col("o_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("acct12"),
+    )
+    digits = ids.select(
+        "o_orderkey",
+        "acct12",
+        F.posexplode(F.split(F.col("acct12"), "(?!^)(?=.)")).alias("i0", "ch"),
+    ).select(
+        "o_orderkey",
+        "acct12",
+        (F.col("i0") + 1).alias("i"),
+        F.col("ch").cast("long").alias("dgt"),
+    )
+    folded = digits.groupBy("o_orderkey", "acct12").agg(
+        F.sum(
+            F.when(
+                (12 - F.col("i")) % 2 == 1,
+                F.when(F.col("dgt") * 2 > 9, F.col("dgt") * 2 - 9).otherwise(
+                    F.col("dgt") * 2
+                ),
+            ).otherwise(F.col("dgt"))
+        )
+        .cast("long")
+        .alias("luhn_sum")
+    )
+    return folded.select(
+        "o_orderkey",
+        "acct12",
+        "luhn_sum",
+        (F.col("luhn_sum") % 10 == 0).alias("luhn_valid"),
+    )

@@ -16,7 +16,7 @@ Determinism rules for the DuckDB oracle hash-match:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from hoops_edge_database_etl_spark.queries import query
 from hoops_edge_database_etl_spark.tables import load
@@ -858,4 +858,71 @@ def q436_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.sum("k").cast("long").alias("sum_k"),
         F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).cast("long").alias("n_high"),
+    )
+
+
+@query(
+    "q447_quota_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY floor(o_totalprice * 100 + 0.5) DESC,
+                                         o_orderkey) AS class_rank
+      FROM orders
+    ),
+    pool AS (SELECT * FROM ranked WHERE class_rank <= 5),
+    final AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey)
+               AS global_rank
+      FROM pool
+    )
+    SELECT CAST(global_rank AS BIGINT) AS global_rank,
+           o_orderkey, o_orderpriority, cents,
+           CAST(class_rank AS BIGINT) AS class_rank
+    FROM final WHERE global_rank <= 20
+    """,
+)
+def q447_quota_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUOTA-CONSTRAINED LEADERBOARD — global top-20 orders by value
+    subject to a fairness cap of 5 per priority class: the exposure-
+    constrained ranking every marketplace / feed / search page applies
+    so one dominant class cannot monopolize the board. Two-phase and
+    fully declarative: a per-class window keeps each class's top 5
+    (the quota pool — associative, the q85 top-k-per-group shape),
+    then one global rank over the ≤ 25 pool rows takes 20. The
+    correctness subtlety the property test pins: this two-phase plan
+    is EXACT for the constrained problem — any order outside its
+    class's top 5 can never appear in a feasible optimal board
+    (exchange argument), so pruning to the pool loses nothing — the
+    same argument that makes q119's distributed skyline and q85's
+    two-phase top-k safe. Exact cents; both ranks carry orderkey
+    tiebreaks. At 100 TB phase 1 is the only full-data pass and
+    combines map-side."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    wc = Window.partitionBy("o_orderpriority").orderBy(
+        cents.desc(), F.col("o_orderkey")
+    )
+    pool = (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.row_number().over(wc).alias("class_rank"),
+        )
+        .filter(F.col("class_rank") <= 5)
+    )
+    wg = Window.orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+    return (
+        pool.withColumn("global_rank", F.row_number().over(wg))
+        .filter(F.col("global_rank") <= 20)
+        .select(
+            F.col("global_rank").cast("long").alias("global_rank"),
+            "o_orderkey",
+            "o_orderpriority",
+            "cents",
+            F.col("class_rank").cast("long").alias("class_rank"),
+        )
     )

@@ -874,3 +874,92 @@ def q387_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+@query(
+    "q446_sampled_join_estimate",
+    oracle="""
+    WITH sa AS (
+      SELECT o_custkey AS k FROM orders
+      WHERE CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':js'),
+                 1, 8) AS BIGINT) % 16 = 0
+    ),
+    sb AS (
+      SELECT c_custkey AS k FROM customer
+      WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':js'),
+                 1, 8) AS BIGINT) % 4 = 0
+    ),
+    est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) * 16 * 4 AS est_join_size,
+             CAST(COUNT(*) AS BIGINT) AS sampled_pairs
+      FROM sa JOIN sb ON sb.k = sa.k
+    ),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT e.sampled_pairs, e.est_join_size, t.true_join_size,
+           CAST(e.est_join_size - t.true_join_size AS BIGINT) AS abs_err,
+           CAST(e.est_join_size AS DOUBLE) / t.true_join_size AS ratio
+    FROM est e CROSS JOIN truth t
+    """,
+)
+def q446_sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLING-BASED JOIN-SIZE ESTIMATION — the cheap cardinality probe
+    a planner (or a human, before launching a 100 TB join) runs when
+    q199's full per-key histograms are too expensive: Bernoulli-sample
+    each side with a DETERMINISTIC hash coin (q80's discipline — md5
+    residues, so both engines and every rerun draw the identical
+    sample; p=1/16 on the fact side, 1/4 on the dim side), join the
+    samples, and scale by 1/(p_a·p_b). The estimator is unbiased for
+    ROW-LEVEL sampling on the fact side; the dim side samples KEYS
+    (c_custkey is unique), which keeps the estimator unbiased while
+    shrinking the build side — the asymmetry a real system exploits
+    (sample rates should scale inversely with side size). Output
+    carries the estimate, the exact truth (the audit a planner never
+    gets — here the point is measuring estimator quality), signed
+    error, and ratio; the pytest property seeds tolerance bands
+    (ratio within [0.8, 1.25] at this sample size) and re-derives the
+    estimate from raw sampled counts. At 100 TB only the two sampled
+    fractions shuffle."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+
+    def coin(col, salt, mod):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(col).cast("string"), F.lit(salt))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+            == 0
+        )
+
+    sa = o.filter(coin("o_orderkey", ":js", 16)).select(
+        F.col("o_custkey").alias("k")
+    )
+    sb = c.filter(coin("c_custkey", ":js", 4)).select(
+        F.col("c_custkey").alias("k")
+    )
+    est = sa.join(sb, "k").agg(
+        F.count(F.lit(1)).cast("long").alias("sampled_pairs"),
+        (F.count(F.lit(1)) * 16 * 4).cast("long").alias("est_join_size"),
+    )
+    truth = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .agg(F.count(F.lit(1)).cast("long").alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "sampled_pairs",
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") - F.col("true_join_size"))
+        .cast("long")
+        .alias("abs_err"),
+        (F.col("est_join_size").cast("double") / F.col("true_join_size")).alias(
+            "ratio"
+        ),
+    )
