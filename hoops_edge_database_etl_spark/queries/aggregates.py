@@ -6736,3 +6736,142 @@ def q448_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "luhn_sum",
         (F.col("luhn_sum") % 10 == 0).alias("luhn_valid"),
     )
+
+
+@query(
+    "q449_bh_fdr_sign_tests",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT event_type,
+             y - lag(y) OVER (PARTITION BY event_type ORDER BY d) AS dy
+      FROM daily
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM deltas WHERE dy IS NOT NULL GROUP BY event_type
+    ),
+    pv AS (
+      SELECT event_type, k, m,
+             LEAST(2 * list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, CAST(LEAST(k, m - k) AS INTEGER) + 2),
+                   j -> list_reduce(
+                     list_prepend([CAST(1 AS BIGINT)],
+                       list_transform(range(1, CAST(m AS INTEGER) + 1),
+                                      x -> [CAST(0 AS BIGINT)])),
+                     (acc, x) -> list_append(
+                       list_prepend(CAST(1 AS BIGINT),
+                         list_transform(range(1, len(acc)),
+                                        i -> acc[i] + acc[i + 1])),
+                       CAST(1 AS BIGINT)))[CAST(j AS INTEGER)])),
+               (a, b) -> a + b), CAST(1 AS BIGINT) << m) AS p_num,
+             CAST(1 AS BIGINT) << m AS p_den
+      FROM counts
+    ),
+    ranked AS (
+      SELECT event_type, k, m, p_num, p_den,
+             ROW_NUMBER() OVER (ORDER BY CAST(p_num AS DOUBLE) / p_den,
+                                event_type) AS i
+      FROM pv
+    ),
+    cutoff AS (
+      SELECT MAX(CASE WHEN p_num * 50 <= i * p_den THEN i END) AS i_max
+      FROM ranked
+    )
+    SELECT r.event_type, r.k, r.m, r.p_num, r.p_den,
+           CAST(r.p_num AS DOUBLE) / r.p_den AS p_value,
+           CAST(r.i AS BIGINT) AS p_rank,
+           COALESCE(r.i <= c.i_max, FALSE) AS rejected
+    FROM ranked r CROSS JOIN cutoff c
+    """,
+)
+def q449_bh_fdr_sign_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR over a family of EXACT sign tests — the
+    multiple-testing control q274/q343's single-test machinery needs
+    the moment a dashboard tests five metrics at once, done with ZERO
+    floating-point inference: per event type, the sign test's
+    two-sided p-value is the exact rational min(1, 2·Σ_{j<=min(k,m−k)}
+    C(m,j)) / 2^m — the binomial coefficients come from folding the
+    PASCAL TRIANGLE as an array recurrence (each step prepends/appends
+    1 around pairwise sums of the previous row — the q419 ordered-fold
+    pattern with an ARRAY accumulator; both engines build the row
+    bit-identically in int64, C(29,14) ≈ 7.7e7 so overflow is
+    nowhere near), and the BH step-up comparison p_(i) <= i·α/M
+    clears denominators to the INTEGER test p_num·50 <= i·p_den
+    (α = 0.1, M = 5 — the q361 cross-multiply rule). Doubles appear
+    only to ORDER the p-values (identical doubles both engines,
+    event_type tiebreak) and to report. Deltas are day-over-day count
+    changes; zeros drop (the q423 convention). Property tests: scipy-
+    free python binomial replay of every p-value; BH's step-up
+    dominates Bonferroni's single-threshold rejections; and the
+    rejected set is a PREFIX of the p-ranking (the step-up
+    invariant)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    deltas = daily.select(
+        "event_type", (F.col("y") - F.lag("y").over(w)).alias("dy")
+    ).filter(F.col("dy").isNotNull())
+    counts = deltas.groupBy("event_type").agg(
+        F.sum(F.when(F.col("dy") > 0, 1).otherwise(0)).cast("long").alias("k"),
+        F.sum(F.when(F.col("dy") != 0, 1).otherwise(0)).cast("long").alias("m"),
+    )
+    pascal_row = F.aggregate(
+        F.sequence(F.lit(1), F.col("m").cast("int")),
+        F.array(F.lit(1).cast("long")),
+        lambda acc, x: F.concat(
+            F.array(F.lit(1).cast("long")),
+            F.zip_with(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.slice(acc, 2, F.size(acc) - 1),
+                lambda a, b: a + b,
+            ),
+            F.array(F.lit(1).cast("long")),
+        ),
+    )
+    tail = F.aggregate(
+        F.slice(pascal_row, 1, F.least(F.col("k"), F.col("m") - F.col("k")).cast("int") + 1),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    pv = counts.select(
+        "event_type",
+        "k",
+        "m",
+        F.least(2 * tail, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))")).alias(
+            "p_num"
+        ),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(m AS INT))").alias("p_den"),
+    )
+    wr = Window.orderBy(
+        (F.col("p_num").cast("double") / F.col("p_den")), F.col("event_type")
+    )
+    ranked = pv.withColumn("i", F.row_number().over(wr))
+    cutoff = ranked.agg(
+        F.max(
+            F.when(F.col("p_num") * 50 <= F.col("i") * F.col("p_den"), F.col("i"))
+        ).alias("i_max")
+    )
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "event_type",
+        "k",
+        "m",
+        "p_num",
+        "p_den",
+        (F.col("p_num").cast("double") / F.col("p_den")).alias("p_value"),
+        F.col("i").cast("long").alias("p_rank"),
+        F.coalesce(F.col("i") <= F.col("i_max"), F.lit(False)).alias("rejected"),
+    )

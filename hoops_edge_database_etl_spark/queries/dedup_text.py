@@ -1649,8 +1649,28 @@ def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-mod per doc on top of q62's clustering — nothing new
     shuffles; the leakage audit joins the (small) candidate-pair set
     against the assignment twice, both sides hash-partitioned on
-    doc_id."""
-    comp = q62_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    doc_id. The banding pipeline runs ONCE: the candidate pairs are
+    materialized first and the components derive from them via the q62
+    operator (calling q62 for clusters AND q43 for pairs would re-run
+    the MinHash signatures twice — the kind of silent recompute a
+    100 TB pipeline cannot afford)."""
+    from hoops_edge_database_etl_spark.operators.cc import (
+        connected_components_labelprop,
+    )
+
+    edges = (
+        q43_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components_labelprop(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    all_docs = load(spark, sf_dir, "documents").select("doc_id")
+    comp = all_docs.join(cc, all_docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
 
     def bucket(col: str):
         return (
@@ -1678,7 +1698,6 @@ def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_of("doc_id").alias("naive_split"),
         split_of("cluster_id").alias("safe_split"),
     ).localCheckpoint(eager=True)
-    edges = q43_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     pairs = edges.filter(F.col("doc_a") < F.col("doc_b"))
     a1 = assign.select(
         F.col("doc_id").alias("doc_a"),
@@ -1719,4 +1738,122 @@ def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("safe_cross"))
             .alias("cross_pairs"),
         )
+    )
+
+
+@query(
+    "q450_corpus_release_manifest",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, c.i, MIN((c.a * h + c.b) % {MINHASH_P}) AS m
+      FROM hashed CROSS JOIN (VALUES {_COEFF_VALUES}) AS c(i, a, b)
+      GROUP BY doc_id, c.i
+    ),
+    band AS (
+      SELECT doc_id, i // 2 AS b,
+             md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY i)) AS key
+      FROM sig GROUP BY doc_id, i // 2
+    ),
+    und AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM band a JOIN band b
+        ON a.b = b.b AND a.key = b.key AND a.doc_id <> b.doc_id
+    ),
+    lab(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.src, l.lbl FROM lab l JOIN und u ON u.dst = l.node
+      WHERE l.lbl < u.src
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM lab GROUP BY node),
+    enriched AS (
+      SELECT d.doc_id, d.lang, c.cluster_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)
+                      || ':split'), 1, 8) AS BIGINT) % 100 < 2 THEN 'test'
+                  WHEN CAST('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)
+                      || ':split'), 1, 8) AS BIGINT) % 100 < 5 THEN 'val'
+                  ELSE 'train' END AS split,
+             CAST(len(list_filter(string_split(d.text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_tokens,
+             d.doc_id <> c.cluster_id AS is_dup,
+             CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT)
+               % 2147483647 AS th
+      FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_rate_ppm,
+           CAST(CAST(SUM(CAST(th AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                % 9223372036854775807 AS BIGINT) AS fingerprint
+    FROM enriched
+    GROUP BY split, lang
+    """,
+)
+def q450_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS RELEASE MANIFEST — the artifact a training-data release
+    actually ships, and the registry's 450th entry: per (split ×
+    language) cell, document and token counts, near-duplicate counts
+    and rate, and the q286 commutative content fingerprint — with
+    every ingredient COMPOSED from an already-verified lineage:
+    splits are q440's cluster-safe assignment (q62's LSH components
+    hashed by cluster, so no near-dup pair straddles a split), dup
+    flags are q62's non-canonical members, token counts share q51/
+    q110's whitespace tokenizer, and the fingerprint is q286/q293's
+    order-free Σh mod M in DECIMAL(38,0) (legal under any
+    partitioning AND as a streaming aggregate). One hash therefore
+    re-certifies five registered machines end-to-end — the manifest
+    IS the integration test, and downstream consumers can verify
+    their copy by recomputing three integers per cell. Scale: one
+    pass over documents beyond the (candidate-pair-sized) clustering;
+    everything aggregates map-side. Property tests: totals reconcile
+    with q440's per-split doc counts; dup_rate is in ppm and matches
+    n_dups/n_docs; per-cell fingerprints differ (no accidental
+    constant)."""
+    comp = q62_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    d = load(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_id").cast("string"), F.lit(":split"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    th = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+        % 2147483647
+    )
+    enriched = d.join(comp, "doc_id").select(
+        "lang",
+        F.when(b < 2, "test").when(b < 5, "val").otherwise("train").alias("split"),
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).cast("long").alias("n_tokens"),
+        (F.col("doc_id") != F.col("cluster_id")).alias("is_dup"),
+        th.alias("th"),
+    )
+    return enriched.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dups"),
+        F.expr(
+            "CAST(SUM(CAST(is_dup AS BIGINT)) * 1000000 div count(1) AS BIGINT)"
+        ).alias("dup_rate_ppm"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(th AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+            " % 9223372036854775807 AS BIGINT)"
+        ).alias("fingerprint"),
     )
