@@ -657,10 +657,12 @@ _sql_query(
 )
 
 
-def _mv_selection_sql() -> str:
-    """Generate the shared-text 3-round greedy MV-selection DP over the
-    (priority, year, status) rollup lattice: exact lattice sizes from
-    live scans, literal workload frequencies, unrolled greedy rounds."""
+def _mv_selection_sql(sizes_body: str | None = None) -> str:
+    """Generate the 3-round greedy MV-selection DP over the (priority,
+    year, status) rollup lattice: exact lattice sizes (by default seven
+    per-subset distinct-count scans — engine-neutral shared text; pass
+    ``sizes_body`` to substitute a fused GROUPING-SETS source, q451),
+    literal workload frequencies, unrolled greedy rounds."""
     cols = {1: "o_orderpriority", 2: "year(o_orderdate)", 4: "o_orderstatus"}
 
     def size_sq(mask: int) -> str:
@@ -670,7 +672,9 @@ def _mv_selection_sql() -> str:
             f" FROM (SELECT DISTINCT {sel} FROM orders) t{mask}"
         )
 
-    sizes = "\n      UNION ALL\n      ".join(size_sq(m) for m in range(1, 8))
+    sizes = sizes_body or "\n      UNION ALL\n      ".join(
+        size_sq(m) for m in range(1, 8)
+    )
     workload = ", ".join(
         f"({m}, {f})" for m, f in [(1, 20), (2, 12), (3, 8), (4, 10), (5, 4), (6, 6), (7, 2)]
     )
@@ -784,3 +788,52 @@ _sql_query(
     disjoint across the two engines (noted the way q432 notes
     IGNORE NULLS).""",
 )
+
+
+from hoops_edge_database_etl_spark.queries import _ORACLES  # noqa: E402
+
+
+@query("q451_mv_selection_fused", oracle=_ORACLES["q441_mv_selection"])
+def q451_mv_selection_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q441's MV selection with the lattice statistics collected the way
+    a production pass would: ONE `GROUPING SETS` scan instead of seven
+    per-subset distinct-count scans — grouping_id() tags each output
+    row with which dimensions were aggregated away (Spark sets a bit
+    for every column NOT in the grouping, most-significant-first in
+    declaration order, so the subset mask is the bitwise complement
+    re-mapped to q441's P=1/Y=2/S=4 convention — worked out explicitly
+    in the CASE below because off-by-one bit conventions are exactly
+    where grouping_id code goes wrong), and counting rows per tag
+    yields every lattice node's cardinality from a single shuffle.
+    The greedy rounds then run the IDENTICAL generated SQL with the
+    fused statistics swapped in, and the ORACLE IS q441's VERBATIM —
+    the hash proves the one-scan plan computes the same lattice, the
+    same gains, and the same picks as the textbook seven-scan form
+    (the q434/q412 shared-oracle crossover pattern). At 100 TB this
+    is the difference between one pass over the fact table and
+    seven."""
+    from hoops_edge_database_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        SELECT CASE gid WHEN 3 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 4
+                        WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 4 THEN 6
+                        ELSE 7 END AS mv_mask,
+               CAST(COUNT(*) AS BIGINT) AS mv_size
+        FROM (
+          SELECT grouping_id() AS gid
+          FROM orders
+          GROUP BY GROUPING SETS (
+            (o_orderpriority), (year(o_orderdate)), (o_orderstatus),
+            (o_orderpriority, year(o_orderdate)),
+            (o_orderpriority, o_orderstatus),
+            (year(o_orderdate), o_orderstatus),
+            (o_orderpriority, year(o_orderdate), o_orderstatus))
+        ) g
+        GROUP BY gid
+        """
+    ).createOrReplaceTempView("q451_sizes")
+    return spark.sql(
+        _mv_selection_sql("SELECT mv_mask, mv_size FROM q451_sizes")
+    )

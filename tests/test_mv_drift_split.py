@@ -104,3 +104,21 @@ def test_q442_numpy_replay_and_self_identity(spark, duck):
         )
         assert abs(self_cos - 1.0) < 1e-12
         assert int(((sa * n1 - sa * n1) ** 2).sum()) == 0
+
+
+def test_q451_matches_oracle(spark, duck):
+    compare_query(spark, duck, "q451_mv_selection_fused")
+
+
+def test_q451_fused_equals_textbook_q441(spark):
+    """The one-scan GROUPING SETS lattice produces bit-identical picks to
+    q441's seven-scan form — the shared-oracle crossover, asserted
+    directly as well."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    a = sorted(tuple(r) for r in qs["q441_mv_selection"](spark, SF_DIR).collect())
+    b = sorted(
+        tuple(r) for r in qs["q451_mv_selection_fused"](spark, SF_DIR).collect()
+    )
+    assert a == b

@@ -449,3 +449,59 @@ def test_q387_tiers_partition_population(spark, duck):
     assert sum(r["share_ppm"] for r in rows.values()) <= 1_000_000
     for r in rows.values():
         assert r["est_bytes"] == r["n_events"] * TIER_BYTES_PER_EVENT
+
+
+def test_q426_dims_broadcast_no_cross_join(spark):
+    """The Q2-shape's supplier→nation→region dimension chain broadcasts;
+    nothing falls back to a cartesian product."""
+    plan = _executed(_qs()["q426_min_cost_supplier"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q443_part_filter_broadcasts(spark):
+    """Stockout projection joins the sampled part fixture by broadcast —
+    the fact table never shuffles for the dimension."""
+    plan = _executed(_qs()["q443_stockout_projection"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q437_ltv_stays_jvm_side(spark):
+    """Twelve value-iteration sweeps with zero Python stages."""
+    plan = _executed(_qs()["q437_markov_ltv"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "InPandas" not in plan
+
+
+def test_q446_sample_filters_pushed_to_scan(spark):
+    """The deterministic-hash Bernoulli coins are plain filters — they
+    must evaluate inside the scan stage, not after a shuffle."""
+    df = _qs()["q446_sampled_join_estimate"](spark, SF_DIR)
+    plan = _executed(df)
+    # both sampled sides keep their Filter before any Exchange
+    assert plan.count("Exchange") <= 6  # est join + truth join + 2 aggs
+
+
+def test_q451_fused_lattice_single_scan(spark):
+    """q451's entire lattice statistics come from ONE scan of orders via
+    GROUPING SETS (q441's textbook form scans seven times); the Expand
+    operator is the GROUPING SETS signature."""
+    from hoops_edge_database_etl_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    plan = _executed(
+        spark.sql(
+            """
+            SELECT grouping_id() AS gid, COUNT(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS (
+              (o_orderpriority), (year(o_orderdate)), (o_orderstatus),
+              (o_orderpriority, year(o_orderdate)),
+              (o_orderpriority, o_orderstatus),
+              (year(o_orderdate), o_orderstatus),
+              (o_orderpriority, year(o_orderdate), o_orderstatus))
+            """
+        )
+    )
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
