@@ -1693,7 +1693,9 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     way to do centrality at 100 TB (exact all-pairs is O(V·E);
     pivot-sampled is O(k·E) with relative error ~1/√k, and the pivot
     set is hash-ranked — q80's deterministic-sampling discipline — so
-    both engines pick the identical 32). Distances come from one
+    both engines pick the identical 32; the ranking is a global sort
+    over the NODE LIST, bounded by node count, never edges — swap in
+    q148's range-partitioned row_number beyond ~10^8 nodes). Distances come from one
     multi-source BFS carrying (pivot, node) pairs through frontier
     expansion (the q135 loop, keyed per pivot; visited-set anti-join,
     localCheckpoint per sweep, early exit — 9 sweeps suffice at
