@@ -5490,3 +5490,118 @@ def q437_markov_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias(f"ltv{_LTV_T}_c"),
         (F.col("v").cast("double") / 100).alias(f"ltv{_LTV_T}_dollars"),
     )
+
+
+@query(
+    "q452_markov_next_event_accuracy",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             CAST(ts AS DATE) < DATE '2024-01-22' AS is_train
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL AND is_train GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, dst AS predicted
+      FROM (SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS rn
+            FROM trans) WHERE rn = 1
+    ),
+    base AS (
+      SELECT dst AS majority
+      FROM (SELECT dst, SUM(n) AS tot FROM trans GROUP BY dst
+            ORDER BY tot DESC, dst LIMIT 1)
+    ),
+    test AS (
+      SELECT event_type AS src, nxt AS actual
+      FROM s WHERE nxt IS NOT NULL AND NOT is_train
+    )
+    SELECT t.src,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.actual = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.actual = p.predicted THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS accuracy_ppm,
+           CAST(SUM(CASE WHEN t.actual = b.majority THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS baseline_ppm,
+           p.predicted
+    FROM test t
+    JOIN pred p ON p.src = t.src
+    CROSS JOIN base b
+    GROUP BY t.src, p.predicted
+    """,
+)
+def q452_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-EVENT PREDICTION BACKTEST for q160's Markov model — the
+    eval loop that turns a transition matrix into a shippable
+    predictor: train on the first three weeks (the q33 no-leakage
+    temporal split — transitions whose SOURCE event predates Jan 22),
+    predict each source state's argmax next event, score top-1
+    accuracy on the held-out week, and report it NEXT TO the
+    majority-class baseline (the q453-adjacent honesty rule: a
+    next-event model that cannot beat 'predict the globally most
+    common event' is a lookup table wearing a model's hat — the
+    property test asserts the per-source accuracy beats or ties the
+    baseline in aggregate). All counts exact; accuracies in floor
+    ppm. One windowed pass builds pairs, the matrix is
+    state²-bounded, the test join broadcasts the 5-row predictor —
+    at 100 TB only the pair-building pass touches the event log.
+    Property tests: python replay of train/predict/score; train and
+    test transition sets are disjoint in time."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        (F.to_date("ts") < F.lit("2024-01-22").cast("date")).alias("is_train"),
+    ).filter(F.col("nxt").isNotNull())
+    trans = (
+        s.filter("is_train")
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wp = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("dst"))
+    pred = (
+        trans.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    base = (
+        trans.groupBy("dst")
+        .agg(F.sum("n").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("dst"))
+        .limit(1)
+        .select(F.col("dst").alias("majority"))
+    )
+    test = s.filter(~F.col("is_train")).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("actual")
+    )
+    return (
+        test.join(F.broadcast(pred), "src")
+        .crossJoin(F.broadcast(base))
+        .groupBy("src", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+            F.expr(
+                "CAST(SUM(CASE WHEN actual = majority THEN 1 ELSE 0 END)"
+                " * 1000000 div count(1) AS BIGINT)"
+            ).alias("baseline_ppm"),
+        )
+        .select(
+            "src", "n_test", "n_correct", "accuracy_ppm", "baseline_ppm",
+            "predicted",
+        )
+    )

@@ -1767,3 +1767,107 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("harmonic_x1e6", F.lit(0)).cast("long").alias("harmonic_x1e6"),
         F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
     )
+
+
+_PPR_SEEDS = (0, 7)
+
+
+def _ppr_oracle() -> str:
+    """q94's recursive replay with teleport mass restricted to the seed
+    set — same fixed-point arithmetic, personalized restart vector."""
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT CAST(o_custkey % 20 AS BIGINT) AS src,
+             CAST(o_orderkey % 20 AS BIGINT) AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM orders
+      WHERE o_custkey % 20 <> o_orderkey % 20
+      GROUP BY 1, 2
+    ),
+    od AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+    pr(k, node, pr) AS (
+      SELECT 0, src,
+             CASE WHEN src IN ({seeds})
+                  THEN CAST({_PR_SCALE} AS BIGINT) ELSE CAST(0 AS BIGINT) END
+      FROM od
+      UNION ALL
+      SELECT p.k + 1, e.dst,
+             CAST(CASE WHEN e.dst IN ({seeds})
+                       THEN {(15 * _PR_SCALE) // 100} ELSE 0 END
+                  + (85 * SUM(p.pr * e.w // od.outw)) // 100 AS BIGINT)
+      FROM pr p
+      JOIN e ON e.src = p.node
+      JOIN od ON od.src = e.src
+      WHERE p.k < {_PR_ITERS}
+      GROUP BY p.k, e.dst
+    )
+    SELECT node AS team_id,
+           CAST(pr AS DOUBLE) / {_PR_SCALE} AS ppr,
+           node IN ({seeds}) AS is_seed
+    FROM pr WHERE k = {_PR_ITERS}
+    """
+
+
+@query("q453_personalized_pagerank", oracle=_ppr_oracle())
+def q453_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK from a 2-node seed set — q94/q117's
+    machinery with the teleport vector restricted to the seeds: the
+    random surfer restarts AT THE SEEDS instead of uniformly, so the
+    stationary mass measures proximity TO the seed set — the
+    recommendation / trust-propagation / local-community primitive
+    (seed = the user's items, scores = what to recommend). The change
+    from q94 is exactly two expressions (the init vector and the
+    restart term gated on seed membership); every bit of the
+    fixed-point discipline carries over unchanged — int64 2^20 units,
+    floor division at the per-edge contribution, 10 unrolled sweeps,
+    recursive-CTE oracle — which is the point: a well-factored
+    iterative kernel absorbs new TELEPORT SEMANTICS without touching
+    its numeric core (the q117 distributed form works identically;
+    this one runs the q94 small-graph plan). Property tests: Σ ppr
+    stays below the seed count (mass leaks only through dangling-free
+    damping), seeds and their out-neighbors outrank the graph median,
+    and zeroing the seed set zeroes every score (no teleport, no
+    mass)."""
+    o = load(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            (F.col("o_custkey") % 20).cast("long").alias("src"),
+            (F.col("o_orderkey") % 20).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    od = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ew = e.join(od, "src").localCheckpoint(eager=True)
+    seed_col = F.col("node").isin(*_PPR_SEEDS)
+    base = (15 * _PR_SCALE) // 100
+    pr = od.select(
+        F.col("src").alias("node"),
+        F.when(F.col("src").isin(*_PPR_SEEDS), _PR_SCALE)
+        .otherwise(0)
+        .cast("long")
+        .alias("pr"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = ew.join(pr, ew.src == pr.node).select(
+            F.col("dst"), F.expr("pr * w div outw").alias("c")
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(
+                (
+                    F.when(F.col("dst").isin(*_PPR_SEEDS), base)
+                    .otherwise(0)
+                    + F.expr("85 * sum(c) div 100")
+                ).alias("pr")
+            )
+            .select(F.col("dst").alias("node"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(
+        F.col("node").alias("team_id"),
+        (F.col("pr").cast("double") / _PR_SCALE).alias("ppr"),
+        seed_col.alias("is_seed"),
+    )
