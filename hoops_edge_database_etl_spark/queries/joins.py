@@ -1808,3 +1808,106 @@ def q425_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({ratio}) AS fs_ratio",
         f"({ratio}) > 1.0D AS link_decision",
     )
+
+
+def _q455_oracle() -> str:
+    """Embed q425's full oracle as a derived table and sweep its pattern
+    ratios as candidate thresholds."""
+    from hoops_edge_database_etl_spark.queries import _ORACLES
+
+    return f"""
+    WITH pat AS (
+      SELECT * FROM (
+      {_ORACLES["q425_fellegi_sunter"]}
+      ) q425_out
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_match) AS BIGINT) AS total_match FROM pat
+    ),
+    sweep AS (
+      SELECT t.fs_ratio AS threshold,
+             CAST(SUM(CASE WHEN p.fs_ratio >= t.fs_ratio
+                           THEN p.n_match ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN p.fs_ratio >= t.fs_ratio
+                           THEN p.n_unmatch ELSE 0 END) AS BIGINT) AS fp
+      FROM (SELECT DISTINCT fs_ratio FROM pat) t
+      CROSS JOIN pat p
+      GROUP BY t.fs_ratio
+    ),
+    scored AS (
+      SELECT s.threshold, s.tp, s.fp,
+             tt.total_match - s.tp AS fn,
+             s.tp * 1000000 // NULLIF(s.tp + s.fp, 0) AS precision_ppm,
+             s.tp * 1000000 // tt.total_match AS recall_ppm,
+             2 * s.tp * 1000000
+               // NULLIF(2 * s.tp + s.fp + (tt.total_match - s.tp), 0)
+               AS f1_ppm
+      FROM sweep s CROSS JOIN tot tt
+    )
+    SELECT threshold, tp, fp, CAST(fn AS BIGINT) AS fn,
+           CAST(precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(recall_ppm AS BIGINT) AS recall_ppm,
+           CAST(f1_ppm AS BIGINT) AS f1_ppm,
+           f1_ppm = MAX(f1_ppm) OVER () AS is_best_f1
+    FROM scored
+    """
+
+
+@query("q455_linkage_threshold_curve", oracle=_q455_oracle())
+def q455_linkage_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINKAGE OPERATING-POINT CURVE — the decision q425's likelihood
+    ratios exist to inform: sweep every observed pattern ratio as a
+    link threshold and report TP/FP/FN with precision, recall, and F1
+    in exact floor-ppm, flagging the F1-optimal operating point
+    (98.6% precision / 85.7% recall at ratio ≈ 24 on this fixture —
+    the all-agree-plus-one-disagreement band). Because patterns are
+    the atoms of Fellegi-Sunter scoring, the 8-row pattern table IS
+    the sufficient statistic: the sweep is an 8×8 self-join of
+    aggregates, never a rescan of the candidate pairs — the operating
+    curve costs nothing more than the model (the q285/q397 bounded-
+    report rule). Oracle composition: q425's ENTIRE oracle embeds as
+    a derived table (the subquery-WITH form), so this hash re-checks
+    the upstream model and the curve in one verdict. Property tests:
+    TP+FN ≡ total matches at every threshold (conservation), TP and
+    FP are monotone nonincreasing in the threshold, recall is
+    monotone nonincreasing while precision trends up, and a python
+    replay reproduces every ppm."""
+    pat = q425_fellegi_sunter(spark, sf_dir).select(
+        "fs_ratio", "n_match", "n_unmatch"
+    ).localCheckpoint(eager=True)
+    tot = pat.agg(F.sum("n_match").cast("long").alias("total_match"))
+    thresholds = pat.select(F.col("fs_ratio").alias("threshold")).distinct()
+    sweep = (
+        thresholds.crossJoin(pat)
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("fs_ratio") >= F.col("threshold"), F.col("n_match"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("fs_ratio") >= F.col("threshold"), F.col("n_unmatch")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    scored = sweep.crossJoin(F.broadcast(tot)).selectExpr(
+        "threshold",
+        "tp",
+        "fp",
+        "CAST(total_match - tp AS BIGINT) AS fn",
+        "CAST(tp * 1000000 div NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm",
+        "CAST(tp * 1000000 div total_match AS BIGINT) AS recall_ppm",
+        "CAST(2 * tp * 1000000"
+        " div NULLIF(2 * tp + fp + (total_match - tp), 0) AS BIGINT)"
+        " AS f1_ppm",
+    )
+    wmax = Window.partitionBy()
+    return scored.withColumn(
+        "is_best_f1", F.col("f1_ppm") == F.max("f1_ppm").over(wmax)
+    )

@@ -3095,3 +3095,93 @@ def q443_stockout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_stockout_d").isNotNull().alias("stocks_out"),
         )
     )
+
+
+@query(
+    "q454_tolerance_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             event_id
+      FROM events
+    ),
+    base AS (
+      SELECT * FROM raw
+      UNION ALL
+      SELECT user_id, event_type, sec + 1, event_id + 1000000
+      FROM raw WHERE event_id % 5 = 0
+    ),
+    flagged AS (
+      SELECT user_id, event_type, sec, event_id,
+             CASE WHEN sec - lag(sec) OVER w <= 2 THEN 0 ELSE 1 END
+               AS is_head
+      FROM base
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec, event_id)
+    ),
+    grp AS (
+      SELECT user_id, event_type, sec, event_id,
+             SUM(is_head) OVER (PARTITION BY user_id, event_type
+                                ORDER BY sec, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS g
+      FROM flagged
+    )
+    SELECT user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS kept_event_id,
+           CAST(MIN(sec) AS BIGINT) AS first_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_collapsed
+    FROM grp GROUP BY user_id, event_type, g
+    """,
+)
+def q454_tolerance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOLERANCE-WINDOW DEDUPLICATION — the at-least-once ingestion fix
+    exact-key dedup (q41/q95/q249) cannot express: duplicate deliveries
+    arrive with CLOCK SKEW, so 'same user, same event type, within 2
+    seconds' is one logical event even though no column pair is equal.
+    The half-right fix people ship — `sec - lag(sec) <= 2` as a row
+    FILTER — breaks on chains (a, a+2, a+4 drops the middle row but
+    keeps a+4, which is 4s from the survivor); the correct semantics
+    is gaps-and-islands with a CHAIN rule: a new group starts only
+    where the gap from the PREVIOUS row exceeds the tolerance (the
+    q37/q147 sessionizer with a 2-second gap), and each island
+    collapses to its earliest event (deterministic keeper:
+    min event_id). The fixture plants the failure it detects (the q54/
+    q425 corrupted-copy discipline): every 5th event is re-delivered
+    one second later under a shifted id, and the query must collapse
+    exactly those echoes back out. Output keeps the collapse COUNT per
+    surviving event — the duplicate-rate observability an ingestion
+    dashboard wants. One shuffle on (user, type); the two windows share the
+    partitioning (plan-audited shape, q40's rule). Property tests: a
+    planted a/a+1/a+2 chain collapses to ONE event (the chain rule),
+    islands more than 2s apart never merge, and Σ n_collapsed ==
+    input rows (conservation)."""
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    base = raw.unionAll(
+        raw.filter(F.col("event_id") % 5 == 0).select(
+            "user_id",
+            "event_type",
+            (F.col("sec") + 1).alias("sec"),
+            (F.col("event_id") + 1000000).alias("event_id"),
+        )
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("sec", "event_id")
+    flagged = base.withColumn(
+        "is_head",
+        F.when(F.col("sec") - F.lag("sec").over(w) <= 2, 0).otherwise(1),
+    )
+    grp = flagged.withColumn(
+        "g",
+        F.sum("is_head").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("user_id", "event_type", "g").agg(
+        F.min("event_id").cast("long").alias("kept_event_id"),
+        F.min("sec").cast("long").alias("first_sec"),
+        F.count(F.lit(1)).cast("long").alias("n_collapsed"),
+    ).drop("g")
