@@ -2056,3 +2056,117 @@ def q424_kde_epanechnikov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q456_hash_uniformity_audit",
+    oracle="""
+    WITH b AS (
+      SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':unif'),
+                  1, 8) AS BIGINT) % 64 AS bucket
+      FROM customer
+    ),
+    cnt AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY bucket
+    ),
+    full_grid AS (
+      SELECT CAST(g.x AS BIGINT) AS bucket, COALESCE(c.n, 0) AS n
+      FROM (SELECT UNNEST(range(0, 64)) AS x) g
+      LEFT JOIN cnt c ON c.bucket = g.x
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM full_grid)
+    SELECT CAST(64 AS BIGINT) AS n_buckets,
+           t.total,
+           CAST(MIN(f.n) AS BIGINT) AS min_bucket,
+           CAST(MAX(f.n) AS BIGINT) AS max_bucket,
+           CAST(SUM((64 * f.n - t.total) * (64 * f.n - t.total)) AS BIGINT)
+             AS chi2_num_x64t,
+           CAST(SUM((64 * f.n - t.total) * (64 * f.n - t.total)) AS DOUBLE)
+             / (64.0 * t.total) AS chi2_stat,
+           CAST(SUM((64 * f.n - t.total) * (64 * f.n - t.total)) AS DOUBLE)
+             / (64.0 * t.total) < 82.53 AS uniform_at_5pct
+    FROM full_grid f CROSS JOIN tot t
+    GROUP BY t.total
+    """,
+)
+def q456_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-UNIFORMITY SELF-AUDIT — the infrastructure eating its own
+    dogfood: every deterministic sampling, splitting, salting, and
+    bucketing decision in this repo (q73, q80, q87, q288, q293, q440…)
+    rests on 'md5 residues are uniform'; THIS query tests that
+    assumption with the same exact-arithmetic discipline it audits.
+    64 buckets over salted customer keys, Pearson χ² against the
+    uniform expectation carried as an EXACT integer numerator —
+    Σ(64·n_b − N)² is divided exactly once by 64N (q158's
+    cross-multiplied contingency trick with equal expected counts),
+    compared against the df=63, α=0.05 critical value 82.53 (a
+    literal, not a distribution function — no incomplete gammas
+    anywhere near the hash path). Empty buckets survive via the
+    explicit 64-row grid LEFT join (a missing bucket is the strongest
+    possible evidence AGAINST uniformity and must not vanish from the
+    audit — q424's zero-cell rule). One scan, one 64-row aggregate.
+    Property tests: python χ² replay; a deliberately BROKEN hash
+    (key mod 64 on keys 0..1499 — residues 0..27 get 24 keys, 28..63
+    get 23) still passes χ² while max-min exposes it, and a
+    constant-bucket fixture fails catastrophically — the test
+    documents both what χ² catches and what it cannot."""
+    c = load(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":unif"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64
+    )
+    cnt = c.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    grid = spark.range(0, 64).select(F.col("id").cast("long").alias("bucket"))
+    full_grid = grid.join(cnt, "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    tot = full_grid.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        full_grid.crossJoin(F.broadcast(tot))
+        .groupBy("total")
+        .agg(
+            F.lit(64).cast("long").alias("n_buckets"),
+            F.min("n").cast("long").alias("min_bucket"),
+            F.max("n").cast("long").alias("max_bucket"),
+            F.sum(
+                (64 * F.col("n") - F.col("total"))
+                * (64 * F.col("n") - F.col("total"))
+            )
+            .cast("long")
+            .alias("chi2_num_x64t"),
+            (
+                F.sum(
+                    (64 * F.col("n") - F.col("total"))
+                    * (64 * F.col("n") - F.col("total"))
+                ).cast("double")
+                / (64.0 * F.col("total"))
+            ).alias("chi2_stat"),
+            (
+                F.sum(
+                    (64 * F.col("n") - F.col("total"))
+                    * (64 * F.col("n") - F.col("total"))
+                ).cast("double")
+                / (64.0 * F.col("total"))
+                < 82.53
+            ).alias("uniform_at_5pct"),
+        )
+        .select(
+            "n_buckets",
+            "total",
+            "min_bucket",
+            "max_bucket",
+            "chi2_num_x64t",
+            "chi2_stat",
+            "uniform_at_5pct",
+        )
+    )
