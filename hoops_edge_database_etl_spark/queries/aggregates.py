@@ -6875,3 +6875,249 @@ def q449_bh_fdr_sign_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").cast("long").alias("p_rank"),
         F.coalesce(F.col("i") <= F.col("i_max"), F.lit(False)).alias("rejected"),
     )
+
+
+@query(
+    "q459_spearman_rank_corr",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+               AS dx,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+               AS dy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DECIMAL(38, 0)) AS n,
+             CAST(SUM(CAST(dx AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sx,
+             CAST(SUM(CAST(dy AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS sy,
+             CAST(SUM(CAST(dx AS DECIMAL(38, 0)) * dx) AS DECIMAL(38, 0)) AS sxx,
+             CAST(SUM(CAST(dy AS DECIMAL(38, 0)) * dy) AS DECIMAL(38, 0)) AS syy,
+             CAST(SUM(CAST(dx AS DECIMAL(38, 0)) * dy) AS DECIMAL(38, 0)) AS sxy
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION of quantity vs extended price, per
+    return flag — the robust sibling of q23's Pearson: correlate the
+    RANKS, so monotone-but-nonlinear association scores like linear
+    association and outliers lose their leverage. Ties take midranks,
+    carried DOUBLED (2·RANK_min + tiecount − 1 — q297/q422's
+    doubled-midrank trick) so every rank is an exact integer; the four
+    moment sums run in DECIMAL(38,0) because n·Σd² overflows int64
+    past ~sf0.03; rho touches DOUBLE exactly three times — one cast of
+    the exact numerator and one sqrt per variance factor (sqrt(A)·
+    sqrt(B), never sqrt(A·B): the PRODUCT would overflow even
+    DECIMAL38 while each factor fits). Spearman = Pearson-on-midranks
+    identity holds exactly under this encoding. Scale: ranking within
+    a group is the classic sort-per-key window; groups here are the
+    3-value returnflag enum (each reducer owns one), and for
+    high-cardinality value domains the same midranks come
+    barrier-free from a value-histogram + q74 two-pass cumsum
+    (dx = 2·cum_below + cnt + 1 per distinct value), which is the
+    documented 100 TB form."""
+    li = load(spark, sf_dir, "lineitem")
+    dx = (
+        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_quantity")
+        )
+        - 1
+    )
+    dy = (
+        2
+        * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_extendedprice")
+        )
+        - 1
+    )
+    ranked = li.select(
+        "l_returnflag",
+        dx.cast("decimal(38,0)").alias("dx"),
+        dy.cast("decimal(38,0)").alias("dy"),
+    )
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("dx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q460_kruskal_wallis",
+    oracle="""
+    WITH pop AS (
+      SELECT o.o_orderpriority AS grp, l.l_quantity AS v
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nv FROM pop GROUP BY v),
+    dmr AS (
+      SELECT v, nv,
+             2 * COALESCE(CAST(SUM(nv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) + nv + 1 AS d
+      FROM vc
+    ),
+    gv AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM pop GROUP BY grp, v),
+    gs AS (
+      SELECT grp,
+             CAST(SUM(c) AS DECIMAL(38, 0)) AS n_i,
+             CAST(SUM(CAST(c AS DECIMAL(38, 0)) * COALESCE(d.d, 0))
+                  AS DECIMAL(38, 0)) AS s_i
+      FROM gv LEFT JOIN dmr d ON d.v = gv.v
+      GROUP BY grp
+    ),
+    piv AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             SUM(CASE WHEN grp = '1-URGENT'
+                 THEN CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) / 4 END)
+           + SUM(CASE WHEN grp = '2-HIGH'
+                 THEN CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) / 4 END)
+           + SUM(CASE WHEN grp = '3-MEDIUM'
+                 THEN CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) / 4 END)
+           + SUM(CASE WHEN grp = '4-NOT SPECIFIED'
+                 THEN CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) / 4 END)
+           + SUM(CASE WHEN grp = '5-LOW'
+                 THEN CAST(s_i * s_i AS DOUBLE) / CAST(n_i AS DOUBLE) / 4 END)
+             AS rterm
+      FROM gs
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(nv AS DECIMAL(38, 0)) * nv * nv - nv)
+                  AS DECIMAL(38, 0)) AS tsum
+      FROM vc
+    )
+    SELECT p.n,
+           12.0 * p.rterm / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) + 1.0))
+             - 3.0 * (CAST(p.n AS DOUBLE) + 1.0) AS h,
+           CAST(CAST(p.n AS DECIMAL(38, 0)) * p.n * p.n - p.n - t.tsum AS DOUBLE)
+             / CAST(CAST(p.n AS DECIMAL(38, 0)) * p.n * p.n - p.n AS DOUBLE)
+             AS tie_c,
+           (12.0 * p.rterm / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) + 1.0))
+             - 3.0 * (CAST(p.n AS DOUBLE) + 1.0))
+           / (CAST(CAST(p.n AS DECIMAL(38, 0)) * p.n * p.n - p.n - t.tsum AS DOUBLE)
+              / CAST(CAST(p.n AS DECIMAL(38, 0)) * p.n * p.n - p.n AS DOUBLE))
+             AS h_adj,
+           (12.0 * p.rterm / (CAST(p.n AS DOUBLE) * (CAST(p.n AS DOUBLE) + 1.0))
+             - 3.0 * (CAST(p.n AS DOUBLE) + 1.0))
+           / (CAST(CAST(p.n AS DECIMAL(38, 0)) * p.n * p.n - p.n - t.tsum AS DOUBLE)
+              / CAST(CAST(p.n AS DECIMAL(38, 0)) * p.n * p.n - p.n AS DOUBLE))
+             > 9.488 AS significant_5pct
+    FROM piv p CROSS JOIN ties t
+    """,
+)
+def q460_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS rank ANOVA — does order priority shift the
+    QUANTITY DISTRIBUTION (not just its mean, q323's parametric
+    question): H = 12/(N(N+1))·Σ(ΣR_i)²/n_i − 3(N+1) on midranks,
+    tie-corrected by C = 1 − Σ(t³−t)/(N³−N), against the χ²(4) 5%%
+    line 9.488 (a literal — no gamma functions). The midranks never
+    come from a sort: l_quantity is a 50-value discrete domain, so
+    doubled midranks derive from the VALUE HISTOGRAM
+    (d(v) = 2·cum_below + nv + 1) — a 50-row aggregate any window can
+    walk — then broadcast back onto per-(group,value) counts. That
+    histogram-rank trick is the 100 TB plan stated by q459 executed
+    here: NO global window over N rows exists in this lineage; the
+    only N-sized shuffles are the two groupBys. Per-group rank sums
+    S_i = Σc·d run in DECIMAL(38,0) (S_i² overflows int64 past
+    ~sf0.05); the five S_i²/n_i terms pivot to one row and fold in
+    literal priority order so both engines execute one fixed IEEE
+    expression (Σ(d/2)²/n = ΣS_i²/(4n_i) — the /4 applied per term).
+    Property anchor: with every value distinct C=1 and H reduces to
+    the textbook statistic; priorities are assigned independently of
+    quantity in this generator, so 'not significant' is the expected
+    verdict — the query is the instrument, the fixture calibrates it."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), F.col("l_quantity").alias("v")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp")
+    )
+    pop = li.join(o, li.l_orderkey == o.o_orderkey).select("grp", "v")
+    vc = pop.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dmr = vc.select(
+        "v",
+        "nv",
+        (2 * F.coalesce(F.sum("nv").over(w), F.lit(0)) + F.col("nv") + 1).alias("d"),
+    )
+    gv = pop.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    gs = (
+        gv.join(F.broadcast(dmr.select("v", "d")), "v", "left")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("decimal(38,0)").alias("n_i"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.coalesce("d", F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("s_i"),
+        )
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rterm = None
+    for p in prios:
+        t = F.sum(
+            F.when(
+                F.col("grp") == p,
+                (F.col("s_i") * F.col("s_i")).cast("double")
+                / F.col("n_i").cast("double")
+                / 4,
+            )
+        )
+        rterm = t if rterm is None else rterm + t
+    piv = gs.agg(
+        F.sum("n_i").cast("long").alias("n"), rterm.alias("rterm")
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("nv").cast("decimal(38,0)") * F.col("nv") * F.col("nv")
+            - F.col("nv")
+        )
+        .cast("decimal(38,0)")
+        .alias("tsum")
+    )
+    nd = F.col("n").cast("double")
+    cub = F.col("n").cast("decimal(38,0)") * F.col("n") * F.col("n") - F.col("n")
+    h = 12.0 * F.col("rterm") / (nd * (nd + 1.0)) - 3.0 * (nd + 1.0)
+    tie_c = (cub - F.col("tsum")).cast("double") / cub.cast("double")
+    return piv.crossJoin(F.broadcast(ties)).select(
+        "n",
+        h.alias("h"),
+        tie_c.alias("tie_c"),
+        (h / tie_c).alias("h_adj"),
+        (h / tie_c > 9.488).alias("significant_5pct"),
+    )

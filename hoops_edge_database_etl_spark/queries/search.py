@@ -266,3 +266,206 @@ def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))"
         " * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) AS tau_b",
     )
+
+
+@query(
+    "q457_bm25_topk",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS dl,
+             CAST(len(list_filter(l, x -> x = 'dup')) AS BIGINT) AS tf_dup,
+             CAST(len(list_filter(l, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+             CAST(len(list_filter(l, x -> x = 'merge')) AS BIGINT) AS tf_merge
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS lt,
+             CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+             CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+             CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+      FROM base
+    )
+    SELECT doc_id, dl, tf_dup, tf_spark, tf_merge,
+           CAST((2 * n - 2 * df_dup + 1) * 22 * tf_dup * lt AS DOUBLE)
+             / CAST((2 * df_dup + 1)
+                    * (10 * tf_dup * lt + 3 * lt + 9 * dl * n) AS DOUBLE)
+           + CAST((2 * n - 2 * df_spark + 1) * 22 * tf_spark * lt AS DOUBLE)
+             / CAST((2 * df_spark + 1)
+                    * (10 * tf_spark * lt + 3 * lt + 9 * dl * n) AS DOUBLE)
+           + CAST((2 * n - 2 * df_merge + 1) * 22 * tf_merge * lt AS DOUBLE)
+             / CAST((2 * df_merge + 1)
+                    * (10 * tf_merge * lt + 3 * lt + 9 * dl * n) AS DOUBLE)
+             AS score
+    FROM base CROSS JOIN stats
+    WHERE tf_dup + tf_spark + tf_merge > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q457_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TOP-K RETRIEVAL — the ranked-search read the q235 inverted
+    index exists to serve, for the 3-term query {dup, spark, merge}
+    (k1 = 1.2, b = 0.75). Two departures from the textbook form, both
+    deliberate: (1) the idf keeps Robertson's ODDS (N−df+0.5)/(df+0.5)
+    WITHOUT the log — ln is the one libm call DuckDB and the JVM are
+    not bit-contracted to agree on, and a monotone transform never
+    changes a single-term ranking while the multi-term sum is simply a
+    differently-calibrated fusion (documented, not hidden); (2) every
+    term score is ONE division of two exact bigints —
+      [(2N−2df+1)·22·tf·L] / [(2df+1)·(10·tf·L + 3L + 9·dl·N)]
+    is BM25 with k1=6/5, b=3/4 cleared of fractions (L = total corpus
+    tokens, so avgdl = L/N never exists as a float) — and the 3-term
+    sum is written in fixed left-to-right order, so both engines run
+    the identical IEEE program. Plan: term frequencies come from
+    array-HOF ``filter`` over the split text — tf and dl for all query
+    terms in ONE scan with NO explode and NO shuffle; corpus stats
+    (N, L, df_t) are one scalar aggregate broadcast back; top-10 is a
+    TakeOrdered, not a global sort. At 100 TB the per-doc pass is
+    embarrassingly parallel and the only exchange is the 1-row stats
+    broadcast; magnitudes stay under 2^63 up to ~sf10 (bound in the
+    expression comment). Tie-break: doc_id."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    tf = lambda t: F.size(F.filter("l", lambda x: x == t)).cast("long")  # noqa: E731
+    base = d.select(
+        "doc_id",
+        F.size("l").cast("long").alias("dl"),
+        tf("dup").alias("tf_dup"),
+        tf("spark").alias("tf_spark"),
+        tf("merge").alias("tf_merge"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("lt"),
+        F.sum((F.col("tf_dup") > 0).cast("long")).cast("long").alias("df_dup"),
+        F.sum((F.col("tf_spark") > 0).cast("long")).cast("long").alias("df_spark"),
+        F.sum((F.col("tf_merge") > 0).cast("long")).cast("long").alias("df_merge"),
+    )
+    # (2N·22·tf·L) / ((2df+1)(10·tf·L+3L+9·dl·N)): N≈5e3, L≈3e5 at sf0.1
+    # → num ≈ 6e11, den ≈ 3e11; headroom to ~sf10 before 2^63.
+    def term(t: str):
+        num = (
+            (2 * F.col("n") - 2 * F.col(f"df_{t}") + 1)
+            * 22
+            * F.col(f"tf_{t}")
+            * F.col("lt")
+        )
+        den = (2 * F.col(f"df_{t}") + 1) * (
+            10 * F.col(f"tf_{t}") * F.col("lt")
+            + 3 * F.col("lt")
+            + 9 * F.col("dl") * F.col("n")
+        )
+        return num.cast("double") / den.cast("double")
+
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .where(F.col("tf_dup") + F.col("tf_spark") + F.col("tf_merge") > 0)
+        .select(
+            "doc_id",
+            "dl",
+            "tf_dup",
+            "tf_spark",
+            "tf_merge",
+            (term("dup") + term("spark") + term("merge")).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q458_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    firsts AS (
+      SELECT MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    nw AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT t.doc_id, t.dl,
+           COALESCE(n.new_terms, 0) AS new_terms,
+           CAST(SUM(t.dl) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(n.new_terms, 0)) OVER w AS BIGINT) AS vocab_cum
+    FROM toks t LEFT JOIN nw n ON n.doc_id = t.doc_id
+    WINDOW w AS (ORDER BY t.doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q458_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY-GROWTH CURVE (Heaps' law audit) — V(n) vs n: after
+    each document in stable doc_id order, how many tokens has the
+    corpus streamed and how many DISTINCT terms has it ever seen.
+    The curve is what sizes a tokenizer vocab and predicts OOV decay
+    (Heaps: V ≈ K·n^β); on this synthetic corpus it saturates at 31
+    terms almost immediately — which is itself the finding the curve
+    exists to surface (a natural corpus would still be growing).
+    'New terms contributed by doc d' = count of terms whose FIRST
+    occurrence is d (min-doc_id per term — an associative aggregate,
+    not a scan-ordered dedup), so the cumulative-distinct-so-far
+    becomes a plain cumsum. Both running totals use q74's
+    range-partitioned two-pass cumsum — repartitionByRange(doc_id),
+    per-range window, triangular base-offset join on the ≤#partitions
+    totals — so there is NO single-reducer global window anywhere; at
+    100 TB each range owns corpus/N_ranges docs and the barrier-free
+    prefix reconstruction is exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    nw = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+        .withColumnRenamed("first_doc", "doc_id")
+    )
+    t = toks.join(nw, "doc_id", "left").select(
+        "doc_id", "dl", F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms")
+    )
+    ranged = t.repartitionByRange("doc_id").withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("c_dl", F.sum("dl").over(w_local)).withColumn(
+        "c_nw", F.sum("new_terms").over(w_local)
+    )
+    totals = local.groupBy("__pid").agg(
+        F.max("c_dl").alias("t_dl"), F.max("c_nw").alias("t_nw")
+    )
+    earlier = totals.select(
+        F.col("__pid").alias("__bpid"),
+        F.col("t_dl").alias("__bdl"),
+        F.col("t_nw").alias("__bnw"),
+    )
+    offsets = (
+        totals.join(F.broadcast(earlier), F.col("__bpid") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__bdl"), F.lit(0)).cast("long").alias("base_dl"),
+            F.coalesce(F.sum("__bnw"), F.lit(0)).cast("long").alias("base_nw"),
+        )
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        "doc_id",
+        "dl",
+        "new_terms",
+        (F.col("c_dl") + F.col("base_dl")).cast("long").alias("tokens_cum"),
+        (F.col("c_nw") + F.col("base_nw")).cast("long").alias("vocab_cum"),
+    )
