@@ -5605,3 +5605,281 @@ def q452_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             "predicted",
         )
     )
+
+
+@query(
+    "q463_dtw_distance",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events
+      WHERE CAST(ts AS DATE) - DATE '2024-01-01' BETWEEN 0 AND 27
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t.event_type, g.d, COALESCE(dd.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(range(0, 28)) AS d) g
+      LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = g.d
+    ),
+    series AS (
+      SELECT event_type, list(y ORDER BY d) AS l FROM spine GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.l AS la, b.l AS lb
+      FROM series a JOIN series b ON a.event_type < b.event_type
+    ),
+    dp AS (
+      SELECT type_a, type_b, la, lb, 1 AS k,
+             [CAST(abs(la[1] - lb[1]) AS BIGINT)] AS acc
+      FROM pairs
+      UNION ALL
+      SELECT type_a, type_b, la, lb, k + 1,
+             list_append(acc,
+               abs(la[(k // 28) + 1] - lb[(k % 28) + 1])
+               + CASE WHEN k // 28 = 0 THEN acc[k]
+                      WHEN k % 28 = 0 THEN acc[k - 27]
+                      ELSE least(acc[k], acc[k - 27], acc[k - 28])
+                 END)
+      FROM dp WHERE k < 28 * 28
+    )
+    SELECT type_a, type_b, CAST(28 AS BIGINT) AS n_days,
+           CAST(acc[28 * 28] AS BIGINT) AS dtw
+    FROM dp WHERE k = 28 * 28
+    """,
+)
+def q463_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING between every pair of event-type daily
+    series over a fixed 28-day window — the alignment-tolerant series
+    distance (Sakoe & Chiba 1978): where q178's autocorrelation and
+    q442's drift compare series POINTWISE, DTW lets one series lag or
+    stretch, charging |a_i − b_j| along the cheapest monotone warp
+    path. Costs are integer counts, so the whole DP is EXACT int64 —
+    no float ever appears. The Spark side runs the classic O(n·m)
+    row-by-row DP as a NESTED array fold (aggregate over la carrying
+    the previous DP row, aggregate over lb building the new row —
+    j = size(row)+1 and the three predecessors are element_at lookups,
+    all inside one codegen'd expression: no UDF, no explode, no
+    shuffle beyond the daily rollup). The DuckDB oracle replays the
+    IDENTICAL recurrence cell-at-a-time as a recursive CTE in
+    row-major order (cell c=k+1: left=acc[k], up=acc[k−27],
+    diag=acc[k−28] under the border cases) — two utterly different
+    executions, one answer, which is the point of the check. The
+    28-day clamp bounds the DP at every scale factor (DTW windows are
+    how production uses it anyway); pair fan-out is C(|types|,2) on a
+    5-value enum. The per-pair state is one 28-long row — at 100 TB
+    the daily rollup is the only data-sized stage."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = (
+        ev.select("event_type", d.alias("d"))
+        .where((F.col("d") >= 0) & (F.col("d") <= 27))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        spark.range(0, 28).select(F.col("id").cast("long").alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    series = filled.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("l")
+    )
+    a = series.select(F.col("event_type").alias("type_a"), F.col("l").alias("la"))
+    b = series.select(F.col("event_type").alias("type_b"), F.col("l").alias("lb"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    dtw = F.element_at(
+        F.aggregate(
+            "la",
+            empty,
+            lambda prev, av: F.aggregate(
+                F.col("lb"),
+                empty,
+                lambda row, bv: F.concat(
+                    row,
+                    F.array(
+                        F.abs(av - bv)
+                        + F.when(
+                            F.size(prev) == 0,
+                            F.when(
+                                F.size(row) == 0, F.lit(0).cast("long")
+                            ).otherwise(F.element_at(row, -1)),
+                        ).otherwise(
+                            F.when(
+                                F.size(row) == 0, F.element_at(prev, 1)
+                            ).otherwise(
+                                F.least(
+                                    F.element_at(prev, F.size(row) + 1),
+                                    F.element_at(prev, F.size(row)),
+                                    F.element_at(row, -1),
+                                )
+                            )
+                        )
+                    ),
+                ),
+            ),
+        ),
+        -1,
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.lit(28).cast("long").alias("n_days"),
+        dtw.cast("long").alias("dtw"),
+    )
+
+
+def _lb_rho_sql(k: int) -> str:
+    """ρ_k as one exact-int division: Σ(n·x_t−S)(n·x_{t+k}−S) / Σ(n·x_t−S)²."""
+    return f"""CAST(list_sum(list_transform(generate_series(1, n - {k}),
+                 t -> (n * l[t] - s) * (n * l[t + {k}] - s))) AS DOUBLE)
+               / CAST(den AS DOUBLE)"""
+
+
+@query(
+    "q465_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events
+      WHERE CAST(ts AS DATE) - DATE '2024-01-01' >= 0
+      GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT MAX(CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)) AS maxd
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.d, COALESCE(dd.y, 0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(range(0, (SELECT maxd + 1 FROM mx))) AS d) g
+      LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = g.d
+    ),
+    series AS (
+      SELECT event_type,
+             list(y ORDER BY d) AS l,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s
+      FROM spine GROUP BY event_type
+    ),
+    base AS (
+      SELECT event_type, l, n, s,
+             CAST(list_sum(list_transform(generate_series(1, n),
+                  t -> (n * l[t] - s) * (n * l[t] - s))) AS BIGINT) AS den
+      FROM series WHERE n >= 8
+    ),
+    rho AS (
+      SELECT event_type, n,
+             {_lb_rho_sql(1)} AS rho1, {_lb_rho_sql(2)} AS rho2,
+             {_lb_rho_sql(3)} AS rho3, {_lb_rho_sql(4)} AS rho4,
+             {_lb_rho_sql(5)} AS rho5, {_lb_rho_sql(6)} AS rho6,
+             {_lb_rho_sql(7)} AS rho7
+      FROM base
+    )
+    SELECT event_type, n, rho1,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+             * (rho1 * rho1 / (CAST(n AS DOUBLE) - 1.0)
+              + rho2 * rho2 / (CAST(n AS DOUBLE) - 2.0)
+              + rho3 * rho3 / (CAST(n AS DOUBLE) - 3.0)
+              + rho4 * rho4 / (CAST(n AS DOUBLE) - 4.0)
+              + rho5 * rho5 / (CAST(n AS DOUBLE) - 5.0)
+              + rho6 * rho6 / (CAST(n AS DOUBLE) - 6.0)
+              + rho7 * rho7 / (CAST(n AS DOUBLE) - 7.0)) AS q_lb,
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+             * (rho1 * rho1 / (CAST(n AS DOUBLE) - 1.0)
+              + rho2 * rho2 / (CAST(n AS DOUBLE) - 2.0)
+              + rho3 * rho3 / (CAST(n AS DOUBLE) - 3.0)
+              + rho4 * rho4 / (CAST(n AS DOUBLE) - 4.0)
+              + rho5 * rho5 / (CAST(n AS DOUBLE) - 5.0)
+              + rho6 * rho6 / (CAST(n AS DOUBLE) - 6.0)
+              + rho7 * rho7 / (CAST(n AS DOUBLE) - 7.0)) < 14.067
+             AS white_noise_5pct
+    FROM rho
+    """,
+)
+def q465_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST — is each event type's daily-count
+    series white noise: Q = n(n+2)·Σ_{{k=1..7}} ρ̂_k²/(n−k) against the
+    χ²(7) 5%% line 14.067 (a literal). The autocorrelations never see
+    a float mean: with S = Σx, the centered products scale by n —
+    ρ_k = Σ(n·x_t−S)(n·x_{{t+k}}−S) / Σ(n·x_t−S)² — so numerator and
+    denominator are EXACT int64 and each ρ_k is one IEEE division;
+    the seven ρ_k²/(n−k) terms fold in fixed lag order (q374's
+    pivot-to-fixed-expression rule applied to lags instead of
+    groups). Generalizes q178's single-lag ACF into the portmanteau
+    every forecast-residual check (q321, q430) should gate on.
+    Series are zero-filled on the shared 0..max(d) calendar spine so
+    both engines index the identical array; the per-type state is one
+    day-count array (calendar-bounded — days, not events), making the
+    daily rollup the only data-sized shuffle at any scale. Lags run
+    over explicit index lists (Spark `sequence`+`element_at` fold ≡
+    DuckDB `generate_series`+`list_sum`), all inside codegen — no
+    UDF, no self-join per lag."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = (
+        ev.select("event_type", d.alias("d"))
+        .where(F.col("d") >= 0)
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    mx = ev.agg(F.max(d).alias("maxd"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("maxd"))).alias("d"),
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    series = filled.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda st: st["y"]
+        ).alias("l"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    add = lambda acc, v: acc + v  # noqa: E731
+    zero = F.lit(0).cast("long")
+    n, s, l = F.col("n"), F.col("s"), F.col("l")
+    base = series.where(n >= 8).withColumn(
+        "den",
+        F.aggregate(
+            F.transform(l, lambda x: (n * x - s) * (n * x - s)), zero, add
+        ),
+    )
+
+    def rho(k: int):
+        num = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), n - k),
+                lambda t: (n * F.element_at(l, t.cast("int")) - s)
+                * (n * F.element_at(l, (t + k).cast("int")) - s),
+            ),
+            zero,
+            add,
+        )
+        return num.cast("double") / F.col("den").cast("double")
+
+    r = base.select(
+        "event_type", "n", *[rho(k).alias(f"rho{k}") for k in range(1, 8)]
+    )
+    nd = F.col("n").cast("double")
+    q = None
+    for k in range(1, 8):
+        t = F.col(f"rho{k}") * F.col(f"rho{k}") / (nd - float(k))
+        q = t if q is None else q + t
+    q = nd * (nd + 2.0) * q
+    return r.select(
+        "event_type", "n", "rho1", q.alias("q_lb"), (q < 14.067).alias("white_noise_5pct")
+    )

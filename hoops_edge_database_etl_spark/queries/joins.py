@@ -1911,3 +1911,161 @@ def q455_linkage_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "is_best_f1", F.col("f1_ppm") == F.max("f1_ppm").over(wmax)
     )
+
+
+_ALLEN_CASE = """
+    CASE WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+         WHEN e1 < s2 THEN 'precedes'
+         WHEN e1 = s2 THEN 'meets'
+         WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+         WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+         WHEN s1 > s2 AND e1 < e2 THEN 'during'
+         WHEN s1 > s2 AND s1 < e2 AND e1 = e2 THEN 'finishes'
+         WHEN s1 > e2 THEN 'preceded_by'
+         WHEN s1 = e2 THEN 'met_by'
+         WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+         WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+         WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+         WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+    END
+"""
+
+
+@query(
+    "q462_allen_relations",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+      FROM iv a JOIN iv b
+        ON b.user_id = a.user_id AND a.event_type < b.event_type
+    ),
+    rel AS (SELECT {_ALLEN_CASE} AS relation FROM pairs),
+    cnt AS (
+      SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM rel GROUP BY relation
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM cnt)
+    SELECT c.relation, c.n_pairs,
+           CAST(c.n_pairs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+    FROM cnt c CROSS JOIN tot t
+    """,
+)
+def q462_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA census — classify every within-user
+    pair of per-event-type activity intervals into
+    one of Allen (1983)'s thirteen mutually-exclusive relations
+    (precedes/meets/overlaps/starts/during/finishes, their six
+    inverses, equals). This is the temporal-join primitive underneath
+    q65's range join and q454's tolerance dedup made EXHAUSTIVE: the
+    thirteen relations partition all possible (s1,e1)×(s2,e2)
+    configurations of valid intervals, so the CASE chain provably
+    never falls through to NULL — a property the test suite asserts
+    by brute-forcing all interval configurations on a small grid.
+    Intervals are per-(user, event_type) activity spans
+    [min ts, max ts] — s ≤ e by construction — and pairing is a
+    self-equi-join on user_id with event_type order as the dedup
+    tiebreak: fan-out is ≤C(5,2) per user (the type enum), so the
+    join output is linear in users at any scale and co-partitioned by
+    the join key (no broadcast needed; user_id is uniform). The span
+    aggregate and the pair join share one shuffle key, so AQE fuses
+    them into a single exchange. The single float is one count/total
+    division after aggregation."""
+    iv = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    a = iv.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("t1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("k"),
+        F.col("event_type").alias("t2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(b, "k").where(F.col("t1") < F.col("t2"))
+    cnt = (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = cnt.agg(F.sum("n_pairs").cast("long").alias("total"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "relation",
+        "n_pairs",
+        (F.col("n_pairs").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@query(
+    "q464_levenshtein_blocking",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             string_split(p_name, ' ')[1] AS color,
+             string_split(p_name, ' ')[2] AS noun
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.noun, a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM names a JOIN names b
+        ON b.noun = a.noun AND a.p_name < b.p_name
+    )
+    SELECT noun, name_a, name_b, dist, dist <= 4 AS is_candidate
+    FROM pairs
+    """,
+)
+def q464_levenshtein_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED EDIT-DISTANCE MATCHING — the classic record-linkage
+    candidate generator: dedup the NAME DICTIONARY first (64 distinct
+    p_names from 2000 rows — fuzzy matching always runs on the
+    dictionary, never the occurrences), block on the head noun so
+    only same-entity-type names ever meet, then score each in-block
+    pair with Levenshtein distance — Spark's `levenshtein` and
+    DuckDB's `levenshtein` are both the textbook unit-cost
+    insert/delete/substitute DP, so the integer distances agree
+    bit-for-bit (asserted against a pure-Python Wagner-Fischer in the
+    tests, not just cross-engine). Complements q18's token-set fuzzy
+    join with the character-level metric it can't see (transposition
+    -adjacent typos, pluralization). Blocking is WHY this scales:
+    all-pairs on a 10^8-name dictionary is 10^16 comparisons, but
+    C(block,2) summed over balanced blocks is smaller by the block
+    count — and the blocks shuffle-partition naturally by the block
+    key. dist ≤ 4 is the candidate gate (a full linker would feed
+    q425's Fellegi-Sunter weights); every column is exact."""
+    names = (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_name",
+            F.split("p_name", " ").getItem(0).alias("color"),
+            F.split("p_name", " ").getItem(1).alias("noun"),
+        )
+        .distinct()
+    )
+    a = names.select(
+        F.col("noun"), F.col("p_name").alias("name_a")
+    )
+    b = names.select(
+        F.col("noun").alias("noun_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        a.join(b, (F.col("noun_b") == F.col("noun")) & (F.col("name_a") < F.col("name_b")))
+        .select(
+            "noun",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .withColumn("is_candidate", F.col("dist") <= 4)
+    )

@@ -2697,3 +2697,110 @@ def q427_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1.0D * n1) / n AS p0_unseen_mass",
         )
     )
+
+
+@query(
+    "q461_gopher_quality_rules",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS wc,
+             CAST(list_sum(list_transform(l, x -> len(x))) AS BIGINT) AS chars,
+             CAST(len(list_filter(l, x -> regexp_matches(x, '^[A-Za-z]+$')))
+                  AS BIGINT) AS n_alpha,
+             CAST(CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'to') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'that') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'have') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(l, 'with') THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_stop,
+             CAST(list_max(list_transform(list_distinct(l),
+                    t -> len(list_filter(l, x -> x = t)))) AS BIGINT) AS max_tf
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    )
+    SELECT doc_id, wc, chars, n_alpha, n_stop, max_tf,
+           wc BETWEEN 50 AND 100000 AS r_wordcount,
+           3 * wc <= chars AND chars <= 10 * wc AS r_meanlen,
+           5 * n_alpha >= 4 * wc AS r_alpha,
+           n_stop >= 2 AS r_stopwords,
+           5 * max_tf <= wc AS r_topword,
+           (wc BETWEEN 50 AND 100000)
+             AND 3 * wc <= chars AND chars <= 10 * wc
+             AND 5 * n_alpha >= 4 * wc
+             AND n_stop >= 2
+             AND 5 * max_tf <= wc AS passes
+    FROM f
+    """,
+)
+def q461_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE QUALITY FILTER battery (Rae et al. 2021's
+    MassiveText rules, the standard pretraining pre-filter): word
+    count in [50, 1e5]; mean word length in [3, 10]; ≥80%% alphabetic
+    words; ≥2 distinct required stopwords (Gopher's list with 'be'→'a' —
+    the required-word set is always tuned to the corpus' function
+    words, and this vocabulary has 'a'); most-frequent-word share
+    ≤20%% (the repetition proxy). Every threshold is CROSS-MULTIPLIED
+    (3·wc ≤ chars ≤ 10·wc, 5·n_alpha ≥ 4·wc, 5·max_tf ≤ wc) so the
+    entire battery is integer comparisons — no float ratio ever
+    exists, hence nothing to drift between engines. All six features
+    come from array HOFs over the split text (filter/transform/
+    aggregate — JVM codegen, no explode, no UDF, no shuffle: the scan
+    IS the plan); max_tf's distinct×filter inner product is O(|vocab|
+    ·wc) per doc, bounded by the 31-term vocab here and by
+    stoplist-truncated vocab at scale. At 100 TB this is the
+    embarrassingly-parallel map stage every corpus pass starts with;
+    per-rule booleans ship alongside the verdict so the downstream
+    funnel (q50's quality score, q69's canonical corpus) can audit
+    WHICH rule rejected a doc."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    add = lambda acc, v: acc + v  # noqa: E731
+    stops = ["the", "a", "to", "of", "and", "that", "have", "with"]
+    n_stop = None
+    for s in stops:
+        t = F.when(F.array_contains("l", s), 1).otherwise(0)
+        n_stop = t if n_stop is None else n_stop + t
+    f = d.select(
+        "doc_id",
+        F.size("l").cast("long").alias("wc"),
+        F.aggregate(
+            F.transform("l", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            add,
+        ).alias("chars"),
+        F.size(F.filter("l", lambda x: x.rlike("^[A-Za-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        n_stop.cast("long").alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("l"),
+                lambda t: F.size(F.filter("l", lambda x: x == t)),
+            )
+        )
+        .cast("long")
+        .alias("max_tf"),
+    )
+    r1 = (F.col("wc") >= 50) & (F.col("wc") <= 100000)
+    r2 = (3 * F.col("wc") <= F.col("chars")) & (F.col("chars") <= 10 * F.col("wc"))
+    r3 = 5 * F.col("n_alpha") >= 4 * F.col("wc")
+    r4 = F.col("n_stop") >= 2
+    r5 = 5 * F.col("max_tf") <= F.col("wc")
+    return f.select(
+        "doc_id",
+        "wc",
+        "chars",
+        "n_alpha",
+        "n_stop",
+        "max_tf",
+        r1.alias("r_wordcount"),
+        r2.alias("r_meanlen"),
+        r3.alias("r_alpha"),
+        r4.alias("r_stopwords"),
+        r5.alias("r_topword"),
+        (r1 & r2 & r3 & r4 & r5).alias("passes"),
+    )
