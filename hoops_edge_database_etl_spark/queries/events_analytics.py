@@ -5883,3 +5883,222 @@ def q465_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "event_type", "n", "rho1", q.alias("q_lb"), (q < 14.067).alias("white_noise_5pct")
     )
+
+
+@query(
+    "q466_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events
+      WHERE CAST(ts AS DATE) - DATE '2024-01-01' >= 0
+      GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT MAX(CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)) AS maxd
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.d, COALESCE(dd.y, 0.0) AS y
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(range(0, (SELECT maxd + 1 FROM mx))) AS d) g
+      LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = g.d
+    ),
+    folded AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+                            list([y, 0.0, 0.0, 0.0, 0.0] ORDER BY d)),
+               (a, x) -> [
+                 a[1] + x[1],
+                 a[2] + 1,
+                 a[3] + x[1] - (a[1] + x[1]) / (a[2] + 1) - 1.0,
+                 least(a[4],
+                       a[3] + x[1] - (a[1] + x[1]) / (a[2] + 1) - 1.0),
+                 greatest(a[5],
+                   (a[3] + x[1] - (a[1] + x[1]) / (a[2] + 1) - 1.0)
+                   - least(a[4],
+                           a[3] + x[1] - (a[1] + x[1]) / (a[2] + 1) - 1.0))
+               ]
+             ) AS st
+      FROM spine GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           st[3] - st[4] AS ph_final,
+           st[5] AS ph_max,
+           st[5] > 50.0 AS drift_alarm
+    FROM folded
+    """,
+)
+def q466_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY DRIFT DETECTOR over each event type's daily counts —
+    the sequential change-of-mean monitor (Page 1954, the streaming
+    sibling of q167's retrospective CUSUM): m_t accumulates
+    (x_t − x̄_t − δ) against the RUNNING mean, PH_t = m_t − min_{i≤t}
+    m_i, alarm when PH exceeds λ (δ=1 tolerated drift, λ=50 on this
+    count scale). The recurrence is order-dependent float state with a
+    running-mean division at every step — the ordered-fold parity rule
+    (q419) at its hardest: both engines fold the IDENTICAL
+    [sum, count, m, m_min, ph_max] 5-vector over the day-ordered,
+    zero-filled series, every subexpression written once and inlined
+    the same way, so the IEEE op sequence is bit-identical. A
+    zero-state sentinel is PREPENDED before the fold because DuckDB's
+    list_reduce seeds from the first element (q419's seeding
+    coincidence doesn't hold here — PH's post-first-observation state
+    is not the raw first element). Per-type state is one 5-vector and
+    the series is calendar-bounded: the daily rollup is the only
+    data-sized stage at any scale; this is the batch replay of what
+    q434's streaming surface would run with applyInPandasWithState.
+    The fixture's stationary counts must NOT alarm; the tests replay
+    the identical recurrence in Python, then plant a level shift and
+    watch it fire — calibration in both directions."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = (
+        ev.select("event_type", d.alias("d"))
+        .where(F.col("d") >= 0)
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    mx = ev.agg(F.max(d).alias("maxd"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("maxd"))).alias("d"),
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    series = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda st: st["y"]
+        ).alias("l"),
+    )
+    mean_new = lambda a, x: (F.element_at(a, 1) + x) / (F.element_at(a, 2) + 1)  # noqa: E731
+    m_new = lambda a, x: F.element_at(a, 3) + x - mean_new(a, x) - 1.0  # noqa: E731
+    mmin_new = lambda a, x: F.least(F.element_at(a, 4), m_new(a, x))  # noqa: E731
+    st = F.aggregate(
+        "l",
+        F.expr("CAST(array(0, 0, 0, 0, 0) AS ARRAY<DOUBLE>)"),
+        lambda a, x: F.array(
+            F.element_at(a, 1) + x,
+            F.element_at(a, 2) + 1,
+            m_new(a, x),
+            mmin_new(a, x),
+            F.greatest(
+                F.element_at(a, 5), m_new(a, x) - mmin_new(a, x)
+            ),
+        ),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        (F.element_at(st, 3) - F.element_at(st, 4)).alias("ph_final"),
+        F.element_at(st, 5).alias("ph_max"),
+        (F.element_at(st, 5) > 50.0).alias("drift_alarm"),
+    )
+
+
+@query(
+    "q467_lz78_complexity",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id,
+             CAST(length(seq) AS BIGINT) AS n_events,
+             list_reduce(
+               list_prepend(['', '0'],
+                 list_transform(string_split(seq, ''), c -> [c])),
+               (a, x) -> CASE
+                 WHEN list_contains(a[3:], a[1] || x[1])
+                 THEN list_concat([a[1] || x[1], a[2]], a[3:])
+                 ELSE list_concat(
+                   ['', CAST(CAST(a[2] AS BIGINT) + 1 AS VARCHAR)],
+                   list_concat(a[3:], [a[1] || x[1]]))
+               END
+             ) AS st
+      FROM coded
+    )
+    SELECT user_id, n_events,
+           CAST(st[2] AS BIGINT)
+             + CASE WHEN st[1] <> '' THEN 1 ELSE 0 END AS lz78_phrases,
+           CAST(CAST(st[2] AS BIGINT)
+             + CASE WHEN st[1] <> '' THEN 1 ELSE 0 END AS DOUBLE)
+             / CAST(n_events AS DOUBLE) AS phrase_ratio
+    FROM folded
+    """,
+)
+def q467_lz78_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LZ78 SEQUENCE COMPLEXITY of each user's behavior string — the
+    incremental-parse phrase count (Ziv & Lempel 1978): walk the coded
+    event sequence (q287's one-char-per-event fold, ordered by
+    ts, event_id), grow the current phrase while it's already in the
+    dictionary, and when it's novel, bank it and restart; an unfinished
+    tail counts as one phrase. Phrase count per symbol is the
+    COMPRESSIBILITY of the behavior — the repetition metric that
+    string entropy proxies (q99's repetition filter, q335's n-gram
+    novelty) approximate, computed exactly: a user looping
+    view-click-view-click parses into few long phrases, an erratic one
+    into many short ones. Integer/string state only — nothing to
+    drift. The parse is inherently sequential per user, so it runs as
+    an ordered fold with the dictionary AS the accumulator: Spark
+    carries struct(cur, phrases, dict array) through F.aggregate over
+    the split chars; DuckDB carries the same state flattened into one
+    VARCHAR list ([cur, phrases, dict...] with a prepended zero-state
+    sentinel, since list_reduce seeds from element 1). Per-user state
+    is bounded by the dictionary (≤ phrase count ≤ sequence length);
+    sequences are entity-bounded, so at 100 TB this is one groupBy
+    plus an embarrassingly-parallel fold — the same shape as q287."""
+    ev = load(spark, sf_dir, "events")
+    coded = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("seq")
+    )
+    init = F.expr(
+        "named_struct('cur', '', 'ph', CAST(0 AS BIGINT),"
+        " 'dict', CAST(array() AS ARRAY<STRING>))"
+    )
+    st = F.aggregate(
+        F.split("seq", ""),
+        init,
+        lambda a, c: F.when(
+            F.array_contains(a["dict"], F.concat(a["cur"], c)),
+            F.struct(
+                F.concat(a["cur"], c).alias("cur"),
+                a["ph"].alias("ph"),
+                a["dict"].alias("dict"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit("").alias("cur"),
+                (a["ph"] + 1).alias("ph"),
+                F.concat(a["dict"], F.array(F.concat(a["cur"], c))).alias("dict"),
+            )
+        ),
+    )
+    phrases = st["ph"] + F.when(st["cur"] != "", 1).otherwise(0)
+    return coded.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        phrases.cast("long").alias("lz78_phrases"),
+        (phrases.cast("double") / F.length("seq").cast("double")).alias(
+            "phrase_ratio"
+        ),
+    )
