@@ -83,6 +83,8 @@ HEADLINE = [
     "q410_star_components",     # large/small-star CC on a 256-diameter path
     "q422_hodges_lehmann",      # distinct-value-compressed Walsh-pair median
     "q429_harmonic_centrality", # 32-pivot multi-source BFS + integer 1/d sums
+    "q459_spearman_rank_corr",  # two per-group rank windows over lineitem
+    "q462_allen_relations",     # interval-pair self-join + 13-way classify
 ]
 
 

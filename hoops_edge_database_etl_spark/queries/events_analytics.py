@@ -6102,3 +6102,394 @@ def q467_lz78_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phrase_ratio"
         ),
     )
+
+
+@query(
+    "q468_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ),
+    signed AS (
+      SELECT dd.event_type, dd.d,
+             CASE WHEN m.n * dd.y > m.s THEN 1 ELSE 0 END AS sgn
+      FROM daily dd JOIN m ON m.event_type = dd.event_type
+      WHERE m.n * dd.y <> m.s
+    ),
+    runs AS (
+      SELECT event_type,
+             CAST(SUM(sgn) AS BIGINT) AS n1,
+             CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+             CAST(1 + SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM (
+        SELECT event_type, sgn,
+               LAG(sgn) OVER (PARTITION BY event_type ORDER BY d) AS prev
+        FROM signed
+      ) GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, r,
+           (CAST(r AS DOUBLE)
+              - CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) - 1.0)
+           / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                  * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE))) AS z,
+           abs((CAST(r AS DOUBLE)
+              - CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) - 1.0)
+           / sqrt(CAST(2 * n1 * n2 AS DOUBLE)
+                  * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+                  / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                     * CAST(n1 + n2 - 1 AS DOUBLE)))) < 1.96 AS random_at_5pct
+    FROM runs
+    """,
+)
+def q468_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST on each event type's daily counts — is
+    the above/below-mean SIGN sequence random, the order-sensitive
+    check that q465's Ljung-Box (linear autocorrelation) and q406's
+    Durbin-Watson can both miss (a clustered-signs series with near-
+    zero lag-1 ACF still fails the runs test). The sign never touches
+    a float mean: day t is 'above' iff n·x_t > S (the q465 n-scaling
+    trick), and exact-mean days are DROPPED — the standard ties
+    treatment, applied identically in both engines. R = 1 + sign
+    transitions via one per-type lag window (calendar-bounded
+    partitions); z = (R − 2n₁n₂/N − 1) / √(2n₁n₂(2n₁n₂−N)/(N²(N−1)))
+    is assembled from exact integers with one sqrt, compared to the
+    two-sided normal 5%% literal 1.96. A stationary i.i.d. fixture
+    should pass; the tests replay R and z in Python and then feed a
+    deliberately alternating and a deliberately blocked sign sequence
+    through the same formula to pin both rejection directions (too
+    MANY runs is as non-random as too few)."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = (
+        ev.select("event_type", d.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    signed = (
+        daily.join(F.broadcast(m), "event_type")
+        .where(F.col("n") * F.col("y") != F.col("s"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("n") * F.col("y") > F.col("s"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = (
+        signed.withColumn("prev", F.lag("sgn").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sgn").cast("long").alias("n1"),
+            F.sum(1 - F.col("sgn")).cast("long").alias("n2"),
+            (
+                1
+                + F.sum(
+                    F.when(F.col("sgn") != F.col("prev"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    nd = (n1 + n2).cast("double")
+    a = (2 * n1 * n2).cast("double")
+    z = (r.cast("double") - a / nd - 1.0) / F.sqrt(
+        a * (2 * n1 * n2 - n1 - n2).cast("double") / (nd * nd * (nd - 1.0))
+    )
+    return runs.select(
+        "event_type", "n1", "n2", "r", z.alias("z"), (F.abs(z) < 1.96).alias("random_at_5pct")
+    )
+
+
+_FRIEDMAN_SJ = " + ".join(
+    f"CAST(SUM(CASE WHEN dow = {j} THEN dsum END) AS DOUBLE)"
+    f" * CAST(SUM(CASE WHEN dow = {j} THEN dsum END) AS DOUBLE) / 4"
+    for j in range(7)
+)
+
+
+@query(
+    "q469_friedman_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events
+      WHERE CAST(ts AS DATE) - DATE '2024-01-01' >= 0
+      GROUP BY 1
+    ),
+    wk AS (
+      SELECT d // 7 AS blk, ((d % 7) + 7) % 7 AS dow, y FROM daily
+    ),
+    complete AS (
+      SELECT blk FROM wk GROUP BY blk HAVING COUNT(*) = 7
+    ),
+    ranked AS (
+      SELECT w.blk, w.dow, w.y,
+             2 * RANK() OVER (PARTITION BY w.blk ORDER BY w.y)
+               + COUNT(*) OVER (PARTITION BY w.blk, w.y) - 1 AS dr
+      FROM wk w JOIN complete c ON c.blk = w.blk
+    ),
+    sums AS (
+      SELECT dow, CAST(SUM(dr) AS BIGINT) AS dsum FROM ranked GROUP BY dow
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum,
+             CAST(COUNT(DISTINCT blk) AS BIGINT) AS b
+      FROM (SELECT blk, y, CAST(COUNT(*) AS BIGINT) AS t
+            FROM ranked GROUP BY blk, y)
+    ),
+    piv AS (
+      SELECT CAST({_FRIEDMAN_SJ} AS DOUBLE) AS sj2, t.b, t.tsum
+      FROM sums CROSS JOIN ties t GROUP BY t.b, t.tsum
+    )
+    SELECT b, CAST(7 AS BIGINT) AS k,
+           12.0 * sj2 / (CAST(b AS DOUBLE) * 7.0 * 8.0)
+             - 3.0 * CAST(b AS DOUBLE) * 8.0 AS chi2_f,
+           CAST(b * 7 * 48 - tsum AS DOUBLE) / CAST(b * 7 * 48 AS DOUBLE)
+             AS tie_c,
+           (12.0 * sj2 / (CAST(b AS DOUBLE) * 7.0 * 8.0)
+             - 3.0 * CAST(b AS DOUBLE) * 8.0)
+           / (CAST(b * 7 * 48 - tsum AS DOUBLE) / CAST(b * 7 * 48 AS DOUBLE))
+             AS chi2_adj,
+           (12.0 * sj2 / (CAST(b AS DOUBLE) * 7.0 * 8.0)
+             - 3.0 * CAST(b AS DOUBLE) * 8.0)
+           / (CAST(b * 7 * 48 - tsum AS DOUBLE) / CAST(b * 7 * 48 AS DOUBLE))
+             > 12.592 AS dow_effect_5pct
+    FROM piv
+    """,
+)
+def q469_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN TEST — the blocked, rank-based ANOVA: does day-of-week
+    shift daily event volume once WEEK-level drift is blocked out?
+    Each complete calendar week is a block; its 7 days are ranked
+    within the block (doubled midranks — q459's encoding at block
+    scope, partitions of exactly 7 rows, so the rank windows are
+    trivially parallel); χ²_F = 12·ΣR_j²/(bk(k+1)) − 3b(k+1) with the
+    tie correction C = 1 − ΣT/(bk(k²−1)) (T = Σ(t³−t) per block),
+    judged against the χ²(6) 5%% literal 12.592. This is the
+    nonparametric counterpart of q374's eta-squared router and the
+    BLOCKED counterpart of q460's Kruskal-Wallis — between-group vs
+    repeated-measures is exactly the KW/Friedman split. All rank sums
+    are exact integers (ΣR_j² carries as Σ(D_j/2)² = ΣD_j²/4 applied
+    per pivoted term in literal dow order); day-of-week is the q292
+    sign-safe pmod, never dayofweek(). Incomplete edge weeks are
+    EXCLUDED (Friedman requires complete blocks) by an identical
+    HAVING in both engines. One daily rollup, one 7-row-per-block
+    rank, one 7-term fixed fold — calendar-bounded everywhere."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    daily = (
+        ev.select(d.alias("d"))
+        .where(F.col("d") >= 0)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wk = daily.select(
+        F.expr("d div 7").alias("blk"), F.pmod("d", F.lit(7)).alias("dow"), "y"
+    )
+    complete = wk.groupBy("blk").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") == 7
+    ).select("blk")
+    blocked = wk.join(F.broadcast(complete), "blk")
+    dr = (
+        2 * F.rank().over(Window.partitionBy("blk").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("blk", "y"))
+        - 1
+    )
+    ranked = blocked.select("blk", "dow", "y", dr.cast("long").alias("dr"))
+    sums = ranked.groupBy("dow").agg(F.sum("dr").cast("long").alias("dsum"))
+    ties = (
+        ranked.groupBy("blk", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tsum"),
+            F.countDistinct("blk").cast("long").alias("b"),
+        )
+    )
+    sj2 = None
+    for j in range(7):
+        term = (
+            F.sum(F.when(F.col("dow") == j, F.col("dsum"))).cast("double")
+            * F.sum(F.when(F.col("dow") == j, F.col("dsum"))).cast("double")
+            / 4
+        )
+        sj2 = term if sj2 is None else sj2 + term
+    piv = sums.crossJoin(F.broadcast(ties)).groupBy("b", "tsum").agg(
+        sj2.cast("double").alias("sj2")
+    )
+    bd = F.col("b").cast("double")
+    chi2 = 12.0 * F.col("sj2") / (bd * 7.0 * 8.0) - 3.0 * bd * 8.0
+    tie_c = (F.col("b") * 7 * 48 - F.col("tsum")).cast("double") / (
+        F.col("b") * 7 * 48
+    ).cast("double")
+    return piv.select(
+        "b",
+        F.lit(7).cast("long").alias("k"),
+        chi2.alias("chi2_f"),
+        tie_c.alias("tie_c"),
+        (chi2 / tie_c).alias("chi2_adj"),
+        (chi2 / tie_c > 12.592).alias("dow_effect_5pct"),
+    )
+
+
+@query(
+    "q472_risk_coverage",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             CAST(ts AS DATE) < DATE '2024-01-22' AS is_train
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL AND is_train GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, dst AS predicted, n AS n_max, tot
+      FROM (SELECT src, dst, n,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY n DESC, dst) AS rn,
+                   CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS tot
+            FROM trans) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT t.src, p.predicted,
+             CAST(p.n_max AS DOUBLE) / CAST(p.tot AS DOUBLE) AS conf,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.nxt = p.predicted THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_err
+      FROM (SELECT event_type AS src, nxt
+            FROM s WHERE nxt IS NOT NULL AND NOT is_train) t
+      JOIN pred p ON p.src = t.src
+      GROUP BY t.src, p.predicted, p.n_max, p.tot
+    ),
+    curve AS (
+      SELECT src, predicted, conf, n_test, n_err,
+             CAST(SUM(n_test) OVER w AS BIGINT) AS cum_n,
+             CAST(SUM(n_err) OVER w AS BIGINT) AS cum_err,
+             CAST(SUM(SUM(n_test)) OVER () AS BIGINT) AS total
+      FROM scored
+      GROUP BY src, predicted, conf, n_test, n_err
+      WINDOW w AS (ORDER BY conf DESC, src
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT src, predicted, conf, n_test, n_err, cum_n, cum_err,
+           CAST(cum_n * 1000000 // total AS BIGINT) AS coverage_ppm,
+           CAST(cum_err * 1000000 // cum_n AS BIGINT) AS risk_ppm
+    FROM curve
+    """,
+)
+def q472_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RISK–COVERAGE CURVE (selective prediction / learning-to-defer)
+    for q452's Markov next-event predictor: rank test examples by the
+    model's CONFIDENCE (the argmax transition probability n_max/tot —
+    one exact-integer division), then at each confidence level report
+    what fraction of traffic the model would answer (coverage) and
+    its error rate on that kept slice (risk) — the operating curve an
+    abstention threshold is picked from, exactly q455's
+    operating-point discipline applied to a MODEL instead of a
+    linker. Train/predict replays q452's lineage verbatim (same
+    temporal split, same argmax, same tiebreaks) so one hash checks
+    both the model and the curve; per-source test errors aggregate
+    exactly, the cumulative sums run over the ≤|states| curve points
+    (a bounded window — the event log is touched once to build
+    pairs), and risk/coverage ship in floor ppm. The confidence sort
+    key is the lone double and both engines compute it as the SAME
+    n_max/tot division with a src tiebreak. Tests replay the curve in
+    Python and assert the structural invariants: coverage is
+    monotone, the last point covers everything and reproduces q452's
+    aggregate accuracy, and risk at full coverage ≥ risk at the
+    highest-confidence point would FAIL for a well-calibrated model
+    only by fixture accident — what must hold is the replay equality,
+    so calibration itself is reported, not assumed."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        (F.to_date("ts") < F.lit("2024-01-22").cast("date")).alias("is_train"),
+    ).where(F.col("nxt").isNotNull())
+    trans = (
+        s.where("is_train")
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rn = F.row_number().over(Window.partitionBy("src").orderBy(F.desc("n"), "dst"))
+    tot = F.sum("n").over(Window.partitionBy("src"))
+    pred = (
+        trans.withColumn("tot", tot.cast("long"))
+        .withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            "src",
+            F.col("dst").alias("predicted"),
+            F.col("n").alias("n_max"),
+            "tot",
+        )
+    )
+    scored = (
+        s.where(~F.col("is_train"))
+        .select(F.col("event_type").alias("src"), "nxt")
+        .join(F.broadcast(pred), "src")
+        .groupBy(
+            "src",
+            "predicted",
+            (F.col("n_max").cast("double") / F.col("tot").cast("double")).alias(
+                "conf"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_err"),
+        )
+    )
+    wc = Window.orderBy(F.desc("conf"), "src").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = scored.select(
+        "src",
+        "predicted",
+        "conf",
+        "n_test",
+        "n_err",
+        F.sum("n_test").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_err").over(wc).cast("long").alias("cum_err"),
+    ).crossJoin(
+        F.broadcast(
+            scored.agg(F.sum("n_test").cast("long").alias("total"))
+        )
+    )
+    return curve.select(
+        "src",
+        "predicted",
+        "conf",
+        "n_test",
+        "n_err",
+        "cum_n",
+        "cum_err",
+        F.expr("cum_n * 1000000 div total").cast("long").alias("coverage_ppm"),
+        F.expr("cum_err * 1000000 div cum_n").cast("long").alias("risk_ppm"),
+    )

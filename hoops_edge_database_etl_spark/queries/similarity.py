@@ -2199,3 +2199,126 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.95
         ).alias("drifted"),
     )
+
+
+_KC_Q = 16777216  # 24-bit fixed point, the q46/q433 exact-dot scale
+_KC_K = 8
+
+
+@query(
+    "q470_kcenter_coreset",
+    oracle=f"""
+    WITH RECURSIVE qe AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_KC_Q} + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    d0 AS MATERIALIZED (
+      SELECT e.vec_id,
+             (SELECT CAST(SUM((e.q[k] - s.q[k]) * (e.q[k] - s.q[k]))
+                          AS BIGINT)
+              FROM range(1, 65) t(k)) AS mind
+      FROM qe e, (SELECT q FROM qe WHERE vec_id = 0) s
+      WHERE e.vec_id <> 0
+    ),
+    dists AS MATERIALIZED (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             (SELECT CAST(SUM((a.q[k] - b.q[k]) * (a.q[k] - b.q[k]))
+                          AS BIGINT)
+              FROM range(1, 65) t(k)) AS d
+      FROM qe a JOIN qe b
+        ON a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0
+    ),
+    kc(iter, vec_id, mind) AS (
+      SELECT CAST(0 AS BIGINT), vec_id, mind FROM d0
+      UNION ALL
+      SELECT t.iter + 1, t.vec_id, LEAST(t.mind, s.d)
+      FROM (
+        SELECT r.iter, r.vec_id, r.mind,
+               FIRST_VALUE(r.vec_id) OVER (ORDER BY r.mind DESC, r.vec_id)
+                 AS wid
+        FROM kc r
+      ) t JOIN dists s ON s.ai = t.vec_id AND s.bi = t.wid
+      WHERE t.vec_id <> t.wid AND t.iter < {_KC_K - 1}
+    )
+    SELECT CAST(iter + 1 AS BIGINT) AS rank, vec_id, mind AS dist2
+    FROM (
+      SELECT iter, vec_id, mind,
+             ROW_NUMBER() OVER (PARTITION BY iter
+                                ORDER BY mind DESC, vec_id) AS rn
+      FROM kc
+    ) WHERE rn = 1
+    """,
+)
+def q470_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER CORESET SELECTION (Gonzalez 1985 farthest-first
+    traversal) — the diversity sampler training-data curation uses to
+    pick a maximally-spread subset of an embedding space (coresets for
+    active learning / dataset distillation; the greedy is the
+    textbook 2-approximation to the k-center optimum). Seeded at
+    vec_id 0, each of the {_KC_K} steps promotes the candidate FARTHEST
+    from the selected set (argmax of min-distance, vec_id tiebreak)
+    and folds the winner's distances into every survivor's running
+    min. All distances are exact int64 L2² on the q46/q433 24-bit
+    fixed-point grid — the greedy chain is pure integer arithmetic,
+    nothing float-ordered. The Spark side runs the SCALE-SHAPED form:
+    per-candidate state (one bigint) updates via a broadcast of the
+    single winner row, one linear pass per sweep, K scalar-bounded
+    collects (the winner's 64 ints — the q63-codebook-style bounded
+    probe), localCheckpoint per sweep; never a pairwise matrix. The
+    oracle replays the identical chain as a recursive CTE over the
+    MATERIALIZED pairwise table (per-row min-state recursion — q433's
+    pattern with argmax-of-min instead of argmax-of-difference).
+    Output is the selection order with each pick's distance-to-set:
+    the non-increasing covering-radius sequence, which the tests
+    assert (plus a full Python replay and the 2-approximation
+    sanity: r_K ≤ 2·opt is structural, monotonicity is the checkable
+    half)."""
+    emb = load(spark, sf_dir, "embeddings")
+    add = lambda acc, v: acc + v  # noqa: E731
+    qe = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KC_Q + 0.5).cast("long"),
+        ).alias("q"),
+    )
+    seed = qe.where(F.col("vec_id") == 0).select(F.col("q").alias("sq"))
+    state = (
+        qe.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(seed))
+        .select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.zip_with("q", "sq", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                add,
+            ).alias("mind"),
+        )
+        .localCheckpoint()
+    )
+    picks = []
+    for i in range(1, _KC_K + 1):
+        w = state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        picks.append((i, w["vec_id"], w["mind"]))
+        wq = F.array([F.lit(int(v)).cast("long") for v in w["q"]])
+        state = (
+            state.where(F.col("vec_id") != w["vec_id"])
+            .select(
+                "vec_id",
+                "q",
+                F.least(
+                    F.col("mind"),
+                    F.aggregate(
+                        F.zip_with("q", wq, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        add,
+                    ),
+                ).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(picks, "rank long, vec_id long, dist2 long")

@@ -2804,3 +2804,94 @@ def q461_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r5.alias("r_topword"),
         (r1 & r2 & r3 & r4 & r5).alias("passes"),
     )
+
+
+@query(
+    "q471_shuffle_audit",
+    oracle="""
+    WITH adj AS (
+      SELECT source,
+             LAG(source) OVER (ORDER BY doc_id) AS prev
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN source = prev THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_adjacent_same
+      FROM adj
+    ),
+    e AS (
+      SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS exp_num
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source)
+    )
+    SELECT a.n, a.n_adjacent_same, e.exp_num,
+           CAST(a.n_adjacent_same * a.n AS DOUBLE) / CAST(e.exp_num AS DOUBLE)
+             AS clustering_ratio,
+           CAST(a.n_adjacent_same * a.n AS DOUBLE) / CAST(e.exp_num AS DOUBLE)
+             < 1.2 AS well_shuffled
+    FROM a CROSS JOIN e
+    """,
+)
+def q471_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-QUALITY AUDIT of the training-stream order — pretraining
+    loaders assume the corpus is well-mixed; source-clustered runs
+    (all of crawl A, then all of crawl B) bias every gradient window.
+    Statistic: the count A of ADJACENT same-source pairs in doc_id
+    order versus its exact expectation under a uniform random
+    permutation, E[A] = (n−1)·Σc_s(c_s−1)/(n(n−1)) = Σc_s(c_s−1)/n —
+    so clustering_ratio = A·n / Σc_s(c_s−1) is ≈1 for a good shuffle,
+    ≫1 for source-sorted order, ≪1 for round-robin (anti-clustered;
+    both extremes are non-random — the q468 runs-test logic on a
+    k-category stream). Exact integers end-to-end, one division. The
+    adjacency count needs only each row's neighbor, so the Spark side
+    avoids any N-row global window: repartitionByRange(doc_id),
+    per-range LAG, then the ≤#partitions boundary rows (min_by/max_by
+    per range) stitch cross-range pairs through a window over that
+    TINY table ordered by range floor — q74's two-pass discipline
+    applied to adjacency instead of prefix sums. The oracle uses the
+    plain global LAG (DuckDB is single-node; the shapes differ, the
+    answer cannot)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    ranged = d.repartitionByRange("doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("doc_id")
+    intra = ranged.withColumn("prev", F.lag("source").over(w))
+    a_intra = intra.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("source") == F.col("prev"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_in"),
+    )
+    bounds = ranged.groupBy("__pid").agg(
+        F.min("doc_id").alias("lo"),
+        F.expr("min_by(source, doc_id)").alias("first_s"),
+        F.expr("max_by(source, doc_id)").alias("last_s"),
+    )
+    wb = Window.orderBy("lo")  # ≤ #shuffle-partitions rows — bounded
+    a_cross = bounds.withColumn("prev_last", F.lag("last_s").over(wb)).agg(
+        F.sum(F.when(F.col("first_s") == F.col("prev_last"), 1).otherwise(0))
+        .cast("long")
+        .alias("a_x")
+    )
+    e = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("exp_num")
+        )
+    )
+    ratio = (
+        (F.col("a_in") + F.col("a_x")) * F.col("n")
+    ).cast("double") / F.col("exp_num").cast("double")
+    return (
+        a_intra.crossJoin(F.broadcast(a_cross))
+        .crossJoin(F.broadcast(e))
+        .select(
+            "n",
+            (F.col("a_in") + F.col("a_x")).alias("n_adjacent_same"),
+            "exp_num",
+            ratio.alias("clustering_ratio"),
+            (ratio < 1.2).alias("well_shuffled"),
+        )
+    )

@@ -505,3 +505,57 @@ def test_q451_fused_lattice_single_scan(spark):
     )
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q457_bm25_single_scan_no_explode_broadcast_stats(spark):
+    """BM25's term frequencies come from array HOFs, never explode; the
+    corpus stats are a broadcast scalar; top-10 is TakeOrdered, not a
+    global Sort."""
+    plan = _executed(_qs()["q457_bm25_topk"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # base pass + stats pass
+    assert "Generate" not in plan  # explode's plan node
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_q461_gopher_is_pure_map(spark):
+    """The quality battery is a single embarrassingly-parallel projection:
+    one scan, ZERO exchanges, no aggregation, no Python."""
+    plan = _executed(_qs()["q461_gopher_quality_rules"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q462_allen_pairs_equi_join_on_user(spark):
+    """The interval pair generator must be an equi-join on user_id (the
+    global CartesianProduct ban already covers the worst case; this pins
+    the positive shape)."""
+    plan = _executed(_qs()["q462_allen_relations"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q460_ranks_never_sort_the_population(spark):
+    """Kruskal-Wallis midranks come from the value HISTOGRAM: the only
+    window runs over the ~50-row per-value aggregate, so no plan stage
+    sorts or windows the N-row population."""
+    import re
+
+    plan = _executed(_qs()["q460_kruskal_wallis"](spark, SF_DIR))
+    # exactly one Window operator, fed by an aggregate (the histogram),
+    # never directly by the scan/join of the population
+    assert plan.count("Window") >= 1
+    pop_window = re.search(r"Window.*\n(?:.*\n){0,3}.*SortMergeJoin", plan)
+    assert pop_window is None
+
+
+def test_q466_q467_folds_stay_jvm_side(spark):
+    """The ordered folds (Page-Hinkley 5-vector, LZ78 dictionary) are
+    codegen'd HOF expressions — no Python evaluator anywhere."""
+    for q in ("q466_page_hinkley", "q467_lz78_complexity"):
+        plan = _executed(_qs()[q](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
