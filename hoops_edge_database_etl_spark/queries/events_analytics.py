@@ -6493,3 +6493,377 @@ def q472_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cum_n * 1000000 div total").cast("long").alias("coverage_ppm"),
         F.expr("cum_err * 1000000 div cum_n").cast("long").alias("risk_ppm"),
     )
+
+
+@query(
+    "q473_newsvendor",
+    oracle="""
+    WITH demand AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    dist AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM demand GROUP BY y
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM demand),
+    qstar AS (
+      SELECT MIN(y) AS q FROM dist CROSS JOIN n WHERE 4 * cum >= 3 * n_days
+    )
+    SELECT n.n_days, q.q AS q_star,
+           CAST(SUM(3 * GREATEST(dd.y - (q.q - 1), 0)
+                  + 1 * GREATEST((q.q - 1) - dd.y, 0)) AS BIGINT) AS cost_below,
+           CAST(SUM(3 * GREATEST(dd.y - q.q, 0)
+                  + 1 * GREATEST(q.q - dd.y, 0)) AS BIGINT) AS cost_at,
+           CAST(SUM(3 * GREATEST(dd.y - (q.q + 1), 0)
+                  + 1 * GREATEST((q.q + 1) - dd.y, 0)) AS BIGINT) AS cost_above,
+           CAST(SUM(3 * GREATEST(dd.y - q.q, 0)
+                  + 1 * GREATEST(q.q - dd.y, 0)) AS BIGINT)
+             <= LEAST(
+               CAST(SUM(3 * GREATEST(dd.y - (q.q - 1), 0)
+                      + 1 * GREATEST((q.q - 1) - dd.y, 0)) AS BIGINT),
+               CAST(SUM(3 * GREATEST(dd.y - (q.q + 1), 0)
+                      + 1 * GREATEST((q.q + 1) - dd.y, 0)) AS BIGINT))
+             AS is_optimal
+    FROM demand dd CROSS JOIN qstar q CROSS JOIN n
+    GROUP BY n.n_days, q.q
+    """,
+)
+def q473_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR STOCKING LEVEL with its optimality PROVED on the data —
+    the one-period inventory theorem (Arrow-Harris-Marschak): with
+    underage cost c_u=3 and overage c_o=1, the optimal stock Q* is the
+    smallest level whose empirical demand CDF reaches the critical
+    ratio c_u/(c_u+c_o) = 3/4, found by a cross-multiplied integer
+    comparison (4·cum ≥ 3·n — no float quantile, the q93 discipline).
+    The theorem then gets the q415/q447 treatment — don't cite it,
+    EVALUATE it: the exact empirical cost Σ 3·(d−Q)⁺ + (Q−d)⁺ is
+    computed at Q*−1, Q*, Q*+1, and `is_optimal` asserts the discrete
+    first-order condition (cost at Q* no worse than both neighbors —
+    for discrete demand the left neighbor can TIE when the CDF hits
+    exactly 3/4, which is why it's ≤, not <). Demand = daily purchase
+    counts; the distinct-value CDF is a tiny window over ≤|support|
+    rows (the q422 distinct-value compression); the three cost sums
+    are one pass over days against the broadcast scalar Q*. Tests
+    replay Q* and the cost curve in Python and additionally check
+    GLOBAL optimality by brute force over the full support, which the
+    neighbor condition implies only for convex (i.e., all) newsvendor
+    cost curves — so the brute force also pins the convexity."""
+    ev = load(spark, sf_dir, "events")
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("long")
+    demand = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    dist = (
+        demand.groupBy("y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c")
+            .over(
+                Window.orderBy("y").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long"),
+        )
+    )
+    n = demand.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    qstar = (
+        dist.crossJoin(F.broadcast(n))
+        .where(4 * F.col("cum") >= 3 * F.col("n_days"))
+        .agg(F.min("y").alias("q"))
+    )
+
+    def cost(q_expr):
+        return F.sum(
+            3 * F.greatest(F.col("y") - q_expr, F.lit(0).cast("long"))
+            + F.greatest(q_expr - F.col("y"), F.lit(0).cast("long"))
+        ).cast("long")
+
+    qq = F.col("q")
+    return (
+        demand.crossJoin(F.broadcast(qstar))
+        .crossJoin(F.broadcast(n))
+        .groupBy("n_days", qq.alias("q_star"))
+        .agg(
+            cost(qq - 1).alias("cost_below"),
+            cost(qq).alias("cost_at"),
+            cost(qq + 1).alias("cost_above"),
+        )
+        .select(
+            "n_days",
+            "q_star",
+            "cost_below",
+            "cost_at",
+            "cost_above",
+            (
+                F.col("cost_at")
+                <= F.least(F.col("cost_below"), F.col("cost_above"))
+            ).alias("is_optimal"),
+        )
+    )
+
+
+_ATTR_SCALE = 1 << 20
+_ATTR_T = 12
+_ATTR_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _attr_journey_sql() -> str:
+    """Shared journey → transition-count construction: per user, events
+    ordered by (ts, event_id), truncated at the FIRST purchase; absorbing
+    dst 'C' = first purchase, 'N' = journey end without one; synthetic
+    source '__start__' feeds each user's first step."""
+    return """
+    seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    fp AS MATERIALIZED (
+      SELECT user_id, MIN(rn) AS fpr FROM seq
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    hops AS MATERIALIZED (
+      SELECT s.event_type AS src,
+             CASE WHEN s.nxt IS NULL THEN 'N'
+                  WHEN s.nxt = 'purchase' THEN 'C'
+                  ELSE s.nxt END AS dst
+      FROM seq s LEFT JOIN fp ON fp.user_id = s.user_id
+      WHERE s.event_type <> 'purchase'
+        AND (fp.fpr IS NULL OR s.rn < fp.fpr)
+      UNION ALL
+      SELECT '__start__',
+             CASE WHEN event_type = 'purchase' THEN 'C' ELSE event_type END
+      FROM seq WHERE rn = 1
+    ),
+    o AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM hops GROUP BY 1, 2
+    ),
+    rs AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS rn FROM o GROUP BY src)
+    """
+
+
+def _attr_oracle() -> str:
+    chans = ", ".join(f"('{c}')" for c in _ATTR_CHANNELS)
+    parts = [
+        f"""
+    WITH {_attr_journey_sql().strip()},
+    scen AS MATERIALIZED (
+      SELECT * FROM (VALUES ('base'), {chans}) s(removed)
+    ),
+    p AS MATERIALIZED (
+      SELECT sc.removed, o.src, o.dst,
+             o.n * {_ATTR_SCALE} // rs.rn AS p_fx
+      FROM o JOIN rs ON rs.src = o.src CROSS JOIN scen sc
+      WHERE sc.removed = 'base'
+         OR (o.src <> sc.removed AND o.dst <> sc.removed)
+    ),
+    states AS MATERIALIZED (
+      SELECT DISTINCT removed, src AS state FROM p
+    ),
+    cterm AS MATERIALIZED (
+      SELECT s.removed, s.state,
+             COALESCE((SELECT p.p_fx FROM p
+                       WHERE p.removed = s.removed AND p.src = s.state
+                         AND p.dst = 'C'), 0) AS c_fx
+      FROM states s
+    ),
+    v0 AS MATERIALIZED (
+      SELECT removed, state, CAST(0 AS BIGINT) AS v FROM states
+    )"""
+    ]
+    for t in range(1, _ATTR_T + 1):
+        parts.append(
+            f""",
+    v{t} AS MATERIALIZED (
+      SELECT ct.removed, ct.state,
+             ((SELECT COALESCE(SUM(p.p_fx * v.v), 0)
+               FROM p JOIN v{t - 1} v
+                 ON v.removed = p.removed AND v.state = p.dst
+               WHERE p.removed = ct.removed AND p.src = ct.state)
+              + ct.c_fx * {_ATTR_SCALE}) // {_ATTR_SCALE} AS v
+      FROM cterm ct
+    )"""
+        )
+    parts.append(
+        f""",
+    conv AS (
+      SELECT removed, v AS conv_fx FROM v{_ATTR_T}
+      WHERE state = '__start__'
+    ),
+    eff AS (
+      SELECT c.removed AS channel,
+             b.conv_fx AS base_conv_fx,
+             c.conv_fx AS removed_conv_fx,
+             b.conv_fx - c.conv_fx AS removal_effect_fx
+      FROM conv c CROSS JOIN (SELECT conv_fx FROM conv
+                              WHERE removed = 'base') b
+      WHERE c.removed <> 'base'
+    )
+    SELECT channel, base_conv_fx, removed_conv_fx, removal_effect_fx,
+           CAST(removal_effect_fx * 1000000
+                // (SELECT SUM(removal_effect_fx) FROM eff) AS BIGINT)
+             AS share_ppm
+    FROM eff"""
+    )
+    return "".join(parts)
+
+
+@query("q474_markov_attribution", oracle=_attr_oracle())
+def q474_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014) — the
+    data-driven alternative to q205's linear and q258's time-decay
+    rules: model user journeys (events per user, truncated at first
+    purchase, absorbing at conversion C or journey-end N) as a Markov
+    chain, and credit each channel by how much the 12-step conversion
+    probability from __start__ DROPS when that channel is removed
+    (its transitions redirected to null — mass lost, NOT
+    renormalized, the standard removal semantics). Numerics are
+    q437's exact fixed-point discipline end-to-end: probabilities in
+    2^20 units with floor at the row normalize, value-iteration
+    sweeps with ONE floor per sweep, so all five chains (base + four
+    removals) replay bit-for-bit in the unrolled-CTE oracle. All
+    scenarios fold into ONE scenario-tagged matrix (≤5·|states|²
+    rows), so the sweep loop runs once, not per channel; the only
+    event-log passes build the journey hops. Credit shares ship in
+    floor ppm of the total removal effect. Tests replay journeys and
+    sweeps in numpy-free Python, assert every removal strictly hurts
+    (removal_effect > 0 — every channel carries some converting
+    traffic in this fixture), and cross-check the base chain's
+    conversion against the EMPIRICAL fraction of converting users
+    (the model is fit on exactly those journeys; horizon-12 ≤
+    empirical absorption, approaching it from below)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    fp = (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fpr"))
+    )
+    mid = (
+        seq.join(fp, "user_id", "left")
+        .where(
+            (F.col("event_type") != "purchase")
+            & (F.col("fpr").isNull() | (F.col("rn") < F.col("fpr")))
+        )
+        .select(
+            F.col("event_type").alias("src"),
+            F.when(F.col("nxt").isNull(), "N")
+            .when(F.col("nxt") == "purchase", "C")
+            .otherwise(F.col("nxt"))
+            .alias("dst"),
+        )
+    )
+    first = seq.where(F.col("rn") == 1).select(
+        F.lit("__start__").alias("src"),
+        F.when(F.col("event_type") == "purchase", "C")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    o = mid.unionAll(first).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rs = o.groupBy("src").agg(F.sum("n").cast("long").alias("rn"))
+    scen = spark.createDataFrame(
+        [("base",)] + [(c,) for c in _ATTR_CHANNELS], "removed string"
+    )
+    p = (
+        o.join(rs, "src")
+        .crossJoin(F.broadcast(scen))
+        .where(
+            (F.col("removed") == "base")
+            | (
+                (F.col("src") != F.col("removed"))
+                & (F.col("dst") != F.col("removed"))
+            )
+        )
+        .select(
+            "removed", "src", "dst", F.expr(f"n * {_ATTR_SCALE} div rn").alias("p_fx")
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = p.select("removed", F.col("src").alias("state")).distinct()
+    cterm = (
+        states.join(
+            p.where(F.col("dst") == "C").select(
+                "removed", F.col("src").alias("state"), F.col("p_fx").alias("c_fx")
+            ),
+            ["removed", "state"],
+            "left",
+        )
+        .select(
+            "removed", "state", F.coalesce("c_fx", F.lit(0)).cast("long").alias("c_fx")
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = cterm.select("removed", "state", F.lit(0).cast("long").alias("v"))
+    for _ in range(_ATTR_T):
+        pv = (
+            p.join(
+                v,
+                (p.removed == v.removed) & (p.dst == v.state),
+            )
+            .groupBy(p.removed.alias("removed"), p.src.alias("state"))
+            .agg(F.sum(F.col("p_fx") * F.col("v")).alias("pv"))
+        )
+        v = (
+            cterm.join(pv, ["removed", "state"], "left")
+            .select(
+                "removed",
+                "state",
+                F.expr(
+                    f"(coalesce(pv, 0) + c_fx * {_ATTR_SCALE}) div {_ATTR_SCALE}"
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    conv = v.where(F.col("state") == "__start__").select(
+        "removed", F.col("v").alias("conv_fx")
+    )
+    base = conv.where(F.col("removed") == "base").select(
+        F.col("conv_fx").alias("base_conv_fx")
+    )
+    eff = (
+        conv.where(F.col("removed") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "base_conv_fx",
+            F.col("conv_fx").alias("removed_conv_fx"),
+            (F.col("base_conv_fx") - F.col("conv_fx")).alias(
+                "removal_effect_fx"
+            ),
+        )
+    )
+    tot = eff.agg(
+        F.sum("removal_effect_fx").cast("long").alias("tot_fx")
+    )
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "base_conv_fx",
+        "removed_conv_fx",
+        "removal_effect_fx",
+        F.expr("removal_effect_fx * 1000000 div tot_fx")
+        .cast("long")
+        .alias("share_ppm"),
+    )

@@ -2170,3 +2170,90 @@ def q456_hash_uniformity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniform_at_5pct",
         )
     )
+
+
+def _q475_oracle() -> str:
+    from hoops_edge_database_etl_spark.queries import _ORACLES
+
+    q80 = _ORACLES["q80_histogram_quantiles"]
+    return f"""
+    WITH est AS MATERIALIZED ({q80}),
+    mx AS (
+      SELECT CAST(MAX(cnt) AS BIGINT) AS max_bin_cnt
+      FROM (SELECT COUNT(*) AS cnt FROM orders
+            GROUP BY CAST(floor(o_totalprice / {Q80_BIN}) AS BIGINT))
+    )
+    SELECT e.quantile, e.n,
+           CAST(ceil(e.quantile * CAST(e.n AS DOUBLE)) AS BIGINT) AS k,
+           e.est,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE CAST(o.o_totalprice AS DOUBLE) < e.est) AS BIGINT)
+             AS rank_lt,
+           abs(CAST((SELECT COUNT(*) FROM orders o
+                     WHERE CAST(o.o_totalprice AS DOUBLE) < e.est) AS BIGINT)
+               - CAST(ceil(e.quantile * CAST(e.n AS DOUBLE)) AS BIGINT))
+             AS rank_err,
+           m.max_bin_cnt,
+           abs(CAST((SELECT COUNT(*) FROM orders o
+                     WHERE CAST(o.o_totalprice AS DOUBLE) < e.est) AS BIGINT)
+               - CAST(ceil(e.quantile * CAST(e.n AS DOUBLE)) AS BIGINT))
+             <= m.max_bin_cnt AS within_sketch_bound
+    FROM est e CROSS JOIN mx m
+    """
+
+
+@query("q475_sketch_quantile_gate", oracle=_q475_oracle())
+def q475_sketch_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-ACCURACY GATE for q80's histogram quantiles — the q308/
+    q251 recall-gate discipline applied to the quantile sketch: for
+    each estimated quantile, measure its TRUE rank in the data (the
+    strict count of values below the estimate — strict, because the
+    interpolated estimate sits in (bin_lo, bin_hi] and a strict count
+    is then provably sandwiched inside the bin's cumulative range)
+    and compare the rank error against the sketch's STRUCTURAL
+    guarantee: an equi-width histogram can misplace a quantile by at
+    most its bin's population, so rank_err ≤ max bin count must hold
+    for every quantile — not a tolerance we chose, a theorem the
+    sketch must obey (the test also checks the SHARP per-bin version
+    in Python; the query gates on the engine-computable global
+    bound). Composition: q80's ENTIRE oracle embeds as a derived
+    table (the q455 device) and the Spark side RE-INVOKES the
+    registered q80 lineage, so one hash re-checks the sketch and its
+    audit together. Cost: the five estimates broadcast against one
+    scan of orders for the strict-rank counts (a 5-way conditional
+    aggregate, not five scans); the bin histogram is the same
+    aggregate q80 already runs. This is the gate a 100 TB profile
+    pipeline runs BEFORE trusting sketch quantiles for partition
+    sizing (q325/q153 consumers)."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    est = all_queries()["q80_histogram_quantiles"](spark, sf_dir)
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    mx = (
+        orders.groupBy(F.floor(F.col("v") / Q80_BIN).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").cast("long").alias("max_bin_cnt"))
+    )
+    ranks = (
+        orders.crossJoin(F.broadcast(est))
+        .groupBy("quantile", "n", "est")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("rank_lt")
+        )
+    )
+    k = F.ceil(F.col("quantile") * F.col("n").cast("double")).cast("long")
+    err = F.abs(F.col("rank_lt") - k)
+    return ranks.crossJoin(F.broadcast(mx)).select(
+        "quantile",
+        "n",
+        k.alias("k"),
+        "est",
+        "rank_lt",
+        err.alias("rank_err"),
+        "max_bin_cnt",
+        (err <= F.col("max_bin_cnt")).alias("within_sketch_bound"),
+    )
