@@ -1373,3 +1373,152 @@ def q445_hash_chain_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.md5(F.concat(acc, F.lit("|"), x)),
         ).alias("head_digest"),
     )
+
+
+_JVM_FP = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % 2147483647"
+
+
+@query(
+    "q476_join_view_maintenance",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1997-01-01'
+    ),
+    da AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderdate >= DATE '1997-01-01'
+    ),
+    b AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 <> 0
+    ),
+    db AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 97 = 0
+    ),
+    incr AS (
+      SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, b.c_mktsegment
+      FROM a JOIN b ON b.c_custkey = a.o_custkey
+      UNION ALL
+      SELECT da.o_orderkey, da.o_custkey, da.o_totalprice, b.c_mktsegment
+      FROM da JOIN b ON b.c_custkey = da.o_custkey
+      UNION ALL
+      SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, db.c_mktsegment
+      FROM a JOIN db ON db.c_custkey = a.o_custkey
+      UNION ALL
+      SELECT da.o_orderkey, da.o_custkey, da.o_totalprice, db.c_mktsegment
+      FROM da JOIN db ON db.c_custkey = da.o_custkey
+    ),
+    full_v AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    fp AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM incr) AS n_incremental,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM full_v) AS n_recomputed,
+        (SELECT CAST(SUM({_JVM_FP.format(expr="CAST(o_orderkey AS VARCHAR) || ':' || c_mktsegment || ':' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)")}) AS BIGINT)
+         FROM incr) AS fp_incremental,
+        (SELECT CAST(SUM({_JVM_FP.format(expr="CAST(o_orderkey AS VARCHAR) || ':' || c_mktsegment || ':' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)")}) AS BIGINT)
+         FROM full_v) AS fp_recomputed,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM da) AS n_delta_a,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM db) AS n_delta_b
+    )
+    SELECT n_delta_a, n_delta_b, n_incremental, n_recomputed,
+           fp_incremental, fp_recomputed,
+           n_incremental = n_recomputed
+             AND fp_incremental = fp_recomputed AS maintained_ok
+    FROM fp
+    """,
+)
+def q476_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL JOIN-VIEW MAINTENANCE, with the delta algebra PROVED
+    on the data: for an insert-only join view V = A⋈B, the classical
+    maintenance identity ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (Blakeley et al.
+    1986 — the join-view counterpart of q271's aggregate retraction
+    maintenance). The fixture splits orders temporally (ΔA = 1997+)
+    and customers by a deterministic key residue (ΔB = custkey%97=0),
+    computes the view BOTH ways — the four-term incremental union vs
+    the full recompute — and emits row counts plus order-independent
+    md5-sum fingerprints of the exact row contents (the q286/q173
+    content-hash idiom, prices pinned to integer cents inside the
+    hash), with `maintained_ok` asserting the identity held. Every
+    term joins on the same custkey the full join uses, so at 100 TB
+    the incremental plan touches |Δ|-sized inputs in three of four
+    terms — exactly why view maintenance beats recompute; the audit
+    compares FINGERPRINTS, never materializing either side for a
+    sort. Tests replay the four-term union in Python set algebra and
+    also break the identity on purpose (drop the ΔA⋈ΔB cross term)
+    to show the fingerprint CATCHES it — an audit that can't fail is
+    not an audit (q445's tamper discipline)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cut = F.lit("1997-01-01").cast("date")
+    a = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    da = orders.where(F.col("o_orderdate") >= cut).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = cust.where(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    db = cust.where(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def j(x, y):
+        return x.join(y, x.o_custkey == y.c_custkey).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+        )
+
+    incr = j(a, b).unionAll(j(da, b)).unionAll(j(a, db)).unionAll(j(da, db))
+    full_v = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("c_mktsegment"),
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")
+                    .cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % 2147483647
+
+    def fp(df, n_name, f_name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias(n_name),
+            F.sum(row_h).cast("long").alias(f_name),
+        )
+
+    res = (
+        fp(incr, "n_incremental", "fp_incremental")
+        .crossJoin(F.broadcast(fp(full_v, "n_recomputed", "fp_recomputed")))
+        .crossJoin(
+            F.broadcast(da.agg(F.count(F.lit(1)).cast("long").alias("n_delta_a")))
+        )
+        .crossJoin(
+            F.broadcast(db.agg(F.count(F.lit(1)).cast("long").alias("n_delta_b")))
+        )
+    )
+    return res.select(
+        "n_delta_a",
+        "n_delta_b",
+        "n_incremental",
+        "n_recomputed",
+        "fp_incremental",
+        "fp_recomputed",
+        (
+            (F.col("n_incremental") == F.col("n_recomputed"))
+            & (F.col("fp_incremental") == F.col("fp_recomputed"))
+        ).alias("maintained_ok"),
+    )

@@ -6867,3 +6867,107 @@ def q474_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+@query(
+    "q477_sequential_patterns",
+    oracle="""
+    WITH pos AS (
+      SELECT user_id, event_type,
+             CAST(MIN(rn) AS BIGINT) AS fpos,
+             CAST(MAX(rn) AS BIGINT) AS lpos
+      FROM (SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+      GROUP BY user_id, event_type
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM pos),
+    singles AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS supp FROM pos GROUP BY 1
+    ),
+    pat AS (
+      SELECT a.event_type AS a, b.event_type AS b,
+             CAST(SUM(CASE WHEN a.fpos < b.lpos THEN 1 ELSE 0 END) AS BIGINT)
+               AS supp_ab
+      FROM pos a JOIN pos b ON b.user_id = a.user_id
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.a, p.b, n.n_users,
+           sa.supp AS supp_a, sb.supp AS supp_b, p.supp_ab,
+           CAST(p.supp_ab * n.n_users * 1000000 // (sa.supp * sb.supp)
+                AS BIGINT) AS lift_ppm
+    FROM pat p
+    JOIN singles sa ON sa.event_type = p.a
+    JOIN singles sb ON sb.event_type = p.b
+    CROSS JOIN n
+    """,
+)
+def q477_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING, length-2 gap-allowed (the GSP/
+    PrefixSpan base case): for every ordered type pair ⟨a → … → b⟩,
+    how many users exhibit a STRICTLY EARLIER a than some later b —
+    order-sensitive co-occurrence, which q122's unordered lift cannot
+    see and q237's regex CEP only answers for one hand-written
+    pattern. The containment test never scans the sequence: user u
+    supports ⟨a,b⟩ iff first_pos(a) < last_pos(b) (for a=b this
+    collapses to 'a occurs twice'), so the whole miner is one
+    (user, type) min/max-position aggregate — per-user state is
+    |types| numbers, the 25-pattern fan-out is a per-user self-join
+    on that tiny profile, and nothing downstream touches the event
+    log again: linear at any scale, the q287-style entity-bounded
+    argument without even the sequence string. Lift against the
+    independence baseline supp_a·supp_b/n ships in floor ppm (exact
+    cross-multiplied integers). Tests replay containment per user in
+    Python, assert the a=b diagonal equals the 'occurs ≥2' count, and
+    pin the antisymmetry identity supp(a,b) + supp(b,a) ≥ supp_both
+    (every co-occurring pair is ordered at least one way — with
+    equality impossible whenever some user interleaves both
+    directions)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("rn"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("rn").cast("long").alias("fpos"),
+            F.max("rn").cast("long").alias("lpos"),
+        )
+    )
+    n = pos.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    singles = pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("supp")
+    )
+    a = pos.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("a"), "fpos"
+    )
+    b = pos.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("b"), "lpos"
+    )
+    pat = (
+        a.join(b, "u")
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.when(F.col("fpos") < F.col("lpos"), 1).otherwise(0))
+            .cast("long")
+            .alias("supp_ab")
+        )
+    )
+    sa = singles.select(F.col("event_type").alias("a"), F.col("supp").alias("supp_a"))
+    sb = singles.select(F.col("event_type").alias("b"), F.col("supp").alias("supp_b"))
+    return (
+        pat.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "n_users",
+            "supp_a",
+            "supp_b",
+            "supp_ab",
+            F.expr("supp_ab * n_users * 1000000 div (supp_a * supp_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
