@@ -7121,3 +7121,110 @@ def q460_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h / tie_c).alias("h_adj"),
         (h / tie_c > 9.488).alias("significant_5pct"),
     )
+
+
+@query(
+    "q478_cramer_von_mises",
+    oracle="""
+    WITH pooled AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v, o_orderkey AS k
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    ranked AS (
+      SELECT grp,
+             CAST(ROW_NUMBER() OVER (ORDER BY v, k) AS BIGINT) AS r,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k)
+                  AS BIGINT) AS i
+      FROM pooled
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN grp = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS m,
+        CAST(SUM(CASE WHEN grp = '1-URGENT'
+                 THEN CAST((r - i) AS DECIMAL(38, 0)) * (r - i) END)
+             AS DECIMAL(38, 0)) AS sx,
+        CAST(SUM(CASE WHEN grp = '5-LOW'
+                 THEN CAST((r - i) AS DECIMAL(38, 0)) * (r - i) END)
+             AS DECIMAL(38, 0)) AS sy
+      FROM ranked
+    )
+    SELECT n, m,
+           CAST(n * sx + m * sy AS DECIMAL(38, 0)) AS u,
+           CAST(CAST(n * sx + m * sy AS DECIMAL(38, 0)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))
+           - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)
+             / (6.0 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))) AS t_cvm,
+           CAST(CAST(n * sx + m * sy AS DECIMAL(38, 0)) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))
+           - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)
+             / (6.0 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE))) < 0.461
+             AS same_distribution_5pct
+    FROM agg
+    """,
+)
+def q478_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR–VON MISES TWO-SAMPLE TEST — do urgent and low-priority
+    orders draw their totals from the same distribution, judged by the
+    INTEGRAL of the squared ECDF gap (where q218's KS reads only the
+    supremum — CvM sees distributed small departures KS misses; the
+    pair completes the EDF-test family). Anderson's rank form keeps it
+    exact: with pooled ranks r_i and within-sample indices i,
+    U = n·Σ_x(r_i − i)² + m·Σ_y(s_j − j)² is an exact integer
+    (DECIMAL(38,0) — n·Σ(r−i)² clears int64 past ~sf0.2) and
+    T = U/(nmN) − (4nm−1)/(6N) touches DOUBLE in one fixed
+    expression, against the asymptotic 5%% literal 0.461. Rank ties
+    (one duplicate totalprice exists at sf0.01) are broken by
+    orderkey — the SAME total order in both engines and in the test's
+    Python replay, the documented convention for a continuous-data
+    statistic on stored doubles. The pooled rank is the one global
+    sort (the q459 caveat: at scale these ranks come from the q74
+    two-pass histogram form); everything after is one aggregate.
+    Tests replay U and T from scratch and anchor both directions:
+    identical samples give T at its minimum, disjoint shifted samples
+    blow past the critical value."""
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    pooled = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ranked = pooled.select(
+        "grp",
+        F.row_number().over(Window.orderBy("v", "k")).cast("long").alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("v", "k"))
+        .cast("long")
+        .alias("i"),
+    )
+    d = (F.col("r") - F.col("i")).cast("decimal(38,0)")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("grp") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("grp") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("m"),
+        F.sum(F.when(F.col("grp") == "1-URGENT", d * (F.col("r") - F.col("i"))))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.when(F.col("grp") == "5-LOW", d * (F.col("r") - F.col("i"))))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+    )
+    nd, md = F.col("n").cast("double"), F.col("m").cast("double")
+    u = (F.col("n") * F.col("sx") + F.col("m") * F.col("sy")).cast(
+        "decimal(38,0)"
+    )
+    t = u.cast("double") / (nd * md * (nd + md)) - (4.0 * nd * md - 1.0) / (
+        6.0 * (nd + md)
+    )
+    return agg.select(
+        "n", "m", u.alias("u"), t.alias("t_cvm"),
+        (t < 0.461).alias("same_distribution_5pct"),
+    )

@@ -963,3 +963,155 @@ def q446_sampled_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio"
         ),
     )
+
+
+def _hilbert_duck(xcol: str, ycol: str) -> str:
+    """xy → Hilbert d (order 8) as a list_reduce fold over the 8 bit
+    levels; state [x, y, d], branchless rotation via CASE."""
+    steps = ", ".join(f"[{1 << i}, 0, 0]" for i in range(Z_BITS - 1, -1, -1))
+    return f"""list_reduce(
+      list_prepend([CAST({xcol} AS BIGINT), CAST({ycol} AS BIGINT), 0],
+                   [{steps}]),
+      (a, e) -> [
+        CASE WHEN (a[2] // e[1]) % 2 = 1 THEN a[1]
+             WHEN (a[1] // e[1]) % 2 = 0 THEN a[2]
+             ELSE e[1] - 1 - a[2] END,
+        CASE WHEN (a[2] // e[1]) % 2 = 1 THEN a[2]
+             WHEN (a[1] // e[1]) % 2 = 0 THEN a[1]
+             ELSE e[1] - 1 - a[1] END,
+        a[3] + e[1] * e[1] * (3 * ((a[1] // e[1]) % 2)
+                              + ((a[2] // e[1]) % 2)
+                              - 2 * ((a[1] // e[1]) % 2)
+                                  * ((a[2] // e[1]) % 2))
+      ]
+    )[3]"""
+
+
+def _hilbert_spark(df, xcol: str, ycol: str):
+    steps = F.expr(
+        "array(" + ", ".join(str(1 << i) for i in range(Z_BITS - 1, -1, -1)) + ")"
+    )
+
+    def step(a, s):
+        x, y, d = F.element_at(a, 1), F.element_at(a, 2), F.element_at(a, 3)
+        rx = (x / s).cast("long") % 2
+        ry = (y / s).cast("long") % 2
+        # quadrant offset: (3*rx) XOR ry over bits == 3rx + ry - 2rx*ry
+        nd = d + s * s * (3 * rx + ry - 2 * rx * ry)
+        nx = (
+            F.when(ry == 1, x).when(rx == 0, y).otherwise(s - 1 - y)
+        )
+        ny = (
+            F.when(ry == 1, y).when(rx == 0, x).otherwise(s - 1 - x)
+        )
+        return F.array(nx.cast("long"), ny.cast("long"), nd.cast("long"))
+
+    init = F.array(
+        F.col(xcol).cast("long"), F.col(ycol).cast("long"), F.lit(0).cast("long")
+    )
+    return F.element_at(F.aggregate(steps, init, step), 3)
+
+
+@query(
+    "q479_hilbert_locality",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(o_custkey) AS mxx,
+             MAX(CAST(floor(o_totalprice) AS BIGINT)) AS mxy
+      FROM orders
+    ),
+    enc AS (
+      SELECT (o_custkey * 256) // (mx.mxx + 1) AS x,
+             (CAST(floor(o_totalprice) AS BIGINT) * 256) // (mx.mxy + 1) AS y
+      FROM orders, mx
+    ),
+    z AS (
+      SELECT x, y, ({_DUCK_Z}) AS zv,
+             ({_hilbert_duck("x", "y")}) AS hv
+      FROM enc
+    ),
+    blocks AS (
+      SELECT 'hilbert' AS layout, hv // {Z_BLOCK_DIV} AS block,
+             COUNT(*) AS n, MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             SUM(CASE WHEN {_PRED} THEN 1 ELSE 0 END) AS matched
+      FROM z GROUP BY 1, 2
+      UNION ALL
+      SELECT 'zorder', zv // {Z_BLOCK_DIV}, COUNT(*), MIN(x), MAX(x),
+             MIN(y), MAX(y), SUM(CASE WHEN {_PRED} THEN 1 ELSE 0 END)
+      FROM z GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN {_OVERLAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks_scanned,
+           CAST(SUM(CASE WHEN {_OVERLAP} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_scanned,
+           CAST(SUM(matched) AS BIGINT) AS rows_matched
+    FROM blocks GROUP BY layout
+    """,
+)
+def q479_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE layout vs q133's Z-ORDER, same block-skipping
+    experiment, same box predicate — the physical-design bake-off
+    Delta/Iceberg users actually run (Hilbert preserves locality
+    strictly better than Morton: consecutive curve positions are
+    always grid-NEIGHBORS, so a 2-D box shatters across fewer curve
+    ranges; Z-order's bit-interleave has O(1) encode but long
+    diagonal jumps at quadrant seams). The xy→d Hilbert transform
+    (Warren's HAKMEM-style iterative form) runs as a branchless
+    8-step integer FOLD — state [x, y, d], per-level quadrant offset
+    3·rx XOR ry expressed as 3rx + ry − 2rx·ry, rotation as a CASE —
+    identical div/mod arithmetic in a Spark array-HOF aggregate and a
+    DuckDB list_reduce (zero-state prepended), so the oracle replays
+    the layout bit-for-bit. Output is q133's scan accounting for both
+    curves on the identical encoded points; the rows_matched column
+    must agree across layouts (the predicate doesn't care how rows
+    are laid out — a built-in consistency check the test pins). The
+    test also proves THE Hilbert property exhaustively at small
+    order: consecutive d ⇒ Manhattan-adjacent cells, which is false
+    for Morton — and asserts the bake-off conclusion on this data
+    (hilbert scans ≤ zorder blocks for the box)."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.max("o_custkey").alias("mxx"),
+        F.max(F.floor("o_totalprice").cast("long")).alias("mxy"),
+    )
+    enc = o.crossJoin(F.broadcast(mx)).select(
+        F.expr("o_custkey * 256 div (mxx + 1)").alias("x"),
+        F.expr("CAST(floor(o_totalprice) AS BIGINT) * 256 div (mxy + 1)").alias(
+            "y"
+        ),
+    )
+    z = enc.select(
+        "x",
+        "y",
+        F.expr(_SPARK_Z).alias("zv"),
+        _hilbert_spark(enc, "x", "y").alias("hv"),
+    )
+
+    def blocks(col, name):
+        return (
+            z.groupBy(F.expr(f"{col} div {Z_BLOCK_DIV}").alias("block"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.sum(F.when(F.expr(_PRED), 1).otherwise(0)).alias("matched"),
+            )
+            .withColumn("layout", F.lit(name))
+        )
+
+    b = blocks("hv", "hilbert").unionAll(blocks("zv", "zorder"))
+    return b.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.expr(_OVERLAP), 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocks_scanned"),
+        F.sum(F.when(F.expr(_OVERLAP), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.sum("matched").cast("long").alias("rows_matched"),
+    )
