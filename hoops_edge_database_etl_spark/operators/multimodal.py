@@ -361,3 +361,39 @@ def pcm16_features(
             )
 
     return df.mapInPandas(kernel, schema=out_schema)
+
+
+def pcm16_frame_energy(
+    df: DataFrame,
+    id_col: str = "media_id",
+    pcm_col: str = "pcm",
+    frame: int = 16,
+) -> DataFrame:
+    """Frame-level energy over raw PCM16 binary columns, the front half
+    of every VAD (voice-activity detection) pipeline: decode is one
+    zero-copy ``np.frombuffer``; the waveform cuts into fixed frames
+    (last frame ragged) and each frame emits its EXACT int64 energy
+    Σs² plus its sample count — downstream thresholding/segmentation
+    stays declarative DataFrame algebra. Bytes die in this stage (the
+    multimodal rule); output is (id, frame_idx, n, energy) rows."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, frame_idx long, n long, energy long"
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, fidx, ns, en = [], [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[pcm_col]):
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for i in range(0, len(s), frame):
+                    chunk = s[i : i + frame]
+                    ids.append(int(mid))
+                    fidx.append(i // frame)
+                    ns.append(len(chunk))
+                    en.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "n": ns, "energy": en}
+            )
+
+    return df.mapInPandas(kernel, out_schema)

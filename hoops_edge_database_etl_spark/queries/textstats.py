@@ -2895,3 +2895,129 @@ def q471_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio < 1.2).alias("well_shuffled"),
         )
     )
+
+
+@query(
+    "q480_pcm_silence_runs",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             (CAST(floor(value * 100 + 0.5) AS BIGINT) % 32768) - 16384 AS smp,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    frames AS (
+      SELECT user_id AS media_id, (rn - 1) // 16 AS frame_idx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(smp * smp) AS BIGINT) AS energy
+      FROM s GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT media_id, frame_idx, n, energy,
+             CASE WHEN energy < n * 64000000 THEN 1 ELSE 0 END AS silent
+      FROM frames
+    ),
+    islands AS (
+      SELECT media_id, silent,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id, silent
+                                            ORDER BY frame_idx) AS grp
+      FROM flagged
+    ),
+    runs AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM islands WHERE silent = 1 GROUP BY media_id, grp
+    )
+    SELECT f.media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(f.silent) AS BIGINT) AS n_silent,
+           COALESCE(r.n_runs, 0) AS n_runs,
+           COALESCE(r.longest, 0) AS longest_run
+    FROM flagged f
+    LEFT JOIN (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                      CAST(MAX(run_len) AS BIGINT) AS longest
+               FROM runs GROUP BY media_id) r ON r.media_id = f.media_id
+    GROUP BY f.media_id, r.n_runs, r.longest
+    """,
+)
+def q480_pcm_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILENCE / VOICE-ACTIVITY SEGMENTATION over raw PCM16 binary —
+    the audio leg of the multimodal surface doing real DSP work: each
+    media's waveform (q145's deterministic int16 fixture, PACKED into
+    true binary by the grouped kernel) decodes once in an
+    Arrow-batched mapInPandas stage that emits per-16-sample-frame
+    EXACT int64 energies; everything after is declarative — a frame
+    is silent iff energy < n·8000² (cross-multiplied, ragged final
+    frame handled by the per-frame sample count), and silent runs
+    segment via the gaps-and-islands rank-difference trick (q147's
+    device on frames instead of intervals). Output per media: frame
+    count, silent frames, number of silence segments, longest
+    segment — the trim/split decisions an audio-curation pipeline
+    makes before feature extraction. The oracle recomputes every
+    frame energy straight from the integer series, so a wrong byte
+    order, frame boundary, or ragged-tail rule in the binary plumbing
+    breaks the hash. At 100 TB the decode stage pipelines with the
+    scan (bytes never shuffle); islands shuffle only (media, frame)
+    rows."""
+    import pandas as pd
+
+    from hoops_edge_database_etl_spark.operators.multimodal import (
+        pack_pcm16,
+        pcm16_frame_energy,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 32768)
+            - 16384
+        ).alias("smp"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "media_id": [int(pdf["user_id"].iloc[0])],
+                "pcm": [pack_pcm16(pdf["smp"].to_numpy())],
+            }
+        )
+
+    packed = s.groupBy("user_id").applyInPandas(pack, "media_id long, pcm binary")
+    frames = pcm16_frame_energy(packed, id_col="media_id", pcm_col="pcm")
+    flagged = frames.withColumn(
+        "silent",
+        F.when(F.col("energy") < F.col("n") * 64000000, 1).otherwise(0),
+    )
+    w = Window.partitionBy("media_id", "silent").orderBy("frame_idx")
+    islands = flagged.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    runs = (
+        islands.where(F.col("silent") == 1)
+        .groupBy("media_id", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest"),
+        )
+    )
+    return (
+        flagged.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("silent").cast("long").alias("n_silent"),
+        )
+        .join(runs, "media_id", "left")
+        .select(
+            "media_id",
+            "n_frames",
+            "n_silent",
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("longest", F.lit(0)).cast("long").alias("longest_run"),
+        )
+    )
