@@ -1522,3 +1522,107 @@ def q476_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("fp_incremental") == F.col("fp_recomputed"))
         ).alias("maintained_ok"),
     )
+
+
+
+_HAM_PIPELINE = """
+      SELECT nib, e, syn,
+             ((((fw) // 4) % 2) + 2 * (((fw) // 16) % 2) + 4 * (((fw) // 32) % 2) + 8 * (((fw) // 64) % 2)) AS decoded
+      FROM (
+        SELECT nib, e, syn,
+               CASE WHEN syn = 0 THEN rw
+                    ELSE rw + (1 - 2 * (((rw) // (CASE syn WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 WHEN 7 THEN 64 END)) % 2)) * (CASE syn WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 WHEN 7 THEN 64 END) END AS fw
+        FROM (
+          SELECT nib, e, rw, ((((((rw) // 1) % 2) + (((rw) // 4) % 2) + (((rw) // 16) % 2) + (((rw) // 64) % 2)) % 2) + 2 * (((((rw) // 2) % 2) + (((rw) // 4) % 2) + (((rw) // 32) % 2) + (((rw) // 64) % 2)) % 2) + 4 * (((((rw) // 8) % 2) + (((rw) // 16) % 2) + (((rw) // 32) % 2) + (((rw) // 64) % 2)) % 2)) AS syn
+          FROM (
+            SELECT nib, e,
+                   CASE WHEN e = 0 THEN cw
+                        ELSE cw + (1 - 2 * (((cw) // (CASE e WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 WHEN 7 THEN 64 END)) % 2)) * (CASE e WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 4 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 WHEN 7 THEN 64 END) END AS rw
+            FROM (SELECT nib, e, ((((((nib) // 1) % 2) + (((nib) // 2) % 2) + (((nib) // 8) % 2)) % 2) + 2 * (((((nib) // 1) % 2) + (((nib) // 4) % 2) + (((nib) // 8) % 2)) % 2) + 4 * (((nib) // 1) % 2) + 8 * (((((nib) // 2) % 2) + (((nib) // 4) % 2) + (((nib) // 8) % 2)) % 2) + 16 * (((nib) // 2) % 2) + 32 * (((nib) // 4) % 2) + 64 * (((nib) // 8) % 2)) AS cw FROM base)
+          )
+        )
+      )
+"""
+
+
+@query(
+    "q481_hamming_code_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey % 16 AS nib,
+             CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':ham'),
+                  1, 8) AS BIGINT) % 8 AS e
+      FROM customer
+    ),
+    decoded AS ({_HAM_PIPELINE})
+    SELECT syn AS syndrome,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN decoded = nib THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recovered,
+           CAST(SUM(CASE WHEN syn = e THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_syndrome_correct,
+           COUNT(*) = SUM(CASE WHEN decoded = nib THEN 1 ELSE 0 END)
+             AND COUNT(*) = SUM(CASE WHEN syn = e THEN 1 ELSE 0 END)
+             AS all_recovered
+    FROM decoded GROUP BY syn
+    """,
+)
+def q481_hamming_code_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMMING(7,4) SINGLE-ERROR-CORRECTION AUDIT — the integrity family
+    (q445 hash chain, q448 Luhn, q173 Merkle) gains the code that
+    doesn't just DETECT corruption but names the corrupted bit and
+    REPAIRS it: each customer key's low nibble encodes into the
+    7-bit codeword (parity bits at positions 1,2,4 covering the
+    classic index masks), a deterministically md5-chosen single-bit
+    error (position 0 = clean, 1-7 = flip that bit) corrupts it, and
+    the decoder's syndrome s1+2·s2+4·s4 must equal the planted
+    position EXACTLY — that's the theorem (syndrome = error address,
+    the defining property of Hamming codes), asserted per row and
+    reported per syndrome bucket. Every XOR is sum-mod-2, every bit
+    pick is div/mod — the identical integer program in both engines
+    (the q479 discipline: algebra generated once, substituted into
+    both dialects). The test corrupts TWO bits and shows the decoder
+    confidently mis-corrects — single-error codes fail double errors
+    by design, and an audit that can't fail is not an audit. One scan,
+    one 8-row aggregate; at 100 TB this is the cheapest
+    bits-on-the-wire check a bronze layer can run."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") % 16).alias("nib"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":ham"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("e"),
+    )
+    base.createOrReplaceTempView("base")
+    decoded = spark.sql(_HAM_PIPELINE.replace("//", " div "))
+    return (
+        decoded.groupBy(F.col("syn").alias("syndrome"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("decoded") == F.col("nib"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_recovered"),
+            F.sum(F.when(F.col("syn") == F.col("e"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_syndrome_correct"),
+        )
+        .select(
+            "syndrome",
+            "n",
+            "n_recovered",
+            "n_syndrome_correct",
+            (
+                (F.col("n") == F.col("n_recovered"))
+                & (F.col("n") == F.col("n_syndrome_correct"))
+            ).alias("all_recovered"),
+        )
+    )
