@@ -1878,7 +1878,7 @@ def q455_linkage_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pat.agg(F.sum("n_match").cast("long").alias("total_match"))
     thresholds = pat.select(F.col("fs_ratio").alias("threshold")).distinct()
     sweep = (
-        thresholds.crossJoin(pat)
+        thresholds.crossJoin(F.broadcast(pat))
         .groupBy("threshold")
         .agg(
             F.sum(

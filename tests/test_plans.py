@@ -85,6 +85,8 @@ _PYTHON_ALLOWED = {
     "q435_python_udtf",  # the §2.9 UDTF surface itself (BatchEvalPythonUDTF)
     "q251_ann_recall_eval",  # composes q47/q48 lineages (their kernels, sanctioned above)
     "q250_maxsim_late_interaction",  # broadcast-query einsum kernel (q48's shape)
+    "q480_pcm_silence_runs",  # binary PCM pack + frame-energy decode (q145's
+    # multimodal round trip; the VAD segmentation itself is declarative)
     "q330_lru_stack_distance",  # per-user LRU replay state machine (its oracle
     # is the declarative Mattson stack-distance formulation — the Python is
     # the point: an imperative twin certified by a theorem)
