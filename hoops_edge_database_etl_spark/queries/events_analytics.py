@@ -6971,3 +6971,104 @@ def q477_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "q483_subsequence_patterns_3",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    ),
+    syms AS (SELECT DISTINCT substr(event_type, 1, 1) AS s FROM events),
+    pats AS (
+      SELECT a.s AS a, b.s AS b, c.s AS c FROM syms a, syms b, syms c
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM coded),
+    sup AS (
+      SELECT p.a, p.b, p.c,
+             CAST(SUM(CASE WHEN regexp_matches(d.seq,
+                    p.a || '.*' || p.b || '.*' || p.c)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS supp3,
+             CAST(SUM(CASE WHEN regexp_matches(d.seq, p.a || '.*' || p.b)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS supp_ab,
+             CAST(SUM(CASE WHEN regexp_matches(d.seq, p.b || '.*' || p.c)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS supp_bc
+      FROM pats p CROSS JOIN coded d
+      GROUP BY p.a, p.b, p.c
+    )
+    SELECT a, b, c, n_users, supp3, supp_ab, supp_bc,
+           CAST(supp3 * 1000000 // n_users AS BIGINT) AS supp3_ppm,
+           supp3 <= LEAST(supp_ab, supp_bc) AS apriori_ok
+    FROM sup CROSS JOIN n
+    """,
+)
+def q483_subsequence_patterns_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-3 SEQUENTIAL PATTERNS ⟨a→…→b→…→c⟩ — GSP's next level over
+    q477's pairs, with the level-generating theorem carried AS A
+    COLUMN: gap-allowed subsequence containment is exactly the regex
+    'a.*b.*c' on the coded behavior string (q237's one-char codes —
+    greedy .* is precisely 'exists i<j<k', and the 5-letter alphabet
+    keeps the pattern in the common regex subset both engines
+    interpret identically; Spark's rlike takes the pattern as a
+    COLUMN, so all 125 patterns run through one broadcast fan-out, no
+    per-pattern plans). `apriori_ok` asserts anti-monotonicity
+    supp⟨abc⟩ ≤ min(supp⟨ab⟩, supp⟨bc⟩) — the pruning inequality that
+    makes level-wise sequence mining tractable, verified on every
+    triple (its sub-pattern supports use the same regex semantics, so
+    q477's first/last-position counts agree — the tests cross-check).
+    Per-user state is one retention-bounded string; the pattern
+    table is |Σ|³ literal rows broadcast against it; the event log is
+    touched once to build strings — the q287 scaling argument. At
+    real alphabet sizes the pattern table comes from the previous
+    level's survivors (Apriori candidate generation), not the full
+    cube — the column proves WHY that pruning is sound."""
+    ev = load(spark, sf_dir, "events")
+    coded = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+                        )
+                    )
+                ),
+                lambda st: st["ch"],
+            ),
+        ).alias("seq")
+    )
+    syms = ev.select(F.substring("event_type", 1, 1).alias("s")).distinct()
+    pats = (
+        syms.select(F.col("s").alias("a"))
+        .crossJoin(syms.select(F.col("s").alias("b")))
+        .crossJoin(syms.select(F.col("s").alias("c")))
+    )
+    n = coded.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    hit = lambda pat: F.sum(  # noqa: E731
+        F.when(F.rlike(F.col("seq"), pat), 1).otherwise(0)
+    ).cast("long")
+    sup = (
+        F.broadcast(pats)
+        .crossJoin(coded)
+        .groupBy("a", "b", "c")
+        .agg(
+            hit(F.concat("a", F.lit(".*"), "b", F.lit(".*"), "c")).alias("supp3"),
+            hit(F.concat("a", F.lit(".*"), "b")).alias("supp_ab"),
+            hit(F.concat("b", F.lit(".*"), "c")).alias("supp_bc"),
+        )
+    )
+    return sup.crossJoin(F.broadcast(n)).select(
+        "a",
+        "b",
+        "c",
+        "n_users",
+        "supp3",
+        "supp_ab",
+        "supp_bc",
+        F.expr("supp3 * 1000000 div n_users").cast("long").alias("supp3_ppm"),
+        (F.col("supp3") <= F.least("supp_ab", "supp_bc")).alias("apriori_ok"),
+    )
