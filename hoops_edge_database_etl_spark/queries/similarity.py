@@ -2305,21 +2305,20 @@ def q470_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
         picks.append((i, w["vec_id"], w["mind"]))
         wq = F.array([F.lit(int(v)).cast("long") for v in w["q"]])
-        state = (
-            state.where(F.col("vec_id") != w["vec_id"])
-            .select(
-                "vec_id",
-                "q",
-                F.least(
-                    F.col("mind"),
-                    F.aggregate(
-                        F.zip_with("q", wq, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0).cast("long"),
-                        add,
-                    ),
-                ).alias("mind"),
-            )
-            .localCheckpoint()
+        # no per-sweep checkpoint: the lineage is K shallow project/filter
+        # levels over the one checkpointed base — rematerializing it per
+        # probe is cheaper than K eager materializations
+        state = state.where(F.col("vec_id") != w["vec_id"]).select(
+            "vec_id",
+            "q",
+            F.least(
+                F.col("mind"),
+                F.aggregate(
+                    F.zip_with("q", wq, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    add,
+                ),
+            ).alias("mind"),
         )
     return spark.createDataFrame(picks, "rank long, vec_id long, dist2 long")
 
