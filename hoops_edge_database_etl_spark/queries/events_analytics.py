@@ -7072,3 +7072,85 @@ def q483_subsequence_patterns_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("supp3 * 1000000 div n_users").cast("long").alias("supp3_ppm"),
         (F.col("supp3") <= F.least("supp_ab", "supp_bc")).alias("apriori_ok"),
     )
+
+
+@query(
+    "q485_weighted_jaccard",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(LEAST(COALESCE(a.w, 0), COALESCE(b.w, 0))) AS BIGINT)
+               AS sum_min,
+             CAST(SUM(GREATEST(COALESCE(a.w, 0), COALESCE(b.w, 0))) AS BIGINT)
+               AS sum_max
+      FROM prof a FULL OUTER JOIN prof b
+        ON b.user_id = a.user_id
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, sum_min, sum_max,
+           CAST(sum_min * 1000000 // sum_max AS BIGINT) AS wjaccard_ppm
+    FROM pairs
+    """,
+)
+def q485_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED JACCARD between event-type USER PROFILES — J_W(a,b) =
+    Σ_u min(w_a(u), w_b(u)) / Σ_u max(w_a(u), w_b(u)) over per-user
+    event counts: the multiset generalization of q155's set overlap
+    (binary membership says click and view audiences are identical;
+    the WEIGHTED form sees that one user clicks 40× and views twice).
+    Exact integers end-to-end with one floor-ppm division. A subtlety
+    the test pins: because both profiles live on the SAME user
+    universe here, every user appears on both sides of the
+    full-outer join (inner ≡ outer on this fixture) — but the
+    full-outer form is the correct general contract, since a user
+    absent from profile b contributes w_a to max and 0 to min, and
+    dropping those rows would INFLATE similarity. Scale: the join is
+    user-keyed and co-partitioned with the profile aggregate (one
+    exchange), per-pair state is two bigints; the sketch path at
+    100 TB is ICWS/BagMinHash consistent weighted sampling — the
+    q43-style banded candidate generator for multisets, documented
+    here as the substitution."""
+    prof = load(spark, sf_dir, "events").groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    a = prof.select(
+        F.col("event_type").alias("type_a"),
+        F.col("user_id").alias("ua"),
+        F.col("w").alias("wa"),
+    )
+    b = prof.select(
+        F.col("event_type").alias("type_b"),
+        F.col("user_id").alias("ub"),
+        F.col("w").alias("wb"),
+    )
+    pairs = (
+        a.join(b, a.ua == b.ub, "full_outer")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.least(F.coalesce("wa", F.lit(0)), F.coalesce("wb", F.lit(0)))
+            )
+            .cast("long")
+            .alias("sum_min"),
+            F.sum(
+                F.greatest(
+                    F.coalesce("wa", F.lit(0)), F.coalesce("wb", F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("sum_max"),
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "sum_min",
+        "sum_max",
+        F.expr("sum_min * 1000000 div sum_max").cast("long").alias("wjaccard_ppm"),
+    )
