@@ -88,6 +88,21 @@ HEADLINE = [
 ]
 
 
+def _drop_persistent_rdds(spark) -> None:
+    """Blocking-unpersist every RDD still holding storage blocks.
+
+    ``clearCache()`` only drops Dataset cache entries; the iterative
+    queries (q62/q117/q135/q141/q300/q410/q429) leave ``localCheckpoint``
+    RDD blocks behind until Python GC + ContextCleaner get around to them
+    asynchronously, and VERDICT r6 traced q154's official 2.3x spread to
+    exactly that storage pressure (the query is tight at +/-3% in a clean
+    session). Blocking unpersist makes the isolation deterministic.
+    Safe here: the previous query's lineage is dead, nothing recomputes.
+    """
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+
+
 def main() -> None:
     from hoops_edge_database_etl_spark.queries import all_queries
     from hoops_edge_database_etl_spark.session import get_spark
@@ -95,6 +110,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     spark = get_spark(app_name="hoops-edge-bench")
+
+    # Session-drift control (VERDICT r6 item 4): a fixed trivial query
+    # timed FIRST and LAST with the same rep protocol. Round-over-round
+    # headline ratios can be normalized against control drift — r5->r6
+    # common queries moved a uniform +11% with no code cause, and without
+    # a control that is indistinguishable from a real regression.
+    def control_df():
+        return (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .selectExpr("count(*) AS n")
+        )
 
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries] or sorted(queries)
@@ -111,14 +137,32 @@ def main() -> None:
     # MEDIAN, and per-query [min, max] spread is recorded so session
     # contention noise is distinguishable from real plan regressions.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    # Per-query UNTIMED warm runs before the timed reps: r5's q154 spread
-    # ([2.4, 5.4] s) traced to tiered-JIT warm-up of that query's codegen
-    # stages, not AQE or GC (GC was ~60 ms/rep) — C2 takes a few
-    # executions to compile the hot generated loops, and ONE warm run is
-    # not always enough (measured: 1-warm spreads still hit 1.7x; 2-warm
-    # spreads land within ±6% across fresh sessions). Steady-state is
-    # what we mean to measure; warm count is recorded in the JSON.
+    # Per-query UNTIMED warm runs before the timed reps. q154's historical
+    # spread had TWO causes, fixed separately: (a) tiered-JIT warm-up of
+    # its codegen stages — C2 needs a few executions, one warm run is not
+    # always enough (1-warm spreads still hit 1.7x; 2 warms land within
+    # +/-6% in a clean session); (b) cross-query storage pressure from the
+    # iterative queries' leftover localCheckpoint RDD blocks, which is why
+    # the OFFICIAL r6 artifact still showed 2.3x despite the warms —
+    # addressed by the blocking _drop_persistent_rdds between queries.
+    # Steady-state is what we mean to measure; warm count is in the JSON.
     warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2")))
+
+    def timed_reps(fn) -> list[float]:
+        for _ in range(warm):
+            fn()
+        times = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return sorted(times)
+
+    def noop_write(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    control_first = timed_reps(lambda: noop_write(control_df()))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -130,24 +174,27 @@ def main() -> None:
         # System.gc() here made things WORSE — full-GC churn bleeds into
         # the next timed query on a 128 GiB heap.)
         spark.catalog.clearCache()
-        # Release the previous query's DataFrame graphs so ContextCleaner
-        # unpersists their localCheckpoint RDD blocks: iterative queries
-        # (q62/q117/q135/q300/q410) otherwise accumulate checkpoint blocks
-        # across the bench and later queries pay the storage pressure.
+        # Release the previous query's DataFrame graphs, then blocking-
+        # unpersist any RDD blocks still registered (localCheckpoint
+        # blocks from the iterative queries). Python gc alone relies on
+        # the ASYNC ContextCleaner and demonstrably wasn't enough — the
+        # official r6 artifact still carried the q154 contention spread.
         # (Python gc, not System.gc — the JVM full-GC experiment regressed.)
         gc.collect()
-        for _ in range(warm):
-            run(name)
-        times = []
-        for _ in range(reps):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            run(name)
-            times.append(time.perf_counter() - t0)
-        times.sort()
+        _drop_persistent_rdds(spark)
+        times = timed_reps(lambda: run(name))
         timings[name] = round(times[len(times) // 2], 4)
         spread[name] = [round(times[0], 4), round(times[-1], 4)]
 
+    gc.collect()
+    _drop_persistent_rdds(spark)
+    control_last = timed_reps(lambda: noop_write(control_df()))
+    controls = {
+        "control_first": round(control_first[len(control_first) // 2], 4),
+        "control_last": round(control_last[len(control_last) // 2], 4),
+        "control_first_spread": [round(control_first[0], 4), round(control_first[-1], 4)],
+        "control_last_spread": [round(control_last[0], 4), round(control_last[-1], 4)],
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -160,6 +207,7 @@ def main() -> None:
                 "reps": reps,
                 "warm": warm,
                 "spread": spread,
+                **controls,
             }
         )
     )
@@ -178,6 +226,8 @@ def main() -> None:
                 "reps": reps,
                 "warm": warm,
                 "n_queries": len(timings),
+                "control_first": controls["control_first"],
+                "control_last": controls["control_last"],
             }
         ),
         flush=True,

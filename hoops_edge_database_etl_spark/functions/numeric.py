@@ -15,7 +15,7 @@ def safe_div(
     """Division guarded against zero/null denominators.
 
     The reference has two conventions (SURVEY.md §7 hard-point 5):
-    gold helpers return NULL (src/cbbd_etl/_io_helpers.py:70-91), PBP scripts
+    gold helpers return NULL (src/cbbd_etl/gold/_io_helpers.py:70-91), PBP scripts
     return 0.0 (scripts/build_pbp_game_team_stats.py:106-109). ``zero_on_null``
     selects the PBP convention.
     """

@@ -17,7 +17,7 @@ README ("Star vs labelprop crossover").
 
 Both return ``(node, component)`` with component = min node id reachable,
 the same contract the reference's duplicate-resolution step implies
-(reference: scripts/silver_builder.py:1-120 keeps one canonical row per
+(reference: scripts/deduplicate_silver.py:1-120 keeps one canonical row per
 duplicate group); there is no distributed-graph machinery in the reference
 to translate — this is the Spark-native design for the same semantics.
 

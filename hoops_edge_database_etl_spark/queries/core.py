@@ -3,7 +3,7 @@
 Each query is declarative DataFrame code — Catalyst pushes the filters and the
 projection into the parquet scan (verify with ``.explain``: PushedFilters /
 ReadSchema), which replaces the reference's hand-rolled ``columns=`` lists and
-S3 prefix pruning (reference: src/cbbd_etl/_io_helpers.py:20-67, 109-114).
+S3 prefix pruning (reference: src/cbbd_etl/gold/_io_helpers.py:20-67, 109-114).
 
 Determinism rules for the DuckDB oracle hash-match:
 - money/ratio aggregates run in DECIMAL (exact, order-independent) and are
@@ -99,7 +99,7 @@ def q02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate + projection pushdown (P1/P3/S7/S8).
 
     The reference filtered in Python after a full read
-    (src/cbbd_etl/_io_helpers.py:109-114); here both predicates and the
+    (src/cbbd_etl/gold/_io_helpers.py:109-114); here both predicates and the
     4-column projection reach the parquet row groups.
     """
     return (

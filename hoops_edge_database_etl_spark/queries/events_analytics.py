@@ -6713,8 +6713,9 @@ def _attr_oracle() -> str:
       WHERE c.removed <> 'base'
     )
     SELECT channel, base_conv_fx, removed_conv_fx, removal_effect_fx,
-           CAST(removal_effect_fx * 1000000
-                // (SELECT SUM(removal_effect_fx) FROM eff) AS BIGINT)
+           CAST(GREATEST(0, removal_effect_fx) * 1000000
+                // NULLIF((SELECT SUM(GREATEST(0, removal_effect_fx))
+                           FROM eff), 0) AS BIGINT)
              AS share_ppm
     FROM eff"""
     )
@@ -6855,15 +6856,23 @@ def q474_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # share_ppm clamps negatives to 0 on BOTH sides of the division
+    # (ADVICE r6): Spark's `div` truncates toward zero while DuckDB's
+    # `//` floors, so the two agree only on non-negative operands —
+    # removal effects are non-negative on any sane fixture, but the
+    # parity must hold by construction, not by data accident. NULLIF
+    # guards the all-zero denominator the same way in both engines.
     tot = eff.agg(
-        F.sum("removal_effect_fx").cast("long").alias("tot_fx")
+        F.sum(F.greatest(F.lit(0), F.col("removal_effect_fx")))
+        .cast("long")
+        .alias("tot_fx")
     )
     return eff.crossJoin(F.broadcast(tot)).select(
         "channel",
         "base_conv_fx",
         "removed_conv_fx",
         "removal_effect_fx",
-        F.expr("removal_effect_fx * 1000000 div tot_fx")
+        F.expr("greatest(0L, removal_effect_fx) * 1000000 div nullif(tot_fx, 0)")
         .cast("long")
         .alias("share_ppm"),
     )

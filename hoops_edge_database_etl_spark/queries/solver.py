@@ -666,7 +666,7 @@ def q135_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-by-level. At 100 TB: edges shuffle on src each sweep (or
     pre-partition once by src and reuse), frontier/visited are
     node-sized. Reference analogue: the schedule-graph reachability its
-    SOS solver implies (scripts/sos_solver.py's opponent closure).""".format(
+    SOS solver implies (scripts/sos_sweep_solver.py's opponent closure).""".format(
         seeds=set(BFS_SEEDS)
     )
     o = load(spark, sf_dir, "orders")

@@ -4,7 +4,7 @@ Mirrors the reference's storage layer role (SURVEY.md §2.1 S7/S8): reads are
 plain ``spark.read.parquet`` so Catalyst owns column pruning, predicate
 pushdown, and partition pruning — the things the reference did by hand with
 manual ``columns=`` lists and S3 prefix construction
-(reference: src/cbbd_etl/_io_helpers.py:20-67).
+(reference: src/cbbd_etl/gold/_io_helpers.py:20-67).
 """
 
 from __future__ import annotations

@@ -226,15 +226,26 @@ def test_no_cartesian_product_anywhere(spark):
     non-broadcast cross join is never intentional here (1-row scalar
     broadcasts plan as BroadcastNestedLoopJoin, which is allowed).
     Streaming queries are skipped: their returned frame is a memory-sink
-    scan, not the streaming plan (covered in test_streaming)."""
+    scan, not the streaming plan (covered in test_streaming).
+
+    AQE is disabled for the audit (ADVICE r6): with AQE on, the inspected
+    ``executedPlan`` string depends on which stages have already
+    materialized, and the q455 CartesianProduct (commit b1efced) was
+    caught only on a later run because of exactly that nondeterminism.
+    With AQE off the static plan is deterministic — strictly harder to
+    pass, since no runtime broadcast conversion can mask a cartesian."""
     qs = _qs()
     offenders = []
-    for name, fn in qs.items():
-        if "streaming" in name:
-            continue
-        plan = _executed(fn(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, fn in qs.items():
+            if "streaming" in name:
+                continue
+            plan = _executed(fn(spark, SF_DIR))
+            if "CartesianProduct" in plan:
+                offenders.append(name)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert not offenders, f"CartesianProduct planned in: {offenders}"
 
 
