@@ -1965,7 +1965,6 @@ def _mmr_kernel(pdf):
         np.stack(cand["embedding"].values).astype(np.float64) * (1 << 24) + 0.5
     ).astype(np.int64)
     rel = mat @ qv
-    sims = mat @ mat.T
     n = len(ids)
     msim = np.full(n, _MMR_SENTINEL, dtype=np.int64)
     alive = np.ones(n, dtype=bool)
@@ -1986,7 +1985,11 @@ def _mmr_kernel(pdf):
             )
         )
         alive[best] = False
-        msim = np.maximum(msim, sims[:, best])
+        # one GEMV per pick instead of a materialized n x n sims matrix:
+        # only the WINNER's similarity column is ever read, so the full
+        # mat @ mat.T was O(n^2 d) work + O(n^2) memory for K columns —
+        # bit-identical values, O(K n d) (round-7 soak fix).
+        msim = np.maximum(msim, mat @ mat[best])
     return pd.DataFrame(
         out, columns=["rank", "vec_id", "rel", "max_sim_prev"]
     )
@@ -2436,7 +2439,15 @@ def q482_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * _KC_Q + 0.5).cast("long"),
         ).alias("q"),
     )
-    a = qe.select(F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    # The stream side of the BNLJ must be RE-SPREAD before the fan-out:
+    # the non-equi self-join plans as BroadcastNestedLoopJoin whose
+    # parallelism is the stream side's partition count, and a small
+    # parquet scan arrives in 1-2 partitions — at sf1 that serialized
+    # 2.5e9 pair-dots onto two cores (round-7 soak caught it live). Same
+    # rule as q154's explicit re-spread before its fan-out join.
+    a = qe.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")).repartition(
+        32, "src"
+    )
     b = qe.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
     dots = (
         a.join(b, F.col("src") != F.col("dst"))

@@ -1756,7 +1756,13 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # Union WITHOUT re-checkpointing (q470's lesson, round 7): every
+        # part is already a materialized localCheckpoint, so the union is
+        # a plan-only node — re-checkpointing it rewrote the ENTIRE
+        # visited set every sweep, O(Σ_d |visited_d|) block writes. The
+        # per-sweep anti-join now scans ≤ d checkpointed parts instead of
+        # one consolidated block — same rows read, zero rewrite.
+        visited = visited.unionAll(nxt)
         frontier = nxt
     contrib = visited.filter(F.col("d") > 0).groupBy("node").agg(
         F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_x1e6"),
