@@ -1756,13 +1756,17 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if nxt.count() == 0:
             break
-        # Union WITHOUT re-checkpointing (q470's lesson, round 7): every
-        # part is already a materialized localCheckpoint, so the union is
-        # a plan-only node — re-checkpointing it rewrote the ENTIRE
-        # visited set every sweep, O(Σ_d |visited_d|) block writes. The
-        # per-sweep anti-join now scans ≤ d checkpointed parts instead of
-        # one consolidated block — same rows read, zero rewrite.
+        # Consolidate the visited set every 4th sweep, not every sweep
+        # (round-7 measurement, 3 reps each at sf0.1): per-sweep
+        # re-checkpoint rewrote the ENTIRE visited set each round —
+        # O(Σ_d |visited_d|) block writes — and was the jumpy variant
+        # ([10.5, 24.0] s); never consolidating skips the writes but the
+        # anti-join then re-scans d fragment RDDs per sweep ([8.8, 11.2]);
+        # period-4 amortizes the rewrite against fragment-scan fan-out
+        # and is both fastest and tightest ([8.6, 8.9]).
         visited = visited.unionAll(nxt)
+        if d % 4 == 0:
+            visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     contrib = visited.filter(F.col("d") > 0).groupBy("node").agg(
         F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_x1e6"),
