@@ -2270,7 +2270,8 @@ def q470_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-candidate state (one bigint) updates via a broadcast of the
     single winner row, one linear pass per sweep, K scalar-bounded
     collects (the winner's 64 ints — the q63-codebook-style bounded
-    probe), localCheckpoint per sweep; never a pairwise matrix. The
+    probe), K shallow selects over one checkpointed base (per-sweep
+    checkpoints measured 2x slower); never a pairwise matrix. The
     oracle replays the identical chain as a recursive CTE over the
     MATERIALIZED pairwise table (per-row min-state recursion — q433's
     pattern with argmax-of-min instead of argmax-of-difference).
@@ -2329,6 +2330,44 @@ def q470_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_K = 5       # neighbors per node
 _LP_T = 5       # propagation sweeps
 _LP_SEED = 100  # vec_id < 100 keep their true label
+
+
+def _lp_knn_pairs(qe):
+    """Exact-kNN edge list (src, dst) over quantized vectors ``qe``
+    (columns: vec_id, q) — q482's one quadratic stage, factored out so
+    the plan audit can inspect it (the query checkpoints it eagerly, so
+    the BNLJ never appears in the returned frame's plan).
+
+    The stream side of the BNLJ must be RE-SPREAD before the fan-out:
+    the non-equi self-join plans as BroadcastNestedLoopJoin whose
+    parallelism is the stream side's partition count, and a small
+    parquet scan arrives in 1-2 partitions — at sf1 that serialized
+    2.5e9 pair-dots onto two cores (round-7 soak caught it live). Same
+    rule as q154's explicit re-spread before its fan-out join."""
+    add = lambda acc, v: acc + v  # noqa: E731
+    a = qe.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")).repartition(
+        32, "src"
+    )
+    b = qe.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
+    dots = a.join(b, F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            add,
+        ).alias("d"),
+    )
+    return (
+        dots.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(F.desc("d"), "dst")
+            ),
+        )
+        .where(F.col("rn") <= _LP_K)
+        .select("src", "dst")
+    )
 
 
 def _lp_oracle() -> str:
@@ -2430,7 +2469,6 @@ def q482_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach 100%% — the instrument works; this corpus just doesn't
     separate."""
     emb = load(spark, sf_dir, "embeddings")
-    add = lambda acc, v: acc + v  # noqa: E731
     qe = emb.select(
         "vec_id",
         F.col("label").cast("long").alias("true_label"),
@@ -2439,39 +2477,7 @@ def q482_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * _KC_Q + 0.5).cast("long"),
         ).alias("q"),
     )
-    # The stream side of the BNLJ must be RE-SPREAD before the fan-out:
-    # the non-equi self-join plans as BroadcastNestedLoopJoin whose
-    # parallelism is the stream side's partition count, and a small
-    # parquet scan arrives in 1-2 partitions — at sf1 that serialized
-    # 2.5e9 pair-dots onto two cores (round-7 soak caught it live). Same
-    # rule as q154's explicit re-spread before its fan-out join.
-    a = qe.select(F.col("vec_id").alias("src"), F.col("q").alias("qa")).repartition(
-        32, "src"
-    )
-    b = qe.select(F.col("vec_id").alias("dst"), F.col("q").alias("qb"))
-    dots = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                add,
-            ).alias("d"),
-        )
-    )
-    knn = (
-        dots.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("src").orderBy(F.desc("d"), "dst")
-            ),
-        )
-        .where(F.col("rn") <= _LP_K)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    knn = _lp_knn_pairs(qe).localCheckpoint(eager=True)
     labels = qe.select(
         "vec_id",
         "true_label",

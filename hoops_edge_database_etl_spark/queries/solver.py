@@ -1698,7 +1698,8 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q148's range-partitioned row_number beyond ~10^8 nodes). Distances come from one
     multi-source BFS carrying (pivot, node) pairs through frontier
     expansion (the q135 loop, keyed per pivot; visited-set anti-join,
-    localCheckpoint per sweep, early exit — 9 sweeps suffice at
+    frontier checkpointed per sweep, visited consolidated every 4th
+    sweep, early exit — 9 sweeps suffice at
     sf0.01, budget {_HC_SWEEPS} matches the oracle's bounded
     recursion). Unreachable pairs contribute zero — harmonic (unlike
     closeness) handles disconnected graphs natively, which is why it

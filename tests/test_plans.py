@@ -264,6 +264,36 @@ def test_doc_chunks_zero_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_label_prop_knn_stream_side_respread(spark):
+    """q482's kNN pair fan-out is a non-equi self-join that plans as
+    BroadcastNestedLoopJoin; BNLJ parallelism equals the STREAM side's
+    partition count, and the embeddings scan arrives in 1-2 partitions —
+    at sf1 that serialized 2.5e9 pair-dots onto two cores (round-7 soak
+    caught it live). The fix is an explicit repartition feeding the join;
+    this pins it: an Exchange must appear below the BNLJ."""
+    from pyspark.sql import functions as FF
+
+    from hoops_edge_database_etl_spark.queries.similarity import (
+        _KC_Q,
+        _lp_knn_pairs,
+    )
+    from hoops_edge_database_etl_spark.tables import load
+
+    qe = load(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        FF.transform(
+            "embedding",
+            lambda x: FF.floor(x.cast("double") * _KC_Q + 0.5).cast("long"),
+        ).alias("q"),
+    )
+    plan = _executed(_lp_knn_pairs(qe))
+    assert "BroadcastNestedLoopJoin" in plan  # expected join shape
+    assert "Exchange hashpartitioning(src" in plan, (
+        "q482's BNLJ stream side lost its re-spread - the kNN build "
+        "would serialize onto the scan's partition count at scale"
+    )
+
+
 def test_substring_decontaminate_broadcasts_patterns(spark):
     """q138's pattern dictionary joins as a broadcast — per-doc cost must
     not depend on pattern count via a shuffle join."""
