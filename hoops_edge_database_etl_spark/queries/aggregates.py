@@ -1883,10 +1883,19 @@ def q214_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(o_orderdate < TIMESTAMP '1998-01-01' AS INTEGER) AS before
       FROM orders
     ),
-    c AS (
+    c0 AS (
       SELECT bin, CAST(SUM(before) AS BIGINT) AS c1,
              CAST(SUM(1 - before) AS BIGINT) AS c2
       FROM s GROUP BY bin
+    ),
+    -- densify to the LITERAL 10-bin grid: a bin nobody occupies still
+    -- separates the two CDFs, and walking only OBSERVED bins under-
+    -- counts W1 exactly there (e.g. before at bin 0, after at bin 2:
+    -- true EMD is 2 bins, the sparse walk said 1)
+    c AS (
+      SELECT g.bin, COALESCE(c0.c1, 0) AS c1, COALESCE(c0.c2, 0) AS c2
+      FROM (SELECT CAST(UNNEST(range(10)) AS BIGINT) AS bin) g
+      LEFT JOIN c0 ON c0.bin = g.bin
     ),
     t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM c),
     w AS (
@@ -1922,9 +1931,21 @@ def q215_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         before.alias("before"),
     )
-    c = s.groupBy("bin").agg(
+    c0 = s.groupBy("bin").agg(
         F.sum("before").cast("bigint").alias("c1"),
         F.sum(1 - F.col("before")).cast("bigint").alias("c2"),
+    )
+    # Densify to the literal 10-bin grid (round 7): an EMPTY bin between
+    # the two distributions still separates their CDFs, and a walk over
+    # observed bins only under-counts W1 there — the definition gap the
+    # shared-formula oracle can't see (both engines walked the same
+    # sparse rows). The planted test pins it: before at bin 0, after at
+    # bin 2 must score 2.0 bins, not 1.0.
+    spine = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    c = spine.join(c0, "bin", "left").select(
+        "bin",
+        F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+        F.coalesce("c2", F.lit(0)).cast("bigint").alias("c2"),
     )
     t = c.agg(
         F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")

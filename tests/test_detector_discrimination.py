@@ -10,7 +10,10 @@ runs the real registered query against it (same ``load`` path — the
 planted tables are written as ``{tmpdir}/{table}.parquet``), and asserts
 (a) the planted signal is flagged, exactly, and (b) the null control is
 not. Covers: q27 anomaly, q124 attribution, q166 RFM, q167 CUSUM,
-q168 TVD, q203 router, q211 rate-limit, q313 Shapley.
+q168 TVD, q203 router, q211 rate-limit, q313 Shapley (batch 1 — the
+eight VERDICT r6 named), plus q127 MAD, q159 seasonal, q198 Tukey,
+q215 EMD, q314 retry storm, q324 double charge, q359 spike attribution,
+q442 embedding drift (batch 2 — the remaining detector-named queries).
 """
 
 from __future__ import annotations
@@ -236,3 +239,188 @@ def test_q313_planted_game_has_closed_form_shapley(spark, tmp_path):
     }
     assert out == {"view": 6, "click": 3, "signup": 3}
     assert sum(out.values()) == 12  # efficiency: 6 * (v(7) - v(0)) = 6*2
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 (same round): the remaining detector-named queries. q215's test
+# below exists because writing it EXPOSED a real definition gap — the
+# sparse CDF walk under-counted W1 across empty bins (fixed in-round by
+# densifying both engines to the literal 10-bin grid).
+# ---------------------------------------------------------------------------
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_q127_mad_counts_planted_extremes_and_zero_on_flat(spark, tmp_path):
+    """'sig': ten 1.00s, ten 1.01s, one 10.00 -> median 1.01, MAD 0.01,
+    exactly one value beyond 3*MAD. 'flat': identical values -> MAD 0 and
+    zero outliers (strict > keeps the degenerate stream quiet)."""
+    rows, eid = [], 0
+    for i in range(10):
+        eid += 1
+        rows.append(_ev(eid, _ts(0, eid), i, "sig", value=1.00))
+    for i in range(10):
+        eid += 1
+        rows.append(_ev(eid, _ts(0, eid), i, "sig", value=1.01))
+    eid += 1
+    rows.append(_ev(eid, _ts(0, eid), 99, "sig", value=10.00))
+    for i in range(8):
+        eid += 1
+        rows.append(_ev(eid, _ts(0, eid), i, "flat", value=2.00))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in _qs()["q127_mad_outliers"](spark, sf).collect()}
+    assert out["sig"]["median"] == pytest.approx(1.01)
+    assert out["sig"]["mad"] == pytest.approx(0.01)
+    assert out["sig"]["n_outliers"] == 1
+    assert out["flat"]["mad"] == pytest.approx(0.0)
+    assert out["flat"]["n_outliers"] == 0
+
+
+def test_q159_flags_planted_hourly_spike_on_its_day_only(spark, tmp_path):
+    """One (type, hour) slot over 3 days, 5 events/day at 1.00 with a
+    single 5.00 planted on day 3: baseline median 1.00, day 3 reports
+    n_anomalies=1, the other days 0."""
+    rows, eid = [], 0
+    for day in range(3):
+        for i in range(5):
+            eid += 1
+            rows.append(_ev(eid, _ts(day, i), i, "view", value=1.00))
+    eid += 1
+    rows.append(_ev(eid, _ts(2, 30), 50, "view", value=5.00))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {
+        str(r["day"]): (r["n_anomalies"], r["baseline"])
+        for r in _qs()["q159_seasonal_anomalies"](spark, sf).collect()
+    }
+    assert out["2024-01-01"] == (0, pytest.approx(1.00))
+    assert out["2024-01-02"] == (0, pytest.approx(1.00))
+    assert out["2024-01-03"] == (1, pytest.approx(1.00))
+
+
+def test_q198_tukey_fences_catch_planted_high_outlier(spark, tmp_path):
+    """'sig': ten 1.00s + ten 2.00s + one 10.00 -> p25=100c, p75=200c,
+    high fence v>350c, exactly one outlier. 'flat': IQR 0, none."""
+    rows, eid = [], 0
+    for v in [1.00] * 10 + [2.00] * 10 + [10.00]:
+        eid += 1
+        rows.append(_ev(eid, _ts(0, eid), eid, "sig", value=v))
+    for i in range(6):
+        eid += 1
+        rows.append(_ev(eid, _ts(0, eid), i, "flat", value=3.00))
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in _qs()["q198_iqr_outliers"](spark, sf).collect()}
+    assert (out["sig"]["p25_cents"], out["sig"]["p75_cents"]) == (100, 200)
+    assert out["sig"]["n_outliers"] == 1
+    assert out["flat"]["n_outliers"] == 0
+
+
+def test_q215_emd_counts_empty_bins_between_the_distributions(spark, tmp_path):
+    """Before-period mass entirely in bin 0, after-period entirely in
+    bin 2 (bin 1 EMPTY): W1 must be 2.0 bins. The pre-fix sparse CDF
+    walk scored this 1.0 — the definition gap this test was written to
+    expose; identical distributions must score 0 (same fixture, both
+    periods in bin 0 for the 'null' table is covered by emd=2 implying
+    the fix, and the recompute tests cover emd=0)."""
+    before, after = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
+    rows = []
+    for k in range(10):
+        rows.append((2 * k + 1, k, "O", 100.0, before, "P1"))      # bin 0
+        rows.append((2 * k + 2, k, "O", 70000.0, after, "P1"))     # bin 2
+    sf = _write_orders(spark, tmp_path, rows)
+    out = _qs()["q215_emd_drift"](spark, sf).collect()[0]
+    assert out["n_before"] == 10 and out["n_after"] == 10
+    assert out["emd_bins"] == pytest.approx(2.0)
+
+
+def test_q314_storm_episode_for_burst_user_only(spark, tmp_path):
+    """user 100: five errors 10 min apart -> trailing counts 1..5,
+    triggers at the 3rd..5th, ONE episode with 3 triggers, peak 5.
+    user 200: three errors 7 h apart (> the 6 h window) -> never >=3,
+    absent from the output."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        _ev(i + 1, base + dt.timedelta(seconds=600 * i), 100, "error")
+        for i in range(5)
+    ] + [
+        _ev(10 + i, base + dt.timedelta(seconds=25200 * i), 200, "error")
+        for i in range(3)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = _qs()["q314_retry_storm_detector"](spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 100
+    assert r["n_triggers"] == 3
+    assert r["peak_burst"] == 5
+
+
+def test_q324_double_charge_exact_pairs(spark, tmp_path):
+    """user 1: same amount twice within 10 min -> one pair, gap 600 s.
+    user 2: same amount 2 days apart -> outside the 24 h window, none.
+    user 3: different amounts close together -> none.
+    user 4: same amount three times -> only the two CONSECUTIVE pairs
+    (the middle-charge NOT EXISTS kills the 1->3 skip pair)."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def p(eid, uid, sec, amount):
+        return _ev(eid, base + dt.timedelta(seconds=sec), uid, "purchase", amount)
+
+    rows = [
+        p(1, 1, 0, 50.0), p(2, 1, 600, 50.0),
+        p(3, 2, 0, 50.0), p(4, 2, 2 * 86400, 50.0),
+        p(5, 3, 0, 50.0), p(6, 3, 60, 60.0),
+        p(7, 4, 0, 30.0), p(8, 4, 100, 30.0), p(9, 4, 200, 30.0),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = sorted(
+        (r["user_id"], r["first_charge_id"], r["second_charge_id"], r["gap_seconds"])
+        for r in _qs()["q324_double_charge_detector"](spark, sf).collect()
+    )
+    assert out == [(1, 1, 2, 600), (4, 7, 8, 100), (4, 8, 9, 100)]
+
+
+def test_q359_attributes_planted_spike_to_its_type(spark, tmp_path):
+    """Types A and B at 1.00/day for 5 days; B jumps to 6.00 on day 3.
+    Spike day = day 3; A's contribution 0 (share 0), B's 500 cents
+    (share 1.0)."""
+    rows, eid = [], 0
+    for day in range(5):
+        eid += 1
+        rows.append(_ev(eid, _ts(day, 0), 1, "view", value=1.00))
+        eid += 1
+        rows.append(
+            _ev(eid, _ts(day, 1), 2, "click", value=6.00 if day == 2 else 1.00)
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in _qs()["q359_spike_attribution"](spark, sf).collect()}
+    # spike_day is the day INDEX from the 2024-01-01 epoch (see oracle)
+    assert out["click"]["spike_day"] == 2
+    assert out["view"]["contribution_cents"] == pytest.approx(0.0)
+    assert out["click"]["contribution_cents"] == pytest.approx(500.0)
+    assert out["view"]["explained_share"] == pytest.approx(0.0)
+    assert out["click"]["explained_share"] == pytest.approx(1.0)
+
+
+def test_q442_planted_directional_drift_per_label(spark, tmp_path):
+    """label 0: old and new cohorts share the e1 direction -> cosine 1,
+    shift 0. label 1: old on e1, new on e2 -> cosine 0, shift
+    2*(4096^2) in quantized units (mean moved one unit in each of two
+    dims)."""
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    rows = (
+        [(i, e1, 0) for i in range(5)]          # label 0 old
+        + [(250 + i, e1, 0) for i in range(5)]  # label 0 new: identical
+        + [(10 + i, e1, 1) for i in range(5)]   # label 1 old: e1
+        + [(260 + i, e2, 1) for i in range(5)]  # label 1 new: e2
+    )
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["label"]: r for r in _qs()["q442_embedding_drift"](spark, sf).collect()}
+    assert out[0]["cos_centroid"] == pytest.approx(1.0)
+    assert out[0]["l2_shift_sq"] == pytest.approx(0.0)
+    assert out[1]["cos_centroid"] == pytest.approx(0.0)
+    assert out[1]["l2_shift_sq"] == pytest.approx(2 * 4096.0**2)
