@@ -65,7 +65,13 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFra
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
         )
-        e = _canon(large).localCheckpoint(eager=True)
+        # NOT checkpointed (round-7 measurement, 3 reps at sf0.1: with
+        # [5.9, 14.1] s -> without [4.3, 5.8] s on q410): the small-star
+        # step reads this frame twice (mins + join), but the two reads
+        # share the identical _canon distinct-exchange, which Spark
+        # reuses — one checkpoint per ROUND (after small-star) is enough
+        # lineage truncation, and it halves the block writes.
+        e = _canon(large)
         # --- small-star: orient u > v (all neighbors of u here are smaller);
         # every smaller neighbor AND u itself link to min Γ(u).
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
