@@ -138,14 +138,17 @@ def main() -> None:
     # contention noise is distinguishable from real plan regressions.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Per-query UNTIMED warm runs before the timed reps. q154's historical
-    # spread had TWO causes, fixed separately: (a) tiered-JIT warm-up of
-    # its codegen stages — C2 needs a few executions, one warm run is not
-    # always enough (1-warm spreads still hit 1.7x; 2 warms land within
-    # +/-6% in a clean session); (b) cross-query storage pressure from the
-    # iterative queries' leftover localCheckpoint RDD blocks, which is why
-    # the OFFICIAL r6 artifact still showed 2.3x despite the warms —
-    # addressed by the blocking _drop_persistent_rdds between queries.
-    # Steady-state is what we mean to measure; warm count is in the JSON.
+    # spread had TWO fixable causes, fixed separately: (a) tiered-JIT
+    # warm-up of its codegen stages — C2 needs a few executions, one warm
+    # run is not always enough (1-warm spreads still hit 1.7x); (b)
+    # cross-query storage pressure from the iterative queries' leftover
+    # localCheckpoint RDD blocks, which is why the OFFICIAL r6 artifact
+    # still showed 2.3x despite the warms — addressed by the blocking
+    # _drop_persistent_rdds between queries. What remains is INTRINSIC:
+    # isolated 6-rep measurement [2.39, 3.13] s (AQE off: same relative
+    # spread) — GC of the per-row dictionary arrays, ~+/-15% around the
+    # median with occasional worse outliers. The median-of-3 is the
+    # honest estimator; the recorded [min, max] carries the noise.
     warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2")))
 
     def timed_reps(fn) -> list[float]:
