@@ -123,7 +123,12 @@ def main() -> None:
         )
 
     queries = all_queries()
-    names = [n for n in HEADLINE if n in queries] or sorted(queries)
+    # SPARK_GRAFT_BENCH_QUERIES=q01_...,q41_... runs a subset with the
+    # identical protocol — for shape tests and quick iteration; the
+    # default (and the driver's run) is the full HEADLINE list.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    base = only.split(",") if only else HEADLINE
+    names = [n for n in base if n in queries] or sorted(queries)
 
     def run(name: str) -> None:
         # noop sink: forces FULL evaluation of every column (a count() lets

@@ -268,8 +268,9 @@ def test_q215_emd_vs_float_cdf(spark, duck):
     n1, n2 = sum(c1), sum(c2)
     f1 = np.cumsum(c1) / n1
     f2 = np.cumsum(c2) / n2
-    # the oracle sums |F1-F2| over bins PRESENT in the histogram; with a
-    # dense 10-bin grid every bin is present at sf0.01
+    # both engines now densify to the literal 10-bin grid (round 7), so
+    # this dense recompute matches BY CONSTRUCTION on any data — the
+    # gappy-grid case is pinned by the planted discrimination test
     emd = float(np.sum(np.abs(f1 - f2)))
     assert (r["n_before"], r["n_after"]) == (n1, n2)
     _close(r["emd_bins"], emd, 1e-12)
