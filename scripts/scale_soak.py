@@ -53,6 +53,18 @@ GATE_HEAVY = [
     "q463_dtw_distance",
     "q476_join_view_maintenance",
     "q451_mv_selection_fused",
+    # tier 2 (round 7, same selection rule; streaming queries still
+    # excluded — their returned frames are memory-sink scans)
+    "q53_iterative_ratings",
+    "q437_markov_ltv",
+    "q428_weighted_intervals",
+    "q412_dedup_clusters_star",
+    "q217_asof_nearest",
+    "q149_bloom_block_skipping",
+    "q450_corpus_release_manifest",
+    "q274_sequential_ab_looks",
+    "q440_cluster_safe_split",
+    "q287_behavior_edit_distance",
 ]
 
 
