@@ -424,3 +424,39 @@ def test_q442_planted_directional_drift_per_label(spark, tmp_path):
     assert out[0]["l2_shift_sq"] == pytest.approx(0.0)
     assert out[1]["cos_centroid"] == pytest.approx(0.0)
     assert out[1]["l2_shift_sq"] == pytest.approx(2 * 4096.0**2)
+
+
+def test_day_gap_semantics_absent_days_are_absent_not_zero(spark, tmp_path):
+    """Documents (and pins) a shared semantic of the day-series detectors:
+    days with NO events produce no row — they are absent from the series,
+    not zero-filled. Consequence: a stream that STOPS entirely emits no
+    crater for q27 (no day row to flag) and no changepoint for q167 (the
+    observed-day series is still flat). That is the documented contract —
+    per-day counts are built from observed rows only, the same in both
+    engines — and the monitoring design pairs these with a liveness check
+    (q29-style row-count profile) rather than zero-filling, which would
+    need a calendar spine and a per-type first/last-seen range."""
+    rows, eid = [], 0
+    # 'stopper' emits 10/day for days 0-4, then NOTHING for days 5-9
+    for day in range(5):
+        for i in range(10):
+            eid += 1
+            rows.append(_ev(eid, _ts(day, i), i, "stopper"))
+    # control keeps the date range alive through day 9
+    for day in range(10):
+        eid += 1
+        rows.append(_ev(eid, _ts(day, 50), 1, "alive"))
+    sf = _write_events(spark, tmp_path, rows)
+    q27 = [
+        r
+        for r in _qs()["q27_anomaly_detection"](spark, sf).collect()
+        if r["event_type"] == "stopper"
+    ]
+    assert q27 == []  # no zero-day rows exist to flag
+    q167 = {
+        r["event_type"]: r
+        for r in _qs()["q167_cusum_changepoint"](spark, sf).collect()
+    }
+    # the observed 5-day series is flat -> CUSUM identically 0
+    assert q167["stopper"]["max_abs_cusum"] == 0
+    assert q167["stopper"]["n_days"] == 5
