@@ -3103,24 +3103,41 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("seq")
     )
+    # Length-band EQUI-join (round 7 — the docstring's scale contract,
+    # now the actual plan): |len_a − len_b| <= t implies the bands
+    # len div t differ by at most 1, so exploding the LEFT side to its
+    # band ± 1 and equi-joining on the right side's own band meets every
+    # qualifying pair exactly once — a shuffle hash join keyed on band,
+    # never a BroadcastNestedLoopJoin over users². The levenshtein is
+    # the THRESHOLD-bounded 3-arg form (banded DP, O(len·t) per pair,
+    # returns −1 above t — exact at or below it, so the kept rows carry
+    # the true distance and the filter is the same set).
+    t = 35
     a = coded.select(
-        F.col("user_id").alias("user_a"), F.col("seq").alias("seq_a")
+        F.col("user_id").alias("user_a"),
+        F.col("seq").alias("seq_a"),
+        F.explode(
+            F.array(
+                (F.length("seq") / t).cast("long") - 1,
+                (F.length("seq") / t).cast("long"),
+                (F.length("seq") / t).cast("long") + 1,
+            )
+        ).alias("band"),
     )
     b = coded.select(
-        F.col("user_id").alias("user_b"), F.col("seq").alias("seq_b")
+        F.col("user_id").alias("user_b"),
+        F.col("seq").alias("seq_b"),
+        (F.length("seq") / t).cast("long").alias("band"),
     )
-    pairs = a.join(
-        b,
+    pairs = a.join(b, "band").filter(
         (F.col("user_b") > F.col("user_a"))
-        & (
-            F.abs(F.length("seq_a") - F.length("seq_b")) <= 35
-        ),
+        & (F.abs(F.length("seq_a") - F.length("seq_b")) <= t)
     )
     return (
         pairs.withColumn(
-            "edit_dist", F.levenshtein("seq_a", "seq_b").cast("bigint")
+            "edit_dist", F.levenshtein("seq_a", "seq_b", t).cast("bigint")
         )
-        .filter(F.col("edit_dist") <= 35)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= t))
         .select(
             F.col("user_a").cast("bigint").alias("user_a"),
             F.col("user_b").cast("bigint").alias("user_b"),

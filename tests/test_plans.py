@@ -294,6 +294,16 @@ def test_label_prop_knn_stream_side_respread(spark):
     )
 
 
+def test_behavior_edit_distance_band_equi_join(spark):
+    """q287's similarity join must be the length-band EQUI-join (explode
+    band±1, join on band) — a hash-keyed join, never a non-equi
+    BroadcastNestedLoopJoin over users² (round 7: the sf1 soak measured
+    the all-pairs form at 100x pair growth; banding is the scale shape)."""
+    plan = _executed(_qs()["q287_behavior_edit_distance"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # the join key survives into the physical plan
+
+
 def test_substring_decontaminate_broadcasts_patterns(spark):
     """q138's pattern dictionary joins as a broadcast — per-doc cost must
     not depend on pattern count via a shuffle join."""
