@@ -127,8 +127,18 @@ def main() -> None:
     # identical protocol — for shape tests and quick iteration; the
     # default (and the driver's run) is the full HEADLINE list.
     only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    base = only.split(",") if only else HEADLINE
-    names = [n for n in base if n in queries] or sorted(queries)
+    if only:
+        # ADVICE r7: fail fast on unknown names — an all-misspelled subset
+        # must not silently fall back to running all 485 queries.
+        base = only.split(",")
+        unknown = [n for n in base if n not in queries]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES has unknown queries: {unknown}"
+            )
+        names = base
+    else:
+        names = [n for n in HEADLINE if n in queries] or sorted(queries)
 
     def run(name: str) -> None:
         # noop sink: forces FULL evaluation of every column (a count() lets

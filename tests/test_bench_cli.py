@@ -50,3 +50,26 @@ def test_bench_emits_two_parseable_json_lines_with_controls():
     # the compact line is the LAST stdout line so it survives the
     # driver's tail window even if the full line is enormous
     assert "n_queries" in lines[-1]
+
+
+def test_bench_rejects_unknown_subset_names():
+    """ADVICE r7: a misspelled SPARK_GRAFT_BENCH_QUERIES must fail fast,
+    not silently fall back to running all registered queries."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="q02_filter_pushdwn",  # typo
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_WARM="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert proc.returncode != 0
+    assert "q02_filter_pushdwn" in proc.stderr
+    assert not proc.stdout.strip()  # no bench JSON emitted

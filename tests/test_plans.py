@@ -236,6 +236,9 @@ def test_no_cartesian_product_anywhere(spark):
     pass, since no runtime broadcast conversion can mask a cartesian."""
     qs = _qs()
     offenders = []
+    # ADVICE r7: restore the PRIOR value, not a hardcoded "true" — a
+    # session configured with AQE off must leave this test unchanged.
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name, fn in qs.items():
@@ -245,7 +248,7 @@ def test_no_cartesian_product_anywhere(spark):
             if "CartesianProduct" in plan:
                 offenders.append(name)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
     assert not offenders, f"CartesianProduct planned in: {offenders}"
 
 
@@ -288,7 +291,18 @@ def test_label_prop_knn_stream_side_respread(spark):
     )
     plan = _executed(_lp_knn_pairs(qe))
     assert "BroadcastNestedLoopJoin" in plan  # expected join shape
-    assert "Exchange hashpartitioning(src" in plan, (
+    # ADVICE r7: a bare "Exchange hashpartitioning(src" check is vacuous —
+    # with the repartition removed, the row_number window inserts its own
+    # src-exchange ABOVE the join (ENSURE_REQUIREMENTS) and the substring
+    # still matches. The re-spread must be (a) in the subtree BELOW the
+    # BNLJ (after its line in the tree string) and (b) the explicit
+    # REPARTITION_BY_NUM, not an optimizer-inserted requirement.
+    import re
+
+    below = plan[plan.index("BroadcastNestedLoopJoin") :]
+    assert re.search(
+        r"Exchange hashpartitioning\(src#\d+L?, \d+\), REPARTITION_BY_NUM", below
+    ), (
         "q482's BNLJ stream side lost its re-spread - the kNN build "
         "would serialize onto the scan's partition count at scale"
     )
