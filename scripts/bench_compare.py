@@ -1,0 +1,182 @@
+"""Compare two bench artifacts with control-drift normalization.
+
+VERDICT r7 item 2: the drift controls (``control_first``/``control_last``,
+a fixed trivial scan-count timed first and last with the query rep
+protocol) exist in every artifact since r7, but nothing consumed them —
+round-over-round comparison was done by hand. This script makes it
+mechanical: per-query ratios are normalized by each artifact's control
+geomean, so a uniform session-speed shift (r5->r6 moved every common
+query ~+11% with no code cause; r7 measured a real -36% within-run
+drift) does not read as a regression.
+
+Accepted inputs, per side:
+
+* a driver-wrapped ``BENCH_r{N}.json`` (keys ``tail``/``parsed``) — the
+  full stdout JSON line inside ``tail`` is FRONT-truncated by the
+  driver's output window, so per-query numbers are recovered by regex:
+  ``"qNNN_...": 1.23`` median entries where they survive, else the
+  ``"qNNN_...": [min, max]`` spread entries (minima, the judge's r7
+  method). Controls come from the compact ``parsed`` line (always
+  intact).
+* raw ``bench.py`` stdout saved to a file (1-2 JSON lines) — the full
+  line's ``queries`` medians are used directly.
+
+Usage::
+
+    python scripts/bench_compare.py BENCH_r06.json BENCH_r07.json
+    python scripts/bench_compare.py BENCH_r07.json /tmp/bench_now.txt --threshold 1.25
+
+Exit code is always 0 (reporting tool); ``--fail-on-movers`` flips to
+exit 1 when any normalized ratio exceeds the threshold, for CI use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import re
+import sys
+
+_MEDIAN_RE = re.compile(r'"(q\d+_\w+)": ([0-9.]+)[,}]')
+_SPREAD_RE = re.compile(r'"(q\d+_\w+)": \[([0-9.]+), ([0-9.]+)\]')
+
+
+def load_artifact(path: str) -> dict:
+    """Return {name, controls: {first, last}, queries: {q: sec},
+    source: 'median'|'spread_min', total}."""
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        doc = None
+
+    if isinstance(doc, dict) and "tail" in doc:
+        # driver-wrapped artifact
+        tail = doc.get("tail") or ""
+        parsed = doc.get("parsed") or {}
+        queries: dict[str, float] = {}
+        source = "median"
+        # spread entries are [min,max]; median entries are scalars. Both
+        # regexes scan the whole (possibly truncated) tail; a median
+        # entry is preferred when both survived for a query.
+        spread = {m[1]: float(m[2]) for m in _SPREAD_RE.finditer(tail)}
+        for m in _MEDIAN_RE.finditer(tail):
+            queries[m[1]] = float(m[2])
+        if not queries:
+            queries, source = spread, "spread_min"
+        else:
+            # medians that were truncated away but have a spread row
+            missing = set(spread) - set(queries)
+            if missing:
+                source = "median+spread_min"
+                for q in missing:
+                    queries[q] = spread[q]
+        return {
+            "name": path,
+            "controls": {
+                "first": parsed.get("control_first"),
+                "last": parsed.get("control_last"),
+            },
+            "queries": queries,
+            "source": source,
+            "total": parsed.get("value"),
+        }
+
+    # raw bench stdout (1-2 JSON lines; full line has "queries")
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        d = json.loads(line)
+        if "queries" in d:
+            return {
+                "name": path,
+                "controls": {
+                    "first": d.get("control_first"),
+                    "last": d.get("control_last"),
+                },
+                "queries": {k: float(v) for k, v in d["queries"].items()},
+                "source": "median",
+                "total": d.get("value"),
+            }
+    raise SystemExit(f"{path}: no parseable bench payload found")
+
+
+def control_geomean(art: dict) -> float | None:
+    f, l = art["controls"]["first"], art["controls"]["last"]
+    if f and l and f > 0 and l > 0:
+        return math.sqrt(f * l)
+    return None
+
+
+def compare(a: dict, b: dict, threshold: float) -> dict:
+    ca, cb = control_geomean(a), control_geomean(b)
+    norm = (cb / ca) if (ca and cb) else None
+    common = sorted(set(a["queries"]) & set(b["queries"]))
+    rows = []
+    for q in common:
+        va, vb = a["queries"][q], b["queries"][q]
+        raw = vb / va if va > 0 else float("inf")
+        adj = raw / norm if norm else raw
+        rows.append(
+            {
+                "query": q,
+                "a_sec": va,
+                "b_sec": vb,
+                "raw_ratio": round(raw, 3),
+                "norm_ratio": round(adj, 3),
+            }
+        )
+    ratios = [r["norm_ratio"] for r in rows]
+    movers = [r for r in rows if r["norm_ratio"] > threshold]
+    improved = [r for r in rows if r["norm_ratio"] < 1.0 / threshold]
+    geo = (
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios)) if ratios else None
+    )
+    return {
+        "a": a["name"],
+        "b": b["name"],
+        "a_source": a["source"],
+        "b_source": b["source"],
+        "control_geomean_a": round(ca, 4) if ca else None,
+        "control_geomean_b": round(cb, 4) if cb else None,
+        "control_norm_factor": round(norm, 4) if norm else None,
+        "n_common": len(common),
+        "median_norm_ratio": round(sorted(ratios)[len(ratios) // 2], 3)
+        if ratios
+        else None,
+        "geomean_norm_ratio": round(geo, 3) if geo else None,
+        "threshold": threshold,
+        "movers": sorted(movers, key=lambda r: -r["norm_ratio"]),
+        "improved": sorted(improved, key=lambda r: r["norm_ratio"]),
+        "rows": rows,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("artifact_a")
+    ap.add_argument("artifact_b")
+    ap.add_argument("--threshold", type=float, default=1.25)
+    ap.add_argument("--fail-on-movers", action="store_true")
+    ap.add_argument(
+        "--full", action="store_true", help="print every common-query row"
+    )
+    args = ap.parse_args()
+
+    a, b = load_artifact(args.artifact_a), load_artifact(args.artifact_b)
+    rep = compare(a, b, args.threshold)
+    rows = rep.pop("rows")
+    print(json.dumps(rep, indent=2))
+    if args.full:
+        for r in rows:
+            print(
+                f"{r['query']:40s} {r['a_sec']:8.3f} -> {r['b_sec']:8.3f}"
+                f"  raw {r['raw_ratio']:6.3f}  norm {r['norm_ratio']:6.3f}"
+            )
+    return 1 if (args.fail_on_movers and rep["movers"]) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
