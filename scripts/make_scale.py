@@ -11,7 +11,25 @@ match the source; the composite is a 10x-volume workload with 10x daily
 event density and 10x duplicate clusters, which is the scaling direction a
 real crawl/ledger grows in anyway.
 
-Usage: python scripts/make_scale.py [src_dir] [dst_dir] [copies]
+``--jitter`` (VERDICT r7 item 7): plain replication compresses
+length/near-dup diversity — every document/embedding/user-sequence
+appears ``copies`` times VERBATIM, so LSH candidate density, same-length
+join-band density, and exact-dup rates are inflated ~``copies``x over
+what a real 10x crawl shows, and quadratic-join soaks (q287, and the
+q412/q440/q450 slope notes) measure the fixture, not the plan. With the
+flag, copy 0 stays pristine and each copy k>0 gets a hash-seeded,
+join-key-preserving perturbation:
+
+* documents: token-list ROTATION by ``hash(doc_id,k) % n`` (token
+  multiset per doc unchanged -> corpus token stats preserved) plus a
+  0-3 token tail drop for length jitter; ``n_chars`` recomputed.
+* events: ~1/16 of copy-k rows dropped by event hash -> per-user
+  sequence lengths vary across copies (q287's length bands spread out).
+* embeddings: a per-row additive offset of up to +/-0.1 on every
+  component (breaks exact duplication and cosine==1 ties across
+  copies; a multiplicative jitter would be invisible to cosine).
+
+Usage: python scripts/make_scale.py [src_dir] [dst_dir] [copies] [--jitter]
 Defaults: /root/testdata/sf0.1 -> .scratch/sf1, 10 copies.
 """
 
@@ -32,9 +50,11 @@ def stride(con, path, col):
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else ".scratch/sf1"
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--jitter"]
+    jitter = "--jitter" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dst = args[1] if len(args) > 1 else ".scratch/sf1"
+    copies = int(args[2]) if len(args) > 2 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
@@ -79,13 +99,68 @@ def main() -> None:
         )
         print(t, "copied (dim, unreplicated)")
 
+    # --jitter: copy-k>0 perturbations, all hash-seeded from (key, k) so
+    # regeneration is deterministic; join keys and copy-0 rows untouched.
+    jitter_sql = {
+        # token rotation (multiset-preserving) + 0-3 token tail drop
+        "documents": f"""
+            SELECT doc_id,
+                   CASE WHEN k = 0 THEN text ELSE jt END AS text,
+                   lang, source,
+                   CASE WHEN k = 0 THEN n_chars
+                        ELSE length(jt) END AS n_chars
+            FROM (
+              SELECT doc_id + k * {strides['doc']} AS doc_id, text, lang,
+                     source, n_chars, k,
+                     array_to_string(
+                       list_slice(
+                         list_concat(list_slice(tk, r + 1, n),
+                                     list_slice(tk, 1, r)),
+                         1, greatest(1, n - d)), ' ') AS jt
+              FROM (
+                SELECT *, len(tk) AS n,
+                       CAST(hash(doc_id * 1000003 + k)
+                            % greatest(len(tk), 1) AS INT) AS r,
+                       CAST(hash(doc_id * 999983 + k * 31 + 7)
+                            % 4 AS INT) AS d
+                FROM (
+                  SELECT d.*, g.k, string_split(d.text, ' ') AS tk
+                  FROM read_parquet('{src}/documents.parquet') d,
+                       (SELECT UNNEST(generate_series(0, {copies - 1}))
+                        AS k) g)))
+        """,
+        # ~1/16 row drop per copy -> per-user sequence-length diversity
+        "events": f"""
+            SELECT event_id + k * {strides['event']} AS event_id, ts,
+                   user_id + k * {strides['user']} AS user_id, event_type,
+                   value, props
+            FROM read_parquet('{src}/events.parquet'),
+                 (SELECT UNNEST(generate_series(0, {copies - 1})) AS k)
+            WHERE k = 0 OR hash(event_id * 2654435761 + k) % 16 != 0
+        """,
+        # additive per-row offset (multiplicative would preserve cosine)
+        "embeddings": f"""
+            SELECT vec_id + k * {strides['vec']} AS vec_id,
+                   CASE WHEN k = 0 THEN embedding
+                        ELSE list_transform(embedding, x -> CAST(
+                          x + (CAST(hash(vec_id * 1000003 + k) % 201 AS INT)
+                               - 100) * 0.001 AS FLOAT)) END AS embedding,
+                   label
+            FROM read_parquet('{src}/embeddings.parquet'),
+                 (SELECT UNNEST(generate_series(0, {copies - 1})) AS k)
+        """,
+    }
+
     for t, proj in shifted.items():
         proj = proj.format(**strides)
-        con.execute(
-            f"COPY (SELECT {proj} FROM read_parquet('{src}/{t}.parquet'),"
-            f" (SELECT UNNEST(generate_series(0, {copies - 1})) AS k))"
-            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        if jitter and t in jitter_sql:
+            inner = jitter_sql[t]
+        else:
+            inner = (
+                f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet'),"
+                f" (SELECT UNNEST(generate_series(0, {copies - 1})) AS k)"
+            )
+        con.execute(f"COPY ({inner}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         (n,) = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
         ).fetchone()
