@@ -7,13 +7,24 @@ exceeds the data ratio is hiding a super-linear stage. Quadratic-by-
 contract queries (all-pairs cosine/near-dup) are expected to exceed it and
 are labeled.
 
+``SOAK_SET`` selects the query list: ``gateheavy`` (the expensive
+non-headline tier), ``sample:N`` (VERDICT r7 item 3: N deterministically
+seeded queries drawn from the NEVER-SOAKED tail — names appearing in no
+``SOAK_r*.json`` — because both live scale bugs round 7 found hid in
+never-soaked queries; ``SOAK_SEED`` overrides the default seed 8), or
+unset for the headline set. Streaming queries are excluded from sampling
+(their returned frame is a memory-sink scan, so a two-SF wall ratio
+would time the sink, not the plan).
+
 Usage: python scripts/scale_soak.py [small_dir] [big_dir] [out_json]
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import random
 import sys
 import time
 
@@ -94,9 +105,38 @@ def main() -> None:
         with open(out) as f:
             results = json.load(f)
     skip = set(os.environ.get("SOAK_SKIP", "").split(",")) - {""}
-    # SOAK_SET=gateheavy soaks the expensive non-headline operators
-    # (default: the headline set, as in SOAK_r06).
-    names = GATE_HEAVY if os.environ.get("SOAK_SET") == "gateheavy" else HEADLINE
+    soak_set = os.environ.get("SOAK_SET", "")
+    if soak_set == "gateheavy":
+        names = GATE_HEAVY
+    elif soak_set.startswith("names:"):
+        names = soak_set.split(":", 1)[1].split(",")
+        unknown = [q for q in names if q not in queries]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    elif soak_set.startswith("sample:"):
+        n = int(soak_set.split(":", 1)[1])
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        soaked: set[str] = set()
+        for f in glob.glob(os.path.join(repo, "SOAK_r*.json")):
+            art = json.load(open(f))
+            soaked |= set(art.get("queries", art if isinstance(art, dict) else {}))
+            soaked |= set(art.get("plan_change_recheck", {}))
+        never = sorted(
+            q
+            for q in queries
+            if q not in soaked
+            and q not in set(HEADLINE)
+            and q not in set(GATE_HEAVY)
+            and "stream" not in q
+        )
+        seed = int(os.environ.get("SOAK_SEED", "8"))
+        names = sorted(random.Random(seed).sample(never, min(n, len(never))))
+        print(
+            json.dumps({"sample_seed": seed, "never_soaked_pool": len(never)}),
+            flush=True,
+        )
+    else:
+        names = HEADLINE
     for name in names:
         if name in results or name in skip:
             continue
