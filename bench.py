@@ -164,6 +164,15 @@ def main() -> None:
     # spread) — GC of the per-row dictionary arrays, ~+/-15% around the
     # median with occasional worse outliers. The median-of-3 is the
     # honest estimator; the recorded [min, max] carries the noise.
+    # r8 closed the remaining lever: two packed-int representations of
+    # q154's token arrays were built and measured back-to-back against
+    # the original (isolated 6-rep, sf0.1) — explode+hash-join id
+    # translation 3.89 s median, broadcast-map translation 4.15 s
+    # [4.02, 5.68], original 3.80 s [1.95, 5.56] in the same noisy
+    # session. Both int variants RAISE the median (the rarity-ranked
+    # dictionary build + per-doc translation cost more than the string
+    # arrays' GC) without removing the spread, so the representation
+    # stays as-is and the spread item is retired as intrinsic.
     warm = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "2")))
 
     def timed_reps(fn) -> list[float]:
