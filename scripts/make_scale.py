@@ -20,9 +20,14 @@ q412/q440/q450 slope notes) measure the fixture, not the plan. With the
 flag, copy 0 stays pristine and each copy k>0 gets a hash-seeded,
 join-key-preserving perturbation:
 
-* documents: token-list ROTATION by ``hash(doc_id,k) % n`` (token
-  multiset per doc unchanged -> corpus token stats preserved) plus a
-  0-3 token tail drop for length jitter; ``n_chars`` recomputed.
+* documents: token-list ROTATION by ``hash(doc_id,k) % n`` followed by
+  a stride-2 RIFFLE (odd positions then even). Rotation alone is nearly
+  identity for 3-gram shingles (only the ~4 boundary shingles change,
+  so MinHash-similarity between copies stays ~0.95 and shingle-based
+  near-dup lineages keep the inflated density); the riffle is a real
+  permutation that destroys almost every shingle while still preserving
+  the token multiset per doc (corpus token stats unchanged). A 0-3
+  token tail drop adds length jitter; ``n_chars`` recomputed.
 * events: ~1/16 of copy-k rows dropped by event hash -> per-user
   sequence lengths vary across copies (q287's length bands spread out).
 * embeddings: a per-row additive offset of up to +/-0.1 on every
@@ -102,7 +107,9 @@ def main() -> None:
     # --jitter: copy-k>0 perturbations, all hash-seeded from (key, k) so
     # regeneration is deterministic; join keys and copy-0 rows untouched.
     jitter_sql = {
-        # token rotation (multiset-preserving) + 0-3 token tail drop
+        # token rotation + stride-2 riffle (both multiset-preserving
+        # permutations; the riffle is what actually breaks shingles)
+        # + 0-3 token tail drop
         "documents": f"""
             SELECT doc_id,
                    CASE WHEN k = 0 THEN text ELSE jt END AS text,
@@ -110,13 +117,17 @@ def main() -> None:
                    CASE WHEN k = 0 THEN n_chars
                         ELSE length(jt) END AS n_chars
             FROM (
-              SELECT doc_id + k * {strides['doc']} AS doc_id, text, lang,
-                     source, n_chars, k,
+              SELECT doc_id, text, lang, source, n_chars, k,
                      array_to_string(
                        list_slice(
-                         list_concat(list_slice(tk, r + 1, n),
-                                     list_slice(tk, 1, r)),
+                         list_concat(list_slice(rot, 1, n, 2),
+                                     list_slice(rot, 2, n, 2)),
                          1, greatest(1, n - d)), ' ') AS jt
+              FROM (
+              SELECT doc_id + k * {strides['doc']} AS doc_id, text, lang,
+                     source, n_chars, k, n, d,
+                     list_concat(list_slice(tk, r + 1, n),
+                                 list_slice(tk, 1, r)) AS rot
               FROM (
                 SELECT *, len(tk) AS n,
                        CAST(hash(doc_id * 1000003 + k)
@@ -127,7 +138,7 @@ def main() -> None:
                   SELECT d.*, g.k, string_split(d.text, ' ') AS tk
                   FROM read_parquet('{src}/documents.parquet') d,
                        (SELECT UNNEST(generate_series(0, {copies - 1}))
-                        AS k) g)))
+                        AS k) g))))
         """,
         # ~1/16 row drop per copy -> per-user sequence-length diversity
         "events": f"""
