@@ -3112,7 +3112,18 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the THRESHOLD-bounded 3-arg form (banded DP, O(len·t) per pair,
     # returns −1 above t — exact at or below it, so the kept rows carry
     # the true distance and the filter is the same set).
+    # The band key is LOW-CARDINALITY by construction (band = len div t;
+    # a length-homogeneous cohort occupies 2-3 bands), so a plain
+    # band-equi-join hands every candidate pair to 2-3 reducers and the
+    # levenshtein stage runs on that many cores (round 8: measured 46 s
+    # at sf0.1 on 2 of 32 cores — the q482 stream-side lesson in
+    # join-key form). SALT the join (the q87 skew pattern): each a-row
+    # takes one hash salt, b replicates across all salts, and the join
+    # key (band, salt) spreads pair production AND the DP across
+    # band_count x SALT reducers with no extra shuffle. Same pair set:
+    # every (a, b) meets exactly once.
     t = 35
+    salts = 32
     a = coded.select(
         F.col("user_id").alias("user_a"),
         F.col("seq").alias("seq_a"),
@@ -3123,13 +3134,31 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.length("seq") / t).cast("long") + 1,
             )
         ).alias("band"),
+        F.pmod(F.xxhash64("user_id"), F.lit(salts)).cast("int").alias("salt"),
     )
+    # Explicit STREAM-side re-spread (the q482 lesson): both join inputs
+    # are ~|users| rows, so Spark broadcasts the smaller (a: users x 3
+    # bands) and STREAMS b — whose lineage is a tiny agg output that AQE
+    # coalesces to 1-2 partitions, serializing the whole 1.1M-pair
+    # fan-out AND its banded DP onto as many cores (round 8: measured
+    # ~50 s at sf0.1 single-core vs ~4.4 s spread; a first fix
+    # repartitioned the BUILD side and changed nothing — the exchange
+    # must be on the streamed side). REPARTITION_BY_NUM is exempt from
+    # AQE coalescing, and the (band, salt) key matches the join, so a
+    # shuffle-join plan at broadcast-defying scale reuses it as-is.
     b = coded.select(
         F.col("user_id").alias("user_b"),
         F.col("seq").alias("seq_b"),
         (F.length("seq") / t).cast("long").alias("band"),
-    )
-    pairs = a.join(b, "band").filter(
+        F.explode(F.array([F.lit(s) for s in range(salts)])).alias("salt"),
+    ).repartition(2 * salts, "band", "salt")
+    # Pin the build side: left to AQE's size race, either side can win
+    # the broadcast and the re-spread only helps when the OTHER side is
+    # streamed (observed: the same plan alternated 6 s / 52 s across
+    # reps). At broadcast-defying scale Catalyst ignores the hint and
+    # the (band, salt) shuffle join takes over with the salt spreading
+    # the low-cardinality band key.
+    pairs = F.broadcast(a).join(b, ["band", "salt"]).filter(
         (F.col("user_b") > F.col("user_a"))
         & (F.abs(F.length("seq_a") - F.length("seq_b")) <= t)
     )

@@ -312,10 +312,27 @@ def test_behavior_edit_distance_band_equi_join(spark):
     """q287's similarity join must be the length-band EQUI-join (explode
     band±1, join on band) — a hash-keyed join, never a non-equi
     BroadcastNestedLoopJoin over users² (round 7: the sf1 soak measured
-    the all-pairs form at 100x pair growth; banding is the scale shape)."""
+    the all-pairs form at 100x pair growth; banding is the scale shape).
+
+    Round 8 additions, both measured live: (a) the STREAM side must
+    carry an explicit (band, salt) re-spread — the band key is 2-3
+    distinct values and the side's lineage is a tiny AQE-coalesced agg,
+    so without the exchange the 1.1M-pair DP ran on 1-2 cores (46 s vs
+    5.4 s at sf0.1); (b) the build side is pinned by hint so the
+    re-spread side cannot win the broadcast race (unpinned, the same
+    query alternated 6 s / 52 s across reps)."""
+    import re
+
     plan = _executed(_qs()["q287_behavior_edit_distance"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "band" in plan  # the join key survives into the physical plan
+    i = plan.find("BroadcastHashJoin")
+    assert i >= 0
+    assert re.search(
+        r"Exchange hashpartitioning\(band#\d+L?, salt#\d+, \d+\), "
+        r"REPARTITION_BY_NUM",
+        plan[i:],
+    ), "q287 stream side lost its (band, salt) re-spread"
 
 
 def test_substring_decontaminate_broadcasts_patterns(spark):
