@@ -21,9 +21,10 @@ ARTIFACTS = sorted(glob.glob(os.path.join(REPO, "SOAK_r*.json")))
 def _rows(doc: dict):
     for name, row in doc.get("queries", {}).items():
         yield name, row, True
-    recheck = doc.get("plan_change_recheck") or {}
-    for name, row in recheck.get("queries", {}).items():
-        yield name, row, False
+    for section in ("plan_change_recheck", "fixture_change_recheck"):
+        recheck = doc.get(section) or {}
+        for name, row in recheck.get("queries", {}).items():
+            yield name, row, False
 
 
 @pytest.mark.parametrize(
