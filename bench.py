@@ -122,6 +122,18 @@ def main() -> None:
             .selectExpr("count(*) AS n")
         )
 
+    # Second, CPU-BOUND control (round 8): a local comparison against
+    # BENCH_r07 saw common-query minima drift +23% while the scan-count
+    # control moved only -7% — the scan control proxies I/O/footer-cache
+    # session state, not CPU contention. This one is a fixed codegen
+    # arithmetic fold over spark.range (no input data at all), so its
+    # drift isolates the CPU term; normalize CPU-bound movers against
+    # control_cpu_* and scan-shaped ones against control_*.
+    def control_cpu_df():
+        return spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(pmod(id * 1103515245 + 12345, 1000)) AS s"
+        )
+
     queries = all_queries()
     # SPARK_GRAFT_BENCH_QUERIES=q01_...,q41_... runs a subset with the
     # identical protocol — for shape tests and quick iteration; the
@@ -190,6 +202,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     control_first = timed_reps(lambda: noop_write(control_df()))
+    control_cpu_first = timed_reps(lambda: noop_write(control_cpu_df()))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -216,11 +229,14 @@ def main() -> None:
     gc.collect()
     _drop_persistent_rdds(spark)
     control_last = timed_reps(lambda: noop_write(control_df()))
+    control_cpu_last = timed_reps(lambda: noop_write(control_cpu_df()))
     controls = {
         "control_first": round(control_first[len(control_first) // 2], 4),
         "control_last": round(control_last[len(control_last) // 2], 4),
         "control_first_spread": [round(control_first[0], 4), round(control_first[-1], 4)],
         "control_last_spread": [round(control_last[0], 4), round(control_last[-1], 4)],
+        "control_cpu_first": round(control_cpu_first[len(control_cpu_first) // 2], 4),
+        "control_cpu_last": round(control_cpu_last[len(control_cpu_last) // 2], 4),
     }
     total = round(sum(timings.values()), 4)
     print(
@@ -255,6 +271,8 @@ def main() -> None:
                 "n_queries": len(timings),
                 "control_first": controls["control_first"],
                 "control_last": controls["control_last"],
+                "control_cpu_first": controls["control_cpu_first"],
+                "control_cpu_last": controls["control_cpu_last"],
             }
         ),
         flush=True,

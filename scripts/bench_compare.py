@@ -42,9 +42,12 @@ _MEDIAN_RE = re.compile(r'"(q\d+_\w+)": ([0-9.]+)[,}]')
 _SPREAD_RE = re.compile(r'"(q\d+_\w+)": \[([0-9.]+), ([0-9.]+)\]')
 
 
-def load_artifact(path: str) -> dict:
+def load_artifact(path: str, minima: bool = False) -> dict:
     """Return {name, controls: {first, last}, queries: {q: sec},
-    source: 'median'|'spread_min', total}."""
+    source: 'median'|'spread_min', total}. ``minima=True`` prefers the
+    spread minimum on BOTH sides — required for a like-for-like
+    comparison against a driver artifact whose median dict was
+    truncated away (minima vs medians reads as a uniform ~+25%)."""
     text = open(path).read()
     try:
         doc = json.loads(text)
@@ -63,7 +66,9 @@ def load_artifact(path: str) -> dict:
         spread = {m[1]: float(m[2]) for m in _SPREAD_RE.finditer(tail)}
         for m in _MEDIAN_RE.finditer(tail):
             queries[m[1]] = float(m[2])
-        if not queries:
+        if minima and spread:
+            queries, source = spread, "spread_min"
+        elif not queries:
             queries, source = spread, "spread_min"
         else:
             # medians that were truncated away but have a spread row
@@ -77,6 +82,8 @@ def load_artifact(path: str) -> dict:
             "controls": {
                 "first": parsed.get("control_first"),
                 "last": parsed.get("control_last"),
+                "cpu_first": parsed.get("control_cpu_first"),
+                "cpu_last": parsed.get("control_cpu_last"),
             },
             "queries": queries,
             "source": source,
@@ -90,21 +97,29 @@ def load_artifact(path: str) -> dict:
             continue
         d = json.loads(line)
         if "queries" in d:
+            vals = {k: float(v) for k, v in d["queries"].items()}
+            source = "median"
+            if minima and d.get("spread"):
+                vals = {k: float(v[0]) for k, v in d["spread"].items()}
+                source = "spread_min"
             return {
                 "name": path,
                 "controls": {
                     "first": d.get("control_first"),
                     "last": d.get("control_last"),
+                    "cpu_first": d.get("control_cpu_first"),
+                    "cpu_last": d.get("control_cpu_last"),
                 },
-                "queries": {k: float(v) for k, v in d["queries"].items()},
-                "source": "median",
+                "queries": vals,
+                "source": source,
                 "total": d.get("value"),
             }
     raise SystemExit(f"{path}: no parseable bench payload found")
 
 
-def control_geomean(art: dict) -> float | None:
-    f, l = art["controls"]["first"], art["controls"]["last"]
+def control_geomean(art: dict, kind: str = "") -> float | None:
+    f = art["controls"].get(f"{kind}first" if kind else "first")
+    l = art["controls"].get(f"{kind}last" if kind else "last")
     if f and l and f > 0 and l > 0:
         return math.sqrt(f * l)
     return None
@@ -134,6 +149,7 @@ def compare(a: dict, b: dict, threshold: float) -> dict:
     geo = (
         math.exp(sum(math.log(r) for r in ratios) / len(ratios)) if ratios else None
     )
+    cpua, cpub = control_geomean(a, "cpu_"), control_geomean(b, "cpu_")
     return {
         "a": a["name"],
         "b": b["name"],
@@ -142,6 +158,13 @@ def compare(a: dict, b: dict, threshold: float) -> dict:
         "control_geomean_a": round(ca, 4) if ca else None,
         "control_geomean_b": round(cb, 4) if cb else None,
         "control_norm_factor": round(norm, 4) if norm else None,
+        # CPU-bound control (round 8) — reported, not applied: the scan
+        # control normalizes by default; a CPU-shaped uniform move shows
+        # up here instead (r8 local: scan -7% while CPU-bound queries
+        # drifted +23%)
+        "control_cpu_geomean_a": round(cpua, 4) if cpua else None,
+        "control_cpu_geomean_b": round(cpub, 4) if cpub else None,
+        "control_cpu_ratio": round(cpub / cpua, 4) if (cpua and cpub) else None,
         "n_common": len(common),
         "median_norm_ratio": round(sorted(ratios)[len(ratios) // 2], 3)
         if ratios
@@ -161,11 +184,18 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.25)
     ap.add_argument("--fail-on-movers", action="store_true")
     ap.add_argument(
+        "--minima",
+        action="store_true",
+        help="compare spread minima on both sides (like-for-like vs a "
+        "truncated driver artifact)",
+    )
+    ap.add_argument(
         "--full", action="store_true", help="print every common-query row"
     )
     args = ap.parse_args()
 
-    a, b = load_artifact(args.artifact_a), load_artifact(args.artifact_b)
+    a = load_artifact(args.artifact_a, minima=args.minima)
+    b = load_artifact(args.artifact_b, minima=args.minima)
     rep = compare(a, b, args.threshold)
     rows = rep.pop("rows")
     print(json.dumps(rep, indent=2))

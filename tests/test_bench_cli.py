@@ -73,3 +73,29 @@ def test_bench_rejects_unknown_subset_names():
     assert proc.returncode != 0
     assert "q02_filter_pushdwn" in proc.stderr
     assert not proc.stdout.strip()  # no bench JSON emitted
+
+
+def test_bench_emits_cpu_controls():
+    """Round 8: a CPU-bound control (codegen fold over spark.range, no
+    input) must appear beside the scan control in both JSON lines — the
+    scan control alone missed a +23% CPU-side session drift."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_QUERIES="q02_filter_pushdown",
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_BENCH_WARM="0",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    for ln in lines:
+        d = json.loads(ln)
+        assert d["control_cpu_first"] > 0 and d["control_cpu_last"] > 0
