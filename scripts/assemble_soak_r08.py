@@ -31,6 +31,34 @@ NOTES = {
     "q377_state_size_advisor": "TTL-grid x day windowed distinct-user join (days fixed at 30, users 10x -> join output 10x); wall 3.3x, sub-linear per output row",
     "q458_vocab_growth": "prefix-sampled Heaps curve: first-seen rank + cumulative distinct counts; token volume 10x, wall 2.2x",
     "q68_dataset_split": "stable-hash split + per-split counts; slope 1.72 on a 0.2 s wall - pure overhead",
+    # sampled tier 2 (seed 9, drawn after tier 1 landed in the artifact)
+    "q92_keyword_extraction": "tf-idf top-k: token explode + df rollup + per-doc rank; token volume 10x, wall 4.2x, combiner-bound",
+    "q457_bm25_topk": "BM25 scoring over the inverted postings; postings 10x, wall 3.5x - one scan + rank, sub-linear",
+    "q299_watermark_advisor": "per-type lateness histogram over the fixed calendar; slope 1.87 on a sub-second wall",
+    "q76_pivot": "fixed-width pivot; slope 1.77, fixed cost",
+    "q90_cohort_retention": "cohort x week matrix bounded by the 30-day calendar; slope 1.7",
+    "q467_lz78_complexity": "per-user phrase-dictionary fold (sequence lengths unchanged at sf1 - users grow instead); slope 1.65",
+    "q301_key_gap_audit": "orderkey gap scan, one sort-free window; slope 1.51",
+    "q152_ols_scoring": "closed-form OLS moments + scoring, two scans; slope 1.46",
+    "q189_confusion_matrix": "fixed 2x2 rollup; slope 1.24",
+    "q329_density_grid": "fixed lat/lon grid histogram; slope 1.21",
+    "q213_bitmap_presence": "day-bitmap OR-fold per user; slope 1.13",
+    "q421_neyman_allocation": "per-stratum variance + allocation over 5 strata; slope 1.1",
+    "q465_ljung_box": "calendar-spine day-count ACF per type (state is days, not events); slope 1.1",
+    "q262_churn_labels": "per-user last-activity labels; slope 1.06",
+    "q372_event_study": "fixed event-window means around planted dates; slope 1.03",
+    "q204_sql_grouping_id": "GROUPING SETS rollup; slope 0.98 - fixed cost dominates",
+    "q325_partition_advisor": "file/row-group stats advisory, metadata-bound; slope 0.92",
+    "q392_dominant_period": "fixed-grid Goertzel over the daily series (calendar-bounded); slope 0.9",
+    "q121_interval_concurrency": "sweep-line over session intervals; slope 0.87 - big side benefits from fuller partitions",
+    "q06_safe_division": "single projection scan; slope 0.83, pure fixed cost",
+    # stream-side audit triage (scripts/audit_stream_side.py)
+    "q125_countmin_heavy_hitters": "AUDIT TRIAGE: flagged (grouped agg feeds the (j,col) sketch join); fan-out is the fixed sketch grid, not a data dimension - slope 1.13, benign",
+    "q129_ts_interpolate": "AUDIT TRIAGE: flagged (day-spine left join under a grouped agg); fan-out bounded by the 30-day calendar - slope 1.27, benign",
+    "q272_bloom_fpr_audit": "AUDIT TRIAGE: flagged (bit-position join); fan-out bounded by the fixed filter width - slope 2.09, benign",
+    "q290_adstock_carryover": "AUDIT TRIAGE: flagged ((user,week) left join); fan-out bounded by user x 5 weeks - slope 1.06, benign",
+    "q353_rolling_origin": "AUDIT TRIAGE: flagged (non-equi day-range BNLJ); fan-out bounded by folds x 30 days - slope 1.12, benign",
+    "q466_page_hinkley": "AUDIT TRIAGE: flagged (day-spine left join); calendar-bounded - slope 1.13, benign",
     # jittered-fixture recheck
     "q412_dedup_clusters_star": "JITTERED fixture (riffle kills inter-copy shingle overlap): slope 3.51 (r7 plain replication) -> 3.13 - the LSH candidate-pair inflation was fixture, not plan; remaining growth is the honest near-dup graph",
     "q440_cluster_safe_split": "JITTERED: slope 3.92 -> 4.96. Plain replication had UNDERSTATED this query: collapsing 10 copies into one dup cluster shrank the split's grouped state; with copies distinct (the real 10x-crawl shape) the state is ~10x and wall growth is honestly ~5x, still sub-linear",
@@ -56,6 +84,8 @@ Q287_NOTE = (
 
 def main() -> None:
     sample = json.load(open(".scratch/soak_r8_sample.json"))
+    sample.update(json.load(open(".scratch/soak_r8_sample2.json")))
+    sample.update(json.load(open(".scratch/soak_r8_flagged.json")))
     jitter = json.load(open(".scratch/soak_r8_jitter3.json"))
     jitter.update(json.load(open(".scratch/soak_r8_q287.json")))
 
@@ -77,17 +107,22 @@ def main() -> None:
             "scripts/scale_soak.py - 1 warm + 1 timed run per query per sf, "
             "one session, nothing else running (a first attempt overlapped "
             "with bench reps and was discarded as contaminated). queries = "
-            "SOAK_SET=sample:20 seed 8: 20 deterministically sampled "
-            "NEVER-SOAKED queries (pool was 386 of 485 after excluding "
+            "SOAK_SET=sample:20 seed 8 (pool 386 of 485 after excluding "
             "SOAK_r06/r07 coverage, headline, gate-heavy, and streaming "
-            "memory-sink queries) per VERDICT r7 item 3. "
-            "fixture_change_recheck = the four replication-artifact "
-            "queries re-soaked against .scratch/sf1j (make_scale --jitter: "
-            "rotation+riffle token permutation, event row-drop, embedding "
-            "offset - copy 0 pristine, join keys preserved) per item 7; "
-            "their small_s side is the pristine /root/testdata/sf0.1"
+            "memory-sink queries) per VERDICT r7 item 3, PLUS a second "
+            "seed-9 sample of 20 drawn from the post-tier-1 pool, PLUS the "
+            "6 never-soaked queries flagged by the new "
+            "scripts/audit_stream_side.py plan audit (grouped stream-side "
+            "agg + fan-out under a broadcast join with no re-spread - the "
+            "q482/q287 hazard signature; all 6 measured benign, notes "
+            "per-row). fixture_change_recheck = the four "
+            "replication-artifact queries re-soaked against .scratch/sf1j "
+            "(make_scale --jitter: rotation+riffle token permutation, "
+            "event row-drop, embedding offset - copy 0 pristine, join keys "
+            "preserved) per item 7; their small_s side is the pristine "
+            "/root/testdata/sf0.1"
         ),
-        "sample_seed": 8,
+        "sample_seeds": [8, 9],
         "never_soaked_pool": 386,
         "queries": sample,
         "fixture_change_recheck": {
