@@ -1074,12 +1074,16 @@ def q152_ols_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rn FROM base GROUP BY event_type),
     c AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS cn FROM base GROUP BY dow),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    -- full margin grid: empty cells contribute RC/N (round-8 densify fix)
     cells AS (
-      SELECT o.event_type, o.dow, o.obs,
+      SELECT r.event_type, c.dow, COALESCE(o.obs, 0) AS obs,
              CAST(r.rn AS DOUBLE) * c.cn / t.n AS expected,
-             CAST((o.obs * t.n - r.rn * c.cn) * (o.obs * t.n - r.rn * c.cn)
+             CAST((COALESCE(o.obs, 0) * t.n - r.rn * c.cn)
+                  * (COALESCE(o.obs, 0) * t.n - r.rn * c.cn)
                   AS DOUBLE) / (CAST(t.n AS DOUBLE) * r.rn * c.cn) AS contrib
-      FROM o JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+      FROM r CROSS JOIN c
+      LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow
+      CROSS JOIN t
     ),
     tot AS (
       SELECT list_reduce(list(contrib ORDER BY event_type, dow),
@@ -1124,9 +1128,18 @@ def q158_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = base.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
     t = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     num = (F.col("obs") * F.col("n") - F.col("rn") * F.col("cn"))
+    # Densify to the FULL margin grid before computing contributions
+    # (round 8, the q215-EMD lesson class): an EMPTY cell still
+    # contributes (0·N − RC)²/(NRC) = RC/N to chi², and walking only
+    # observed (type, dow) combinations silently drops it — a
+    # shared-formula blind spot both engines had (calibration test:
+    # 2x2 disjoint table scored N/2 instead of N), invisible on the
+    # real fixture where every cell is occupied.
     cells = (
-        o.join(F.broadcast(r), "event_type")
-        .join(F.broadcast(c), "dow")
+        F.broadcast(r)
+        .crossJoin(F.broadcast(c))
+        .join(o, ["event_type", "dow"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0)).cast("bigint"))
         .crossJoin(F.broadcast(t))
         .select(
             "event_type",

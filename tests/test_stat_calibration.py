@@ -6,7 +6,11 @@ and a null fixture where it provably doesn't (the test must stay
 QUIET). The oracle pins Spark==DuckDB and the recompute tests pin the
 formula; these pin that the statistic actually discriminates. Covers
 q218 KS, q459 Spearman, q460 Kruskal-Wallis, q465 Ljung-Box, q468
-runs test, q469 Friedman, q478 Cramér-von Mises.
+runs test, q469 Friedman, q478 Cramér-von Mises (batch 1 — the seven
+the r7 verdict named), plus q297 Mann-Whitney, q144 Welch, q323 ANOVA,
+q158 chi-square, q370 overdispersion, q406 Durbin-Watson (batch 2 —
+the rest of the inference suite; batch 2 found and fixed q158's
+empty-cell densify gap).
 """
 
 from __future__ import annotations
@@ -264,3 +268,164 @@ def test_q478_cvm_quiet_on_interleaved_fires_on_disjoint(spark, tmp_path):
     [sep] = q(spark, sf).collect()
     assert abs(sep["t_cvm"] - 3.3375) < 1e-9
     assert sep["same_distribution_5pct"] is False
+
+
+# --- batch 2: the remaining inference suite ---------------------------------
+
+
+def test_q297_mwu_auc_half_on_identical_extremes_on_separated(spark, tmp_path):
+    def ev_rows(view_vals, click_vals):
+        rows, eid = [], 0
+        for v in view_vals:
+            rows.append((eid, _day(0, eid), 1, "view", float(v), "{}"))
+            eid += 1
+        for v in click_vals:
+            rows.append((eid, _day(0, eid), 1, "click", float(v), "{}"))
+            eid += 1
+        return rows
+
+    q = _qs()["q297_mann_whitney_u"]
+    vals = list(range(1, 21))
+    sf = _write(spark, tmp_path, "events", EV_SCHEMA, ev_rows(vals, vals))
+    [null] = q(spark, sf).collect()
+    assert null["auc_hat"] == 0.5  # identical multisets: exact by symmetry
+    assert null["u1_doubled"] == null["u2_doubled"]
+
+    sf = _write(
+        spark, tmp_path, "events", EV_SCHEMA,
+        ev_rows([100 + v for v in vals], vals),
+    )
+    [sep] = q(spark, sf).collect()
+    assert sep["auc_hat"] == 1.0  # every view value beats every click value
+
+
+def test_q144_welch_zero_on_identical_days_fires_on_shift(spark, tmp_path):
+    def ev_rows(click_vals, error_vals):
+        rows, eid = [], 0
+        for v in click_vals:
+            rows.append((eid, _day(0, eid), 1, "click", float(v), "{}"))
+            eid += 1
+        for v in error_vals:
+            rows.append((eid, _day(0, eid), 1, "error", float(v), "{}"))
+            eid += 1
+        return rows
+
+    q = _qs()["q144_welch_ttest"]
+    vals = [10, 12] * 10
+    sf = _write(spark, tmp_path, "events", EV_SCHEMA, ev_rows(vals, vals))
+    [null] = q(spark, sf).collect()
+    assert null["mean_diff"] == 0.0 and null["t_stat"] == 0.0
+
+    sf = _write(
+        spark, tmp_path, "events", EV_SCHEMA,
+        ev_rows(vals, [1, 3] * 10),
+    )
+    [shift] = q(spark, sf).collect()
+    assert shift["mean_diff"] == 9.0  # (11 - 2) exactly, integer cents
+    # replayed: t = 9 / sqrt(2 * (20/19) / 20) = 27.75
+    assert abs(shift["t_stat"] - 27.7489) < 0.01
+
+
+def test_q323_anova_zero_on_identical_groups_fires_on_separated(spark, tmp_path):
+    def orders_rows(vals_by_prio):
+        rows, okey = [], 0
+        for prio, vals in vals_by_prio.items():
+            for v in vals:
+                okey += 1
+                rows.append((okey, 1, "O", float(v), _day(0), prio))
+        return rows
+
+    q = _qs()["q323_oneway_anova"]
+    same = [100, 110, 120, 130]
+    sf = _write(
+        spark, tmp_path, "orders", ORD_SCHEMA,
+        orders_rows({p: same for p in PRIORITIES}),
+    )
+    [null] = q(spark, sf).collect()
+    assert abs(null["f_stat"]) < 1e-9 and abs(null["eta_squared"]) < 1e-9
+
+    sf = _write(
+        spark, tmp_path, "orders", ORD_SCHEMA,
+        orders_rows(
+            {p: [1000 * g + 1, 1000 * g + 2] for g, p in enumerate(PRIORITIES)}
+        ),
+    )
+    [sep] = q(spark, sf).collect()
+    assert sep["f_stat"] > 1000 and sep["eta_squared"] > 0.99
+
+
+def test_q158_chi2_zero_on_proportional_table_fires_on_disjoint(spark, tmp_path):
+    def ev_rows(day_counts_by_type):
+        rows, eid = [], 0
+        for etype, counts in sorted(day_counts_by_type.items()):
+            for d, c in enumerate(counts):
+                for i in range(c):
+                    rows.append((eid, _day(d, i), 1, etype, 1.0, "{}"))
+                    eid += 1
+        return rows
+
+    q = _qs()["q158_chi_square"]
+    # B is exactly 2x A per day -> every cell perfectly proportional
+    base = [10, 20, 10, 5, 10, 10, 15]
+    sf = _write(
+        spark, tmp_path, "events", EV_SCHEMA,
+        ev_rows({"A": base, "B": [2 * c for c in base]}),
+    )
+    rows = q(spark, sf).collect()
+    assert all(r["contrib"] == 0.0 for r in rows)
+    assert all(r["chi2"] == 0.0 for r in rows)
+
+    # A only on day 0, B only on day 1 -> maximal association: chi2 = N
+    sf = _write(
+        spark, tmp_path, "events", EV_SCHEMA,
+        ev_rows({"A": [30], "B": [0, 30]}),
+    )
+    rows = q(spark, sf).collect()
+    assert abs(rows[0]["chi2"] - 60.0) < 1e-9  # 2x2 disjoint: chi2 == N
+
+
+def test_q370_dispersion_zero_on_constant_fires_on_bimodal(spark, tmp_path):
+    rows, eid = [], 0
+    # 'flat': 10 users x 3 events on day 0 -> var exactly 0
+    for u in range(10):
+        for i in range(3):
+            rows.append((eid, _day(0, i), u, "flat", 1.0, "{}"))
+            eid += 1
+    # 'burst': 5 users with 1 event, 5 users with 21 -> index ~10
+    for u in range(10):
+        c = 1 if u < 5 else 21
+        for i in range(c):
+            rows.append((eid, _day(0, i), 100 + u, "burst", 1.0, "{}"))
+            eid += 1
+    sf = _write(spark, tmp_path, "events", EV_SCHEMA, rows)
+    out = {r["event_type"]: r for r in _qs()["q370_overdispersion"](spark, sf).collect()}
+    assert out["flat"]["dispersion_index"] == 0.0
+    assert out["flat"]["overdispersed"] is False
+    # replayed: mean 11, var = 10*100/9 -> index 1000/99 = 10.101
+    assert abs(out["burst"]["dispersion_index"] - 1000 / 99) < 1e-9
+    assert out["burst"]["overdispersed"] is True
+
+
+def test_q406_dw_fires_on_blocked_quiet_on_alternating(spark, tmp_path):
+    def ev_rows(series_by_type):
+        rows, eid = [], 0
+        for etype, ys in sorted(series_by_type.items()):
+            for d, y in enumerate(ys):
+                rows.append((eid, _day(d), 1, etype, float(y), "{}"))
+                eid += 1
+        return rows
+
+    sf = _write(
+        spark, tmp_path, "events", EV_SCHEMA,
+        ev_rows(
+            {
+                "blocked": [100.0] * 10 + [20.0] * 10,  # replayed DW 0.7714
+                "alternating": [100.0, 20.0] * 10,      # replayed DW 3.826
+            }
+        ),
+    )
+    out = {r["event_type"]: r for r in _qs()["q406_durbin_watson"](spark, sf).collect()}
+    assert abs(out["blocked"]["dw"] - 0.7714) < 0.001
+    assert out["blocked"]["positive_autocorr"] is True
+    assert abs(out["alternating"]["dw"] - 3.826) < 0.001
+    assert out["alternating"]["positive_autocorr"] is False
