@@ -1829,11 +1829,18 @@ _BENFORD_CASE = "CASE d " + " ".join(
                               AS VARCHAR), 1, 1) AS BIGINT) AS d
       FROM orders WHERE o_totalprice > 0
     ),
-    c AS (
+    c0 AS (
       SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY d
     ),
+    -- densify to the 1-9 digit spine (round 8): a digit that NEVER
+    -- appears is the loudest Benford violation, not a missing row
+    c AS (
+      SELECT g.d, COALESCE(c0.n, 0) AS n
+      FROM (SELECT UNNEST(range(1, 10)) AS d) g
+      LEFT JOIN c0 ON c0.d = g.d
+    ),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
-    SELECT c.d AS digit, c.n,
+    SELECT c.d AS digit, CAST(c.n AS BIGINT) AS n,
            CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
            CAST(c.n * 1000000 AS BIGINT) // t.total AS observed_ppm,
            abs(CAST(c.n * 1000000 AS BIGINT) // t.total - {_BENFORD_CASE})
@@ -1865,7 +1872,14 @@ def q214_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("d")
     )
-    c = x.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c0 = x.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # densify to the 1-9 digit spine (round 8, the q158/q215 lesson
+    # class): a digit that never appears is the LOUDEST violation
+    # (deviation == its full expected ppm), not a missing row
+    spine = spark.range(1, 10).select(F.col("id").alias("d"))
+    c = spine.join(c0, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
     t = c.agg(F.sum("n").cast("bigint").alias("total"))
     expected = F.element_at(
         F.array(*[F.lit(p).cast("bigint") for p in BENFORD_PPM]), F.col("d").cast("int")
@@ -2077,11 +2091,17 @@ def q218_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              user_id
       FROM (SELECT DISTINCT user_id FROM events)
     ),
-    c AS (
+    c0 AS (
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM arms GROUP BY arm
     ),
+    -- densify to the declared design: a zero-user arm must surface
+    c AS (
+      SELECT g.arm, COALESCE(c0.n, 0) AS n
+      FROM (SELECT UNNEST(['control', 'treatment']) AS arm) g
+      LEFT JOIN c0 ON c0.arm = g.arm
+    ),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
-    SELECT c.arm, c.n, t.total,
+    SELECT c.arm, CAST(c.n AS BIGINT) AS n, t.total,
            CAST((2 * c.n - t.total) * (2 * c.n - t.total) AS DOUBLE)
              / (2.0 * t.total) AS chi2_contrib
     FROM c, t
@@ -2115,7 +2135,16 @@ def q219_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "control",
     ).otherwise("treatment")
     arms = ev.select("user_id").distinct().select(arm.alias("arm"))
-    c = arms.groupBy("arm").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c0 = arms.groupBy("arm").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # densify to the declared two-arm design (round 8): an arm that
+    # logged ZERO users — the exact breakage SRM exists to catch — must
+    # surface as a row with contribution N/2, not vanish
+    spine = spark.createDataFrame(
+        [("control",), ("treatment",)], "arm string"
+    )
+    c = spine.join(c0, "arm", "left").select(
+        "arm", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
     t = c.agg(F.sum("n").cast("bigint").alias("total"))
     return c.crossJoin(F.broadcast(t)).select(
         "arm",

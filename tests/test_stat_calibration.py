@@ -429,3 +429,41 @@ def test_q406_dw_fires_on_blocked_quiet_on_alternating(spark, tmp_path):
     assert out["blocked"]["positive_autocorr"] is True
     assert abs(out["alternating"]["dw"] - 3.826) < 0.001
     assert out["alternating"]["positive_autocorr"] is False
+
+
+def test_q214_benford_missing_digit_surfaces_as_max_deviation(spark, tmp_path):
+    # every total starts with digit 9 -> digits 1-8 must appear as rows
+    # with n=0 and deviation == their full Benford expectation
+    rows = [(k + 1, 1, "O", 900.0 + k, _day(0), "1-URGENT") for k in range(10)]
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, rows)
+    out = {r["digit"]: r for r in _qs()["q214_benford_digits"](spark, sf).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[9]["n"] == 10 and out[9]["observed_ppm"] == 1_000_000
+    assert out[1]["n"] == 0
+    assert out[1]["observed_ppm"] == 0
+    assert out[1]["deviation_ppm"] == out[1]["expected_ppm"]  # the loudest flag
+
+
+def test_q219_srm_zero_user_arm_surfaces(spark, tmp_path):
+    # find user ids that all hash to ONE arm, simulating a pipeline that
+    # dropped the other arm entirely - the exact breakage SRM exists for
+    import hashlib
+
+    def arm_of(uid: int) -> str:
+        h = int(hashlib.md5(f"{uid}:exp1".encode()).hexdigest()[:8], 16)
+        return "control" if h % 2 == 0 else "treatment"
+
+    control_only = [u for u in range(200) if arm_of(u) == "control"][:20]
+    rows = [
+        (i, _day(0, i), u, "view", 1.0, "{}")
+        for i, u in enumerate(control_only)
+    ]
+    sf = _write(spark, tmp_path, "events", EV_SCHEMA, rows)
+    out = {r["arm"]: r for r in _qs()["q219_srm_check"](spark, sf).collect()}
+    assert set(out) == {"control", "treatment"}
+    assert out["treatment"]["n"] == 0
+    # one-armed design: (2*0 - N)^2 / (2N) = N/2 from EACH side
+    n = out["control"]["total"]
+    assert out["treatment"]["chi2_contrib"] == n / 2.0
+    assert out["control"]["chi2_contrib"] == n / 2.0
+    assert out["treatment"]["chi2_contrib"] + out["control"]["chi2_contrib"] > 3.84
