@@ -1843,7 +1843,9 @@ ELBOW_KS = (2, 3, 4, 5, 6)
       SELECT k, vec_id, MIN(dist) AS mind FROM dists GROUP BY k, vec_id
     ),
     wcss AS (
-      SELECT k, CAST(SUM(mind) AS BIGINT) AS wcss FROM nearest GROUP BY k
+      -- DECIMAL(38,0): the corpus-level sum of per-vector distances
+      -- overflows int64 past ~sf0.3 (round-8 soak caught it live at sf1)
+      SELECT k, CAST(SUM(mind) AS DECIMAL(38, 0)) AS wcss FROM nearest GROUP BY k
     ),
     curve AS (
       SELECT k, wcss,
@@ -1852,9 +1854,9 @@ ELBOW_KS = (2, 3, 4, 5, 6)
       FROM wcss
     )
     SELECT k, wcss,
-           CAST(prev_w - wcss AS BIGINT) AS drop_from_prev,
+           CAST(prev_w - wcss AS DECIMAL(38, 0)) AS drop_from_prev,
            CASE WHEN prev_w IS NOT NULL AND next_w IS NOT NULL
-                THEN CAST(prev_w + next_w - 2 * wcss AS BIGINT) END
+                THEN CAST(prev_w + next_w - 2 * wcss AS DECIMAL(38, 0)) END
              AS curvature,
            prev_w IS NOT NULL AND next_w IS NOT NULL
              AND prev_w + next_w - 2 * wcss = (
@@ -1906,7 +1908,12 @@ def q402_elbow_wcss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nearest = dists.groupBy("k", "vec_id").agg(F.min("dist").alias("mind"))
-    wcss = nearest.groupBy("k").agg(F.sum("mind").cast("long").alias("wcss"))
+    # DECIMAL(38,0) accumulator (round 8): each per-vector distance fits
+    # int64 (<= 64 dims x (2Q)^2 ~ 7e16) but the CORPUS sum is n of
+    # those — the sf1 soak hit ARITHMETIC_OVERFLOW live at 20k vectors.
+    wcss = nearest.groupBy("k").agg(
+        F.sum(F.col("mind").cast("decimal(38,0)")).cast("decimal(38,0)").alias("wcss")
+    )
     wk = Window.orderBy("k")
     curve = wcss.select(
         "k",
@@ -1928,9 +1935,11 @@ def q402_elbow_wcss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return curve.crossJoin(F.broadcast(maxc)).select(
         "k",
-        F.col("wcss").cast("bigint"),
-        (F.col("prev_w") - F.col("wcss")).cast("bigint").alias("drop_from_prev"),
-        curv.cast("bigint").alias("curvature"),
+        F.col("wcss").cast("decimal(38,0)").alias("wcss"),
+        (F.col("prev_w") - F.col("wcss"))
+        .cast("decimal(38,0)")
+        .alias("drop_from_prev"),
+        curv.cast("decimal(38,0)").alias("curvature"),
         (
             F.col("prev_w").isNotNull()
             & F.col("next_w").isNotNull()

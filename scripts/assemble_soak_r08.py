@@ -52,6 +52,35 @@ NOTES = {
     "q392_dominant_period": "fixed-grid Goertzel over the daily series (calendar-bounded); slope 0.9",
     "q121_interval_concurrency": "sweep-line over session intervals; slope 0.87 - big side benefits from fuller partitions",
     "q06_safe_division": "single projection scan; slope 0.83, pure fixed cost",
+    # sampled tier 3 (seed 10)
+    "q403_effective_size": "n_eff from the lag-1 ACF over the daily series (calendar-bounded); slope 1.9 on a 0.3 s wall",
+    "q310_price_volume_mix": "PVM bridge over two period aggregates; slope 1.84",
+    "q471_shuffle_audit": "plan-introspection advisory, metadata-bound; slope 1.53",
+    "q155_audience_overlap": "per-pair KMV-style overlap over 5 event types (fixed pair grid); slope 1.47",
+    "q464_levenshtein_blocking": "blocked candidate pairs, bounded DP; slope 1.45",
+    "q207_map_column_ops": "map-column HOF projection scan; slope 1.42",
+    "q119_pareto_frontier": "local-skyline mapInPandas + bounded merge; slope 1.41",
+    "q36_interval_integration": "garbage-minute integration windows; slope 1.34",
+    "q261_uplift_deciles": "hash-arm deciles, two rollups; slope 1.25",
+    "q39_moving_average": "bounded-frame window; slope 1.23",
+    "q91_gapfill_interpolate": "day-spine gapfill + interpolation windows (calendar-bounded); slope 1.17",
+    "q27_anomaly_detection": "per-day z-scores over the daily rollup; slope 1.16",
+    "q127_mad_outliers": "per-type MAD via double median; slope 1.14",
+    "q333_median_ci": "order-stat CI from the value histogram; slope 1.11",
+    "q389_apdex": "threshold-bucket rollup; slope 1.07",
+    "q238_exact_auc": "rank-identity AUC over the value histogram; slope 1.02",
+    "q11_dim_enrich_join": "broadcast dim enrich; slope 0.96 - fixed cost",
+    "q424_kde_epanechnikov": "fixed-grid KDE vs broadcast grid; slope 0.87",
+    "q104_skew_profile": "per-key skew stats; slope 0.62 - big side fills partitions better",
+    "q402_elbow_wcss": (
+        "CAUGHT LIVE #2 this round: int64 ARITHMETIC_OVERFLOW at sf1 - "
+        "each per-vector quantized distance fits int64 (<= 64 dims x "
+        "(2Q)^2 ~ 7e16) but the CORPUS-level WCSS sum is n of those and "
+        "20k vectors cleared 9.2e18. Fixed: DECIMAL(38,0) accumulator in "
+        "BOTH engines (the house DECIMAL-money rule applied to distance "
+        "mass), schema-pinned by test_elbow_wcss_accumulates_in_decimal; "
+        "re-soaked clean, slope 1.65"
+    ),
     # stream-side audit triage (scripts/audit_stream_side.py)
     "q125_countmin_heavy_hitters": "AUDIT TRIAGE: flagged (grouped agg feeds the (j,col) sketch join); fan-out is the fixed sketch grid, not a data dimension - slope 1.13, benign",
     "q129_ts_interpolate": "AUDIT TRIAGE: flagged (day-spine left join under a grouped agg); fan-out bounded by the 30-day calendar - slope 1.27, benign",
@@ -86,6 +115,8 @@ def main() -> None:
     sample = json.load(open(".scratch/soak_r8_sample.json"))
     sample.update(json.load(open(".scratch/soak_r8_sample2.json")))
     sample.update(json.load(open(".scratch/soak_r8_flagged.json")))
+    sample.update(json.load(open(".scratch/soak_r8_sample3.json")))
+    sample.update(json.load(open(".scratch/soak_r8_q402.json")))  # post-fix row
     jitter = json.load(open(".scratch/soak_r8_jitter3.json"))
     jitter.update(json.load(open(".scratch/soak_r8_q287.json")))
 
@@ -109,8 +140,8 @@ def main() -> None:
             "with bench reps and was discarded as contaminated). queries = "
             "SOAK_SET=sample:20 seed 8 (pool 386 of 485 after excluding "
             "SOAK_r06/r07 coverage, headline, gate-heavy, and streaming "
-            "memory-sink queries) per VERDICT r7 item 3, PLUS a second "
-            "seed-9 sample of 20 drawn from the post-tier-1 pool, PLUS the "
+            "memory-sink queries) per VERDICT r7 item 3, PLUS seed-9 and "
+            "seed-10 samples of 20 each drawn from the shrinking pool, PLUS the "
             "6 never-soaked queries flagged by the new "
             "scripts/audit_stream_side.py plan audit (grouped stream-side "
             "agg + fan-out under a broadcast join with no re-spread - the "
@@ -122,7 +153,7 @@ def main() -> None:
             "preserved) per item 7; their small_s side is the pristine "
             "/root/testdata/sf0.1"
         ),
-        "sample_seeds": [8, 9],
+        "sample_seeds": [8, 9, 10],
         "never_soaked_pool": 386,
         "queries": sample,
         "fixture_change_recheck": {

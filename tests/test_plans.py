@@ -643,3 +643,17 @@ def test_q466_q467_folds_stay_jvm_side(spark):
     for q in ("q466_page_hinkley", "q467_lz78_complexity"):
         plan = _executed(_qs()[q](spark, SF_DIR))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_elbow_wcss_accumulates_in_decimal(spark):
+    """q402's WCSS is a corpus-level sum of per-vector int64 distances —
+    int64 accumulation overflowed LIVE at sf1 (round-8 sampled soak,
+    ARITHMETIC_OVERFLOW at 20k vectors). The sum must stay DECIMAL(38,0)
+    end-to-end so the overflow class cannot regress."""
+    from pyspark.sql.types import DecimalType
+
+    df = _qs()["q402_elbow_wcss"](spark, SF_DIR)
+    types = dict((f.name, f.dataType) for f in df.schema.fields)
+    for col in ("wcss", "drop_from_prev", "curvature"):
+        assert isinstance(types[col], DecimalType), (col, types[col])
+        assert types[col].precision == 38 and types[col].scale == 0
