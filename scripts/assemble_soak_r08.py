@@ -81,6 +81,14 @@ NOTES = {
         "mass), schema-pinned by test_elbow_wcss_accumulates_in_decimal; "
         "re-soaked clean, slope 1.65"
     ),
+    "q442_embedding_drift": (
+        "overflow-sweep probe (the q402 class): shift_num squares "
+        "cohort-sums of 12-bit-quantized components - worst case clears "
+        "int64 near 1k vectors/cell, so it was soaked deliberately; "
+        "measured clean at sf1 (real component sums are far below worst "
+        "case, and ANSI mode makes any future overflow THROW, not wrap); "
+        "slope 1.4"
+    ),
     # stream-side audit triage (scripts/audit_stream_side.py)
     "q125_countmin_heavy_hitters": "AUDIT TRIAGE: flagged (grouped agg feeds the (j,col) sketch join); fan-out is the fixed sketch grid, not a data dimension - slope 1.13, benign",
     "q129_ts_interpolate": "AUDIT TRIAGE: flagged (day-spine left join under a grouped agg); fan-out bounded by the 30-day calendar - slope 1.27, benign",
@@ -117,6 +125,7 @@ def main() -> None:
     sample.update(json.load(open(".scratch/soak_r8_flagged.json")))
     sample.update(json.load(open(".scratch/soak_r8_sample3.json")))
     sample.update(json.load(open(".scratch/soak_r8_q402.json")))  # post-fix row
+    sample.update(json.load(open(".scratch/soak_r8_q442.json")))  # overflow probe
     jitter = json.load(open(".scratch/soak_r8_jitter3.json"))
     jitter.update(json.load(open(".scratch/soak_r8_q287.json")))
 
