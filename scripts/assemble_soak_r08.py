@@ -81,6 +81,27 @@ NOTES = {
         "mass), schema-pinned by test_elbow_wcss_accumulates_in_decimal; "
         "re-soaked clean, slope 1.65"
     ),
+    # sampled tier 4 (seed 11)
+    "q236_phrase_search": "positional-postings phrase join; postings 10x, wall 2.3x, sub-linear",
+    "q415_littles_law": "interval concurrency + arrival/latency rollups; slope 1.79",
+    "q305_utf8_accounting": "byte/char-length projection scan; slope 1.69, fixed cost",
+    "q72_kmv_distinct_sketch": "KMV bottom-k per type; slope 1.67 on a 0.3 s wall",
+    "q394_negative_binomial_fit": "method-of-moments NB fit over per-user counts; slope 1.65",
+    "q485_weighted_jaccard": "per-user type-weight vectors, bounded pair join (5 types); slope 1.64",
+    "q231_temperature_mix": "source-mix reweighting rollup; slope 1.57",
+    "q171_decile_lift": "NTILE deciles + lift; slope 1.56",
+    "q234_kn_continuation_counts": "Kneser-Ney continuation counts, two rollups; slope 1.46",
+    "q78_sql_exists": "EXISTS semi-join battery; slope 1.38, scan-bound",
+    "q169_unpivot_long": "stack() unpivot scan; slope 1.37",
+    "q446_sampled_join_estimate": "hash-sampled join cardinality estimate; slope 1.32",
+    "q134_incremental_agg": "mergeable-state MV maintenance; slope 1.21",
+    "q94_pagerank_exact": "fixed-iteration pagerank on the supplier graph (graph size data-independent enough here); slope 1.14",
+    "q397_profit_threshold": "threshold sweep over grouped sums; slope 1.13",
+    "q444_sql_group_by_all": "GROUP BY ALL rollup; slope 1.11",
+    "q363_mann_kendall": "pairwise-sign trend over the 30-day daily series (calendar-bounded n^2=435 pairs); slope 1.1",
+    "q406_durbin_watson": "daily-series lag windows (calendar-bounded); slope 1.1",
+    "q469_friedman_test": "complete-week block ranks (calendar-bounded); slope 1.05",
+    "q201_trending_rank_delta": "two-window rank delta; slope 1.0",
     "q442_embedding_drift": (
         "overflow-sweep probe (the q402 class): shift_num squares "
         "cohort-sums of 12-bit-quantized components - worst case clears "
@@ -126,6 +147,7 @@ def main() -> None:
     sample.update(json.load(open(".scratch/soak_r8_sample3.json")))
     sample.update(json.load(open(".scratch/soak_r8_q402.json")))  # post-fix row
     sample.update(json.load(open(".scratch/soak_r8_q442.json")))  # overflow probe
+    sample.update(json.load(open(".scratch/soak_r8_sample4.json")))
     jitter = json.load(open(".scratch/soak_r8_jitter3.json"))
     jitter.update(json.load(open(".scratch/soak_r8_q287.json")))
 
@@ -162,7 +184,7 @@ def main() -> None:
             "preserved) per item 7; their small_s side is the pristine "
             "/root/testdata/sf0.1"
         ),
-        "sample_seeds": [8, 9, 10],
+        "sample_seeds": [8, 9, 10, 11],
         "never_soaked_pool": 386,
         "queries": sample,
         "fixture_change_recheck": {
