@@ -2584,13 +2584,22 @@ def q404_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the {PREF_PAIRS_PER_GROUP} widest gaps per group (extreme
     pairs are the cheapest signal; NEAR pairs are curriculum for
     later rounds — flip the ORDER BY). Quality is q50's composite
-    verbatim (one formula, composed — the q70 discipline), the pair
-    join is margin-pruned inside the group, and the per-group rank
-    window is bounded by the cap. At corpus scale the quadratic
-    pair join narrows by quality-BUCKET blocking first (join high
-    vs low buckets only — q203's router as the blocker); stated
-    here, not needed at sf. Property-tested: every gap >= margin,
-    chosen quality > rejected quality, per-group caps hold."""
+    verbatim (one formula, composed — the q70 discipline), and the
+    per-group rank window is bounded by the cap.
+
+    The pair join is EXTREME-PRUNED, not all-pairs (round 8: the sf1
+    soak measured the brute-force join at slope 63 — docs-per-lang²
+    workload growth): a pair can rank in the top {K} by
+    (gap DESC, chosen, rejected) ONLY if its chosen is among the
+    lang's top {K} qualities and its rejected among the bottom {K}
+    (otherwise {K} docs each yield a strictly earlier-ranked pair —
+    greater gap, or equal gap with a smaller tiebreak id). Two rank
+    windows reduce each lang to {K} + {K} candidate docs, the join is
+    {K}x{K} per group, and the result is provably IDENTICAL to the
+    all-pairs form — the oracle still computes the brute-force join,
+    so the hash check is the proof on every run. Property-tested:
+    every gap >= margin, chosen quality > rejected quality, per-group
+    caps hold."""
     d = load(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "lang", F.length("text").alias("n_chars"),
@@ -2598,15 +2607,26 @@ def q404_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, _, _, quality = _quality_exprs()
     q = t.select("doc_id", "lang", quality.alias("quality"))
-    a = q.select(
-        F.col("lang").alias("lang"),
-        F.col("doc_id").alias("chosen"),
-        F.col("quality").alias("qa"),
+    k = PREF_PAIRS_PER_GROUP
+    wa = Window.partitionBy("lang").orderBy(F.col("quality").desc(), "doc_id")
+    wb = Window.partitionBy("lang").orderBy(F.col("quality").asc(), "doc_id")
+    a = (
+        q.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= k)
+        .select(
+            F.col("lang").alias("lang"),
+            F.col("doc_id").alias("chosen"),
+            F.col("quality").alias("qa"),
+        )
     )
-    b = q.select(
-        F.col("lang").alias("lang2"),
-        F.col("doc_id").alias("rejected"),
-        F.col("quality").alias("qb"),
+    b = (
+        q.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= k)
+        .select(
+            F.col("lang").alias("lang2"),
+            F.col("doc_id").alias("rejected"),
+            F.col("quality").alias("qb"),
+        )
     )
     pairs = a.join(
         b,

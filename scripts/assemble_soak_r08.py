@@ -102,6 +102,37 @@ NOTES = {
     "q406_durbin_watson": "daily-series lag windows (calendar-bounded); slope 1.1",
     "q469_friedman_test": "complete-week block ranks (calendar-bounded); slope 1.05",
     "q201_trending_rank_delta": "two-window rank delta; slope 1.0",
+    # sampled tier 5 (seed 12)
+    "q266_safety_blocklist": "token explode vs broadcast blocklist; token volume 10x, wall 6.8x - data-proportional like q242, no super-linear stage",
+    "q50_quality_score": "per-doc composite quality exprs; doc volume 10x, wall 3.4x, scan-bound",
+    "q291_orphan_entity_sweep": "FK orphan anti-joins across the star; slope 3.2, join-bound, sub-linear",
+    "q221_important_parts": "grouped part rollup + rank; slope 1.92",
+    "q209_lorenz_concentration": "NTILE Lorenz curve; slope 1.59",
+    "q365_covariate_balance": "per-arm SMD balance table; slope 1.55",
+    "q445_hash_chain_ledger": "per-account md5 chain fold; slope 1.49",
+    "q358_active_learning_batch": "uncertainty + diversity batch pick; slope 1.44",
+    "q102_snapshot_diff": "full-outer snapshot diff; slope 1.4",
+    "q295_coverage_gaps": "per-user day-gap windows; slope 1.19",
+    "q347_simpson_guard": "stratified vs pooled rates; slope 1.11",
+    "q360_link_prediction": "common-neighbor scores over the bounded co-purchase graph; slope 1.1",
+    "q256_maxmin_fair_share": "water-filling allocation over grouped demands; slope 1.07",
+    "q03_topk_orders": "ORDER BY LIMIT top-k; slope 1.05",
+    "q420_sql_range_frames": "RANGE frame windows; slope 1.02",
+    "q77_sql_cube": "CUBE rollup; slope 1.02",
+    "q208_value_percentiles": "histogram percentiles; slope 0.96",
+    "q340_var_cvar": "tail-mean over the value histogram; slope 0.85",
+    "q432_locf_gapfill": "LOCF last-value windows; slope 0.78",
+    "q404_preference_pairs": (
+        "CAUGHT LIVE #3 this round: the brute-force within-lang pair "
+        "join is docs-per-lang^2 - measured slope 63.29 (54.6 s at sf1). "
+        "Rewritten as the EXTREME-PRUNED form the docstring had only "
+        "stated: a top-K pair by (gap DESC, chosen, rejected) can only "
+        "pair a top-K-quality chosen with a bottom-K rejected (proof in "
+        "the docstring), so two WindowGroupLimit rank windows reduce "
+        "each lang to K+K docs and the join is KxK. Hash-identical to "
+        "the brute-force oracle on every gate run; re-soaked slope 1.11 "
+        "(1.08 s), plan-pinned by test_preference_pairs_extreme_pruned"
+    ),
     "q442_embedding_drift": (
         "overflow-sweep probe (the q402 class): shift_num squares "
         "cohort-sums of 12-bit-quantized components - worst case clears "
@@ -148,6 +179,8 @@ def main() -> None:
     sample.update(json.load(open(".scratch/soak_r8_q402.json")))  # post-fix row
     sample.update(json.load(open(".scratch/soak_r8_q442.json")))  # overflow probe
     sample.update(json.load(open(".scratch/soak_r8_sample4.json")))
+    sample.update(json.load(open(".scratch/soak_r8_sample5.json")))
+    sample.update(json.load(open(".scratch/soak_r8_q404.json")))  # post-fix row
     jitter = json.load(open(".scratch/soak_r8_jitter3.json"))
     jitter.update(json.load(open(".scratch/soak_r8_q287.json")))
 
@@ -184,7 +217,7 @@ def main() -> None:
             "preserved) per item 7; their small_s side is the pristine "
             "/root/testdata/sf0.1"
         ),
-        "sample_seeds": [8, 9, 10, 11],
+        "sample_seeds": [8, 9, 10, 11, 12],
         "never_soaked_pool": 386,
         "queries": sample,
         "fixture_change_recheck": {

@@ -657,3 +657,15 @@ def test_elbow_wcss_accumulates_in_decimal(spark):
     for col in ("wcss", "drop_from_prev", "curvature"):
         assert isinstance(types[col], DecimalType), (col, types[col])
         assert types[col].precision == 38 and types[col].scale == 0
+
+
+def test_preference_pairs_extreme_pruned(spark):
+    """q404 must build pairs from the per-lang top-K/bottom-K quality
+    extremes (two rank windows, WindowGroupLimit pushdown), never the
+    docs-per-lang² all-pairs join — the round-8 sf1 soak measured the
+    brute-force form at slope 63 (54.6 s) vs 1.1 s pruned. Output
+    equivalence is proven by the oracle on every gate run (it still
+    computes the brute-force join); this pins the PLAN shape."""
+    plan = _executed(_qs()["q404_preference_pairs"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan  # rank filters pushed as top-k
+    assert plan.count("row_number()") >= 3  # top-K, bottom-K, final rank
