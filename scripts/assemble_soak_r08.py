@@ -102,6 +102,27 @@ NOTES = {
     "q406_durbin_watson": "daily-series lag windows (calendar-bounded); slope 1.1",
     "q469_friedman_test": "complete-week block ranks (calendar-bounded); slope 1.05",
     "q201_trending_rank_delta": "two-window rank delta; slope 1.0",
+    # sampled tier 6 (seed 13)
+    "q273_codec_advisor": "per-column NDV + adjacent-repeat LAG over the (orderkey, linenumber) total order - a full-width sort per audited column, so wall tracks data (7.84x at 10x); sub-linear, and production amortizes all columns into one pass as the docstring states",
+    "q311_popularity_bias": "rank-weighted exposure rollup; slope 3.02, scan-bound",
+    "q296_daily_streaks": "gaps-and-islands per user; slope 2.06",
+    "q277_masking_policy": "policy-driven projection scan; slope 1.82",
+    "q447_quota_topk": "per-group quota rank; slope 1.82",
+    "q322_truncation_loss": "clip-loss rollup; slope 1.71",
+    "q265_rank_biased_overlap": "RBO prefix-overlap fold over two bounded rankings; slope 1.66",
+    "q16_self_join_opponent": "game self-join on game_id; slope 1.53",
+    "q161_gini_diversity": "per-user type-mix Gini; slope 1.49",
+    "q19_referential_integrity": "FK anti-join battery; slope 1.44",
+    "q324_double_charge_detector": "consecutive same-amount pair windows; slope 1.44",
+    "q109_source_mix": "per-source composition rollup; slope 1.26",
+    "q248_half_life_decay": "decay-weighted sums (fixed half-life grid); slope 1.21",
+    "q124_touch_attribution": "per-user touch-sequence credit windows; slope 1.13",
+    "q298_tiered_pricing": "tier CASE rollup; slope 1.12",
+    "q427_good_turing": "frequency-of-frequencies smoothing; slope 1.12",
+    "q198_iqr_outliers": "exact p25/p75 fences; slope 1.03",
+    "q215_emd_drift": "10-bin densified CDF walk (fixed grid); slope 0.94",
+    "q85_topk_per_group": "WindowGroupLimit top-k; slope 0.94",
+    "q423_wilcoxon_signed_rank": "signed-rank over the paired-diff histogram; slope 0.42 - fixed cost dominates, big side fills partitions better",
     # sampled tier 5 (seed 12)
     "q266_safety_blocklist": "token explode vs broadcast blocklist; token volume 10x, wall 6.8x - data-proportional like q242, no super-linear stage",
     "q50_quality_score": "per-doc composite quality exprs; doc volume 10x, wall 3.4x, scan-bound",
@@ -181,6 +202,7 @@ def main() -> None:
     sample.update(json.load(open(".scratch/soak_r8_sample4.json")))
     sample.update(json.load(open(".scratch/soak_r8_sample5.json")))
     sample.update(json.load(open(".scratch/soak_r8_q404.json")))  # post-fix row
+    sample.update(json.load(open(".scratch/soak_r8_sample6.json")))
     jitter = json.load(open(".scratch/soak_r8_jitter3.json"))
     jitter.update(json.load(open(".scratch/soak_r8_q287.json")))
 
@@ -217,7 +239,7 @@ def main() -> None:
             "preserved) per item 7; their small_s side is the pristine "
             "/root/testdata/sf0.1"
         ),
-        "sample_seeds": [8, 9, 10, 11, 12],
+        "sample_seeds": [8, 9, 10, 11, 12, 13],
         "never_soaked_pool": 386,
         "queries": sample,
         "fixture_change_recheck": {
