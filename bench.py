@@ -148,7 +148,9 @@ def main() -> None:
             raise SystemExit(
                 f"SPARK_GRAFT_BENCH_QUERIES has unknown queries: {unknown}"
             )
-        names = base
+        # dedupe, order-preserving (ADVICE r8): a name listed twice would
+        # run warm+reps twice and silently overwrite its first timing
+        names = list(dict.fromkeys(base))
     else:
         names = [n for n in HEADLINE if n in queries] or sorted(queries)
 

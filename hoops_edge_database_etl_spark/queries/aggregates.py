@@ -1825,9 +1825,14 @@ _BENFORD_CASE = "CASE d " + " ".join(
     "q214_benford_digits",
     oracle=f"""
     WITH x AS (
-      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS BIGINT) AS d
-      FROM orders WHERE o_totalprice > 0
+      -- the screened unit is the exact CENTS integer; rows whose total
+      -- rounds below one cent (cents = 0 has no first significant
+      -- digit) are excluded from rows AND denominator BY CONTRACT
+      -- (round-9 ADVICE: the old o_totalprice > 0 let a sub-cent row
+      -- produce d=0, silently dropped by the 1-9 spine join)
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+            FROM orders) WHERE c >= 1
     ),
     c0 AS (
       SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY d
@@ -1856,6 +1861,9 @@ def q214_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see the same constants, never evaluate a transcendental).
     Observed shares are integer-divided ppm, so every output cell is an
     exact integer and the per-digit deviation is the audit flag.
+    Contract: the screened unit is the cents integer, and totals that
+    round below one cent (cents = 0 — no first significant digit) are
+    excluded from both rows and denominator, in both engines.
 
     One scan + a 9-row reduction; columns to screen are CASE arms in the
     same pass (q193's rule). A uniform synthetic price distribution
@@ -1863,14 +1871,14 @@ def q214_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributional fingerprints, and the hash check certifies the
     machinery, not the data's innocence."""
     o = load(spark, sf_dir, "orders")
-    x = o.filter(F.col("o_totalprice") > 0).select(
-        F.substring(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").cast("string"),
-            1,
-            1,
-        )
-        .cast("long")
-        .alias("d")
+    # the screened unit is the exact cents integer; cents = 0 (a total
+    # that rounds below one cent) has no first significant digit and is
+    # excluded from rows AND denominator by contract — stated here
+    # because the 1-9 spine would otherwise drop a d=0 group silently
+    # (round-9 ADVICE)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    x = o.select(cents.alias("c")).filter(F.col("c") >= 1).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("d")
     )
     c0 = x.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # densify to the 1-9 digit spine (round 8, the q158/q215 lesson

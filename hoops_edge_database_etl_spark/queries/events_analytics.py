@@ -3136,29 +3136,36 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
         F.pmod(F.xxhash64("user_id"), F.lit(salts)).cast("int").alias("salt"),
     )
-    # Explicit STREAM-side re-spread (the q482 lesson): both join inputs
-    # are ~|users| rows, so Spark broadcasts the smaller (a: users x 3
-    # bands) and STREAMS b — whose lineage is a tiny agg output that AQE
-    # coalesces to 1-2 partitions, serializing the whole 1.1M-pair
+    # Explicit re-spread of b (the q482 lesson): b's lineage is a tiny
+    # agg output that AQE coalesces to 1-2 partitions, and under the
+    # round-8 broadcast plan that serialized the whole 1.1M-pair
     # fan-out AND its banded DP onto as many cores (round 8: measured
     # ~50 s at sf0.1 single-core vs ~4.4 s spread; a first fix
-    # repartitioned the BUILD side and changed nothing — the exchange
-    # must be on the streamed side). REPARTITION_BY_NUM is exempt from
-    # AQE coalescing, and the (band, salt) key matches the join, so a
-    # shuffle-join plan at broadcast-defying scale reuses it as-is.
+    # repartitioned the OTHER side and changed nothing — the exchange
+    # must be on the side that streams). REPARTITION_BY_NUM is exempt
+    # from AQE coalescing, and the (band, salt) key matches the join,
+    # so the shuffle-hash join below reuses it as-is and inherits its
+    # 64-way parallelism.
     b = coded.select(
         F.col("user_id").alias("user_b"),
         F.col("seq").alias("seq_b"),
         (F.length("seq") / t).cast("long").alias("band"),
         F.explode(F.array([F.lit(s) for s in range(salts)])).alias("salt"),
     ).repartition(2 * salts, "band", "salt")
-    # Pin the build side: left to AQE's size race, either side can win
-    # the broadcast and the re-spread only helps when the OTHER side is
-    # streamed (observed: the same plan alternated 6 s / 52 s across
-    # reps). At broadcast-defying scale Catalyst ignores the hint and
-    # the (band, salt) shuffle join takes over with the salt spreading
-    # the low-cardinality band key.
-    pairs = F.broadcast(a).join(b, ["band", "salt"]).filter(
+    # Pin the plan with a SHUFFLE_HASH hint on a (round 9): the round-8
+    # broadcast pin stabilized sf0.1 but was a hard failure at scale —
+    # Spark honors an explicit broadcast hint REGARDLESS of
+    # autoBroadcastJoinThreshold, so past the 8 GB broadcast limit the
+    # job dies instead of falling back to the shuffle join (there is no
+    # "Catalyst ignores the hint" safety valve). A shuffle-hash hint is
+    # the deterministic version of the plan we actually want at every
+    # scale: both sides co-partition on (band, salt) — b's explicit
+    # 64-way exchange is reused, a shuffles to match — the hinted side
+    # builds the per-partition hash map, and the salted key spreads the
+    # pair fan-out and the banded DP across all 64 reducers. No size
+    # race (the round-8 6 s / 52 s alternation came from AQE picking
+    # which side to broadcast), no broadcast ceiling.
+    pairs = a.hint("shuffle_hash").join(b, ["band", "salt"]).filter(
         (F.col("user_b") > F.col("user_a"))
         & (F.abs(F.length("seq_a") - F.length("seq_b")) <= t)
     )

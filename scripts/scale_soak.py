@@ -120,7 +120,13 @@ def main() -> None:
         for f in glob.glob(os.path.join(repo, "SOAK_r*.json")):
             art = json.load(open(f))
             soaked |= set(art.get("queries", art if isinstance(art, dict) else {}))
-            soaked |= set(art.get("plan_change_recheck", {}))
+            # recheck sections nest as {method, queries: {...}} — union
+            # the inner query names, not the section's own keys (round-9
+            # ADVICE: the old set(section) added the literals "method"/
+            # "queries" and left every rechecked query sample-eligible)
+            for section in ("plan_change_recheck", "fixture_change_recheck"):
+                sec = art.get(section) or {}
+                soaked |= set(sec.get("queries") or {})
         never = sorted(
             q
             for q in queries

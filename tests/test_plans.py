@@ -314,25 +314,37 @@ def test_behavior_edit_distance_band_equi_join(spark):
     BroadcastNestedLoopJoin over users² (round 7: the sf1 soak measured
     the all-pairs form at 100x pair growth; banding is the scale shape).
 
-    Round 8 additions, both measured live: (a) the STREAM side must
-    carry an explicit (band, salt) re-spread — the band key is 2-3
-    distinct values and the side's lineage is a tiny AQE-coalesced agg,
-    so without the exchange the 1.1M-pair DP ran on 1-2 cores (46 s vs
-    5.4 s at sf0.1); (b) the build side is pinned by hint so the
-    re-spread side cannot win the broadcast race (unpinned, the same
-    query alternated 6 s / 52 s across reps)."""
+    Round 8 additions, both measured live: (a) the b side must carry an
+    explicit (band, salt) re-spread — the band key is 2-3 distinct
+    values and the side's lineage is a tiny AQE-coalesced agg, so
+    without the exchange the 1.1M-pair DP ran on 1-2 cores (46 s vs
+    5.4 s at sf0.1); (b) the plan is pinned by hint so neither side can
+    win an AQE broadcast race (unpinned, the same query alternated
+    6 s / 52 s across reps).
+
+    Round 9 (ADVICE): the pin must be SHUFFLE_HASH, not broadcast — an
+    explicit broadcast hint is honored regardless of
+    autoBroadcastJoinThreshold, so past the 8 GB broadcast ceiling it
+    is a hard job failure, not a fallback to the salted shuffle join.
+    The shuffle-hash join co-partitions both sides on (band, salt),
+    reusing b's 64-way REPARTITION_BY_NUM exchange — the scale plan at
+    every scale."""
     import re
 
     plan = _executed(_qs()["q287_behavior_edit_distance"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, (
+        "q287 must never broadcast: the hint is honored past the 8 GB "
+        "broadcast limit and becomes a hard failure at scale"
+    )
     assert "band" in plan  # the join key survives into the physical plan
-    i = plan.find("BroadcastHashJoin")
-    assert i >= 0
+    i = plan.find("ShuffledHashJoin")
+    assert i >= 0, "q287 lost its shuffle-hash pin"
     assert re.search(
         r"Exchange hashpartitioning\(band#\d+L?, salt#\d+, \d+\), "
         r"REPARTITION_BY_NUM",
-        plan[i:],
-    ), "q287 stream side lost its (band, salt) re-spread"
+        plan,
+    ), "q287 lost its (band, salt) re-spread"
 
 
 def test_substring_decontaminate_broadcasts_patterns(spark):

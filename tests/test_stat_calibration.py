@@ -444,6 +444,22 @@ def test_q214_benford_missing_digit_surfaces_as_max_deviation(spark, tmp_path):
     assert out[1]["deviation_ppm"] == out[1]["expected_ppm"]  # the loudest flag
 
 
+def test_q214_benford_subcent_rows_excluded_by_contract(spark, tmp_path):
+    # rows whose total rounds below one cent have NO first significant
+    # digit in the cents unit — the stated contract excludes them from
+    # rows AND the ppm denominator (round-9 ADVICE: previously they
+    # produced a d=0 group the 1-9 spine dropped silently, leaving a
+    # denominator that counted invisible rows)
+    rows = [(k + 1, 1, "O", 900.0, _day(0), "1-URGENT") for k in range(5)]
+    rows += [(100 + k, 1, "O", 0.001, _day(0), "1-URGENT") for k in range(3)]
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, rows)
+    out = {r["digit"]: r for r in _qs()["q214_benford_digits"](spark, sf).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[9]["n"] == 5
+    # denominator is 5 (the sub-cent rows are out), so digit 9 owns 100%
+    assert out[9]["observed_ppm"] == 1_000_000
+
+
 def test_q219_srm_zero_user_arm_surfaces(spark, tmp_path):
     # find user ids that all hash to ONE arm, simulating a pipeline that
     # dropped the other arm entirely - the exact breakage SRM exists for
