@@ -29,6 +29,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from plan_fp import plan_fingerprint  # noqa: E402
 
 # O(n^2)-by-contract queries: slope >> data ratio is the documented design.
 QUADRATIC = {
@@ -154,6 +157,10 @@ def main() -> None:
                 "big_s": t_big,
                 "slope": round(t_big / t_small, 2),
                 "quadratic_by_contract": name in QUADRATIC,
+                # ties the row to the plan it measured (VERDICT r8 item
+                # 3: q287's stale r7 row hid a 46 s regression);
+                # test_soak_artifact.py recomputes and flags divergence
+                "plan_fp": plan_fingerprint(queries[name](spark, small)),
             }
             print(json.dumps({name: results[name]}), flush=True)
         except Exception as exc:  # keep the soak going; report at the end

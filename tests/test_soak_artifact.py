@@ -64,3 +64,49 @@ def test_soak_artifact_shape(path):
             assert isinstance(row.get("note"), str) and row["note"].strip(), (
                 f"{name}: adjudication note required from r7 on"
             )
+        if rnd >= 9 and is_primary:
+            assert re.fullmatch(r"[0-9a-f]{12}", row.get("plan_fp") or ""), (
+                f"{name}: soak rows carry a plan fingerprint from r9 on "
+                "(VERDICT r8 item 3)"
+            )
+
+
+def _latest_fp_rows():
+    """(name, recorded_fp) for every fingerprinted row, keeping only the
+    LATEST artifact's fingerprint per query (a re-timed row supersedes)."""
+    fp: dict[str, str] = {}
+    for path in ARTIFACTS:  # sorted ascending by round
+        doc = json.load(open(path))
+        for name, row, _ in _rows(doc):
+            if row.get("plan_fp"):
+                fp[name] = row["plan_fp"]
+    return sorted(fp.items())
+
+
+@pytest.mark.skipif(not _latest_fp_rows(), reason="no fingerprinted soak rows yet")
+def test_soak_rows_match_current_plans(spark):
+    """The q287 lesson, made mechanical (VERDICT r8 item 3): a soak row is
+    a measurement OF A PLAN. Recompute each fingerprinted query's current
+    plan fingerprint at the soak's small SF; any divergence means the
+    implementation changed after the row was recorded — the row must be
+    re-timed (new row or plan_change_recheck entry with a fresh fp), not
+    trusted."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from plan_fp import plan_fingerprint
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    queries = all_queries()
+    sf_dir = "/root/testdata/sf0.1"
+    stale = []
+    for name, recorded in _latest_fp_rows():
+        if name not in queries:
+            stale.append(f"{name}: no longer registered")
+            continue
+        current = plan_fingerprint(queries[name](spark, sf_dir))
+        if current != recorded:
+            stale.append(f"{name}: plan changed since its soak row "
+                         f"({recorded} -> {current}) - re-time it")
+    assert not stale, "; ".join(stale)
