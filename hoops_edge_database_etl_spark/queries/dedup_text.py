@@ -1618,17 +1618,23 @@ def q391_candidate_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN assign a1 ON a1.doc_id = p.src
       JOIN assign a2 ON a2.doc_id = p.dst
     )
-    SELECT s.scheme, s.split, s.n_docs,
-           CASE WHEN s.scheme = 'naive' THEN l.naive_cross
+    -- densify to the DECLARED 2x3 spine (round 9): an empty split is a
+    -- zero row, never a missing one
+    SELECT g.scheme, g.split, CAST(COALESCE(s.n_docs, 0) AS BIGINT) AS n_docs,
+           CASE WHEN g.scheme = 'naive' THEN l.naive_cross
                 ELSE l.safe_cross END AS cross_pairs
-    FROM (
+    FROM (VALUES ('naive', 'train'), ('naive', 'val'), ('naive', 'test'),
+                 ('cluster_safe', 'train'), ('cluster_safe', 'val'),
+                 ('cluster_safe', 'test')) AS g(scheme, split)
+    LEFT JOIN (
       SELECT 'naive' AS scheme, naive_split AS split,
              CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM assign GROUP BY naive_split
       UNION ALL
       SELECT 'cluster_safe', safe_split, CAST(COUNT(*) AS BIGINT)
       FROM assign GROUP BY safe_split
-    ) s CROSS JOIN leak l
+    ) s ON s.scheme = g.scheme AND s.split = g.split
+    CROSS JOIN leak l
     """,
 )
 def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1727,13 +1733,22 @@ def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe = assign.groupBy(F.col("safe_split").alias("split")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     ).select(F.lit("cluster_safe").alias("scheme"), "split", "n_docs")
+    # densify to the DECLARED 2x3 spine (round 9, the q215/q158/q214/
+    # q219 class): an empty split — the release gate's loudest failure,
+    # "the test set has zero documents" — must be a zero row, not a
+    # missing one
+    spine = spark.createDataFrame(
+        [(sch, sp) for sch in ("naive", "cluster_safe")
+         for sp in ("train", "val", "test")],
+        "scheme string, split string",
+    )
+    cells = spine.join(naive.unionByName(safe), ["scheme", "split"], "left")
     return (
-        naive.unionByName(safe)
-        .crossJoin(F.broadcast(leak))
+        cells.crossJoin(F.broadcast(leak))
         .select(
             "scheme",
             "split",
-            "n_docs",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
             F.when(F.col("scheme") == "naive", F.col("naive_cross"))
             .otherwise(F.col("safe_cross"))
             .alias("cross_pairs"),
@@ -1783,17 +1798,33 @@ def q440_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST('0x' || substr(md5(d.text), 1, 15) AS BIGINT)
                % 2147483647 AS th
       FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    cells AS (
+      SELECT split, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS dup_rate_ppm,
+             CAST(CAST(SUM(CAST(th AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                  % 9223372036854775807 AS BIGINT) AS fingerprint
+      FROM enriched
+      GROUP BY split, lang
     )
-    SELECT split, lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
-           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1000000
-                // COUNT(*) AS BIGINT) AS dup_rate_ppm,
-           CAST(CAST(SUM(CAST(th AS DECIMAL(38,0))) AS DECIMAL(38,0))
-                % 9223372036854775807 AS BIGINT) AS fingerprint
-    FROM enriched
-    GROUP BY split, lang
+    -- densify to splits x corpus languages (round 9): a language with
+    -- ZERO documents in a split is the release gate's signal ("no test
+    -- coverage for lang X"), reported as an explicit zero cell with
+    -- fingerprint 0, never a missing row
+    SELECT g.split, g.lang,
+           COALESCE(c.n_docs, 0) AS n_docs,
+           COALESCE(c.n_tokens, 0) AS n_tokens,
+           COALESCE(c.n_dups, 0) AS n_dups,
+           COALESCE(c.dup_rate_ppm, 0) AS dup_rate_ppm,
+           COALESCE(c.fingerprint, 0) AS fingerprint
+    FROM (SELECT l.lang, s.split
+          FROM (SELECT DISTINCT lang FROM documents) l
+          CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split)) g
+    LEFT JOIN cells c ON c.split = g.split AND c.lang = g.lang
     """,
 )
 def q450_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1845,7 +1876,7 @@ def q450_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.col("cluster_id")).alias("is_dup"),
         th.alias("th"),
     )
-    return enriched.groupBy("split", "lang").agg(
+    cells = enriched.groupBy("split", "lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dups"),
@@ -1856,4 +1887,27 @@ def q450_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(SUM(CAST(th AS DECIMAL(38,0))) AS DECIMAL(38,0))"
             " % 9223372036854775807 AS BIGINT)"
         ).alias("fingerprint"),
+    )
+    # densify to splits x corpus languages (round 9, the q215/q158/q214/
+    # q219 class): "language X has zero test documents" is the gate's
+    # loudest finding — an explicit zero cell (fingerprint 0 declared
+    # for the empty cell), never a missing row
+    spine = (
+        d.select("lang")
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame(
+                [("train",), ("val",), ("test",)], "split string"
+            )
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return spine.join(cells, ["split", "lang"], "left").select(
+        "split",
+        "lang",
+        F.coalesce("n_docs", zero).alias("n_docs"),
+        F.coalesce("n_tokens", zero).alias("n_tokens"),
+        F.coalesce("n_dups", zero).alias("n_dups"),
+        F.coalesce("dup_rate_ppm", zero).alias("dup_rate_ppm"),
+        F.coalesce("fingerprint", zero).alias("fingerprint"),
     )

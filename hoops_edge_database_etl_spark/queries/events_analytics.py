@@ -6475,7 +6475,12 @@ def q472_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate accuracy, and risk at full coverage ≥ risk at the
     highest-confidence point would FAIL for a well-calibrated model
     only by fixture accident — what must hold is the replay equality,
-    so calibration itself is reported, not assumed."""
+    so calibration itself is reported, not assumed. Contract note
+    (round 9 densify sweep): test examples whose source never appears
+    in training are FORCED abstention — the model has no prediction to
+    sell — and are excluded from the curve and its coverage
+    denominator by the q452-lineage contract (the inner join on src is
+    that exclusion, stated here so it reads as contract, not leak)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(

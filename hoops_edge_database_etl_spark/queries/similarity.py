@@ -2108,14 +2108,20 @@ def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
       FROM q GROUP BY label, cohort, k
     ),
+    -- FULL join (round 9, the densify class): a label present in only
+    -- ONE cohort is the loudest drift signal (a class vanished or
+    -- appeared), not a row to drop; its metrics are NULL (undefined
+    -- against an absent centroid) and drifted is TRUE
     wide AS (
-      SELECT o.label, o.k, o.s AS sa, n.s AS sb, o.n AS n_old, n.n AS n_new
+      SELECT COALESCE(o.label, n.label) AS label,
+             o.s AS sa, n.s AS sb, o.n AS n_old, n.n AS n_new
       FROM (SELECT * FROM cent WHERE cohort = 'old') o
-      JOIN (SELECT * FROM cent WHERE cohort = 'new') n
+      FULL JOIN (SELECT * FROM cent WHERE cohort = 'new') n
         ON n.label = o.label AND n.k = o.k
     )
     SELECT label,
-           MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+           COALESCE(MAX(n_old), 0) AS n_old,
+           COALESCE(MAX(n_new), 0) AS n_new,
            CAST(SUM(sa * sb) AS DOUBLE)
              / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
                 * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) AS cos_centroid,
@@ -2125,9 +2131,9 @@ def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE)
              / (CAST(MAX(n_old) AS DOUBLE) * MAX(n_old)
                 * MAX(n_new) * MAX(n_new)) AS l2_shift_sq,
-           CAST(SUM(sa * sb) AS DOUBLE)
+           COALESCE(CAST(SUM(sa * sb) AS DOUBLE)
              / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
-                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) < 0.95 AS drifted
+                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) < 0.95, TRUE) AS drifted
     FROM wide GROUP BY label
     """,
 )
@@ -2147,7 +2153,11 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shift clears denominators by cross-multiplying counts (q406's
     moment algebra). One explode over 64 dims, one grouped integer
     sum — at 100 TB the per-(label, cohort, dim) partial sums are the
-    only shuffle, 64·cohorts·labels rows of state. Property tests:
+    only shuffle, 64·cohorts·labels rows of state. Declared support
+    (round 9): labels observed in EITHER cohort — a one-sided label
+    (class vanished or appeared) reports its counts with NULL
+    cos/shift (undefined against an absent centroid) and drifted=TRUE,
+    never a dropped row. Property tests:
     numpy replay of both metrics; cos(x, x) == 1 on a self-compared
     cohort; and the shift metric is zero iff the centroids coincide."""
     emb = load(spark, sf_dir, "embeddings")
@@ -2173,10 +2183,16 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = cent.filter(F.col("cohort") == "new").select(
         "label", "k", F.col("s").alias("sb"), F.col("n").alias("n_new")
     )
-    wide = old.join(new, ["label", "k"])
+    # FULL outer (round 9, the q215/q158/q214/q219 densify class): a
+    # label present in only one cohort is the loudest drift signal — a
+    # class vanished from, or appeared in, the new data. The one-sided
+    # label's rows carry NULL on the absent side, so SUM products go
+    # NULL and cos/shift surface as NULL (undefined vs an absent
+    # centroid) with drifted forced TRUE — never a dropped row.
+    wide = old.join(new, ["label", "k"], "full")
     return wide.groupBy("label").agg(
-        F.max("n_old").cast("long").alias("n_old"),
-        F.max("n_new").cast("long").alias("n_new"),
+        F.coalesce(F.max("n_old"), F.lit(0)).cast("long").alias("n_old"),
+        F.coalesce(F.max("n_new"), F.lit(0)).cast("long").alias("n_new"),
         (
             F.sum(F.col("sa") * F.col("sb")).cast("double")
             / (
@@ -2202,13 +2218,14 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.max("n_new")
             )
         ).alias("l2_shift_sq"),
-        (
+        F.coalesce(
             F.sum(F.col("sa") * F.col("sb")).cast("double")
             / (
                 F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
                 * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
             )
-            < 0.95
+            < 0.95,
+            F.lit(True),
         ).alias("drifted"),
     )
 

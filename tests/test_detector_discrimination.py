@@ -426,6 +426,32 @@ def test_q442_planted_directional_drift_per_label(spark, tmp_path):
     assert out[1]["l2_shift_sq"] == pytest.approx(2 * 4096.0**2)
 
 
+def test_q442_one_sided_label_surfaces_as_drifted(spark, tmp_path):
+    """The densify class (q215/q158/q214/q219), drift edition: a label
+    present in only ONE cohort — a class that vanished from or appeared
+    in the new data — is the loudest drift signal. It must appear with
+    its counts, NULL cos/shift (undefined against an absent centroid),
+    and drifted=TRUE; pre-r9 the inner (label, k) join dropped it."""
+    e1 = [1.0] + [0.0] * 63
+    rows = (
+        [(i, e1, 0) for i in range(4)]          # label 0: both cohorts
+        + [(250 + i, e1, 0) for i in range(4)]
+        + [(10 + i, e1, 7) for i in range(3)]   # label 7: OLD only (vanished)
+        + [(260 + i, e1, 8) for i in range(5)]  # label 8: NEW only (appeared)
+    )
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["label"]: r for r in _qs()["q442_embedding_drift"](spark, sf).collect()}
+    assert set(out) == {0, 7, 8}
+    assert out[0]["drifted"] is False
+    assert (out[7]["n_old"], out[7]["n_new"]) == (3, 0)
+    assert (out[8]["n_old"], out[8]["n_new"]) == (0, 5)
+    for lab in (7, 8):
+        assert out[lab]["cos_centroid"] is None
+        assert out[lab]["shift_num"] is None
+        assert out[lab]["l2_shift_sq"] is None
+        assert out[lab]["drifted"] is True
+
+
 def test_day_gap_semantics_absent_days_are_absent_not_zero(spark, tmp_path):
     """Documents (and pins) a shared semantic of the day-series detectors:
     days with NO events produce no row — they are absent from the series,

@@ -37,6 +37,69 @@ def test_q440_zero_leakage_theorem_and_conservation(spark):
     assert all(r["cross_pairs"] > 0 for r in naive)
 
 
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+# doc_ids whose md5(id || ':split') bucket lands in 'train' (>= 5), so a
+# corpus of only these leaves val and test EMPTY under both schemes
+# (distinct texts -> no LSH candidates -> every cluster_id == doc_id)
+_TRAIN_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+_WORDS = ("alpha beta gamma delta", "epsilon zeta eta theta",
+          "iota kappa lam mu", "nu xi omicron pi",
+          "rho sigma tau upsilon", "phi chi psi omega",
+          "one two three four", "five six seven eight")
+
+
+def test_q440_empty_split_is_a_zero_row(spark, tmp_path):
+    """The densify class (q215/q158/q214/q219), release-gate edition:
+    'the test split has ZERO documents' is the loudest gate failure and
+    must be an explicit zero row on the declared 2x3 spine — pre-r9 the
+    cell silently vanished."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = [(i, w, "en", "s", len(w)) for i, w in zip(_TRAIN_IDS, _WORDS)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {(r["scheme"], r["split"]): r
+           for r in all_queries()["q440_cluster_safe_split"](spark, sf).collect()}
+    assert set(out) == {(sch, sp) for sch in ("naive", "cluster_safe")
+                        for sp in ("train", "val", "test")}
+    for sch in ("naive", "cluster_safe"):
+        assert out[(sch, "train")]["n_docs"] == len(_TRAIN_IDS)
+        assert out[(sch, "val")]["n_docs"] == 0
+        assert out[(sch, "test")]["n_docs"] == 0
+
+
+def test_q450_lang_with_no_split_coverage_is_a_zero_cell(spark, tmp_path):
+    """Same class, manifest edition: a language absent from a split is
+    the 'no test coverage for lang X' signal — an explicit zero cell
+    (fingerprint 0 by declared contract), never a missing row."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    rows = [(i, w, "en", "s", len(w)) for i, w in zip(_TRAIN_IDS[:4], _WORDS)]
+    rows += [(i, w, "fr", "s", len(w))
+             for i, w in zip(_TRAIN_IDS[4:], _WORDS[4:])]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {(r["split"], r["lang"]): r
+           for r in all_queries()["q450_corpus_release_manifest"](spark, sf).collect()}
+    assert set(out) == {(sp, lg) for sp in ("train", "val", "test")
+                        for lg in ("en", "fr")}
+    for lg in ("en", "fr"):
+        assert out[("train", lg)]["n_docs"] == 4
+        for sp in ("val", "test"):
+            cell = out[(sp, lg)]
+            assert cell["n_docs"] == 0
+            assert cell["n_tokens"] == 0
+            assert cell["n_dups"] == 0
+            assert cell["dup_rate_ppm"] == 0
+            assert cell["fingerprint"] == 0
+
+
 def test_q441_greedy_meets_submodular_bound(spark, duck):
     """Brute-force all C(7,3) view sets with the same benefit model and
     check greedy >= (1 - 1/e) * OPT (and report equality when greedy
