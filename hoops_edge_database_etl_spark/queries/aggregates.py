@@ -2846,16 +2846,26 @@ def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_n
       FROM pts
     ),
+    -- doubled rank sums are the q402 overflow class (~n^2, past int64
+    -- at a few billion events): DECIMAL(38,0) accumulator and outputs,
+    -- both engines
     t AS (
       SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
-             CAST(SUM(a * (2 * before_n + a + b + 1)) AS BIGINT) AS r1_doubled
+             CAST(SUM(CAST(a AS DECIMAL(38,0)) * (2 * before_n + a + b + 1))
+                  AS DECIMAL(38,0)) AS r1_doubled
       FROM cum
+    ),
+    u AS (
+      SELECT n1, n2, r1_doubled,
+             CAST(r1_doubled - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                  AS DECIMAL(38,0)) AS u1_doubled
+      FROM t
     )
-    SELECT n1, n2, r1_doubled,
-           CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
-           CAST(2 * n1 * n2 - (r1_doubled - n1 * (n1 + 1)) AS BIGINT) AS u2_doubled,
-           CAST(r1_doubled - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2) AS auc_hat
-    FROM t
+    SELECT n1, n2, r1_doubled, u1_doubled,
+           CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 - u1_doubled
+                AS DECIMAL(38,0)) AS u2_doubled,
+           CAST(u1_doubled AS DOUBLE) / (2.0 * n1 * n2) AS auc_hat
+    FROM u
     """,
 )
 def q297_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2888,23 +2898,34 @@ def q297_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = pts.withColumn(
         "before_n", F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0))
     )
+    # doubled rank sums are the q402 overflow class (~n^2, past int64
+    # at a few billion events): DECIMAL(38,0) accumulator and outputs
     t = cum.agg(
         F.sum("a").cast("bigint").alias("n1"),
         F.sum("b").cast("bigint").alias("n2"),
         F.sum(
-            F.col("a") * (2 * F.col("before_n") + F.col("a") + F.col("b") + 1)
+            F.col("a").cast("decimal(38,0)")
+            * (2 * F.col("before_n") + F.col("a") + F.col("b") + 1)
         )
-        .cast("bigint")
+        .cast("decimal(38,0)")
         .alias("r1_doubled"),
     )
-    u1 = F.col("r1_doubled") - F.col("n1") * (F.col("n1") + 1)
+    u1 = (
+        F.col("r1_doubled")
+        - F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+    ).cast("decimal(38,0)")
     return t.select(
         "n1",
         "n2",
         "r1_doubled",
-        u1.cast("bigint").alias("u1_doubled"),
-        (2 * F.col("n1") * F.col("n2") - u1).cast("bigint").alias("u2_doubled"),
-        (u1.cast("double") / (2 * F.col("n1") * F.col("n2"))).alias("auc_hat"),
+        u1.alias("u1_doubled"),
+        (2 * F.col("n1").cast("decimal(38,0)") * F.col("n2") - u1)
+        .cast("decimal(38,0)")
+        .alias("u2_doubled"),
+        (
+            u1.cast("double")
+            / (2.0 * F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("auc_hat"),
     )
 
 

@@ -1962,9 +1962,13 @@ def q237_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 0) AS BIGINT) AS nn_below
       FROM per_v
     )
+    -- u2 <= 2*n_pos*n_neg ~ n^2/2: the q402 overflow class (per-row
+    -- fits int64, the corpus-level sum doesn't at ~6e9 events) - the
+    -- accumulator and output are DECIMAL(38,0) in both engines
     SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos,
            CAST(SUM(nn_v) AS BIGINT) AS n_neg,
-           CAST(SUM(np_v * (2 * nn_below + nn_v)) AS BIGINT) AS u2,
+           CAST(SUM(CAST(np_v AS DECIMAL(38,0)) * (2 * nn_below + nn_v))
+                AS DECIMAL(38,0)) AS u2,
            CAST(SUM(np_v * (2 * nn_below + nn_v)) AS DOUBLE)
              / (2.0 * CAST(SUM(np_v) AS DOUBLE) * CAST(SUM(nn_v) AS DOUBLE)) AS auc
     FROM cum
@@ -2000,12 +2004,19 @@ def q238_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn_below", F.coalesce(F.sum("nn_v").over(w), F.lit(0)).cast("bigint")
     )
     u2 = F.sum(F.col("np_v") * (2 * F.col("nn_below") + F.col("nn_v")))
+    # u2 <= 2*n_pos*n_neg ~ n^2/2 — the q402 overflow class (per-value
+    # terms fit int64, the corpus-level sum doesn't at ~6e9 events):
+    # accumulate and ship u2 in DECIMAL(38,0), both engines
+    u2_dec = F.sum(
+        F.col("np_v").cast("decimal(38,0)")
+        * (2 * F.col("nn_below") + F.col("nn_v"))
+    )
     return cum.agg(
         F.sum("np_v").cast("bigint").alias("n_pos"),
         F.sum("nn_v").cast("bigint").alias("n_neg"),
-        u2.cast("bigint").alias("u2"),
+        u2_dec.cast("decimal(38,0)").alias("u2"),
         (
-            u2.cast("double")
+            u2_dec.cast("double")
             / (2.0 * F.sum("np_v").cast("double") * F.sum("nn_v").cast("double"))
         ).alias("auc"),
     )

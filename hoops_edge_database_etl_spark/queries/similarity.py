@@ -866,7 +866,16 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .crossJoin(F.broadcast(n))
         .groupBy(F.col("a.dim").alias("j"), F.col("b.dim").alias("k"), "nr")
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("gs"))
+        # Gram cell = corpus-level sum of 24-bit products (the q402
+        # class): int64 holds to ~5.5e11 vectors — within 1.4x of a
+        # 100 TB embedding table — so accumulate in DECIMAL(38,0); the
+        # floor-div below renormalizes to <= 2^24 either way (DuckDB's
+        # SUM(BIGINT) is already HUGEINT, so only this side needed it)
+        .agg(
+            F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias(
+                "gs"
+            )
+        )
         .select(
             "j",
             "k",
@@ -2119,21 +2128,28 @@ def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FULL JOIN (SELECT * FROM cent WHERE cohort = 'new') n
         ON n.label = o.label AND n.k = o.k
     )
+    -- shift terms are the q402 overflow class raised to n^4 (sa*n is
+    -- ~4096*n^2 per dim BEFORE squaring): 128-bit arithmetic, shipped
+    -- as DECIMAL(38,0) — headroom to ~1e8 vectors per label-cohort
     SELECT label,
            COALESCE(MAX(n_old), 0) AS n_old,
            COALESCE(MAX(n_new), 0) AS n_new,
-           CAST(SUM(sa * sb) AS DOUBLE)
-             / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
-                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) AS cos_centroid,
-           CAST(SUM((sa * n_new - sb * n_old) * (sa * n_new - sb * n_old))
-                AS BIGINT) AS shift_num,
-           CAST(SUM((sa * n_new - sb * n_old) * (sa * n_new - sb * n_old))
+           CAST(SUM(CAST(sa AS HUGEINT) * sb) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(sa AS HUGEINT) * sa) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE)))
+             AS cos_centroid,
+           CAST(SUM((CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old)
+                    * (CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old))
+                AS DECIMAL(38,0)) AS shift_num,
+           CAST(SUM((CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old)
+                    * (CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old))
                 AS DOUBLE)
              / (CAST(MAX(n_old) AS DOUBLE) * MAX(n_old)
                 * MAX(n_new) * MAX(n_new)) AS l2_shift_sq,
-           COALESCE(CAST(SUM(sa * sb) AS DOUBLE)
-             / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
-                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))) < 0.95, TRUE) AS drifted
+           COALESCE(CAST(SUM(CAST(sa AS HUGEINT) * sb) AS DOUBLE)
+             / (sqrt(CAST(SUM(CAST(sa AS HUGEINT) * sa) AS DOUBLE))
+                * sqrt(CAST(SUM(CAST(sb AS HUGEINT) * sb) AS DOUBLE))) < 0.95,
+             TRUE) AS drifted
     FROM wide GROUP BY label
     """,
 )
@@ -2190,27 +2206,25 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL and cos/shift surface as NULL (undefined vs an absent
     # centroid) with drifted forced TRUE — never a dropped row.
     wide = old.join(new, ["label", "k"], "full")
+    # shift terms are the q402 overflow class raised to n^4 (sa*n is
+    # ~4096*n^2 per dim BEFORE squaring, and the cos Gram sums are
+    # ~2^30*n^2): every accumulator runs in DECIMAL(38,0) — exact
+    # integers, headroom to ~1e8 vectors per label-cohort, and under
+    # ANSI a genuine overflow still throws rather than wraps
+    sa_d = F.col("sa").cast("decimal(38,0)")
+    sb_d = F.col("sb").cast("decimal(38,0)")
+    diff = sa_d * F.col("n_new") - sb_d * F.col("n_old")
+    cos = F.sum(sa_d * F.col("sb")).cast("double") / (
+        F.sqrt(F.sum(sa_d * F.col("sa")).cast("double"))
+        * F.sqrt(F.sum(sb_d * F.col("sb")).cast("double"))
+    )
     return wide.groupBy("label").agg(
         F.coalesce(F.max("n_old"), F.lit(0)).cast("long").alias("n_old"),
         F.coalesce(F.max("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        cos.alias("cos_centroid"),
+        F.sum(diff * diff).cast("decimal(38,0)").alias("shift_num"),
         (
-            F.sum(F.col("sa") * F.col("sb")).cast("double")
-            / (
-                F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
-                * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
-            )
-        ).alias("cos_centroid"),
-        F.sum(
-            (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
-            * (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
-        )
-        .cast("long")
-        .alias("shift_num"),
-        (
-            F.sum(
-                (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
-                * (F.col("sa") * F.col("n_new") - F.col("sb") * F.col("n_old"))
-            ).cast("double")
+            F.sum(diff * diff).cast("double")
             / (
                 F.max("n_old").cast("double")
                 * F.max("n_old")
@@ -2218,15 +2232,7 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.max("n_new")
             )
         ).alias("l2_shift_sq"),
-        F.coalesce(
-            F.sum(F.col("sa") * F.col("sb")).cast("double")
-            / (
-                F.sqrt(F.sum(F.col("sa") * F.col("sa")).cast("double"))
-                * F.sqrt(F.sum(F.col("sb") * F.col("sb")).cast("double"))
-            )
-            < 0.95,
-            F.lit(True),
-        ).alias("drifted"),
+        F.coalesce(cos < 0.95, F.lit(True)).alias("drifted"),
     )
 
 

@@ -2356,17 +2356,25 @@ def q368_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS before_n
       FROM pts
     ),
+    -- rank sums are the q402 overflow class (rt ~ n^2): DECIMAL(38,0)
+    -- accumulator and u_doubled output, both engines
     t AS (
       SELECT CAST(SUM(a) AS BIGINT) AS nt, CAST(SUM(b) AS BIGINT) AS nc,
-             CAST(SUM(a * (2 * before_n + a + b + 1)) AS BIGINT) AS rt_doubled
+             CAST(SUM(CAST(a AS DECIMAL(38,0)) * (2 * before_n + a + b + 1))
+                  AS DECIMAL(38,0)) AS rt_doubled
       FROM cum
+    ),
+    u AS (
+      SELECT nt, nc,
+             CAST(rt_doubled - CAST(nt AS DECIMAL(38,0)) * (nt + 1)
+                  AS DECIMAL(38,0)) AS u_doubled
+      FROM t
     )
-    SELECT nt AS n_test, nc AS n_train,
-           CAST(rt_doubled - nt * (nt + 1) AS BIGINT) AS u_doubled,
-           CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) AS auc,
-           abs(CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc)
+    SELECT nt AS n_test, nc AS n_train, u_doubled,
+           CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc) AS auc,
+           abs(CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc)
                - 0.5) < 0.1 AS split_unbiased
-    FROM t
+    FROM u
     """,
 )
 def q371_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2409,19 +2417,32 @@ def q371_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = pts.withColumn(
         "before_n", F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0))
     )
+    # rank sums are the q402 overflow class (rt ~ n^2, past int64 at a
+    # few billion docs): DECIMAL(38,0) accumulator and u_doubled output
     t = cum.agg(
         F.sum("a").cast("long").alias("nt"),
         F.sum("b").cast("long").alias("nc"),
-        F.sum(F.col("a") * (2 * F.col("before_n") + F.col("a") + F.col("b") + 1))
-        .cast("long")
+        F.sum(
+            F.col("a").cast("decimal(38,0)")
+            * (2 * F.col("before_n") + F.col("a") + F.col("b") + 1)
+        )
+        .cast("decimal(38,0)")
         .alias("rt_doubled"),
     )
-    return t.selectExpr(
+    t2 = t.selectExpr(
+        "nt",
+        "nc",
+        "CAST(rt_doubled - CAST(nt AS DECIMAL(38,0)) * (nt + 1)"
+        " AS DECIMAL(38,0)) AS u_doubled",
+    )
+    # 2.0 * nt * nc promotes to double BEFORE multiplying (2*nt*nc in
+    # long is itself the n^2 class)
+    return t2.selectExpr(
         "nt AS n_test",
         "nc AS n_train",
-        "CAST(rt_doubled - nt * (nt + 1) AS BIGINT) AS u_doubled",
-        "CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) AS auc",
-        "abs(CAST(rt_doubled - nt * (nt + 1) AS DOUBLE) / (2 * nt * nc) - 0.5)"
+        "u_doubled",
+        "CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc) AS auc",
+        "abs(CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc) - 0.5)"
         " < 0.1 AS split_unbiased",
     )
 

@@ -671,6 +671,28 @@ def test_elbow_wcss_accumulates_in_decimal(spark):
         assert types[col].precision == 38 and types[col].scale == 0
 
 
+def test_overflow_class_sums_accumulate_in_decimal(spark):
+    """Round-9 corpus-sum sweep (VERDICT r8 item 4, the q402 class: the
+    per-row term fits int64, the corpus-level sum doesn't). Every rank/
+    pair-count statistic that grows ~n^2 (Mann-Whitney U, AUC, doubled
+    rank sums) and q442's ~n^4 shift terms must ship DECIMAL(38,0) so
+    scale-up can never wrap — under ANSI a genuine 10^38 overflow still
+    throws loudly."""
+    from pyspark.sql.types import DecimalType
+
+    pinned = {
+        "q238_exact_auc": ("u2",),
+        "q297_mann_whitney_u": ("r1_doubled", "u1_doubled", "u2_doubled"),
+        "q371_adversarial_validation": ("u_doubled",),
+        "q442_embedding_drift": ("shift_num",),
+    }
+    for name, cols in pinned.items():
+        types = {f.name: f.dataType for f in _qs()[name](spark, SF_DIR).schema.fields}
+        for col in cols:
+            assert isinstance(types[col], DecimalType), (name, col, types[col])
+            assert types[col].precision == 38 and types[col].scale == 0
+
+
 def test_preference_pairs_extreme_pruned(spark):
     """q404 must build pairs from the per-lang top-K/bottom-K quality
     extremes (two rank windows, WindowGroupLimit pushdown), never the
