@@ -134,6 +134,21 @@ def main() -> None:
             "sum(pmod(id * 1103515245 + 12345, 1000)) AS s"
         )
 
+    # Third control (round 9): a fixed synthetic SHUFFLE. The r9 mover
+    # adjudication found six untouched, differently-shaped queries all
+    # +17-40% vs the r7 artifact while BOTH existing controls sat flat
+    # — a shuffle/JVM-state drift axis neither the scan control nor the
+    # in-core CPU fold observes. Exchange-heavy movers normalize
+    # against control_shuffle_*.
+    def control_shuffle_df():
+        return (
+            spark.range(0, 8_000_000, 1, 32)
+            .selectExpr("pmod(id * 2654435761, 1048576) AS k", "id AS v")
+            .repartition(32, "k")
+            .groupBy("k")
+            .agg({"v": "sum"})
+        )
+
     queries = all_queries()
     # SPARK_GRAFT_BENCH_QUERIES=q01_...,q41_... runs a subset with the
     # identical protocol — for shape tests and quick iteration; the
@@ -205,6 +220,7 @@ def main() -> None:
 
     control_first = timed_reps(lambda: noop_write(control_df()))
     control_cpu_first = timed_reps(lambda: noop_write(control_cpu_df()))
+    control_shuffle_first = timed_reps(lambda: noop_write(control_shuffle_df()))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -232,6 +248,7 @@ def main() -> None:
     _drop_persistent_rdds(spark)
     control_last = timed_reps(lambda: noop_write(control_df()))
     control_cpu_last = timed_reps(lambda: noop_write(control_cpu_df()))
+    control_shuffle_last = timed_reps(lambda: noop_write(control_shuffle_df()))
     controls = {
         "control_first": round(control_first[len(control_first) // 2], 4),
         "control_last": round(control_last[len(control_last) // 2], 4),
@@ -239,6 +256,12 @@ def main() -> None:
         "control_last_spread": [round(control_last[0], 4), round(control_last[-1], 4)],
         "control_cpu_first": round(control_cpu_first[len(control_cpu_first) // 2], 4),
         "control_cpu_last": round(control_cpu_last[len(control_cpu_last) // 2], 4),
+        "control_shuffle_first": round(
+            control_shuffle_first[len(control_shuffle_first) // 2], 4
+        ),
+        "control_shuffle_last": round(
+            control_shuffle_last[len(control_shuffle_last) // 2], 4
+        ),
     }
     total = round(sum(timings.values()), 4)
     print(
@@ -275,6 +298,8 @@ def main() -> None:
                 "control_last": controls["control_last"],
                 "control_cpu_first": controls["control_cpu_first"],
                 "control_cpu_last": controls["control_cpu_last"],
+                "control_shuffle_first": controls["control_shuffle_first"],
+                "control_shuffle_last": controls["control_shuffle_last"],
             }
         ),
         flush=True,

@@ -1078,8 +1078,12 @@ def q152_ols_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       SELECT r.event_type, c.dow, COALESCE(o.obs, 0) AS obs,
              CAST(r.rn AS DOUBLE) * c.cn / t.n AS expected,
-             CAST((COALESCE(o.obs, 0) * t.n - r.rn * c.cn)
-                  * (COALESCE(o.obs, 0) * t.n - r.rn * c.cn)
+             -- 128-bit exact numerator (the q402 class: obs*n is ~n^2,
+             -- its square ~n^4), one cast to double at the division
+             CAST((CAST(COALESCE(o.obs, 0) AS HUGEINT) * t.n
+                     - CAST(r.rn AS HUGEINT) * c.cn)
+                  * (CAST(COALESCE(o.obs, 0) AS HUGEINT) * t.n
+                     - CAST(r.rn AS HUGEINT) * c.cn)
                   AS DOUBLE) / (CAST(t.n AS DOUBLE) * r.rn * c.cn) AS contrib
       FROM r CROSS JOIN c
       LEFT JOIN o ON o.event_type = r.event_type AND o.dow = c.dow
@@ -1127,7 +1131,15 @@ def q158_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = base.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("rn"))
     c = base.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
     t = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    num = (F.col("obs") * F.col("n") - F.col("rn") * F.col("cn"))
+    # obs*n and rn*cn are ~n^2 (the q402 class, past int64 at ~3e9
+    # events) and num*num is ~n^4 — with a real day-of-week effect the
+    # long square throws around sf1-scale event counts. The identity
+    # stays EXACT integer: DECIMAL(38,0) difference and square (128-bit
+    # HUGEINT in the oracle), one cast to double at the division
+    num = (
+        F.col("obs").cast("decimal(38,0)") * F.col("n")
+        - F.col("rn").cast("decimal(38,0)") * F.col("cn")
+    )
     # Densify to the FULL margin grid before computing contributions
     # (round 8, the q215-EMD lesson class): an EMPTY cell still
     # contributes (0·N − RC)²/(NRC) = RC/N to chi², and walking only
@@ -2110,7 +2122,10 @@ def q218_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
     SELECT c.arm, CAST(c.n AS BIGINT) AS n, t.total,
-           CAST((2 * c.n - t.total) * (2 * c.n - t.total) AS DOUBLE)
+           -- 128-bit exact square ((2n-N)^2 is ~users^2, the q402
+           -- class), one cast to double at the division
+           CAST(CAST(2 * c.n - t.total AS HUGEINT)
+                * CAST(2 * c.n - t.total AS HUGEINT) AS DOUBLE)
              / (2.0 * t.total) AS chi2_contrib
     FROM c, t
     """,
@@ -2159,8 +2174,12 @@ def q219_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total",
         (
-            ((2 * F.col("n") - F.col("total")) * (2 * F.col("n") - F.col("total")))
-            .cast("double")
+            # exact DECIMAL(38,0) square ((2n-N)^2 is ~users^2, the
+            # q402 class), one cast to double at the division
+            (
+                (2 * F.col("n") - F.col("total")).cast("decimal(38,0)")
+                * (2 * F.col("n") - F.col("total")).cast("decimal(38,0)")
+            ).cast("double")
             / (F.lit(2.0) * F.col("total"))
         ).alias("chi2_contrib"),
     )

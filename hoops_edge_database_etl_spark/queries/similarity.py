@@ -867,15 +867,18 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .groupBy(F.col("a.dim").alias("j"), F.col("b.dim").alias("k"), "nr")
         # Gram cell = corpus-level sum of 24-bit products (the q402
-        # class): int64 holds to ~5.5e11 vectors — within 1.4x of a
-        # 100 TB embedding table — so accumulate in DECIMAL(38,0); the
-        # floor-div below renormalizes to <= 2^24 either way (DuckDB's
-        # SUM(BIGINT) is already HUGEINT, so only this side needed it)
-        .agg(
-            F.sum((F.col("a.q") * F.col("b.q")).cast("decimal(38,0)")).alias(
-                "gs"
-            )
-        )
+        # class): int64 holds to ~5.5e11 vectors. AUDITED round 9 and
+        # deliberately left LONG: (a) a DECIMAL(38,0) accumulator was
+        # measured at +24% wall (same-session A/B at sf0.1: long min
+        # 2.98 s vs decimal 3.70 s) because THIS sum runs over the
+        # n*64^2 exploded Gram rows, unlike the round's other overflow
+        # pins whose decimal sums cover tiny bounded tables; (b) the
+        # ceiling is unreachable in this plan - 5.5e11 vectors means a
+        # 2.3e15-row exploded join, infeasible long before the sum
+        # wraps; (c) ANSI mode makes a genuine overflow THROW loudly,
+        # never a silent wrap. The scale path past ~1e9 vectors is
+        # per-partition numpy Gram blocks, not a wider accumulator.
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("gs"))
         .select(
             "j",
             "k",
