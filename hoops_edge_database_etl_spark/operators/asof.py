@@ -72,16 +72,26 @@ def asof_join(
     ).select(*l_tagged.columns)  # align column order for the union
 
     unioned = l_tagged.unionByName(r_tagged)
-    frame = (
-        (Window.unboundedPreceding, -1)
-        if direction == "backward"
-        else (1, Window.unboundedFollowing)
-    )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__asof_ts", "__side")
-        .rowsBetween(*frame)
-    )
+    # Frame choice is a SCALE decision, not just semantics (round 9,
+    # caught live by q253's sf1 soak row): Spark evaluates a shrinking
+    # (x, unboundedFollowing) frame by re-scanning the remaining rows
+    # for EVERY row — O(rows²) per partition, which on a hot key is the
+    # exact quadratic this operator exists to avoid. An unbounded-
+    # PRECEDING frame updates incrementally in O(rows), so the forward
+    # direction expresses the identical row set ("strictly after me in
+    # (ts, side) order") as a GROWING frame over the DESCENDING order.
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__asof_ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.desc("__asof_ts"), F.desc("__side"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
     # NOTE: a NULL in a right-side value column is skipped by ignorenulls and
     # would surface the previous non-null match — acceptable for enrichment
     # columns, same behavior as the reference's dict lookup of parsed rows.
@@ -101,11 +111,11 @@ def asof_join(
         .alias(f"__match_ts_{c}")
         for c in value_cols
     }
-    fill = (
-        (lambda c: F.last(c, ignorenulls=True))
-        if direction == "backward"
-        else (lambda c: F.first(c, ignorenulls=True))
-    )
+    # Both directions now read a growing frame, so the "nearest to the
+    # current row" pick is last() in BOTH: ascending order for backward,
+    # descending for forward (first-in-ascending == last-in-descending;
+    # the min/max staleness aggregates above are order-free either way).
+    fill = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         *[c for c in unioned.columns if c not in value_cols and c != "__side"],
         F.col("__side"),

@@ -1123,7 +1123,19 @@ def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctrl_bal = F.when(F.col("treated") == 0, F.col("bal"))
     ctrl_key = F.when(F.col("treated") == 0, F.col("c_custkey"))
-    ranged = c.repartitionByRange("bal", "c_custkey").withColumn(
+    # EXPLICIT partition count (round 9, caught LIVE by this round's sf1
+    # soak): repartitionByRange without numPartitions is AQE-coalescible,
+    # and at sf1 the whole 150k-row customer table coalesced into ONE
+    # range. That alone would only serialize the windows — but the
+    # original "above" window used a (1, unboundedFollowing) frame,
+    # which Spark re-evaluates by scanning the REMAINDER for every row:
+    # O(rows²) per partition. One coalesced range x shrinking frame =
+    # 2.25e10 row-ops on one core (the query ran ~40 min at sf1 vs
+    # 3.7 s at sf0.1). Both halves fixed: pin 32 ranges, and express
+    # the "first control after me" pick as a GROWING frame over the
+    # DESCENDING order (identical row set, incremental O(rows) —
+    # the asof.py forward fix, applied at its source).
+    ranged = c.repartitionByRange(32, "bal", "c_custkey").withColumn(
         "__mc_pid", F.spark_partition_id()
     )
     wb = (
@@ -1133,8 +1145,8 @@ def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = (
         Window.partitionBy("__mc_pid")
-        .orderBy("bal", "c_custkey")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("bal"), F.desc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = ranged.select(
         "c_custkey",
@@ -1143,8 +1155,8 @@ def q253_matched_controls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__mc_pid",
         F.last(ctrl_bal, ignorenulls=True).over(wb).alias("below_bal"),
         F.last(ctrl_key, ignorenulls=True).over(wb).alias("below_key"),
-        F.first(ctrl_bal, ignorenulls=True).over(wa).alias("above_bal"),
-        F.first(ctrl_key, ignorenulls=True).over(wa).alias("above_key"),
+        F.last(ctrl_bal, ignorenulls=True).over(wa).alias("above_bal"),
+        F.last(ctrl_key, ignorenulls=True).over(wa).alias("above_key"),
     )
     # Per-range boundary controls (n_partitions rows) — broadcast both ways.
     bounds = (

@@ -457,11 +457,28 @@ def test_q250_kernel_plan_and_hof_reference_agree(spark):
 def test_q253_no_single_partition_window(spark):
     """q253's matching ordering must be the range-partitioned two-pass
     plan — no SinglePartition exchange (the global-window trap), with
-    the range exchange and the __mc_pid-keyed local windows present."""
+    the range exchange and the __mc_pid-keyed local windows present.
+
+    Round 9, caught LIVE at sf1: (a) the range exchange must carry an
+    explicit partition count (REPARTITION_BY_NUM) — without it AQE
+    coalesced the whole table into ONE range; (b) no window may use a
+    shrinking (x, unboundedFollowing) frame — Spark re-scans the
+    remainder per row (O(rows²) per partition; combined with (a) the
+    query ran ~40 min at sf1 vs 3.7 s at sf0.1). The "first control
+    above" is a growing frame over the DESCENDING order instead."""
+    import re
+
     plan = _executed(_qs()["q253_matched_controls"](spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
     assert "__mc_pid" in plan
+    assert re.search(r"rangepartitioning\([^)]*, 32\), REPARTITION_BY_NUM", plan), (
+        "q253's range exchange lost its explicit partition count - AQE "
+        "will coalesce it to 1 range at scale"
+    )
+    assert "unboundedfollowing$()" not in plan.lower().replace(" ", ""), (
+        "q253 reintroduced a shrinking window frame - O(rows^2) per range"
+    )
 
 
 def test_spatial_grid_join_is_equi_join(spark):
