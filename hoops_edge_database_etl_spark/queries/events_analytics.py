@@ -3133,8 +3133,24 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key (band, salt) spreads pair production AND the DP across
     # band_count x SALT reducers with no extra shuffle. Same pair set:
     # every (a, b) meets exactly once.
+    #
+    # Salt GRANULARITY is its own scale knob (round 9, measured at
+    # sf1j): with salts=32 the ~2 occupied bands produce only 64 cells,
+    # and Murmur3 hashpartitioning packed them onto 37 of 64 partitions
+    # — the worst partition drew 5 cells = 10.2% of the total DP cost,
+    # so the sf1j run spent >60% of its 549 s wall on one core (the
+    # classic balls-into-bins tail, NOT data skew: the cells themselves
+    # are uniform to ~2.5%). Cells must OUTNUMBER partitions' collision
+    # scale, and partitions must outnumber cells: salts=64 gives 128
+    # near-uniform cells (~1.2% each) and 8*salts=512 partitions packs
+    # the worst partition at 2.6% < 1/32 — simulated wall factor 1.00x
+    # vs 3.27x for the 32/64 grid (scripts/ lineage: .scratch diag,
+    # numbers in SOAK_r09 note). At cluster scale the same rule holds
+    # symbolically: salts ~ 2-4x target cores / occupied bands,
+    # partitions ~ 4-8x cells; replication cost on b is salts x a few
+    # hundred bytes per user — noise next to the n^2/salts DP cells.
     t = 35
-    salts = 32
+    salts = 64
     a = coded.select(
         F.col("user_id").alias("user_a"),
         F.col("seq").alias("seq_a"),
@@ -3156,13 +3172,13 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must be on the side that streams). REPARTITION_BY_NUM is exempt
     # from AQE coalescing, and the (band, salt) key matches the join,
     # so the shuffle-hash join below reuses it as-is and inherits its
-    # 64-way parallelism.
+    # 512-way parallelism.
     b = coded.select(
         F.col("user_id").alias("user_b"),
         F.col("seq").alias("seq_b"),
         (F.length("seq") / t).cast("long").alias("band"),
         F.explode(F.array([F.lit(s) for s in range(salts)])).alias("salt"),
-    ).repartition(2 * salts, "band", "salt")
+    ).repartition(8 * salts, "band", "salt")
     # Pin the plan with a SHUFFLE_HASH hint on a (round 9): the round-8
     # broadcast pin stabilized sf0.1 but was a hard failure at scale —
     # Spark honors an explicit broadcast hint REGARDLESS of
@@ -3171,9 +3187,9 @@ def q287_behavior_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "Catalyst ignores the hint" safety valve). A shuffle-hash hint is
     # the deterministic version of the plan we actually want at every
     # scale: both sides co-partition on (band, salt) — b's explicit
-    # 64-way exchange is reused, a shuffles to match — the hinted side
+    # 512-way exchange is reused, a shuffles to match — the hinted side
     # builds the per-partition hash map, and the salted key spreads the
-    # pair fan-out and the banded DP across all 64 reducers. No size
+    # pair fan-out and the banded DP across all 512 reducers. No size
     # race (the round-8 6 s / 52 s alternation came from AQE picking
     # which side to broadcast), no broadcast ceiling.
     pairs = a.hint("shuffle_hash").join(b, ["band", "salt"]).filter(

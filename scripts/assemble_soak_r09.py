@@ -16,15 +16,24 @@ NOTES: dict[str, str] = {}
 
 RECHECK_NOTES = {
     "q287_behavior_edit_distance": (
-        "PLAN CHANGED (round-9 ADVICE): the r8 broadcast pin is honored "
-        "past autoBroadcastJoinThreshold, so beyond the 8 GB broadcast "
-        "limit it was a hard job failure, not a fallback - replaced with "
-        "a SHUFFLE_HASH hint that co-partitions both sides on the salted "
-        "(band, salt) key, reusing the 64-way re-spread. Re-timed: sf0.1 "
-        "5.5 s (same as the broadcast plan), jittered sf1 {q287j} s vs "
-        "566 s under the r8 broadcast plan - the shuffle plan is FASTER "
-        "at sf1 AND has no broadcast ceiling. Quadratic by contract "
-        "(pairs grow ~100x at 10x users)."
+        "PLAN CHANGED twice (round-9). (1) ADVICE: the r8 broadcast pin "
+        "is honored past autoBroadcastJoinThreshold, so beyond the 8 GB "
+        "broadcast limit it was a hard job failure, not a fallback - "
+        "replaced with a SHUFFLE_HASH hint that co-partitions both sides "
+        "on the salted (band, salt) key. (2) LIVE scale bug #8, found by "
+        "THIS re-timing: the first shuffle-hash run clocked 549 s at "
+        "jittered sf1 with one task running >5 min after the other 63 "
+        "finished. Cell-cost census: the 32-salt grid over the 2 "
+        "occupied bands makes only 64 near-uniform cells (~2.5% each), "
+        "and Murmur3 hashpartitioning packed them onto 37 of 64 "
+        "partitions - worst partition 5 cells = 10.2% of the total DP "
+        "(balls-into-bins, not data skew). Widened to salts=64 over 512 "
+        "partitions: 128 cells, worst partition 2.6% < 1/32, simulated "
+        "wall factor 1.00x vs 3.27x. Re-timed: jittered sf1 {q287j} s "
+        "(vs 549 s at salts=32, vs 566 s under the r8 broadcast plan; "
+        "plain sf1 488 -> 269 s); sf0.1 unchanged ~4-5 s. Quadratic by "
+        "contract (pairs grow ~100x at 10x users; slope {q287js} is now "
+        "BELOW the pair ratio - the grid no longer adds a packing tail)."
     ),
     "q440_cluster_safe_split": (
         "PLAN CHANGED (densify): output left-joins the declared 2x3 "
@@ -59,7 +68,8 @@ def main() -> None:
     recheck_j = json.load(open(".scratch/soak_r9_recheck_j.json"))
 
     fmt = {
-        "q287j": recheck_j["q287_behavior_edit_distance"]["slope"],
+        "q287j": recheck_j["q287_behavior_edit_distance"]["big_s"],
+        "q287js": recheck_j["q287_behavior_edit_distance"]["slope"],
         "q440j": recheck_j["q440_cluster_safe_split"]["slope"],
         "q450j": recheck_j["q450_corpus_release_manifest"]["slope"],
         "q371": recheck_plain["q371_adversarial_validation"]["slope"],

@@ -327,8 +327,12 @@ def test_behavior_edit_distance_band_equi_join(spark):
     autoBroadcastJoinThreshold, so past the 8 GB broadcast ceiling it
     is a hard job failure, not a fallback to the salted shuffle join.
     The shuffle-hash join co-partitions both sides on (band, salt),
-    reusing b's 64-way REPARTITION_BY_NUM exchange — the scale plan at
-    every scale."""
+    reusing b's REPARTITION_BY_NUM exchange — the scale plan at every
+    scale. Round 9 also widened the salt grid 32→64 with 512 partitions:
+    at sf1j the 64-cell grid hash-packed onto 37 of 64 partitions (worst
+    partition 10.2% of the DP cost = a 3.3x single-core tail measured at
+    549 s); 128 cells over 512 partitions packs the worst partition at
+    2.6% < 1/32 (simulated wall factor 1.00x, re-timed in SOAK_r09)."""
     import re
 
     plan = _executed(_qs()["q287_behavior_edit_distance"](spark, SF_DIR))
