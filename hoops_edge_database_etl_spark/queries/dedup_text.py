@@ -106,7 +106,24 @@ def jaccard_pairs(
     LOWER a pair's computed intersection (doc sizes stay full), so the
     capped variant under-estimates J — it loses recall on pairs whose
     overlap is mostly stop-shingles but never invents a false pair.
-    ``None`` (the oracle-checked default) is the exact form."""
+    ``None`` (the oracle-checked default) is the exact form.
+
+    LIVE scale bug #9 (round-9 sf1 soak, via q165's identical shape):
+    left to the size estimator, this self-join BROADCASTS one entire
+    exploded shingle side and streams the other over the single-file
+    parquet scan — scan estimates count FILE bytes and a Generate does
+    not inflate them, so a 50 MB documents file whose explode is ~7.5M
+    shingle rows sneaks under the 64 MB broadcast threshold, and the
+    whole k² pair production + partial count runs in ONE task (observed
+    live: a (0+1)/1 stage pinned for >12 min at sf1; at real corpus
+    scale the same plan is an 8 GB-broadcast hard failure instead, the
+    q287 ADVICE lesson). Two pins: repartition the docs BEFORE the
+    explode so shingle production is not serialized on the scan's
+    partitioning, and hint the self-join SHUFFLE_HASH so both exploded
+    sides exchange on the shingle key and every reducer produces its
+    own bucket's pairs — the inverted-index plan the docstring always
+    claimed. Plan-audited in tests/test_plans.py."""
+    d = d.repartition("doc_id")
     sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
     )
@@ -120,7 +137,8 @@ def jaccard_pairs(
         )
     a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -920,15 +938,21 @@ def q165_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hazard and the stop-shingle cap / MinHash banding (q43) are the
     mitigations; containment additionally benefits from a length filter
     (|A| ≤ |B| is implied near threshold 1.0, so the candidate join can
-    prune a.n > b.n/0.6 pairs — the PPJoin prefix trick q154 applies)."""
-    d = load(spark, sf_dir, "documents")
+    prune a.n > b.n/0.6 pairs — the PPJoin prefix trick q154 applies).
+    Round 9 (live scale bug #9, found when THIS query pinned a (0+1)/1
+    stage for >12 min at sf1): same two pins as ``jaccard_pairs`` —
+    pre-explode repartition + SHUFFLE_HASH on the shingle self-join —
+    because the size estimator broadcast the exploded side and
+    serialized pair production onto the single-file scan's one task."""
+    d = load(spark, sf_dir, "documents").repartition("doc_id")
     sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("s")
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        a.hint("shuffle_hash")
+        .join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

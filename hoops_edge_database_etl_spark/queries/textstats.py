@@ -1135,8 +1135,15 @@ def q138_substring_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary — per-doc cost is O(len), INDEPENDENT of pattern count,
     and with a corpus-sized pattern set the same plan shuffles instead
     of broadcasting. Dedup to distinct (doc, pattern) before the
-    count, since a pattern may match at several offsets."""
-    d = load(spark, sf_dir, "documents")
+    count, since a pattern may match at several offsets.
+
+    Round 9 (the live-bug-#9 family): the window production must not
+    inherit the single-file scan's 1-partition layout — "embarrassingly
+    parallel" only holds if the explode actually runs on more than one
+    core, so the doc side repartitions by doc_id before the position
+    explode (the pattern side stays a genuine broadcast: it is the
+    bounded eval set)."""
+    d = load(spark, sf_dir, "documents").repartition("doc_id")
     pats = (
         d.filter(
             (F.col("doc_id") % 97 == 0)

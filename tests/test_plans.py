@@ -353,9 +353,42 @@ def test_behavior_edit_distance_band_equi_join(spark):
 
 def test_substring_decontaminate_broadcasts_patterns(spark):
     """q138's pattern dictionary joins as a broadcast — per-doc cost must
-    not depend on pattern count via a shuffle join."""
+    not depend on pattern count via a shuffle join. Round 9: the DOC side
+    must also carry a pre-explode repartition — the window production was
+    serialized on the single-file scan's one partition (28.6 s at sf1 on
+    one core), so "embarrassingly parallel" needs the exchange below the
+    Generate."""
     plan = _executed(_qs()["q138_substring_decontaminate"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    gen = plan.find("Generate explode")
+    assert gen >= 0
+    assert "Exchange hashpartitioning(doc_id" in plan[gen:], (
+        "q138's position explode lost its pre-explode repartition"
+    )
+
+
+def test_shingle_self_join_is_shuffled_not_broadcast(spark):
+    """LIVE scale bug #9 (round-9 sf1 soak): q42/q165's shingle inverted-
+    index self-join must be a ShuffledHashJoin on the shingle key, never
+    a broadcast — the scan's size estimate counts FILE bytes and the
+    explode's ~150x fan-out is invisible to it, so Catalyst broadcast an
+    entire exploded shingle side (7.5M string rows at sf1) and streamed
+    the k^2 pair production over the single-file scan's ONE partition
+    (observed: a (0+1)/1 stage pinned >12 min; at corpus scale the same
+    plan is an 8 GB broadcast failure). Both sides must exchange on the
+    shingle key, and shingle production must not inherit the scan's
+    layout (pre-explode repartition on doc_id)."""
+    for name in ("q42_ngram_jaccard", "q165_containment_dedup"):
+        plan = _executed(_qs()[name](spark, SF_DIR))
+        assert "ShuffledHashJoin [s#" in plan, (
+            f"{name}: shingle self-join lost its shuffle-hash pin"
+        )
+        assert "HashedRelationBroadcastMode(List(input[1, string" not in plan, (
+            f"{name}: an exploded shingle side is being broadcast"
+        )
+        assert "Exchange hashpartitioning(doc_id" in plan, (
+            f"{name}: lost the pre-explode doc repartition"
+        )
 
 
 def test_ewma_single_window_exchange(spark):
