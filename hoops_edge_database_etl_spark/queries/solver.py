@@ -1185,9 +1185,10 @@ def q360_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ends
     )
     SELECT m2 // 2 AS n_edges,
-           (CAST(m2 AS DOUBLE) * sxy - CAST(s AS DOUBLE) * s)
-             / (CAST(m2 AS DOUBLE) * sxx - CAST(s AS DOUBLE) * s)
-             AS assortativity
+           CASE WHEN m2 * sxx - s * s = 0 THEN NULL
+                ELSE (CAST(m2 AS DOUBLE) * sxy - CAST(s AS DOUBLE) * s)
+                     / (CAST(m2 AS DOUBLE) * sxx - CAST(s AS DOUBLE) * s)
+           END AS assortativity
     FROM mom
     """,
 )
@@ -1205,7 +1206,18 @@ def q405_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The number decides real engineering: disassortative graphs
     shatter under hub removal (cache the hubs, q87-salt their keys),
     assortative ones percolate — and it's one of the cheap
-    structure stats a graph pipeline should log every build."""
+    structure stats a graph pipeline should log every build.
+
+    DEGENERATE CASE (round-9 sf1 soak, live): a REGULAR graph has zero
+    degree variance, so Newman's r is 0/0 — mathematically undefined.
+    The mod-100 node fold SATURATES to the complete graph once the
+    orders table is large enough (sf1: every residue pair occurs), all
+    100 degrees equal 99, and the Pearson denominator is exactly zero —
+    under ANSI mode that was a hard DIVIDE_BY_ZERO throw, while the
+    DuckDB oracle silently returned NULL. Both engines now declare the
+    contract: zero variance (checked in EXACT integer arithmetic,
+    m2·sxx = s², no float drift) → assortativity NULL, n_edges still
+    reported. Calibration-pinned: complete graph → NULL, star → −1."""
     o = load(spark, sf_dir, "orders")
     a = (F.col("o_custkey") % 100).cast("long")
     b = (F.col("o_orderkey") % 100).cast("long")
@@ -1233,9 +1245,10 @@ def q405_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mom.selectExpr(
         "m2 DIV 2 AS n_edges",
-        "(CAST(m2 AS DOUBLE) * sxy - CAST(s AS DOUBLE) * s)"
+        "CASE WHEN m2 * sxx - s * s = 0 THEN NULL"
+        " ELSE (CAST(m2 AS DOUBLE) * sxy - CAST(s AS DOUBLE) * s)"
         " / (CAST(m2 AS DOUBLE) * sxx - CAST(s AS DOUBLE) * s)"
-        " AS assortativity",
+        " END AS assortativity",
     )
 
 

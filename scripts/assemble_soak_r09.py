@@ -11,8 +11,168 @@ from __future__ import annotations
 
 import json
 
-# filled after the sampled run lands
-NOTES: dict[str, str] = {}
+# Curated adjudications for the rows that need one (fix rows, quadratic
+# workloads, and every slope >= 2.5). The long tail at/below ~2.5x on 10x
+# data gets the mechanical default from _default_note() - for those rows
+# "input grew 10x, wall grew <=2.5x against a fixed stage floor" IS the
+# complete adjudication (plan_fp recorded per row for staleness).
+NOTES: dict[str, str] = {
+    "q165_containment_dedup": (
+        "LIVE BUG #9 fix row: pre-fix this query pinned a (0+1)/1 stage "
+        ">12 min at sf1 - the size estimator counts FILE bytes, the "
+        "explode's ~150x fan-out is invisible, so Catalyst broadcast an "
+        "entire exploded shingle side and streamed the k^2 pair "
+        "production over the single-file scan's ONE partition (8 GB "
+        "broadcast hard-failure at corpus scale). Fixed: shuffle-hash "
+        "pin on the shingle key + pre-explode repartition (plan-audited, "
+        "oracle unchanged -> hash-verified). Post-fix the honest "
+        "workload remains: replication multiplies every posting list "
+        "x10 -> shared-shingle pairs x100; slope 69 < the pair ratio. "
+        "Exact form is pairs-quadratic by contract; q43 LSH banding / "
+        "stop-shingle caps are the corpus-scale path."
+    ),
+    "q42_ngram_jaccard": (
+        "LIVE BUG #9 fix row (same broadcast-the-explode plan via the "
+        "shared jaccard_pairs; same shuffle-hash + respread fix, "
+        "plan-audited, oracle unchanged). Exact inverted-index Jaccard "
+        "is pairs-quadratic by contract: dup inflation grows pairs "
+        "x100, slope 25 - wide and well under the pair ratio."
+    ),
+    "q138_substring_decontaminate": (
+        "LIVE BUG #9 family fix row: the Rabin-Karp window explode "
+        "inherited the single-file scan's 1 partition, so the whole "
+        "probe stream ran on one core (28.7 s at sf1, slope 9.1). "
+        "Doc-side respread before the explode: sf1 4.6 s, slope 1.09; "
+        "sf0.1 pays ~1 s for the extra exchange - the right trade. "
+        "Pattern side stays a genuine broadcast (bounded eval set)."
+    ),
+    "q405_degree_assortativity": (
+        "LIVE BUG #10 fix row: at sf1 the mod-100 node fold SATURATES "
+        "to the complete graph - zero degree variance, Pearson "
+        "denominator exactly 0 - and ANSI Spark threw DIVIDE_BY_ZERO "
+        "while the DuckDB oracle silently emitted NULL. Contract now "
+        "explicit in BOTH engines (exact-integer m2*sxx=s^2 check -> "
+        "NULL assortativity, n_edges still reported); calibration test "
+        "pins K4 -> NULL and 4-leaf star -> exactly -1. Mod-bounded "
+        "graph, scan-dominated wall (slope 0.69)."
+    ),
+    "q345_matryoshka_eval": (
+        "quadratic by contract: the truncation gate certifies recall "
+        "with EXACT int64 dots at both widths over query-set x corpus, "
+        "and both grow 10x (queries are vec_id%50) -> dot workload "
+        "x100; slope 50 < that. The certified production path "
+        "(truncated sweep, full-dim rerank of survivors only) is what "
+        "runs at corpus scale - this gate is the audit, not the "
+        "serving plan."
+    ),
+    "q283_dbscan_core_points": (
+        "fixed-domain density quadratic: 10x customers hash into the "
+        "SAME coordinate domain, so per-cell occupancy grows 10x and "
+        "in-cell candidate pairs x100; slope 48 < the pair ratio and "
+        "the grid join stays one hash shuffle. A real 10x corpus grows "
+        "the domain (or shrinks eps); with density pinned this is the "
+        "honest epsilon-neighborhood workload."
+    ),
+    "q455_linkage_threshold_curve": (
+        "the threshold sweep itself is the bounded 8x8 pattern table; "
+        "the wall is upstream q425 Fellegi-Sunter candidate generation, "
+        "whose blocking buckets hold 10 verbatim copies of every entity "
+        "under replication -> candidate pairs x100; slope 32 < the pair "
+        "ratio. Fixture inflation: a real 10x corpus adds entities, not "
+        "copies per block."
+    ),
+    "q391_candidate_transitivity": (
+        "wedge audit over the q43 LSH candidate graph: verbatim copies "
+        "collide in every band, so candidate degree - and wedges, "
+        "~degree^2 per apex - inflate super-linearly under replication; "
+        "slope 9.2 stays below even the edge growth because banding "
+        "caps each bucket's blast radius."
+    ),
+    "q82_decontamination": (
+        "eval shingle set (doc_id%97) x10 AND corpus x10 -> matched "
+        "(doc, shingle) join rows grow up to x100 under replication; "
+        "one shingle-key equi-join, 6.9 s absolute, slope 8.5 well "
+        "under the match-row ratio."
+    ),
+    "q44_simhash": (
+        "simhash band join: verbatim copies share all 4 bands, so "
+        "candidate pairs grow ~x100 under replication; slope 5 - the "
+        "64-bit sketch keeps per-candidate cost flat and the band join "
+        "stays bucket-bounded."
+    ),
+    "q175_normalized_dedup": (
+        "canonicalize->md5 + per-nh window counts; rows x10 with dup "
+        "groups 10x deeper, wall 4.5x on a half-second base - "
+        "hash-shuffle floor dominated, sub-linear."
+    ),
+    "q398_carrying_cost": (
+        "open-order semi join + one weighted cent-day sum; orders/"
+        "lineitem x10, slope 4.5 on a 2 s wall - join shuffle grows "
+        "linearly, stage floor covers the rest."
+    ),
+    "q382_aging_buckets": (
+        "same open-order semi join as q398 + CASE-ladder bucket rollup; "
+        "inputs x10, slope 4.1 on a 2 s wall - linear."
+    ),
+    "q187_rolling_slope": (
+        "per-key rolling OLS window; events x10 spread over 10x users "
+        "(window widths unchanged), slope 3.9 - window shuffle grows "
+        "linearly."
+    ),
+    "q239_hierarchy_rollup": (
+        "region->nation->customer rollup; fact side x10, slope 3.9 on "
+        "a 1 s wall - broadcast dims, linear fact scan."
+    ),
+    "q153_equidepth_histogram": (
+        "global equi-depth quantile build; rows x10, slope 3.5 - the "
+        "rank shuffle is the linear cost, bucket count fixed."
+    ),
+    "q186_pseudonymize": (
+        "keyed-hash pseudonymization scan + lookup-table join; rows "
+        "x10, slope 3.5 - map-side JVM hashing, linear."
+    ),
+    "q400_health_scorecard": (
+        "multi-metric scorecard = a battery of single-scan aggregates "
+        "unioned; inputs x10, slope 3.5 - scan-bound."
+    ),
+    "q282_zone_containment_join": (
+        "broadcast zone rectangles x point scan; points x10, zones "
+        "fixed (supplier-derived, dim-bounded), slope 3.1 - probe-side "
+        "linear."
+    ),
+}
+
+
+def _default_note(name: str, row: dict) -> str:
+    s, w = row["slope"], row["big_s"]
+    if s <= 1.0:
+        return (
+            f"slope {s} at 10x data ({w} s) - fixed stage cost dominates; "
+            "the larger input even fills partitions better. No "
+            "super-linear stage; plan_fp recorded."
+        )
+    if s <= 2.5:
+        return (
+            f"slope {s} at 10x data ({w} s wall) - at/below a quarter of "
+            "the data ratio: scan/shuffle volume grows 10x against a "
+            "fixed stage floor. No super-linear stage; plan_fp recorded."
+        )
+    return (
+        f"slope {s} at 10x data ({w} s wall) - sub-linear vs the data "
+        "ratio; linear input growth against a sub-second stage floor. "
+        "No super-linear stage; plan_fp recorded."
+    )
+
+
+# rows whose workload is quadratic by contract/fixture (flag set during
+# assembly so the artifact's quadratic_by_contract matches the note)
+QUADRATIC_ROWS = {
+    "q165_containment_dedup",
+    "q42_ngram_jaccard",
+    "q345_matryoshka_eval",
+    "q283_dbscan_core_points",
+    "q455_linkage_threshold_curve",
+}
 
 RECHECK_NOTES = {
     "q287_behavior_edit_distance": (
@@ -76,7 +236,9 @@ def main() -> None:
         "q442": recheck_plain["q442_embedding_drift"]["slope"],
     }
     for name, row in sample.items():
-        row["note"] = NOTES[name]
+        row["note"] = NOTES.get(name) or _default_note(name, row)
+        if name in QUADRATIC_ROWS:
+            row["quadratic_by_contract"] = True
     recheck = {}
     for name, row in recheck_j.items():
         row = dict(row)
@@ -112,7 +274,7 @@ def main() -> None:
             "(tests/test_soak_artifact.py)."
         ),
         "sample_seeds": [14],
-        "never_soaked_pool": None,  # filled from the sample log
+        "never_soaked_pool": 259,  # printed by the sampled run (seed 14)
         "queries": sample,
         "plan_change_recheck": {
             "method": (

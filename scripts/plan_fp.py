@@ -13,7 +13,14 @@ The fingerprint hashes the PRE-EXECUTION physical plan string (planning
 only — cheap, no job runs; with AQE this is the initial plan, which is
 exactly the part code changes move) with session-varying tokens
 scrubbed: expression ids, codegen stage numbers, plan ids, file paths,
-partition/byte counts inside scan metadata.
+partition/byte counts inside scan metadata, and the partition COUNT on
+exchanges that inherit ``spark.sql.shuffle.partitions`` (tagged
+ENSURE_REQUIREMENTS, or REPARTITION_BY_COL from a number-less
+``repartition(col)``) — the pytest session right-sizes that conf to its
+cpu count, so leaving it in made every fingerprint session-dependent.
+Counts on REPARTITION_BY_NUM exchanges are deliberately KEPT: those are
+explicit code choices (q287's 512-way salt grid), and changing one IS a
+plan change a soak row must be re-timed for.
 """
 
 from __future__ import annotations
@@ -32,6 +39,21 @@ _SCRUB = [
     (re.compile(r"subquery\d*", re.IGNORECASE), "subquery"),
     (re.compile(r"cte\d*", re.IGNORECASE), "cte"),
     (re.compile(r"exchange\d+", re.IGNORECASE), "exchange"),
+    # session-default partition counts (shuffle.partitions follows the
+    # session's cpu sizing); explicit REPARTITION_BY_NUM counts are kept
+    (re.compile(r", \d+\), ENSURE_REQUIREMENTS"), ", N), ENSURE_REQUIREMENTS"),
+    (re.compile(r", \d+\), REPARTITION_BY_COL"), ", N), REPARTITION_BY_COL"),
+    (re.compile(r"splits=\d+"), "splits="),  # spark.range default parallelism
+    # HOF lambda variables number from a session-global counter
+    # (lambda x_1# vs x_2# for the same plan built twice)
+    (re.compile(r"lambda ([a-z]+)_\d+"), r"lambda \1_"),
+    # scan DataFilters: Spark truncates the field at
+    # maxMetadataStringLength BYTES of the RAW string, and raw length
+    # shifts with expression-id digit widths (a session-global counter)
+    # - the same plan truncates at different points in different
+    # sessions. The predicate semantics survive in Filter nodes and
+    # PushedFilters, so drop the field from the fingerprint entirely.
+    (re.compile(r"DataFilters: \[.*?(?=, Format:)"), "DataFilters: ["),
     (re.compile(r"Statistics\([^)]*\)"), ""),
     (re.compile(r"size=\d+[^,\]\)]*"), "size="),
     (re.compile(r"rowCount=\d+"), "rowCount="),

@@ -40,6 +40,12 @@ QUADRATIC = {
     "q48_knn_brute_force",       # corpus x fixed query set — linear, but big const
     "q246_hard_negative_mining",
     "q482_label_propagation",    # exact-kNN build is n^2 by contract
+    # round 9 (sampled-tier adjudications, notes in SOAK_r09):
+    "q42_ngram_jaccard",         # exact inverted-index form, pairs-quadratic
+    "q165_containment_dedup",    # same shingle self-join shape as q42
+    "q345_matryoshka_eval",      # query-set x corpus exact dots at two widths
+    "q283_dbscan_core_points",   # fixed-domain density -> in-cell pairs x100
+    "q455_linkage_threshold_curve",  # upstream q425 blocking pairs
 }
 
 # The most expensive NON-headline queries by full-gate cost (VERDICT r6

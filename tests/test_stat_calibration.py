@@ -483,3 +483,39 @@ def test_q219_srm_zero_user_arm_surfaces(spark, tmp_path):
     assert out["treatment"]["chi2_contrib"] == n / 2.0
     assert out["control"]["chi2_contrib"] == n / 2.0
     assert out["treatment"]["chi2_contrib"] + out["control"]["chi2_contrib"] > 3.84
+
+
+# --- q405 degree assortativity --------------------------------------------
+
+
+def test_q405_assortativity_null_on_regular_graph_minus_one_on_star(
+    spark, tmp_path
+):
+    """Round-9 sf1 soak, live: the mod-100 node fold saturates to the
+    COMPLETE graph at sf1, every degree equals 99, and the Pearson
+    denominator is exactly zero — ANSI Spark threw DIVIDE_BY_ZERO while
+    the DuckDB oracle silently emitted NULL. The declared contract is
+    now explicit in both engines: zero degree variance → NULL. Closed
+    forms: K4 (regular) → NULL with 6 edges; a 4-leaf star → exactly −1
+    (every edge pairs the deg-4 hub with a deg-1 leaf)."""
+    q = _qs()["q405_degree_assortativity"]
+
+    def orders(pairs):
+        return [
+            (v, u, "O", 1.0, _day(0, i), "1-URGENT")
+            for i, (u, v) in enumerate(pairs)
+        ]
+
+    # complete graph on {1,2,3,4}: custkey%100=u, orderkey%100=v
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, orders(k4))
+    [row] = q(spark, sf).collect()
+    assert row["n_edges"] == 6
+    assert row["assortativity"] is None
+
+    # star centered at 0 with leaves 1..4
+    star = [(0, 1), (0, 2), (0, 3), (0, 4)]
+    sf = _write(spark, tmp_path, "orders", ORD_SCHEMA, orders(star))
+    [row] = q(spark, sf).collect()
+    assert row["n_edges"] == 4
+    assert abs(row["assortativity"] + 1.0) < 1e-12
