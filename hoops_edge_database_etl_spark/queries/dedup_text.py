@@ -199,8 +199,17 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     J ≈ 0.5): shingle → signature → band-key bucket join. The 100 TB dedup
     path — candidate generation touches only same-bucket docs, and the
     per-doc state is a fixed 8-hash signature, not the shingle set.
-    est_jaccard = matching signature components / 8."""
-    d = load(spark, sf_dir, "documents")
+    est_jaccard = matching signature components / 8.
+
+    Round 9 (live-bug-#9 static sweep): the band self-join must be the
+    SHUFFLE join the docstring describes — left to the estimator, the
+    docs x 4-bands signature side (corpus-proportional!) was BROADCAST,
+    because a scan's size estimate counts file bytes and neither the
+    shingle explode nor the signature fan-out inflates it. Same two
+    pins as jaccard_pairs: pre-explode repartition (shingle production
+    must not serialize on the single-file scan) and a shuffle-hash hint
+    so both sides co-partition on the (band, key) bucket."""
+    d = load(spark, sf_dir, "documents").repartition("doc_id")
     # explode + 8-MIN HashAggregate: the affine variants are integer
     # expressions over ONE md5 per shingle, and the min-reduction runs in
     # codegen with map-side combine (array_min folds are interpreted)
@@ -226,7 +235,8 @@ def q43_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.b") == F.col("b.b"))
             & (F.col("a.key") == F.col("b.key"))
@@ -490,8 +500,14 @@ def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches at least one band exactly (pigeonhole), so a band-bucket join
     has guaranteed recall, and 8-bit bands keep buckets ~256× smaller than
     4-bit ones (the knob that keeps candidates sub-quadratic at corpus
-    scale). The standard web-scale simhash dedup layout."""
-    d = load(spark, sf_dir, "documents")
+    scale). The standard web-scale simhash dedup layout.
+
+    Round 9 (live-bug-#9 static sweep): the docs x 4-bands side is
+    corpus-proportional and was being BROADCAST (the explode fan-out is
+    invisible to the file-bytes size estimate) — the band bucket join
+    is pinned shuffle-hash on (b, band_val), and the shingle production
+    feeding the simhash respreads past the single-file scan."""
+    d = load(spark, sf_dir, "documents").repartition("doc_id")
     sim = _simhash_docs(d)
     expl = sim.select(
         "doc_id",
@@ -509,7 +525,8 @@ def q45_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = expl.alias("a"), expl.alias("b")
     cand = (
-        a.join(
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.b") == F.col("b.b"))
             & (F.col("a.band_val") == F.col("b.band_val"))
@@ -781,7 +798,19 @@ def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is the ADVERSARIAL case — a ~31-token vocabulary keeps every
     posting hot and genuinely contains ~1M qualifying pairs at sf0.1;
     Zipfian real vocabs are where the prefix sliver pays. The length
-    filter below prunes candidates even here.)"""
+    filter below prunes candidates even here.)
+
+    STATED broadcast contract (round-9 explode-broadcast sweep): the
+    candidate join deliberately broadcasts the dictionary-encoded
+    prefix index — groups x a prefix sliver, kept small HERE by the
+    set-dedup stage — while the fan-out materializes in the 64-way
+    re-spread probe partitions. A tok-keyed shuffle join on THIS
+    corpus would be the q287 key-cardinality trap (~31 distinct
+    tokens → a 2-3-partition join). At corpus scale, where the group
+    count approaches the doc count and no broadcast fits, the form is
+    the salted tok join (q287's (key, salt) grid) — salting by token,
+    not switching to a plain tok shuffle, because hot prefix tokens
+    are exactly the skew the stop-shingle cap doesn't remove."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("s")

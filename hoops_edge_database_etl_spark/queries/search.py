@@ -81,8 +81,15 @@ def q236_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanning text. Substring LIKE cannot express this correctly
     (word boundaries, overlapping separators); the positional join is
     exact. At 100 TB: two slim filtered streams shuffle on doc_id —
-    bounded by the rarer term's collection frequency."""
-    d = load(spark, sf_dir, "documents").select(
+    bounded by the rarer term's collection frequency. Round 9 (the
+    live-bug-#9 static sweep): that shuffle must be PINNED — a term's
+    postings are corpus-proportional, but the size estimator prices the
+    filtered explode from file bytes and was broadcasting one side, so
+    a stopword-scale term becomes a broadcast failure instead of the
+    slim co-partitioned join; positions are unique per (doc, i), so the
+    shuffle-hash join has no skew by construction. The doc side also
+    respreads past the single-file scan before the position explode."""
+    d = load(spark, sf_dir, "documents").repartition("doc_id").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "w")
     )
     p1 = d.filter(F.col("w") == "table").select("doc_id", F.col("i").alias("i1"))
@@ -90,7 +97,8 @@ def q236_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id2"), F.col("i").alias("i2")
     )
     return (
-        p1.join(
+        p1.hint("shuffle_hash")
+        .join(
             p2,
             (p1.doc_id == p2.doc_id2) & (p2.i2 == p1.i1 + 1),
         )

@@ -129,6 +129,13 @@ def q279_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then a PURE EQUI-join on the cell key — one hash shuffle — where
     # the naive `b.cx BETWEEN a.cx±1` form plans a broadcast
     # nested-loop (O(n²) comparisons; measured 3x slower at sf0.1).
+    # Round 9 (live-bug-#9 static sweep): the hash shuffle must be
+    # PINNED — both sides are corpus-proportional (points, and points
+    # x9 on the probe), but the 9x explode is invisible to the
+    # file-bytes size estimate, so Catalyst was BROADCASTING the
+    # replicated probe side; the shuffle-hash hint co-partitions both
+    # sides on the cell key (~2.7k cells against 32 partitions — wide
+    # by construction, density skew is the documented salting knob).
     probe = _cell_probe(pts)
     build = pts.select(
         F.col("id").alias("id_b"),
@@ -141,7 +148,7 @@ def q279_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y") - F.col("yb")
     ) * (F.col("y") - F.col("yb"))
     return (
-        probe.join(build, ["kx", "ky"])
+        probe.hint("shuffle_hash").join(build, ["kx", "ky"])
         .filter((F.col("id") < F.col("id_b")) & (d2 < RADIUS * RADIUS))
         .select(
             F.col("id").cast("bigint").alias("id_a"),
@@ -375,7 +382,10 @@ def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full DBSCAN then unions core points within ε and runs the q62
     connected-components sweep over THAT graph — core classification
     is the one-pass 90% that decides how big the iterative 10% even
-    is. Exact integer d² throughout."""
+    is. Exact integer d² throughout. The grid join carries q279's
+    round-9 shuffle-hash pin (the 9x-replicated probe side is
+    corpus-proportional and was being broadcast — the live-bug-#9
+    estimator blindness)."""
     pts = _points(spark, sf_dir)
     probe = _cell_probe(pts)
     build = pts.select(
@@ -389,7 +399,7 @@ def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y") - F.col("yb")
     ) * (F.col("y") - F.col("yb"))
     neigh = (
-        probe.join(build, ["kx", "ky"])
+        probe.hint("shuffle_hash").join(build, ["kx", "ky"])
         .groupBy("id")
         .agg(
             F.sum(

@@ -66,12 +66,16 @@ NOTES: dict[str, str] = {
         "serving plan."
     ),
     "q283_dbscan_core_points": (
-        "fixed-domain density quadratic: 10x customers hash into the "
-        "SAME coordinate domain, so per-cell occupancy grows 10x and "
-        "in-cell candidate pairs x100; slope 48 < the pair ratio and "
-        "the grid join stays one hash shuffle. A real 10x corpus grows "
-        "the domain (or shrinks eps); with density pinned this is the "
-        "honest epsilon-neighborhood workload."
+        "LIVE BUG #9 family fix row (found by the static "
+        "explode-broadcast sweep the q165 catch spawned): the "
+        "9x-replicated probe side is corpus-proportional but invisible "
+        "to the file-bytes size estimate, so Catalyst BROADCAST it and "
+        "the in-cell pair production ran narrow - 31.2 s at sf1 under "
+        "the broadcast plan. Shuffle-hash pin on the cell key: 2.4 s "
+        "at sf1 (13x), slope 2.09 even though fixed-domain density "
+        "still grows in-cell pairs x100 - the grid join now runs wide "
+        "across ~2.7k cells. Density is the documented salting knob at "
+        "real scale."
     ),
     "q455_linkage_threshold_curve": (
         "the threshold sweep itself is the bounded 8x8 pattern table; "
@@ -85,8 +89,9 @@ NOTES: dict[str, str] = {
         "wedge audit over the q43 LSH candidate graph: verbatim copies "
         "collide in every band, so candidate degree - and wedges, "
         "~degree^2 per apex - inflate super-linearly under replication; "
-        "slope 9.2 stays below even the edge growth because banding "
-        "caps each bucket's blast radius."
+        "banding caps each bucket's blast radius. Re-timed after q43's "
+        "live-bug-#9 shuffle-hash pin (the docs x bands signature side "
+        "had been broadcast): 15.1 -> 9.3 s at sf1, slope 4.3."
     ),
     "q82_decontamination": (
         "eval shingle set (doc_id%97) x10 AND corpus x10 -> matched "
