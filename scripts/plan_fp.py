@@ -47,6 +47,12 @@ _SCRUB = [
     # HOF lambda variables number from a session-global counter
     # (lambda x_1# vs x_2# for the same plan built twice)
     (re.compile(r"lambda ([a-z]+)_\d+"), r"lambda \1_"),
+    # common-subexpression aliases (the With/CommonExpressionDef pass,
+    # e.g. a null-guarded divisor used twice) also number from a
+    # session-global counter: _common_expr_0 in a fresh session,
+    # _common_expr_37 mid-suite (q455 flagged only inside the full
+    # pytest run)
+    (re.compile(r"_common_expr_\d+"), "_common_expr_"),
     # scan DataFilters: Spark truncates the field at
     # maxMetadataStringLength BYTES of the RAW string, and raw length
     # shifts with expression-id digit widths (a session-global counter)
