@@ -41,7 +41,9 @@ ALLOWLIST = {
     "q306_quantile_normalize": "rank-block join bounded by block grid; slope 0.92 (SOAK_r06)",
     "q321_seasonal_naive_backtest": "lag-7 daily spine, calendar-bounded; slope 1.21 (SOAK_r08)",
     "q353_rolling_origin": "non-equi day-range BNLJ bounded by folds x 30 days; slope 1.12 (SOAK_r08)",
-    "q45_simhash_pairs": "banded simhash bucket join; slope 4.52 tracks near-dup density (SOAK_r06)",
+    # q45_simhash_pairs pruned round 9: its band join is now pinned
+    # shuffle-hash (the live-bug-#9 sweep), so the broadcast-stream-side
+    # signature no longer appears in its plan.
     "q465_ljung_box": "calendar-spine day-count ACF; slope 1.10 (SOAK_r08)",
     "q466_page_hinkley": "day-spine left join, calendar-bounded; slope 1.13 (SOAK_r08)",
 }
