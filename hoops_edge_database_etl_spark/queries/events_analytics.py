@@ -3674,7 +3674,7 @@ STORM_MIN_ERRORS = 3    # trigger threshold inside the window
                                ROWS UNBOUNDED PRECEDING) AS episode
       FROM trig
     )
-    SELECT user_id, episode,
+    SELECT user_id, CAST(episode AS BIGINT) AS episode,
            CAST(MIN(s) AS BIGINT) AS first_trigger_s,
            CAST(MAX(s) AS BIGINT) AS last_trigger_s,
            CAST(COUNT(*) AS BIGINT) AS n_triggers,
@@ -4297,7 +4297,8 @@ def q336_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS tier2
       FROM spend
     )
-    SELECT tier1, tier2, CAST(COUNT(*) AS BIGINT) AS n_users
+    SELECT CAST(tier1 AS BIGINT) AS tier1, CAST(tier2 AS BIGINT) AS tier2,
+           CAST(COUNT(*) AS BIGINT) AS n_users
     FROM tiers GROUP BY tier1, tier2
     """,
 )
@@ -5501,7 +5502,7 @@ def _ltv_oracle() -> str:
     parts.append(
         f"""
     SELECT rew.state, rew.r_c,
-           v.v AS ltv{_LTV_T}_c,
+           CAST(v.v AS BIGINT) AS ltv{_LTV_T}_c,
            CAST(v.v AS DOUBLE) / 100 AS ltv{_LTV_T}_dollars
     FROM rew JOIN v{_LTV_T} v ON v.state = rew.state"""
     )
@@ -6797,7 +6798,9 @@ def _attr_oracle() -> str:
                               WHERE removed = 'base') b
       WHERE c.removed <> 'base'
     )
-    SELECT channel, base_conv_fx, removed_conv_fx, removal_effect_fx,
+    SELECT channel, CAST(base_conv_fx AS BIGINT) AS base_conv_fx,
+           CAST(removed_conv_fx AS BIGINT) AS removed_conv_fx,
+           CAST(removal_effect_fx AS BIGINT) AS removal_effect_fx,
            CAST(GREATEST(0, removal_effect_fx) * 1000000
                 // NULLIF((SELECT SUM(GREATEST(0, removal_effect_fx))
                            FROM eff), 0) AS BIGINT)

@@ -136,6 +136,10 @@ def q279_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # replicated probe side; the shuffle-hash hint co-partitions both
     # sides on the cell key (~2.7k cells against 32 partitions — wide
     # by construction, density skew is the documented salting knob).
+    # Round 10 (ADVICE): the hint sits on the UN-replicated build side —
+    # Spark prefers the hinted side as the per-partition hash-map BUILD
+    # side, so hinting the 9x probe would build the map over 9x the rows
+    # (9x the build memory per partition) while the 1x side streamed.
     probe = _cell_probe(pts)
     build = pts.select(
         F.col("id").alias("id_b"),
@@ -148,7 +152,7 @@ def q279_spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y") - F.col("yb")
     ) * (F.col("y") - F.col("yb"))
     return (
-        probe.hint("shuffle_hash").join(build, ["kx", "ky"])
+        probe.join(build.hint("shuffle_hash"), ["kx", "ky"])
         .filter((F.col("id") < F.col("id_b")) & (d2 < RADIUS * RADIUS))
         .select(
             F.col("id").cast("bigint").alias("id_a"),
@@ -385,7 +389,9 @@ def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     is. Exact integer d² throughout. The grid join carries q279's
     round-9 shuffle-hash pin (the 9x-replicated probe side is
     corpus-proportional and was being broadcast — the live-bug-#9
-    estimator blindness)."""
+    estimator blindness) with the round-10 correction: the hint lives
+    on the UN-replicated side so the hash map builds over 1x points,
+    not the 9x probe."""
     pts = _points(spark, sf_dir)
     probe = _cell_probe(pts)
     build = pts.select(
@@ -399,7 +405,7 @@ def q283_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y") - F.col("yb")
     ) * (F.col("y") - F.col("yb"))
     neigh = (
-        probe.hint("shuffle_hash").join(build, ["kx", "ky"])
+        probe.join(build.hint("shuffle_hash"), ["kx", "ky"])
         .groupBy("id")
         .agg(
             F.sum(

@@ -52,22 +52,53 @@ _BOUNDING = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
              "LocalLimit")
 
 
+def _depth(s: str) -> int:
+    return len(s) - len(s.lstrip(" :+-"))
+
+
+def _raw_generate(lines: list[str], i: int, end: int) -> str | None:
+    """First Generate in the subtree rooted at ``lines[i]`` (body in
+    ``(i, end)``) that has NO bounding operator as an ANCESTOR on its
+    own path. Per-branch recursion (round 10, ADVICE): the old flat
+    scan broke at the first bounding op ANYWHERE in the subtree, so a
+    broadcast over join(aggregated-branch, raw-explode-branch) was
+    silently missed — the aggregate in one branch shielded the Generate
+    in its sibling."""
+    node = lines[i]
+    if any(b in node for b in _BOUNDING):
+        return None  # bounds every descendant on this path
+    if "Generate" in node:
+        return node
+    body = [k for k in range(i + 1, end) if lines[k].strip()]
+    if not body:
+        return None
+    child_depth = min(_depth(lines[k]) for k in body)
+    children = [k for k in body if _depth(lines[k]) == child_depth]
+    for a, b in zip(children, children[1:] + [end]):
+        hit = _raw_generate(lines, a, b)
+        if hit is not None:
+            return hit
+    return None
+
+
 def flags_in_plan(plan: str) -> list[str]:
     """Heads of BroadcastExchange subtrees whose build side contains a
-    Generate with NO aggregate/limit between exchange and explode —
+    Generate with NO aggregate/limit on the exchange→explode PATH —
     i.e. the raw exploded fan-out itself is broadcast."""
     lines = plan.splitlines()
     hits = []
     for i, ln in enumerate(lines):
         if "BroadcastExchange" not in ln:
             continue
-        sub = _subtree(lines, i)
-        for s in sub[1:]:
-            if any(b in s for b in _BOUNDING):
-                break  # bounded before any explode: not the signature
-            if "Generate" in s:
-                hits.append(re.sub(r"#\d+L?", "#", s.strip())[:120])
-                break
+        d0 = _depth(ln)
+        end = i + 1
+        while end < len(lines) and (
+            not lines[end].strip() or _depth(lines[end]) > d0
+        ):
+            end += 1
+        hit = _raw_generate(lines, i, end)
+        if hit is not None:
+            hits.append(re.sub(r"#\d+L?", "#", hit.strip())[:120])
     return hits
 
 

@@ -51,6 +51,62 @@ ALLOWED = {
 }
 
 
+def test_flags_raw_generate_under_broadcast():
+    from audit_explode_broadcast import flags_in_plan
+
+    plan = """BroadcastExchange HashedRelationBroadcastMode(List(input[0]))
++- Generate explode(arr#12), [k#3L], false
+   +- *(1) ColumnarToRow
+      +- FileScan parquet"""
+    assert len(flags_in_plan(plan)) == 1
+
+
+def test_bounding_ancestor_shields_generate():
+    from audit_explode_broadcast import flags_in_plan
+
+    plan = """BroadcastExchange HashedRelationBroadcastMode(List(input[0]))
++- *(2) HashAggregate(keys=[k#3L], functions=[count(1)])
+   +- Generate explode(arr#12), [k#3L], false
+      +- *(1) ColumnarToRow"""
+    assert flags_in_plan(plan) == []
+
+
+def test_sibling_branch_aggregate_does_not_shield():
+    """Round-10 ADVICE regression: the old flat scan broke at the FIRST
+    bounding op anywhere in the subtree, so an aggregate in one join
+    branch shielded a raw Generate in its SIBLING branch — a false
+    negative in the recurring gate. Only an ANCESTOR bounds a path."""
+    from audit_explode_broadcast import flags_in_plan
+
+    plan = """BroadcastExchange HashedRelationBroadcastMode(List(input[0]))
++- *(3) BroadcastHashJoin [k#3L], [k#9L], Inner, BuildLeft
+   :- *(1) HashAggregate(keys=[k#3L], functions=[count(1)])
+   :  +- Exchange hashpartitioning(k#3L, 32)
+   :     +- *(0) LocalTableScan
+   +- Generate explode(arr#12), [k#9L], false
+      +- *(2) ColumnarToRow"""
+    hits = flags_in_plan(plan)
+    assert len(hits) == 1 and "Generate" in hits[0]
+
+
+def test_aggregate_branch_first_generate_deeper_sibling():
+    """Same class, deeper: the Generate sits several levels down the
+    unbounded sibling while the bounded branch comes first."""
+    from audit_explode_broadcast import flags_in_plan
+
+    plan = """BroadcastExchange HashedRelationBroadcastMode(List(input[0]))
++- *(4) Project [k#9L]
+   +- *(4) SortMergeJoin [k#3L], [k#9L], Inner
+      :- *(1) Sort [k#3L ASC]
+      :  +- *(1) HashAggregate(keys=[k#3L], functions=[sum(v#4L)])
+      :     +- Exchange hashpartitioning(k#3L, 32)
+      +- *(3) Sort [k#9L ASC]
+         +- Generate explode(arr#12), [k#9L], false
+            +- *(2) ColumnarToRow"""
+    hits = flags_in_plan(plan)
+    assert len(hits) == 1 and "Generate" in hits[0]
+
+
 @pytest.mark.slow
 def test_no_unadjudicated_explode_broadcast(spark):
     from audit_explode_broadcast import flags_in_plan

@@ -1,0 +1,124 @@
+"""Recurring oracle output-TYPE audit (VERDICT r9 item 1).
+
+CORRECTNESS_r09's only red rows (q314/q338) were values-identical but
+hash-mismatched because their DuckDB oracles leaked an un-cast HUGEINT
+(INT128) output column — DuckDB widens SUM(INTEGER) window aggregates
+and `//` results to HUGEINT, which the driver's hasher serializes
+differently from the Spark side's int64 even when every value fits in
+64 bits. The same latent landmine sat in q437 (`ltv12_c`) and q474
+(the `*_fx` columns), predicted to go red when the drain reached them.
+
+This test closes the CLASS: DESCRIBE every registered oracle in DuckDB
+(plan-only — nothing executes) and assert every output column's type is
+in the closed scalar set the driver's hasher round-trips faithfully.
+DECIMAL(38,0) is allowed ONLY at the explicitly allowlisted
+(query, column) pairs below, and for those the Spark-side schema is
+verified to be decimal(38,0) too (schema analysis only, no collect) —
+the q238/q297 pattern, where BOTH engines carry the wide type so the
+driver hashes them identically (q238/q297 have official green rows).
+Any new HUGEINT / un-allowlisted DECIMAL fails here before the driver
+ever sees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+# The driver-hasher-safe scalar types (everything the 485 oracles emit
+# as of r10: BIGINT 1371, DOUBLE 347, VARCHAR 307, BOOLEAN 62,
+# INTEGER 22, DATE 12). TIMESTAMP is included because the data model
+# supports it even though no current oracle projects one.
+ALLOWED = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "DATE",
+    "BOOLEAN",
+    "TIMESTAMP",
+}
+
+# DECIMAL(38,0) pairs where the Spark side is decimal(38,0) as well —
+# exact integer accumulators too wide for int64 by design (doubled
+# midranks / e12-scaled moments). Adding a pair here requires the Spark
+# query to produce decimal(38,0) at that column; the test checks it.
+DECIMAL38_ALLOWLIST = {
+    ("q238_exact_auc", "u2"),
+    ("q297_mann_whitney_u", "r1_doubled"),
+    ("q297_mann_whitney_u", "u1_doubled"),
+    ("q297_mann_whitney_u", "u2_doubled"),
+    ("q371_adversarial_validation", "u_doubled"),
+    ("q402_elbow_wcss", "wcss"),
+    ("q402_elbow_wcss", "drop_from_prev"),
+    ("q402_elbow_wcss", "curvature"),
+    ("q417_brier_decomposition", "brier_num_e12"),
+    ("q442_embedding_drift", "shift_num"),
+    ("q478_cramer_von_mises", "u"),
+}
+
+
+@pytest.fixture(scope="module")
+def oracle_types(duck):
+    """{query: [(col, type), ...]} via DESCRIBE — binds every oracle's
+    plan against the real views without executing anything."""
+    from hoops_edge_database_etl_spark.queries import all_oracles
+
+    out = {}
+    for name, sql in sorted(all_oracles().items()):
+        out[name] = [(r[0], r[1]) for r in duck.execute(f"DESCRIBE {sql}").fetchall()]
+    return out
+
+
+def test_no_hugeint_or_unknown_types(oracle_types):
+    bad = []
+    for name, cols in oracle_types.items():
+        for col, typ in cols:
+            if typ in ALLOWED:
+                continue
+            if typ == "DECIMAL(38,0)" and (name, col) in DECIMAL38_ALLOWLIST:
+                continue
+            bad.append((name, col, typ))
+    assert not bad, (
+        "oracle output columns with driver-hasher-unsafe types (cast them "
+        f"in the oracle SQL — usually CAST(... AS BIGINT)): {bad}"
+    )
+
+
+def test_decimal38_allowlist_is_exact(oracle_types):
+    """The allowlist must not go stale: every entry must still exist and
+    still be DECIMAL(38,0) (a retired entry would silently permit a
+    future unrelated column of the same name)."""
+    actual = {
+        (name, col)
+        for name, cols in oracle_types.items()
+        for col, typ in cols
+        if typ == "DECIMAL(38,0)"
+    }
+    assert actual == DECIMAL38_ALLOWLIST, (
+        f"stale allowlist: extra={actual - DECIMAL38_ALLOWLIST} "
+        f"retired={DECIMAL38_ALLOWLIST - actual}"
+    )
+
+
+def test_decimal38_columns_are_decimal_in_spark_too(spark, oracle_types):
+    """For each allowlisted pair, the Spark query's ANALYZED schema (no
+    execution) must carry decimal(38,0) at the same column — the only
+    configuration where the driver hashes both sides identically."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in sorted({n for n, _ in DECIMAL38_ALLOWLIST}):
+        sdf = qs[name](spark, SF_DIR)
+        spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        for n, col in DECIMAL38_ALLOWLIST:
+            if n != name:
+                continue
+            assert spark_types.get(col) == "decimal(38,0)", (
+                f"{name}.{col}: oracle is DECIMAL(38,0) but Spark side is "
+                f"{spark_types.get(col)} — the driver hasher will mismatch"
+            )

@@ -4,9 +4,16 @@ did by hand must appear in Catalyst's plans — pushdown, pruning, broadcast
 
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
 from tests.conftest import SF_DIR
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
 
 
 def _executed(df) -> str:
@@ -360,11 +367,19 @@ def test_substring_decontaminate_broadcasts_patterns(spark):
     Generate."""
     plan = _executed(_qs()["q138_substring_decontaminate"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
-    gen = plan.find("Generate explode")
-    assert gen >= 0
-    assert "Exchange hashpartitioning(doc_id" in plan[gen:], (
-        "q138's position explode lost its pre-explode repartition"
-    )
+    # r10 (ADVICE): assert the exchange INSIDE the Generate's own
+    # subtree — "appears anywhere after the Generate in the flat string"
+    # was satisfiable by an unrelated later doc_id exchange, so the test
+    # could keep passing after the pre-explode repartition was lost.
+    from audit_explode_broadcast import _subtree
+
+    lines = plan.splitlines()
+    gens = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert gens, "q138 lost its position explode"
+    assert any(
+        any("Exchange hashpartitioning(doc_id" in s for s in _subtree(lines, g)[1:])
+        for g in gens
+    ), "q138's position explode lost its pre-explode repartition"
 
 
 def test_shingle_self_join_is_shuffled_not_broadcast(spark):
@@ -521,12 +536,23 @@ def test_q253_no_single_partition_window(spark):
 def test_spatial_grid_join_is_equi_join(spark):
     """q279/q283 must plan the cell-key hash equi-join (probe side
     exploded to 9 neighbor cells) — never a BroadcastNestedLoopJoin
-    over the raw BETWEEN neighborhood predicate."""
+    over the raw BETWEEN neighborhood predicate. r10 (ADVICE): the
+    ShuffledHashJoin must BUILD on the un-replicated right side (1x
+    points) — hinting the 9x probe made it the build side, 9x the
+    necessary hash-map memory per partition."""
+    import re
+
     for name in ("q279_spatial_radius_join", "q283_dbscan_core_points"):
         plan = _executed(_qs()[name](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "kx" in plan and "ky" in plan, name
+        m = re.search(r"ShuffledHashJoin \[kx[^\n]*", plan)
+        assert m, f"{name}: grid join is not a ShuffledHashJoin"
+        assert "BuildRight" in m.group(0), (
+            f"{name}: grid join builds on the 9x-replicated probe side "
+            f"(expected BuildRight over the 1x build side): {m.group(0)[:120]}"
+        )
 
 
 def test_gap_audit_intra_block_window_is_partitioned(spark):
