@@ -229,15 +229,39 @@ def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists; τ counts every pair — concordant minus discordant over the
     tie-corrected geometric denominator, the rank correlation with a
     clean probabilistic reading (P(agree) − P(disagree) on a random
-    pair). Everything to the final division is exact integers — the
-    sign of (Δrev)·(Δqty) per pair, tie counts per margin — and the
-    sqrt pair is the IEEE-exempt transcendental. The O(n²) pair join
-    is catalog-bounded here and honest about scale: the O(n log n)
-    merge-sort inversion count is the 100 TB form (a q74-style
-    range-partitioned two-pass), noted where the plan would change,
-    not silently assumed. Property-tested against scipy-formula
-    recomputation and ±1 on planted perfectly-agreeing/reversed
-    rankings."""
+    pair). Everything to the final division is exact integers and the
+    sqrt pair is the IEEE-exempt transcendental.
+
+    Round 10: the O(n²) pair join (185 s at sf1 — 20B pairs for ONE
+    scalar output) is replaced by the O(n log n) Knight form the old
+    docstring only NAMED. The oracle stays the O(n²) SQL, so the hash
+    gate certifies the rewrite end-to-end. Decomposition (all exact
+    int64):
+      n0 = n(n−1)/2, n1/n2/n3 = Σ m(m−1)/2 over rev / qty / (rev,qty)
+      tie groups — plain distributed groupBy aggregates;
+      D (discordant) = Σ c_a·c_b over value-group pairs with
+      rev_a<rev_b AND qty_a>qty_b — a weighted 2-D dominance count:
+      range-partition the per-part aggregate on (rev, qty), count
+      within-partition dominance pairs with a vectorized weighted
+      mergesort per partition (numpy, mapInPandas), and count
+      cross-partition pairs with a grp-window cumulative sum over
+      qty-grouped counts (partitions are rev-ordered, so only the qty
+      comparison remains; rev-ties that span a boundary are ordered
+      qty-ascending by the range sort, so the strict qty_a>qty_b test
+      excludes them automatically — same argument within a partition).
+      Then conc = n0−n1−n2+n3−D, disc = D (the exhaustive pair-class
+      identity: every pair is concordant, discordant, x-tie-only,
+      y-tie-only, or both-tie).
+    The D branch is ONE evaluation end-to-end (the own/earlier rows
+    come from a single explode, never a self-union) because range
+    boundaries are sampled per evaluation — two legs could bin pairs
+    differently and double-count. The tie branches re-aggregate the
+    linear per-part rollup independently; they are value-pure, so
+    boundary drift cannot affect them. Property-tested against
+    scipy-formula recomputation and ±1 on planted perfectly-agreeing/
+    reversed rankings."""
+    import pandas as pd  # noqa: F401
+
     li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
@@ -245,32 +269,137 @@ def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
     )
-    a = agg.select(
-        F.col("l_partkey").alias("pa"), F.col("rev").alias("ra"), F.col("qty").alias("qa")
+
+    def pairs_of(cnt_col):
+        return F.sum((F.col(cnt_col) * (F.col(cnt_col) - 1) / 2).cast("long"))
+
+    n0 = (
+        agg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n_pairs"))
     )
-    b = agg.select(
-        F.col("l_partkey").alias("pb"), F.col("rev").alias("rb"), F.col("qty").alias("qb")
+    n1 = (
+        agg.groupBy("rev").agg(F.count(F.lit(1)).alias("m"))
+        .agg(pairs_of("m").alias("ties_x"))
     )
-    prod = (F.col("ra") - F.col("rb")) * (F.col("qa") - F.col("qb"))
-    pairs = a.join(b, F.col("pa") < F.col("pb")).select(
-        F.when(prod > 0, 1).when(prod < 0, -1).otherwise(0).alias("sgn"),
-        F.when(F.col("ra") == F.col("rb"), 1).otherwise(0).alias("tie_x"),
-        F.when(F.col("qa") == F.col("qb"), 1).otherwise(0).alias("tie_y"),
+    n2 = (
+        agg.groupBy("qty").agg(F.count(F.lit(1)).alias("m"))
+        .agg(pairs_of("m").alias("ties_y"))
     )
-    s = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("conc"),
-        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long").alias("disc"),
-        F.sum("tie_x").cast("long").alias("ties_x"),
-        F.sum("tie_y").cast("long").alias("ties_y"),
+    n3 = (
+        agg.groupBy("rev", "qty").agg(F.count(F.lit(1)).alias("m"))
+        .agg(pairs_of("m").alias("ties_xy"))
     )
+
+    P = 32  # range partitions for the dominance pass
+
+    def dominance_kernel(batches):
+        import numpy as np
+
+        revs, qtys = [], []
+        pidx = None
+        for pdf in batches:
+            if len(pdf):
+                pidx = int(pdf["pidx"].iloc[0])
+                revs.append(pdf["rev"].to_numpy(np.int64))
+                qtys.append(pdf["qty"].to_numpy(np.int64))
+        if pidx is None:
+            return
+        rev = np.concatenate(revs)
+        qty = np.concatenate(qtys)
+        # group to (rev, qty) value cells with counts
+        order = np.lexsort((qty, rev))
+        rev, qty = rev[order], qty[order]
+        new = np.empty(len(rev), dtype=bool)
+        new[0] = True
+        new[1:] = (rev[1:] != rev[:-1]) | (qty[1:] != qty[:-1])
+        starts = np.flatnonzero(new)
+        c = np.diff(np.append(starts, len(rev))).astype(np.int64)
+        rev_g, qty_g = rev[starts], qty[starts]
+
+        # weighted mergesort dominance: pairs i<j in (rev,qty) order with
+        # qty_i > qty_j, weight c_i*c_j. rev-ties are qty-ascending, so
+        # in-tie pairs never satisfy the strict test.
+        def count(q, w):
+            if len(q) < 2:
+                return 0, q, w
+            m = len(q) // 2
+            d1, q1, w1 = count(q[:m], w[:m])
+            d2, q2, w2 = count(q[m:], w[m:])
+            # cross: left element > right element (strict)
+            cum = np.concatenate(([0], np.cumsum(w1)))
+            pos = np.searchsorted(q1, q2, side="right")
+            cross = int(np.dot(cum[-1] - cum[pos], w2))
+            qm = np.concatenate((q1, q2))
+            wm = np.concatenate((w1, w2))
+            o = np.argsort(qm, kind="stable")
+            return d1 + d2 + cross, qm[o], wm[o]
+
+        d_local, _, _ = count(qty_g, c)
+        out = pd.DataFrame(
+            {
+                "pidx": np.full(len(rev_g) + 1, pidx, dtype=np.int64),
+                "qty": np.append(qty_g, 0),
+                "c": np.append(c, d_local),
+                "kind": np.append(np.ones(len(rev_g), dtype=np.int32), 0),
+            }
+        )
+        yield out
+
+    ranged = (
+        agg.select("rev", "qty")
+        .repartitionByRange(P, "rev", "qty")
+        .withColumn("pidx", F.spark_partition_id())
+        .mapInPandas(dominance_kernel, "pidx long, qty long, c long, kind int")
+    )
+    # Single explode fans each value-group row to its OWN grp (earlier=0)
+    # plus every LATER grp (earlier=1); local-count rows ride along as
+    # earlier=2. One subtree, one evaluation — see docstring.
+    fan = F.when(
+        F.col("kind") == 1,
+        F.concat(
+            F.array(F.struct(F.col("pidx").alias("grp"), F.lit(0).alias("earlier"))),
+            F.transform(
+                F.when(F.col("pidx") < P - 1, F.sequence(F.col("pidx") + 1, F.lit(P - 1)))
+                .otherwise(F.array().cast("array<long>")),
+                lambda q: F.struct(q.alias("grp"), F.lit(1).alias("earlier")),
+            ),
+        ),
+    ).otherwise(F.array(F.struct(F.col("pidx").alias("grp"), F.lit(2).alias("earlier"))))
+    e = ranged.select(
+        F.explode(fan).alias("f"), "qty", "c"
+    ).select(F.col("f.grp").alias("grp"), F.col("f.earlier").alias("earlier"), "qty", "c")
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy(F.desc("qty"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_same = Window.partitionBy("grp", "qty")
+    earlier_c = F.when(F.col("earlier") == 1, F.col("c")).otherwise(F.lit(0))
+    contrib = e.select(
+        "earlier",
+        "c",
+        (F.sum(earlier_c).over(w_cum) - F.sum(earlier_c).over(w_same)).alias("gt"),
+    )
+    d_row = contrib.agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("earlier") == 2, F.col("c"))), F.lit(0))
+            + F.coalesce(
+                F.sum(F.when(F.col("earlier") == 0, F.col("c") * F.col("gt"))),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("disc")
+    )
+
+    s = n0.crossJoin(n1).crossJoin(n2).crossJoin(n3).crossJoin(d_row)
     return s.selectExpr(
         "n_pairs",
-        "conc",
+        "CAST(n_pairs - ties_x - ties_y + ties_xy - disc AS BIGINT) AS conc",
         "disc",
         "ties_x",
         "ties_y",
-        "CAST(conc - disc AS DOUBLE)"
+        "CAST(n_pairs - ties_x - ties_y + ties_xy - 2 * disc AS DOUBLE)"
         " / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))"
         " * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) AS tau_b",
     )

@@ -1,0 +1,281 @@
+"""Assemble SOAK_r10.json from the round-10 scratch soak runs:
+.scratch/soak_r10_sample.json (SOAK_SET=sample:129, seed 10 — the ENTIRE
+remaining never-soaked pool, closing the VERDICT r8 item 4 drain at 0)
+and .scratch/soak_r10_recheck.json (plain sf1 re-timings of q279/q283,
+whose grid-join plans changed this round: the shuffle_hash hint moved to
+the un-replicated build side per ADVICE, flipping BuildLeft→BuildRight).
+Adjudication notes are curated here.
+
+Round-10 ADVICE fix vs assemble_soak_r09: `_default_note` no longer
+auto-writes a benign "sub-linear" note for slopes >= 2.5 — every such
+row must have a curated NOTES entry or assembly FAILS loudly, matching
+the stated contract that everything >= 2.5 is adjudicated by a human
+reading the row, never by a fallback string.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# Curated adjudications: REQUIRED for every slope >= 2.5 (assembly fails
+# otherwise), optional below that (the mechanical default is complete
+# for "input grew 10x, wall grew <2.5x against a fixed stage floor").
+NOTES: dict[str, str] = {
+    "q408_kendall_tau": (
+        "REWRITE ROW (round 10): this soak run surfaced the heaviest "
+        "wall on the board - 185.7 s at sf1, slope 18.0 - from the "
+        "O(n^2) pair join the docstring had declared by-contract (20B "
+        "pairs for ONE scalar row). Replaced with the O(n log n) Knight "
+        "form: tie counts from plain groupBy aggregates, discordant "
+        "pairs from a weighted dominance count (range-partition on "
+        "(rev, qty), numpy weighted-mergesort per partition, grp-window "
+        "prefix sums for cross-partition pairs). Oracle unchanged -> "
+        "the hash gate certifies the rewrite; plan pinned by "
+        "test_q408_is_knight_not_pair_join. Re-timed: sf1 3.28 s (57x), "
+        "slope 1.51."
+    ),
+    "q259_semantic_decontamination": (
+        "eval-set x corpus semantic screen: BOTH sides grow 10x under "
+        "the fixture (eval membership is doc_id-modulo), so the "
+        "exact-dot candidate workload grows ~x100; slope 67 < that "
+        "ratio. The production path is the q47 sign-LSH prefilter; "
+        "this exact form is the decontamination AUDIT, quadratic by "
+        "contract."
+    ),
+    "q425_fellegi_sunter": (
+        "record-linkage candidate generation: blocking buckets hold 10 "
+        "verbatim copies of every entity under plain replication, so "
+        "candidate pairs grow x100 (the same fixture inflation "
+        "adjudicated on q455's r9 row, whose wall IS this query "
+        "upstream); slope 45 < the pair ratio. A real 10x corpus adds "
+        "entities, not copies per block - blocking keeps buckets "
+        "bounded."
+    ),
+    "q308_lsh_recall_eval": (
+        "LSH precision/recall gate: re-invokes the registered q42/q43 "
+        "lineages, where verbatim copies collide in every band and "
+        "shared-shingle pairs grow ~x100 under replication; slope 39 < "
+        "the pair ratio. Inherits the r9 shuffle-hash pins "
+        "(plan-audited); banding caps each bucket's blast radius at "
+        "real corpus growth."
+    ),
+    "q344_lsh_s_curve": (
+        "S-curve calibration over the banded bucket join: candidate "
+        "pairs grow ~x100 under replication (copies collide in every "
+        "band); slope 19, well under the pair ratio, and the bucketed "
+        "plan inherits the r9 jaccard_pairs shuffle-hash pin."
+    ),
+    "q196_small_qty_revenue": (
+        "TPC-H Q17 shape: fact joined to its own per-part aggregate, "
+        "both sides shuffle on partkey - pure linear growth (lineitem "
+        "x10 through two shuffles); slope 8.5 < the data ratio on a "
+        "0.5 s base."
+    ),
+    "q99_repetition_filter": (
+        "per-doc duplicate-ngram ratios: docs x10 and the ngram explode "
+        "grows with them - linear token fan-out, slope 7.9 < the data "
+        "ratio; per-doc cost is bounded by doc length, unchanged by sf."
+    ),
+    "q98_pii_scrub": (
+        "JVM regex scrub scan: docs x10, slope 7.6 - map-only linear; "
+        "approaching the data ratio because the 0.4 s small-sf wall is "
+        "mostly fixed stage cost that stops amortizing."
+    ),
+    "q461_gopher_quality_rules": (
+        "Gopher rule battery = one pass of per-doc token/char exprs; "
+        "docs x10, slope 6.8 < the data ratio - scan-bound linear with "
+        "a 1 s base."
+    ),
+    "q383_langid_eval": (
+        "n-gram language-ID eval: per-doc profile dot against the "
+        "broadcast trigram table; docs x10, slope 6.0 - map-side "
+        "linear."
+    ),
+    "q84_boilerplate_ngrams": (
+        "boilerplate n-gram mining: the line-shingle explode grows "
+        "linearly with docs (x10), one hash shuffle on the shingle; "
+        "slope 5.7 < the data ratio."
+    ),
+    "q384_tokenizer_fertility": (
+        "tokenizer fertility stats: per-doc token counts at two "
+        "granularities, docs x10, slope 4.8 on a 0.3 s base - linear "
+        "against a fixed two-stage floor."
+    ),
+    "q280_nearest_facility": (
+        "nearest-facility labeling: the facility set is FIXED "
+        "(s_suppkey <= 10, sf-independent) and broadcasts; per-point "
+        "work is constant k=10, so the job is a map-only linear scan - "
+        "slope 4.7 < the data ratio on a 0.6 s base."
+    ),
+    "q235_inverted_index": (
+        "inverted-index build: postings explode grows linearly with "
+        "docs (x10), one token-key shuffle; slope 4.5 < the data ratio."
+    ),
+    "q388_totals_reconciliation": (
+        "header-vs-detail reconciliation: orders x10 joined to their "
+        "own line rollup (x10) on orderkey - linear both sides, slope "
+        "4.4 on a 1 s base."
+    ),
+    "q244_copurchase_topk": (
+        "co-purchase pair generation is basket-bounded by contract "
+        "(b-line basket -> b(b-1) pairs, basket size is sf-independent "
+        "in this fixture), so pairs grow LINEARLY with orders (x10); "
+        "slope 4.1 < the data ratio on a 2.4 s base."
+    ),
+    "q52_fingerprint_clusters": (
+        "sorted-token md5 fingerprints: linear doc scan + one window "
+        "over the 16-byte fingerprint; slope 3.8 on a 0.3 s base - "
+        "stage floor dominated."
+    ),
+    "q335_ngram_novelty": (
+        "cross-period n-gram novelty: shingle explode x10 against the "
+        "prior-period index, one shingle-key join; slope 3.8 < the "
+        "data ratio."
+    ),
+    "q268_graph_neighbor_agg": (
+        "one GraphSAGE-mean layer: q244's basket-bounded edge list "
+        "(linear in orders) joined to part features, one "
+        "destination-key shuffle; slope 3.1 on a 1.8 s base."
+    ),
+    "q478_cramer_von_mises": (
+        "CvM two-sample statistic: global rank sort (linear shuffle) + "
+        "exact-integer moment sums; slope 2.9 on a 0.5 s base - the "
+        "rank exchange is the linear cost."
+    ),
+    "q285_topk_plus_other": (
+        "top-k with OTHER rollup: one group agg + one rank window; "
+        "inputs x10, slope 2.7 on a 0.3 s base - stage floor."
+    ),
+    "q387_storage_tiering": (
+        "storage-tier advisor: one scan + per-table rollups; inputs "
+        "x10, slope 2.7 on a 0.3 s base - stage floor."
+    ),
+    "q123_array_hof_suite": (
+        "array higher-order-function suite: per-row codegen HOFs, rows "
+        "x10, slope 2.6 on a 0.6 s base - map-side linear."
+    ),
+    "q206_fifo_allocation": (
+        "FIFO lot allocation: per-key ordered window over lots x10 "
+        "(keys x10, window widths unchanged); slope 2.6 on a 1.6 s "
+        "base - window shuffle grows linearly."
+    ),
+}
+
+# rows whose workload is quadratic by contract/fixture (flag set during
+# assembly so the artifact's quadratic_by_contract matches the note)
+QUADRATIC_ROWS: set[str] = {
+    "q259_semantic_decontamination",
+    "q425_fellegi_sunter",
+    "q308_lsh_recall_eval",
+    "q344_lsh_s_curve",
+}
+
+RECHECK_NOTES = {
+    "q279_spatial_radius_join": (
+        "PLAN CHANGED (r10 ADVICE): the r9 shuffle-hash pin had the hint "
+        "on the 9x-replicated probe side, and Spark prefers the HINTED "
+        "side as the per-partition hash-map BUILD side - 9x the "
+        "necessary build memory. Hint moved to the un-replicated 1x "
+        "side (BuildLeft -> BuildRight, plan test asserts it). "
+        "Workload-quadratic fixture (both join sides scale with sf, "
+        "result rows grow ~100x at 10x data - the r6 row measured "
+        "139k -> 13.9M): slope {q279} under the corrected build side "
+        "(r6 row: 46.2 under the pre-pin broadcast plan)."
+    ),
+    "q283_dbscan_core_points": (
+        "PLAN CHANGED (r10 ADVICE, same build-side flip as q279). "
+        "Fixed-domain density still grows in-cell pairs x100 at 10x "
+        "data; the grid join runs wide across ~2.7k cells. Re-timed "
+        "plain sf1: slope {q283} vs 2.09 on the r9 row (same fixture, "
+        "same shuffle plan, build side now the 1x points)."
+    ),
+}
+
+
+def _default_note(name: str, row: dict) -> str:
+    s, w = row["slope"], row["big_s"]
+    if s <= 1.0:
+        return (
+            f"slope {s} at 10x data ({w} s) - fixed stage cost dominates; "
+            "the larger input even fills partitions better. No "
+            "super-linear stage; plan_fp recorded."
+        )
+    if s < 2.5:
+        return (
+            f"slope {s} at 10x data ({w} s wall) - at/below a quarter of "
+            "the data ratio: scan/shuffle volume grows 10x against a "
+            "fixed stage floor. No super-linear stage; plan_fp recorded."
+        )
+    # r10 (ADVICE): slopes >= 2.5 MUST be curated - a benign fallback
+    # here would bake a false adjudication into the artifact.
+    raise SystemExit(
+        f"UNADJUDICATED slope {s} for {name} ({w} s at sf1): add a "
+        "curated NOTES entry explaining the mechanism before assembling"
+    )
+
+
+def main() -> None:
+    sample = json.load(open(".scratch/soak_r10_sample.json"))
+    recheck_plain = json.load(open(".scratch/soak_r10_recheck.json"))
+
+    fmt = {
+        "q279": recheck_plain["q279_spatial_radius_join"]["slope"],
+        "q283": recheck_plain["q283_dbscan_core_points"]["slope"],
+    }
+    errors = [n for n, r in sample.items() if "error" in r]
+    if errors:
+        raise SystemExit(f"soak rows with errors, fix first: {errors}")
+    for name, row in sample.items():
+        row["note"] = NOTES.get(name) or _default_note(name, row)
+        if name in QUADRATIC_ROWS:
+            row["quadratic_by_contract"] = True
+    recheck = {}
+    for name, row in recheck_plain.items():
+        row = dict(row)
+        row["note"] = RECHECK_NOTES[name].format(**fmt)
+        row["quadratic_by_contract"] = True  # both grid joins: pairs x100
+        recheck[name] = row
+
+    out = {
+        "sf_small": 0.1,
+        "sf_big": 1.0,
+        "data_ratio": 10,
+        "method": (
+            "scripts/scale_soak.py - 1 warm + 1 timed run per query per "
+            "sf, one session, nothing else running. queries = "
+            "SOAK_SET=sample:129 seed 10 = the ENTIRE remaining "
+            "never-soaked pool (headline, gate-heavy, streaming "
+            "memory-sink and all SOAK_r06-r09 coverage excluded) against "
+            "plain-replicated .scratch/sf1 - the drain the r8 verdict "
+            "started is CLOSED at pool 0. plan_change_recheck = "
+            "q279/q283, whose grid-join build side flipped this round "
+            "(ADVICE: hint moved to the un-replicated side), re-timed on "
+            "plain sf1 for apples-to-apples with q283's r9 row. Every "
+            "row carries plan_fp (scripts/plan_fp.py) so a future plan "
+            "change flags the row mechanically (tests/test_soak_artifact"
+            ".py). Slopes >= 2.5 without a curated note FAIL assembly "
+            "(no benign-fallback notes - r9 ADVICE). q408's row is the "
+            "post-rewrite re-timing: the drain surfaced its 185.7 s "
+            "O(n^2) pair join and it was rewritten to the O(n log n) "
+            "Knight form mid-round (oracle unchanged, hash-certified; "
+            "3.28 s, slope 18.0 -> 1.51)."
+        ),
+        "sample_seeds": [10],
+        "never_soaked_pool": 129,  # printed by the sampled run (seed 10)
+        "queries": sample,
+        "plan_change_recheck": {
+            "method": (
+                "re-timed after this round's build-side flip; plain-sf1 "
+                "numbers, comparable with q283's r9 plain-sf1 row"
+            ),
+            "queries": recheck,
+        },
+    }
+    with open("SOAK_r10.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("SOAK_r10.json:", len(sample), "sampled +", len(recheck), "rechecked")
+
+
+if __name__ == "__main__":
+    main()

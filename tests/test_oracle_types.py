@@ -105,6 +105,52 @@ def test_decimal38_allowlist_is_exact(oracle_types):
     )
 
 
+#: DuckDB DESCRIBE type -> the Spark simpleString(s) the driver's hasher
+#: is KNOWN to round-trip identically (q314/q338 proved the negative for
+#: INT128 vs int64; everything here is backed by green official rows).
+#: int-family widths may legitimately differ (the hasher is value-based
+#: below 64 bits) — both widths are listed where history proves them.
+_SPARK_EQUIV = {
+    "BIGINT": {"bigint", "int"},
+    "INTEGER": {"int", "bigint"},
+    "SMALLINT": {"smallint", "int", "bigint"},
+    "TINYINT": {"tinyint", "int", "bigint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float", "double"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "BOOLEAN": {"boolean"},
+    "TIMESTAMP": {"timestamp"},
+    "DECIMAL(38,0)": {"decimal(38,0)"},
+}
+
+
+@pytest.mark.slow
+def test_cross_engine_column_types_agree(spark, oracle_types):
+    """Analysis-only sweep (no query executes): every oracle output
+    column's DuckDB type must map to the Spark column's type under
+    _SPARK_EQUIV. This is the full-width version of the HUGEINT class:
+    a float column one engine computes in DOUBLE and the other returns
+    as string, or a date vs timestamp disagreement, would hash-mismatch
+    with values 'equal' to the eye. Schema analysis only — queries that
+    collect at build time still run, which is why this is @slow."""
+    from hoops_edge_database_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    bad = []
+    for name, cols in sorted(oracle_types.items()):
+        sdf = qs[name](spark, SF_DIR)
+        spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        for col, typ in cols:
+            ok = _SPARK_EQUIV.get(typ, set())
+            if spark_types.get(col) not in ok:
+                bad.append(f"{name}.{col}: duck={typ} spark={spark_types.get(col)}")
+    assert not bad, (
+        "cross-engine output-type disagreements (hasher hazard class):\n"
+        + "\n".join(bad)
+    )
+
+
 def test_decimal38_columns_are_decimal_in_spark_too(spark, oracle_types):
     """For each allowlisted pair, the Spark query's ANALYZED schema (no
     execution) must carry decimal(38,0) at the same column — the only

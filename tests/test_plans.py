@@ -97,6 +97,9 @@ _PYTHON_ALLOWED = {
     "q330_lru_stack_distance",  # per-user LRU replay state machine (its oracle
     # is the declarative Mattson stack-distance formulation — the Python is
     # the point: an imperative twin certified by a theorem)
+    "q408_kendall_tau",  # r10: weighted-mergesort dominance count per range
+    # partition (numpy mapInPandas) — the O(n log n) Knight form replacing
+    # the O(n²) pair join (sf1 185.7 s → 3.3 s); oracle unchanged
 }
 
 
@@ -555,7 +558,29 @@ def test_spatial_grid_join_is_equi_join(spark):
         )
 
 
-def test_gap_audit_intra_block_window_is_partitioned(spark):
+def test_q408_is_knight_not_pair_join(spark):
+    """r10: q408's τ-b must keep the O(n log n) Knight shape — a range
+    exchange on (rev, qty) feeding the numpy dominance kernel — and
+    never regress to the O(n²) theta pair join (20B pairs at sf1 for a
+    single scalar row; 185.7 s → 3.3 s measured)."""
+    import re
+
+    plan = _executed(_qs()["q408_kendall_tau"](spark, SF_DIR))
+    # the five scalar branches meet in condition-FREE 1-row cross joins;
+    # the O(n²) regression signature is a nested-loop join WITH the
+    # (pa < pb) theta condition
+    theta_nlj = [
+        ln
+        for ln in plan.splitlines()
+        if "NestedLoopJoin" in ln and "<" in ln.split("Join", 1)[1]
+    ]
+    assert not theta_nlj, f"q408 regressed to the pair join: {theta_nlj[:1]}"
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan, "q408 lost its dominance kernel"
+    assert re.search(r"rangepartitioning\(rev#\d+L ASC NULLS FIRST, qty#\d+L", plan), (
+        "q408 lost the (rev, qty) range exchange the dominance split "
+        "depends on"
+    )
     """q301's per-key window must exchange on the block key (the raw
     present-key stream never funnels through one reducer); only the
     bounded per-block aggregate may use an ordered boundary pass."""
