@@ -269,6 +269,12 @@ def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev"),
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
     )
+    # Five scalar branches (n0/n1/n2/n3/D) consume this aggregate; without
+    # a checkpoint each one re-scans and re-aggregates the FACT table —
+    # the dominant linear cost at corpus scale, paid 5x. localCheckpoint
+    # materializes the |parts|-row rollup once (lazily, inside the timed
+    # run) and every branch reuses it.
+    agg = agg.localCheckpoint(eager=False)
 
     def pairs_of(cnt_col):
         return F.sum((F.col(cnt_col) * (F.col(cnt_col) - 1) / 2).cast("long"))

@@ -30,10 +30,13 @@ NOTES: dict[str, str] = {
         "form: tie counts from plain groupBy aggregates, discordant "
         "pairs from a weighted dominance count (range-partition on "
         "(rev, qty), numpy weighted-mergesort per partition, grp-window "
-        "prefix sums for cross-partition pairs). Oracle unchanged -> "
-        "the hash gate certifies the rewrite; plan pinned by "
-        "test_q408_is_knight_not_pair_join. Re-timed: sf1 3.28 s (57x), "
-        "slope 1.51."
+        "prefix sums for cross-partition pairs), and the per-part "
+        "rollup localCheckpointed so the five scalar branches scan the "
+        "fact table ONCE, not five times (same-session A/B at sf1: "
+        "checkpoint [4.3, 6.6] vs recompute [6.8, 8.7] warm reps). "
+        "Oracle unchanged -> the hash gate certifies the rewrite; plan "
+        "pinned by test_q408_is_knight_not_pair_join. Re-timed: sf1 "
+        "3.70 s (50x), slope 1.28."
     ),
     "q259_semantic_decontamination": (
         "eval-set x corpus semantic screen: BOTH sides grow 10x under "
@@ -259,7 +262,7 @@ def main() -> None:
             "post-rewrite re-timing: the drain surfaced its 185.7 s "
             "O(n^2) pair join and it was rewritten to the O(n log n) "
             "Knight form mid-round (oracle unchanged, hash-certified; "
-            "3.28 s, slope 18.0 -> 1.51)."
+            "3.70 s, slope 18.0 -> 1.28)."
         ),
         "sample_seeds": [10],
         "never_soaked_pool": 129,  # printed by the sampled run (seed 10)
