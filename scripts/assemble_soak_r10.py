@@ -91,9 +91,9 @@ NOTES: dict[str, str] = {
         "a 1 s base."
     ),
     "q383_langid_eval": (
-        "n-gram language-ID eval: per-doc profile dot against the "
-        "broadcast trigram table; docs x10, slope 6.0 - map-side "
-        "linear."
+        "lang-ID confusion matrix: per-doc n-gram classification "
+        "(expression-compiled, map-side) + one (label, predicted) "
+        "rollup; docs x10, slope 6.0 - linear."
     ),
     "q84_boilerplate_ngrams": (
         "boilerplate n-gram mining: the line-shingle explode grows "
@@ -159,9 +159,10 @@ NOTES: dict[str, str] = {
         "x10, slope 2.6 on a 0.6 s base - map-side linear."
     ),
     "q206_fifo_allocation": (
-        "FIFO lot allocation: per-key ordered window over lots x10 "
-        "(keys x10, window widths unchanged); slope 2.6 on a 1.6 s "
-        "base - window shuffle grows linearly."
+        "FIFO-as-interval-overlap: per-part running-sum windows map "
+        "lots and demands onto the cumulative number line, then one "
+        "overlap join - both sides x10, per-part widths unchanged; "
+        "slope 2.6 on a 1.6 s base - the window shuffles grow linearly."
     ),
 }
 
