@@ -571,24 +571,86 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orderkey, linenumber) — run-length is a property OF A LAYOUT, not
     of a column, which is why q133's Z-order changes these verdicts
     (re-running this advisor after re-clustering is the point). The
-    LAG runs once per audited column over the defined total order;
-    production amortizes all columns into one pass. Integer thresholds
-    only — the advice is reproducible, and the q254 varint estimate
-    prices the winning codec's payload."""
+    repeat scan runs once per audited column over the defined total
+    order; production amortizes all columns into one pass. Integer
+    thresholds only — the advice is reproducible, and the q254 varint
+    estimate prices the winning codec's payload.
+
+    Round 10 (global-window audit): the original global LAG funneled
+    every corpus row through ONE reducer, three times — the worst
+    corpus-proportional single-partition window on the board (the
+    oracle keeps that form; DuckDB is single-node anyway). Distributed
+    form: range-partition on the storage key, count adjacent repeats
+    WITHIN each partition in a numpy kernel (runs are a per-partition
+    property), then stitch the P boundary pairs with a lag over the
+    P-row per-partition summary (bounded by the partition count, not
+    the corpus). The n/ndv branches are value-pure aggregates, immune
+    to range-boundary resampling; the repeat branch is one linear DAG
+    over one kernel evaluation, so the boundaries it stitches are the
+    boundaries it counted within."""
+    import pandas as pd  # noqa: F401
+
     li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    P = 32  # range partitions for the repeat scan
 
     def stat(col):
-        return li.select(
-            F.col(col).alias("v"),
-            F.lag(col).over(w).alias("pv"),
+        ftype = dict(zip(li.schema.names, li.schema.fields))[col].dataType.simpleString()
+
+        def repeats_kernel(batches):
+            import numpy as np
+
+            oks, lns, vs = [], [], []
+            pidx = None
+            for pdf in batches:
+                if len(pdf):
+                    pidx = int(pdf["pidx"].iloc[0])
+                    oks.append(pdf["l_orderkey"].to_numpy())
+                    lns.append(pdf["l_linenumber"].to_numpy())
+                    vs.append(pdf["v"].to_numpy())
+            if pidx is None:
+                return
+            ok = np.concatenate(oks)
+            ln = np.concatenate(lns)
+            v = np.concatenate(vs)
+            order = np.lexsort((ln, ok))
+            v = v[order]
+            rep = int((v[1:] == v[:-1]).sum())
+            yield pd.DataFrame(
+                {
+                    "pidx": [pidx],
+                    "cnt": [len(v)],
+                    "rep": [rep],
+                    "first_v": [v[0]],
+                    "last_v": [v[-1]],
+                }
+            )
+
+        summary = (
+            li.select("l_orderkey", "l_linenumber", F.col(col).alias("v"))
+            .repartitionByRange(P, "l_orderkey", "l_linenumber")
+            .withColumn("pidx", F.spark_partition_id())
+            .mapInPandas(
+                repeats_kernel,
+                f"pidx long, cnt long, rep long, first_v {ftype}, last_v {ftype}",
+            )
+        )
+        # boundary stitch: P rows through one tiny window — bounded by
+        # the partition count, never the corpus
+        prev_last = F.lag("last_v").over(Window.orderBy("pidx"))
+        rep_row = summary.select(
+            "cnt", "rep", "first_v", prev_last.alias("prev_last")
         ).agg(
-            F.lit(col).alias("col_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.countDistinct("v").cast("bigint").alias("ndv"),
-            F.sum(F.when(F.col("v") == F.col("pv"), 1).otherwise(0))
+            F.sum("cnt").cast("bigint").alias("n"),
+            (
+                F.sum("rep")
+                + F.sum(F.when(F.col("first_v") == F.col("prev_last"), 1).otherwise(0))
+            )
             .cast("bigint")
             .alias("n_repeats"),
+        )
+        ndv_row = li.agg(F.countDistinct(col).cast("bigint").alias("ndv"))
+        return rep_row.crossJoin(ndv_row).select(
+            F.lit(col).alias("col_name"), "n", "ndv", "n_repeats"
         )
 
     stats = (

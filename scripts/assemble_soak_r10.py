@@ -194,6 +194,19 @@ RECHECK_NOTES = {
         "plain sf1: slope {q283} vs 2.09 on the r9 row (same fixture, "
         "same shuffle plan, build side now the 1x points)."
     ),
+    "q273_codec_advisor": (
+        "PLAN CHANGED (r10 global-window audit): the advisor's three "
+        "per-column adjacent-repeat LAGs each funneled EVERY corpus row "
+        "through one reducer (Exchange SinglePartition under the "
+        "no-PARTITION-BY window) - measured 60k rows x3 at sf0.01, the "
+        "largest corpus-proportional global window on the board and a "
+        "guaranteed 100TB stall. Distributed form: range-partition on "
+        "the storage key, per-partition numpy repeat kernel, P-row "
+        "boundary stitch (bounded by the partition count). Oracle "
+        "unchanged, hash-certified. Re-timed plain sf1: {q273} s, slope "
+        "{q273s} (the r8 row recorded 25.4 s / slope 7.84 under the "
+        "global-window plan)."
+    ),
 }
 
 
@@ -226,6 +239,8 @@ def main() -> None:
     fmt = {
         "q279": recheck_plain["q279_spatial_radius_join"]["slope"],
         "q283": recheck_plain["q283_dbscan_core_points"]["slope"],
+        "q273": recheck_plain["q273_codec_advisor"]["big_s"],
+        "q273s": recheck_plain["q273_codec_advisor"]["slope"],
     }
     errors = [n for n, r in sample.items() if "error" in r]
     if errors:
@@ -238,7 +253,8 @@ def main() -> None:
     for name, row in recheck_plain.items():
         row = dict(row)
         row["note"] = RECHECK_NOTES[name].format(**fmt)
-        row["quadratic_by_contract"] = True  # both grid joins: pairs x100
+        # the two grid joins are pairs-x100 by fixture; q273 is linear
+        row["quadratic_by_contract"] = name != "q273_codec_advisor"
         recheck[name] = row
 
     out = {
@@ -254,8 +270,10 @@ def main() -> None:
             "plain-replicated .scratch/sf1 - the drain the r8 verdict "
             "started is CLOSED at pool 0. plan_change_recheck = "
             "q279/q283, whose grid-join build side flipped this round "
-            "(ADVICE: hint moved to the un-replicated side), re-timed on "
-            "plain sf1 for apples-to-apples with q283's r9 row. Every "
+            "(ADVICE: hint moved to the un-replicated side), plus q273, "
+            "whose three corpus-wide single-partition LAGs were "
+            "distributed by the new global-window audit - re-timed on "
+            "plain sf1 for apples-to-apples with their r8/r9 rows. Every "
             "row carries plan_fp (scripts/plan_fp.py) so a future plan "
             "change flags the row mechanically (tests/test_soak_artifact"
             ".py). Slopes >= 2.5 without a curated note FAIL assembly "

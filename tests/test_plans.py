@@ -100,6 +100,10 @@ _PYTHON_ALLOWED = {
     "q408_kendall_tau",  # r10: weighted-mergesort dominance count per range
     # partition (numpy mapInPandas) — the O(n log n) Knight form replacing
     # the O(n²) pair join (sf1 185.7 s → 3.3 s); oracle unchanged
+    "q273_codec_advisor",  # r10 global-window audit: the per-partition
+    # adjacent-repeat kernel (numpy mapInPandas over the range-partitioned
+    # storage order) replacing three corpus-wide single-partition LAGs;
+    # oracle unchanged
 }
 
 
