@@ -1362,10 +1362,15 @@ def q171_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive rate plus cumulative lift — computed as the exact integer
     cross-ratio (cum_pos·N)/(cum_n·P) with ONE float division at the end.
 
-    Scale: per-customer reduction is map-side; the NTILE runs over the
-    already-reduced user table (q166's caveat and the same q93
-    histogram-cut escape at extreme cardinality); the lift walk is over
-    the 10-row decile table. Output is bounded (10 rows) regardless of SF."""
+    Scale: per-customer reduction is map-side; the decile cut runs as
+    operators.rowids.distributed_ntile (r10, global-window audit) — the
+    rank-block form this query's allowlist entry used to only NAME:
+    range partition + per-range numbering + a broadcast prefix-offset
+    spine, no SinglePartition exchange over customers anywhere. The lift
+    walk is over the 10-row decile table. Output is bounded (10 rows)
+    regardless of SF."""
+    from hoops_edge_database_etl_spark.operators.rowids import distributed_ntile
+
     o = load(spark, sf_dir, "orders")
     u = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
@@ -1373,10 +1378,9 @@ def q171_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
         .cast("bigint").alias("pos"),
     )
-    d = u.select(
-        "pos",
-        F.ntile(10).over(Window.orderBy(F.col("score").desc(), "o_custkey")).alias("decile"),
-    )
+    d = distributed_ntile(
+        u, 10, [F.col("score").desc(), "o_custkey"], tile_col="decile"
+    ).select("pos", "decile")
     g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
         F.sum("pos").cast("bigint").alias("n_pos"),
@@ -1790,17 +1794,21 @@ def q209_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     division over exact integer cumsums of the 10-row decile table. The
     gap between the two cumulative columns IS the Lorenz curve's bow;
     feeding the 10 points into the trapezoid rule gives the continuous
-    Gini if a scalar is wanted."""
+    Gini if a scalar is wanted. The decile cut is
+    operators.rowids.distributed_ntile (r10, global-window audit): no
+    SinglePartition exchange over customers — only the 10-row decile
+    walk stays a bounded global window."""
+    from hoops_edge_database_etl_spark.operators.rowids import distributed_ntile
+
     o = load(spark, sf_dir, "orders")
     u = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
         .cast("bigint")
         .alias("cents")
     )
-    d = u.select(
-        "cents",
-        F.ntile(10).over(Window.orderBy(F.col("cents").desc(), "o_custkey")).alias("decile"),
-    )
+    d = distributed_ntile(
+        u, 10, [F.col("cents").desc(), "o_custkey"], tile_col="decile"
+    ).select("cents", "decile")
     g = d.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_custs"),
         F.sum("cents").cast("bigint").alias("cents"),

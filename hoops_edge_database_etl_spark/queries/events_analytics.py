@@ -1265,12 +1265,14 @@ def q166_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment assignment is exact. Output is the BOUNDED ≤125-cell segment
     grid, not the per-user table.
 
-    Scale note: the three global NTILEs are single-partition windows over
-    the USER table (already one row per user — |users| ≪ |events|); at
-    true scale swap each for the q93 histogram-locate (quintile cut
-    points from an exact rank selection, then a broadcast bin join) —
-    same output, no global sort. The per-user reduction itself is one
+    Scale (r10, global-window audit): the three quintile cuts run as
+    operators.rowids.distributed_ntile — range partition + per-range
+    numbering + a broadcast prefix-offset spine — so NO single-partition
+    window over the user table remains (they were user-proportional,
+    the audit's entity-rank class). The per-user reduction itself is one
     map-side-combining shuffle of the purchase slice."""
+    from hoops_edge_database_etl_spark.operators.rowids import distributed_ntile
+
     ev = load(spark, sf_dir, "events")
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1285,12 +1287,10 @@ def q166_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
-    s = p.select(
-        "cents",
-        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy(F.col("cents").desc(), "user_id")).alias("m_q"),
-    )
+    s = distributed_ntile(p, 5, ["recency_days", "user_id"], tile_col="r_q")
+    s = distributed_ntile(s, 5, [F.col("freq").desc(), "user_id"], tile_col="f_q")
+    s = distributed_ntile(s, 5, [F.col("cents").desc(), "user_id"], tile_col="m_q")
+    s = s.select("cents", "r_q", "f_q", "m_q")
     return s.groupBy(
         F.col("r_q").cast("bigint").alias("r_q"),
         F.col("f_q").cast("bigint").alias("f_q"),

@@ -194,6 +194,34 @@ RECHECK_NOTES = {
         "plain sf1: slope {q283} vs 2.09 on the r9 row (same fixture, "
         "same shuffle plan, build side now the 1x points)."
     ),
+    "q166_rfm_segments": (
+        "PLAN CHANGED (r10 global-window audit, entity-rank class): the "
+        "three NTILE(5) quintile cuts were single-partition windows over "
+        "the per-user table (user-proportional - the audit's growth-10 "
+        "class). Converted to operators.rowids.distributed_ntile (range "
+        "partition + per-range numbering + broadcast prefix-offset "
+        "spine; NTILE is exact arithmetic over the global row number, "
+        "property-tested against Spark's own NTILE). Oracle unchanged, "
+        "hash-certified. The sampled-tier row (0.475/0.585 s under the "
+        "global-window plan) moves here: {q166s}/{q166} s - the flat "
+        "multi-stage floor costs ~3 s at these SFs and amortizes to "
+        "zero at scale (slope {q166sl}), while the single-reducer sort "
+        "of |users| rows is gone - the q138 trade."
+    ),
+    "q171_decile_lift": (
+        "PLAN CHANGED (same conversion as q166, one NTILE(10) over "
+        "customers): distributed_ntile replaces the global window; "
+        "oracle unchanged, hash-certified. Re-timed {q171s}/{q171} s, "
+        "slope {q171sl} (r8 row: slope 1.56 under the global-window "
+        "plan); only the 10-row decile walk remains a (bounded) global "
+        "window."
+    ),
+    "q209_lorenz_concentration": (
+        "PLAN CHANGED (same conversion as q171): distributed_ntile "
+        "decile cut, oracle unchanged, hash-certified. Re-timed "
+        "{q209s}/{q209} s, slope {q209sl} (r8 row: slope 1.59); the "
+        "10-row Lorenz walk remains bounded-global."
+    ),
     "q273_codec_advisor": (
         "PLAN CHANGED (r10 global-window audit): the advisor's three "
         "per-column adjacent-repeat LAGs each funneled EVERY corpus row "
@@ -241,6 +269,15 @@ def main() -> None:
         "q283": recheck_plain["q283_dbscan_core_points"]["slope"],
         "q273": recheck_plain["q273_codec_advisor"]["big_s"],
         "q273s": recheck_plain["q273_codec_advisor"]["slope"],
+        "q166s": recheck_plain["q166_rfm_segments"]["small_s"],
+        "q166": recheck_plain["q166_rfm_segments"]["big_s"],
+        "q166sl": recheck_plain["q166_rfm_segments"]["slope"],
+        "q171s": recheck_plain["q171_decile_lift"]["small_s"],
+        "q171": recheck_plain["q171_decile_lift"]["big_s"],
+        "q171sl": recheck_plain["q171_decile_lift"]["slope"],
+        "q209s": recheck_plain["q209_lorenz_concentration"]["small_s"],
+        "q209": recheck_plain["q209_lorenz_concentration"]["big_s"],
+        "q209sl": recheck_plain["q209_lorenz_concentration"]["slope"],
     }
     errors = [n for n, r in sample.items() if "error" in r]
     if errors:
@@ -250,11 +287,12 @@ def main() -> None:
         if name in QUADRATIC_ROWS:
             row["quadratic_by_contract"] = True
     recheck = {}
+    quad_recheck = {"q279_spatial_radius_join", "q283_dbscan_core_points"}
     for name, row in recheck_plain.items():
         row = dict(row)
         row["note"] = RECHECK_NOTES[name].format(**fmt)
-        # the two grid joins are pairs-x100 by fixture; q273 is linear
-        row["quadratic_by_contract"] = name != "q273_codec_advisor"
+        # only the two grid joins are pairs-x100 by fixture
+        row["quadratic_by_contract"] = name in quad_recheck
         recheck[name] = row
 
     out = {
@@ -270,10 +308,12 @@ def main() -> None:
             "plain-replicated .scratch/sf1 - the drain the r8 verdict "
             "started is CLOSED at pool 0. plan_change_recheck = "
             "q279/q283, whose grid-join build side flipped this round "
-            "(ADVICE: hint moved to the un-replicated side), plus q273, "
-            "whose three corpus-wide single-partition LAGs were "
-            "distributed by the new global-window audit - re-timed on "
-            "plain sf1 for apples-to-apples with their r8/r9 rows. Every "
+            "(ADVICE: hint moved to the un-replicated side), plus the "
+            "global-window-audit conversions (q273's corpus-wide LAGs "
+            "distributed; q166/q171/q209's entity NTILEs converted to "
+            "distributed_ntile - q166's sampled row moved here since "
+            "its plan changed mid-round) - re-timed on plain sf1 for "
+            "apples-to-apples with their r8/r9 rows. Every "
             "row carries plan_fp (scripts/plan_fp.py) so a future plan "
             "change flags the row mechanically (tests/test_soak_artifact"
             ".py). Slopes >= 2.5 without a curated note FAIL assembly "
@@ -284,7 +324,10 @@ def main() -> None:
             "3.70 s, slope 18.0 -> 1.28)."
         ),
         "sample_seeds": [10],
-        "never_soaked_pool": 129,  # printed by the sampled run (seed 10)
+        # printed by the sampled run (seed 10); the sampled tier holds
+        # 128 of the 129 because q166's plan changed mid-round and its
+        # row moved to the recheck tier
+        "never_soaked_pool": 129,
         "queries": sample,
         "plan_change_recheck": {
             "method": (

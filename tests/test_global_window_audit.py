@@ -76,9 +76,12 @@ ALLOWED = {
     # ENTITY-aggregate ranks (growth ~10 in entities, NEVER raw facts;
     # at catalog scale the q306 rank-block join replaces the global
     # window — the stated contract carried from q338's r9 adjudication)
-    "q166_rfm_segments": "users (150 @ sf0.01); rank-block join at scale",
-    "q171_decile_lift": "customers (1500); rank-block join at scale",
-    "q209_lorenz_concentration": "customers (1500); rank-block join at scale",
+    # q166 converted r10: its three entity NTILEs now run as
+    # distributed_ntile, so it no longer flags at all
+    "q171_decile_lift": "10-row decile walk (the NTILE itself converted to "
+    "distributed_ntile in r10)",
+    "q209_lorenz_concentration": "10-row Lorenz walk (NTILE converted to "
+    "distributed_ntile in r10)",
     "q218_ks_test": "distinct cents (3343, saturating); grid join at scale",
     "q238_exact_auc": "distinct scores (6583, saturating); grid join at scale",
     "q261_uplift_deciles": "users (150); rank-block join at scale",
