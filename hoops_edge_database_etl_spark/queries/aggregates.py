@@ -2824,12 +2824,17 @@ def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the fact total (a top-k WITHOUT the residual silently drops the
     tail — the classic dashboard lie; conservation is test-pinned).
     Plan: one combiner aggregate to per-key totals, the rank over that
-    aggregate (|keys| rows — and the q85/topk.py associative two-phase
-    operator replaces the window when even the key table is huge),
-    then the re-group with the rank-gated key. The deterministic
-    (revenue, key) tiebreak makes the published top-20 stable across
-    runs — a report that flickers between equal-revenue parts is a
-    support ticket."""
+    aggregate via operators.rowids.stable_row_ids (r10 global-window
+    audit: |keys| is part-proportional, so the old global row_number
+    window was the entity-rank hazard class — the range-partitioned
+    row-id form replaces it; the q85/topk.py associative two-phase
+    operator remains the alternative when only the top slice is
+    needed), then the re-group with the rank-gated key. The
+    deterministic (revenue, key) tiebreak makes the published top-20
+    stable across runs — a report that flickers between equal-revenue
+    parts is a support ticket."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
     li = load(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint"))
@@ -2837,8 +2842,9 @@ def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
-    w = Window.orderBy(F.col("rev_cents").desc(), "l_partkey")
-    ranked = per_part.withColumn("rnk", F.row_number().over(w))
+    ranked = stable_row_ids(
+        per_part, [F.col("rev_cents").desc(), "l_partkey"], id_col="rnk", start=1
+    )
     key = F.when(F.col("rnk") <= 20, F.col("l_partkey")).otherwise(-1)
     return ranked.groupBy(key.cast("bigint").alias("part_or_other")).agg(
         F.sum("rev_cents").cast("bigint").alias("rev_cents"),
@@ -3839,10 +3845,14 @@ def q347_simpson_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("converted"),
         F.first(treated).alias("treated"),
     )
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
     n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("nn"))
-    wr = Window.orderBy("n_events", "user_id")
+    # r10 global-window audit: the tercile rank runs as the
+    # range-partitioned row-id form, not a single-reducer window over
+    # the user-proportional aggregate
     tiered = (
-        per_user.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        stable_row_ids(per_user, ["n_events", "user_id"], id_col="rnk", start=1)
         .crossJoin(F.broadcast(n_tot))
         .select(
             "treated",
@@ -5426,9 +5436,12 @@ def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    wr = Window.orderBy("activity", "user_id")
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
+    # r10 global-window audit: quintile rank via the range-partitioned
+    # row-id form (see q347)
     strat = (
-        per_user.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        stable_row_ids(per_user, ["activity", "user_id"], id_col="rnk", start=1)
         .crossJoin(F.broadcast(n_tot))
         .select("t", "y", F.expr("(rnk - 1) * 5 DIV n_all").alias("s"))
     )

@@ -2644,8 +2644,14 @@ def q261_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("converted"),
     )
-    w = Window.orderBy(F.col("score").desc(), "user_id")
-    ranked = per_user.withColumn("decile", F.ntile(10).over(w))
+    from hoops_edge_database_etl_spark.operators.rowids import distributed_ntile
+
+    # r10 global-window audit: the decile cut runs as distributed_ntile
+    # (range partition + prefix offsets), not a single-reducer window
+    # over the user-proportional aggregate
+    ranked = distributed_ntile(
+        per_user, 10, [F.col("score").desc(), "user_id"], tile_col="decile"
+    )
     return ranked.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.sum("treated").cast("bigint").alias("n_treated"),
         F.sum(1 - F.col("treated")).cast("bigint").alias("n_control"),

@@ -1458,18 +1458,23 @@ def q311_popularity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebroken); shares are ppm floor division. The added plan is one
     broadcast-sized join from rec slots to the part-decile dim plus a
     {POP_DECILES}-row rollup — the recommender's own cost dominates.
-    The global rank window runs over the per-part AGGREGATE (catalog-
-    sized, not order-sized); at 100 TB catalogs the q306 rank-block
-    trick drops in."""
+    The rank runs over the per-part AGGREGATE (catalog-sized, not
+    order-sized) via operators.rowids.stable_row_ids (r10 global-window
+    audit: the old global row_number window was the entity-rank hazard
+    class; the range-partitioned row-id form IS the q306 rank-block
+    trick this docstring used to defer to)."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
     li = load(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
     pop = lines.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ord")
     )
     n_parts = pop.agg(F.count(F.lit(1)).cast("long").alias("n_cat"))
-    wr = Window.orderBy(F.col("n_ord").desc(), "l_partkey")
     dec = (
-        pop.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        stable_row_ids(
+            pop, [F.col("n_ord").desc(), "l_partkey"], id_col="rnk", start=1
+        )
         .crossJoin(F.broadcast(n_parts))
         .select(
             "l_partkey",

@@ -149,12 +149,19 @@ def q401_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration across rankers — only positions, which makes it the
     safe merge when one ranker's scores are cents and another's are
     counts (the scale-mismatch that breaks naive score averaging).
-    Pure integer positions with part-key tiebreaks end-to-end; three
-    rank windows share ONE grouped aggregate pass (the multi-window
-    q40 pattern), and the fused top-{_BORDA_TOP_N} is a TakeOrdered.
-    Condorcet caveat in the docstring where it belongs: Borda can
-    violate majority preference — when that matters, the pairwise
-    Copeland matrix is these same ranks self-joined."""
+    Pure integer positions with part-key tiebreaks end-to-end. r10
+    (global-window audit): the three criterion ranks were global
+    row_number windows over the catalog-sized part aggregate — the
+    entity-rank hazard class — and now run as chained
+    operators.rowids.stable_row_ids passes; final_rank moves AFTER the
+    TakeOrdered so its window ranks only the bounded top-{_BORDA_TOP_N}
+    slice (row_number over an already-globally-ordered limit is the
+    same assignment). Condorcet caveat in the docstring where it
+    belongs: Borda can violate majority preference — when that
+    matters, the pairwise Copeland matrix is these same ranks
+    self-joined."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
     li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_partkey").agg(
         F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
@@ -163,22 +170,19 @@ def q401_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
         F.countDistinct("l_orderkey").cast("long").alias("brd"),
     )
-    r1 = Window.orderBy(F.col("rev").desc(), "l_partkey")
-    r2 = Window.orderBy(F.col("qty").desc(), "l_partkey")
-    r3 = Window.orderBy(F.col("brd").desc(), "l_partkey")
-    scored = agg.select(
-        "l_partkey",
-        F.row_number().over(r1).cast("long").alias("r1"),
-        F.row_number().over(r2).cast("long").alias("r2"),
-        F.row_number().over(r3).cast("long").alias("r3"),
+    scored = stable_row_ids(agg, [F.col("rev").desc(), "l_partkey"], id_col="r1", start=1)
+    scored = stable_row_ids(scored, [F.col("qty").desc(), "l_partkey"], id_col="r2", start=1)
+    scored = stable_row_ids(scored, [F.col("brd").desc(), "l_partkey"], id_col="r3", start=1)
+    scored = scored.select(
+        "l_partkey", "r1", "r2", "r3"
     ).withColumn(
         "borda_cost", (F.col("r1") + F.col("r2") + F.col("r3")).cast("long")
     )
     wf = Window.orderBy("borda_cost", "l_partkey")
     return (
-        scored.withColumn("final_rank", F.row_number().over(wf).cast("long"))
-        .orderBy("borda_cost", "l_partkey")
+        scored.orderBy("borda_cost", "l_partkey")
         .limit(_BORDA_TOP_N)
+        .withColumn("final_rank", F.row_number().over(wf).cast("long"))
         .select(
             "l_partkey",
             "r1",

@@ -204,24 +204,62 @@ def q34_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q35_percentile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-rank composite averaged over available metrics (W9:
     gold/team_power_rankings.py:263-296 — dense-rank→0-100 percentile per
-    metric, mean of non-null percentiles). Global percent_rank is an
-    inherent total order; at 100 TB this runs on the post-aggregation
-    per-entity table (one row per customer), not raw facts."""
+    metric, mean of non-null percentiles).
+
+    r10 (global-window audit): the global percent_rank windows over the
+    customer-proportional table were the entity-rank hazard class. Same
+    math, distributed: PERCENT_RANK = (rank−1)/(n−1) where rank is the
+    MIN row number among order-value ties — row numbers come from
+    operators.rowids.stable_row_ids (range partition + prefix offsets),
+    the tie-min from a value-keyed window (hash-wide, never a single
+    reducer), n from a value-pure count. The spend percentile ranks the
+    with-spend subset only and joins back on custkey."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("total_spend")
     )
     j = c.join(spend, c.c_custkey == spend.o_custkey, "left")
-    has_spend = F.col("o_custkey").isNotNull()
-    pct_bal = F.percent_rank().over(Window.orderBy("c_acctbal")) * 100
-    pct_spend = F.when(
-        has_spend,
-        F.percent_rank().over(Window.partitionBy(has_spend).orderBy("total_spend"))
-        * 100,
+
+    def pct_col(df, value_col, key_col):
+        """(rank_with_ties − 1)/(n − 1) · 100 over df's value_col."""
+        ids = stable_row_ids(df, [value_col, key_col], id_col="__pr_rn", start=1)
+        rank = F.min("__pr_rn").over(Window.partitionBy(value_col))
+        n_row = df.agg(F.count(F.lit(1)).cast("long").alias("__pr_n"))
+        return (
+            ids.withColumn("__pr_rank", rank)
+            .crossJoin(F.broadcast(n_row))
+            .withColumn(
+                "__pct",
+                F.when(
+                    F.col("__pr_n") > 1,
+                    (F.col("__pr_rank") - 1).cast("double")
+                    / (F.col("__pr_n") - 1)
+                    * 100,
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("__pr_rn", "__pr_rank", "__pr_n")
+        )
+
+    bal = pct_col(
+        j.select("c_custkey", "c_acctbal", "o_custkey", "total_spend"),
+        "c_acctbal",
+        "c_custkey",
+    ).withColumnRenamed("__pct", "pct_acctbal")
+    sp = (
+        pct_col(
+            bal.filter(F.col("o_custkey").isNotNull()).select(
+                F.col("c_custkey").alias("__sp_key"), "total_spend"
+            ),
+            "total_spend",
+            "__sp_key",
+        )
+        .select("__sp_key", F.col("__pct").alias("pct_spend"))
     )
-    ranked = j.select(
-        "c_custkey", pct_bal.alias("pct_acctbal"), pct_spend.alias("pct_spend")
+    ranked = bal.join(sp, bal.c_custkey == sp.__sp_key, "left").select(
+        "c_custkey", "pct_acctbal", "pct_spend"
     )
     return ranked.select(
         "c_custkey",

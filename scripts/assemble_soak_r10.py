@@ -146,10 +146,6 @@ NOTES: dict[str, str] = {
         "exact-integer moment sums; slope 2.9 on a 0.5 s base - the "
         "rank exchange is the linear cost."
     ),
-    "q285_topk_plus_other": (
-        "top-k with OTHER rollup: one group agg + one rank window; "
-        "inputs x10, slope 2.7 on a 0.3 s base - stage floor."
-    ),
     "q387_storage_tiering": (
         "storage-tier advisor: one scan + per-table rollups; inputs "
         "x10, slope 2.7 on a 0.3 s base - stage floor."
@@ -222,6 +218,55 @@ RECHECK_NOTES = {
         "{q209s}/{q209} s, slope {q209sl} (r8 row: slope 1.59); the "
         "10-row Lorenz walk remains bounded-global."
     ),
+    "q285_topk_plus_other": (
+        "PLAN CHANGED (entity-rank batch 2): the part-proportional "
+        "global row_number window became stable_row_ids; oracle "
+        "unchanged, hash-certified. Its sampled-tier row (0.291/0.795 "
+        "s, slope 2.73 under the window plan) moves here: slope "
+        "{q285sl}, flat multi-stage floor, no single-reducer rank."
+    ),
+    "q311_popularity_bias": (
+        "PLAN CHANGED (entity-rank batch 2): catalog-decile rank via "
+        "stable_row_ids (the q306 rank-block form the docstring used "
+        "to defer to); oracle unchanged, hash-certified. Slope "
+        "{q311sl} - the wall is the re-invoked q244 recommender "
+        "upstream (9.9 s alone in this round's sample), the rank adds "
+        "~2 s of flat stage floor."
+    ),
+    "q401_rank_aggregation": (
+        "PLAN CHANGED (entity-rank batch 2): Borda's three criterion "
+        "ranks run as chained stable_row_ids and final_rank now ranks "
+        "only the bounded top-N slice AFTER the TakeOrdered; oracle "
+        "unchanged, hash-certified. Its sampled-tier row (2.08/4.36 s "
+        "under three global windows) moves here: {q401} s at sf1, "
+        "slope {q401sl} - the three chained row-id passes cost a flat "
+        "~3 s stage floor at these SFs (SF-independent, hence the "
+        "sub-1 slope) in exchange for removing three catalog-"
+        "proportional single-reducer sorts."
+    ),
+    "q261_uplift_deciles": (
+        "PLAN CHANGED (entity-rank batch 2): distributed_ntile decile "
+        "cut over users; oracle unchanged, hash-certified. Slope "
+        "{q261sl} vs 1.25 on the r8 row - flat."
+    ),
+    "q347_simpson_guard": (
+        "PLAN CHANGED (entity-rank batch 2): tercile rank via "
+        "stable_row_ids; oracle unchanged, hash-certified. Slope "
+        "{q347sl} vs 1.11 on the r8 row."
+    ),
+    "q386_stratified_ate": (
+        "PLAN CHANGED (entity-rank batch 2): quintile rank via "
+        "stable_row_ids; oracle unchanged, hash-certified. Slope "
+        "{q386sl} vs 1.45 on the r9 row."
+    ),
+    "q35_percentile_composite": (
+        "PLAN CHANGED (entity-rank batch 2): both percent_rank windows "
+        "decomposed to (rank_with_ties - 1)/(n - 1) over stable_row_ids "
+        "global row numbers with a value-keyed tie-min window "
+        "(hash-wide) - no customer-proportional single-reducer sort "
+        "remains. Oracle unchanged, hash-certified. Slope {q35sl} vs "
+        "2.39 on the r9 row."
+    ),
     "q273_codec_advisor": (
         "PLAN CHANGED (r10 global-window audit): the advisor's three "
         "per-column adjacent-repeat LAGs each funneled EVERY corpus row "
@@ -278,6 +323,14 @@ def main() -> None:
         "q209s": recheck_plain["q209_lorenz_concentration"]["small_s"],
         "q209": recheck_plain["q209_lorenz_concentration"]["big_s"],
         "q209sl": recheck_plain["q209_lorenz_concentration"]["slope"],
+        "q285sl": recheck_plain["q285_topk_plus_other"]["slope"],
+        "q311sl": recheck_plain["q311_popularity_bias"]["slope"],
+        "q401": recheck_plain["q401_rank_aggregation"]["big_s"],
+        "q401sl": recheck_plain["q401_rank_aggregation"]["slope"],
+        "q261sl": recheck_plain["q261_uplift_deciles"]["slope"],
+        "q347sl": recheck_plain["q347_simpson_guard"]["slope"],
+        "q386sl": recheck_plain["q386_stratified_ate"]["slope"],
+        "q35sl": recheck_plain["q35_percentile_composite"]["slope"],
     }
     errors = [n for n, r in sample.items() if "error" in r]
     if errors:
@@ -310,10 +363,13 @@ def main() -> None:
             "q279/q283, whose grid-join build side flipped this round "
             "(ADVICE: hint moved to the un-replicated side), plus the "
             "global-window-audit conversions (q273's corpus-wide LAGs "
-            "distributed; q166/q171/q209's entity NTILEs converted to "
-            "distributed_ntile - q166's sampled row moved here since "
-            "its plan changed mid-round) - re-timed on plain sf1 for "
-            "apples-to-apples with their r8/r9 rows. Every "
+            "distributed; the entity-rank class converted wholesale: "
+            "q166/q171/q209/q261 NTILEs -> distributed_ntile, "
+            "q285/q311/q347/q386/q401 row_number ranks -> "
+            "stable_row_ids, q35 percent_rank -> rank-with-ties over "
+            "stable_row_ids; q166/q285/q401's sampled rows moved here "
+            "since their plans changed mid-round) - re-timed on plain "
+            "sf1 for apples-to-apples with their r8/r9 rows. Every "
             "row carries plan_fp (scripts/plan_fp.py) so a future plan "
             "change flags the row mechanically (tests/test_soak_artifact"
             ".py). Slopes >= 2.5 without a curated note FAIL assembly "
@@ -325,8 +381,9 @@ def main() -> None:
         ),
         "sample_seeds": [10],
         # printed by the sampled run (seed 10); the sampled tier holds
-        # 128 of the 129 because q166's plan changed mid-round and its
-        # row moved to the recheck tier
+        # 126 of the 129 because q166/q285/q401's plans changed
+        # mid-round (global-window conversions) and their rows moved to
+        # the recheck tier with post-conversion re-timings
         "never_soaked_pool": 129,
         "queries": sample,
         "plan_change_recheck": {

@@ -73,9 +73,14 @@ ALLOWED = {
     "q473_newsvendor": "distinct demand levels (11->19)",
     "q38_lag_delta": "distinct (supplier, date) spine, date-bounded (1094->2399)",
     "q163_hierarchical_share": "hierarchy nodes (10->25, region/nation-bounded)",
-    # ENTITY-aggregate ranks (growth ~10 in entities, NEVER raw facts;
-    # at catalog scale the q306 rank-block join replaces the global
-    # window — the stated contract carried from q338's r9 adjudication)
+    # ENTITY-aggregate ranks (growth ~10 in entities, NEVER raw facts).
+    # r10 converted the class wholesale to stable_row_ids /
+    # distributed_ntile (q166/q171/q209/q261/q285/q311/q347/q386/q401/
+    # q35 — oracles unchanged, hash-certified); the remaining entries
+    # here are the ones whose window survives in bounded/saturating
+    # form, plus q338 (frozen pending its official cast-fix re-row; its
+    # docstring carries the rank-block contract from the r9
+    # adjudication)
     # q166 converted r10: its three entity NTILEs now run as
     # distributed_ntile, so it no longer flags at all
     "q171_decile_lift": "10-row decile walk (the NTILE itself converted to "
@@ -84,20 +89,16 @@ ALLOWED = {
     "distributed_ntile in r10)",
     "q218_ks_test": "distinct cents (3343, saturating); grid join at scale",
     "q238_exact_auc": "distinct scores (6583, saturating); grid join at scale",
-    "q261_uplift_deciles": "users (150); rank-block join at scale",
-    "q285_topk_plus_other": "parts (2000); rank-block join at scale",
     "q297_mann_whitney_u": "distinct cents (3310, saturating); grid join at scale",
     "q301_key_gap_audit": "key blocks = keys/1024 (59); block spine shrinks 1024x",
     "q306_quantile_normalize": "histogram blocks (3343, saturating) - the grid "
     "trick's own bounded spine",
-    "q311_popularity_bias": "parts (2000); rank-block join at scale",
     "q315_backfill_planner": "date blocks (59); block spine, calendar-bounded",
     "q338_tier_migration": "users (150); q306 rank-block join at scale (r9 "
     "adjudication, docstring contract)",
-    "q347_simpson_guard": "users (150); rank-block join at scale",
-    "q35_percentile_composite": "customers (1500); rank-block join at scale",
-    "q386_stratified_ate": "users x2 strata passes (150); rank-block at scale",
-    "q401_rank_aggregation": "parts (2000); rank-block join at scale",
+    # q401 converted r10: criterion ranks via stable_row_ids; final_rank
+    # runs after the TakeOrdered over the bounded top-N slice (no new
+    # SinglePartition exchange appears, so it no longer flags)
     "q478_cramer_von_mises": "distinct cents (5974, saturating); grid join at scale",
 }
 
