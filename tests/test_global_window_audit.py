@@ -71,7 +71,8 @@ ALLOWED = {
     "q373_rmst": "same duration grid as q328",
     "q369_regression_discontinuity": "running-variable bins (10->19)",
     "q473_newsvendor": "distinct demand levels (11->19)",
-    "q38_lag_delta": "distinct (supplier, date) spine, date-bounded (1094->2399)",
+    "q38_lag_delta": "one row per calendar day (1094->2399 = the date range "
+    "filling in; saturates at the ~2400-day calendar)",
     "q163_hierarchical_share": "hierarchy nodes (10->25, region/nation-bounded)",
     # ENTITY-aggregate ranks (growth ~10 in entities, NEVER raw facts).
     # r10 converted the class wholesale to stable_row_ids /
