@@ -84,8 +84,10 @@ def distributed_ntile(
     n_row = df.agg(F.count(F.lit(1)).cast("long").alias("__nt_n"))
     r = F.col("__nt_rid") + 1  # 1-based global rank
     k = F.lit(int(n_tiles)).cast("long")
-    # (x - x%d)/d is exact integer division at any magnitude (the plain
-    # double / would round past 2^53)
+    # (x - x%d)/d is exact while the (divisible) numerator stays below
+    # 2^53 — the plain double / rounds at ANY non-divisible quotient,
+    # this form only once the numerator itself exceeds the double
+    # mantissa (n > ~9e15 rows; r10 ADVICE wording fix)
     base = ((F.col("__nt_n") - F.col("__nt_n") % k) / k).cast("long")
     rem = F.col("__nt_n") % k
     big = rem * (base + 1)

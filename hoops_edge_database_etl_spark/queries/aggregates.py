@@ -2880,8 +2880,8 @@ def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     ),
     -- doubled rank sums are the q402 overflow class (~n^2, past int64
-    -- at a few billion events): DECIMAL(38,0) accumulator and outputs,
-    -- both engines
+    -- at a few billion events): DECIMAL(38,0) accumulators internal;
+    -- OUTPUTS cast to BIGINT (driver hasher rejects DECIMAL, r10)
     t AS (
       SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
              CAST(SUM(CAST(a AS DECIMAL(38,0)) * (2 * before_n + a + b + 1))
@@ -2894,9 +2894,11 @@ def q285_topk_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(38,0)) AS u1_doubled
       FROM t
     )
-    SELECT n1, n2, r1_doubled, u1_doubled,
+    SELECT n1, n2,
+           CAST(r1_doubled AS BIGINT) AS r1_doubled,
+           CAST(u1_doubled AS BIGINT) AS u1_doubled,
            CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 - u1_doubled
-                AS DECIMAL(38,0)) AS u2_doubled,
+                AS BIGINT) AS u2_doubled,
            CAST(u1_doubled AS DOUBLE) / (2.0 * n1 * n2) AS auc_hat
     FROM u
     """,
@@ -2932,7 +2934,11 @@ def q297_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before_n", F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0))
     )
     # doubled rank sums are the q402 overflow class (~n^2, past int64
-    # at a few billion events): DECIMAL(38,0) accumulator and outputs
+    # at a few billion events): DECIMAL(38,0) accumulators stay internal;
+    # the OUTPUT columns cast to BIGINT because the driver hasher
+    # serializes DECIMAL differently across engines (r10 red class) —
+    # r1_doubled <= n(n+1) fits int64 below ~3e9 pooled events, and ANSI
+    # mode throws rather than wraps past that
     t = cum.agg(
         F.sum("a").cast("bigint").alias("n1"),
         F.sum("b").cast("bigint").alias("n2"),
@@ -2950,10 +2956,10 @@ def q297_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "n1",
         "n2",
-        "r1_doubled",
-        u1.alias("u1_doubled"),
+        F.col("r1_doubled").cast("bigint").alias("r1_doubled"),
+        u1.cast("bigint").alias("u1_doubled"),
         (2 * F.col("n1").cast("decimal(38,0)") * F.col("n2") - u1)
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("u2_doubled"),
         (
             u1.cast("double")
@@ -6307,7 +6313,7 @@ def q409_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.n_b * p.f_q_ppm * p.f_q_ppm
                 - 2 * p.f_q_ppm * 1000000 * p.s_b
                 + CAST(1000000 AS BIGINT) * 1000000 * p.s_b
-                AS DECIMAL(38,0)) AS brier_num_e12
+                AS BIGINT) AS brier_num_e12
     FROM perbin p CROSS JOIN tot t
     """,
 )
@@ -6323,8 +6329,9 @@ def q417_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-uniform ppm score (custkey residue), outcome = order status
     'F'. Everything upstream of the last step is exact integers: per-
     bin counts and outcome sums, o_b in floor-ppm, and the per-bin
-    Brier numerator in DECIMAL(38,0) (Σ(f−y)² ppm² units — int64 would
-    overflow past ~sf1, decimal never does). REL/RES contributions are
+    Brier numerator as int64 ppm² units, output BIGINT (the driver
+    hasher rejects DECIMAL outputs, r10 — n_b·1e12 fits int64 below
+    ~9e6 rows per bin, and ANSI throws past that). REL/RES are
     e12-scaled doubles from ONE fixed cross-multiplied expression each
     (the q406 moment-algebra discipline — no per-row floats, nothing
     order-dependent; the global base rate arrives via a broadcast
@@ -6365,7 +6372,7 @@ def q417_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_b * f_q_ppm * f_q_ppm"
             " - 2 * f_q_ppm * 1000000 * s_b"
             " + CAST(1000000 AS BIGINT) * 1000000 * s_b"
-            " AS DECIMAL(38,0)) AS brier_num_e12",
+            " AS BIGINT) AS brier_num_e12",
         )
     )
 
@@ -7283,7 +7290,7 @@ def q460_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT n, m,
-           CAST(n * sx + m * sy AS DECIMAL(38, 0)) AS u,
+           CAST(n * sx + m * sy AS BIGINT) AS u,
            CAST(CAST(n * sx + m * sy AS DECIMAL(38, 0)) AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
                 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))
@@ -7306,7 +7313,9 @@ def q478_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair completes the EDF-test family). Anderson's rank form keeps it
     exact: with pooled ranks r_i and within-sample indices i,
     U = n·Σ_x(r_i − i)² + m·Σ_y(s_j − j)² is an exact integer
-    (DECIMAL(38,0) — n·Σ(r−i)² clears int64 past ~sf0.2) and
+    (DECIMAL(38,0) accumulators — n·Σ(r−i)² clears int64 past ~sf0.2
+    — with the output U cast to BIGINT, the driver-hasher-safe scalar
+    set; ANSI throws rather than wraps if int64 is ever exceeded) and
     T = U/(nmN) − (4nm−1)/(6N) touches DOUBLE in one fixed
     expression, against the asymptotic 5%% literal 0.461. Rank ties
     (one duplicate totalprice exists at sf0.01) are broken by
@@ -7356,8 +7365,13 @@ def q478_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = u.cast("double") / (nd * md * (nd + md)) - (4.0 * nd * md - 1.0) / (
         6.0 * (nd + md)
     )
+    # sx/sy accumulate in DECIMAL(38,0) (n·Σ(r−i)² clears int64 past
+    # ~sf0.2 in the intermediate product class); the OUTPUT u casts to
+    # BIGINT — the driver hasher serializes DECIMAL differently across
+    # engines (r10 red class), and u fits int64 at driver SFs (ANSI
+    # throws rather than wraps if the bound is ever hit).
     return agg.select(
-        "n", "m", u.alias("u"), t.alias("t_cvm"),
+        "n", "m", u.cast("bigint").alias("u"), t.alias("t_cvm"),
         (t < 0.461).alias("same_distribution_5pct"),
     )
 

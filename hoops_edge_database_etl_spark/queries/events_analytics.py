@@ -1287,6 +1287,13 @@ def q166_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    # Each distributed_ntile pass reads its input TWICE (a count branch
+    # and the range-partitioned id branch), so three chained passes
+    # would re-execute the per-user aggregate — and everything upstream
+    # of it — ~2x per stage. localCheckpoint (lazy, the q408 pattern)
+    # materializes the |users|-row rollup once; all six branch reads
+    # reuse it (r10 ADVICE).
+    p = p.localCheckpoint(eager=False)
     s = distributed_ntile(p, 5, ["recency_days", "user_id"], tile_col="r_q")
     s = distributed_ntile(s, 5, [F.col("freq").desc(), "user_id"], tile_col="f_q")
     s = distributed_ntile(s, 5, [F.col("cents").desc(), "user_id"], tile_col="m_q")
@@ -1964,11 +1971,12 @@ def q237_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     -- u2 <= 2*n_pos*n_neg ~ n^2/2: the q402 overflow class (per-row
     -- fits int64, the corpus-level sum doesn't at ~6e9 events) - the
-    -- accumulator and output are DECIMAL(38,0) in both engines
+    -- accumulator is DECIMAL(38,0) in both engines; the OUTPUT casts
+    -- to BIGINT (driver hasher rejects DECIMAL outputs, r10)
     SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos,
            CAST(SUM(nn_v) AS BIGINT) AS n_neg,
            CAST(SUM(CAST(np_v AS DECIMAL(38,0)) * (2 * nn_below + nn_v))
-                AS DECIMAL(38,0)) AS u2,
+                AS BIGINT) AS u2,
            CAST(SUM(np_v * (2 * nn_below + nn_v)) AS DOUBLE)
              / (2.0 * CAST(SUM(np_v) AS DOUBLE) * CAST(SUM(nn_v) AS DOUBLE)) AS auc
     FROM cum
@@ -2006,7 +2014,9 @@ def q238_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = F.sum(F.col("np_v") * (2 * F.col("nn_below") + F.col("nn_v")))
     # u2 <= 2*n_pos*n_neg ~ n^2/2 — the q402 overflow class (per-value
     # terms fit int64, the corpus-level sum doesn't at ~6e9 events):
-    # accumulate and ship u2 in DECIMAL(38,0), both engines
+    # accumulate in DECIMAL(38,0); OUTPUT as BIGINT (the driver hasher
+    # serializes DECIMAL differently across engines — r10 red class;
+    # u2 fits int64 below ~4.3e9 events, ANSI throws past that)
     u2_dec = F.sum(
         F.col("np_v").cast("decimal(38,0)")
         * (2 * F.col("nn_below") + F.col("nn_v"))
@@ -2014,7 +2024,7 @@ def q238_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.agg(
         F.sum("np_v").cast("bigint").alias("n_pos"),
         F.sum("nn_v").cast("bigint").alias("n_neg"),
-        u2_dec.cast("decimal(38,0)").alias("u2"),
+        u2_dec.cast("bigint").alias("u2"),
         (
             u2_dec.cast("double")
             / (2.0 * F.sum("np_v").cast("double") * F.sum("nn_v").cast("double"))
@@ -4320,9 +4330,23 @@ def q338_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-by-(p>0) trick keeps ranks dense among actual
     spenders). The migration rollup is the retention/churn/win-back
     dashboard in one 5x5 matrix; the diagonal is stability, below it
-    is the churn early-warning. Rank windows run over the per-user
-    aggregate; at catalog scale the q306 rank-block join replaces
-    them."""
+    is the churn early-warning.
+
+    Scale (r11, global-window audit follow-through): the two rank
+    windows previously partitioned by the BOOLEAN (p > 0), funneling
+    every spender through one reducer (the entity-rank hazard class),
+    with a second global window for n_active. Both replaced: each
+    period's spender rank comes from operators.rowids.stable_row_ids
+    (range partition + per-range numbering + broadcast prefix-offset
+    spine — no SinglePartition exchange), n_active from a value-pure
+    1-row count broadcast back, and the tier is the same exact
+    (rank·4) DIV n arithmetic. Zero-spend users never enter the rank
+    path at all — they rejoin as tier −1 via a left join on the
+    per-user spine. The per-user rollup is localCheckpointed (q408
+    pattern) so the five consumers (two rank legs, two count legs,
+    the spine) scan the fact table once."""
+    from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
+
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -4335,21 +4359,32 @@ def q338_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.to_date("ts") >= cutoff, cents).otherwise(0))
         .cast("long")
         .alias("p2"),
-    )
+    ).localCheckpoint(eager=False)
 
-    def tier(col: str) -> F.Column:
-        active = F.col(col) > 0
-        w = Window.partitionBy(active).orderBy(F.col(col), F.col("user_id"))
-        n_active = F.sum(F.when(active, 1).otherwise(0)).over(
-            Window.partitionBy()
+    def tiered(col: str, out: str) -> DataFrame:
+        act = spend.filter(F.col(col) > 0).select("user_id", col)
+        ids = stable_row_ids(act, [F.col(col), F.col("user_id")], id_col="__rid")
+        n = act.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        # (rid·4) DIV n — exact below 2^53 (the rowids.py idiom); rid
+        # is already 0-based so this is the oracle's (rank−1)*4 // n
+        return ids.crossJoin(F.broadcast(n)).select(
+            "user_id",
+            (
+                (F.col("__rid") * 4 - (F.col("__rid") * 4) % F.col("__n"))
+                / F.col("__n")
+            )
+            .cast("long")
+            .alias(out),
         )
-        rank = F.row_number().over(w).cast("long")
-        return F.when(~active, F.lit(-1).cast("long")).otherwise(
-            ((rank - 1) * 4 - ((rank - 1) * 4) % n_active) / n_active
-        ).cast("long")
 
-    tiers = spend.select(
-        tier("p1").alias("tier1"), tier("p2").alias("tier2")
+    tiers = (
+        spend.select("user_id")
+        .join(tiered("p1", "tier1"), "user_id", "left")
+        .join(tiered("p2", "tier2"), "user_id", "left")
+        .select(
+            F.coalesce(F.col("tier1"), F.lit(-1)).cast("long").alias("tier1"),
+            F.coalesce(F.col("tier2"), F.lit(-1)).cast("long").alias("tier2"),
+        )
     )
     return tiers.groupBy("tier1", "tier2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")

@@ -580,14 +580,17 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     every corpus row through ONE reducer, three times — the worst
     corpus-proportional single-partition window on the board (the
     oracle keeps that form; DuckDB is single-node anyway). Distributed
-    form: range-partition on the storage key, count adjacent repeats
-    WITHIN each partition in a numpy kernel (runs are a per-partition
-    property), then stitch the P boundary pairs with a lag over the
-    P-row per-partition summary (bounded by the partition count, not
-    the corpus). The n/ndv branches are value-pure aggregates, immune
-    to range-boundary resampling; the repeat branch is one linear DAG
-    over one kernel evaluation, so the boundaries it stitches are the
-    boundaries it counted within."""
+    form: range-partition + sort on the storage key, count adjacent
+    repeats WITHIN each partition in a STREAMING kernel (per Arrow
+    batch, carrying only the previous batch's last value across the
+    seam — per-task memory is batch-bounded, never corpus/P), then
+    stitch the P boundary pairs with a lag over the P-row per-partition
+    summary (bounded by the partition count, not the corpus). This
+    removes the single-reducer funnel; P itself is a parallelism knob
+    to scale with the cluster, not a memory bound. The n/ndv branches
+    are value-pure aggregates, immune to range-boundary resampling;
+    the repeat branch is one linear DAG over one kernel evaluation, so
+    the boundaries it stitches are the boundaries it counted within."""
     import pandas as pd  # noqa: F401
 
     li = load(spark, sf_dir, "lineitem")
@@ -597,37 +600,46 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ftype = dict(zip(li.schema.names, li.schema.fields))[col].dataType.simpleString()
 
         def repeats_kernel(batches):
-            import numpy as np
-
-            oks, lns, vs = [], [], []
+            # Streaming form (r10 ADVICE): the engine delivers the
+            # partition pre-sorted (sortWithinPartitions below), so the
+            # kernel counts repeats per Arrow batch and carries ONLY the
+            # previous batch's last value across the seam — per-task
+            # memory is O(batch), corpus-independent, instead of the
+            # old concatenate-the-whole-partition buffer (corpus/P per
+            # task, a per-executor OOM at scale).
             pidx = None
+            cnt = 0
+            rep = 0
+            first_v = None
+            last_v = None
             for pdf in batches:
-                if len(pdf):
+                if not len(pdf):
+                    continue
+                if pidx is None:
                     pidx = int(pdf["pidx"].iloc[0])
-                    oks.append(pdf["l_orderkey"].to_numpy())
-                    lns.append(pdf["l_linenumber"].to_numpy())
-                    vs.append(pdf["v"].to_numpy())
+                    first_v = pdf["v"].iloc[0]
+                v = pdf["v"].to_numpy()
+                rep += int((v[1:] == v[:-1]).sum())
+                if last_v is not None and v[0] == last_v:
+                    rep += 1
+                last_v = pdf["v"].iloc[-1]
+                cnt += len(v)
             if pidx is None:
                 return
-            ok = np.concatenate(oks)
-            ln = np.concatenate(lns)
-            v = np.concatenate(vs)
-            order = np.lexsort((ln, ok))
-            v = v[order]
-            rep = int((v[1:] == v[:-1]).sum())
             yield pd.DataFrame(
                 {
                     "pidx": [pidx],
-                    "cnt": [len(v)],
+                    "cnt": [cnt],
                     "rep": [rep],
-                    "first_v": [v[0]],
-                    "last_v": [v[-1]],
+                    "first_v": [first_v],
+                    "last_v": [last_v],
                 }
             )
 
         summary = (
             li.select("l_orderkey", "l_linenumber", F.col(col).alias("v"))
             .repartitionByRange(P, "l_orderkey", "l_linenumber")
+            .sortWithinPartitions("l_orderkey", "l_linenumber")
             .withColumn("pidx", F.spark_partition_id())
             .mapInPandas(
                 repeats_kernel,

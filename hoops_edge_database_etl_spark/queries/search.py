@@ -259,7 +259,13 @@ def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     The D branch is ONE evaluation end-to-end (the own/earlier rows
     come from a single explode, never a self-union) because range
     boundaries are sampled per evaluation — two legs could bin pairs
-    differently and double-count. The tie branches re-aggregate the
+    differently and double-count. Memory honesty (r10 ADVICE): the
+    mergesort kernel materializes its range partition (~|parts|/P
+    rows) per task — the single-reducer funnel is removed, but P must
+    scale with |parts| on a real cluster; the cross-partition fan is
+    O(cells·P), so P grows with the entity count, not the corpus
+    (parts ≪ lineitems — the per-part rollup is already the reduced
+    table). The tie branches re-aggregate the
     linear per-part rollup independently; they are value-pure, so
     boundary drift cannot affect them. Property-tested against
     scipy-formula recomputation and ±1 on planted perfectly-agreeing/
@@ -280,12 +286,16 @@ def q408_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run) and every branch reuses it.
     agg = agg.localCheckpoint(eager=False)
 
+    # integer DIV, not double `/` + cast: m*(m-1) is always even so the
+    # quotient is exact, but the double intermediate rounds past 2^53 —
+    # the rowids.py exact-division idiom, applied to pair counts (r10
+    # ADVICE).
     def pairs_of(cnt_col):
-        return F.sum((F.col(cnt_col) * (F.col(cnt_col) - 1) / 2).cast("long"))
+        return F.sum(F.expr(f"{cnt_col} * ({cnt_col} - 1) DIV 2").cast("long"))
 
     n0 = (
         agg.agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select(((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n_pairs"))
+        .select(F.expr("n * (n - 1) DIV 2").cast("long").alias("n_pairs"))
     )
     n1 = (
         agg.groupBy("rev").agg(F.count(F.lit(1)).alias("m"))

@@ -1865,10 +1865,10 @@ ELBOW_KS = (2, 3, 4, 5, 6)
              LEAD(wcss) OVER (ORDER BY k) AS next_w
       FROM wcss
     )
-    SELECT k, wcss,
-           CAST(prev_w - wcss AS DECIMAL(38, 0)) AS drop_from_prev,
+    SELECT k, CAST(wcss AS BIGINT) AS wcss,
+           CAST(prev_w - wcss AS BIGINT) AS drop_from_prev,
            CASE WHEN prev_w IS NOT NULL AND next_w IS NOT NULL
-                THEN CAST(prev_w + next_w - 2 * wcss AS DECIMAL(38, 0)) END
+                THEN CAST(prev_w + next_w - 2 * wcss AS BIGINT) END
              AS curvature,
            prev_w IS NOT NULL AND next_w IS NOT NULL
              AND prev_w + next_w - 2 * wcss = (
@@ -1945,13 +1945,17 @@ def q402_elbow_wcss(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_curv")
     )
+    # Accumulators stay DECIMAL(38,0) (the r8 overflow fix); the OUTPUT
+    # casts to BIGINT because the driver hasher serializes DECIMAL
+    # differently across engines (r10 red row). wcss at driver SFs is
+    # <= 2.6e17 < 2^63; ANSI mode throws rather than wraps past that.
     return curve.crossJoin(F.broadcast(maxc)).select(
         "k",
-        F.col("wcss").cast("decimal(38,0)").alias("wcss"),
+        F.col("wcss").cast("bigint").alias("wcss"),
         (F.col("prev_w") - F.col("wcss"))
-        .cast("decimal(38,0)")
+        .cast("bigint")
         .alias("drop_from_prev"),
-        curv.cast("decimal(38,0)").alias("curvature"),
+        curv.cast("bigint").alias("curvature"),
         (
             F.col("prev_w").isNotNull()
             & F.col("next_w").isNotNull()
@@ -2132,8 +2136,8 @@ def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON n.label = o.label AND n.k = o.k
     )
     -- shift terms are the q402 overflow class raised to n^4 (sa*n is
-    -- ~4096*n^2 per dim BEFORE squaring): 128-bit arithmetic, shipped
-    -- as DECIMAL(38,0) — headroom to ~1e8 vectors per label-cohort
+    -- ~4096*n^2 per dim BEFORE squaring): 128-bit accumulators, the
+    -- OUTPUT cast to BIGINT (driver hasher rejects DECIMAL, r10)
     SELECT label,
            COALESCE(MAX(n_old), 0) AS n_old,
            COALESCE(MAX(n_new), 0) AS n_new,
@@ -2143,7 +2147,7 @@ def q433_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cos_centroid,
            CAST(SUM((CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old)
                     * (CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old))
-                AS DECIMAL(38,0)) AS shift_num,
+                AS BIGINT) AS shift_num,
            CAST(SUM((CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old)
                     * (CAST(sa AS HUGEINT) * n_new - CAST(sb AS HUGEINT) * n_old))
                 AS DOUBLE)
@@ -2225,7 +2229,10 @@ def q442_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("n_old"), F.lit(0)).cast("long").alias("n_old"),
         F.coalesce(F.max("n_new"), F.lit(0)).cast("long").alias("n_new"),
         cos.alias("cos_centroid"),
-        F.sum(diff * diff).cast("decimal(38,0)").alias("shift_num"),
+        # accumulator stays DECIMAL(38,0); OUTPUT casts to BIGINT (the
+        # driver hasher rejects DECIMAL outputs, r10 — shift_num fits
+        # int64 at driver SFs, ANSI throws past the bound)
+        F.sum(diff * diff).cast("bigint").alias("shift_num"),
         (
             F.sum(diff * diff).cast("double")
             / (

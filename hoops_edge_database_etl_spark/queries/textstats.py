@@ -2377,7 +2377,8 @@ def q368_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(38,0)) AS u_doubled
       FROM t
     )
-    SELECT nt AS n_test, nc AS n_train, u_doubled,
+    SELECT nt AS n_test, nc AS n_train,
+           CAST(u_doubled AS BIGINT) AS u_doubled,
            CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc) AS auc,
            abs(CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc)
                - 0.5) < 0.1 AS split_unbiased
@@ -2443,11 +2444,15 @@ def q371_adversarial_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DECIMAL(38,0)) AS u_doubled",
     )
     # 2.0 * nt * nc promotes to double BEFORE multiplying (2*nt*nc in
-    # long is itself the n^2 class)
+    # long is itself the n^2 class). The accumulators stay DECIMAL(38,0)
+    # internally; the OUTPUT is cast to BIGINT because the driver hasher
+    # serializes DECIMAL differently across engines (r10 red row) —
+    # u_doubled <= 2*nt*nc fits int64 up to ~2.1e9 docs per side, and
+    # ANSI mode throws rather than wraps if that bound is ever crossed.
     return t2.selectExpr(
         "nt AS n_test",
         "nc AS n_train",
-        "u_doubled",
+        "CAST(u_doubled AS BIGINT) AS u_doubled",
         "CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc) AS auc",
         "abs(CAST(u_doubled AS DOUBLE) / (2.0 * nt * nc) - 0.5)"
         " < 0.1 AS split_unbiased",

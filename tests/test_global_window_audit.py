@@ -79,11 +79,14 @@ ALLOWED = {
     # distributed_ntile (q166/q171/q209/q261/q285/q311/q347/q386/q401/
     # q35 — oracles unchanged, hash-certified); the remaining entries
     # here are the ones whose window survives in bounded/saturating
-    # form, plus q338 (frozen pending its official cast-fix re-row; its
-    # docstring carries the rank-block contract from the r9
-    # adjudication)
+    # form
     # q166 converted r10: its three entity NTILEs now run as
     # distributed_ntile, so it no longer flags at all
+    # q338 converted r11 (its r10 freeze reason — pending official
+    # re-row — expired when r10 rowed it green): spender ranks via
+    # stable_row_ids, n_active via broadcast count, tier -1 rejoining
+    # through a left join — no global window remains, so it no longer
+    # flags
     "q171_decile_lift": "10-row decile walk (the NTILE itself converted to "
     "distributed_ntile in r10)",
     "q209_lorenz_concentration": "10-row Lorenz walk (NTILE converted to "
@@ -95,8 +98,6 @@ ALLOWED = {
     "q306_quantile_normalize": "histogram blocks (3343, saturating) - the grid "
     "trick's own bounded spine",
     "q315_backfill_planner": "date blocks (59); block spine, calendar-bounded",
-    "q338_tier_migration": "users (150); q306 rank-block join at scale (r9 "
-    "adjudication, docstring contract)",
     # q401 converted r10: criterion ranks via stable_row_ids; final_rank
     # runs after the TakeOrdered over the bounded top-N slice (no new
     # SinglePartition exchange appears, so it no longer flags)

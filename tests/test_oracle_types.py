@@ -11,13 +11,10 @@ differently from the Spark side's int64 even when every value fits in
 This test closes the CLASS: DESCRIBE every registered oracle in DuckDB
 (plan-only — nothing executes) and assert every output column's type is
 in the closed scalar set the driver's hasher round-trips faithfully.
-DECIMAL(38,0) is allowed ONLY at the explicitly allowlisted
-(query, column) pairs below, and for those the Spark-side schema is
-verified to be decimal(38,0) too (schema analysis only, no collect) —
-the q238/q297 pattern, where BOTH engines carry the wide type so the
-driver hashes them identically (q238/q297 have official green rows).
-Any new HUGEINT / un-allowlisted DECIMAL fails here before the driver
-ever sees it.
+Since round 11 the DECIMAL(38,0) allowlist is EMPTY — r10 falsified the
+"safe when both engines carry it" theory (q371/q402 red with values
+verified identical) — so any HUGEINT or DECIMAL output fails here
+before the driver ever sees it. Wide accumulators stay internal.
 """
 
 from __future__ import annotations
@@ -26,40 +23,22 @@ import pytest
 
 from tests.conftest import SF_DIR
 
-# The driver-hasher-safe scalar types (everything the 485 oracles emit
-# as of r10: BIGINT 1371, DOUBLE 347, VARCHAR 307, BOOLEAN 62,
-# INTEGER 22, DATE 12). TIMESTAMP is included because the data model
-# supports it even though no current oracle projects one.
-ALLOWED = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "FLOAT",
-    "VARCHAR",
-    "DATE",
-    "BOOLEAN",
-    "TIMESTAMP",
-}
-
-# DECIMAL(38,0) pairs where the Spark side is decimal(38,0) as well —
-# exact integer accumulators too wide for int64 by design (doubled
-# midranks / e12-scaled moments). Adding a pair here requires the Spark
-# query to produce decimal(38,0) at that column; the test checks it.
-DECIMAL38_ALLOWLIST = {
-    ("q238_exact_auc", "u2"),
-    ("q297_mann_whitney_u", "r1_doubled"),
-    ("q297_mann_whitney_u", "u1_doubled"),
-    ("q297_mann_whitney_u", "u2_doubled"),
-    ("q371_adversarial_validation", "u_doubled"),
-    ("q402_elbow_wcss", "wcss"),
-    ("q402_elbow_wcss", "drop_from_prev"),
-    ("q402_elbow_wcss", "curvature"),
-    ("q417_brier_decomposition", "brier_num_e12"),
-    ("q442_embedding_drift", "shift_num"),
-    ("q478_cramer_von_mises", "u"),
-}
+# The contract constants live in a non-test module so the verify
+# skill's drive.py can import them without dragging in tests/conftest
+# (r10 ADVICE). EMPTY allowlist by design since round 11: the r10
+# driver falsified the theory that DECIMAL(38,0) is hasher-safe when
+# both engines carry it (q371 red with u_doubled = 46,241 — magnitude
+# ruled out; same signature as r9's HUGEINT class, one type family
+# over). Every former member (q238 u2; q297 r1/u1/u2 doubled; q371
+# u_doubled; q402 wcss/drop_from_prev/curvature; q417 brier_num_e12;
+# q442 shift_num; q478 u) now casts to BIGINT at the output boundary
+# in BOTH engines — the DECIMAL(38,0) accumulators remain internal
+# (the r8 overflow fix is about intermediate state, not presentation),
+# and ANSI mode throws rather than wraps if a value ever exceeds int64.
+from hoops_edge_database_etl_spark.oracle_contract import (  # noqa: F401
+    ALLOWED,
+    DECIMAL38_ALLOWLIST,
+)
 
 
 @pytest.fixture(scope="module")

@@ -769,25 +769,31 @@ def test_q466_q467_folds_stay_jvm_side(spark):
 def test_elbow_wcss_accumulates_in_decimal(spark):
     """q402's WCSS is a corpus-level sum of per-vector int64 distances —
     int64 accumulation overflowed LIVE at sf1 (round-8 sampled soak,
-    ARITHMETIC_OVERFLOW at 20k vectors). The sum must stay DECIMAL(38,0)
-    end-to-end so the overflow class cannot regress."""
-    from pyspark.sql.types import DecimalType
+    ARITHMETIC_OVERFLOW at 20k vectors). The SUM must run in
+    DECIMAL(38,0) inside the plan; since r11 the OUTPUT casts to BIGINT
+    (the driver hasher rejects DECIMAL outputs — q402 went red in r10
+    with values verified identical). Both halves pinned here."""
+    from pyspark.sql.types import LongType
 
     df = _qs()["q402_elbow_wcss"](spark, SF_DIR)
     types = dict((f.name, f.dataType) for f in df.schema.fields)
     for col in ("wcss", "drop_from_prev", "curvature"):
-        assert isinstance(types[col], DecimalType), (col, types[col])
-        assert types[col].precision == 38 and types[col].scale == 0
+        assert isinstance(types[col], LongType), (col, types[col])
+    # the accumulator itself must still be decimal inside the plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in analyzed
 
 
 def test_overflow_class_sums_accumulate_in_decimal(spark):
     """Round-9 corpus-sum sweep (VERDICT r8 item 4, the q402 class: the
     per-row term fits int64, the corpus-level sum doesn't). Every rank/
     pair-count statistic that grows ~n^2 (Mann-Whitney U, AUC, doubled
-    rank sums) and q442's ~n^4 shift terms must ship DECIMAL(38,0) so
-    scale-up can never wrap — under ANSI a genuine 10^38 overflow still
-    throws loudly."""
-    from pyspark.sql.types import DecimalType
+    rank sums) and q442's ~n^4 shift terms must ACCUMULATE in
+    DECIMAL(38,0) — under ANSI a genuine overflow throws, never wraps —
+    but since r11 the OUTPUT column is BIGINT (the r10 driver hasher
+    reddened DECIMAL outputs with values verified identical; the
+    contract is enforced repo-wide by tests/test_oracle_types.py)."""
+    from pyspark.sql.types import LongType
 
     pinned = {
         "q238_exact_auc": ("u2",),
@@ -796,10 +802,12 @@ def test_overflow_class_sums_accumulate_in_decimal(spark):
         "q442_embedding_drift": ("shift_num",),
     }
     for name, cols in pinned.items():
-        types = {f.name: f.dataType for f in _qs()[name](spark, SF_DIR).schema.fields}
+        df = _qs()[name](spark, SF_DIR)
+        types = {f.name: f.dataType for f in df.schema.fields}
         for col in cols:
-            assert isinstance(types[col], DecimalType), (name, col, types[col])
-            assert types[col].precision == 38 and types[col].scale == 0
+            assert isinstance(types[col], LongType), (name, col, types[col])
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "decimal(38,0)" in analyzed, name
 
 
 def test_preference_pairs_extreme_pruned(spark):
