@@ -6623,6 +6623,12 @@ def q422_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = ev.groupBy(
         "event_type", F.floor("value").cast("long").alias("v")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # Both Walsh-join legs derive from this ~values-per-group-row
+    # aggregate; without a checkpoint each leg re-scans and
+    # re-aggregates the FACT table (the dominant linear cost, paid
+    # 2x). localCheckpoint materializes it once (lazy, the q408
+    # pattern) — r11, found while adjudicating the r10 bench mover.
+    vals = vals.localCheckpoint(eager=False)
     a = vals.select(
         "event_type", F.col("v").alias("va"), F.col("c").alias("ca")
     )
