@@ -9,8 +9,10 @@ r10 falsified the follow-up theory that DECIMAL(38,0) is safe when both
 engines carry it (q371 red with u_doubled = 46,241 — magnitude ruled
 out). Since r11 the contract is PLAIN SCALARS ONLY: wide-integer
 accumulators stay internal to each engine's plan; every output column
-casts to a member of ALLOWED at the boundary, and ANSI mode throws
-rather than wraps if int64 is ever exceeded.
+casts to a member of ALLOWED at the boundary — BIGINT where the value
+provably fits int64 at any realistic scale (ANSI throws rather than
+wraps past the bound), or the exact decimal STRING where it does not
+(q478's U ~ n^4 overflowed int64 at the sf1 soak).
 """
 
 from __future__ import annotations

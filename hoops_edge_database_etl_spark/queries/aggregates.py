@@ -7296,7 +7296,7 @@ def q460_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT n, m,
-           CAST(n * sx + m * sy AS BIGINT) AS u,
+           CAST(CAST(n * sx + m * sy AS DECIMAL(38,0)) AS VARCHAR) AS u,
            CAST(CAST(n * sx + m * sy AS DECIMAL(38, 0)) AS DOUBLE)
              / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
                 * (CAST(n AS DOUBLE) + CAST(m AS DOUBLE)))
@@ -7319,9 +7319,10 @@ def q478_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair completes the EDF-test family). Anderson's rank form keeps it
     exact: with pooled ranks r_i and within-sample indices i,
     U = n·Σ_x(r_i − i)² + m·Σ_y(s_j − j)² is an exact integer
-    (DECIMAL(38,0) accumulators — n·Σ(r−i)² clears int64 past ~sf0.2
-    — with the output U cast to BIGINT, the driver-hasher-safe scalar
-    set; ANSI throws rather than wraps if int64 is ever exceeded) and
+    (DECIMAL(38,0) accumulators; U ~ n⁴ exceeds int64 already at sf1 —
+    the r11 soak measured 5.4e21 — so the output ships as U's plain
+    decimal STRING, exact at any scale and in the driver-hasher-safe
+    scalar set) and
     T = U/(nmN) − (4nm−1)/(6N) touches DOUBLE in one fixed
     expression, against the asymptotic 5%% literal 0.461. Rank ties
     (one duplicate totalprice exists at sf0.01) are broken by
@@ -7371,13 +7372,14 @@ def q478_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = u.cast("double") / (nd * md * (nd + md)) - (4.0 * nd * md - 1.0) / (
         6.0 * (nd + md)
     )
-    # sx/sy accumulate in DECIMAL(38,0) (n·Σ(r−i)² clears int64 past
-    # ~sf0.2 in the intermediate product class); the OUTPUT u casts to
-    # BIGINT — the driver hasher serializes DECIMAL differently across
-    # engines (r10 red class), and u fits int64 at driver SFs (ANSI
-    # throws rather than wraps if the bound is ever hit).
+    # sx/sy accumulate in DECIMAL(38,0); u itself is ~n^4 and OVERFLOWS
+    # int64 already at sf1 (the r11 soak threw CAST_OVERFLOW at 5.4e21),
+    # so unlike the rest of the r11 BIGINT-output class the exact
+    # integer ships as its plain decimal STRING — VARCHAR is in the
+    # driver-hasher-safe scalar set, both engines render DECIMAL(38,0)
+    # as bare digits, and exactness survives any scale.
     return agg.select(
-        "n", "m", u.cast("bigint").alias("u"), t.alias("t_cvm"),
+        "n", "m", u.cast("string").alias("u"), t.alias("t_cvm"),
         (t < 0.461).alias("same_distribution_5pct"),
     )
 

@@ -1,0 +1,137 @@
+"""Assemble SOAK_r11.json from the round-11 scratch soaks:
+.scratch/soak_r11_recheck.json (plain sf1 re-timings of the ten queries
+whose plans changed this round — the DECIMAL→BIGINT output casts, the
+q338 stable_row_ids conversion, the q273 streaming kernel, the q166 /
+q422 localCheckpoints, the q408 integer-DIV pair counts) and
+.scratch/soak_r11_q478.json (q478 re-run AFTER its output moved from
+the overflowing BIGINT cast to the exact decimal string — the first
+scratch run is the CAST_OVERFLOW that forced the change).
+
+Every slope >= 2.5 must carry a curated NOTES entry or assembly FAILS
+(the r10 contract); notes below that threshold are still supplied here
+because every row in a recheck round IS an adjudication.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+NOTES: dict[str, str] = {
+    "q166_rfm_segments": (
+        "localCheckpoint on the per-user RFM rollup (r10 ADVICE): the "
+        "three distributed_ntile passes each read their input twice, so "
+        "the rollup - and the purchase scan under it - re-executed ~6x. "
+        "Re-timed: sf1 4.99 s vs the r10 row's 3.9 s band at slope 0.59 "
+        "(the sf0.1 leg pays the checkpoint materialization, the sf1 leg "
+        "amortizes it - the flat multi-stage floor shrinking as designed)."
+    ),
+    "q273_codec_advisor": (
+        "STREAMING KERNEL TRADE (r10 ADVICE): the per-partition repeat "
+        "count now streams Arrow batches carrying one boundary value "
+        "instead of concatenating the whole range partition into numpy "
+        "(corpus/P per task - a per-executor OOM at 100 TB). The "
+        "engine-side sortWithinPartitions that enables streaming costs "
+        "wall at test SF: sf1 7.2 -> 12.7 s, slope 2.75. Accepted "
+        "deliberately: batch-bounded memory at any scale for a stated "
+        "1.8x local cost - the same trade as the r10 window "
+        "conversions, with Tungsten sort spilling gracefully where "
+        "np.concatenate aborts."
+    ),
+    "q297_mann_whitney_u": (
+        "output cast DECIMAL->BIGINT only (r11 hasher contract); "
+        "histogram-bounded cumulative pass unchanged, slope 0.99."
+    ),
+    "q338_tier_migration": (
+        "converted off the boolean-partition global rank windows onto "
+        "stable_row_ids + broadcast counts (the last entity-proportional "
+        "global window on the audit board); oracle unchanged, hash-"
+        "certified; slope 1.06 - rank cost now scales out with "
+        "partitions instead of one reducer."
+    ),
+    "q371_adversarial_validation": (
+        "output cast DECIMAL->BIGINT only (r11 hasher contract); "
+        "value-domain-saturated histogram walk unchanged, slope 1.06."
+    ),
+    "q408_kendall_tau": (
+        "pair counts moved to integer DIV (r10 ADVICE exactness fix); "
+        "plan shape unchanged (Knight form, test-pinned). sf1 3.79 s "
+        "matches the r10 rewrite row's 3.70 s; the slope printing 2.26 "
+        "vs r10's 1.28 is the sf0.1 leg landing faster this session "
+        "(1.68 vs ~2.9 s), not the sf1 leg regressing."
+    ),
+    "q417_brier_decomposition": (
+        "output cast DECIMAL->BIGINT only (r11 hasher contract; the "
+        "inner arithmetic was always int64 on both engines - the "
+        "DECIMAL wrapper was presentational). 10 fixed bins, slope 1.21."
+    ),
+    "q422_hodges_lehmann": (
+        "first fingerprinted soak row for this query (recorded while "
+        "adjudicating the r10 bench mover - closed in the README as an "
+        "r9-side anomaly). localCheckpoint on the distinct-value "
+        "histogram halves the fact scans; slope 1.11 over the "
+        "value-compressed Walsh join."
+    ),
+    "q442_embedding_drift": (
+        "output cast DECIMAL->BIGINT only; plan fingerprint UNCHANGED "
+        "from the r9 row (the cast folds into the existing projection), "
+        "re-timed for completeness: slope 2.28 - the 64-dim explode's "
+        "fixed fan cost saturating, same mechanism as the r9 row."
+    ),
+    "q478_cramer_von_mises": (
+        "OVERFLOW CAUGHT BY THE SOAK: the r11 BIGINT output cast threw "
+        "CAST_OVERFLOW live at sf1 (U ~ n^4 = 5.4e21 > int64) - exactly "
+        "the ANSI-throws-not-wraps contract doing its job one SF above "
+        "the driver's. Output moved to U's exact decimal STRING "
+        "(VARCHAR is in the hasher-safe scalar set, both engines render "
+        "DECIMAL(38,0) as bare digits); re-timed green, slope 0.94 over "
+        "the pooled-rank pass."
+    ),
+}
+
+
+def main() -> None:
+    rows: dict[str, dict] = {}
+    for path in (".scratch/soak_r11_recheck.json", ".scratch/soak_r11_q478.json"):
+        with open(path) as f:
+            rows.update(json.load(f))
+    # the q478 BIGINT-cast error row is superseded by the string-output
+    # re-run loaded after it; nothing else may carry an error
+    out_rows: dict[str, dict] = {}
+    for name, row in sorted(rows.items()):
+        if "error" in row:
+            raise SystemExit(f"{name}: error row survived assembly: {row}")
+        slope = row["slope"]
+        note = NOTES.get(name)
+        if slope is not None and slope >= 2.5 and not note:
+            raise SystemExit(
+                f"{name}: slope {slope} >= 2.5 requires a curated note"
+            )
+        if not note:
+            raise SystemExit(
+                f"{name}: recheck rounds curate every row; add a NOTES entry"
+            )
+        out_rows[name] = {**row, "note": note}
+    doc = {
+        "sf_small": 0.1,
+        "sf_big": 1.0,
+        "data_ratio": 10,
+        "method": (
+            "round-11 plan-change recheck: every query whose plan changed "
+            "this round (DECIMAL->BIGINT/STRING output casts, q338 "
+            "stable_row_ids conversion, q273 streaming kernel, q166/q422 "
+            "localCheckpoints, q408 integer-DIV pair counts) re-timed at "
+            "sf0.1 vs plain sf1 (make_scale 10x), warm rep timed, fresh "
+            "plan fingerprints; q478's first scratch run is the "
+            "CAST_OVERFLOW that moved its output to the exact decimal "
+            "string"
+        ),
+        "queries": out_rows,
+    }
+    with open("SOAK_r11.json", "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"SOAK_r11.json: {len(out_rows)} rows")
+
+
+if __name__ == "__main__":
+    main()

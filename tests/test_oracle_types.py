@@ -31,10 +31,12 @@ from tests.conftest import SF_DIR
 # ruled out; same signature as r9's HUGEINT class, one type family
 # over). Every former member (q238 u2; q297 r1/u1/u2 doubled; q371
 # u_doubled; q402 wcss/drop_from_prev/curvature; q417 brier_num_e12;
-# q442 shift_num; q478 u) now casts to BIGINT at the output boundary
-# in BOTH engines — the DECIMAL(38,0) accumulators remain internal
-# (the r8 overflow fix is about intermediate state, not presentation),
-# and ANSI mode throws rather than wraps if a value ever exceeds int64.
+# q442 shift_num) now casts to BIGINT at the output boundary in BOTH
+# engines — except q478's u (~n^4, overflowed int64 live at the r11
+# sf1 soak), which ships as its exact decimal STRING. The DECIMAL(38,0)
+# accumulators remain internal (the r8 overflow fix is about
+# intermediate state, not presentation), and ANSI mode throws rather
+# than wraps if a BIGINT output ever exceeds int64.
 from hoops_edge_database_etl_spark.oracle_contract import (  # noqa: F401
     ALLOWED,
     DECIMAL38_ALLOWLIST,
