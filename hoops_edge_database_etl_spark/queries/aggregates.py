@@ -1113,8 +1113,8 @@ def q158_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     float reduction hash-checkable (the technique q130's dyadic EWMA
     avoided needing). Day-of-week is (epoch_days+4) mod 7 — Spark and
     DuckDB disagree on dayofweek() numbering, integer arithmetic
-    doesn't. The margins/cells are three map-side-combining groupBys
-    over one scan."""
+    doesn't. The cell table is ONE map-side-combining groupBy over one
+    scan; margins and the total are sums of the checkpointed cells."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         "event_type",
@@ -1128,9 +1128,14 @@ def q158_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = base.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("obs")
     )
-    r = base.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("rn"))
-    c = base.groupBy("dow").agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
-    t = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # the margins and the total are SUMS OF THE CELL TABLE — derive all
+    # three from the checkpointed 35-row table instead of three more
+    # fact scans (r11 fact-rescan audit: 8 scans -> 1; the docstring's
+    # "one scan" now holds in the executed plan)
+    o = o.localCheckpoint(eager=False)
+    r = o.groupBy("event_type").agg(F.sum("obs").cast("bigint").alias("rn"))
+    c = o.groupBy("dow").agg(F.sum("obs").cast("bigint").alias("cn"))
+    t = o.agg(F.sum("obs").cast("bigint").alias("n"))
     # obs*n and rn*cn are ~n^2 (the q402 class, past int64 at ~3e9
     # events) and num*num is ~n^4 — with a real day-of-week effect the
     # long square throws around sf1-scale event counts. The identity
@@ -1293,6 +1298,10 @@ def q168_tvd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("before").cast("bigint").alias("c1"),
         F.sum(1 - F.col("before")).cast("bigint").alias("c2"),
     )
+    # bounded (column, category) table read by the margin totals AND
+    # the |...| numerator — checkpoint so the two unpivot scan arms run
+    # once (r11 fact-rescan audit: 6 scans -> 2)
+    c = c.localCheckpoint(eager=False)
     t = c.groupBy("col_name").agg(
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
@@ -3851,6 +3860,10 @@ def q347_simpson_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("converted"),
         F.first(treated).alias("treated"),
     )
+    # |users|-row rollup feeding four consumers (count, two row-id
+    # branches, the cell sums) — without a checkpoint each re-executed
+    # the fact scan underneath (14 scans, r11 fact-rescan audit)
+    per_user = per_user.localCheckpoint(eager=False)
     from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
 
     n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("nn"))
@@ -3878,7 +3891,11 @@ def q347_simpson_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     strata = cells(tiered.groupBy("stratum"))
     pooled_cells = cells(tiered.groupBy()).withColumn("stratum", F.lit("ALL"))
-    allc = strata.unionByName(pooled_cells.select(*strata.columns))
+    # 4-row cell table read twice (direction rows + the pooled-direction
+    # branch) — checkpoint so the rank pipeline above runs once
+    allc = strata.unionByName(
+        pooled_cells.select(*strata.columns)
+    ).localCheckpoint(eager=False)
     direction = (
         F.when(F.col("c1") * F.col("n0") > F.col("c0") * F.col("n1"), 1)
         .when(F.col("c1") * F.col("n0") < F.col("c0") * F.col("n1"), -1)
@@ -4755,21 +4772,25 @@ def q367_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditing whether "distinct users" is undercounting. Here the data
     holds the TRUE answer too, so both estimators are graded against
     it (they land close because the channels are near-independent —
-    the estimator's assumption, stated and testable). Three distinct
-    counts and a semi-join overlap — all shuffle on the entity key;
-    integer floor division end to end."""
+    the estimator's assumption, stated and testable). ONE per-user
+    rollup with channel flags, then one 4-column sum — the r11
+    fact-rescan audit rewrote the original three-distinct-counts +
+    semi-join form (5 fact scans) into this single-scan shape; the
+    oracle (unchanged) still spells the relational form."""
     ev = load(spark, sf_dir, "events")
-    s1 = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    s2 = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    counts = (
-        s1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).cast("long").alias("n2")))
-        .crossJoin(
-            s1.join(s2, "user_id").agg(F.count(F.lit(1)).cast("long").alias("m"))
-        )
-        .crossJoin(
-            ev.agg(F.countDistinct("user_id").cast("long").alias("true_n"))
-        )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("c"),
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("v"),
+    )
+    counts = per_user.agg(
+        F.sum("c").cast("long").alias("n1"),
+        F.sum("v").cast("long").alias("n2"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("true_n"),
     )
     return counts.selectExpr(
         "n1",
@@ -5441,6 +5462,9 @@ def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
+    # |users|-row rollup read by the count and both row-id branches —
+    # checkpoint so the fact scan runs once (r11 fact-rescan audit)
+    per_user = per_user.localCheckpoint(eager=False)
     n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
     from hoops_edge_database_etl_spark.operators.rowids import stable_row_ids
 
@@ -5459,8 +5483,11 @@ def q386_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     # positivity: a stratum missing an arm has no defined effect; drop it
-    # and renormalize the standardization weights over retained strata
-    kept = cells.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+    # and renormalize the standardization weights over retained strata.
+    # <=5 rows, read by the weight total and the final projection.
+    kept = cells.filter(
+        (F.col("n1") > 0) & (F.col("n0") > 0)
+    ).localCheckpoint(eager=False)
     tot = kept.agg(F.sum("n").cast("long").alias("n_all"))
     return kept.crossJoin(F.broadcast(tot)).selectExpr(
         "s AS stratum",
@@ -5571,6 +5598,10 @@ def q390_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").cast("long").alias("r_g"),
         F.sum("clicks").cast("long").alias("c_g"),
     )
+    # k-row group table read by the grand total AND the leave-one-out
+    # projection — checkpoint so the per-user rollup (and the fact scan
+    # under it) runs once (r11 fact-rescan audit: 5 scans -> 1)
+    grp = grp.localCheckpoint(eager=False)
     tot = grp.agg(
         F.sum("r_g").cast("long").alias("r"), F.sum("c_g").cast("long").alias("c")
     )

@@ -1227,8 +1227,21 @@ def q308_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar counts — at corpus scale the exact side is sampled, the
     LSH side is production."""
     d = load(spark, sf_dir, "documents")
-    truth = jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
-    cand = q43_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    # both lineages feed TWO consumers each (the hit join and their own
+    # scalar count) — checkpoint the pair sets so the exact-Jaccard and
+    # MinHash pipelines over documents each run once (r11 fact-rescan
+    # audit: 12 scans -> 2)
+    truth = (
+        jaccard_pairs(d, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = (
+        q43_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     hits = truth.join(cand, ["doc_a", "doc_b"])
     n_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n_c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
@@ -1588,6 +1601,11 @@ def q391_candidate_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("i"), F.col("doc_b").alias("j"))
         .distinct()
     )
+    # the candidate pair set feeds both symmetrization legs, the
+    # closure join, and the pair count — without a checkpoint the whole
+    # q43 MinHash pipeline (shingle + signature over documents)
+    # re-executes four times (r11 fact-rescan audit: 12 scans -> 1)
+    cand = cand.localCheckpoint(eager=False)
     sym = cand.unionAll(cand.select(F.col("j").alias("i"), F.col("i").alias("j")))
     x = sym.select(F.col("j").alias("apex"), F.col("i").alias("u"))
     y = sym.select(F.col("i").alias("apex2"), F.col("j").alias("v"))

@@ -48,12 +48,18 @@ def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is one groupBy-min plus an equi join on user_id — three
     shuffles on the same key, so at scale the exchanges reuse one
     partitioning (and the per-stage frames shrink monotonically). No
-    window over the raw stream, no per-user sort."""
+    window over the raw stream, no per-user sort. Each per-user stage
+    table is localCheckpointed (r11 fact-rescan audit): the next stage
+    AND the stage's own count row both read it, so without a
+    materialization the funnel re-executed upstream stages per
+    consumer (6 fact scans; 3 — one per event-type filter — is the
+    structural minimum)."""
     ev = load(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -61,6 +67,7 @@ def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -4657,6 +4664,9 @@ def q359_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    # (days x types)-row rollup read by the spike argmax and both
+    # spike/baseline filters — checkpoint so the fact scan runs once
+    daily = daily.localCheckpoint(eager=False)
     totals = daily.groupBy("d").agg(F.sum("cents").cast("long").alias("total"))
     spike = totals.orderBy(F.col("total").desc(), "d").limit(1).select(
         F.col("d").alias("spike_day")
@@ -4774,6 +4784,10 @@ def q366_successive_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
+    # ~(arms x weeks)-row rollup consumed by every round's filter AND
+    # by each round's survivor chain — ten fact scans without a
+    # checkpoint (r11 fact-rescan audit); one with it
+    weekly = weekly.localCheckpoint(eager=False)
     out = []
     survivors = None
     for rnd in range(4):
@@ -4875,8 +4889,14 @@ def q373_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer day gaps. Comparing arms = running this per treatment
     group and differencing — the RMST-difference test that's
     replacing logrank in pragmatic trials."""
-    steps = q328_kaplan_meier(spark, sf_dir).filter(
-        F.col("t_days") < RMST_HORIZON_DAYS
+    # bounded step table (distinct death days) read by BOTH the segment
+    # fold and the head aggregate — without a checkpoint the whole q328
+    # KM pipeline (and its fact scans) re-executes per consumer (r11
+    # fact-rescan audit: 8 scans -> 1)
+    steps = (
+        q328_kaplan_meier(spark, sf_dir)
+        .filter(F.col("t_days") < RMST_HORIZON_DAYS)
+        .localCheckpoint(eager=False)
     )
     wl = Window.orderBy("t_days")
     seg = steps.select(
@@ -7072,6 +7092,10 @@ def q477_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rn").cast("long").alias("lpos"),
         )
     )
+    # (user x type)-row profile read by the user count, the singles
+    # support, and both self-join legs — checkpoint so the event-log
+    # scan + position window run once (r11 fact-rescan audit: 5 -> 1)
+    pos = pos.localCheckpoint(eager=False)
     n = pos.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     singles = pos.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("supp")
@@ -7179,7 +7203,16 @@ def q483_subsequence_patterns_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("seq")
     )
-    syms = ev.select(F.substring("event_type", 1, 1).alias("s")).distinct()
+    # per-user sequence strings read by the user count and the pattern
+    # fan-out; the alphabet legs each re-scanned events too — one
+    # checkpoint each and the log is touched once (r11 fact-rescan
+    # audit: 5 scans -> 2)
+    coded = coded.localCheckpoint(eager=False)
+    syms = (
+        ev.select(F.substring("event_type", 1, 1).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pats = (
         syms.select(F.col("s").alias("a"))
         .crossJoin(syms.select(F.col("s").alias("b")))

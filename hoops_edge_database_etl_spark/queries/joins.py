@@ -528,7 +528,13 @@ def q81_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=65536: ~5% false-positive rate at 10k keys."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    keys = o.select(F.col("o_custkey").alias("key")).distinct()
+    # distinct key set feeds both hash legs; the 1024-word filter is
+    # broadcast twice — checkpoint both so the orders scan runs once
+    # for the build (r11 fact-rescan audit: 5 scans -> 2, build + the
+    # exact semi join)
+    keys = o.select(F.col("o_custkey").alias("key")).distinct().localCheckpoint(
+        eager=False
+    )
     words = None
     for i in (0, 1):
         part = keys.withColumn("__p", _bloom_pos(F.col("key"), i)).select(
@@ -536,7 +542,9 @@ def q81_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__p, 64) AS INT))").alias("b"),
         )
         words = part if words is None else words.unionByName(part)
-    bloom = words.groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+    bloom = words.groupBy("w").agg(F.expr("bit_or(b)").alias("bits")).localCheckpoint(
+        eager=False
+    )
 
     cand = c.select(F.col("c_custkey"), F.col("c_mktsegment"))
     for i in (0, 1):
@@ -1470,6 +1478,10 @@ def q311_popularity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = lines.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ord")
     )
+    # catalog-sized rollup read three times (count + the two row-id
+    # branches) — checkpoint so the lineitem distinct runs once (r11
+    # fact-rescan audit)
+    pop = pop.localCheckpoint(eager=False)
     n_parts = pop.agg(F.count(F.lit(1)).cast("long").alias("n_cat"))
     dec = (
         stable_row_ids(
@@ -1484,7 +1496,9 @@ def q311_popularity_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = q244_copurchase_topk(spark, sf_dir).select(
         F.col("p2").alias("l_partkey")
     )
-    rd = recs.join(dec, "l_partkey").select("decile")
+    # slot-count-sized; read by the total and the per-decile rollup —
+    # without this the whole q244 recommender re-executes twice
+    rd = recs.join(dec, "l_partkey").select("decile").localCheckpoint(eager=False)
     tot = rd.agg(F.count(F.lit(1)).cast("long").alias("n"))
     return (
         rd.groupBy("decile")

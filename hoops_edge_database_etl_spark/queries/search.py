@@ -170,6 +170,12 @@ def q401_rank_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
         F.countDistinct("l_orderkey").cast("long").alias("brd"),
     )
+    # Each stable_row_ids pass reads its input twice (local ranks +
+    # range counts), so three chained passes re-executed this per-part
+    # rollup — and the lineitem scan under it — up to 15x (r11
+    # fact-rescan audit). One lazy checkpoint of the |parts|-row rollup
+    # makes every pass read the materialized table instead.
+    agg = agg.localCheckpoint(eager=False)
     scored = stable_row_ids(agg, [F.col("rev").desc(), "l_partkey"], id_col="r1", start=1)
     scored = stable_row_ids(scored, [F.col("qty").desc(), "l_partkey"], id_col="r2", start=1)
     scored = stable_row_ids(scored, [F.col("brd").desc(), "l_partkey"], id_col="r3", start=1)
@@ -591,9 +597,13 @@ def q458_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
         .withColumnRenamed("first_doc", "doc_id")
     )
+    # per-doc 3-long-column table — read by both cumsum legs (local
+    # windows + the per-range totals), which otherwise re-run the
+    # token explode + min-doc aggregate per leg (r11 fact-rescan
+    # audit: 5 scans -> 2, the toks/nw structural pair)
     t = toks.join(nw, "doc_id", "left").select(
         "doc_id", "dl", F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms")
-    )
+    ).localCheckpoint(eager=False)
     ranged = t.repartitionByRange("doc_id").withColumn("__pid", F.spark_partition_id())
     w_local = (
         Window.partitionBy("__pid")

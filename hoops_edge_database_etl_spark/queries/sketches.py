@@ -686,8 +686,19 @@ def q126_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
-    sk = top_k_per_group(d, ["cohort"], [F.col("hv")], KMV_K).select("cohort", "hv")
-    u64 = sk.select("hv").distinct().orderBy("hv").limit(KMV_K)
+    # <=2k-row sketch feeds the union minima and both membership legs;
+    # the k-row union feeds the estimator and the intersection count —
+    # checkpoint both so the cohort top-k over events runs once (r11
+    # fact-rescan audit: 5 scans -> 2, sketch build + exact side)
+    sk = (
+        top_k_per_group(d, ["cohort"], [F.col("hv")], KMV_K)
+        .select("cohort", "hv")
+        .localCheckpoint(eager=False)
+    )
+    u64 = (
+        sk.select("hv").distinct().orderBy("hv").limit(KMV_K)
+        .localCheckpoint(eager=False)
+    )
     ustat = u64.agg(
         F.max("hv").cast("bigint").alias("hk"), F.count(F.lit(1)).cast("bigint").alias("kk")
     )
@@ -739,16 +750,25 @@ def _grouped_kth(df: DataFrame, key: str, v: str, quantile: float, bin_width: fl
     """Exact per-group k-th order statistic (k = ceil(q*n)) via the q107
     histogram-select plan: one map-side-combining histogram shuffle, a
     cumulative walk over the BOUNDED per-group histogram, then ranking
-    only the located bin's rows. Returns (key, n, kth)."""
+    only the located bin's rows. Returns (key, n, kth).
+
+    The bounded histogram is localCheckpointed (r11 fact-rescan audit):
+    it feeds THREE consumers — the cumulative walk, the per-group count
+    (n = Σ cnt, derived from the histogram instead of a separate fact
+    scan), and via `located` the candidate-bin filter — so without a
+    materialization each consumer re-executed the fact scan + shuffle
+    underneath it. Only the ≤(groups × bins)-row histogram is ever
+    checkpointed, never the corpus-sized input."""
     b = df.select(key, v, F.floor(F.col(v) / bin_width).cast("long").alias("bin"))
     hist = b.groupBy(key, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = hist.localCheckpoint(eager=False)
     wb = (
         Window.partitionBy(key)
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     hist_cum = hist.withColumn("cum", F.sum("cnt").over(wb))
-    t = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = hist.groupBy(key).agg(F.sum("cnt").cast("bigint").alias("n"))
     k = t.withColumn(
         "kk", F.ceil(F.lit(quantile) * F.col("n").cast("double")).cast("long")
     )

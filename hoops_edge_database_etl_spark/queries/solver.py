@@ -616,10 +616,16 @@ def q118_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least(u, v).alias("a"), F.greatest(u, v).alias("b"))
         .distinct()
     )
+    # the deduped edge list feeds THREE join legs — checkpoint it so
+    # the orders scan + distinct shuffle run once, not three times
+    # (r11 fact-rescan audit)
+    e = e.localCheckpoint(eager=False)
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # the triangle list feeds three corner projections — materialize it
+    # once instead of re-running the wedge join per corner
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).localCheckpoint(eager=False)
     corners = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))
@@ -927,6 +933,10 @@ def q332_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
+    # the canonical edge list feeds the edge count, both degree legs,
+    # and the within-community rollup — checkpoint so the orders scan
+    # + distinct run once (r11 fact-rescan audit)
+    raw = raw.localCheckpoint(eager=False)
     m = raw.agg(F.count(F.lit(1)).cast("long").alias("m"))
     deg = (
         raw.select(F.col("u").alias("node"))
@@ -954,6 +964,7 @@ def q332_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("k_total") * F.col("k_total"),
         )
     )
+    per = per.localCheckpoint(eager=False)  # |communities| rows, read 2x
     tot = per.agg(F.sum("contribution_scaled").cast("long").alias("q_scaled"))
     return (
         per.crossJoin(F.broadcast(tot))
@@ -1127,6 +1138,9 @@ def q360_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
+    # edge list feeds both adjacency legs AND the anti-join — checkpoint
+    # so the orders scan + distinct run once (r11 fact-rescan audit)
+    raw = raw.localCheckpoint(eager=False)
     adj = raw.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         raw.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -1226,6 +1240,10 @@ def q405_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
     )
+    # edge list feeds both adjacency legs, each read by the degree
+    # aggregate and the ends join — checkpoint so the orders scan +
+    # distinct run once (r11 fact-rescan audit)
+    raw = raw.localCheckpoint(eager=False)
     adj = raw.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         raw.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )

@@ -657,12 +657,17 @@ _sql_query(
 )
 
 
-def _mv_selection_sql(sizes_body: str | None = None) -> str:
+def _mv_selection_sql(
+    sizes_body: str | None = None, total_cost_sql: str | None = None
+) -> str:
     """Generate the 3-round greedy MV-selection DP over the (priority,
     year, status) rollup lattice: exact lattice sizes (by default seven
     per-subset distinct-count scans — engine-neutral shared text; pass
     ``sizes_body`` to substitute a fused GROUPING-SETS source, q451),
-    literal workload frequencies, unrolled greedy rounds."""
+    literal workload frequencies, unrolled greedy rounds.
+    ``total_cost_sql`` substitutes st0's base-table-cost scalar
+    subquery (q451 points it at a checkpointed 1-row count so the CTE
+    re-expansion never re-scans the fact table)."""
     cols = {1: "o_orderpriority", 2: "year(o_orderdate)", 4: "o_orderstatus"}
 
     def size_sq(mask: int) -> str:
@@ -725,7 +730,9 @@ def _mv_selection_sql(sizes_body: str | None = None) -> str:
     ),
     workload(q_mask, freq) AS (VALUES {workload}),
     st0 AS (
-      SELECT q_mask, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS cost
+      SELECT q_mask,
+             {total_cost_sql
+              or "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders)"} AS cost
       FROM workload
     ){"".join(rounds)}
     SELECT round, mv_mask, mv_size, gain AS marginal_gain,
@@ -811,11 +818,20 @@ def q451_mv_selection_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     same gains, and the same picks as the textbook seven-scan form
     (the q434/q412 shared-oracle crossover pattern). At 100 TB this
     is the difference between one pass over the fact table and
-    seven."""
+    seven.
+
+    r11 (fact-rescan audit): "one scan" must hold in the EXECUTED
+    plan, not just the SQL text — a plain temp view re-expands per
+    CTE reference, and the unrolled greedy rounds referenced the
+    GROUPING SETS subtree 18x and st0's base-cost COUNT(*) subquery
+    8x (26 fact scans total, audited). Both now materialize once via
+    localCheckpoint (the q408 pattern) before the view registration,
+    and the generated SQL's base-cost subquery points at the 1-row
+    checkpointed count."""
     from hoops_edge_database_etl_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    spark.sql(
+    sizes = spark.sql(
         """
         SELECT CASE gid WHEN 3 THEN 1 WHEN 5 THEN 2 WHEN 6 THEN 4
                         WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 4 THEN 6
@@ -833,7 +849,15 @@ def q451_mv_selection_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) g
         GROUP BY gid
         """
-    ).createOrReplaceTempView("q451_sizes")
+    ).localCheckpoint(eager=False)
+    sizes.createOrReplaceTempView("q451_sizes")
+    rowcount = spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders"
+    ).localCheckpoint(eager=False)
+    rowcount.createOrReplaceTempView("q451_rowcount")
     return spark.sql(
-        _mv_selection_sql("SELECT mv_mask, mv_size FROM q451_sizes")
+        _mv_selection_sql(
+            "SELECT mv_mask, mv_size FROM q451_sizes",
+            "(SELECT n FROM q451_rowcount)",
+        )
     )

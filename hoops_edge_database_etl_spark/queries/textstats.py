@@ -863,7 +863,11 @@ def q122_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         40,
         rank_col="__r",
     ).select("token", "df")
-    ht = tok.join(F.broadcast(head), "token")
+    # doc x head-token table (fan <= 40/doc, bounded by the head guard)
+    # feeds BOTH self-join legs — checkpoint so the token explode +
+    # distinct shuffle runs for it once (r11 fact-rescan audit); the df
+    # branch still needs its own full-vocabulary pass by design
+    ht = tok.join(F.broadcast(head), "token").localCheckpoint(eager=False)
     a = ht.select(
         F.col("doc_id"), F.col("token").alias("tok_a"), F.col("df").alias("df_a")
     )
@@ -1069,6 +1073,11 @@ def q132_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.floor(F.sqrt(F.sum("n_tok").cast("double"))).cast("bigint").alias("weight"),
     )
+    # <=|sources|-row histogram read by the weight total and the plan
+    # projection — checkpoint so the corpus scan runs once for it (r11
+    # fact-rescan audit: 5 scans -> the structural 2: histogram pass +
+    # assignment pass)
+    per_src = per_src.localCheckpoint(eager=False)
     tot = per_src.agg(F.sum("weight").cast("bigint").alias("sum_w"))
     plan = per_src.crossJoin(F.broadcast(tot)).select(
         "source",

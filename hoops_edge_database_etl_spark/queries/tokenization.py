@@ -668,6 +668,11 @@ def q267_repeat_factor_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w"),
     )
+    # 20-row weight table read by the total and the quota projection;
+    # the quota by the shortfall and the topped ranks — checkpoint both
+    # so the corpus token-count scan runs once (r11 fact-rescan audit:
+    # 5 scans -> 2, weights + the doc-level spread)
+    wts = wts.localCheckpoint(eager=False)
     tot = wts.agg(F.sum("w").cast("bigint").alias("tw"))
     quota = wts.crossJoin(F.broadcast(tot)).select(
         "source",
@@ -675,6 +680,7 @@ def q267_repeat_factor_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(1000 * w DIV tw AS BIGINT)").alias("base_copies"),
         F.expr("CAST(1000 * w % tw AS BIGINT)").alias("rem"),
     )
+    quota = quota.localCheckpoint(eager=False)
     short = quota.agg(
         (F.lit(1000) - F.sum("base_copies")).cast("bigint").alias("short")
     )
