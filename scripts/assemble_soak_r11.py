@@ -139,6 +139,45 @@ RESCAN_NOTES: dict[str, str] = {
         "stops the q43 MinHash lineage re-executing four times; sf1 "
         "A/B favors the checkpoint (10.7 vs 12.9 s). "
     ),
+    "q122_cooccurrence_lift": (
+        "FIRST fingerprinted row (pre-r9 soak rows carry no fp): "
+        "slope 2.47 - the head-vocabulary guard caps the pair space "
+        "at |head|^2 = 1600 cells, but each doc's <= 40-token head "
+        "fan grows with doc count, so the pair AGGREGATION input "
+        "grows ~x10 while the output stays fixed; sub-linear by "
+        "design, not a hazard. " + RESCAN_NOTE
+    ),
+    "q458_vocab_growth": (
+        "FIRST fingerprinted row: slope 1.96 over the two-pass "
+        "range-partitioned cumsum - the corpus doubles the explode "
+        "volume and the prefix machinery is linear; under the data "
+        "ratio. " + RESCAN_NOTE
+    ),
+    "q127_mad_outliers": (
+        "FIRST fingerprinted row: slope 1.63 across the five "
+        "structural passes (two composed median selects + the flag "
+        "count); the _grouped_kth histograms are checkpointed since "
+        "r11. " + RESCAN_NOTE
+    ),
+    "q451_mv_selection_fused": (
+        "FIRST fingerprinted row: slope 0.77 - the r11 fix "
+        "(checkpointed GROUPING SETS lattice + base count; the "
+        "executed plan previously re-scanned orders 26x through "
+        "temp-view re-expansion, contradicting the one-scan "
+        "docstring claim). Fixed stage floor dominates at these SFs."
+    ),
+    "q107_grouped_median": (
+        "FIRST fingerprinted row: slope 1.07, histogram-select plan "
+        "with the r11 checkpointed histogram. " + RESCAN_NOTE
+    ),
+    "q198_iqr_outliers": (
+        "FIRST fingerprinted row: slope 1.06, same _grouped_kth core "
+        "as q127/q140. " + RESCAN_NOTE
+    ),
+    "q360_link_prediction": (
+        "FIRST fingerprinted row: slope 1.21, wedge join over the "
+        "checkpointed edge list. " + RESCAN_NOTE
+    ),
 }
 
 
@@ -195,12 +234,15 @@ def main() -> None:
         "plan_change_recheck": {
             "method": (
                 "r11 batch 2 — the fact-rescan audit's checkpoint "
-                "conversions (25 queries with fingerprinted soak rows "
-                "whose plans gained a localCheckpoint on a shared "
-                "bounded rollup), re-timed sf0.1 vs plain sf1 with "
-                "fresh plan fingerprints; wall-neutrality established "
-                "by a same-session A/B with localCheckpoint patched to "
-                "identity (see scripts/audit_fact_rescan.py caveat)"
+                "conversions: the 26 changed queries with fingerprinted "
+                "soak rows re-timed sf0.1 vs plain sf1 with fresh plan "
+                "fingerprints, plus FIRST fingerprinted rows for the 7 "
+                "changed queries whose only soak rows predate the r9 fp "
+                "requirement (q107/q122/q127/q198/q360/q451/q458) so "
+                "the drift tripwire now covers them; wall-neutrality "
+                "established by a same-session A/B with localCheckpoint "
+                "patched to identity (see scripts/audit_fact_rescan.py "
+                "caveat)"
             ),
             "queries": rescan_rows,
         },
