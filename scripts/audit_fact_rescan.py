@@ -38,7 +38,15 @@ tests/test_fact_rescan_audit.py holds the flag set to an allowlist with
 a per-entry reason, so any NEW multi-scan query fails until adjudicated.
 
 Usage:
-  python scripts/audit_fact_rescan.py [sf_dir]
+  python scripts/audit_fact_rescan.py [sf_dir]                 # sweep
+  python scripts/audit_fact_rescan.py --ab q1,q2 [sf_dir] [reps]  # A/B
+
+--ab is the adjudication mode the r11 conversions used: time each named
+query with the current code vs with ``DataFrame.localCheckpoint``
+monkeypatched to identity (the pre-conversion plan), alternating
+A,B,A,B in ONE session so session temperature cancels; report min wall
+per variant. This is the controlled comparison — cross-session soak
+rows drift ±20-45% (see README's bench-drift section).
 """
 
 from __future__ import annotations
@@ -83,7 +91,55 @@ def flags_for(plan: str) -> dict[str, int]:
     return {t: c for t, c in fact_scan_counts(plan).items() if c >= THRESHOLD}
 
 
+def ab_mode(names: list[str], sf_dir: str, reps: int) -> None:
+    import time
+
+    from pyspark.sql import DataFrame
+
+    from hoops_edge_database_etl_spark.queries import all_queries
+    from hoops_edge_database_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="fact-rescan-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    orig_lc = DataFrame.localCheckpoint
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    for name in names:
+        run(name)  # warm
+        with_ckpt, without = [], []
+        for _ in range(reps):
+            DataFrame.localCheckpoint = orig_lc
+            with_ckpt.append(run(name))
+            DataFrame.localCheckpoint = lambda self, eager=True: self
+            without.append(run(name))
+        DataFrame.localCheckpoint = orig_lc
+        print(
+            json.dumps(
+                {
+                    name: {
+                        "ckpt_min": round(min(with_ckpt), 3),
+                        "nockpt_min": round(min(without), 3),
+                        "ckpt": [round(x, 3) for x in with_ckpt],
+                        "nockpt": [round(x, 3) for x in without],
+                    }
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        names = sys.argv[2].split(",")
+        sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+        ab_mode(names, sf_dir, reps)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from hoops_edge_database_etl_spark.queries import all_queries
     from hoops_edge_database_etl_spark.session import get_spark
