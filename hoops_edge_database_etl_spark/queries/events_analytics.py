@@ -48,12 +48,13 @@ def q89_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is one groupBy-min plus an equi join on user_id — three
     shuffles on the same key, so at scale the exchanges reuse one
     partitioning (and the per-stage frames shrink monotonically). No
-    window over the raw stream, no per-user sort. Each per-user stage
-    table is localCheckpointed (r11 fact-rescan audit): the next stage
-    AND the stage's own count row both read it, so without a
-    materialization the funnel re-executed upstream stages per
-    consumer (6 fact scans; 3 — one per event-type filter — is the
-    structural minimum)."""
+    window over the raw stream, no per-user sort. The view and click
+    stage tables are localCheckpointed (r11 fact-rescan audit) — each
+    has TWO consumers (the next stage and its own count row), so
+    without a materialization the funnel re-executed upstream stages
+    per consumer (6 fact scans; 3 — one per event-type filter — is the
+    structural minimum). The purchase stage has a single consumer and
+    needs no checkpoint."""
     ev = load(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")

@@ -21,6 +21,22 @@ Z_BLOCK_DIV = 256   # rows group into z >> 8 blocks (256 z-prefix "files")
 BOX = (64, 127, 64, 127)  # the 2-D predicate: x in [64,127], y in [64,127]
 
 
+def _seam_repeat(last_v, first_v) -> bool:
+    """Batch/partition-seam repeat predicate for the q273 repeats kernel.
+
+    Null contract (r11 ADVICE): null==null IS a repeat — this mirrors the
+    pre-r10 whole-partition object-dtype numpy pass, where None == None
+    compared True. A null on exactly one side is never a repeat. Kept
+    module-level so the contract is unit-testable outside the kernel.
+    """
+    import pandas as pd
+
+    ln, fn = bool(pd.isna(last_v)), bool(pd.isna(first_v))
+    if ln or fn:
+        return ln and fn
+    return bool(first_v == last_v)
+
+
 def _interleave_sql(xcol: str, ycol: str) -> str:
     """Morton code as pure div/mod/multiply — valid in Spark SQL and
     DuckDB alike (no engine-specific bit operators)."""
@@ -612,6 +628,7 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             rep = 0
             first_v = None
             last_v = None
+            have_last = False  # distinguishes "no batch yet" from a null carry
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -620,9 +637,15 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                     first_v = pdf["v"].iloc[0]
                 v = pdf["v"].to_numpy()
                 rep += int((v[1:] == v[:-1]).sum())
-                if last_v is not None and v[0] == last_v:
+                # Null contract (r11 ADVICE): a null==null seam COUNTS as a
+                # repeat, matching the old whole-partition object-dtype pass
+                # (None == None is True under numpy object equality). The
+                # `have_last` flag — not `last_v is not None` — gates the
+                # seam, so a null carried value still participates.
+                if have_last and _seam_repeat(last_v, v[0]):
                     rep += 1
                 last_v = pdf["v"].iloc[-1]
+                have_last = True
                 cnt += len(v)
             if pidx is None:
                 return
@@ -647,15 +670,30 @@ def q273_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # boundary stitch: P rows through one tiny window — bounded by
-        # the partition count, never the corpus
-        prev_last = F.lag("last_v").over(Window.orderBy("pidx"))
+        # the partition count, never the corpus. Same null contract as the
+        # kernel seam: null==null across a partition boundary is a repeat
+        # (eqNullSafe), but partition 0's missing predecessor never counts
+        # (has_prev distinguishes "no previous partition" from a null carry).
+        wseam = Window.orderBy("pidx")
+        prev_last = F.lag("last_v").over(wseam)
+        has_prev = F.lag(F.lit(1)).over(wseam).isNotNull()
         rep_row = summary.select(
-            "cnt", "rep", "first_v", prev_last.alias("prev_last")
+            "cnt",
+            "rep",
+            "first_v",
+            prev_last.alias("prev_last"),
+            has_prev.alias("has_prev"),
         ).agg(
             F.sum("cnt").cast("bigint").alias("n"),
             (
                 F.sum("rep")
-                + F.sum(F.when(F.col("first_v") == F.col("prev_last"), 1).otherwise(0))
+                + F.sum(
+                    F.when(
+                        F.col("has_prev")
+                        & F.col("first_v").eqNullSafe(F.col("prev_last")),
+                        1,
+                    ).otherwise(0)
+                )
             )
             .cast("bigint")
             .alias("n_repeats"),

@@ -110,14 +110,19 @@ def ab_mode(names: list[str], sf_dir: str, reps: int) -> None:
         return time.perf_counter() - t0
 
     for name in names:
-        run(name)  # warm
-        with_ckpt, without = [], []
-        for _ in range(reps):
+        # try/finally (r11 ADVICE): the monkeypatch is process-wide — an
+        # exception mid-rep must not leave the identity patch installed
+        # (it would silently disable every checkpoint for later work).
+        try:
+            run(name)  # warm
+            with_ckpt, without = [], []
+            for _ in range(reps):
+                DataFrame.localCheckpoint = orig_lc
+                with_ckpt.append(run(name))
+                DataFrame.localCheckpoint = lambda self, eager=True: self
+                without.append(run(name))
+        finally:
             DataFrame.localCheckpoint = orig_lc
-            with_ckpt.append(run(name))
-            DataFrame.localCheckpoint = lambda self, eager=True: self
-            without.append(run(name))
-        DataFrame.localCheckpoint = orig_lc
         print(
             json.dumps(
                 {

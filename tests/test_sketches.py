@@ -509,3 +509,20 @@ def test_q340_cvar_dominates_var(spark):
         assert 1 <= r["tail_n"]
         assert r["tail_n"] <= max(2, r["n_days"] // 10)
         assert abs(r["cvar95_cents"] - r["tail_sum_cents"] / r["tail_n"]) < 1e-9
+
+
+def test_q273_seam_null_contract():
+    """r11 ADVICE: the streaming repeats kernel's seam predicate must
+    mirror the old whole-partition object-dtype semantics — None==None
+    counts as a repeat; a null on exactly one side never does."""
+    import math
+
+    from hoops_edge_database_etl_spark.queries.layout import _seam_repeat
+
+    assert _seam_repeat(None, None) is True
+    assert _seam_repeat(math.nan, math.nan) is True  # pd.isna treats NaN as null
+    assert _seam_repeat(None, 5) is False
+    assert _seam_repeat(5, None) is False
+    assert _seam_repeat(5, 5) is True
+    assert _seam_repeat(5, 6) is False
+    assert _seam_repeat("A", "A") is True
