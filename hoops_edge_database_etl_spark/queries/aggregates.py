@@ -38,13 +38,15 @@ DEC = "decimal(18,2)"
 )
 def q21_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Σ(w·x)/Σw weighted average (A5: the reference's recency-weighted
-    league averages, gold/iterative_ratings.py:131-139)."""
+    league averages, gold/iterative_ratings.py:131-139). The part side
+    is size-gated, not hinted (r12 broadcast-growth audit: part scales
+    with the corpus; AQE broadcasts while small, shuffles at scale)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     w = F.col("l_quantity").cast(DEC)
     x = F.col("l_extendedprice").cast(DEC)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.sum(w * x).alias("_swx"), F.sum(w).alias("_sw"))
         .select(
@@ -621,7 +623,8 @@ def q120_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group least-squares fit (price ~ quantity per part brand) from
     exact DECIMAL power sums — the grouped-regression building block
     (feature/label drift fits, per-segment calibration) as ONE map-side
-    combinable aggregation + broadcast dim join; no per-group iteration,
+    combinable aggregation + a size-gated dim join (no broadcast hint —
+    r12 audit: part scales with the corpus); no per-group iteration,
     no UDF. Slope/intercept leave the exact domain only at the edge:
     decimal sums bridge to double via string (q23 rule), then the closed
     form runs the same IEEE op DAG in both engines — bit-identical."""
@@ -629,7 +632,7 @@ def q120_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     x = F.col("l_quantity").cast(DEC)
     y = F.col("l_extendedprice").cast(DEC)
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     m = j.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(x).alias("_sx"),
@@ -2366,10 +2369,12 @@ def q243_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     category aggregate (|categories| rows — broadcast back onto the
     fact), zero windows, zero self-joins — at 100 TB the encoding is
     a map-side join against a tiny statistics table, recomputable
-    per-fold by adding the fold key to both group-bys."""
+    per-fold by adding the fold key to both group-bys. The customer
+    enrich is size-gated, not hinted (r12 audit: customers scale);
+    only the 5-row segment-stats table keeps its broadcast hint."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    t = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    t = o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey",
         F.col("c_mktsegment").alias("seg"),
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
@@ -2542,8 +2547,11 @@ def q264_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cascade across the foreign-key chain customer → orders → lineitem
     before executing it: the dry-run report a compliance pipeline files
     with every purge. Each hop is a LEFT SEMI join down the FK edge
-    (victims broadcast; the orderkey set stays distributed — at 100 TB
-    the second hop is a shuffled semi join, never an IN-list collect).
+    (the victim set is size-gated, not hinted — r12 audit: a deletion
+    cohort scales with the customer base, so AQE broadcasts a small
+    request list and shuffles a large one; the orderkey set stays
+    distributed — at 100 TB both hops are shuffled semi joins, never
+    an IN-list collect).
     The actual purge is these same semi joins flipped to LEFT ANTI and
     rewritten partition-wise (sources/io.py's dynamic overwrite); the
     post-purge orphan check is q19/q59's referential audit, which must
@@ -2554,7 +2562,7 @@ def q264_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     dead_orders = o.join(
-        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
+        victims, o.o_custkey == victims.c_custkey, "left_semi"
     ).select("o_orderkey")
     n_c = victims.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     n_o = dead_orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -300,12 +300,16 @@ def q07_union_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q08_percent_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent/ratio formatting with NULLIF guard (F13: reference
-    bronze_silver_validation_queries.sql:165) plus a broadcast left join."""
+    bronze_silver_validation_queries.sql:165). The customer side is
+    size-gated, NOT hinted (r12 broadcast-growth audit: customers grow
+    with the corpus — 150→1500 at 10× data — so a forced broadcast is a
+    100 TB OOM; unhinted, AQE broadcasts while it fits and demotes to a
+    shuffle join when it doesn't)."""
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     total = c.count()  # scalar subquery equivalent; tiny driver-side value
     joined = n.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        c.select("c_custkey", "c_nationkey"),
         n.n_nationkey == c.c_nationkey,
         "left",
     )
@@ -463,13 +467,15 @@ def q169_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that matters when the wide table is itself expensive). The
     tall form is what metric stores and plotting layers ingest.
 
-    The wide aggregate underneath is one star join (broadcast dims) +
+    The wide aggregate underneath is one star join — nation broadcast
+    by hint (25 fixed rows), customer size-gated with no hint (r12
+    broadcast-growth audit: customers scale with the corpus) — plus
     one map-side-combining shuffle; stack adds zero exchanges."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     w = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.join(c.select("c_custkey", "c_nationkey"),
                o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               F.col("c_nationkey") == F.col("n_nationkey"))

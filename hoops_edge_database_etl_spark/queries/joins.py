@@ -598,10 +598,13 @@ def q105_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape — the 6-way star join with the local-supplier
     signature (c_nationkey = s_nationkey turns supplier into a second
     fact-side constraint, not just an enrich): Catalyst reorders the
-    join tree, broadcasts nation/region/supplier, pushes the date range
-    into the orders scan, and the two fact-fact joins shuffle on their
-    keys with AQE cleanup. Declared declaratively; the optimizer earns
-    its keep — exactly what the reference hand-scheduled per join."""
+    join tree, broadcasts nation/region (hinted — calendar-fixed dims)
+    and supplier (size-gated, NOT hinted: suppliers scale with the
+    corpus, 10→100 at 10× data in the r12 broadcast-growth audit, so
+    AQE broadcasts while it fits and shuffles at 100 TB), pushes the
+    date range into the orders scan, and the two fact-fact joins
+    shuffle on their keys with AQE cleanup. Declared declaratively; the
+    optimizer earns its keep — what the reference hand-scheduled."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
@@ -615,7 +618,7 @@ def q105_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -705,7 +708,9 @@ def q163_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the empty-frame global-total window is driver-trivial (the
     "No Partition Defined" hazard only bites on row-scale frames);
     revenue itself aggregates once in DECIMAL (exact ⇒ the shares'
-    float divisions agree cross-engine). Dim chain broadcasts,
+    float divisions agree cross-engine). nation/region broadcast by
+    hint (fixed dims); supplier is size-gated, not hinted (r12
+    broadcast-growth audit: suppliers scale with the corpus);
     lineitem shuffles once on the group key — the q105 star shape
     with a windowed epilogue."""
     li = load(spark, sf_dir, "lineitem")
@@ -713,7 +718,7 @@ def q163_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     rev = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -1317,7 +1322,11 @@ def q268_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge build on orderkey, the aggregate on src. Stacking layers =
     re-joining this output as the next layer's feature table — each
     layer is one more edge-keyed pass, never a driver loop; hub-part
-    skew is q104's profile and AQE's skew-join territory."""
+    skew is q104's profile and AQE's skew-join territory. The feature
+    table is size-gated, not hinted (r12 broadcast-growth audit: one
+    row per part, 200→2000 at 10× data — a forced broadcast of a
+    node-feature table is exactly what OOMs a GNN layer at graph
+    scale; unhinted, the feature join shuffles on dst when big)."""
     li = load(spark, sf_dir, "lineitem")
     lines = li.select("l_orderkey", "l_partkey").distinct()
     a = lines.alias("a")
@@ -1338,7 +1347,7 @@ def q268_graph_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
     return (
-        edges.join(F.broadcast(feat), "dst")
+        edges.join(feat, "dst")
         .groupBy(F.col("src").cast("bigint").alias("p_partkey"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("degree"),

@@ -279,7 +279,11 @@ def q149_bloom_block_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("aprobe") == F.col("probe")) & (F.col("ablock") == F.col("cblock")),
             "left",
         )
-        .join(F.broadcast(bsz), F.col("bblock") == F.col("cblock"), "left")
+        # bsz is PER-BLOCK state — blocks = rows/block_size, corpus-
+        # linear, so no broadcast hint (r12 audit: 2→15 blocks at 10×
+        # data; at 100 TB this is a shuffled lookup, AQE broadcasts
+        # while small)
+        .join(bsz, F.col("bblock") == F.col("cblock"), "left")
         .groupBy("probe", "n_blocks")
         .agg(
             F.countDistinct("cblock").cast("bigint").alias("n_blocks_maybe"),

@@ -211,7 +211,9 @@ def q223_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the max' nondeterministic); the one-row max broadcast-joins back.
     ORDER BY ... LIMIT 1 would DROP ties — the equality join is the
     correct semantics, and at 100 TB it costs one extra one-row
-    broadcast, not a sort. Supplier dim broadcasts onto the winners."""
+    broadcast, not a sort. The one-row max keeps its hint; supplier is
+    size-gated with no hint (r12 broadcast-growth audit: suppliers
+    scale with the corpus — AQE broadcasts the dim while it fits)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-07-01")
     )
@@ -223,7 +225,7 @@ def q223_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sr.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_dec") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
             "s_name",
@@ -254,8 +256,10 @@ def q224_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     push to their scans as weaker per-side filters, while the full
     disjunction stays as the post-join residual. At 100 TB the envelope
     pushdown is the difference between scanning 3/25 of part row-groups
-    and all of them — min/max stats prune on brand. The join itself
-    broadcasts part (dim-sized) so the residual runs map-side."""
+    and all of them — min/max stats prune on brand. The part join is
+    size-gated, not hinted (r12 broadcast-growth audit: part scales
+    with the corpus; AQE keeps the residual map-side while part fits
+    and shuffles it at catalog scale)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     q = F.col("l_quantity")
@@ -267,7 +271,7 @@ def q224_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -442,9 +446,10 @@ def q227_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a region's revenue per year, as a single pass (numerator via
     CASE/when inside the same aggregate — never two scans joined). Both
     sums stay DECIMAL; the share divides the two already-rounded DOUBLEs
-    so Spark and DuckDB perform the identical IEEE division. Dims
-    (nation ×2, region, supplier) broadcast; customer⋈orders⋈lineitem
-    are the only shuffles. The customer-region filter prunes through the
+    so Spark and DuckDB perform the identical IEEE division. Fixed dims
+    (nation ×2, region) broadcast by hint; supplier is size-gated with
+    no hint (r12 audit: it scales); customer⋈orders⋈lineitem
+    are the only guaranteed shuffles. The customer-region filter prunes through the
     broadcast join BEFORE the fact shuffle — Catalyst pushes the
     region-key IN-set down to the customer scan."""
     li = load(spark, sf_dir, "lineitem")
@@ -468,7 +473,8 @@ def q227_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier: size-gated, no hint (r12 audit — scales with corpus)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
@@ -863,8 +869,9 @@ def q426_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q13 q222, Q21-ish q225). The partsupp table doesn't exist in this
     star schema, so supply cost derives from lineitem (min observed
     cents per part × supplier, region-filtered through the
-    supplier→nation→region dimension chain — broadcast joins, the
-    dims are tiny). The ENGINE story is the point: the oracle runs the
+    supplier→nation→region dimension chain — nation/region broadcast
+    by hint; the supplier key set is size-gated since it scales with
+    the corpus, r12 audit). The ENGINE story is the point: the oracle runs the
     textbook correlated subquery (with a nested tiebreak subquery for
     the min-suppkey winner); Spark runs the DECORRELATED plan a real
     optimizer would pick — ONE window argmin (ROW_NUMBER over
@@ -887,7 +894,9 @@ def q426_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     cost = (
-        li.join(F.broadcast(asia_supps), li.l_suppkey == F.col("s_suppkey"))
+        # asia_supps is a fifth of the supplier dim — scales with the
+        # corpus, so size-gated with no hint (r12 broadcast-growth audit)
+        li.join(asia_supps, li.l_suppkey == F.col("s_suppkey"))
         .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),

@@ -3107,7 +3107,9 @@ def q443_stockout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load(spark, sf_dir, "lineitem")
     demand = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        # p is a part subset (scales with the corpus) — size-gated, no
+        # hint (r12 broadcast-growth audit: 12→118 rows at 10× data)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             "l_partkey",
             F.datediff(F.to_date("l_shipdate"), F.lit("1995-01-01").cast("date"))
@@ -3119,7 +3121,7 @@ def q443_stockout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey").orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    run = demand.join(F.broadcast(p), demand.l_partkey == p.p_partkey).select(
+    run = demand.join(p, demand.l_partkey == p.p_partkey).select(
         "l_partkey",
         "d",
         (F.col("start_stock") - F.sum("qty").over(w)).alias("stock_after"),
