@@ -7109,37 +7109,66 @@ def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality value domains the same midranks come
     barrier-free from a value-histogram + q74 two-pass cumsum
     (dx = 2·cum_below + cnt + 1 per distinct value), which is the
-    documented 100 TB form."""
+    documented 100 TB form — and, since round 12, the implemented one
+    (guide §2.3/§2.4): the fact table is never window-sorted; one
+    map-side-combined groupBy builds the JOINT (flag, quantity, price)
+    histogram, the two marginal histograms cum-sum over DISTINCT
+    VALUES (50 quantities / ~distinct prices per flag, not rows), and
+    the doubled midranks re-attach by histogram join — quantity's 150
+    bounded rows by broadcast, price's corpus-growing table unhinted
+    so AQE picks broadcast locally and a shuffle at scale. Moment sums
+    weight each joint cell by its count (Σc·dx·dy ≡ Σ_rows dx·dy
+    exactly); the old two-full-sort plan (2 window exchanges over
+    every row, 3 reducers) is gone. Oracle unchanged, hash-certified;
+    before/after plans in plans/r12/."""
     li = load(spark, sf_dir, "lineitem")
-    dx = (
-        2 * F.rank().over(Window.partitionBy("l_returnflag").orderBy("l_quantity"))
-        + F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag", "l_quantity")
-        )
-        - 1
+    # the joint histogram feeds three consumers (both marginals + the
+    # re-attach join) — checkpoint the ROLLUP, never the fact scan
+    # (r11 fact-rescan discipline), so lineitem is read exactly once
+    jc = (
+        li.groupBy("l_returnflag", "l_quantity", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    dy = (
-        2
-        * F.rank().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        )
-        + F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag", "l_extendedprice")
-        )
-        - 1
+    qc = jc.groupBy("l_returnflag", "l_quantity").agg(F.sum("c").alias("cv"))
+    pc = jc.groupBy("l_returnflag", "l_extendedprice").agg(F.sum("c").alias("cv"))
+    wq = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = li.select(
+    wp = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dxm = qc.select(
         "l_returnflag",
-        dx.cast("decimal(38,0)").alias("dx"),
-        dy.cast("decimal(38,0)").alias("dy"),
+        "l_quantity",
+        (2 * F.coalesce(F.sum("cv").over(wq), F.lit(0)) + F.col("cv") + 1).alias("dx"),
     )
-    m = ranked.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("dx").cast("decimal(38,0)").alias("sx"),
-        F.sum("dy").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+    dym = pc.select(
+        "l_returnflag",
+        "l_extendedprice",
+        (2 * F.coalesce(F.sum("cv").over(wp), F.lit(0)) + F.col("cv") + 1).alias("dy"),
+    )
+    weighted = (
+        jc.join(F.broadcast(dxm), ["l_returnflag", "l_quantity"])
+        .join(dym, ["l_returnflag", "l_extendedprice"])
+        .select(
+            "l_returnflag",
+            F.col("c").cast("decimal(38,0)").alias("c"),
+            F.col("dx").cast("decimal(38,0)").alias("dx"),
+            F.col("dy").cast("decimal(38,0)").alias("dy"),
+        )
+    )
+    m = weighted.groupBy("l_returnflag").agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c") * F.col("dx")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("c") * F.col("dy")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("c") * F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("c") * F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("c") * F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
     )
     return m.select(
         "l_returnflag",

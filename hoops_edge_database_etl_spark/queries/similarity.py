@@ -828,10 +828,16 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding matrix by DISTRIBUTED
     power iteration — the whitening/projection primitive training
     pipelines run before indexing, and a shape Spark has no built-in
-    for: (1) the Gram matrix XᵀX forms in ONE data-sized shuffle
-    (per-vector posexplode self-join fans each row into dim² products;
-    groupBy(j,k) sums exactly in int64 — 12-bit quantized coords keep
-    every product ≤ 2²⁴ so a row count up to 2³⁹ cannot overflow), then
+    for: (1) the Gram matrix XᵀX forms with NO data-sized shuffle at
+    all (r12, guide §4.2 "heavy lifting in native code"): a
+    mapInPandas kernel computes each partition's dense 64×64 int64
+    QᵀQ block in one numpy matmul and emits 4096 partial cells, so
+    the only exchange carries dim² rows per partition instead of the
+    old posexplode self-join's n·dim² product rows (same exact int64
+    sums — per-partition partial aggregation is associative; the
+    quantization floor(x·Q + 0.5) is the identical IEEE double op in
+    numpy and codegen; 12-bit quantized coords keep every product
+    ≤ 2²⁴ so a row count up to 2³⁹ cannot overflow), then
     row-normalized by n so its magnitude — and every later bound — is
     data-size INDEPENDENT; (2) {k} matrix-vector sweeps run on the
     dim²-row Gram DataFrame (join on k, groupBy j — dims ≪ data, so
@@ -852,33 +858,43 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweeps is a constant change.""".format(
         k=PCA_SWEEPS
     )
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings")
-    x = e.select("vec_id", F.posexplode("embedding").alias("dim", "val")).select(
-        "vec_id",
-        "dim",
-        F.floor(F.col("val").cast("double") * PCA_Q + F.lit(0.5))
-        .cast("long")
-        .alias("q"),
-    )
     n = e.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
-    a, b = x.alias("a"), x.alias("b")
-    g = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .crossJoin(F.broadcast(n))
-        .groupBy(F.col("a.dim").alias("j"), F.col("b.dim").alias("k"), "nr")
+
+    def gram_blocks(batches):
         # Gram cell = corpus-level sum of 24-bit products (the q402
-        # class): int64 holds to ~5.5e11 vectors. AUDITED round 9 and
-        # deliberately left LONG: (a) a DECIMAL(38,0) accumulator was
-        # measured at +24% wall (same-session A/B at sf0.1: long min
-        # 2.98 s vs decimal 3.70 s) because THIS sum runs over the
-        # n*64^2 exploded Gram rows, unlike the round's other overflow
-        # pins whose decimal sums cover tiny bounded tables; (b) the
-        # ceiling is unreachable in this plan - 5.5e11 vectors means a
-        # 2.3e15-row exploded join, infeasible long before the sum
-        # wraps; (c) ANSI mode makes a genuine overflow THROW loudly,
-        # never a silent wrap. The scale path past ~1e9 vectors is
-        # per-partition numpy Gram blocks, not a wider accumulator.
-        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("gs"))
+        # class): int64 holds to ~5.5e11 vectors (ANSI throws on a
+        # genuine overflow, never a silent wrap). r12: the sum now
+        # accumulates as per-partition numpy QᵀQ blocks — the scale
+        # path the r9 audit named — so the exploded join and its
+        # n·dim² shuffle rows are gone entirely.
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(m * PCA_Q + 0.5).astype(np.int64)
+            blk = q.T @ q
+            acc = blk if acc is None else acc + blk
+        if acc is not None:
+            d = acc.shape[0]
+            yield pd.DataFrame(
+                {
+                    "j": np.repeat(np.arange(d, dtype=np.int64), d),
+                    "k": np.tile(np.arange(d, dtype=np.int64), d),
+                    "gs": acc.reshape(-1),
+                }
+            )
+
+    g = (
+        e.select("embedding")
+        .mapInPandas(gram_blocks, schema="j long, k long, gs long")
+        .groupBy("j", "k")
+        .agg(F.sum("gs").alias("gs"))
+        .crossJoin(F.broadcast(n))
         .select(
             "j",
             "k",
@@ -889,7 +905,7 @@ def q141_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     v = (
-        x.select(F.col("dim").alias("j"))
+        g.select("j")
         .distinct()
         .select("j", F.lit(PCA_S).cast("long").alias("v"))
         .localCheckpoint(eager=True)

@@ -1444,9 +1444,14 @@ def q232_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    keys = ev.select(
-        "event_type", F.to_date("ts").alias("d"), "user_id"
-    ).distinct()
+    # two consumers since r12 (the daily sketch path and the weekly
+    # direct-count control) — checkpoint the deduped key rollup so the
+    # events scan + distinct run once (r11 fact-rescan discipline)
+    keys = (
+        ev.select("event_type", F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dw = Window.partitionBy("event_type", "d").orderBy("hv")
     daily = (
         keys.select("event_type", "d", h.alias("hv"))
@@ -1463,11 +1468,15 @@ def q232_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "week")
         .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("kk"))
     )
-    direct_keys = ev.select(
+    # r12 (guide §2.3/§2.4): derive the weekly key set from the DAILY
+    # distinct set instead of re-scanning events — distinct(type, week,
+    # user) over keys ≡ distinct over raw events because week is a pure
+    # function of d, so the second fact scan and the second full-width
+    # distinct disappear (the input here is already deduped per day).
+    # Oracle unchanged, hash-certified.
+    direct_keys = keys.select(
         "event_type",
-        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
-        .cast("bigint")
-        .alias("week"),
+        week.alias("week"),
         "user_id",
     ).distinct()
     direct = (

@@ -1741,7 +1741,25 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent); the quantization (≤ 32 ulp of 1e-6) is
     documented, deterministic, and identical on both sides. Property
     tests: python BFS replay matches exactly; adding a pivot never
-    decreases anyone's score (monotonicity of the partial sum)."""
+    decreases anyone's score (monotonicity of the partial sum).
+
+    Round 12 (optimization guide §2.3, "shuffle fewer bytes"): the BFS
+    state is a per-node PIVOT BITMASK (one int64, bit i = hash-rank-i
+    pivot has reached the node) instead of exploded (pivot, node)
+    pairs — the classic multi-source-BFS compression, valid because
+    every pivot's frontier expands in lockstep over the same edges.
+    Per sweep the old plan shuffled up to 32× |nodes| pair rows three
+    times (message distinct, visited anti-join, checkpoint); the new
+    plan shuffles |messages| + |visited| single-long rows ONCE (a
+    bit_or groupBy merging messages with the visited fragments — the
+    anti-join becomes `msg_bits & ~visited_bits`), then per-sweep
+    contributions are popcount(new bits) · (1000000 div d). Sweep
+    semantics, early exit, and the oracle are unchanged — a bit first
+    set at sweep d ⟺ the pair (pivot, node) first reached at sweep d
+    (test_q429_python_bfs_replay pins the replay; the hash gate
+    certifies the rewrite). Measured at sf0.1: 10.9 s → see
+    OPTIMIZATION_r12.md. Past 64 pivots the mask widens to an array of
+    longs — same plan shape."""
     li = load(spark, sf_dir, "lineitem")
     l1 = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_partkey")
     l2 = (
@@ -1768,43 +1786,82 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = Window.orderBy(
         F.md5(F.concat(F.col("node").cast("string"), F.lit(":hc"))), F.col("node")
     )
-    pivots = (
+    seeds = (
         nodes.withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") <= _HC_PIVOTS)
-        .select("node")
+        .select(
+            "node",
+            # F.shiftleft only takes a literal int shift — the per-row
+            # shift must go through the SQL form
+            F.expr("shiftleft(1L, rk - 1)").alias("bits"),
+        )
+        .localCheckpoint(eager=True)
     )
-    visited = pivots.select(
-        F.col("node").alias("p"), F.col("node"), F.lit(0).cast("long").alias("d")
-    ).localCheckpoint(eager=True)
-    frontier = visited
+    # visited is kept FRAGMENTED (seed frame + one frame per sweep) and
+    # consolidated every 4th sweep — the r7 cadence measurement carries
+    # over: per-sweep consolidation rewrites the whole visited set each
+    # round, never consolidating makes the merge groupBy re-scan d
+    # fragments per sweep; period-4 balances both.
+    vfrags: list[DataFrame] = [seeds]
+    newfrags: list[DataFrame] = []
+    frontier = seeds
     for d in range(1, _HC_SWEEPS + 1):
+        msgs = frontier.join(ed, frontier.node == ed.src).select(
+            F.col("dst").alias("node"),
+            F.col("bits").alias("mb"),
+            F.lit(0).cast("long").alias("vb"),
+        )
+        vis = vfrags[0]
+        for frag in vfrags[1:]:
+            vis = vis.unionAll(frag)
         nxt = (
-            frontier.join(ed, frontier.node == ed.src)
-            .select("p", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, ["p", "node"], "left_anti")
-            .withColumn("d", F.lit(d).cast("long"))
+            msgs.unionAll(
+                vis.select(
+                    "node", F.lit(0).cast("long").alias("mb"), F.col("bits").alias("vb")
+                )
+            )
+            .groupBy("node")
+            .agg(F.bit_or("mb").alias("mb"), F.bit_or("vb").alias("vb"))
+            .select(
+                "node",
+                F.col("mb").bitwiseAND(F.bitwise_not(F.col("vb"))).alias("bits"),
+                F.lit(d).cast("long").alias("d"),
+            )
+            .filter(F.col("bits") != 0)
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
             break
-        # Consolidate the visited set every 4th sweep, not every sweep
-        # (round-7 measurement, 3 reps each at sf0.1): per-sweep
-        # re-checkpoint rewrote the ENTIRE visited set each round —
-        # O(Σ_d |visited_d|) block writes — and was the jumpy variant
-        # ([10.5, 24.0] s); never consolidating skips the writes but the
-        # anti-join then re-scans d fragment RDDs per sweep ([8.8, 11.2]);
-        # period-4 amortizes the rewrite against fragment-scan fan-out
-        # and is both fastest and tightest ([8.6, 8.9]).
-        visited = visited.unionAll(nxt)
+        newfrags.append(nxt)
+        vfrags.append(nxt.select("node", "bits"))
         if d % 4 == 0:
-            visited = visited.localCheckpoint(eager=True)
-        frontier = nxt
-    contrib = visited.filter(F.col("d") > 0).groupBy("node").agg(
-        F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_x1e6"),
-        F.count(F.lit(1)).cast("long").alias("n_reached"),
-    )
-    return nodes.join(contrib, "node", "left").select(
+            vis = vfrags[0]
+            for frag in vfrags[1:]:
+                vis = vis.unionAll(frag)
+            vfrags = [
+                vis.groupBy("node")
+                .agg(F.bit_or("bits").alias("bits"))
+                .localCheckpoint(eager=True)
+            ]
+        frontier = nxt.select("node", "bits")
+    if newfrags:
+        reached = newfrags[0]
+        for frag in newfrags[1:]:
+            reached = reached.unionAll(frag)
+        contrib = reached.groupBy("node").agg(
+            F.sum(F.bit_count("bits").cast("long") * F.expr("1000000 div d"))
+            .cast("long")
+            .alias("harmonic_x1e6"),
+            F.sum(F.bit_count("bits").cast("long")).cast("long").alias("n_reached"),
+        )
+        out = nodes.join(contrib, "node", "left")
+    else:  # pragma: no cover - every sf has at least one edge per pivot
+        out = nodes.select(
+            "node",
+            F.lit(None).cast("long").alias("harmonic_x1e6"),
+            F.lit(None).cast("long").alias("n_reached"),
+        )
+    return out.select(
         "node",
         F.coalesce("harmonic_x1e6", F.lit(0)).cast("long").alias("harmonic_x1e6"),
         F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),

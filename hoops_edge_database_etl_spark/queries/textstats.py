@@ -1221,7 +1221,19 @@ def q145_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches it. Schema discipline: the payload column dies inside the
     feature stage; metadata (n_samples) travels beside it. This is the
     audio leg of the multimodal surface next to q66's image metadata
-    and the raw-RGB kernels."""
+    and the raw-RGB kernels.
+
+    r12 (guide §4.1/§4.5): the pack stage is a partition-STREAM
+    mapInPandas over repartition(user) + sortWithinPartitions(user,
+    ts, event_id) instead of a per-group applyInPandas — one kernel
+    invocation per task walking ordered Arrow batches (carrying the
+    open user across batch seams) replaces one Python call + one tiny
+    pandas frame per media id, and the per-group pandas sort moves
+    into the JVM sort. Same shuffle (hash on user), same per-user
+    sample order (the within-partition sort totally orders each
+    user's rows), byte-identical PCM blobs; oracle unchanged,
+    hash-certified."""
+    import numpy as np
     import pandas as pd
 
     from hoops_edge_database_etl_spark.operators.multimodal import (
@@ -1230,26 +1242,53 @@ def q145_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load(spark, sf_dir, "events")
-    s = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        (
-            (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 32768)
-            - 16384
-        ).alias("smp"),
+    s = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 32768)
+                - 16384
+            ).alias("smp"),
+        )
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
     )
 
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "media_id": [int(pdf["user_id"].iloc[0])],
-                "pcm": [pack_pcm16(pdf["smp"].to_numpy())],
-            }
-        )
+    def pack_stream(batches):
+        open_id, open_chunks = None, []
+        for pdf in batches:
+            ids = pdf["user_id"].to_numpy()
+            smp = pdf["smp"].to_numpy()
+            if not len(ids):
+                continue
+            # run boundaries within this batch (rows arrive ordered)
+            cuts = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(ids)]))
+            out_ids, out_pcm = [], []
+            for a, b in zip(starts, ends):
+                uid = int(ids[a])
+                if open_id is not None and uid == open_id:
+                    open_chunks.append(smp[a:b])
+                    continue
+                if open_id is not None:
+                    out_ids.append(open_id)
+                    out_pcm.append(pack_pcm16(np.concatenate(open_chunks)))
+                open_id, open_chunks = uid, [smp[a:b]]
+            # everything but the still-open trailing user is complete
+            if out_ids:
+                yield pd.DataFrame({"media_id": out_ids, "pcm": out_pcm})
+        if open_id is not None:
+            yield pd.DataFrame(
+                {
+                    "media_id": [open_id],
+                    "pcm": [pack_pcm16(np.concatenate(open_chunks))],
+                }
+            )
 
-    packed = s.groupBy("user_id").applyInPandas(pack, "media_id long, pcm binary")
+    packed = s.mapInPandas(pack_stream, schema="media_id long, pcm binary")
     return pcm16_features(packed, id_col="media_id", pcm_col="pcm")
 
 

@@ -312,36 +312,38 @@ def q225_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipdate), the latest-shippers per order, and a uniqueness gate —
     the supplier "kept the order waiting" iff it is the SOLE latest
     shipper on a multi-supplier order. The correlated form re-scans
-    lineitem per row; this plan reads it twice total (once for stats,
-    once for the max-match join) and every join shuffles on l_orderkey —
-    one key, so AQE reuses the exchange. The reference's gap-fill
+    lineitem per row; r12 (guide §2.3, "aggregate before you shuffle")
+    collapses the old two-scan plan to ONE fact scan: a supplier has a
+    line at the order's max shipdate iff its per-(order, supplier) MAX
+    shipdate equals the order max, so the map-side-combined
+    groupBy(orderkey, suppkey) rollup replaces both the second lineitem
+    scan and the fact-vs-stats join — every later join runs on the
+    pair rollup (≈ distinct (order, supplier) pairs, a fraction of the
+    fact rows), and the uniqueness gate is a window over the already
+    order-partitioned join output instead of another shuffle+semi-join.
+    Oracle unchanged, hash-certified. The reference's gap-fill
     discovery (`src/cbbd_etl/gap_fill.py:433-478`) is this same
     exists/not-exists shape over missing endpoints."""
     li = load(spark, sf_dir, "lineitem")
-    os_ = (
-        li.groupBy(F.col("l_orderkey").alias("os_orderkey"))
-        .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.max("l_shipdate").alias("max_ship"),
-        )
-        .filter(F.col("n_supp") >= 2)
+    # the pair rollup feeds two consumers (order stats + the max-match
+    # join) — checkpoint the ROLLUP so the fact scan runs once (r11
+    # fact-rescan discipline)
+    ps = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("sm"))
+        .localCheckpoint(eager=False)
     )
-    lastl = (
-        li.join(
-            os_,
-            (li.l_orderkey == os_.os_orderkey) & (li.l_shipdate == os_.max_ship),
-        )
-        .select(F.col("os_orderkey").alias("ok"), "l_suppkey")
-        .distinct()
-    )
-    uniq = (
-        lastl.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("n_last"))
-        .filter(F.col("n_last") == 1)
-        .select("ok")
-    )
+    os_ = ps.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("sm").alias("max_ship"),
+    ).filter(F.col("n_supp") >= 2)
+    lastl = ps.join(
+        os_, (ps.l_orderkey == os_.ok) & (ps.sm == os_.max_ship)
+    ).select("ok", "l_suppkey")
+    wn = Window.partitionBy("ok")
     return (
-        lastl.join(uniq, "ok", "left_semi")
+        lastl.withColumn("n_last", F.count(F.lit(1)).over(wn))
+        .filter(F.col("n_last") == 1)
         .groupBy(F.col("l_suppkey").cast("bigint").alias("s_suppkey"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )

@@ -186,6 +186,7 @@ ALLOWED = {
     "q456_hash_uniformity_audit": "bounded: 1 build side(s), max rows 1, max growth 1.0 at 10x",
     "q457_bm25_topk": "bounded: 1 build side(s), max rows 1, max growth 1.0 at 10x",
     "q458_vocab_growth": "bounded: 2 build side(s), max rows 32, max growth 1.0 at 10x",
+    "q459_spearman_rank_corr": "bounded: 1 build side(s), 150 rows at BOTH sf0.001 and sf0.01 (growth 1.0 at 10x) - the quantity-marginal midrank table is capped at |returnflag| x |distinct l_quantity| = 3 x 50 by the TPC-H value domain",
     "q460_kruskal_wallis": "bounded: 2 build side(s), max rows 50, max growth 1.0 at 10x",
     "q462_allen_relations": "bounded: 1 build side(s), max rows 1, max growth 1.0 at 10x",
     "q463_dtw_distance": "bounded: 1 build side(s), max rows 5, max growth 1.0 at 10x",

@@ -97,6 +97,9 @@ _PYTHON_ALLOWED = {
     "q330_lru_stack_distance",  # per-user LRU replay state machine (its oracle
     # is the declarative Mattson stack-distance formulation — the Python is
     # the point: an imperative twin certified by a theorem)
+    "q141_pca_power_iteration",  # r12: per-partition numpy QᵀQ Gram blocks
+    # (guide §4.2) replacing the posexplode self-join — the only exchange
+    # now carries dim² partial cells per partition; oracle unchanged
     "q408_kendall_tau",  # r10: weighted-mergesort dominance count per range
     # partition (numpy mapInPandas) — the O(n log n) Knight form replacing
     # the O(n²) pair join (sf1 185.7 s → 3.3 s); oracle unchanged
