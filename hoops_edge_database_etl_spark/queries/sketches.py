@@ -1444,14 +1444,24 @@ def q232_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    # two consumers since r12 (the daily sketch path and the weekly
-    # direct-count control) — checkpoint the deduped key rollup so the
-    # events scan + distinct run once (r11 fact-rescan discipline)
-    keys = (
-        ev.select("event_type", F.to_date("ts").alias("d"), "user_id")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # two consumers (the daily sketch path and the weekly direct-count
+    # control). NOT checkpointed, with the final-adaptive-plan evidence
+    # in plans/r12/q232_sketch_rollup_merge_final.txt: the optimizer
+    # collapses distinct(type, week, user)-over-keys into a direct
+    # distinct over a second column-pruned scan (legal: week is a pure
+    # function of d, so the projected key SET is identical), which means
+    # the two consumers do NOT share a canonical subtree and AQE stage
+    # reuse cannot fire. Forcing one scan with a localCheckpoint was
+    # measured SLOWER (same-session interleaved A/B, 5 reps at sf0.1,
+    # scripts/ab_q459_q232_r12.py: no-ckpt 1.44 s [1.31, 2.97] vs
+    # lazy-ckpt 2.14 s [1.72, 3.30] vs the r11 two-scan plan 1.80 s
+    # [1.50, 2.35]) — and the daily key rollup dedups only ~0.80 of the
+    # events rows (measured scale-invariant: 0.804 at sf0.01, 0.807 at
+    # sf0.1), so the checkpoint writes+reads ~80% of the fact table as
+    # uncompressed blocks to save one 3-column zstd parquet scan. Two
+    # pruned scans is the cheaper shape at every scale for this dedup
+    # ratio.
+    keys = ev.select("event_type", F.to_date("ts").alias("d"), "user_id").distinct()
     dw = Window.partitionBy("event_type", "d").orderBy("hv")
     daily = (
         keys.select("event_type", "d", h.alias("hv"))
@@ -1468,11 +1478,11 @@ def q232_sketch_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "week")
         .agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("kk"))
     )
-    # r12 (guide §2.3/§2.4): derive the weekly key set from the DAILY
-    # distinct set instead of re-scanning events — distinct(type, week,
-    # user) over keys ≡ distinct over raw events because week is a pure
-    # function of d, so the second fact scan and the second full-width
-    # distinct disappear (the input here is already deduped per day).
+    # r12: the weekly key set is WRITTEN as derived-from-keys (the
+    # logical identity: distinct(type, week, user) over keys ≡ distinct
+    # over raw events because week is a pure function of d), but the
+    # optimizer collapses it back to a direct distinct over its own
+    # pruned scan — see the comment and measurements at `keys` above.
     # Oracle unchanged, hash-certified.
     direct_keys = keys.select(
         "event_type",

@@ -326,13 +326,18 @@ def q225_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists/not-exists shape over missing endpoints."""
     li = load(spark, sf_dir, "lineitem")
     # the pair rollup feeds two consumers (order stats + the max-match
-    # join) — checkpoint the ROLLUP so the fact scan runs once (r11
-    # fact-rescan discipline)
-    ps = (
-        li.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max("l_shipdate").alias("sm"))
-        .localCheckpoint(eager=False)
-    )
+    # join); both sit over the IDENTICAL canonical subtree (scan →
+    # partial max → Exchange on (l_orderkey, l_suppkey)), so AQE reuses
+    # the materialized shuffle stage at RUNTIME — the static explain
+    # still prints two scans, but the final adaptive plan shows
+    # ShuffleQueryStage 2 as a ReusedExchange of stage 0's exchange
+    # (captured in plans/r12/q225_waiting_suppliers_final.txt): the
+    # fact table is scanned ONCE per execution. A localCheckpoint was
+    # measured SLOWER (same-session interleaved A/B, 5 reps at sf0.1:
+    # no-ckpt 1.98 s [1.74, 2.02] vs lazy-ckpt 2.24 s [1.61, 2.70] vs
+    # eager 2.28 s) because the block write/read costs more than the
+    # reuse AQE already provides (scripts/ab_q225_r12.py)
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("sm"))
     os_ = ps.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count(F.lit(1)).alias("n_supp"),
         F.max("sm").alias("max_ship"),
