@@ -7105,41 +7105,38 @@ def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL38 while each factor fits). Spearman = Pearson-on-midranks
     identity holds exactly under this encoding. Scale: ranking within
     a group is the classic sort-per-key window; groups here are the
-    3-value returnflag enum (each reducer owns one), and for
-    high-cardinality value domains the same midranks come
-    barrier-free from a value-histogram + q74 two-pass cumsum
-    (dx = 2·cum_below + cnt + 1 per distinct value), which is the
-    documented 100 TB form — and, since round 12, the implemented one
-    (guide §2.3/§2.4): the fact table is never window-sorted; one
-    map-side-combined groupBy builds the JOINT (flag, quantity, price)
-    histogram, the two marginal histograms cum-sum over DISTINCT
-    VALUES (50 quantities / ~distinct prices per flag, not rows), and
-    the doubled midranks re-attach by histogram join — quantity's 150
-    bounded rows by broadcast, price's corpus-growing table unhinted
-    so AQE picks broadcast locally and a shuffle at scale. Moment sums
-    weight each joint cell by its count (Σc·dx·dy ≡ Σ_rows dx·dy
-    exactly); the old two-full-sort plan (2 window exchanges over
-    every row, 3 reducers) is gone. Oracle unchanged, hash-certified;
-    before/after plans in plans/r12/."""
-    li = load(spark, sf_dir, "lineitem")
-    # the joint histogram feeds three consumers (both marginals + the
-    # re-attach join) — checkpoint the ROLLUP, never the fact scan
-    # (r11 fact-rescan discipline), so lineitem is read exactly once
-    jc = (
-        li.groupBy("l_returnflag", "l_quantity", "l_extendedprice")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+    3-value returnflag enum (each reducer owns one). Round-12 plan
+    (guide §2.3/§2.4, measured in scripts/ab_q459d_r12.py): the
+    LOW-CARDINALITY side (l_quantity, 50 distinct × 3 flags = 150
+    cells) takes its doubled midranks from a value histogram —
+    cum-sum over 150 rows, re-attached by a 150-row broadcast — so
+    its full-fact rank window is GONE; the HIGH-CARDINALITY side
+    (l_extendedprice, ~unique per row) keeps ONE per-flag rank
+    window, because histogramming a ~unique column compresses
+    nothing: the r12 joint-histogram attempt carried ~|fact| cells
+    through a checkpoint + a fact-sized re-attach shuffle and
+    measured 4.45 s vs this form's 3.16 s (committed vs hybrid,
+    7-rep interleaved medians; the r11 two-window form sits at
+    4.38 s in the same session). For value domains where BOTH sides
+    are high-cardinality, the deterministic-bucket two-pass cumsum
+    (per-bucket window + broadcast prefix offsets, no per-flag
+    reducer sort — `rangecum` in the A/B, 3.84 s here) is the 100 TB
+    form; its bucket key must be arithmetic on the value, never
+    repartitionByRange's sampled bounds, which are re-drawn per
+    materialization and feed broadcast subtrees inconsistently.
+    Oracle unchanged, hash-certified; before/after plans in
+    plans/r12/."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    qc = jc.groupBy("l_returnflag", "l_quantity").agg(F.sum("c").alias("cv"))
-    pc = jc.groupBy("l_returnflag", "l_extendedprice").agg(F.sum("c").alias("cv"))
+    # quantity-marginal doubled midranks: 150 bounded rows (the window
+    # under dxm runs over 50 rows per flag, fixture-bounded)
+    qc = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cv")
+    )
     wq = (
         Window.partitionBy("l_returnflag")
         .orderBy("l_quantity")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wp = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     dxm = qc.select(
@@ -7147,28 +7144,33 @@ def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         (2 * F.coalesce(F.sum("cv").over(wq), F.lit(0)) + F.col("cv") + 1).alias("dx"),
     )
-    dym = pc.select(
-        "l_returnflag",
-        "l_extendedprice",
-        (2 * F.coalesce(F.sum("cv").over(wp), F.lit(0)) + F.col("cv") + 1).alias("dy"),
-    )
-    weighted = (
-        jc.join(F.broadcast(dxm), ["l_returnflag", "l_quantity"])
-        .join(dym, ["l_returnflag", "l_extendedprice"])
-        .select(
-            "l_returnflag",
-            F.col("c").cast("decimal(38,0)").alias("c"),
-            F.col("dx").cast("decimal(38,0)").alias("dx"),
-            F.col("dy").cast("decimal(38,0)").alias("dy"),
+    # price doubled midranks: the one remaining per-flag rank window
+    # (l_extendedprice is ~unique per row — a histogram of it is the
+    # fact table again, measured slower; see docstring)
+    dy = (
+        2
+        * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
         )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_extendedprice")
+        )
+        - 1
     )
-    m = weighted.groupBy("l_returnflag").agg(
-        F.sum("c").cast("decimal(38,0)").alias("n"),
-        F.sum(F.col("c") * F.col("dx")).cast("decimal(38,0)").alias("sx"),
-        F.sum(F.col("c") * F.col("dy")).cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("c") * F.col("dx") * F.col("dx")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("c") * F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
-        F.sum(F.col("c") * F.col("dx") * F.col("dy")).cast("decimal(38,0)").alias("sxy"),
+    rows = li.withColumn("dy", dy.cast("decimal(38,0)")).join(
+        F.broadcast(dxm), ["l_returnflag", "l_quantity"]
+    )
+    m = rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
     )
     return m.select(
         "l_returnflag",
