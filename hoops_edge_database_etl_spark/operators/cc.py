@@ -10,10 +10,11 @@ wrong for adversarial shapes — a 10k-node path needs 10k sweeps.
 contraction (Kiveris et al., "Connected Components in MapReduce and
 Beyond", SoCC'14): each round rewires every node toward the minimum of its
 neighborhood, provably converging in O(log n) rounds REGARDLESS of
-diameter. Per round it costs two grouped mins + two joins (4 shuffles vs
-labelprop's 2), so labelprop wins on shallow graphs and star wins past a
-small-constant diameter — the measured crossover is documented in
-README ("Star vs labelprop crossover").
+diameter. Per round it costs two grouped mins + two joins + one dedup
+(3 shuffles since r12 — the mid-round dedup was dropped as exchange-free
+:func:`_orient`; vs labelprop's 2), so labelprop wins on shallow graphs
+and star wins past a small-constant diameter — the measured crossover is
+documented in README ("Star vs labelprop crossover").
 
 Both return ``(node, component)`` with component = min node id reachable,
 the same contract the reference's duplicate-resolution step implies
@@ -42,6 +43,19 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
+def _orient(edges: DataFrame) -> DataFrame:
+    """Orient (u > v) and drop self-loops WITHOUT deduplicating — narrow
+    ops only, no exchange (r12: the mid-round dedup was one of three
+    distinct exchanges per star round; groupBy-min is duplicate-
+    insensitive and the round-end :func:`_canon` restores the canonical
+    set, so dropping it changes no per-round canonical edge set, probe
+    value, or round count — A/B in scripts/ab_q410_r12.py)."""
+    u, v = F.col("src"), F.col("dst")
+    return edges.select(
+        F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+
 def connected_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     """Alternating large-star/small-star contraction.
 
@@ -68,10 +82,13 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFra
         # NOT checkpointed (round-7 measurement, 3 reps at sf0.1: with
         # [5.9, 14.1] s -> without [4.3, 5.8] s on q410): the small-star
         # step reads this frame twice (mins + join), but the two reads
-        # share the identical _canon distinct-exchange, which Spark
-        # reuses — one checkpoint per ROUND (after small-star) is enough
-        # lineage truncation, and it halves the block writes.
-        e = _canon(large)
+        # share the identical subtree, which Spark reuses — one
+        # checkpoint per ROUND (after small-star) is enough lineage
+        # truncation, and it halves the block writes.  NOT deduplicated
+        # either (r12, guide §2.4): _orient is exchange-free, and the
+        # duplicate (v, m) links it lets through are invisible to the
+        # small-star groupBy-min and swept by the round-end _canon.
+        e = _orient(large)
         # --- small-star: orient u > v (all neighbors of u here are smaller);
         # every smaller neighbor AND u itself link to min Γ(u).
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
@@ -79,7 +96,10 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 40) -> DataFra
         small = j.select(F.col("v").alias("src"), F.col("m").alias("dst")).unionByName(
             j.select(F.col("u").alias("src"), F.col("m").alias("dst"))
         )
-        e = _canon(small).localCheckpoint(eager=True)
+        # lazy checkpoint (r12): the probe aggregate immediately below
+        # materializes it in the same job, saving one job submission per
+        # round (eager ran a separate checkpoint job, then the probe).
+        e = _canon(small).localCheckpoint(eager=False)
         # fixed point: the canonical edge set stops changing.  count + sum
         # of endpoints is a sufficient monotone probe (edges only ever
         # rewire downward, so (count, sum) stabilizes exactly at the star
