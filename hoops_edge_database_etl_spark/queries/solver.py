@@ -1729,8 +1729,8 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q148's range-partitioned row_number beyond ~10^8 nodes). Distances come from one
     multi-source BFS carrying (pivot, node) pairs through frontier
     expansion (the q135 loop, keyed per pivot; visited-set anti-join,
-    frontier checkpointed per sweep, visited consolidated every 4th
-    sweep, early exit — 9 sweeps suffice at
+    one lazily-checkpointed state frame per sweep, early exit —
+    9 sweeps suffice at
     sf0.01, budget {_HC_SWEEPS} matches the oracle's bounded
     recursion). Unreachable pairs contribute zero — harmonic (unlike
     closeness) handles disconnected graphs natively, which is why it
@@ -1751,8 +1751,10 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per sweep the old plan shuffled up to 32× |nodes| pair rows three
     times (message distinct, visited anti-join, checkpoint); the new
     plan shuffles |messages| + |visited| single-long rows ONCE (a
-    bit_or groupBy merging messages with the visited fragments — the
-    anti-join becomes `msg_bits & ~visited_bits`), then per-sweep
+    bit_or groupBy merging messages with the visited mask — the
+    anti-join becomes `msg_bits & ~visited_bits`, and the same groupBy
+    emits the consolidated mask mb|vb, so visited is one frame, not a
+    fragment list), then per-sweep
     contributions are popcount(new bits) · (1000000 div d). Sweep
     semantics, early exit, and the oracle are unchanged — a bit first
     set at sweep d ⟺ the pair (pivot, node) first reached at sweep d
@@ -1761,6 +1763,11 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPTIMIZATION_r12.md. Past 64 pivots the mask widens to an array of
     longs — same plan shape."""
     li = load(spark, sf_dir, "lineitem")
+    # NOTE (r12): a one-scan conditional-MAX rewrite of this self-join is
+    # WRONG here — (l_orderkey, l_linenumber) is NOT unique in the
+    # fixture from sf0.01 up, and the oracle's l1 x l2 join emits the
+    # full cross of duplicate partkeys per order (tried, 1878 vs 1950
+    # oracle rows; reverted)
     l1 = li.filter(F.col("l_linenumber") == 1).select("l_orderkey", "l_partkey")
     l2 = (
         li.filter(F.col("l_linenumber") == 2)
@@ -1795,15 +1802,20 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             # shift must go through the SQL form
             F.expr("shiftleft(1L, rk - 1)").alias("bits"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: sweep 1's materialization job computes it; later readers
+        # (the visited union) hit the checkpointed blocks
+        .localCheckpoint(eager=False)
     )
-    # visited is kept FRAGMENTED (seed frame + one frame per sweep) and
-    # consolidated every 4th sweep — the r7 cadence measurement carries
-    # over: per-sweep consolidation rewrites the whole visited set each
-    # round, never consolidating makes the merge groupBy re-scan d
-    # fragments per sweep; period-4 balances both.
-    vfrags: list[DataFrame] = [seeds]
+    # visited is ONE frame per sweep (r12): the r7 fragmentation+period-4
+    # cadence was measured against the exploded PAIR representation,
+    # where consolidating visited rewrote up to 32x|nodes| rows per
+    # sweep; under the bitmask visited is <= |nodes| single-longs, and
+    # the per-sweep groupBy ALREADY computes the consolidated mask as
+    # mb|vb for free — emitting it alongside the new bits replaces the
+    # fragment list, the period-4 consolidation job, and its unions
+    # (A/B in OPTIMIZATION_r12.md: 6.52 -> 6.19 s median, exact parity).
     newfrags: list[DataFrame] = []
+    vis = seeds
     frontier = seeds
     for d in range(1, _HC_SWEEPS + 1):
         msgs = frontier.join(ed, frontier.node == ed.src).select(
@@ -1811,10 +1823,7 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bits").alias("mb"),
             F.lit(0).cast("long").alias("vb"),
         )
-        vis = vfrags[0]
-        for frag in vfrags[1:]:
-            vis = vis.unionAll(frag)
-        nxt = (
+        st = (
             msgs.unionAll(
                 vis.select(
                     "node", F.lit(0).cast("long").alias("mb"), F.col("bits").alias("vb")
@@ -1824,26 +1833,26 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.bit_or("mb").alias("mb"), F.bit_or("vb").alias("vb"))
             .select(
                 "node",
-                F.col("mb").bitwiseAND(F.bitwise_not(F.col("vb"))).alias("bits"),
-                F.lit(d).cast("long").alias("d"),
+                F.col("mb").bitwiseAND(F.bitwise_not(F.col("vb"))).alias("new"),
+                F.col("mb").bitwiseOR(F.col("vb")).alias("bits"),
             )
-            .filter(F.col("bits") != 0)
-            .localCheckpoint(eager=True)
+            # lazy + count: ONE job per sweep materializes the checkpoint
+            # AND answers the early-exit probe (eager ran a checkpoint
+            # job, then a second count job — r12, same cadence lesson as
+            # q410's probe)
+            .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
+        if st.filter(F.col("new") != 0).count() == 0:
             break
-        newfrags.append(nxt)
-        vfrags.append(nxt.select("node", "bits"))
-        if d % 4 == 0:
-            vis = vfrags[0]
-            for frag in vfrags[1:]:
-                vis = vis.unionAll(frag)
-            vfrags = [
-                vis.groupBy("node")
-                .agg(F.bit_or("bits").alias("bits"))
-                .localCheckpoint(eager=True)
-            ]
-        frontier = nxt.select("node", "bits")
+        newfrags.append(
+            st.filter(F.col("new") != 0).select(
+                "node", F.col("new").alias("bits"), F.lit(d).cast("long").alias("d")
+            )
+        )
+        vis = st.select("node", "bits")
+        frontier = st.filter(F.col("new") != 0).select(
+            "node", F.col("new").alias("bits")
+        )
     if newfrags:
         reached = newfrags[0]
         for frag in newfrags[1:]:
