@@ -320,6 +320,63 @@ def pack_pcm16(samples) -> bytes:
     return np.asarray(samples, dtype="<i2").tobytes()
 
 
+def pack_pcm16_stream(
+    df: DataFrame,
+    id_col: str = "user_id",
+    sample_col: str = "smp",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    out_id: str = "media_id",
+    pcm_col: str = "pcm",
+) -> DataFrame:
+    """Pack each id's ordered int samples into one little-endian PCM16
+    binary blob — the partition-STREAM form (guide §4.1/§4.5, built for
+    q145 in r12 and factored here in r13 so q480 sheds its per-group
+    ``applyInPandas``): one ``mapInPandas`` kernel per task walks ordered
+    Arrow batches over ``repartition(id) + sortWithinPartitions(id,
+    *order)``, carrying the open id across batch seams, instead of one
+    Python call + one tiny pandas frame per media id. Same shuffle (hash
+    on id), same per-id sample order (the within-partition sort totally
+    orders each id's rows), byte-identical blobs."""
+    import numpy as np
+    import pandas as pd
+
+    s = df.repartition(id_col).sortWithinPartitions(id_col, *order_cols)
+
+    def pack_stream(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        open_id, open_chunks = None, []
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            smp = pdf[sample_col].to_numpy()
+            if not len(ids):
+                continue
+            # run boundaries within this batch (rows arrive ordered)
+            cuts = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(ids)]))
+            out_ids, out_pcm = [], []
+            for a, b in zip(starts, ends):
+                uid = int(ids[a])
+                if open_id is not None and uid == open_id:
+                    open_chunks.append(smp[a:b])
+                    continue
+                if open_id is not None:
+                    out_ids.append(open_id)
+                    out_pcm.append(pack_pcm16(np.concatenate(open_chunks)))
+                open_id, open_chunks = uid, [smp[a:b]]
+            # everything but the still-open trailing user is complete
+            if out_ids:
+                yield pd.DataFrame({out_id: out_ids, pcm_col: out_pcm})
+        if open_id is not None:
+            yield pd.DataFrame(
+                {
+                    out_id: [open_id],
+                    pcm_col: [pack_pcm16(np.concatenate(open_chunks))],
+                }
+            )
+
+    return s.mapInPandas(pack_stream, schema=f"{out_id} long, {pcm_col} binary")
+
+
 def pcm16_features(
     df: DataFrame, id_col: str = "media_id", pcm_col: str = "pcm"
 ) -> DataFrame:
@@ -329,7 +386,18 @@ def pcm16_features(
     RMS energy, zero-crossing count (strict sign flips), peak
     amplitude. Output schema DROPS the payload (the multimodal rule:
     bytes die in the stage that consumes them); at 100 TB this stage
-    pipelines with the scan and shuffles nothing."""
+    pipelines with the scan and shuffles nothing.
+
+    r13 (guide §4.2 — an Arrow binary column is one contiguous buffer
+    plus offsets): the kernel decodes the WHOLE batch with one
+    ``b"".join`` + one ``frombuffer`` and computes every row's features
+    from segment boundaries over batch-level cumulative sums (energy,
+    sign flips) — no per-row Python loop. Cross-row sample pairs are
+    excluded from the flip count by construction (per-row pair span is
+    [start, end-1)), so the per-row numbers are bit-identical to the
+    row-at-a-time form (int64 sums; rms is the same int64/len double
+    division). A mixed batch with odd-length payloads fails loudly, as
+    the per-row frombuffer did."""
     import numpy as np
     import pandas as pd
 
@@ -340,20 +408,43 @@ def pcm16_features(
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            ids, ns, rms, zc, peak = [], [], [], [], []
-            for mid, raw in zip(pdf[id_col], pdf[pcm_col]):
-                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-                if not len(s):
-                    continue
-                ids.append(int(mid))
-                ns.append(len(s))
-                rms.append(float(np.sqrt((s * s).sum() / len(s))))
-                zc.append(int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0)
-                peak.append(int(np.abs(s).max()))
+            blobs = [bytes(b) for b in pdf[pcm_col]]
+            nbytes = np.fromiter(
+                (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+            )
+            if (nbytes % 2).any():
+                bad = int(np.flatnonzero(nbytes % 2)[0])
+                raise ValueError(
+                    f"odd-length PCM16 payload ({int(nbytes[bad])} bytes)"
+                )
+            keep = nbytes > 0  # empty payloads emit no row (unchanged)
+            if not keep.any():
+                continue
+            ids = pdf[id_col].to_numpy()[keep].astype(np.int64)
+            s = np.frombuffer(b"".join(blobs), dtype="<i2").astype(np.int64)
+            lens = (nbytes[keep] // 2).astype(np.int64)
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            # Σ s² per segment via one exclusive-prefix cumsum (int64,
+            # exact: max batch ~1e9 samples x 2.7e8 per square < 2^63)
+            csq = np.concatenate(([0], np.cumsum(s * s)))
+            esum = csq[ends] - csq[starts]
+            rms = np.sqrt(esum / lens)
+            # strict sign flips: global adjacent-pair products, per-row
+            # pairs live at flip indices [start, end-1) — the boundary
+            # pair (end-1) spans two rows and is excluded on both sides
+            if len(s) > 1:
+                cfl = np.concatenate(
+                    ([0], np.cumsum((s[:-1] * s[1:]) < 0, dtype=np.int64))
+                )
+                zc = cfl[np.maximum(ends - 1, starts)] - cfl[starts]
+            else:
+                zc = np.zeros(len(lens), dtype=np.int64)
+            peak = np.maximum.reduceat(np.abs(s), starts)
             yield pd.DataFrame(
                 {
                     id_col: ids,
-                    "n_samples": ns,
+                    "n_samples": lens,
                     "rms": rms,
                     "zero_crossings": zc,
                     "peak": peak,
@@ -382,18 +473,45 @@ def pcm16_frame_energy(
     out_schema = f"{id_col} long, frame_idx long, n long, energy long"
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # r13 (guide §4.2): decode the whole batch with one join+frombuffer
+        # and emit every frame from ONE exclusive-prefix cumsum of squares —
+        # frame energy = csq[frame_end] - csq[frame_start] — instead of a
+        # per-row Python loop with a per-FRAME inner loop (the hottest
+        # Python path in the audio leg: rows x frames iterations). Frame
+        # boundaries, ragged tails and int64 exactness are unchanged.
         for pdf in batches:
-            ids, fidx, ns, en = [], [], [], []
-            for mid, raw in zip(pdf[id_col], pdf[pcm_col]):
-                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-                for i in range(0, len(s), frame):
-                    chunk = s[i : i + frame]
-                    ids.append(int(mid))
-                    fidx.append(i // frame)
-                    ns.append(len(chunk))
-                    en.append(int((chunk * chunk).sum()))
+            blobs = [bytes(b) for b in pdf[pcm_col]]
+            nbytes = np.fromiter(
+                (len(b) for b in blobs), dtype=np.int64, count=len(blobs)
+            )
+            if (nbytes % 2).any():
+                bad = int(np.flatnonzero(nbytes % 2)[0])
+                raise ValueError(
+                    f"odd-length PCM16 payload ({int(nbytes[bad])} bytes)"
+                )
+            lens = nbytes // 2
+            nframes = (lens + frame - 1) // frame  # empty rows -> 0 frames
+            total = int(nframes.sum())
+            if not total:
+                continue
+            s = np.frombuffer(b"".join(blobs), dtype="<i2").astype(np.int64)
+            row_ends = np.cumsum(lens)
+            row_starts = row_ends - lens
+            csq = np.concatenate(([0], np.cumsum(s * s)))
+            # per-frame global offsets: row_start + frame * (0..nframes-1)
+            fbase = np.cumsum(nframes) - nframes
+            fidx = np.arange(total, dtype=np.int64) - np.repeat(fbase, nframes)
+            fstart = np.repeat(row_starts, nframes) + fidx * frame
+            fend = np.minimum(fstart + frame, np.repeat(row_ends, nframes))
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": fidx, "n": ns, "energy": en}
+                {
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy().astype(np.int64), nframes
+                    ),
+                    "frame_idx": fidx,
+                    "n": fend - fstart,
+                    "energy": csq[fend] - csq[fstart],
+                }
             )
 
     return df.mapInPandas(kernel, out_schema)

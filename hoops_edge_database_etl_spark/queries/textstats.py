@@ -1233,62 +1233,25 @@ def q145_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample order (the within-partition sort totally orders each
     user's rows), byte-identical PCM blobs; oracle unchanged,
     hash-certified."""
-    import numpy as np
-    import pandas as pd
-
     from hoops_edge_database_etl_spark.operators.multimodal import (
-        pack_pcm16,
+        pack_pcm16_stream,
         pcm16_features,
     )
 
     ev = load(spark, sf_dir, "events")
-    s = (
-        ev.select(
-            "user_id",
-            "ts",
-            "event_id",
-            (
-                (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 32768)
-                - 16384
-            ).alias("smp"),
-        )
-        .repartition("user_id")
-        .sortWithinPartitions("user_id", "ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long") % 32768)
+            - 16384
+        ).alias("smp"),
     )
-
-    def pack_stream(batches):
-        open_id, open_chunks = None, []
-        for pdf in batches:
-            ids = pdf["user_id"].to_numpy()
-            smp = pdf["smp"].to_numpy()
-            if not len(ids):
-                continue
-            # run boundaries within this batch (rows arrive ordered)
-            cuts = np.flatnonzero(ids[1:] != ids[:-1]) + 1
-            starts = np.concatenate(([0], cuts))
-            ends = np.concatenate((cuts, [len(ids)]))
-            out_ids, out_pcm = [], []
-            for a, b in zip(starts, ends):
-                uid = int(ids[a])
-                if open_id is not None and uid == open_id:
-                    open_chunks.append(smp[a:b])
-                    continue
-                if open_id is not None:
-                    out_ids.append(open_id)
-                    out_pcm.append(pack_pcm16(np.concatenate(open_chunks)))
-                open_id, open_chunks = uid, [smp[a:b]]
-            # everything but the still-open trailing user is complete
-            if out_ids:
-                yield pd.DataFrame({"media_id": out_ids, "pcm": out_pcm})
-        if open_id is not None:
-            yield pd.DataFrame(
-                {
-                    "media_id": [open_id],
-                    "pcm": [pack_pcm16(np.concatenate(open_chunks))],
-                }
-            )
-
-    packed = s.mapInPandas(pack_stream, schema="media_id long, pcm binary")
+    # r13: the partition-stream pack kernel is factored into
+    # operators/multimodal.py (pack_pcm16_stream) so q480 shares it;
+    # identical logic, byte-identical blobs.
+    packed = pack_pcm16_stream(s)
     return pcm16_features(packed, id_col="media_id", pcm_col="pcm")
 
 
@@ -3060,10 +3023,8 @@ def q480_pcm_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash. At 100 TB the decode stage pipelines with the
     scan (bytes never shuffle); islands shuffle only (media, frame)
     rows."""
-    import pandas as pd
-
     from hoops_edge_database_etl_spark.operators.multimodal import (
-        pack_pcm16,
+        pack_pcm16_stream,
         pcm16_frame_energy,
     )
 
@@ -3077,17 +3038,12 @@ def q480_pcm_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 16384
         ).alias("smp"),
     )
-
-    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
-            {
-                "media_id": [int(pdf["user_id"].iloc[0])],
-                "pcm": [pack_pcm16(pdf["smp"].to_numpy())],
-            }
-        )
-
-    packed = s.groupBy("user_id").applyInPandas(pack, "media_id long, pcm binary")
+    # r13 (guide §4.1/§4.5): per-group applyInPandas (one Python call +
+    # one tiny pandas frame + one pandas sort per media id) -> the shared
+    # partition-stream pack kernel q145 adopted in r12 (one kernel per
+    # task over a JVM sort, seam-carried). Same shuffle key, same per-user
+    # order, byte-identical blobs; oracle unchanged.
+    packed = pack_pcm16_stream(s)
     frames = pcm16_frame_energy(packed, id_col="media_id", pcm_col="pcm")
     flagged = frames.withColumn(
         "silent",

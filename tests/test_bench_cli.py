@@ -47,6 +47,11 @@ def test_bench_emits_two_parseable_json_lines_with_controls():
     for d in (full, compact):
         assert d["control_first"] > 0 and d["control_last"] > 0
     assert compact["n_queries"] == 2
+    # r13 (VERDICT r12 item 2): per-query medians must be in the FINAL
+    # line — the full line falls outside the driver's 2000-char tail, so
+    # a compact line without them leaves PERF per_query empty.
+    assert set(compact["queries"]) == {"q02_filter_pushdown", "q41_exact_dedup"}
+    assert all(v >= 0 for v in compact["queries"].values())
     # the compact line is the LAST stdout line so it survives the
     # driver's tail window even if the full line is enormous
     assert "n_queries" in lines[-1]
@@ -73,6 +78,39 @@ def test_bench_rejects_unknown_subset_names():
     assert proc.returncode != 0
     assert "q02_filter_pushdwn" in proc.stderr
     assert not proc.stdout.strip()  # no bench JSON emitted
+
+
+def test_compact_line_fits_driver_tail_with_full_headline():
+    """r13: the final line must carry all 66 HEADLINE per-query medians and
+    still fit the driver's 2000-char tail — even when every median is a
+    worst-case 5-char value (xx.xx). Pure function, no Spark."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    controls = {
+        "control_first": 0.2366,
+        "control_last": 0.1378,
+        "control_cpu_first": 0.2058,
+        "control_cpu_last": 0.1548,
+        "control_shuffle_first": 0.6155,
+        "control_shuffle_last": 0.7482,
+    }
+    timings = {n: 12.4449 for n in bench.HEADLINE}
+    line = bench.compact_summary_line(821.36, 0.1, 3, 2, timings, controls)
+    assert len(line) <= 1980
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_wall"
+    assert parsed["unit"] == "sec" and parsed["sf"] == 0.1
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["queries"]["q01_pricing_summary"] == 12.44
+
+    # pathological overflow (absurd 9-char medians): the queries map is
+    # dropped LAST, never the contract fields
+    crazy = {n: 123456.78 for n in bench.HEADLINE}
+    line2 = bench.compact_summary_line(8e6, 0.1, 3, 2, crazy, controls)
+    assert len(line2) <= 1980
+    parsed2 = json.loads(line2)
+    assert parsed2["metric"] == "headline_queries_total_wall"
 
 
 def test_bench_emits_cpu_controls():
