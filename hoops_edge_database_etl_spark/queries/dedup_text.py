@@ -884,8 +884,41 @@ def q154_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ga", "gb")
         .distinct()
     )
-    sa = gsets.select(F.col("gid").alias("ga"), F.col("s").alias("sa"))
-    sb = gsets.select(F.col("gid").alias("gb"), F.col("s").alias("sb"))
+    # r13 (guide §2.3 "narrower types" at the Python/JVM-GC boundary): the
+    # verify stage materializes TWO token arrays per candidate pair —
+    # ~1.7M pairs at sf0.1 — and with STRING arrays that allocation was
+    # q154's intrinsic GC spread (r6-r12: official spreads to 2.3x; r8's
+    # retry translated the 500k PER-DOC arrays and lost to the dictionary
+    # cost). Re-encode only the ~4k GROUP sets as sorted xxhash64 LONG
+    # arrays: |A∩B| and |A∪B| are invariant under any map that is
+    # injective on the vocabulary, and injectivity is CHECKED here at
+    # runtime — one aggregate over the (vocabulary-bounded) dfreq frame,
+    # count(tok) == countDistinct(xxhash64(tok)) — failing loudly on a
+    # collision instead of corrupting a count (none exists on any
+    # fixture; at 1e9 tokens the birthday bound is ~5%, and the gate is
+    # what makes the plan safe to run at that scale). Measured (fresh-JVM
+    # A/B x2, scripts/ab_q154_r13.py + OPTIMIZATION_r13.md): median
+    # 4.46-5.59 -> 2.43-2.83 s AND spread [3.9, 16.3] -> [2.3, 3.3].
+    # (the sets may also hold the empty-string token, which dfreq filters
+    # out — the same aggregate checks no vocab hash collides with h(""))
+    chk = dfreq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("tok")).alias("nh"),
+        F.max(
+            (F.xxhash64("tok") == F.xxhash64(F.lit(""))).cast("int")
+        ).alias("empty_clash"),
+    ).collect()[0]
+    if chk["n"] != chk["nh"] or chk["empty_clash"] == 1:
+        raise RuntimeError(
+            "xxhash64 collision inside the token vocabulary — the compressed"
+            " verify encoding is invalid for this corpus; widen to exact"
+            " dictionary ids"
+        )
+    enc = gsets.select(
+        "gid", F.sort_array(F.transform("s", lambda t: F.xxhash64(t))).alias("es")
+    )
+    sa = enc.select(F.col("gid").alias("ga"), F.col("es").alias("sa"))
+    sb = enc.select(F.col("gid").alias("gb"), F.col("es").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     v = (
         cand.join(sa, "ga")

@@ -1836,14 +1836,22 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("mb").bitwiseAND(F.bitwise_not(F.col("vb"))).alias("new"),
                 F.col("mb").bitwiseOR(F.col("vb")).alias("bits"),
             )
-            # lazy + count: ONE job per sweep materializes the checkpoint
-            # AND answers the early-exit probe (eager ran a checkpoint
-            # job, then a second count job — r12, same cadence lesson as
-            # q410's probe)
+            # lazy + count: the early-exit probe materializes the
+            # checkpoint (eager ran a checkpoint job, then a second count
+            # job — r12, same cadence lesson as q410's probe)
             .localCheckpoint(eager=False)
         )
-        if st.filter(F.col("new") != 0).count() == 0:
-            break
+        # r13 (VERDICT r12 item 4): probe the early exit every SECOND
+        # sweep — the lazy checkpoints compose, so two sweeps' lineage
+        # materializes under ONE count job, halving per-sweep job
+        # submissions (per-sweep cost here is scheduling, not data:
+        # decomposed at sf0.1, sweeps run ~0.3 s flat regardless of
+        # frontier size). The fragment is appended BEFORE the probe, so
+        # a sweep whose frontier died on the unprobed sweep appends an
+        # EMPTY fragment (zero rows, zero contribution) and the next
+        # probe reads 0 and exits: the (node, first-reached-sweep) set
+        # is unchanged (exact-parity A/B in scripts/ab_q429_r13.py;
+        # 5.01 -> 4.83 s isolated median).
         newfrags.append(
             st.filter(F.col("new") != 0).select(
                 "node", F.col("new").alias("bits"), F.lit(d).cast("long").alias("d")
@@ -1853,6 +1861,10 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = st.filter(F.col("new") != 0).select(
             "node", F.col("new").alias("bits")
         )
+        if (d % 2 == 0 or d == _HC_SWEEPS) and st.filter(
+            F.col("new") != 0
+        ).count() == 0:
+            break
     if newfrags:
         reached = newfrags[0]
         for frag in newfrags[1:]:
