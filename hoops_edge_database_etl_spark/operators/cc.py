@@ -10,11 +10,17 @@ wrong for adversarial shapes — a 10k-node path needs 10k sweeps.
 contraction (Kiveris et al., "Connected Components in MapReduce and
 Beyond", SoCC'14): each round rewires every node toward the minimum of its
 neighborhood, provably converging in O(log n) rounds REGARDLESS of
-diameter. Per round it costs two grouped mins + two joins + one dedup
-(3 shuffles since r12 — the mid-round dedup was dropped as exchange-free
-:func:`_orient`; vs labelprop's 2), so labelprop wins on shallow graphs
-and star wins past a small-constant diameter — the measured crossover is
-documented in README ("Star vs labelprop crossover").
+diameter. Per-round exchanges, enumerated from the physical plan (r13,
+ADVICE r12): THREE shuffle exchanges — the large-star groupBy-min, the
+small-star groupBy-min, and the round-end distinct — plus two
+BroadcastExchanges of the (post-aggregate, small) min frames; each star
+step's join probes its symmetrized/oriented edge side with NO exchange
+(broadcast hash join over the narrow-op edge lineage), which is why
+dropping the mid-round dedup (r12, :func:`_orient`) removed the fourth
+shuffle outright. Labelprop pays 2 exchanges per sweep, so labelprop wins
+on shallow graphs and star wins past a small-constant diameter — the
+measured crossover is documented in README ("Star vs labelprop
+crossover").
 
 Both return ``(node, component)`` with component = min node id reachable,
 the same contract the reference's duplicate-resolution step implies
@@ -45,11 +51,22 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 def _orient(edges: DataFrame) -> DataFrame:
     """Orient (u > v) and drop self-loops WITHOUT deduplicating — narrow
-    ops only, no exchange (r12: the mid-round dedup was one of three
-    distinct exchanges per star round; groupBy-min is duplicate-
-    insensitive and the round-end :func:`_canon` restores the canonical
-    set, so dropping it changes no per-round canonical edge set, probe
-    value, or round count — A/B in scripts/ab_q410_r12.py)."""
+    ops only, no exchange (r12: the mid-round dedup was one of the
+    per-round shuffle exchanges; groupBy-min is duplicate-insensitive and
+    the round-end :func:`_canon` restores the canonical set, so dropping
+    it changes no per-round canonical edge set, probe value, or round
+    count — A/B in scripts/ab_q410_r12.py).
+
+    Multiplicity caveat (ADVICE r12): duplicate edges admitted here fan
+    through the small-star join and inflate the round-end distinct's
+    shuffle input in proportion to duplicate multiplicity. The r12 win
+    was measured on the bounded path-segment fixture (low multiplicity);
+    r13 re-measured on a dense high-multiplicity co-purchase graph
+    (scripts/ab_cc_dense_r13.py — every edge duplicated by order
+    multiplicity) before trusting the tradeoff; numbers in
+    OPTIMIZATION_r13.md. If a future corpus carries extreme duplicate
+    multiplicity (>~10x), reinstate the mid-round :func:`_canon` for
+    that call site — the two are drop-in interchangeable."""
     u, v = F.col("src"), F.col("dst")
     return edges.select(
         F.greatest(u, v).alias("u"), F.least(u, v).alias("v")

@@ -14,6 +14,8 @@ count — the native double accumulators would drift in the last ulp.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -7120,12 +7122,31 @@ def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.38 s in the same session). For value domains where BOTH sides
     are high-cardinality, the deterministic-bucket two-pass cumsum
     (per-bucket window + broadcast prefix offsets, no per-flag
-    reducer sort — `rangecum` in the A/B, 3.84 s here) is the 100 TB
+    reducer sort — `rangecum` in the A/B) is the 100 TB
     form; its bucket key must be arithmetic on the value, never
     repartitionByRange's sampled bounds, which are re-drawn per
     materialization and feed broadcast subtrees inconsistently.
-    Oracle unchanged, hash-certified; before/after plans in
-    plans/r12/."""
+
+    Round 13 — the plan choice is now SCALE-ADAPTIVE (guide §2.2;
+    round rules: scale-dependent settings parameterized, never a
+    constant tuned for one deployment). The hybrid's remaining
+    per-flag rank window runs ONE TASK PER FLAG (the 3-value enum),
+    which is fine while a flag's rows fit one task's sort and a wall
+    past that: measured at 32 cores, hybrid wins at sf0.1 (isolated
+    3.16 vs 3.84 s) but loses 3.4× at sf1 (12.20 vs 3.55 s) where
+    three reducers sort ~2M rows each while 29 cores idle. The
+    switch reads the PLAN-STATISTICS estimate of the pruned 3-column
+    fact scan (no job runs): ≤ 16 MB (sf0.1 estimates 4.1 MB, sf1
+    53.3 MB) → per-flag window; above → bucketed two-pass cumsum
+    over the (flag, price) DISTINCT-CELL table, which is bounded by
+    the price DOMAIN (~100k values × 3 flags) at every scale.
+    Override with $SPARK_GRAFT_Q459_WINDOW_MAX_BYTES. Both branches
+    sum the same exact integers in DECIMAL(38,0), so rho is
+    bit-identical (exact row parity verified at sf1; the oracle hash
+    at sf0.01/0.001 covers the window branch, and
+    test_q459_rangecum_branch_parity pins the cumsum branch against
+    it at sf0.01). Oracle unchanged, hash-certified; before/after
+    plans in plans/r12/ and plans/r13/."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
@@ -7142,36 +7163,19 @@ def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     dxm = qc.select(
         "l_returnflag",
         "l_quantity",
+        "cv",
         (2 * F.coalesce(F.sum("cv").over(wq), F.lit(0)) + F.col("cv") + 1).alias("dx"),
     )
-    # price doubled midranks: the one remaining per-flag rank window
-    # (l_extendedprice is ~unique per row — a histogram of it is the
-    # fact table again, measured slower; see docstring)
-    dy = (
-        2
-        * F.rank().over(
-            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        )
-        + F.count(F.lit(1)).over(
-            Window.partitionBy("l_returnflag", "l_extendedprice")
-        )
-        - 1
+    threshold = int(
+        os.environ.get("SPARK_GRAFT_Q459_WINDOW_MAX_BYTES", str(16 * 1024 * 1024))
     )
-    rows = li.withColumn("dy", dy.cast("decimal(38,0)")).join(
-        F.broadcast(dxm), ["l_returnflag", "l_quantity"]
+    fact_bytes = int(
+        str(li._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     )
-    m = rows.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(F.col("dx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
-        F.sum("dy").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
-        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
-        .cast("decimal(38,0)")
-        .alias("sxy"),
-    )
+    if fact_bytes <= threshold:
+        m = _q459_window_moments(li, dxm)
+    else:
+        m = _q459_rangecum_moments(li, dxm)
     return m.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
@@ -7191,6 +7195,108 @@ def q459_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman_rho"),
     ).orderBy("l_returnflag")
+
+
+def _q459_window_moments(li: DataFrame, dxm: DataFrame) -> DataFrame:
+    """Hybrid small-scale branch: price doubled midranks from the one
+    remaining per-flag rank window (l_extendedprice is ~unique per row —
+    a histogram of it is the fact table again, measured slower in r12)."""
+    dy = (
+        2
+        * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_extendedprice")
+        )
+        - 1
+    )
+    rows = li.withColumn("dy", dy.cast("decimal(38,0)")).join(
+        F.broadcast(dxm.select("l_returnflag", "l_quantity", "dx")),
+        ["l_returnflag", "l_quantity"],
+    )
+    return rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dx").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("dx").cast("decimal(38,0)") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+
+
+def _q459_rangecum_moments(li: DataFrame, dxm: DataFrame) -> DataFrame:
+    """Scale branch: NO per-flag reducer sort. One fact exchange collapses
+    the fact rows to (flag, price) DISTINCT cells (bounded by the price
+    domain at any scale) carrying cv and sum-of-dx (dx attached by the
+    150-row broadcast BEFORE the collapse); the per-flag running count
+    over cells runs as the stable_row_ids two-pass shape — deterministic
+    value buckets (arithmetic on the price, never sampled range bounds) +
+    per-bucket window + broadcast prefix offsets — parallel over all
+    cores instead of 3 reducers. sy/syy/sxy come from the cells (rows
+    sharing a price cell share dy, and sxy = Σ sdx·dy); n/sx/sxx come
+    from the quantity histogram alone. Same exact integer sums as the
+    window branch, so the final rho doubles are bit-identical."""
+    D = "decimal(38,0)"
+    pc = (
+        li.join(
+            F.broadcast(dxm.select("l_returnflag", "l_quantity", "dx")),
+            ["l_returnflag", "l_quantity"],
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(
+            F.count(F.lit(1)).alias("cv"),
+            F.sum(F.col("dx").cast(D)).alias("sdx"),
+        )
+        .withColumn("__bkt", (F.col("l_extendedprice") / 3300.0).cast("int"))
+    )
+    wl = (
+        Window.partitionBy("__bkt", "l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = pc.withColumn("run", F.sum("cv").over(wl))
+    tot = loc.groupBy("__bkt", "l_returnflag").agg(F.sum("cv").alias("t"))
+    earlier = tot.select(
+        F.col("__bkt").alias("__e_bkt"),
+        F.col("l_returnflag").alias("__e_flag"),
+        F.col("t").alias("__e_t"),
+    )
+    offsets = (
+        tot.join(
+            F.broadcast(earlier),
+            (F.col("__e_flag") == F.col("l_returnflag"))
+            & (F.col("__e_bkt") < F.col("__bkt")),
+            "left",
+        )
+        .groupBy("__bkt", "l_returnflag")
+        .agg(F.coalesce(F.sum("__e_t"), F.lit(0)).cast("long").alias("base"))
+    )
+    cells = loc.join(F.broadcast(offsets), ["__bkt", "l_returnflag"]).select(
+        "l_returnflag",
+        "cv",
+        "sdx",
+        (
+            2 * (F.col("base") + F.col("run") - F.col("cv")) + F.col("cv") + 1
+        ).cast(D).alias("dy"),
+    )
+    my = cells.groupBy("l_returnflag").agg(
+        F.sum(F.col("cv").cast(D) * F.col("dy")).cast(D).alias("sy"),
+        F.sum(F.col("cv").cast(D) * F.col("dy") * F.col("dy")).cast(D).alias("syy"),
+        F.sum(F.col("sdx") * F.col("dy")).cast(D).alias("sxy"),
+    )
+    mx = dxm.groupBy("l_returnflag").agg(
+        F.sum("cv").cast(D).alias("n"),
+        F.sum(F.col("cv").cast(D) * F.col("dx").cast(D)).cast(D).alias("sx"),
+        F.sum(
+            F.col("cv").cast(D) * F.col("dx").cast(D) * F.col("dx").cast(D)
+        ).cast(D).alias("sxx"),
+    )
+    return mx.join(my, "l_returnflag")
 
 
 @query(

@@ -735,8 +735,10 @@ def q300_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     every edge by joining the current distance table against the edge
     list on src, min-merging candidates into the running distances,
     and localCheckpointing to keep lineage O(1); the loop exits when a
-    sweep improves nothing (one scalar isEmpty probe — never a data
-    collect). Weights >= 1 guarantee monotone convergence in <=
+    sweep improves nothing — detected by a two-scalar monotone
+    (count, sum) probe (r13; never a data collect), which also
+    materializes the sweep's lazy checkpoint in the same job.
+    Weights >= 1 guarantee monotone convergence in <=
     diameter sweeps. The DuckDB oracle enumerates all walks of total
     weight <= {SSSP_DIST_CAP} via a recursive CTE with SET semantics
     (the cap bounds recursion on cycles) + MIN — the exact fixed point
@@ -763,6 +765,15 @@ def q300_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = spark.createDataFrame(
         [(int(SSSP_SOURCE), 0)], "node long, dist long"
     ).localCheckpoint(eager=True)
+    # r13 (the q410 probe trick, measured −10–20% in
+    # scripts/ab_iterlazy_r13.py): distances only ever DECREASE and nodes
+    # are only ever ADDED, so (count, sum(dist)) changes iff some
+    # relaxation improved something — the per-sweep improved-JOIN +
+    # isEmpty probe (an extra join job per sweep) is replaced by a
+    # two-scalar monotone aggregate that ALSO materializes the lazy
+    # checkpoint in the same job. Stopping sweep is identical (exact-row
+    # parity pinned in the A/B script).
+    prev = None
     for _ in range(SSSP_MAX_SWEEPS):
         cand = (
             e.join(dist.withColumnRenamed("node", "src"), "src")
@@ -773,15 +784,13 @@ def q300_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        improved = merged.join(
-            dist.withColumnRenamed("dist", "old"), "node", "left"
-        ).filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-        done = improved.isEmpty()
+        probe = tuple(merged.agg(F.count(F.lit(1)), F.sum("dist")).collect()[0])
         dist = merged
-        if done:
+        if probe == prev:
             break
+        prev = probe
     return dist.filter(F.col("dist") <= SSSP_DIST_CAP).select(
         F.col("node").cast("bigint"), F.col("dist").cast("bigint")
     )
@@ -1761,7 +1770,14 @@ def q429_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_q429_python_bfs_replay pins the replay; the hash gate
     certifies the rewrite). Measured at sf0.1: 10.9 s → see
     OPTIMIZATION_r12.md. Past 64 pivots the mask widens to an array of
-    longs — same plan shape."""
+    longs — same plan shape. When widening, also split the checkpoint
+    (ADVICE r12): each sweep currently persists the full consolidated
+    state and the final union re-reads all of it filtering new != 0 at
+    read time — fine for one int64 per node, but with an array mask the
+    read/write amplification grows sweeps × |visited| × mask width;
+    checkpoint the pre-filtered new-bits projection alongside (or
+    instead of re-reading) the full state frame for the contribution
+    union."""
     li = load(spark, sf_dir, "lineitem")
     # NOTE (r12): a one-scan conditional-MAX rewrite of this self-join is
     # WRONG here — (l_orderkey, l_linenumber) is NOT unique in the

@@ -237,6 +237,7 @@ def test_detector_on_synthetic_plans():
 
 
 @pytest.mark.slow
+@pytest.mark.slow  # full-registry sweep; driver tier skips (pytest.ini, VERDICT r12 item 3)
 def test_no_unadjudicated_forced_broadcast(spark):
     from audit_broadcast_growth import (
         broadcast_heads,

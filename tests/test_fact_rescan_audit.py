@@ -116,6 +116,7 @@ def test_detector_on_synthetic_plans():
 
 
 @pytest.mark.slow
+@pytest.mark.slow  # full-registry sweep; driver tier skips (pytest.ini, VERDICT r12 item 3)
 def test_no_unadjudicated_fact_rescans(spark):
     from audit_fact_rescan import fact_scan_counts
 

@@ -110,6 +110,7 @@ _PYTHON_ALLOWED = {
 }
 
 
+@pytest.mark.slow  # full-registry sweep; driver tier skips (pytest.ini, VERDICT r12 item 3)
 def test_no_python_in_analytic_plans(spark):
     """Every oracle-bearing query must stay JVM-side: no row-at-a-time
     BatchEvalPython anywhere, and no pandas stages except the sanctioned
@@ -238,6 +239,7 @@ def test_stratified_sample_no_single_reducer_strata(spark):
     assert "hashpartitioning(lang" in plan and "__tk_pid" in plan
 
 
+@pytest.mark.slow  # full-registry sweep; driver tier skips (pytest.ini, VERDICT r12 item 3)
 def test_no_cartesian_product_anywhere(spark):
     """Global antipattern ban: no query may plan a CartesianProduct — a
     non-broadcast cross join is never intentional here (1-row scalar

@@ -20,6 +20,18 @@ def test_oracle_parity(spark, duck):
         compare_query(spark, duck, q)
 
 
+def test_q459_rangecum_branch_parity(spark, duck, monkeypatch):
+    """r13: q459 is scale-adaptive — the plan-statistics switch picks the
+    per-flag window branch at gate SFs and the bucketed two-pass cumsum
+    branch past ~16 MB of pruned fact scan. The oracle gate therefore only
+    ever exercises the window branch; THIS test forces the cumsum branch
+    (threshold 0) and pins it against the same DuckDB oracle at sf0.01.
+    Both branches sum identical exact integers in DECIMAL(38,0), so the
+    comparison is exact, not approximate."""
+    monkeypatch.setenv("SPARK_GRAFT_Q459_WINDOW_MAX_BYTES", "0")
+    compare_query(spark, duck, "q459_spearman_rank_corr")
+
+
 def _docs(duck):
     return duck.execute(
         "SELECT doc_id, string_split(text, ' ') FROM documents ORDER BY doc_id"

@@ -49,6 +49,7 @@ ALLOWLIST = {
 }
 
 
+@pytest.mark.slow  # full-registry sweep; driver tier skips (pytest.ini, VERDICT r12 item 3)
 def test_no_unadjudicated_stream_side_hazards(spark):
     from hoops_edge_database_etl_spark.queries import all_queries
 
